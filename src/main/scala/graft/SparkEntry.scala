@@ -1,13 +1,97 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.RelationalQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator from SURVEY.md §2 (or an extension
+  * op); `oracleSql` gives the DuckDB-equivalent SQL over the same parquet
+  * tables. Column names are aliased identically on both sides — the driver
+  * sorts columns by name before hashing.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelationalQueries.q1Pricing(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_filter"      -> (RelationalQueries.p1Filter _),
+    "p2_project"     -> (RelationalQueries.p2Project _),
+    "p4_point"       -> (RelationalQueries.p4PointLookup _),
+    "p5_conj"        -> (RelationalQueries.p5Conjunction _),
+    "p6_like"        -> (RelationalQueries.p6Like _),
+    "p7_semi"        -> (RelationalQueries.p7SemiJoin _),
+    "j1_anti"        -> (RelationalQueries.j1AntiJoin _),
+    "j2_inner"       -> (RelationalQueries.j2InnerJoin _),
+    "a1_minmaxcount" -> (RelationalQueries.a1MinMaxCount _),
+    "a3_coalescemax" -> (RelationalQueries.a3CoalesceMax _),
+    "a5_groupcount"  -> (RelationalQueries.a5GroupCount _),
+    "a6_groupcount2" -> (RelationalQueries.a6GroupCount2 _),
+    "a7_groupsum"    -> (RelationalQueries.a7GroupSum _),
+    "o3_topk"        -> (RelationalQueries.o3TopK _),
+    "m1_nextkey"     -> (RelationalQueries.m1NextKey _),
+    "m3_update"      -> (RelationalQueries.m3UpdateProjection _),
+    "m5_delete"      -> (RelationalQueries.m5Delete _),
+    "m8_distinct"    -> (RelationalQueries.m8Distinct _),
+    "w1_rownumber"   -> (RelationalQueries.w1RowNumber _),
+    "u1_union"       -> (RelationalQueries.u1Union _),
+    "f7_dategroup"   -> (RelationalQueries.f7DateGroup _),
+    "q1_pricing"     -> (RelationalQueries.q1Pricing _),
+    "q3_revenue"     -> (RelationalQueries.q3Revenue _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "p1_filter" ->
+      "SELECT * FROM orders WHERE o_orderstatus = 'F'",
+    "p2_project" ->
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 100",
+    "p4_point" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey = 7",
+    "p5_conj" ->
+      "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 100000.0",
+    "p6_like" ->
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE upper(c_mktsegment) LIKE '%BUILD%'",
+    "p7_semi" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')",
+    "j1_anti" ->
+      "SELECT o_orderkey, o_custkey FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_acctbal < 0)",
+    "j2_inner" ->
+      "SELECT r_name, count(*) AS n_customers, CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_acctbal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name",
+    "a1_minmaxcount" ->
+      "SELECT min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok, count(*) AS cnt FROM lineitem",
+    "a3_coalescemax" ->
+      "SELECT coalesce(max(o_orderkey), 0) AS mx FROM orders WHERE o_orderkey < 0",
+    "a5_groupcount" ->
+      "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag",
+    "a6_groupcount2" ->
+      "SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus",
+    "a7_groupsum" ->
+      "SELECT o_orderpriority, count(*) AS n_orders, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price FROM orders GROUP BY o_orderpriority",
+    "o3_topk" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100",
+    "m1_nextkey" ->
+      "SELECT coalesce(max(c_custkey), 0) + 1 AS next_key FROM customer",
+    "m3_update" ->
+      "SELECT c_custkey, c_name, CASE WHEN c_custkey = 1 THEN 0.0 ELSE c_acctbal END AS c_acctbal FROM customer",
+    "m5_delete" ->
+      "SELECT c_custkey, c_name FROM customer WHERE NOT c_custkey = 5",
+    "m8_distinct" ->
+      "SELECT DISTINCT o_custkey, o_orderstatus FROM orders",
+    "w1_rownumber" ->
+      "SELECT o_orderkey, o_custkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn FROM orders WHERE o_custkey < 50",
+    "u1_union" ->
+      "SELECT o_orderkey, 'HI' AS bucket FROM orders WHERE o_totalprice > 200000.0 UNION ALL SELECT o_orderkey, 'LO' AS bucket FROM orders WHERE o_totalprice < 10000.0",
+    "f7_dategroup" ->
+      "SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_date, count(*) AS n FROM orders GROUP BY strftime(o_orderdate, '%Y-%m-%d')",
+    "q1_pricing" ->
+      "SELECT l_returnflag, l_linestatus, sum(CAST(l_quantity AS BIGINT)) AS sum_qty, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price, CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty, CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_disc, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus",
+    "q3_revenue" ->
+      "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING' GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority",
+  )
 }
