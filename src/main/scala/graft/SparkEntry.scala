@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.RelationalQueries
+import graft.queries.{EventQueries, ExtensionQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -42,6 +42,22 @@ object SparkEntry {
     "f7_dategroup"   -> (RelationalQueries.f7DateGroup _),
     "q1_pricing"     -> (RelationalQueries.q1Pricing _),
     "q3_revenue"     -> (RelationalQueries.q3Revenue _),
+    // events: windows / sessions / JSON (SURVEY §2.7 analogs)
+    "events_hourly"    -> (EventQueries.hourlyAgg _),
+    "events_sessions"  -> (EventQueries.sessions _),
+    "events_json"      -> (EventQueries.jsonExtract _),
+    "events_typestats" -> (EventQueries.typeStats _),
+    // training-data extension ops (text / dedup / similarity)
+    "text_stats"          -> (ExtensionQueries.textStats _),
+    "text_triage"         -> (ExtensionQueries.textTriage _),
+    "dedup_exact"         -> (ExtensionQueries.dedupExact _),
+    "dedup_exact_keep"    -> (ExtensionQueries.dedupExactKeep _),
+    "dedup_minhash_pairs" -> (ExtensionQueries.dedupMinhashPairs _),
+    "dedup_simhash_pairs" -> (ExtensionQueries.dedupSimhashPairs _),
+    "dedup_embed_pairs"   -> (ExtensionQueries.dedupEmbeddingPairs _),
+    "sim_brute_topk"      -> (ExtensionQueries.simBruteTopK _),
+    "sim_ann_topk"        -> (ExtensionQueries.simAnnTopK _),
+    "sim_ann_recall"      -> (ExtensionQueries.simAnnRecall _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -93,5 +109,19 @@ object SparkEntry {
       "SELECT l_returnflag, l_linestatus, sum(CAST(l_quantity AS BIGINT)) AS sum_qty, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price, CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty, CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_disc, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus",
     "q3_revenue" ->
       "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING' GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority",
+    "events_hourly" ->
+      "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value FROM events GROUP BY 1, 2",
+    "events_sessions" ->
+      "WITH g AS (SELECT user_id, ts, event_id, value, CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800 THEN 1 ELSE 0 END AS new_session FROM events), s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM g) SELECT user_id, session_seq, strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS session_start, count(*) AS n_events, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS session_value FROM s GROUP BY user_id, session_seq",
+    "events_json" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events",
+    "events_typestats" ->
+      "SELECT event_type, count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value, min(CAST(round(value * 100) AS BIGINT)) AS min_cents, max(CAST(round(value * 100) AS BIGINT)) AS max_cents FROM events GROUP BY event_type",
+    "text_stats" ->
+      "SELECT doc_id, length(text) AS n_chars, len(string_split_regex(trim(text), '\\s+')) AS n_tokens, length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits, CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS digit_ratio FROM documents",
+    "dedup_exact" ->
+      "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY md5(text)",
+    "dedup_exact_keep" ->
+      "SELECT doc_id, n_chars FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))",
   )
 }

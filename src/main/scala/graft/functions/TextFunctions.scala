@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline extension
+  * (builder prompt; SURVEY §7.4 item 6).
+  *
+  * All pure Column expressions over `functions._` — every op stays inside
+  * whole-stage codegen (no UDFs), so at 100 TB these run at parquet-scan
+  * speed with no serialization boundary. Each is deterministic, so results
+  * hash-compare across engines where the oracle SQL can express the same
+  * computation.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empty-safe (`""` → empty array, not `[""]`). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword-unit estimate: letter runs, digits, and individual
+    * punctuation each count as one token — a cheap proxy for byte-pair
+    * tokenizers (≈ GPT-style pre-tokenization regex, simplified). */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  /** Characters matching `charClassRegex` as a fraction of total length.
+    * 0.0 for empty text. */
+  private def charRatio(text: Column, charClassKeep: String): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, charClassKeep, "")).cast("double") / length(text))
+
+  /** Punctuation chars / total chars (explicit char class, not \p{Punct},
+    * so engines with different Unicode tables agree). */
+  def punctRatio(text: Column): Column =
+    charRatio(text, "[^.,;:!?'\"()\\[\\]{}-]")
+
+  /** Digit chars / total chars. */
+  def digitRatio(text: Column): Column = charRatio(text, "[^0-9]")
+
+  /** Uppercase chars / total chars. */
+  def upperRatio(text: Column): Column = charRatio(text, "[^A-Z]")
+
+  /** Mean whitespace-token length (0.0 for empty). */
+  def meanTokenLen(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0)).otherwise(
+      aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t))
+        .cast("double") / n)
+  }
+
+  // Tiny per-language stopword lists for the n-gram/stopword language-ID
+  // heuristic. Sets are disjoint-ish on purpose: shared words (e.g. "a")
+  // carry no signal.
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "es" -> Seq("el", "la", "los", "las", "que", "y", "en", "un", "una", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "une", "dans", "pour", "du"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "auf"),
+  )
+
+  /** Count of tokens present in `words` (case-insensitive). */
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val lits = array(words.map(lit): _*)
+    size(filter(tokens(lower(text)), t => array_contains(lits, t)))
+  }
+
+  /** Stopword tokens / total tokens (English list) — a classic quality
+    * signal for web-scraped corpora. */
+  def stopwordRatio(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0))
+      .otherwise(stopwordHits(text, stopwords("en")).cast("double") / n)
+  }
+
+  /** Language-ID heuristic: argmax of per-language stopword hit counts;
+    * "und" (undetermined) when nothing matches. Latin-script languages
+    * only — CJK would key off Unicode ranges instead (`unk` here).
+    *
+    * Implementation: build an array of (score, tiebreak-lang) structs,
+    * `array_max` picks the lexicographically greatest — i.e. highest
+    * score, ties broken by language code — still pure codegen. */
+  def langId(text: Column): Column = {
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(stopwordHits(text, words).as("score"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") === 0, lit("und"))
+      .otherwise(best.getField("lang"))
+  }
+
+  /** Composite quality score in [0,1]: long-enough, low punctuation/digit
+    * noise, sane mean token length. Weights are heuristic; the point is the
+    * SHAPE (pure-expression scoring usable in a 100 TB filter pushdown). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
+    val digitPenalty = greatest(lit(0.0), lit(1.0) - digitRatio(text) * 5.0)
+    val tokLen = meanTokenLen(text)
+    val tokScore = when(tokLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+    round(lenScore * 0.4 + punctPenalty * 0.25 + digitPenalty * 0.15 + tokScore * 0.2, 4)
+  }
+
+  /** Order-sensitive 64-bit document fingerprint: xxhash64 of the
+    * single-space-joined token sequence. Equal iff the token sequences
+    * are equal — an exact-dup key that ignores whitespace differences.
+    * (xxhash64, not arithmetic folding: Spark 4 ANSI mode rejects
+    * deliberately-wrapping multiply.) */
+  def fingerprint(text: Column): Column =
+    xxhash64(concat_ws(" ", tokens(text)))
+}

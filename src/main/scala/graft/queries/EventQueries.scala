@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-table analytics (SURVEY §2.7 ST3 testdata extension): event-time
+  * windows, sessionization, and JSON-props extraction over `events`.
+  *
+  * NOTE on timestamps: `events.ts` is ns-precision in parquet; Spark
+  * truncates to µs while DuckDB keeps ns — every hashed output therefore
+  * emits ts only through `date_trunc`/`date_format` at second-or-coarser
+  * granularity (see .claude/skills/verify/SKILL.md).
+  */
+object EventQueries {
+
+  private def exactCentsSum(c: org.apache.spark.sql.Column) =
+    sum(round(c * 100).cast("long")).cast("double") / 100.0
+
+  /** Tumbling 1-hour event-time aggregate — the batch shape of the
+    * Structured Streaming windowed agg (same plan modulo the watermark). */
+  def hourlyAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        exactCentsSum(col("value")).as("total_value"))
+
+  /** Sessionization: a session breaks after a 30-minute inactivity gap.
+    * Classic two-window formulation (lag → gap flag → running sum) — the
+    * per-user shuffle is keyed on user_id, so 100 TB of events sessionize
+    * with one shuffle and no driver state. */
+  def sessions(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gapFlag = when(
+      col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long")
+        > 30L * 60L, 1L).otherwise(0L)
+    Tables.events(s, d)
+      .withColumn("new_session", gapFlag)
+      .withColumn("session_seq",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        date_format(date_trunc("second", min(col("ts"))), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        count(lit(1)).as("n_events"),
+        exactCentsSum(col("value")).as("session_value"))
+  }
+
+  /** JSON-path extraction from the props column (the reference's JSON
+    * envelope S2, queried instead of just transported). */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+
+  /** Per-type value distribution: count, exact sum, min/max — the KPI
+    * card shape over a stream table. */
+  def typeStats(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        exactCentsSum(col("value")).as("total_value"),
+        min(round(col("value") * 100).cast("long")).as("min_cents"),
+        max(round(col("value") * 100).cast("long")).as("max_cents"))
+}

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Dedup, Similarity, TextFunctions => TF}
+
+/** Training-data-pipeline queries over `documents` / `embeddings`
+  * (builder prompt extension ops). Entries registered in SparkEntry;
+  * SQL-expressible ones carry DuckDB oracles, the rest are rows-only
+  * checks backed by ScalaTest assertions on known inputs.
+  */
+object ExtensionQueries {
+
+  // ---- text analysis ---------------------------------------------------
+
+  /** Per-document text statistics (counts are exact ints; ratios are
+    * int/int divisions — deterministic doubles on every engine). */
+  def textStats(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(t).as("n_chars"),
+      TF.tokenCount(t).as("n_tokens"),
+      length(regexp_replace(t, "[^0-9]", "")).as("n_digits"),
+      (length(regexp_replace(t, "[^0-9]", "")).cast("double") / length(t))
+        .as("digit_ratio"))
+  }
+
+  /** Language ID + quality scoring + token accounting — the full text
+    * triage row a filtering pipeline computes in one scan. Heuristic
+    * columns (no cross-engine oracle); asserted in ScalaTest. */
+  def textTriage(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      col("lang").as("lang_label"),
+      TF.langId(t).as("lang_pred"),
+      TF.qualityScore(t).as("quality"),
+      TF.tokenCount(t).as("n_tokens"),
+      TF.subwordCount(t).as("n_subwords"),
+      TF.stopwordRatio(t).as("stopword_ratio"),
+      TF.fingerprint(t).as("fp64"))
+  }
+
+  // ---- dedup -----------------------------------------------------------
+
+  /** Exact dedup groups keyed on md5(text) — SQL-oracle-able. */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id")
+
+  /** Exact-dedup survivor set (keep min doc_id per text). */
+  def dedupExactKeep(s: SparkSession, d: String): DataFrame =
+    Dedup.dropExactDuplicates(Tables.documents(s, d), "text", "doc_id")
+      .select(col("doc_id"), col("n_chars"))
+
+  /** MinHash-LSH near-duplicate pairs (jaccard ≥ 0.5). */
+  def dedupMinhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.nearDuplicatePairs(Tables.documents(s, d), "text", "doc_id",
+      threshold = 0.5)
+
+  /** SimHash near-duplicate pairs (Hamming ≤ 6 of 64). */
+  def dedupSimhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashNearDupPairs(Tables.documents(s, d), "text", "doc_id",
+      maxHamming = 6)
+
+  /** Embedding-cosine near-dup pairs via multi-table hyperplane LSH.
+    * Threshold 0.4 is a DEMO setting: the synthetic embeddings are
+    * isotropic (max pairwise cos ≈ 0.48), so a production-style 0.95
+    * threshold correctly returns zero rows; 0.4 exercises the full
+    * bucket-join + verify plan with a non-empty result. */
+  def dedupEmbeddingPairs(s: SparkSession, d: String): DataFrame =
+    Similarity.embeddingNearDupPairs(Tables.embeddings(s, d),
+      "vec_id", "embedding", dim = 64, threshold = 0.4)
+
+  // ---- similarity search ----------------------------------------------
+
+  /** First 5 vectors as the deterministic query set. */
+  private def queryVectors(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+
+  /** Exact brute-force cosine top-10 for 5 probe vectors. */
+  def simBruteTopK(s: SparkSession, d: String): DataFrame =
+    Similarity.bruteForceTopK(
+      Tables.embeddings(s, d), "vec_id", "embedding",
+      queryVectors(s, d), "query_id", "qvec", k = 10)
+
+  /** ANN top-10 via hyperplane LSH with multiprobe. 8 planes = 256
+    * buckets; with 1-bit multiprobe ≈3.6% of the corpus is scored per
+    * query — a ~5× recall enrichment over random sampling on isotropic
+    * vectors (far higher on clustered real-world embeddings). */
+  def simAnnTopK(s: SparkSession, d: String): DataFrame =
+    Similarity.annTopK(
+      Tables.embeddings(s, d), "vec_id", "embedding",
+      queryVectors(s, d), "query_id", "qvec",
+      dim = 64, k = 10, nPlanes = 8, multiprobe = 1)
+
+  /** ANN recall vs the exact baseline — the metric that justifies the
+    * approximate path. Returns one row per query with recall@10. */
+  def simAnnRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = simBruteTopK(s, d).select(col("query_id"), col("neighbor_id"))
+    val approx = simAnnTopK(s, d).select(col("query_id"), col("neighbor_id"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id"))
+      .agg((count(lit(1)).cast("double") / 10.0).as("recall_at_10"))
+  }
+}

@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CatalogAnalytics, CatalogQueries, MutationResult, Mutations}
+import graft.sources.Ingest
+import graft.store.SnapshotStore
+
+/** M1-M8 mutation semantics + snapshot-store guarantees (SURVEY §2.3, §5.2
+  * item 5): status codes 201/400/404/200, soft-delete visibility, version
+  * history, race-free max+1 keying. */
+class StoreMutationSpec extends SparkSpec {
+  import MutationResult._
+
+  private def freshStore(): (SnapshotStore, Mutations, CatalogQueries) = {
+    val dir = Files.createTempDirectory("graft-store").toString
+    val store = new SnapshotStore(dir, spark)
+    (store, new Mutations(store, spark), new CatalogQueries(store, spark))
+  }
+
+  test("M2: create assigns max+1 keys sequentially; returns 201") {
+    val (_, mut, q) = freshStore()
+    assert(mut.create(Map("tool_name" -> "T1")) === Created(1))
+    assert(mut.create(Map("tool_name" -> "T2")) === Created(2))
+    assert(mut.create(Map("tool_name" -> "T3")) === Created(3))
+    assert(q.getAllTools.count() === 3)
+  }
+
+  test("M7: duplicate tool_name create → 400; missing tool_name → 400") {
+    val (_, mut, _) = freshStore()
+    mut.create(Map("tool_name" -> "Dup"))
+    assert(mut.create(Map("tool_name" -> "Dup")).status === 400)
+    assert(mut.create(Map("team_name" -> "FCS")).status === 400)
+  }
+
+  test("M3: update patches columns by key; missing key → 404") {
+    val (_, mut, q) = freshStore()
+    mut.create(Map("tool_name" -> "U1", "team_name" -> "FCS"))
+    assert(mut.update(1, Map("team_name" -> "GCSS")) === Ok(1))
+    assert(q.getBySNo(1).select("team_name").first().getString(0) === "GCSS")
+    assert(mut.update(99, Map("team_name" -> "X")) === NotFound(99))
+  }
+
+  test("M4: soft delete hides from reads but row survives in snapshot") {
+    val (store, mut, q) = freshStore()
+    mut.create(Map("tool_name" -> "S1"))
+    mut.create(Map("tool_name" -> "S2"))
+    assert(mut.softDelete(1) === Ok(1))
+    assert(q.getAllTools.count() === 1)        // P1 filters it
+    assert(q.getBySNo(1).count() === 0)        // P4+P5 filters it
+    val raw = store.load("csp_tools_data")
+    assert(raw.count() === 2)                  // physically retained
+    assert(raw.filter(col("s_no") === 1).select("is_display")
+      .first().getBoolean(0) === false)
+    assert(mut.softDelete(99) === NotFound(99))
+  }
+
+  test("M5: hard delete removes the row") {
+    val (store, mut, _) = freshStore()
+    mut.create(Map("tool_name" -> "H1"))
+    mut.create(Map("tool_name" -> "H2"))
+    assert(mut.hardDelete(1) === Ok(1))
+    assert(store.load("csp_tools_data").count() === 1)
+  }
+
+  test("M1: keys are reused after hard delete of the max (max+1 semantics)") {
+    val (_, mut, _) = freshStore()
+    mut.create(Map("tool_name" -> "A"))      // key 1
+    mut.create(Map("tool_name" -> "B"))      // key 2
+    mut.hardDelete(2)
+    assert(mut.create(Map("tool_name" -> "C")) === Created(2))
+  }
+
+  test("M6: schema evolution — add/drop/rename; old versions stay readable") {
+    val (store, mut, _) = freshStore()
+    mut.create(Map("tool_name" -> "E1"))
+    val vBefore = store.currentVersion("csp_tools_data")
+    mut.addColumn("extra_col", "N/A")
+    val evolved = store.load("csp_tools_data")
+    assert(evolved.columns.contains("extra_col"))
+    assert(evolved.select("extra_col").first().getString(0) === "N/A")
+    mut.renameColumn("extra_col", "renamed_col")
+    assert(store.load("csp_tools_data").columns.contains("renamed_col"))
+    mut.dropColumn("renamed_col")
+    assert(!store.load("csp_tools_data").columns.contains("renamed_col"))
+    // time travel: the pre-evolution snapshot still reads with old schema
+    assert(!store.loadVersion("csp_tools_data", vBefore).columns.contains("extra_col"))
+  }
+
+  test("store: versions increment and LATEST pointer swaps atomically") {
+    val (store, mut, _) = freshStore()
+    mut.create(Map("tool_name" -> "V1"))
+    mut.create(Map("tool_name" -> "V2"))
+    assert(store.versions("csp_tools_data") === Seq(1L, 2L))
+    assert(store.currentVersion("csp_tools_data") === 2L)
+    store.vacuum("csp_tools_data", keepFrom = 2L)
+    assert(store.versions("csp_tools_data") === Seq(2L))
+  }
+
+  test("concurrent creates serialize — no duplicate keys (LOCK TABLE analog)") {
+    val (_, mut, q) = freshStore()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (1 to 4).map(i => Future(mut.create(Map("tool_name" -> s"C$i"))))
+    val results = Await.result(Future.sequence(fs), 120.seconds)
+    val keys = results.collect { case Created(k) => k }
+    assert(keys.sorted === Seq(1, 2, 3, 4))
+    assert(q.getAllTools.count() === 4)
+  }
+
+  test("E1+E2 slice: ingest real sample → getAllTools → JSON envelope") {
+    val path = "/root/reference/sample-data/Sample_Input.csv"
+    assume(new java.io.File(path).exists())
+    val (_, mut, q) = freshStore()
+    mut.appendBatch(Ingest.readCsv(spark, path))
+    val env = q.jsonEnvelope(q.getAllTools)
+    assert(env.startsWith("""{"total_count":50,"""))
+    // dashboard analytics run over the ingested table
+    val analytics = new CatalogAnalytics(q.getAllTools)
+    assert(analytics.toolCountByTeam.count() > 0)
+    assert(analytics.recordsByTeamAndStatusFlat.count() > 0)
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, TextFunctions => TF}
+
+/** Text-analysis + dedup operators on known inputs (extension ops). */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any =
+    Seq(text).toDF("t").select(c).first().get(0)
+
+  test("tokenCount: whitespace tokens, empty-safe") {
+    assert(one(TF.tokenCount(col("t")), "a b  c") === 3)
+    assert(one(TF.tokenCount(col("t")), "") === 0)
+    assert(one(TF.tokenCount(col("t")), "   ") === 0)
+  }
+
+  test("subwordCount: letter runs + digits + punctuation") {
+    // "don't stop 42" → don / ' / t / stop / 4 / 2 = 6
+    assert(one(TF.subwordCount(col("t")), "don't stop 42") === 6)
+  }
+
+  test("ratios are exact int/int divisions") {
+    assert(one(TF.digitRatio(col("t")), "a1b2") === 0.5)
+    assert(one(TF.punctRatio(col("t")), "ab,.") === 0.5)
+    assert(one(TF.digitRatio(col("t")), "") === 0.0)
+  }
+
+  test("langId picks the stopword-dominant language") {
+    assert(one(TF.langId(col("t")), "the cat sat on the mat and it is happy") === "en")
+    assert(one(TF.langId(col("t")), "le chat est dans la maison et les oiseaux") === "fr")
+    assert(one(TF.langId(col("t")), "el perro y la casa que es una maravilla") === "es")
+    assert(one(TF.langId(col("t")), "der hund und die katze ist nicht hier") === "de")
+    assert(one(TF.langId(col("t")), "zzz qqq xxx") === "und")
+  }
+
+  test("fingerprint: whitespace-insensitive, content-sensitive") {
+    val a = one(TF.fingerprint(col("t")), "hello   world\tfoo")
+    val b = one(TF.fingerprint(col("t")), "hello world foo")
+    val c = one(TF.fingerprint(col("t")), "hello world bar")
+    assert(a === b)
+    assert(a !== c)
+  }
+
+  test("exact dedup keeps min-id doc per duplicate group") {
+    val df = Seq(
+      (1L, "same text here"), (2L, "same text here"),
+      (3L, "unique text one"), (4L, "same text here")).toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(df, "text", "doc_id")
+    assert(groups.count() === 2)
+    val dupRow = groups.filter(col("dup_count") === 3).first()
+    assert(dupRow.getAs[Long]("keep_id") === 1L)
+    val kept = Dedup.dropExactDuplicates(df, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 3L))
+  }
+
+  test("minhash LSH finds planted near-duplicates, not unrelated docs") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"w$i").mkString(" ") + " x1 x2"
+    val unrelated = (1 to 40).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicatePairs(df, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: near-identical docs have small hamming distance") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 58).map(i => s"tok$i").mkString(" ") + " aaa bbb"
+    val far = (1 to 60).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "t")
+      .select(col("id"), Dedup.simhash64(col("t")).as("h"))
+    val hs = df.orderBy("id").as[(Long, Long)].collect().map(_._2)
+    val hammingNear = java.lang.Long.bitCount(hs(0) ^ hs(1))
+    val hammingFar = java.lang.Long.bitCount(hs(0) ^ hs(2))
+    assert(hammingNear < 10, s"near pair hamming=$hammingNear")
+    assert(hammingFar > 15, s"far pair hamming=$hammingFar")
+  }
+
+  test("simhash near-dup pairs via banding finds the planted pair") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 59).map(i => s"tok$i").mkString(" ") + " zz"
+    val far = (1 to 60).map(i => s"unrel$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(df, "text", "doc_id", maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("quality score is in [0,1] and favors clean prose") {
+    val clean = "The quick brown fox jumps over the lazy dog and keeps " +
+      "running through the quiet forest with steady pace for a while longer."
+    val noisy = "!!! ??? 123 456 789 ,,, ;;; ### !!!"
+    val qc = one(TF.qualityScore(col("t")), clean).asInstanceOf[Double]
+    val qn = one(TF.qualityScore(col("t")), noisy).asInstanceOf[Double]
+    assert(qc >= 0.0 && qc <= 1.0 && qn >= 0.0 && qn <= 1.0)
+    assert(qc > qn)
+  }
+}
