@@ -3,6 +3,8 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.ExprUtils.let
+
 /** Deduplication operators for web-scale corpora (builder prompt's
   * training-data-pipeline extension).
   *
@@ -46,22 +48,26 @@ object Dedup {
   // ---- shingling + MinHash + LSH --------------------------------------
 
   /** Word n-gram shingles of the token array (distinct). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextFunctions.tokens(text)
-    array_distinct(
-      when(size(toks) < n, array(concat_ws(" ", toks)))
-        .otherwise(transform(
-          sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    let(TextFunctions.tokens(text)) { tk =>
+      // tk is a lambda VARIABLE: referencing it per shingle position costs
+      // an array read, not a re-tokenization (see ExprUtils.let).
+      array_distinct(
+        when(size(tk) < n, array(concat_ws(" ", tk)))
+          .otherwise(transform(
+            sequence(lit(0), size(tk) - n),
+            i => concat_ws(" ", slice(tk, i + 1, lit(n))))))
+    }
 
   /** MinHash signature: k independent permutations simulated by seeded
     * xxhash64; each signature slot is the min hash over the shingle set.
     * Pure codegen (HOF transform + array_min), no UDF. */
   def minhashSignature(shingleArr: Column, k: Int = 32): Column =
-    array((0 until k).map { seed =>
-      array_min(transform(shingleArr, s => xxhash64(lit(seed), s)))
-    }: _*)
+    let(shingleArr) { sh =>
+      array((0 until k).map { seed =>
+        array_min(transform(sh, s => xxhash64(lit(seed), s)))
+      }: _*)
+    }
 
   /** LSH banding: split a k-slot signature into `bands` bands of k/bands
     * rows; each band hashes to one bucket key. Two docs sharing ANY band
@@ -69,10 +75,12 @@ object Dedup {
     * Jaccard ≳ 0.6 with high probability.) */
   def lshBandKeys(sig: Column, k: Int = 32, bands: Int = 8): Column = {
     val r = k / bands
-    array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(concat_ws(",", slice(sig, b * r + 1, r))).as("bucket"))
-    }: _*)
+    let(sig) { s =>
+      array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(concat_ws(",", slice(s, b * r + 1, r))).as("bucket"))
+      }: _*)
+    }
   }
 
   /** Candidate pairs from MinHash-LSH banding, verified with exact n-gram
@@ -80,42 +88,49 @@ object Dedup {
     * id_a < id_b, jaccard ≥ `threshold`.
     *
     * Plan shape at scale: one scan computing signatures (codegen) →
-    * explode to (band,bucket,id,shingles) → shuffle by bucket →
-    * within-bucket self-join (bounded by maxBucketSize) → distinct pairs →
-    * Jaccard verify. The shuffled payload carries the shingle arrays so
-    * verification needs no second join back to the corpus. */
+    * explode to (band,bucket,id) → shuffle by bucket → within-bucket
+    * self-join (bounded by maxBucketSize) → distinct id pairs → join the
+    * shingle sets back for Jaccard verify. Bucket rows carry ONLY keys and
+    * ids: shuffling the shingle arrays through the pair join/dedup would
+    * turn a key shuffle into a corpus-sized payload shuffle. */
   def nearDuplicatePairs(df: DataFrame, textCol: String, idCol: String,
                          shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                          threshold: Double = 0.6,
                          maxBucketSize: Int = 1000): DataFrame = {
-    val withSig = df.select(
+    val buckets = df.select(
       col(idCol).as("id"),
-      shingles(col(textCol), shingleN).as("sh"))
-      .withColumn("bandkeys", lshBandKeys(minhashSignature(col("sh"), k), k, bands))
+      explode(lshBandKeys(
+        minhashSignature(shingles(col(textCol), shingleN), k), k, bands)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"), col("id"))
 
-    val buckets = withSig
-      .select(col("id"), col("sh"), explode(col("bandkeys")).as("bk"))
-      .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
-        col("id"), col("sh"))
+    // Cap degenerate buckets (boilerplate shingles): aggregate bucket sizes
+    // (keys only) and drop oversized buckets via broadcast anti-join — no
+    // window over the full bucket table.
+    val oversized = buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
+      .select(col("band"), col("bucket"))
+    // Materialize the (tiny: id + 2 keys) bucket table before self-joining.
+    // Without this, the signature expression tree is duplicated into both
+    // join sides and re-optimized/re-executed — measured as minutes of
+    // Catalyst planning at 5k docs. The checkpoint also computes each
+    // signature exactly once.
+    val capped = buckets.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
+      .localCheckpoint()
 
-    // Cap degenerate buckets (boilerplate shingles) to avoid quadratic pairs.
-    val counted = buckets.withColumn("bucket_n",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band"), col("bucket"))))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
-
-    val a = counted.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = counted.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-
-    val pairs = a.join(b, Seq("band", "bucket"))
+    val candidates = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(capped.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .localCheckpoint()
 
-    pairs
+    // Verify: join the (small) candidate set back to the shingle sets.
+    val sh = df.select(col(idCol).as("sid"),
+      shingles(col(textCol), shingleN).as("sh"))
+    candidates
+      .join(sh.select(col("sid").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("sid").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
@@ -134,27 +149,12 @@ object Dedup {
   // ---- SimHash ---------------------------------------------------------
 
   /** 64-bit SimHash of the token multiset: per-token xxhash64 bit votes,
-    * sign-packed. Pure HOF pipeline (aggregate + zip_with + transform) —
-    * no UDF, stays in codegen. Near-dups have small Hamming distance. */
-  def simhash64(text: Column): Column = {
-    // Bit positions unrolled at plan-build time (Scala ints) — shiftright
-    // needs a literal shift, and the unrolled form codegens flat.
-    val votes = aggregate(
-      TextFunctions.tokens(text),
-      array(Seq.fill(64)(lit(0L)): _*),
-      (acc, t) => zip_with(acc,
-        array((0 until 64).map { i =>
-          (shiftright(xxhash64(t), i).bitwiseAND(lit(1L)) * 2 - 1).cast("long")
-        }: _*),
-        (a, b) => a + b))
-    // Pack sign bits without long overflow (ANSI mode): two 32-bit halves
-    // folded with non-overflowing acc*2+bit, combined bitwise.
-    val lo = aggregate(reverse(slice(votes, 1, 32)), lit(0L),
-      (acc, v) => acc * 2 + when(v > 0, 1L).otherwise(0L))
-    val hi = aggregate(reverse(slice(votes, 33, 32)), lit(0L),
-      (acc, v) => acc * 2 + when(v > 0, 1L).otherwise(0L))
-    shiftleft(hi, 32).bitwiseOR(lo)
-  }
+    * sign-packed — a native compiled expression (graft.plans.SimHash64);
+    * the 64-wide HOF formulation evaluated interpreted per token per bit
+    * and dominated the sf0.1 bench. Near-dups have small Hamming
+    * distance. */
+  def simhash64(text: Column): Column =
+    graft.plans.VectorExpressions.simhash64(TextFunctions.tokens(text))
 
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -175,15 +175,17 @@ object Dedup {
       .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
         col("id"), col("sh64"))
 
-    val counted = banded.withColumn("bucket_n",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band"), col("bucket"))))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
+    // Oversized-bucket cap via key-only aggregate + broadcast anti-join
+    // (no window over the full bucket table).
+    val oversized = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val capped = banded.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
+      .localCheckpoint()  // see nearDuplicatePairs: avoid tree duplication
 
-    val a = counted.select(col("band"), col("bucket"),
+    val a = capped.select(col("band"), col("bucket"),
       col("id").as("id_a"), col("sh64").as("h_a"))
-    val b = counted.select(col("band"), col("bucket"),
+    val b = capped.select(col("band"), col("bucket"),
       col("id").as("id_b"), col("sh64").as("h_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))

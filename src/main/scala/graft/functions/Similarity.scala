@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.ExprUtils.{let, let2}
+
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Two paths, per the builder prompt:
@@ -20,18 +22,32 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two equal-length float arrays. */
+  /** Dot product of two equal-length float arrays — native compiled
+    * expression (graft.plans.DotProduct); the HOF formulation
+    * (`aggregate(zip_with(...))`) evaluates interpreted per element and
+    * measured ~100× slower on the sf0.1 similarity workload. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.plans.VectorExpressions.dotProduct(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity, 0.0 when either vector is all-zero. */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = l2Norm(a) * l2Norm(b)
-    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
-  }
+  def cosine(a: Column, b: Column): Column =
+    let2(dot(a, b), l2Norm(a) * l2Norm(b)) { (d, denom) =>
+      when(denom === 0.0, lit(0.0)).otherwise(d / denom)
+    }
+
+  /** Unit-normalized copy of a float vector (array<double>); zero vectors
+    * stay zero. Normalizing ONCE per row turns every downstream cosine
+    * into a single dot product — at N·Q score volume that divides the
+    * hot-loop work by ~3. */
+  def unitVector(a: Column): Column =
+    let(l2Norm(a)) { n =>
+      // n is a lambda variable: without the let, the captured norm
+      // subexpression re-evaluates (a full dot product) per ELEMENT.
+      when(n === 0.0, transform(a, _ => lit(0.0)))
+        .otherwise(transform(a, x => x.cast("double") / n))
+    }
 
   /** Exact brute-force cosine top-k.
     *
@@ -46,10 +62,14 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, queryIdCol: String, queryVecCol: String,
                      k: Int = 10): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
-      .withColumn("sim", cosine(col(vecCol), col(queryVecCol)))
-      .select(col(queryIdCol).as("query_id"), col(idCol).as("neighbor_id"),
-        col("sim"))
+    // Normalize each side once; the N·Q hot loop is then a single dot.
+    val corpusN = corpus.select(col(idCol).as("neighbor_id"),
+      unitVector(col(vecCol)).as("uv"))
+    val queriesN = queries.select(col(queryIdCol).as("query_id"),
+      unitVector(col(queryVecCol)).as("quv"))
+    val scored = corpusN.crossJoin(broadcast(queriesN))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("uv"), col("quv")).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -66,15 +86,8 @@ object Similarity {
   /** LSH bucket id: sign bits of the vector against `nPlanes` hyperplanes,
     * packed into a long. Same planes ⇒ same bucketing for corpus and
     * queries. */
-  def lshBucket(vec: Column, dim: Int, nPlanes: Int = 12, seed: Long = 42L): Column = {
-    val planes = hyperplanes(dim, nPlanes, seed)
-    val bits = planes.map { p =>
-      val planeLit = array(p.map(lit): _*)
-      when(dot(vec, planeLit) > 0, lit(1L)).otherwise(lit(0L))
-    }
-    bits.zipWithIndex.map { case (b, i) => b * lit(1L << i) }
-      .reduce(_ + _)
-  }
+  def lshBucket(vec: Column, dim: Int, nPlanes: Int = 12, seed: Long = 42L): Column =
+    graft.plans.VectorExpressions.hyperplaneBucket(vec, dim, nPlanes, seed)
 
   /** Approximate top-k: probe the query's own bucket plus all buckets at
     * Hamming distance ≤ `multiprobe` (flipping low-index planes) — recall
@@ -88,11 +101,14 @@ object Similarity {
               queries: DataFrame, queryIdCol: String, queryVecCol: String,
               dim: Int, k: Int = 10, nPlanes: Int = 12,
               multiprobe: Int = 1, seed: Long = 42L): DataFrame = {
-    val bucketed = corpus.withColumn("bucket",
-      lshBucket(col(vecCol), dim, nPlanes, seed))
+    val bucketed = corpus.select(col(idCol).as("neighbor_id"),
+      unitVector(col(vecCol)).as("uv"),
+      lshBucket(col(vecCol), dim, nPlanes, seed).as("bucket"))
 
-    val qBucket = queries.withColumn("bucket0",
-      lshBucket(col(queryVecCol), dim, nPlanes, seed))
+    val qBucket = queries
+      .select(col(queryIdCol).as("query_id"),
+        unitVector(col(queryVecCol)).as("quv"),
+        lshBucket(col(queryVecCol), dim, nPlanes, seed).as("bucket0"))
     // Multiprobe: the home bucket + single-bit flips of the first
     // `multiprobe * nPlanes`... keep it simple: flip each of the nPlanes
     // bits when multiprobe >= 1 (nPlanes+1 probes per query).
@@ -102,12 +118,11 @@ object Similarity {
         (0 until nPlanes).map(i => col("bucket0").bitwiseXOR(lit(1L << i))): _*)
     val qProbes = qBucket
       .withColumn("bucket", explode(probes))
-      .select(col(queryIdCol).as("query_id"), col(queryVecCol).as("qvec"),
-        col("bucket"))
+      .select(col("query_id"), col("quv"), col("bucket"))
 
-    val scored = bucketed.join(qProbes, Seq("bucket"))
-      .withColumn("sim", cosine(col(vecCol), col("qvec")))
-      .select(col("query_id"), col(idCol).as("neighbor_id"), col("sim"))
+    val scored = bucketed.join(broadcast(qProbes), Seq("bucket"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("uv"), col("quv")).as("sim"))
       // a corpus vector can match several probes of one query
       .dropDuplicates("query_id", "neighbor_id")
 
@@ -132,27 +147,38 @@ object Similarity {
                             nTables: Int = 8, bitsPerTable: Int = 8,
                             seed: Long = 42L,
                             maxBucketSize: Int = 2000): DataFrame = {
-    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // Bucket rows carry ONLY (table, bucket, id) — vectors never ride the
+    // pair shuffle; they are joined back for the verify dot product.
     val tableKeys = array((0 until nTables).map { t =>
       struct(lit(t).as("table"),
-        lshBucket(col("v"), dim, bitsPerTable, seed + t * 7919).as("bucket"))
+        lshBucket(col(vecCol), dim, bitsPerTable, seed + t * 7919).as("bucket"))
     }: _*)
-    val bucketed = base
-      .select(col("id"), col("v"), explode(tableKeys).as("tk"))
-      .select(col("tk.table").as("table"), col("tk.bucket").as("bucket"),
-        col("id"), col("v"))
-    val counted = bucketed.withColumn("bucket_n",
-      count(lit(1)).over(Window.partitionBy(col("table"), col("bucket"))))
-      .filter(col("bucket_n") <= maxBucketSize).drop("bucket_n")
-    val a = counted.select(col("table"), col("bucket"),
-      col("id").as("id_a"), col("v").as("v_a"))
-    val b = counted.select(col("table"), col("bucket"),
-      col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("table", "bucket"))
+    val buckets = corpus
+      .select(col(idCol).as("id"), explode(tableKeys).as("tk"))
+      .select(col("tk.table").as("table"), col("tk.bucket").as("bucket"), col("id"))
+    val oversized = buckets.groupBy(col("table"), col("bucket"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
+      .select(col("table"), col("bucket"))
+    // Materialized before the self-join: the unrolled hyperplane literals
+    // make a large expression tree; duplicating it into both join sides
+    // costs minutes of Catalyst planning (measured). The bucket table is
+    // tiny (id + table + bucket).
+    val capped = buckets.join(broadcast(oversized), Seq("table", "bucket"), "left_anti")
+      .localCheckpoint()
+
+    val candidates = capped.select(col("table"), col("bucket"), col("id").as("id_a"))
+      .join(capped.select(col("table"), col("bucket"), col("id").as("id_b")),
+        Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .localCheckpoint()
+
+    val unit = corpus.select(col(idCol).as("uid"), unitVector(col(vecCol)).as("uv"))
+    candidates
+      .join(unit.select(col("uid").as("id_a"), col("uv").as("uv_a")), Seq("id_a"))
+      .join(unit.select(col("uid").as("id_b"), col("uv").as("uv_b")), Seq("id_b"))
+      .withColumn("cos", dot(col("uv_a"), col("uv_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }

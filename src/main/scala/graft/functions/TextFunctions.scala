@@ -3,6 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
+import graft.functions.ExprUtils.let
+
 /** Text-analysis operators for the training-data pipeline extension
   * (builder prompt; SURVEY §7.4 item 6).
   *
@@ -45,13 +47,14 @@ object TextFunctions {
   /** Uppercase chars / total chars. */
   def upperRatio(text: Column): Column = charRatio(text, "[^A-Z]")
 
-  /** Mean whitespace-token length (0.0 for empty). */
-  def meanTokenLen(text: Column): Column = {
-    val n = tokenCount(text)
-    when(n === 0, lit(0.0)).otherwise(
-      aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t))
-        .cast("double") / n)
-  }
+  /** Mean whitespace-token length (0.0 for empty). Tokens are let-bound:
+    * evaluated once, referenced three times. */
+  def meanTokenLen(text: Column): Column =
+    let(tokens(text)) { tk =>
+      when(size(tk) === 0, lit(0.0)).otherwise(
+        aggregate(tk, lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / size(tk))
+    }
 
   // Tiny per-language stopword lists for the n-gram/stopword language-ID
   // heuristic. Sets are disjoint-ish on purpose: shared words (e.g. "a")
@@ -63,19 +66,23 @@ object TextFunctions {
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "auf"),
   )
 
-  /** Count of tokens present in `words` (case-insensitive). */
-  def stopwordHits(text: Column, words: Seq[String]): Column = {
+  /** Count of elements of a token array present in `words`. */
+  def hitsIn(toks: Column, words: Seq[String]): Column = {
     val lits = array(words.map(lit): _*)
-    size(filter(tokens(lower(text)), t => array_contains(lits, t)))
+    size(filter(toks, t => array_contains(lits, t)))
   }
+
+  /** Count of tokens present in `words` (case-insensitive). */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    hitsIn(tokens(lower(text)), words)
 
   /** Stopword tokens / total tokens (English list) — a classic quality
     * signal for web-scraped corpora. */
-  def stopwordRatio(text: Column): Column = {
-    val n = tokenCount(text)
-    when(n === 0, lit(0.0))
-      .otherwise(stopwordHits(text, stopwords("en")).cast("double") / n)
-  }
+  def stopwordRatio(text: Column): Column =
+    let(tokens(lower(text))) { tk =>
+      when(size(tk) === 0, lit(0.0))
+        .otherwise(hitsIn(tk, stopwords("en")).cast("double") / size(tk))
+    }
 
   /** Language-ID heuristic: argmax of per-language stopword hit counts;
     * "und" (undetermined) when nothing matches. Latin-script languages
@@ -84,14 +91,16 @@ object TextFunctions {
     * Implementation: build an array of (score, tiebreak-lang) structs,
     * `array_max` picks the lexicographically greatest — i.e. highest
     * score, ties broken by language code — still pure codegen. */
-  def langId(text: Column): Column = {
-    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(stopwordHits(text, words).as("score"), lit(lang).as("lang"))
+  def langId(text: Column): Column =
+    let(tokens(lower(text))) { tk =>
+      val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+        struct(hitsIn(tk, words).as("score"), lit(lang).as("lang"))
+      }
+      let(array_max(array(scored: _*))) { best =>
+        when(best.getField("score") === 0, lit("und"))
+          .otherwise(best.getField("lang"))
+      }
     }
-    val best = array_max(array(scored: _*))
-    when(best.getField("score") === 0, lit("und"))
-      .otherwise(best.getField("lang"))
-  }
 
   /** Composite quality score in [0,1]: long-enough, low punctuation/digit
     * noise, sane mean token length. Weights are heuristic; the point is the

@@ -13,13 +13,28 @@ import graft.functions.{Dedup, Similarity, TextFunctions => TF}
   */
 object ExtensionQueries {
 
+  /** The local testdata tables are single-row-group parquet files, which
+    * Spark cannot split — a compute-heavy operator would run as ONE task.
+    * Spread to the session's parallelism before per-row-expensive stages.
+    * (On a real many-file corpus the scan already has enough partitions
+    * and this round-robin is skipped.) */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target / 2) df else df.repartition(target)
+  }
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    spread(Tables.documents(s, d))
+  private def embs(s: SparkSession, d: String): DataFrame =
+    spread(Tables.embeddings(s, d))
+
   // ---- text analysis ---------------------------------------------------
 
   /** Per-document text statistics (counts are exact ints; ratios are
     * int/int divisions — deterministic doubles on every engine). */
   def textStats(s: SparkSession, d: String): DataFrame = {
     val t = col("text")
-    Tables.documents(s, d).select(
+    docs(s, d).select(
       col("doc_id"),
       length(t).as("n_chars"),
       TF.tokenCount(t).as("n_tokens"),
@@ -33,7 +48,7 @@ object ExtensionQueries {
     * columns (no cross-engine oracle); asserted in ScalaTest. */
   def textTriage(s: SparkSession, d: String): DataFrame = {
     val t = col("text")
-    Tables.documents(s, d).select(
+    docs(s, d).select(
       col("doc_id"),
       col("lang").as("lang_label"),
       TF.langId(t).as("lang_pred"),
@@ -48,21 +63,21 @@ object ExtensionQueries {
 
   /** Exact dedup groups keyed on md5(text) — SQL-oracle-able. */
   def dedupExact(s: SparkSession, d: String): DataFrame =
-    Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id")
+    Dedup.exactGroups(docs(s, d), "text", "doc_id")
 
   /** Exact-dedup survivor set (keep min doc_id per text). */
   def dedupExactKeep(s: SparkSession, d: String): DataFrame =
-    Dedup.dropExactDuplicates(Tables.documents(s, d), "text", "doc_id")
+    Dedup.dropExactDuplicates(docs(s, d), "text", "doc_id")
       .select(col("doc_id"), col("n_chars"))
 
   /** MinHash-LSH near-duplicate pairs (jaccard ≥ 0.5). */
   def dedupMinhashPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.nearDuplicatePairs(Tables.documents(s, d), "text", "doc_id",
+    Dedup.nearDuplicatePairs(docs(s, d), "text", "doc_id",
       threshold = 0.5)
 
   /** SimHash near-duplicate pairs (Hamming ≤ 6 of 64). */
   def dedupSimhashPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashNearDupPairs(Tables.documents(s, d), "text", "doc_id",
+    Dedup.simhashNearDupPairs(docs(s, d), "text", "doc_id",
       maxHamming = 6)
 
   /** Embedding-cosine near-dup pairs via multi-table hyperplane LSH.
@@ -71,20 +86,20 @@ object ExtensionQueries {
     * threshold correctly returns zero rows; 0.4 exercises the full
     * bucket-join + verify plan with a non-empty result. */
   def dedupEmbeddingPairs(s: SparkSession, d: String): DataFrame =
-    Similarity.embeddingNearDupPairs(Tables.embeddings(s, d),
+    Similarity.embeddingNearDupPairs(embs(s, d),
       "vec_id", "embedding", dim = 64, threshold = 0.4)
 
   // ---- similarity search ----------------------------------------------
 
   /** First 5 vectors as the deterministic query set. */
   private def queryVectors(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).filter(col("vec_id") < 5)
+    embs(s, d).filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
 
   /** Exact brute-force cosine top-10 for 5 probe vectors. */
   def simBruteTopK(s: SparkSession, d: String): DataFrame =
     Similarity.bruteForceTopK(
-      Tables.embeddings(s, d), "vec_id", "embedding",
+      embs(s, d), "vec_id", "embedding",
       queryVectors(s, d), "query_id", "qvec", k = 10)
 
   /** ANN top-10 via hyperplane LSH with multiprobe. 8 planes = 256
@@ -93,7 +108,7 @@ object ExtensionQueries {
     * vectors (far higher on clustered real-world embeddings). */
   def simAnnTopK(s: SparkSession, d: String): DataFrame =
     Similarity.annTopK(
-      Tables.embeddings(s, d), "vec_id", "embedding",
+      embs(s, d), "vec_id", "embedding",
       queryVectors(s, d), "query_id", "qvec",
       dim = 64, k = 10, nPlanes = 8, multiprobe = 1)
 
