@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.Exchange
+
+import graft.queries.RelationalQueries
+
+/** Physical-plan assertions: the properties that make these queries scale
+  * (filter pushdown to parquet, column pruning, broadcast joins for small
+  * dims, bounded shuffle counts, top-k instead of global sort) are checked
+  * here so a regression in plan shape fails CI, not a 100 TB run. */
+class PlanSpec extends SparkSpec {
+
+  private def executed(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  private def planString(df: DataFrame): String = {
+    df.collect() // finalize AQE so the plan is the real one
+    executed(df).toString
+  }
+
+  private def countExchanges(df: DataFrame): Int = {
+    df.collect()
+    executed(df).collect { case e: Exchange => e }.size
+  }
+
+  test("P filters push down to the parquet scan") {
+    val s = planString(RelationalQueries.p4PointLookup(spark, sfDir))
+    assert(s.contains("PushedFilters") &&
+      (s.contains("IsNotNull(o_orderkey)") || s.contains("EqualTo(o_orderkey")),
+      s"point-lookup filter not pushed:\n$s")
+  }
+
+  test("projection prunes the scan schema (ReadSchema ⊄ full table)") {
+    val s = planString(RelationalQueries.p2Project(spark, sfDir))
+    assert(s.contains("ReadSchema"))
+    assert(!s.contains("o_orderpriority"),
+      s"unused column not pruned from scan:\n$s")
+  }
+
+  test("semi-join against a filtered dim is a broadcast join") {
+    val s = planString(RelationalQueries.p7SemiJoin(spark, sfDir))
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftSemi"),
+      s"semi-join not broadcast:\n$s")
+  }
+
+  test("dimension-chain join broadcasts nation and region") {
+    val s = planString(RelationalQueries.j2InnerJoin(spark, sfDir))
+    assert(s.contains("BroadcastHashJoin"), s"dims not broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"dim join degenerated to sort-merge:\n$s")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val s = planString(RelationalQueries.o3TopK(spark, sfDir))
+    assert(s.contains("TakeOrderedAndProject"), s"no top-k operator:\n$s")
+  }
+
+  test("grouped aggregation is two-phase (partial + final HashAggregate)") {
+    val s = planString(RelationalQueries.a5GroupCount(spark, sfDir))
+    assert(s.contains("HashAggregate"), s)
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      s"partial aggregation missing (map-side combine):\n$s")
+  }
+
+  test("q1 pricing runs in ≤1 shuffle (scan → partial agg → exchange → final)") {
+    assert(countExchanges(RelationalQueries.q1Pricing(spark, sfDir)) <= 1)
+  }
+
+  test("q3 join+agg keeps lineitem to ≤3 exchanges (join key + group key)") {
+    // lineitem⨝orders shuffle on the join key, customer broadcast, final
+    // group-by reuses/repartitions — anything above 4 exchanges means a
+    // redundant shuffle crept in.
+    assert(countExchanges(RelationalQueries.q3Revenue(spark, sfDir)) <= 4)
+  }
+
+  test("whole-stage codegen covers the q1 aggregation pipeline") {
+    val s = planString(RelationalQueries.q1Pricing(spark, sfDir))
+    // executedPlan.toString marks codegen stages with "*(n)" prefixes
+    assert(s.contains("*(") || s.contains("WholeStageCodegen"),
+      s"no codegen spans:\n$s")
+  }
+}
