@@ -37,7 +37,12 @@ object SparkEntry {
     "m3_update"      -> (RelationalQueries.m3UpdateProjection _),
     "m5_delete"      -> (RelationalQueries.m5Delete _),
     "m8_distinct"    -> (RelationalQueries.m8Distinct _),
+    "p3_streq"       -> (RelationalQueries.p3StringEq _),
+    "s6_page"        -> (RelationalQueries.s6Page _),
     "w1_rownumber"   -> (RelationalQueries.w1RowNumber _),
+    "w2_runningsum"  -> (RelationalQueries.w2RunningSum _),
+    "w3_topkgroup"   -> (RelationalQueries.w3TopKPerGroup _),
+    "sql_joinagg"    -> (RelationalQueries.sqlJoinAgg _),
     "u1_union"       -> (RelationalQueries.u1Union _),
     "f7_dategroup"   -> (RelationalQueries.f7DateGroup _),
     "q1_pricing"     -> (RelationalQueries.q1Pricing _),
@@ -99,8 +104,18 @@ object SparkEntry {
       "SELECT c_custkey, c_name FROM customer WHERE NOT c_custkey = 5",
     "m8_distinct" ->
       "SELECT DISTINCT o_custkey, o_orderstatus FROM orders",
+    "p3_streq" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_name = 'Customer#000000042'",
+    "s6_page" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey > 500 ORDER BY o_orderkey ASC LIMIT 100",
     "w1_rownumber" ->
       "SELECT o_orderkey, o_custkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn FROM orders WHERE o_custkey < 50",
+    "w2_runningsum" ->
+      "SELECT o_orderkey, o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS running_total FROM orders WHERE o_custkey < 100",
+    "w3_topkgroup" ->
+      "SELECT * FROM (SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk FROM orders) WHERE rk <= 5",
+    "sql_joinagg" ->
+      "SELECT n_name, count(*) AS n_customers, CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_acctbal FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
     "u1_union" ->
       "SELECT o_orderkey, 'HI' AS bucket FROM orders WHERE o_totalprice > 200000.0 UNION ALL SELECT o_orderkey, 'LO' AS bucket FROM orders WHERE o_totalprice < 10000.0",
     "f7_dategroup" ->

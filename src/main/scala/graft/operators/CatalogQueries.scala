@@ -53,6 +53,13 @@ final class CatalogQueries(store: SnapshotStore, spark: SparkSession,
   def topBySNo(k: Int = 150): DataFrame =
     getAllTools.orderBy(col(key).asc).limit(k)
 
+  /** S6: keyset pagination — the NextToken result-cursor loop
+    * (lambda_function.py:64-91) as a stateless relational page: rows with
+    * key > cursor, ordered, limited. The returned page's max key is the
+    * next cursor. Scales (no OFFSET scan-and-skip). */
+  def page(afterKey: Int, pageSize: Int = 100): DataFrame =
+    getAllTools.filter(col(key) > afterKey).orderBy(col(key).asc).limit(pageSize)
+
   /** S5: the `{total_count, records:[…]}` JSON envelope
     * (lambda_function.py:96-102,814-823).
     *

@@ -206,6 +206,59 @@ object RelationalQueries {
         row_number().over(w).as("rn"))
   }
 
+  /** P3: string-equality predicate (`WHERE tool_name = '…'`,
+    * ddl_create_tables.sql:31-32). */
+  def p3StringEq(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_name") === "Customer#000000042")
+      .select("c_custkey", "c_name", "c_acctbal")
+
+  /** S6 analog: keyset pagination — deterministic page of a sorted scan
+    * (the Data-API NextToken loop, lambda_function.py:64-91, as a
+    * relational op: WHERE key > cursor ORDER BY key LIMIT page). */
+  def s6Page(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") > 500)
+      .orderBy(col("o_orderkey").asc)
+      .limit(100)
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+
+  /** W2: running total per partition — frame-bounded window aggregation
+    * (beyond the reference; standard warehouse surface). */
+  def w2RunningSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (sum(round(col("o_totalprice") * 100).cast("long")).over(w)
+          .cast("double") / 100.0).as("running_total"))
+  }
+
+  /** W3: top-k per group via rank window — the grouped flavor of O3. */
+  def w3TopKPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+  }
+
+  /** `spark.sql` entry path: the same engine surface through SQL text over
+    * registered views (SURVEY §1.3 — both DataFrame and SQL entry points). */
+  def sqlJoinAgg(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql("""
+      SELECT n_name,
+             count(*) AS n_customers,
+             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_acctbal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name""")
+  }
+
   /** U1: UNION ALL (the append path S4 as a set op). */
   def u1Union(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
