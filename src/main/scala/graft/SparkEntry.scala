@@ -31,6 +31,7 @@ object SparkEntry {
     "a3_coalescemax" -> (RelationalQueries.a3CoalesceMax _),
     "a5_groupcount"  -> (RelationalQueries.a5GroupCount _),
     "a6_groupcount2" -> (RelationalQueries.a6GroupCount2 _),
+    "a6_pivot"       -> (RelationalQueries.a6Pivot _),
     "a7_groupsum"    -> (RelationalQueries.a7GroupSum _),
     "o3_topk"        -> (RelationalQueries.o3TopK _),
     "m1_nextkey"     -> (RelationalQueries.m1NextKey _),
@@ -92,6 +93,8 @@ object SparkEntry {
       "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag",
     "a6_groupcount2" ->
       "SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus",
+    "a6_pivot" ->
+      "SELECT o_orderpriority, count(*) FILTER (WHERE o_orderstatus = 'O') AS \"O\", count(*) FILTER (WHERE o_orderstatus = 'F') AS \"F\", count(*) FILTER (WHERE o_orderstatus = 'P') AS \"P\" FROM orders GROUP BY o_orderpriority",
     "a7_groupsum" ->
       "SELECT o_orderpriority, count(*) AS n_orders, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price FROM orders GROUP BY o_orderpriority",
     "o3_topk" ->

@@ -145,6 +145,15 @@ object RelationalQueries {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** A6 pivot form: "Count of Records by Team_name and Active_inactive"
+    * as a pivot table (explicit value list → no extra distinct-values
+    * job; nulls filled with 0 to match SQL FILTER semantics). */
+  def a6Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("O", "F", "P")).count()
+      .na.fill(0L)
+
   /** A7: SUM KPI per group (README.md:88-89 "Tool usage by team"). */
   def a7GroupSum(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
