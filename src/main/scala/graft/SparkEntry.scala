@@ -48,6 +48,12 @@ object SparkEntry {
     "f7_dategroup"   -> (RelationalQueries.f7DateGroup _),
     "q1_pricing"     -> (RelationalQueries.q1Pricing _),
     "q3_revenue"     -> (RelationalQueries.q3Revenue _),
+    // temporary canonicalization diagnostics (judge-requested, round 2):
+    // isolate which double column the driver's DuckDB hash disagreed on
+    "diag_q1_avgqty"  -> (RelationalQueries.diagQ1AvgQty _),
+    "diag_q1_avgdisc" -> (RelationalQueries.diagQ1AvgDisc _),
+    "diag_q1_base"    -> (RelationalQueries.diagQ1Base _),
+    "diag_q1_disc"    -> (RelationalQueries.diagQ1Disc _),
     // events: windows / sessions / JSON (SURVEY §2.7 analogs)
     "events_hourly"    -> (EventQueries.hourlyAgg _),
     "events_sessions"  -> (EventQueries.sessions _),
@@ -124,19 +130,27 @@ object SparkEntry {
     "f7_dategroup" ->
       "SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_date, count(*) AS n FROM orders GROUP BY strftime(o_orderdate, '%Y-%m-%d')",
     "q1_pricing" ->
-      "SELECT l_returnflag, l_linestatus, sum(CAST(l_quantity AS BIGINT)) AS sum_qty, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price, CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty, CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_disc, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus",
+      "SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_e4, CAST((sum(CAST(l_quantity AS BIGINT)) * 1000000) // count(*) AS BIGINT) AS avg_qty_e6, CAST((sum(CAST(round(l_discount * 100) AS BIGINT)) * 10000) // count(*) AS BIGINT) AS avg_disc_e6, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus",
+    "diag_q1_avgqty" ->
+      "SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus",
+    "diag_q1_avgdisc" ->
+      "SELECT l_returnflag, l_linestatus, CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_disc FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus",
+    "diag_q1_base" ->
+      "SELECT l_returnflag, l_linestatus, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus",
+    "diag_q1_disc" ->
+      "SELECT l_returnflag, l_linestatus, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus",
     "q3_revenue" ->
       "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING' GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority",
     "events_hourly" ->
       "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value FROM events GROUP BY 1, 2",
     "events_sessions" ->
-      "WITH g AS (SELECT user_id, ts, event_id, value, CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800 THEN 1 ELSE 0 END AS new_session FROM events), s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM g) SELECT user_id, session_seq, strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S') AS session_start, count(*) AS n_events, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS session_value FROM s GROUP BY user_id, session_seq",
+      "WITH e AS (SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS ts_us FROM events), g AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_session FROM e), s AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM g) SELECT user_id, session_seq, min(ts_us) AS session_start_us, count(*) AS n_events, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS session_value_cents FROM s GROUP BY user_id, session_seq",
     "events_json" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events",
     "events_typestats" ->
       "SELECT event_type, count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value, min(CAST(round(value * 100) AS BIGINT)) AS min_cents, max(CAST(round(value * 100) AS BIGINT)) AS max_cents FROM events GROUP BY event_type",
     "text_stats" ->
-      "SELECT doc_id, length(text) AS n_chars, len(string_split_regex(trim(text), '\\s+')) AS n_tokens, length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits, CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS digit_ratio FROM documents",
+      "SELECT doc_id, length(text) AS n_chars, CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0 ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_tokens, length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits, CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) END AS digit_ratio FROM documents",
     "dedup_exact" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY md5(text)",
     "dedup_exact_keep" ->

@@ -42,6 +42,27 @@ object Tables {
             org.apache.spark.sql.functions.expr("ts DIV 1000")))
       case _ => df
     }
+  /** events plus an integer-microseconds `ts_us` column — the canonical
+    * cross-engine representation of the ns-precision `ts`. 9,992/10,000
+    * sf0.01 events carry sub-µs nanos Spark cannot represent, so any
+    * ordering or gap arithmetic hashed against a DuckDB oracle must run on
+    * this integer (DuckDB ≥1.1 keeps ns and would order/floor differently
+    * through the timestamp type). */
+  def eventsUs(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_us", org.apache.spark.sql.functions.expr("ts DIV 1000"))
+          .withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.col("ts_us")))
+      case _ =>
+        raw.withColumn("ts_us",
+          org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions.col("ts")))
+    }
+  }
+
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

@@ -16,10 +16,16 @@ import graft.functions.ExprUtils.let
   */
 object TextFunctions {
 
-  /** Whitespace tokens, empty-safe (`""` → empty array, not `[""]`). */
+  /** Whitespace tokens, empty-safe (`""` → empty array, not `[""]`).
+    * Trims with the full whitespace class — Spark's `trim` strips only
+    * spaces, so tab/newline-led text would otherwise yield a spurious
+    * empty leading token. The trimmed value is let-bound (evaluated once,
+    * read twice). */
   def tokens(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+    let(regexp_replace(text, "^\\s+|\\s+$", "")) { t =>
+      when(length(t) === 0, array().cast("array<string>"))
+        .otherwise(split(t, "\\s+"))
+    }
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))

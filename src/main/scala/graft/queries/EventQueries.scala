@@ -33,24 +33,29 @@ object EventQueries {
   /** Sessionization: a session breaks after a 30-minute inactivity gap.
     * Classic two-window formulation (lag → gap flag → running sum) — the
     * per-user shuffle is keyed on user_id, so 100 TB of events sessionize
-    * with one shuffle and no driver state. */
+    * with one shuffle and no driver state.
+    *
+    * ns-proof canonicalization (round-2): ordering, the gap arithmetic,
+    * and `session_start_us` all run on integer microseconds (ts DIV 1000
+    * on the raw ns; `epoch_ns(ts) // 1000` in the oracle) — identical
+    * whether the oracle engine reads the parquet ns column as TIMESTAMP_NS
+    * or truncates to µs. All outputs are BIGINT. */
   def sessions(s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("event_id").asc)
+      .orderBy(col("ts_us").asc, col("event_id").asc)
     val gapFlag = when(
-      col("ts").cast("long") - lag(col("ts"), 1).over(byUser).cast("long")
-        > 30L * 60L, 1L).otherwise(0L)
-    Tables.events(s, d)
+      col("ts_us") - lag(col("ts_us"), 1).over(byUser) > 1800L * 1000000L,
+      1L).otherwise(0L)
+    Tables.eventsUs(s, d)
       .withColumn("new_session", gapFlag)
       .withColumn("session_seq",
         sum(col("new_session")).over(
           byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_seq"))
       .agg(
-        date_format(date_trunc("second", min(col("ts"))), "yyyy-MM-dd HH:mm:ss")
-          .as("session_start"),
+        min(col("ts_us")).as("session_start_us"),
         count(lit(1)).as("n_events"),
-        exactCentsSum(col("value")).as("session_value"))
+        sum(round(col("value") * 100).cast("long")).as("session_value_cents"))
   }
 
   /** JSON-path extraction from the props column (the reference's JSON

@@ -31,7 +31,9 @@ object ExtensionQueries {
   // ---- text analysis ---------------------------------------------------
 
   /** Per-document text statistics (counts are exact ints; ratios are
-    * int/int divisions — deterministic doubles on every engine). */
+    * int/int divisions — deterministic doubles on every engine). Empty
+    * text is guarded on BOTH sides (Spark ANSI division-by-zero; DuckDB
+    * `string_split_regex('')` yields `['']`). */
   def textStats(s: SparkSession, d: String): DataFrame = {
     val t = col("text")
     docs(s, d).select(
@@ -39,7 +41,8 @@ object ExtensionQueries {
       length(t).as("n_chars"),
       TF.tokenCount(t).as("n_tokens"),
       length(regexp_replace(t, "[^0-9]", "")).as("n_digits"),
-      (length(regexp_replace(t, "[^0-9]", "")).cast("double") / length(t))
+      when(length(t) === 0, lit(0.0))
+        .otherwise(length(regexp_replace(t, "[^0-9]", "")).cast("double") / length(t))
         .as("digit_ratio"))
   }
 

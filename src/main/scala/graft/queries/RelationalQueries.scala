@@ -287,23 +287,59 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"))
 
   /** Flagship: TPC-H Q1-shaped pricing summary over lineitem — the densest
-    * exercise of partial+final aggregation and codegen arithmetic. */
+    * exercise of partial+final aggregation and codegen arithmetic.
+    *
+    * Hash-robust canonicalization (round-2): every output column is a
+    * BIGINT or string. Round 1 emitted the sums/averages as doubles and
+    * the driver's hash check failed even though a DuckDB 1.0.0 re-run was
+    * bit-identical — double compute/formatting is oracle-version-dependent,
+    * integers are not. Sums are exact integer cents (see Exact); averages
+    * are integer micro-units via integer division (`DIV` here, `//` in the
+    * DuckDB oracle — both truncate toward zero for positive inputs). */
   def q1Pricing(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity").cast("long")).as("sum_qty"),
-        Exact.sumMoney(col("l_extendedprice")).as("sum_base_price"),
+        sum(Exact.cents(col("l_extendedprice"))).as("sum_base_cents"),
         // extendedprice cents × (100 - discount%) = exact 1e-4 units
-        (sum(Exact.cents(col("l_extendedprice")) *
-          (lit(100L) - Exact.cents(col("l_discount")))).cast("double") / 10000.0)
-          .as("sum_disc_price"),
-        (sum(col("l_quantity").cast("long")).cast("double") / count(lit(1)))
-          .as("avg_qty"),
-        (sum(Exact.cents(col("l_discount"))).cast("double") / 100.0 / count(lit(1)))
-          .as("avg_disc"),
+        sum(Exact.cents(col("l_extendedprice")) *
+          (lit(100L) - Exact.cents(col("l_discount")))).as("sum_disc_e4"),
+        sum(Exact.cents(col("l_discount"))).as("sum_disc_cents"),
         count(lit(1)).as("count_order"))
+      .withColumn("avg_qty_e6", expr("sum_qty * 1000000 DIV count_order"))
+      .withColumn("avg_disc_e6", expr("sum_disc_cents * 10000 DIV count_order"))
+      .drop("sum_disc_cents")
+
+  // -- Canonicalization diagnostics (temporary, judge-requested): the round-1
+  //    q1_pricing hash failure is localized by re-emitting each double column
+  //    alone; whichever diag row goes red in CORRECTNESS_r02 names the
+  //    double expression the driver's DuckDB disagrees on. ------------------
+
+  private def q1Filtered(s: SparkSession, d: String): org.apache.spark.sql.RelationalGroupedDataset =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+
+  def diagQ1AvgQty(s: SparkSession, d: String): DataFrame =
+    q1Filtered(s, d).agg(
+      (sum(col("l_quantity").cast("long")).cast("double") / count(lit(1)))
+        .as("avg_qty"))
+
+  def diagQ1AvgDisc(s: SparkSession, d: String): DataFrame =
+    q1Filtered(s, d).agg(
+      (sum(Exact.cents(col("l_discount"))).cast("double") / 100.0 / count(lit(1)))
+        .as("avg_disc"))
+
+  def diagQ1Base(s: SparkSession, d: String): DataFrame =
+    q1Filtered(s, d).agg(Exact.sumMoney(col("l_extendedprice")).as("sum_base_price"))
+
+  def diagQ1Disc(s: SparkSession, d: String): DataFrame =
+    q1Filtered(s, d).agg(
+      (sum(Exact.cents(col("l_extendedprice")) *
+        (lit(100L) - Exact.cents(col("l_discount")))).cast("double") / 10000.0)
+        .as("sum_disc_price"))
 
   /** TPC-H Q3-shaped join+agg: revenue per (order, date, priority) for one
     * segment. customer side is filtered then broadcast; lineitem never
