@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.ExprUtils.let
 
@@ -15,6 +16,13 @@ import graft.functions.ExprUtils.let
   * a hash-partitioned groupBy on bucket keys, and bucket skew is capped by
   * `maxBucketSize` (degenerate buckets — e.g. boilerplate-heavy shingles —
   * are dropped rather than allowed to produce quadratic pair blowup).
+  *
+  * Shared intermediates are `persist(MEMORY_AND_DISK)`, not
+  * `localCheckpoint`: cache substitution swaps the subtree for an
+  * InMemoryRelation before the consuming self-join is optimized (same fix
+  * for the measured Catalyst plan-duplication blowup), and cached blocks
+  * are RECOMPUTABLE from lineage on executor loss — localCheckpoint blocks
+  * die with their executor on a real cluster.
   */
 object Dedup {
 
@@ -59,21 +67,27 @@ object Dedup {
             i => concat_ws(" ", slice(tk, i + 1, lit(n))))))
     }
 
-  /** MinHash signature: k independent permutations simulated by seeded
-    * xxhash64; each signature slot is the min hash over the shingle set.
-    * Pure codegen (HOF transform + array_min), no UDF. */
+  /** MinHash signature: native compiled expression
+    * (graft.plans.MinHashSignature) — one xxhash64 per shingle, k
+    * multiply-add mixes, min per slot. The HOF formulation
+    * (`array_min(transform(sh, s => xxhash64(seed, s)))` per seed) hashed
+    * every shingle k times AND ran interpreted; it was ~half the sf0.1
+    * bench on its own. */
   def minhashSignature(shingleArr: Column, k: Int = 32): Column =
-    let(shingleArr) { sh =>
-      array((0 until k).map { seed =>
-        array_min(transform(sh, s => xxhash64(lit(seed), s)))
-      }: _*)
-    }
+    graft.plans.VectorExpressions.minhashSignature(shingleArr, k)
 
   /** LSH banding: split a k-slot signature into `bands` bands of k/bands
     * rows; each band hashes to one bucket key. Two docs sharing ANY band
-    * bucket become a candidate pair. (b=8, r=4 over k=32 → catches
-    * Jaccard ≳ 0.6 with high probability.) */
-  def lshBandKeys(sig: Column, k: Int = 32, bands: Int = 8): Column = {
+    * bucket become a candidate pair.
+    *
+    * Threshold calibration: the S-curve midpoint is (1/b)^(1/r). With the
+    * default b=16, r=2 (k=32) that is 0.25, so a true Jaccard-0.5 pair is
+    * caught with probability 1-(1-0.5²)^16 ≈ 0.99 — the banding catches
+    * everything the declared threshold 0.5 keeps, and the exact verify
+    * join discards the sub-threshold candidates. (The previous b=8, r=4
+    * tuning had its midpoint at ≈0.59: pairs with J ∈ [0.5, 0.6) were
+    * found only probabilistically — a recall contract violation.) */
+  def lshBandKeys(sig: Column, k: Int = 32, bands: Int = 16): Column = {
     val r = k / bands
     let(sig) { s =>
       array((0 until bands).map { b =>
@@ -87,20 +101,26 @@ object Dedup {
     * Jaccard over the shingle sets. Returns (id_a, id_b, jaccard) with
     * id_a < id_b, jaccard ≥ `threshold`.
     *
-    * Plan shape at scale: one scan computing signatures (codegen) →
-    * explode to (band,bucket,id) → shuffle by bucket → within-bucket
-    * self-join (bounded by maxBucketSize) → distinct id pairs → join the
-    * shingle sets back for Jaccard verify. Bucket rows carry ONLY keys and
-    * ids: shuffling the shingle arrays through the pair join/dedup would
-    * turn a key shuffle into a corpus-sized payload shuffle. */
+    * Plan shape at scale: ONE scan computes (id, shingles, signature) —
+    * persisted and reused for banding and both verify sides, so shingling
+    * runs exactly once per document. Then: explode to (band,bucket,id) →
+    * shuffle by bucket → within-bucket self-join (bounded by
+    * maxBucketSize) → distinct id pairs → join the shingle sets back for
+    * Jaccard verify. Bucket rows carry ONLY keys and ids: shuffling the
+    * shingle arrays through the pair join/dedup would turn a key shuffle
+    * into a corpus-sized payload shuffle. */
   def nearDuplicatePairs(df: DataFrame, textCol: String, idCol: String,
-                         shingleN: Int = 3, k: Int = 32, bands: Int = 8,
-                         threshold: Double = 0.6,
+                         shingleN: Int = 3, k: Int = 32, bands: Int = 16,
+                         threshold: Double = 0.5,
                          maxBucketSize: Int = 1000): DataFrame = {
-    val buckets = df.select(
-      col(idCol).as("id"),
-      explode(lshBandKeys(
-        minhashSignature(shingles(col(textCol), shingleN), k), k, bands)).as("bk"))
+    // One scan: shingle + sign each doc exactly once, share everywhere.
+    val base = df.select(col(idCol).as("id"),
+        shingles(col(textCol), shingleN).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), k))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val buckets = base
+      .select(col("id"), explode(lshBandKeys(col("sig"), k, bands)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"), col("id"))
 
     // Cap degenerate buckets (boilerplate shingles): aggregate bucket sizes
@@ -109,13 +129,10 @@ object Dedup {
     val oversized = buckets.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
       .select(col("band"), col("bucket"))
-    // Materialize the (tiny: id + 2 keys) bucket table before self-joining.
-    // Without this, the signature expression tree is duplicated into both
-    // join sides and re-optimized/re-executed — measured as minutes of
-    // Catalyst planning at 5k docs. The checkpoint also computes each
-    // signature exactly once.
+    // Persist the (tiny: id + 2 keys) bucket table before self-joining so
+    // the join sees one InMemoryRelation, not two copies of the plan.
     val capped = buckets.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val candidates = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(capped.select(col("band"), col("bucket"), col("id").as("id_b")),
@@ -123,14 +140,12 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .localCheckpoint()
 
-    // Verify: join the (small) candidate set back to the shingle sets.
-    val sh = df.select(col(idCol).as("sid"),
-      shingles(col(textCol), shingleN).as("sh"))
+    // Verify: join the (small) candidate set back to the cached shingle
+    // sets — no re-shingling on either side.
     candidates
-      .join(sh.select(col("sid").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("sid").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
@@ -138,12 +153,16 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** Near-dedup: drop every doc that near-duplicates a lower-id doc. */
+  /** Near-dedup: drop every doc that near-duplicates a lower-id doc. No
+    * broadcast hint on the duplicate-id side: at web-scale dedup rates
+    * (30-50% of the corpus) that set is NOT small, and a forced broadcast
+    * is a driver OOM — let the planner (AQE) pick the join strategy from
+    * the observed size. */
   def dropNearDuplicates(df: DataFrame, textCol: String, idCol: String,
-                         threshold: Double = 0.6): DataFrame = {
+                         threshold: Double = 0.5): DataFrame = {
     val dupIds = nearDuplicatePairs(df, textCol, idCol, threshold = threshold)
       .select(col("id_b").as("dup_id")).distinct()
-    df.join(broadcast(dupIds), col(idCol) === col("dup_id"), "left_anti")
+    df.join(dupIds, col(idCol) === col("dup_id"), "left_anti")
   }
 
   // ---- SimHash ---------------------------------------------------------
@@ -159,19 +178,39 @@ object Dedup {
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: band the 64-bit hash into four 16-bit keys
-    * (pigeonhole: Hamming ≤ 3 ⇒ at least one band equal), bucket-join on
-    * band equality, verify exact Hamming ≤ `maxHamming`. Same scale shape
-    * as MinHash-LSH: shuffle on short keys, no cross join. */
-  def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
-                          maxHamming: Int = 3,
-                          maxBucketSize: Int = 1000): DataFrame = {
-    val hashed = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh64"))
+  /** Band boundaries (shift, width) splitting 64 bits into `nBands`
+    * contiguous ranges with widths differing by at most one. */
+  private[functions] def simhashBandRanges(nBands: Int): Seq[(Int, Int)] = {
+    require(nBands >= 1 && nBands <= 64, s"nBands=$nBands out of range")
+    val base = 64 / nBands
+    val extra = 64 % nBands
+    val widths = Seq.tabulate(nBands)(i => base + (if (i < extra) 1 else 0))
+    widths.scanLeft(0)(_ + _).init.zip(widths)
+  }
+
+  /** Per-band (band, bucket) keys for a 64-bit simhash. */
+  private[functions] def simhashBandKeys(sh64: Column, nBands: Int): Column =
+    array(simhashBandRanges(nBands).zipWithIndex.map { case ((shift, width), b) =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(sh64, shift)
+          .bitwiseAND(lit((1L << width) - 1)).as("bucket"))
+    }: _*)
+
+  /** SimHash near-dup pairs over precomputed (id, sh64) rows.
+    *
+    * Soundness: the hash is banded into `maxHamming + 1` ranges, so by
+    * pigeonhole ANY pair within the declared Hamming radius leaves at
+    * least one band untouched and is guaranteed to collide there — recall
+    * 1.0 by construction, not probabilistic. (The previous fixed 4×16-bit
+    * banding guaranteed only Hamming ≤ 3 while the query surface promised
+    * ≤ 6 — a silent-miss contract violation.) The tradeoff is coarser
+    * buckets (64/(h+1) bits each), i.e. more candidates; the cheap
+    * two-long Hamming verify and `maxBucketSize` cap bound that cost. */
+  def simhashPairsFromHashes(hashed: DataFrame, maxHamming: Int,
+                             maxBucketSize: Int = 1000): DataFrame = {
+    val nBands = maxHamming + 1
     val banded = hashed.select(col("id"), col("sh64"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sh64"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))
-      }: _*)).as("bk"))
+      explode(simhashBandKeys(col("sh64"), nBands)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
         col("id"), col("sh64"))
 
@@ -181,7 +220,7 @@ object Dedup {
       .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
       .select(col("band"), col("bucket"))
     val capped = banded.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
-      .localCheckpoint()  // see nearDuplicatePairs: avoid tree duplication
+      .persist(StorageLevel.MEMORY_AND_DISK) // one relation into both join sides
 
     val a = capped.select(col("band"), col("bucket"),
       col("id").as("id_a"), col("sh64").as("h_a"))
@@ -192,5 +231,15 @@ object Dedup {
       .select(col("id_a"), col("id_b"), hamming64(col("h_a"), col("h_b")).as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash near-dup pairs from text: hash once, then guaranteed-recall
+    * banding (see simhashPairsFromHashes). Same scale shape as
+    * MinHash-LSH: shuffle on short keys, no cross join. */
+  def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                          maxHamming: Int = 3,
+                          maxBucketSize: Int = 1000): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh64"))
+    simhashPairsFromHashes(hashed, maxHamming, maxBucketSize)
   }
 }

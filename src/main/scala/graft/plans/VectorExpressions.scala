@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -163,6 +163,67 @@ case class HyperplaneBucket(child: Expression, dim: Int, nPlanes: Int, seed: Lon
     copy(child = newChild)
 }
 
+/** MinHash signature of a string-shingle array → array<long> of `k` slots.
+  *
+  * Each shingle is hashed ONCE with xxhash64 (the same `XxHash64Function`
+  * as the builtin), then the k "independent permutations" are multiply-add
+  * mixes of that 64-bit base (h_j = a_j·h + b_j with seeded odd a_j —
+  * standard universal-hash simulation); each slot keeps the min over the
+  * shingle set. One compiled loop per row replaces a k-wide interpreted
+  * HOF pipeline (`array_min(transform(...xxhash64...))` per seed), which
+  * re-hashed every shingle string k times AND evaluated interpreted —
+  * measured as ~half the whole sf0.1 bench.
+  *
+  * Empty or all-null shingle arrays yield a signature of Long.MaxValue
+  * slots (empty docs are exact duplicates of each other anyway). */
+case class MinHashSignature(child: Expression, k: Int, seed: Long = 42L)
+    extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val mixA: Array[Long] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(k)(rnd.nextLong() | 1L) // odd multipliers
+  }
+  @transient private lazy val mixB: Array[Long] = {
+    val rnd = new scala.util.Random(seed + 0x9E3779B9L)
+    Array.fill(k)(rnd.nextLong())
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_signature needs array<string>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val base = XxHash64Function.hash(
+          arr.getUTF8String(i).asInstanceOf[UTF8String], StringType, seed)
+        var j = 0
+        while (j < k) {
+          val h = mixA(j) * base + mixB(j)
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Expose as Columns (Spark 4 classic bridge). */
   def dotProduct(a: Column, b: Column): Column =
@@ -171,6 +232,10 @@ object VectorExpressions {
 
   def simhash64(tokens: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(tokens)))
+
+  def minhashSignature(shingles: Column, k: Int, seed: Long = 42L): Column =
+    GraftColumnBridge.column(MinHashSignature(
+      GraftColumnBridge.expression(shingles), k, seed))
 
   def hyperplaneBucket(vec: Column, dim: Int, nPlanes: Int, seed: Long): Column =
     GraftColumnBridge.column(HyperplaneBucket(

@@ -68,6 +68,48 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("minhash LSH recalls a planted pair just above the declared 0.5 threshold") {
+    // A: w1..w40 → 38 shingles; B: w1..w28 ++ v1..v12 → 38 shingles.
+    // Shared shingles = those fully inside w1..w28 = 26; union = 50;
+    // J = 26/50 = 0.52 — just above the declared threshold. Under the old
+    // b=8, r=4 banding (S-curve midpoint ≈ 0.59) this pair was missed more
+    // often than found; b=16, r=2 catches it w.p. ≈ 0.99.
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    val b = ((1 to 28).map(i => s"w$i") ++ (1 to 12).map(i => s"v$i")).mkString(" ")
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicatePairs(df, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 0.5),
+      s"planted J=0.52 pair not recalled: ${pairs.toSeq}")
+  }
+
+  test("simhash banding recalls any pair within the declared maxHamming") {
+    // Hamming-5 pair with the differing bits spread across ALL FOUR of the
+    // old 16-bit bands (bits 2, 18, 34, 50, 60) — the old banding silently
+    // missed exactly this shape; maxHamming+1 bands guarantee recall.
+    val base = 0x0123456789ABCDEFL
+    val other = Seq(2, 18, 34, 50, 60).foldLeft(base)((h, i) => h ^ (1L << i))
+    assert(java.lang.Long.bitCount(base ^ other) === 5)
+    val df = Seq((1L, base), (2L, other)).toDF("id", "sh64")
+    val pairs = Dedup.simhashPairsFromHashes(df, maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"hamming-5 pair missed: $pairs")
+  }
+
+  test("simhash band ranges tile all 64 bits with maxHamming+1 bands") {
+    for (nBands <- Seq(4, 7, 9)) {
+      val ranges = Dedup.simhashBandRanges(nBands)
+      assert(ranges.size === nBands)
+      assert(ranges.map(_._2).sum === 64)
+      // contiguous, no overlap
+      assert(ranges.sliding(2).forall {
+        case Seq((s1, w1), (s2, _)) => s1 + w1 == s2
+        case _ => true
+      })
+    }
+  }
+
   test("simhash: near-identical docs have small hamming distance") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val near = (1 to 58).map(i => s"tok$i").mkString(" ") + " aaa bbb"
