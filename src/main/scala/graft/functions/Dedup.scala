@@ -180,7 +180,7 @@ object Dedup {
 
   /** Band boundaries (shift, width) splitting 64 bits into `nBands`
     * contiguous ranges with widths differing by at most one. */
-  private[functions] def simhashBandRanges(nBands: Int): Seq[(Int, Int)] = {
+  private[graft] def simhashBandRanges(nBands: Int): Seq[(Int, Int)] = {
     require(nBands >= 1 && nBands <= 64, s"nBands=$nBands out of range")
     val base = 64 / nBands
     val extra = 64 % nBands
