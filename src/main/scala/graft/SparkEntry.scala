@@ -48,12 +48,6 @@ object SparkEntry {
     "f7_dategroup"   -> (RelationalQueries.f7DateGroup _),
     "q1_pricing"     -> (RelationalQueries.q1Pricing _),
     "q3_revenue"     -> (RelationalQueries.q3Revenue _),
-    // temporary canonicalization diagnostics (judge-requested, round 2):
-    // isolate which double column the driver's DuckDB hash disagreed on
-    "diag_q1_avgqty"  -> (RelationalQueries.diagQ1AvgQty _),
-    "diag_q1_avgdisc" -> (RelationalQueries.diagQ1AvgDisc _),
-    "diag_q1_base"    -> (RelationalQueries.diagQ1Base _),
-    "diag_q1_disc"    -> (RelationalQueries.diagQ1Disc _),
     // events: windows / sessions / JSON (SURVEY §2.7 analogs)
     "events_hourly"    -> (EventQueries.hourlyAgg _),
     "events_sessions"  -> (EventQueries.sessions _),
@@ -131,14 +125,6 @@ object SparkEntry {
       "SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_date, count(*) AS n FROM orders GROUP BY strftime(o_orderdate, '%Y-%m-%d')",
     "q1_pricing" ->
       "SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_e4, CAST((sum(CAST(l_quantity AS BIGINT)) * 1000000) // count(*) AS BIGINT) AS avg_qty_e6, CAST((sum(CAST(round(l_discount * 100) AS BIGINT)) * 10000) // count(*) AS BIGINT) AS avg_disc_e6, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus",
-    "diag_q1_avgqty" ->
-      "SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus",
-    "diag_q1_avgdisc" ->
-      "SELECT l_returnflag, l_linestatus, CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_disc FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus",
-    "diag_q1_base" ->
-      "SELECT l_returnflag, l_linestatus, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus",
-    "diag_q1_disc" ->
-      "SELECT l_returnflag, l_linestatus, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus",
     "q3_revenue" ->
       "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING' GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority",
     "events_hourly" ->
@@ -150,7 +136,7 @@ object SparkEntry {
     "events_typestats" ->
       "SELECT event_type, count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value, min(CAST(round(value * 100) AS BIGINT)) AS min_cents, max(CAST(round(value * 100) AS BIGINT)) AS max_cents FROM events GROUP BY event_type",
     "text_stats" ->
-      "SELECT doc_id, length(text) AS n_chars, CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0 ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_tokens, length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits, CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) END AS digit_ratio FROM documents",
+      "SELECT doc_id, length(text) AS n_chars, CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g')) = 0 THEN 0 ELSE len(string_split_regex(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g'), '[ \\t\\n\\r\\f\\x0B]+')) END AS n_tokens, length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits, CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) END AS digit_ratio FROM documents",
     "dedup_exact" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY md5(text)",
     "dedup_exact_keep" ->

@@ -188,29 +188,73 @@ object Dedup {
     widths.scanLeft(0)(_ + _).init.zip(widths)
   }
 
-  /** Per-band (band, bucket) keys for a 64-bit simhash. */
-  private[functions] def simhashBandKeys(sh64: Column, nBands: Int): Column =
-    array(simhashBandRanges(nBands).zipWithIndex.map { case ((shift, width), b) =>
-      struct(lit(b).as("band"),
-        shiftrightunsigned(sh64, shift)
-          .bitwiseAND(lit((1L << width) - 1)).as("bucket"))
-    }: _*)
+  /** Default block count for multi-block banding: h+4 blocks keeps the
+    * combination count C(h+4, 4) modest (h=3 → 35, h=6 → 210) while the
+    * per-key width (4 blocks) stays ≥ 64·4/(h+4) bits — ~26 bits (67M
+    * buckets) at h=6. */
+  private[graft] def simhashDefaultBlocks(maxHamming: Int): Int = maxHamming + 4
+
+  /** Block-index combinations used as banding keys: every choice of
+    * (nBlocks − maxHamming) of the nBlocks blocks. A pair within Hamming
+    * `maxHamming` differs in at most maxHamming blocks, so at least
+    * nBlocks − maxHamming of its blocks are bit-identical — at least one
+    * of these combinations lies entirely in the identical set and the
+    * pair collides on that key. Recall 1.0 by construction. */
+  private[graft] def simhashBlockCombos(nBlocks: Int, maxHamming: Int): Seq[Seq[Int]] = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming out of range")
+    require(nBlocks > maxHamming && nBlocks <= 64,
+      s"nBlocks=$nBlocks must exceed maxHamming=$maxHamming (pigeonhole)")
+    val combos = (0 until nBlocks).combinations(nBlocks - maxHamming).map(_.toSeq).toSeq
+    require(combos.size <= 4096,
+      s"C($nBlocks, ${nBlocks - maxHamming}) = ${combos.size} keys per row is " +
+        "unreasonable; pick nBlocks closer to maxHamming")
+    combos
+  }
+
+  /** Number of distinct bucket values a (nBlocks, maxHamming) combo key
+    * can take: 2^(sum of the selected block widths), for the *narrowest*
+    * combo (lower bound over combos). Exposed so specs can assert the
+    * keyspace is large enough to survive `maxBucketSize` at scale. */
+  private[graft] def simhashComboKeyspace(nBlocks: Int, maxHamming: Int): Double = {
+    val widths = simhashBandRanges(nBlocks).map(_._2).sorted
+    math.pow(2.0, widths.take(nBlocks - maxHamming).sum.toDouble)
+  }
+
+  /** Per-combo (band, bucket) keys for a 64-bit simhash: one key per
+    * block combination, with the selected blocks' bits packed into one
+    * long (total packed width = (nBlocks−maxHamming)·64/nBlocks < 64).
+    *
+    * Native expression (graft.plans.SimHashComboKeys): the Column-tree
+    * formulation (one struct builder per combo, a fold of bitwise ops
+    * each) is 210–495 structs ≈ 10k expression nodes — it broke janino,
+    * took Catalyst minutes to optimize, and its interpreted fallback
+    * hung the planted-pair spec. The compiled loop is one node. */
+  private[functions] def simhashComboKeys(sh64: Column, nBlocks: Int,
+                                          maxHamming: Int): Column =
+    graft.plans.VectorExpressions.simhashComboKeys(sh64, nBlocks, maxHamming)
 
   /** SimHash near-dup pairs over precomputed (id, sh64) rows.
     *
-    * Soundness: the hash is banded into `maxHamming + 1` ranges, so by
-    * pigeonhole ANY pair within the declared Hamming radius leaves at
-    * least one band untouched and is guaranteed to collide there — recall
-    * 1.0 by construction, not probabilistic. (The previous fixed 4×16-bit
-    * banding guaranteed only Hamming ≤ 3 while the query surface promised
-    * ≤ 6 — a silent-miss contract violation.) The tradeoff is coarser
-    * buckets (64/(h+1) bits each), i.e. more candidates; the cheap
-    * two-long Hamming verify and `maxBucketSize` cap bound that cost. */
+    * Soundness AND scale: multi-block combination banding (the pigeonhole
+    * scheme of Manku et al.'s simhash dedup / HmSearch). 64 bits split
+    * into nBlocks blocks; each row keyed on every combination of
+    * (nBlocks − maxHamming) blocks, so any pair within the Hamming radius
+    * shares at least one key — recall 1.0 by construction. The previous
+    * (maxHamming+1)-band variant was equally sound but its band keys were
+    * only 64/(h+1) bits: at h=6 that is 512 distinct buckets per band, so
+    * past ~512·maxBucketSize docs EVERY bucket exceeds the cap and is
+    * dropped — recall collapses to 0 exactly at scale. Combo keys are
+    * (nBlocks−h)·64/nBlocks ≈ 26 bits at the default (h=6 → 210 combos of
+    * 4 blocks): ~67M distinct buckets per combo, so the cap only ever
+    * trims genuinely degenerate hash values. The cost — more exploded key
+    * rows per doc — is keys-only shuffle volume (combo id + packed long +
+    * doc id), the cheap kind. */
   def simhashPairsFromHashes(hashed: DataFrame, maxHamming: Int,
-                             maxBucketSize: Int = 1000): DataFrame = {
-    val nBands = maxHamming + 1
+                             maxBucketSize: Int = 1000,
+                             nBlocks: Int = 0): DataFrame = {
+    val blocks = if (nBlocks > 0) nBlocks else simhashDefaultBlocks(maxHamming)
     val banded = hashed.select(col("id"), col("sh64"),
-      explode(simhashBandKeys(col("sh64"), nBands)).as("bk"))
+      explode(simhashComboKeys(col("sh64"), blocks, maxHamming)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
         col("id"), col("sh64"))
 
@@ -234,12 +278,13 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs from text: hash once, then guaranteed-recall
-    * banding (see simhashPairsFromHashes). Same scale shape as
-    * MinHash-LSH: shuffle on short keys, no cross join. */
+    * multi-block banding (see simhashPairsFromHashes). Same scale shape
+    * as MinHash-LSH: shuffle on short keys, no cross join. */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           maxHamming: Int = 3,
-                          maxBucketSize: Int = 1000): DataFrame = {
+                          maxBucketSize: Int = 1000,
+                          nBlocks: Int = 0): DataFrame = {
     val hashed = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh64"))
-    simhashPairsFromHashes(hashed, maxHamming, maxBucketSize)
+    simhashPairsFromHashes(hashed, maxHamming, maxBucketSize, nBlocks)
   }
 }

@@ -29,4 +29,15 @@ object ExprUtils {
     element_at(
       transform(array(struct(a.as("_l1"), b.as("_l2"))),
         s => body(s.getField("_l1"), s.getField("_l2"))), 1)
+
+  /** 2-decimal money column → exact integer cents. THE one formulation of
+    * the cents conversion — `sum(double)` is partitioning-order-dependent
+    * and Spark rounds HALF_UP where DuckDB rounds half-even, so every
+    * money aggregate goes through integer cents and divides back once at
+    * the end. Shared so a rounding tweak can't silently diverge between
+    * query families. */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Exact sum of a 2-decimal column, reported back in units. */
+  def sumMoney(c: Column): Column = sum(cents(c)).cast("double") / 100.0
 }

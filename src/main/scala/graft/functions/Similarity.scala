@@ -159,12 +159,15 @@ object Similarity {
     val oversized = buckets.groupBy(col("table"), col("bucket"))
       .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
       .select(col("table"), col("bucket"))
-    // Materialized before the self-join: the unrolled hyperplane literals
-    // make a large expression tree; duplicating it into both join sides
-    // costs minutes of Catalyst planning (measured). The bucket table is
-    // tiny (id + table + bucket).
+    // Persisted before the self-join: cache substitution swaps the subtree
+    // (with its unrolled hyperplane work) for one InMemoryRelation, so the
+    // join is planned over the cache, not two copies of the bucket plan —
+    // the same measured minutes-of-Catalyst fix as Dedup. persist, NOT
+    // localCheckpoint: cached blocks are recomputable from lineage after
+    // an executor loss; checkpoint blocks die with their executor on a
+    // real cluster. The bucket table is tiny (id + table + bucket).
     val capped = buckets.join(broadcast(oversized), Seq("table", "bucket"), "left_anti")
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val candidates = capped.select(col("table"), col("bucket"), col("id").as("id_a"))
       .join(capped.select(col("table"), col("bucket"), col("id").as("id_b")),
@@ -172,7 +175,7 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val unit = corpus.select(col(idCol).as("uid"), unitVector(col(vecCol)).as("uv"))
     candidates

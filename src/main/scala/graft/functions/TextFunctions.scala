@@ -16,15 +16,21 @@ import graft.functions.ExprUtils.let
   */
 object TextFunctions {
 
+  /** Explicit whitespace char class — NOT `\s`: Java regex (Spark) counts
+    * vertical tab \x0B in `\s` while RE2 (DuckDB oracle) does not, so `\s`
+    * silently diverges across engines on \x0B-bearing documents. This
+    * class is identical in both. */
+  private val WS = "[ \\t\\n\\r\\f\\x0B]"
+
   /** Whitespace tokens, empty-safe (`""` → empty array, not `[""]`).
     * Trims with the full whitespace class — Spark's `trim` strips only
     * spaces, so tab/newline-led text would otherwise yield a spurious
     * empty leading token. The trimmed value is let-bound (evaluated once,
     * read twice). */
   def tokens(text: Column): Column =
-    let(regexp_replace(text, "^\\s+|\\s+$", "")) { t =>
+    let(regexp_replace(text, s"^$WS+|$WS+$$", "")) { t =>
       when(length(t) === 0, array().cast("array<string>"))
-        .otherwise(split(t, "\\s+"))
+        .otherwise(split(t, s"$WS+"))
     }
 
   /** Whitespace token count. */
@@ -34,7 +40,8 @@ object TextFunctions {
     * punctuation each count as one token — a cheap proxy for byte-pair
     * tokenizers (≈ GPT-style pre-tokenization regex, simplified). */
   def subwordCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"), lit(0)))
+    size(regexp_extract_all(text,
+      lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 \\t\\n\\r\\f\\x0B]"), lit(0)))
 
   /** Characters matching `charClassRegex` as a fraction of total length.
     * 0.0 for empty text. */

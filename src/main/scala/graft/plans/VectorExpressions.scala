@@ -224,6 +224,74 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long = 42L)
     copy(child = newChild)
 }
 
+/** Multi-block SimHash banding keys → array<struct<band:int,bucket:long>>.
+  *
+  * One compiled node replacing a Column-tree of C(nBlocks, nBlocks−h)
+  * struct builders (210 at h=6, 495 at h=8), each a fold of bitwise ops —
+  * a tree that size breaks janino (64 KB method limit) and takes Catalyst
+  * minutes to optimize, and its interpreted fallback re-walks ~10k
+  * expression nodes per row. Here the combo table is precomputed once in
+  * the instance and each row is a tight loop over (comboId, blockIdxs).
+  *
+  * Key layout matches Dedup.simhashBlockCombos/simhashBandRanges: 64 bits
+  * split into nBlocks contiguous ranges (widths differing by ≤1); each
+  * combo of (nBlocks − maxHamming) block indices packs its blocks'
+  * bits, in index order, into one long. */
+case class SimHashComboKeys(child: Expression, nBlocks: Int, maxHamming: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming out of range")
+  require(nBlocks > maxHamming && nBlocks <= 64,
+    s"nBlocks=$nBlocks must exceed maxHamming=$maxHamming (pigeonhole)")
+
+  // (shift, width) per block: contiguous tiling of the 64 bits.
+  @transient private lazy val ranges: Array[(Int, Int)] = {
+    val base = 64 / nBlocks
+    val extra = 64 % nBlocks
+    val widths = Array.tabulate(nBlocks)(i => base + (if (i < extra) 1 else 0))
+    widths.scanLeft(0)(_ + _).init.zip(widths)
+  }
+  @transient private lazy val combos: Array[Array[Int]] =
+    (0 until nBlocks).combinations(nBlocks - maxHamming).map(_.toArray).toArray
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("band", IntegerType, nullable = false),
+      StructField("bucket", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_combo_keys needs bigint, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val h = input.asInstanceOf[Long]
+    val out = new Array[Any](combos.length)
+    var c = 0
+    while (c < combos.length) {
+      val blocks = combos(c)
+      var packed = 0L
+      var i = 0
+      while (i < blocks.length) {
+        val (shift, width) = ranges(blocks(i))
+        packed = (packed << width) | ((h >>> shift) & ((1L << width) - 1))
+        i += 1
+      }
+      out(c) = org.apache.spark.sql.catalyst.InternalRow(c, packed)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Expose as Columns (Spark 4 classic bridge). */
   def dotProduct(a: Column, b: Column): Column =
@@ -240,4 +308,8 @@ object VectorExpressions {
   def hyperplaneBucket(vec: Column, dim: Int, nPlanes: Int, seed: Long): Column =
     GraftColumnBridge.column(HyperplaneBucket(
       GraftColumnBridge.expression(vec), dim, nPlanes, seed))
+
+  def simhashComboKeys(sh64: Column, nBlocks: Int, maxHamming: Int): Column =
+    GraftColumnBridge.column(SimHashComboKeys(
+      GraftColumnBridge.expression(sh64), nBlocks, maxHamming))
 }

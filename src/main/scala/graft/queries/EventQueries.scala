@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.ExprUtils
 
 /** Event-table analytics (SURVEY §2.7 ST3 testdata extension): event-time
   * windows, sessionization, and JSON-props extraction over `events`.
@@ -16,9 +17,6 @@ import graft.Tables
   */
 object EventQueries {
 
-  private def exactCentsSum(c: org.apache.spark.sql.Column) =
-    sum(round(c * 100).cast("long")).cast("double") / 100.0
-
   /** Tumbling 1-hour event-time aggregate — the batch shape of the
     * Structured Streaming windowed agg (same plan modulo the watermark). */
   def hourlyAgg(s: SparkSession, d: String): DataFrame =
@@ -28,7 +26,7 @@ object EventQueries {
         col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        exactCentsSum(col("value")).as("total_value"))
+        ExprUtils.sumMoney(col("value")).as("total_value"))
 
   /** Sessionization: a session breaks after a 30-minute inactivity gap.
     * Classic two-window formulation (lag → gap flag → running sum) — the
@@ -55,7 +53,7 @@ object EventQueries {
       .agg(
         min(col("ts_us")).as("session_start_us"),
         count(lit(1)).as("n_events"),
-        sum(round(col("value") * 100).cast("long")).as("session_value_cents"))
+        sum(ExprUtils.cents(col("value"))).as("session_value_cents"))
   }
 
   /** JSON-path extraction from the props column (the reference's JSON
@@ -73,7 +71,7 @@ object EventQueries {
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        exactCentsSum(col("value")).as("total_value"),
-        min(round(col("value") * 100).cast("long")).as("min_cents"),
-        max(round(col("value") * 100).cast("long")).as("max_cents"))
+        ExprUtils.sumMoney(col("value")).as("total_value"),
+        min(ExprUtils.cents(col("value"))).as("min_cents"),
+        max(ExprUtils.cents(col("value"))).as("max_cents"))
 }

@@ -6,19 +6,13 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** Exact-decimal helpers: money/discount columns carry 2-decimal values, so
-  * `sum` over their cents representation is exact 64-bit integer arithmetic —
-  * identical on every engine and partitioning. Plain `sum(double)` is
-  * order-dependent (and Spark rounds HALF_UP where DuckDB rounds half-even),
-  * which flips hash checks at `.xx5` boundaries. Dividing the exact integer
-  * sum back once at the end is deterministic on both sides. */
+/** Exact-decimal money arithmetic — shared single formulation (rationale at
+  * graft.functions.ExprUtils.cents). Local alias keeps call sites short. */
 private object Exact {
-  /** 2-decimal column → integer cents. */
   def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    round(c * 100).cast("long")
-  /** Exact sum of a 2-decimal column, reported in units. */
+    graft.functions.ExprUtils.cents(c)
   def sumMoney(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    sum(cents(c)).cast("double") / 100.0
+    graft.functions.ExprUtils.sumMoney(c)
 }
 
 /** Testdata analogs of the reference's relational operator inventory
@@ -310,36 +304,10 @@ object RelationalQueries {
         count(lit(1)).as("count_order"))
       .withColumn("avg_qty_e6", expr("sum_qty * 1000000 DIV count_order"))
       .withColumn("avg_disc_e6", expr("sum_disc_cents * 10000 DIV count_order"))
-      .drop("sum_disc_cents")
-
-  // -- Canonicalization diagnostics (temporary, judge-requested): the round-1
-  //    q1_pricing hash failure is localized by re-emitting each double column
-  //    alone; whichever diag row goes red in CORRECTNESS_r02 names the
-  //    double expression the driver's DuckDB disagrees on. ------------------
-
-  private def q1Filtered(s: SparkSession, d: String): org.apache.spark.sql.RelationalGroupedDataset =
-    Tables.lineitem(s, d)
-      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
-      .groupBy(col("l_returnflag"), col("l_linestatus"))
-
-  def diagQ1AvgQty(s: SparkSession, d: String): DataFrame =
-    q1Filtered(s, d).agg(
-      (sum(col("l_quantity").cast("long")).cast("double") / count(lit(1)))
-        .as("avg_qty"))
-
-  def diagQ1AvgDisc(s: SparkSession, d: String): DataFrame =
-    q1Filtered(s, d).agg(
-      (sum(Exact.cents(col("l_discount"))).cast("double") / 100.0 / count(lit(1)))
-        .as("avg_disc"))
-
-  def diagQ1Base(s: SparkSession, d: String): DataFrame =
-    q1Filtered(s, d).agg(Exact.sumMoney(col("l_extendedprice")).as("sum_base_price"))
-
-  def diagQ1Disc(s: SparkSession, d: String): DataFrame =
-    q1Filtered(s, d).agg(
-      (sum(Exact.cents(col("l_extendedprice")) *
-        (lit(100L) - Exact.cents(col("l_discount")))).cast("double") / 10000.0)
-        .as("sum_disc_price"))
+      // Explicit final order matching the oracle SQL: the driver's compare
+      // happens to be column-order-insensitive, but don't rely on it.
+      .select("l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents",
+        "sum_disc_e4", "avg_qty_e6", "avg_disc_e6", "count_order")
 
   /** TPC-H Q3-shaped join+agg: revenue per (order, date, priority) for one
     * segment. customer side is filtered then broadcast; lineitem never

@@ -97,8 +97,8 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)), s"hamming-5 pair missed: $pairs")
   }
 
-  test("simhash band ranges tile all 64 bits with maxHamming+1 bands") {
-    for (nBands <- Seq(4, 7, 9)) {
+  test("simhash band ranges tile all 64 bits") {
+    for (nBands <- Seq(4, 7, 9, 10)) {
       val ranges = Dedup.simhashBandRanges(nBands)
       assert(ranges.size === nBands)
       assert(ranges.map(_._2).sum === 64)
@@ -107,6 +107,65 @@ class TextDedupSpec extends SparkSpec {
         case Seq((s1, w1), (s2, _)) => s1 + w1 == s2
         case _ => true
       })
+    }
+  }
+
+  test("simhash combo keyspace at h=6 defaults is ≥ 10⁶ buckets per combo") {
+    // The old (h+1)-band scheme had 64/7 ≈ 9-bit keys → 512 buckets: past
+    // ~512·maxBucketSize docs every bucket trips the cap and recall is 0.
+    // Multi-block combo keys must keep the keyspace big enough that the
+    // cap only trims degenerate hash values.
+    val b = Dedup.simhashDefaultBlocks(6)
+    assert(Dedup.simhashComboKeyspace(b, 6) >= 1e6,
+      s"keyspace ${Dedup.simhashComboKeyspace(b, 6)} too small at nBlocks=$b")
+    // and the per-row key count stays bounded
+    assert(Dedup.simhashBlockCombos(b, 6).size === 210) // C(10,4)
+  }
+
+  test("simhash combo keys: every ≤h pair shares a key, exhaustively") {
+    // Exhaustive pigeonhole check in local Scala (no Spark): for a base
+    // hash and EVERY set of ≤h flipped bit positions drawn from a spread
+    // sample, the keyed blocks must collide on ≥1 combo.
+    val h = 3; val b = Dedup.simhashDefaultBlocks(h)
+    val ranges = Dedup.simhashBandRanges(b)
+    val combos = Dedup.simhashBlockCombos(b, h)
+    def keys(x: Long): Set[(Int, Long)] = combos.zipWithIndex.map {
+      case (blocks, id) =>
+        (id, blocks.foldLeft(0L) { (acc, i) =>
+          val (shift, width) = ranges(i)
+          (acc << width) | ((x >>> shift) & ((1L << width) - 1))
+        })
+    }.toSet
+    val base = 0x0123456789ABCDEFL
+    val positions = Seq(0, 9, 17, 25, 31, 38, 45, 52, 63)
+    for (flips <- positions.combinations(h)) {
+      val other = flips.foldLeft(base)((x, i) => x ^ (1L << i))
+      assert(keys(base).intersect(keys(other)).nonEmpty,
+        s"pair at hamming $h with flips $flips shares no combo key")
+    }
+  }
+
+  test("simhash native combo-key expression matches the Scala reference") {
+    // The banding runs through graft.plans.SimHashComboKeys (one compiled
+    // node); the pigeonhole spec above uses a local Scala reimplementation.
+    // Pin the two to identical (band, bucket) sets so the proof transfers.
+    val h = 3; val b = Dedup.simhashDefaultBlocks(h)
+    val ranges = Dedup.simhashBandRanges(b)
+    val combos = Dedup.simhashBlockCombos(b, h)
+    def refKeys(x: Long): Set[(Int, Long)] = combos.zipWithIndex.map {
+      case (blocks, id) =>
+        (id, blocks.foldLeft(0L) { (acc, i) =>
+          val (shift, width) = ranges(i)
+          (acc << width) | ((x >>> shift) & ((1L << width) - 1))
+        })
+    }.toSet
+    for (hash <- Seq(0x0123456789ABCDEFL, -1L, 0L, 0x8000000000000001L)) {
+      val got = Seq(hash).toDF("sh64")
+        .select(explode(graft.plans.VectorExpressions.simhashComboKeys(
+          col("sh64"), b, h)).as("bk"))
+        .select(col("bk.band"), col("bk.bucket"))
+        .as[(Int, Long)].collect().toSet
+      assert(got === refKeys(hash), s"native keys diverge for hash $hash")
     }
   }
 
