@@ -46,71 +46,83 @@ final class Mutations(store: SnapshotStore, spark: SparkSession,
   private def nextKey(df: DataFrame): Int =
     df.agg(coalesce(max(col(key)), lit(0))).first().getInt(0) + 1
 
-  /** P7 guard: EXISTS by tool_name (lambda_function.py:172-178). */
-  def nameExists(name: String): Boolean =
-    store.loadIfExists(table).exists(
-      _.filter(col("tool_name") === name).limit(1).count() > 0)
+  /** EXISTS guard against a specific snapshot (P7 shape,
+    * lambda_function.py:172-178,652-658). Always called INSIDE a
+    * transaction on the snapshot the commit will build on. */
+  private def existsIn(df: DataFrame, cond: org.apache.spark.sql.Column): Boolean =
+    df.filter(cond).limit(1).count() > 0
 
-  /** P7 guard: EXISTS by key (lambda_function.py:652-658). */
+  /** Read-only EXISTS by tool_name — API surface; mutations re-check
+    * inside their transaction. */
+  def nameExists(name: String): Boolean =
+    store.loadIfExists(table).exists(df => existsIn(df, col("tool_name") === name))
+
+  /** Read-only EXISTS by key — API surface; mutations re-check inside
+    * their transaction. */
   def keyExists(sNo: Int): Boolean =
-    store.loadIfExists(table).exists(
-      _.filter(col(key) === sNo).limit(1).count() > 0)
+    store.loadIfExists(table).exists(df => existsIn(df, col(key) === sNo))
 
   /** M2+M7: guarded transactional create (check_And_Insert,
     * lambda_function.py:338-396). Returns 201+key, or 400 on duplicate
-    * name / missing tool_name. */
+    * name / missing tool_name.
+    *
+    * The duplicate-name guard runs INSIDE the transaction, against the
+    * snapshot the insert builds on: two concurrent `create("X")` calls
+    * serialize on the table lock and the second sees the first's row —
+    * exactly one 201 and one 400, like the reference's guard under
+    * `LOCK TABLE` (lambda_function.py:267-272). Guard-outside-transact
+    * was a TOCTOU race: both could pass, committing duplicate names. */
   def create(record: Map[String, Any]): MutationResult = {
     record.get("tool_name") match {
       case None | Some(null) | Some("") => BadRequest("tool_name is required")
       case Some(name) =>
-        if (nameExists(name.toString))
-          BadRequest(s"tool with name '$name' already exists")
-        else {
-          var assigned = 0
-          store.transact(table, sortKey = Some(key)) { cur =>
-            val df = currentOrEmpty(cur)
+        var assigned = 0
+        store.transactEither[MutationResult](table, sortKey = Some(key)) { cur =>
+          val df = currentOrEmpty(cur)
+          if (existsIn(df, col("tool_name") === name.toString))
+            Left(BadRequest(s"tool with name '$name' already exists"))
+          else {
             assigned = nextKey(df)
-            df.unionByName(rowDf(record + (key -> assigned)))
+            Right(df.unionByName(rowDf(record + (key -> assigned))))
           }
-          Created(assigned)
-        }
+        }.fold(identity, _ => Created(assigned))
     }
   }
 
   /** M3+M7: guarded multi-column update by key (check_And_Update,
     * lambda_function.py:466-546). SET clause = patch minus the key,
-    * matching the reference's request-dict handling (:412-421). */
+    * matching the reference's request-dict handling (:412-421).
+    * Existence guard inside the transaction (see create). */
   def update(sNo: Int, patch: Map[String, Any]): MutationResult = {
-    if (!keyExists(sNo)) NotFound(sNo)
-    else {
-      val sets = patch - key
-      store.transact(table, sortKey = Some(key)) { cur =>
-        val df = currentOrEmpty(cur)
-        sets.foldLeft(df) { case (acc, (c, v)) =>
-          val target = acc.schema(c).dataType
-          acc.withColumn(c,
-            when(col(key) === sNo, lit(v).cast(target)).otherwise(col(c)))
-        }
-      }
-      Ok(sNo)
-    }
+    val sets = patch - key
+    store.transactEither[MutationResult](table, sortKey = Some(key)) { cur =>
+      val df = currentOrEmpty(cur)
+      if (!existsIn(df, col(key) === sNo)) Left(NotFound(sNo))
+      else Right(sets.foldLeft(df) { case (acc, (c, v)) =>
+        val target = acc.schema(c).dataType
+        acc.withColumn(c,
+          when(col(key) === sNo, lit(v).cast(target)).otherwise(col(c)))
+      })
+    }.fold(identity, _ => Ok(sNo))
   }
 
   /** M4+M7: guarded soft delete — `SET is_display = FALSE WHERE s_no = k`
     * (soft_delete_tool, lambda_function.py:549-592). The row survives in
     * the snapshot; all read paths filter it out (P1/P5). */
   def softDelete(sNo: Int): MutationResult =
-    if (!keyExists(sNo)) MutationResult.NotFound(sNo)
-    else { update(sNo, Map(flag -> false)); Ok(sNo) }
-
-  /** M5: hard DELETE (analyst-only, ddl_create_tables.sql:61-62). */
-  def hardDelete(sNo: Int): MutationResult =
-    if (!keyExists(sNo)) NotFound(sNo)
-    else {
-      store.transact(table, sortKey = Some(key))(cur =>
-        currentOrEmpty(cur).filter(!(col(key) === sNo)))
-      Ok(sNo)
+    update(sNo, Map(flag -> false)) match {
+      case Ok(n) => Ok(n)
+      case other => other
     }
+
+  /** M5: hard DELETE (analyst-only, ddl_create_tables.sql:61-62).
+    * Existence guard inside the transaction (see create). */
+  def hardDelete(sNo: Int): MutationResult =
+    store.transactEither[MutationResult](table, sortKey = Some(key)) { cur =>
+      val df = currentOrEmpty(cur)
+      if (!existsIn(df, col(key) === sNo)) Left(NotFound(sNo))
+      else Right(df.filter(!(col(key) === sNo)))
+    }.fold(identity, _ => Ok(sNo))
 
   /** M6: schema evolution (ddl_create_tables.sql:38-50). Old snapshots
     * remain readable under the old schema (store keeps every version). */
@@ -135,6 +147,8 @@ final class Mutations(store: SnapshotStore, spark: SparkSession,
         case _ => aligned
       }
       val offset = df.agg(coalesce(max(col(key)), lit(0))).first().getInt(0).toLong
+      // orderBy applies only to single-partition batches; multi-partition
+      // batches take denseKeys' per-partition path (no 1-task window).
       val keyed = Ingest.denseKeys(deduped.drop(key), key, offset,
         orderBy = Seq("tool_name"))
       df.unionByName(keyed.select(df.columns.map(col).toIndexedSeq: _*))

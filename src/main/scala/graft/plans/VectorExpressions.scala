@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.types._
@@ -15,14 +15,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * binding and array allocation — measured ~100× slower than a compiled
   * loop on the similarity workload (76 s → sub-second for the LSH bucket
   * scan at sf0.1). These expressions keep the eval in one tight compiled
-  * Scala loop; `CodegenFallback` costs a single virtual call per ROW,
-  * which is noise next to the per-element win.
+  * Scala loop.
+  *
+  * Each implements `doGenCode` as a single call into its own `compute`
+  * method (registered via `ctx.addReferenceObj`) rather than
+  * `CodegenFallback`: the generated code stays inside the whole-stage
+  * span (no InternalRow materialization, no interpreted-projection
+  * fallback for the enclosing operator), at the cost of one virtual call
+  * per row — noise next to the per-element loop.
   */
 
 /** Dot product of two float/double arrays → double. Null if either side
   * is null; arrays shorter side bounds the loop. */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -41,9 +47,7 @@ case class DotProduct(left: Expression, right: Expression)
   @inline private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  def compute(a: ArrayData, b: ArrayData): Double = {
     val lf = isFloat(left); val rf = isFloat(right)
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
@@ -55,6 +59,14 @@ case class DotProduct(left: Expression, right: Expression)
       i += 1
     }
     s
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dotProduct", this, classOf[DotProduct].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
   }
 
   override protected def withNewChildrenInternal(
@@ -69,7 +81,7 @@ case class DotProduct(left: Expression, right: Expression)
   * column becomes the output bit. One compiled loop per row replaces a
   * 64-wide interpreted HOF pipeline. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -82,8 +94,7 @@ case class SimHash64(child: Expression)
           s"simhash64 needs array<string>, got ${other.simpleString}")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     val n = arr.numElements()
     var i = 0
@@ -108,6 +119,14 @@ case class SimHash64(child: Expression)
     out
   }
 
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHash", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -118,7 +137,7 @@ case class SimHash64(child: Expression)
   * thousand-literal tree for Catalyst to chew through, no per-plane
   * interpreted dot. */
 case class HyperplaneBucket(child: Expression, dim: Int, nPlanes: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   @transient private lazy val planes: Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
@@ -139,8 +158,7 @@ case class HyperplaneBucket(child: Expression, dim: Int, nPlanes: Int, seed: Lon
   private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  def compute(v: ArrayData): Long = {
     val n = math.min(v.numElements(), dim)
     var bucket = 0L
     var p = 0
@@ -157,6 +175,14 @@ case class HyperplaneBucket(child: Expression, dim: Int, nPlanes: Int, seed: Lon
       p += 1
     }
     bucket
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplane", this, classOf[HyperplaneBucket].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -177,7 +203,7 @@ case class HyperplaneBucket(child: Expression, dim: Int, nPlanes: Int, seed: Lon
   * Empty or all-null shingle arrays yield a signature of Long.MaxValue
   * slots (empty docs are exact duplicates of each other anyway). */
 case class MinHashSignature(child: Expression, k: Int, seed: Long = 42L)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   @transient private lazy val mixA: Array[Long] = {
     val rnd = new scala.util.Random(seed)
@@ -199,8 +225,7 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long = 42L)
           s"minhash_signature needs array<string>, got ${other.simpleString}")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
     val n = arr.numElements()
     var i = 0
@@ -218,6 +243,14 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long = 42L)
       i += 1
     }
     new GenericArrayData(mins)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHash", this, classOf[MinHashSignature].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -238,7 +271,7 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long = 42L)
   * combo of (nBlocks − maxHamming) block indices packs its blocks'
   * bits, in index order, into one long. */
 case class SimHashComboKeys(child: Expression, nBlocks: Int, maxHamming: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming out of range")
   require(nBlocks > maxHamming && nBlocks <= 64,
@@ -269,8 +302,7 @@ case class SimHashComboKeys(child: Expression, nBlocks: Int, maxHamming: Int)
           s"simhash_combo_keys needs bigint, got ${other.simpleString}")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val h = input.asInstanceOf[Long]
+  def compute(h: Long): ArrayData = {
     val out = new Array[Any](combos.length)
     var c = 0
     while (c < combos.length) {
@@ -286,6 +318,14 @@ case class SimHashComboKeys(child: Expression, nBlocks: Int, maxHamming: Int)
       c += 1
     }
     new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("comboKeys", this, classOf[SimHashComboKeys].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -92,19 +92,26 @@ object Ingest {
   /** M1 (bulk form): assign dense keys `offset+1 … offset+n` to a batch.
     *
     * The reference computes `COALESCE(MAX(s_no),0)+1` per single-row insert
-    * (lambda_function.py:269-271); for a batch the equivalent is one
-    * row_number over a deterministic order. Scale note: a single
-    * un-partitioned window is a 1-task bottleneck, so for large batches use
-    * `zipWithIndex`-style per-partition offsets instead — `denseKeys` picks
-    * the strategy by partition count. */
+    * (lambda_function.py:269-271); keys are IDENTITIES, not ranks — their
+    * assignment order is an implementation detail there too (arrival
+    * order). Strategy here:
+    *  - single-partition batch with an `orderBy`: one windowed row_number,
+    *    keys deterministic in that order (nice for small API appends);
+    *  - anything multi-partition: `zipWithIndex` per-partition offsets —
+    *    no global `Window.orderBy`, which plans as ONE task holding the
+    *    whole batch (the previous code forced that path whenever orderBy
+    *    was set, so every bulk append serialized through one task). Key
+    *    assignment follows partition layout: dense and unique, stable for
+    *    a given input, but not a semantic sort. */
   def denseKeys(df: DataFrame, keyCol: String, offset: Long,
-                orderBy: Seq[String]): DataFrame = {
-    if (df.rdd.getNumPartitions <= 1 || orderBy.nonEmpty) {
-      // Small/ordered batch: explicit total order, single window.
+                orderBy: Seq[String] = Seq.empty): DataFrame = {
+    if (orderBy.nonEmpty && df.rdd.getNumPartitions <= 1) {
+      // Small ordered batch: explicit total order, single window is fine
+      // (the partition IS one task already).
       val w = Window.orderBy(orderBy.map(col).toIndexedSeq: _*)
       df.withColumn(keyCol, (row_number().over(w) + offset).cast(IntegerType))
     } else {
-      // Large batch: per-partition offsets, no global sort, no 1-task stage.
+      // Scale path: per-partition offsets, no global sort, no 1-task stage.
       val spark = df.sparkSession
       val rdd = df.rdd.zipWithIndex()
       val withKey = rdd.map { case (row, idx) =>

@@ -110,6 +110,23 @@ final class SnapshotStore(rootDir: String, spark: SparkSession) {
     finally l.unlock()
   }
 
+  /** Abortable transaction: `fn` sees the locked snapshot and returns
+    * Right(df) to commit or Left(a) to abort (nothing is written). Guards
+    * evaluated inside `fn` see the SAME snapshot the commit builds on —
+    * the check-then-act window of guard-outside-transact (two concurrent
+    * creates both passing a duplicate-name check, the exact race the
+    * reference's `LOCK TABLE` closes, lambda_function.py:267-272) cannot
+    * occur. */
+  def transactEither[A](table: String, sortKey: Option[String] = None)
+              (fn: Option[DataFrame] => Either[A, DataFrame]): Either[A, Long] = {
+    val l = lockFor(table)
+    l.lock()
+    try fn(loadIfExists(table)) match {
+      case Left(a)   => Left(a)
+      case Right(df) => Right(commit(table, df, sortKey))
+    } finally l.unlock()
+  }
+
   private def writePointerAtomically(table: String, version: Long): Unit = {
     val tmp = tableDir(table).resolve(s".LATEST.tmp.${Thread.currentThread().getId}")
     Files.createDirectories(tableDir(table))

@@ -85,4 +85,26 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("*(") || s.contains("WholeStageCodegen"),
       s"no codegen spans:\n$s")
   }
+
+  test("native vector expressions stay inside whole-stage codegen") {
+    // DotProduct/HyperplaneBucket implement doGenCode (a compiled call into
+    // their own compute loop), so the ANN scoring projection must appear
+    // INSIDE a codegen span — CodegenFallback used to force the enclosing
+    // project out of the span, breaking the pipeline at every scoring stage.
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(200)
+    val scored = emb.select(
+      col("vec_id"),
+      graft.plans.VectorExpressions.dotProduct(col("embedding"), col("embedding")).as("dp"),
+      graft.plans.VectorExpressions.hyperplaneBucket(col("embedding"), 64, 12, 42L).as("bk"))
+    scored.collect()
+    val s = executed(scored).toString
+    // the Project carrying dot_product/hyperplane must sit under a *(n) span
+    val projLine = s.linesIterator.find(l =>
+      l.contains("dotproduct") || l.contains("DotProduct") ||
+        l.contains("dot_product")).getOrElse(
+      s.linesIterator.find(_.contains("Project")).getOrElse(""))
+    assert(projLine.trim.startsWith("*") || projLine.contains("*("),
+      s"vector scoring projection fell out of codegen:\n$s")
+  }
 }

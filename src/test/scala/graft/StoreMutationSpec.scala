@@ -111,6 +111,39 @@ class StoreMutationSpec extends SparkSpec {
     assert(q.getAllTools.count() === 4)
   }
 
+  test("M7 race: concurrent same-name creates → exactly one 201 and one 400") {
+    // The guard runs INSIDE store.transact, against the snapshot the insert
+    // builds on — the TOCTOU window of guard-outside-transact (both calls
+    // passing the duplicate-name check) is closed by the table lock.
+    val (_, mut, q) = freshStore()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (1 to 2).map(_ => Future(mut.create(Map("tool_name" -> "SameName"))))
+    val results = Await.result(Future.sequence(fs), 120.seconds)
+    assert(results.map(_.status).sorted === Seq(201, 400), s"got $results")
+    assert(q.getAllTools.count() === 1)
+  }
+
+  test("appendBatch: multi-partition batch keeps its parallelism (no 1-task window)") {
+    import spark.implicits._
+    val (store, mut, _) = freshStore()
+    mut.create(Map("tool_name" -> "Seed"))   // offset = 1
+    val batch = (1 to 40).map(i => s"Bulk$i").toDF("tool_name").repartition(4)
+    // Pre-check the keying path directly: multi-partition input must NOT
+    // collapse to one partition (the global Window.orderBy plan would).
+    val keyed = Ingest.denseKeys(
+      batch, "s_no", offset = 1L, orderBy = Seq("tool_name"))
+    assert(keyed.rdd.getNumPartitions === 4,
+      "denseKeys collapsed a multi-partition batch to a single task")
+    assert(keyed.select("s_no").as[Int].collect().sorted === (2 to 41).toArray)
+    // And end-to-end through the store transaction:
+    mut.appendBatch(batch)
+    val all = store.load("csp_tools_data")
+    assert(all.count() === 41)
+    assert(all.select("s_no").distinct().count() === 41) // dense, no dup keys
+  }
+
   test("E1+E2 slice: ingest real sample → getAllTools → JSON envelope") {
     val path = "/root/reference/sample-data/Sample_Input.csv"
     assume(new java.io.File(path).exists())
