@@ -133,26 +133,50 @@ final class Mutations(store: SnapshotStore, spark: SparkSession,
   def renameColumn(from: String, to: String): Long =
     store.transact(table)(cur => currentOrEmpty(cur).withColumnRenamed(from, to))
 
-  /** E1 batch append: align → normalize → dedup against loaded →
-    * assign dense keys from max+1 → union → commit. One call ≙ one
-    * S3-event Lambda invocation (README.md:105-110). */
-  def appendBatch(batch: DataFrame,
-                  dedupKey: Option[String] = None): Long = {
-    store.transact(table, sortKey = Some(key)) { cur =>
-      val df = currentOrEmpty(cur)
-      val aligned = Ingest.applyDisplayDefault(
-        Ingest.normalizeNulls(Ingest.alignByName(batch, Schemas.cspTools)))
-      val deduped = dedupKey match {
-        case Some(k) if cur.isDefined => Ingest.dropAlreadyLoaded(aligned, df, k)
-        case _ => aligned
-      }
-      val offset = df.agg(coalesce(max(col(key)), lit(0))).first().getInt(0).toLong
-      // orderBy applies only to single-partition batches; multi-partition
-      // batches take denseKeys' per-partition path (no 1-task window).
-      val keyed = Ingest.denseKeys(deduped.drop(key), key, offset,
-        orderBy = Seq("tool_name"))
-      df.unionByName(keyed.select(df.columns.map(col).toIndexedSeq: _*))
+  /** Shared E1 transform: align → normalize → dedup against loaded →
+    * assign dense keys from max+1 → union. */
+  private def appended(cur: Option[DataFrame], batch: DataFrame,
+                       dedupKey: Option[String]): DataFrame = {
+    val df = currentOrEmpty(cur)
+    val aligned = Ingest.applyDisplayDefault(
+      Ingest.normalizeNulls(Ingest.alignByName(batch, Schemas.cspTools)))
+    val deduped = dedupKey match {
+      case Some(k) if cur.isDefined => Ingest.dropAlreadyLoaded(aligned, df, k)
+      case _ => aligned
     }
+    val offset = df.agg(coalesce(max(col(key)), lit(0))).first().getInt(0).toLong
+    // orderBy applies only to single-partition batches; multi-partition
+    // batches take denseKeys' per-partition path (no 1-task window).
+    val keyed = Ingest.denseKeys(deduped.drop(key), key, offset,
+      orderBy = Seq("tool_name"))
+    df.unionByName(keyed.select(df.columns.map(col).toIndexedSeq: _*))
+  }
+
+  /** E1 batch append: one call ≙ one S3-event Lambda invocation
+    * (README.md:105-110). */
+  def appendBatch(batch: DataFrame,
+                  dedupKey: Option[String] = None): Long =
+    store.transact(table, sortKey = Some(key))(appended(_, batch, dedupKey))
+
+  /** ST1 exactly-once append: apply a streaming micro-batch at most once.
+    *
+    * `foreachBatch` is at-least-once — after a crash between the append
+    * and the checkpoint commit, the restarted query REPLAYS the last
+    * batchId. The last applied batchId per (table, streamId) is recorded
+    * in the snapshot's metadata ATOMICALLY with the data commit (same
+    * version directory, same pointer flip), so the replay check inside
+    * the transaction sees exactly the state of the last applied batch:
+    * replays are skipped, no duplicate rows. Returns true if applied,
+    * false if skipped as a replay. */
+  def appendBatchOnce(batch: DataFrame, streamId: String, batchId: Long,
+                      dedupKey: Option[String] = None): Boolean = {
+    val metaKey = s"stream.$streamId.lastBatchId"
+    store.transactEither[Unit](table, sortKey = Some(key),
+      meta = Map(metaKey -> batchId.toString)) { cur =>
+      val last = store.latestMeta(table).get(metaKey).map(_.toLong).getOrElse(-1L)
+      if (batchId <= last) Left(())
+      else Right(appended(cur, batch, dedupKey))
+    }.isRight
   }
 
   private def rowDf(record: Map[String, Any]): DataFrame = {

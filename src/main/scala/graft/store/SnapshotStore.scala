@@ -80,8 +80,14 @@ final class SnapshotStore(rootDir: String, spark: SparkSession) {
     if (exists(table)) Some(load(table)) else None
 
   /** Commit `df` as the next version of `table` and return that version.
-    * Sorted within partitions by `sortKey` when given (SORTKEY analog). */
-  def commit(table: String, df: DataFrame, sortKey: Option[String] = None): Long = {
+    * Sorted within partitions by `sortKey` when given (SORTKEY analog).
+    *
+    * `meta` entries are merged over the previous version's metadata and
+    * written INSIDE the new version directory before the pointer flip —
+    * so metadata is exactly as atomic and durable as the data it rides
+    * with (used for streaming batch-id watermarks, ST1 exactly-once). */
+  def commit(table: String, df: DataFrame, sortKey: Option[String] = None,
+             meta: Map[String, String] = Map.empty): Long = {
     val l = lockFor(table)
     l.lock()
     try {
@@ -92,9 +98,32 @@ final class SnapshotStore(rootDir: String, spark: SparkSession) {
         case _ => df
       }
       sorted.write.mode(SaveMode.ErrorIfExists).parquet(dest.toString)
+      val merged = latestMeta(table) ++ meta
+      if (merged.nonEmpty) writeMeta(dest, merged)
       writePointerAtomically(table, next)
       next
     } finally l.unlock()
+  }
+
+  private def metaFile(dir: Path): Path = dir.resolve("_graft_meta")
+
+  private def writeMeta(versionDir: Path, meta: Map[String, String]): Unit = {
+    val body = meta.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("\n")
+    Files.writeString(metaFile(versionDir), body,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** Table metadata as of the latest committed version (empty if none).
+    * Carried forward by every commit, so a key survives unrelated writes. */
+  def latestMeta(table: String): Map[String, String] = {
+    val v = currentVersion(table)
+    if (v == 0) Map.empty
+    else {
+      val f = metaFile(versionDir(table, v))
+      if (!Files.exists(f)) Map.empty
+      else Files.readString(f).linesIterator.filter(_.contains("="))
+        .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+    }
   }
 
   /** Run `fn` on the current snapshot and commit its result as the next
@@ -117,13 +146,14 @@ final class SnapshotStore(rootDir: String, spark: SparkSession) {
     * creates both passing a duplicate-name check, the exact race the
     * reference's `LOCK TABLE` closes, lambda_function.py:267-272) cannot
     * occur. */
-  def transactEither[A](table: String, sortKey: Option[String] = None)
+  def transactEither[A](table: String, sortKey: Option[String] = None,
+                        meta: Map[String, String] = Map.empty)
               (fn: Option[DataFrame] => Either[A, DataFrame]): Either[A, Long] = {
     val l = lockFor(table)
     l.lock()
     try fn(loadIfExists(table)) match {
       case Left(a)   => Left(a)
-      case Right(df) => Right(commit(table, df, sortKey))
+      case Right(df) => Right(commit(table, df, sortKey, meta))
     } finally l.unlock()
   }
 

@@ -27,10 +27,18 @@ import graft.sources.Ingest
   */
 object StreamingIngest {
 
-  /** Start the catalog-inbox stream. Caller stops the query. */
+  /** Start the catalog-inbox stream. Caller stops the query.
+    *
+    * Exactly-once: `foreachBatch` is at-least-once (a crash between the
+    * append and the checkpoint commit replays the batch on restart), so
+    * the append goes through `appendBatchOnce`, which records the applied
+    * batchId in the snapshot metadata atomically with the data and skips
+    * replays. `streamId` must be stable across restarts of the same
+    * query (it namespaces the batchId watermark in the store). */
   def start(spark: SparkSession, inboxDir: String, checkpointDir: String,
             mutations: Mutations, dedupKey: Option[String] = None,
-            maxFilesPerTrigger: Int = 16): StreamingQuery = {
+            maxFilesPerTrigger: Int = 16,
+            streamId: String = "catalog-inbox"): StreamingQuery = {
     val raw = spark.readStream
       .schema(Schemas.cspToolsRaw)
       .option("header", "true")
@@ -41,8 +49,10 @@ object StreamingIngest {
     raw.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime("1 second"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) { mutations.appendBatch(batch, dedupKey); () }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          mutations.appendBatchOnce(batch, streamId, batchId, dedupKey); ()
+        }
       }
       .start()
   }

@@ -144,6 +144,28 @@ class StoreMutationSpec extends SparkSpec {
     assert(all.select("s_no").distinct().count() === 41) // dense, no dup keys
   }
 
+  test("ST1 exactly-once: a replayed micro-batch appends no duplicate rows") {
+    // foreachBatch is at-least-once: a crash between append and checkpoint
+    // commit replays the same batchId on restart. appendBatchOnce records
+    // the applied batchId atomically with the snapshot; the replay is a
+    // no-op.
+    import spark.implicits._
+    val (store, mut, _) = freshStore()
+    val b0 = Seq("S1", "S2").toDF("tool_name")
+    assert(mut.appendBatchOnce(b0, "inbox", batchId = 0L))
+    assert(!mut.appendBatchOnce(b0, "inbox", batchId = 0L)) // replay → skipped
+    assert(store.load("csp_tools_data").count() === 2)
+    // next batch applies; an out-of-order older id is also refused
+    assert(mut.appendBatchOnce(Seq("S3").toDF("tool_name"), "inbox", 1L))
+    assert(!mut.appendBatchOnce(b0, "inbox", 0L))
+    assert(store.load("csp_tools_data").count() === 3)
+    // the watermark survives unrelated commits (meta carried forward)
+    mut.create(Map("tool_name" -> "Other"))
+    assert(!mut.appendBatchOnce(b0, "inbox", 1L))
+    // independent streams have independent watermarks
+    assert(mut.appendBatchOnce(Seq("T1").toDF("tool_name"), "inbox2", 0L))
+  }
+
   test("E1+E2 slice: ingest real sample → getAllTools → JSON envelope") {
     val path = "/root/reference/sample-data/Sample_Input.csv"
     assume(new java.io.File(path).exists())
