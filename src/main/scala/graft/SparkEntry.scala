@@ -63,6 +63,7 @@ object SparkEntry {
     "dedup_embed_pairs"   -> (ExtensionQueries.dedupEmbeddingPairs _),
     "sim_brute_topk"      -> (ExtensionQueries.simBruteTopK _),
     "sim_ann_topk"        -> (ExtensionQueries.simAnnTopK _),
+    "sim_ivf_topk"        -> (ExtensionQueries.simIvfTopK _),
     "sim_ann_recall"      -> (ExtensionQueries.simAnnRecall _),
   )
 

@@ -133,6 +133,104 @@ object Similarity {
       .withColumn("sim", round(col("sim"), 6))
   }
 
+  // ---- IVF (inverted-file) ANN ----------------------------------------
+
+  /** Train the IVF coarse quantizer: spherical k-means (Lloyd on the unit
+    * sphere) over a BOUNDED sample of the corpus, on the driver.
+    *
+    * Scale rationale: IVF quantizers are always trained on a sample (the
+    * centroids describe the density shape, not every point), so the only
+    * driver-side materialization is `sampleSize` unit vectors — fixed
+    * cost, independent of corpus size. Assignment of the full corpus to
+    * lists happens distributed, in one scan, via the NearestCentroids
+    * compiled expression. Deterministic for a given (corpus order, seed). */
+  def trainIvfCentroids(corpus: DataFrame, vecCol: String, nLists: Int,
+                        seed: Long = 42L, sampleSize: Int = 4096,
+                        iters: Int = 10): Seq[Seq[Double]] = {
+    val sample: Array[Array[Double]] = corpus
+      .select(unitVector(col(vecCol)).as("uv"))
+      .limit(sampleSize).collect()
+      .map(_.getSeq[Double](0).toArray)
+      .filter(v => v.exists(_ != 0.0))
+    require(sample.length >= nLists,
+      s"sample ${sample.length} smaller than nLists=$nLists")
+    val dim = sample.head.length
+    val rnd = new scala.util.Random(seed)
+    // init: nLists distinct sample points
+    var centroids = rnd.shuffle(sample.indices.toList).take(nLists)
+      .map(sample(_).clone()).toArray
+
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nLists)(new Array[Double](dim))
+      val counts = new Array[Int](nLists)
+      sample.foreach { v =>
+        var best = 0; var bestS = Double.NegativeInfinity
+        var c = 0
+        while (c < nLists) {
+          val s = dot(v, centroids(c))
+          if (s > bestS) { best = c; bestS = s }
+          c += 1
+        }
+        val acc = sums(best)
+        var i = 0
+        while (i < dim) { acc(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c) // empty list keeps its centroid
+        else {
+          val m = sums(c)
+          val norm = math.sqrt(dot(m, m))
+          if (norm == 0.0) centroids(c) else m.map(_ / norm)
+        }
+      }.toArray
+      it += 1
+    }
+    centroids.map(_.toSeq).toSeq
+  }
+
+  /** IVF ANN top-k: assign the corpus to `nLists` inverted lists by
+    * nearest trained centroid (one compiled scan); each query probes its
+    * `nProbe` nearest lists. On clustered real-world embeddings this
+    * scans ~nProbe/nLists of the corpus at near-exact recall — the
+    * data-learned counterpart of the data-oblivious hyperplane LSH.
+    *
+    * Scale shape: centroids ride inside the expression (no literal tree);
+    * the corpus never shuffles (broadcast query probes join on list_id);
+    * only (query_id, neighbor_id, sim) triples shuffle for the top-k
+    * window. */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, queryIdCol: String, queryVecCol: String,
+              k: Int = 10, nLists: Int = 64, nProbe: Int = 8,
+              seed: Long = 42L,
+              centroidsOpt: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    import graft.plans.VectorExpressions.nearestCentroids
+    val centroids = centroidsOpt.getOrElse(
+      trainIvfCentroids(corpus, vecCol, nLists, seed))
+    val corpusN = corpus.select(col(idCol).as("neighbor_id"),
+        unitVector(col(vecCol)).as("uv"))
+      .withColumn("list_id",
+        element_at(nearestCentroids(col("uv"), centroids, 1), 1))
+    val qProbes = queries.select(col(queryIdCol).as("query_id"),
+        unitVector(col(queryVecCol)).as("quv"))
+      .withColumn("list_id",
+        explode(nearestCentroids(col("quv"), centroids, nProbe)))
+    val scored = corpusN.join(broadcast(qProbes), Seq("list_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("uv"), col("quv")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("sim", round(col("sim"), 6))
+  }
+
   /** Embedding-cosine near-duplicate pairs: multi-table hyperplane LSH.
     *
     * A single hash table of b bits catches a cos-θ pair with probability

@@ -332,6 +332,88 @@ case class SimHashComboKeys(child: Expression, nBlocks: Int, maxHamming: Int)
     copy(child = newChild)
 }
 
+/** IVF coarse-quantizer probe: the `nProbe` nearest centroid ids for a
+  * vector, by dot product (= cosine when both sides are unit-normalized) →
+  * array<int>, nearest first.
+  *
+  * The centroid matrix lives in the expression instance (it comes from a
+  * driver-side training pass over a bounded sample) — ~nLists·dim doubles,
+  * serialized once with the plan, no literal tree for Catalyst to chew
+  * through. `nProbe = 1` is the corpus-side list assignment; queries use
+  * larger nProbe to trade scan fraction for recall. */
+case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]],
+                            nProbe: Int)
+    extends UnaryExpression {
+
+  require(nProbe >= 1 && nProbe <= centroids.size,
+    s"nProbe=$nProbe out of range for ${centroids.size} centroids")
+
+  @transient private lazy val cm: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroids needs array<float|double>, got ${other.simpleString}")
+    }
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  def compute(v: ArrayData): ArrayData = {
+    val nC = cm.length
+    val scores = new Array[Double](nC)
+    var c = 0
+    while (c < nC) {
+      val cent = cm(c)
+      val n = math.min(v.numElements(), cent.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        s += x * cent(i)
+        i += 1
+      }
+      scores(c) = s
+      c += 1
+    }
+    // partial selection of the nProbe best (nProbe is small; O(nProbe·nC))
+    val out = new Array[Any](nProbe)
+    val taken = new Array[Boolean](nC)
+    var p = 0
+    while (p < nProbe) {
+      var best = -1
+      var bestS = Double.NegativeInfinity
+      var j = 0
+      while (j < nC) {
+        if (!taken(j) && scores(j) > bestS) { best = j; bestS = scores(j) }
+        j += 1
+      }
+      taken(best) = true
+      out(p) = best
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroids", this,
+      classOf[NearestCentroids].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Expose as Columns (Spark 4 classic bridge). */
   def dotProduct(a: Column, b: Column): Column =
@@ -352,4 +434,8 @@ object VectorExpressions {
   def simhashComboKeys(sh64: Column, nBlocks: Int, maxHamming: Int): Column =
     GraftColumnBridge.column(SimHashComboKeys(
       GraftColumnBridge.expression(sh64), nBlocks, maxHamming))
+
+  def nearestCentroids(vec: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
+    GraftColumnBridge.column(NearestCentroids(
+      GraftColumnBridge.expression(vec), centroids, nProbe))
 }

@@ -115,6 +115,18 @@ object ExtensionQueries {
       queryVectors(s, d), "query_id", "qvec",
       dim = 64, k = 10, nPlanes = 8, multiprobe = 1)
 
+  /** IVF ANN top-10: data-learned coarse quantizer (spherical k-means on
+    * a bounded sample) + nProbe-list probe. On the isotropic synthetic
+    * embeddings the lists are density-shaped rather than cluster-shaped,
+    * so this exercises the full train→assign→probe plan; the recall claim
+    * on clustered data is SimilaritySpec's IVF test. nProbe=4 of 16 lists
+    * scans ~25% of the corpus per query. */
+  def simIvfTopK(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(
+      embs(s, d), "vec_id", "embedding",
+      queryVectors(s, d), "query_id", "qvec",
+      k = 10, nLists = 16, nProbe = 4)
+
   /** ANN recall vs the exact baseline — the metric that justifies the
     * approximate path. Returns one row per query with recall@10. */
   def simAnnRecall(s: SparkSession, d: String): DataFrame = {

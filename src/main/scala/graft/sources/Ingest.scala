@@ -122,6 +122,28 @@ object Ingest {
     }
   }
 
+  /** S3 (typed flavor, SURVEY §7.4 item 4): best-effort parse of the dirty
+    * `created_date` column — the real data holds `23-Dec`, `Feb-25`,
+    * `2013`, `-` (sample-data/Sample_Input.csv:2-14). A ladder of formats
+    * is tried via `try_to_timestamp` (null on mismatch, never an ANSI
+    * error); absent fields take Spark's deterministic defaults (year 1970,
+    * month/day 1), so `23-Dec` → 1970-12-23, `Feb-25` → 2025-02-01,
+    * `2013` → 2013-01-01, `-` → null. Pure codegen Column — runs at scan
+    * speed in a 100 TB ingest. */
+  def bestEffortDate(c: Column): Column =
+    coalesce(
+      Seq("yyyy-MM-dd", "dd/MM/yyyy", "MMM-yy", "d-MMM", "yyyy")
+        .map(f => try_to_timestamp(c, lit(f)).cast(DateType)) :+
+        lit(null).cast(DateType): _*)
+
+  /** Additive typed-date column: parses `rawCol` best-effort into
+    * `parsedCol` while RETAINING the raw string (the §7.4.4 contract —
+    * dirty originals stay queryable). */
+  def withParsedDate(df: DataFrame, rawCol: String = "created_date",
+                     parsedCol: String = "created_date_parsed"): DataFrame =
+    if (!df.columns.contains(rawCol)) df
+    else df.withColumn(parsedCol, bestEffortDate(col(rawCol)))
+
   /** M8: duplicate-load avoidance — drop batch rows whose `dedupKey`
     * already exists in the target ("simple date check", README.md:56).
     * The existing-keys side is tiny relative to the batch → broadcast

@@ -50,6 +50,21 @@ class IngestSpec extends SparkSpec {
     assert(dates.toSeq === Seq("23-Dec", "Feb-25", "2013", "-"))
   }
 
+  test("best-effort typed parse of dirty created_date, raw retained (§7.4.4)") {
+    val df = Ingest.withParsedDate(
+      Ingest.readCsv(spark, fixture("dirty_dates.csv"))).orderBy("s_no")
+    val parsed = df.select(col("created_date_parsed").cast("string"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(parsed.toSeq === Seq(
+      Some("1970-12-23"),  // 23-Dec: day-month, default year
+      Some("2025-02-01"),  // Feb-25: month-year, first of month
+      Some("2013-01-01"),  // bare year
+      None))               // '-' unparseable → null
+    // raw strings still present and untouched
+    val raw = df.select("created_date").collect().map(_.getString(0))
+    assert(raw.toSeq === Seq("23-Dec", "Feb-25", "2013", "-"))
+  }
+
   test("E1: the reference's real Sample_Input.csv ingests — 50 logical rows") {
     // Read-only reference data; 67 physical lines → 50 logical rows
     // (multi-line quoted fields, Sample_Input.csv:21-22).

@@ -46,6 +46,57 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.08, s"mean recall@10 = $recall (≈random sampling)")
   }
 
+  test("IVF ANN: recall ≥ 0.8 on clustered vectors scanning < 10% of the corpus") {
+    // Planted structure: 20 well-separated cluster centers on the unit
+    // sphere, 60 points each (center + small noise) — the shape of real
+    // embedding corpora, where IVF earns its keep over data-oblivious LSH.
+    val rnd = new scala.util.Random(7)
+    val dim = 16; val nClusters = 20; val perCluster = 60
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val centers = Array.fill(nClusters)(
+      unit(Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val points = for {
+      c <- 0 until nClusters
+      i <- 0 until perCluster
+    } yield {
+      val v = unit(centers(c).map(x => x + 0.15f * rnd.nextGaussian().toFloat))
+      ((c * perCluster + i).toLong, v)
+    }
+    val corpus = points.toDF("vec_id", "embedding").repartition(8)
+    val queries = points.take(5).map { case (id, v) => (id, v) }
+      .toDF("query_id", "qvec")
+
+    val centroids = Similarity.trainIvfCentroids(
+      corpus, "embedding", nLists = nClusters, seed = 42L)
+    val approx = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 10,
+      nLists = nClusters, nProbe = 1, centroidsOpt = Some(centroids))
+      .select("query_id", "neighbor_id")
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 10)
+      .select("query_id", "neighbor_id")
+    val hit = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val recall = hit.toDouble / exact.count()
+    assert(recall >= 0.8, s"IVF recall@10 = $recall")
+
+    // scanned fraction = probed list sizes summed over queries / (N·Q)
+    import graft.plans.VectorExpressions.nearestCentroids
+    val listSizes = corpus
+      .select(element_at(nearestCentroids(
+        Similarity.unitVector(col("embedding")), centroids, 1), 1).as("list_id"))
+      .groupBy("list_id").count().as[(Int, Long)].collect().toMap
+    val probed = queries
+      .select(explode(nearestCentroids(
+        Similarity.unitVector(col("qvec")), centroids, 1)).as("list_id"))
+      .as[Int].collect()
+    val scanned = probed.map(l => listSizes.getOrElse(l, 0L)).sum.toDouble /
+      (points.size.toDouble * 5)
+    assert(scanned < 0.10, s"IVF scanned fraction = $scanned")
+  }
+
   test("embeddingNearDupPairs: planted duplicate vector is found") {
     val dup = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") === 0)
