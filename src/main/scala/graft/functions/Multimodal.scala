@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   * typed metadata (builder prompt; schema in Schemas.mediaAssets).
   *
   * The Spark-side plumbing — schema, partition shape, batched typed
-  * transforms over binary columns — is real and tested. The codec layer is
-  * a clearly-marked STUB (no image/audio libraries in this container):
-  * `decodeStub` derives deterministic fake features from the bytes so the
-  * pipeline is end-to-end verifiable; swapping in a real decoder changes
+  * transforms over binary columns — is real and tested. The IMAGE codec is
+  * real: `javax.imageio` (JDK built-in — PNG/JPEG/BMP/GIF) decodes,
+  * feature-extracts, and resizes actual pixel data; payloads ImageIO
+  * cannot decode fall back to the deterministic byte-level stub so the
+  * pipeline never throws on dirty data. Audio/video remain clearly-marked
+  * STUBS (no such codecs in the JDK); swapping in a real decoder changes
   * ONLY the function body, not the dataflow.
   *
   * Scala note: the PySpark guidance maps `mapInPandas` batches to typed
@@ -30,17 +32,79 @@ object Multimodal {
     width: Option[Int], height: Option[Int],
     duration_ms: Option[Long], codec: Option[String])
 
-  /** Decoded-feature row produced by the (stubbed) decode stage. */
+  /** Decoded-feature row. For images that ImageIO decodes, `feature` is a
+    * real 16-bin luminance histogram and decoded_width/height are set;
+    * otherwise the byte-histogram stub with None dims. */
   final case class MediaFeatures(
     asset_id: Long,
     media_type: String,
     n_bytes: Int,
-    byte_entropy: Double,          // real: content feature from bytes
-    feature: Array[Float])         // stub: deterministic fake embedding
+    byte_entropy: Double,          // content feature from raw bytes
+    feature: Array[Float],         // luminance hist (real) | byte hist (stub)
+    decoded_width: Option[Int],
+    decoded_height: Option[Int])
 
-  /** STUB decode: a real implementation would decode the image/audio frame
-    * here (???). The deterministic fake derives a 16-dim feature from byte
-    * histograms so tests can assert exact values end-to-end. */
+  /** A really-decoded image: dimensions + 16-bin luminance histogram
+    * (fractions of pixels per bin — a scale-invariant content feature). */
+  final case class DecodedImage(width: Int, height: Int,
+                                luminanceHist: Array[Float])
+
+  /** REAL image decode via the JDK's javax.imageio (PNG/JPEG/BMP/GIF).
+    * Returns None when the payload is not a decodable image — callers fall
+    * back to the byte-level stub, so dirty corpora flow through without
+    * task failures (the posture a 100 TB ingest needs: bad rows are data,
+    * not exceptions). Runs fully headless; no display dependency. */
+  private[graft] def decodeImage(payload: Array[Byte]): Option[DecodedImage] =
+    if (payload.isEmpty) None
+    else try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))).map { img =>
+        val w = img.getWidth; val h = img.getHeight
+        val hist = new Array[Int](16)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            // integer Rec.601 luma; / 16 buckets 0..255 into 16 bins
+            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            hist(lum >> 4) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = math.max(w * h, 1)
+        DecodedImage(w, h, hist.map(_.toFloat / n))
+      }
+    } catch { case _: Exception => None }
+
+  /** REAL image resize: decode, scale with bilinear interpolation, re-encode
+    * as PNG (deterministic, lossless). Non-image or undecodable payloads
+    * pass through unchanged. */
+  private[graft] def resizeImageBytes(payload: Array[Byte], w: Int,
+                                      h: Int): Option[Array[Byte]] =
+    if (payload.isEmpty) None
+    else try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))).map { img =>
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+    } catch { case _: Exception => None }
+
+  /** STUB decode fallback: derives a deterministic 16-dim feature from byte
+    * histograms so non-decodable payloads still flow end-to-end. */
   private[functions] def decodeStub(payload: Array[Byte]): Array[Float] = {
     val hist = new Array[Int](16)
     payload.foreach(b => hist((b & 0xFF) % 16) += 1)
@@ -59,19 +123,46 @@ object Multimodal {
   }
 
   /** Decode / feature-extract stage: one iterator per partition (the
-    * `mapInPandas` batch shape). Pure function of the payload →
-    * deterministic, re-runnable, no driver involvement. */
+    * `mapInPandas` batch shape). Images get the REAL ImageIO decode (16-bin
+    * luminance histogram + decoded dims); everything else — and images
+    * ImageIO rejects — gets the byte-level stub. Pure function of the
+    * payload → deterministic, re-runnable, no driver involvement. */
   def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.map { a =>
-      MediaFeatures(a.asset_id, a.media_type, a.payload.length,
-        byteEntropy(a.payload), decodeStub(a.payload))
+      val decoded =
+        if (a.media_type == "image") decodeImage(a.payload) else None
+      decoded match {
+        case Some(img) =>
+          MediaFeatures(a.asset_id, a.media_type, a.payload.length,
+            byteEntropy(a.payload), img.luminanceHist,
+            Some(img.width), Some(img.height))
+        case None =>
+          MediaFeatures(a.asset_id, a.media_type, a.payload.length,
+            byteEntropy(a.payload), decodeStub(a.payload), None, None)
+      }
     })
   }
 
-  /** "Resize" stage for images: a real implementation re-encodes pixels;
-    * the stub truncates/pads the payload deterministically while updating
-    * the typed metadata the way a resize would. */
+  /** REAL resize stage for images: decode → bilinear scale → PNG re-encode,
+    * with typed metadata updated to the actual output. Rows whose payload
+    * does not decode pass through unchanged (route-don't-throw). */
+  def resizeImages(assets: Dataset[MediaAsset], w: Int, h: Int): Dataset[MediaAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      if (a.media_type != "image") a
+      else resizeImageBytes(a.payload, w, h) match {
+        case Some(bytes) => a.copy(payload = bytes,
+          meta = a.meta.copy(width = Some(w), height = Some(h),
+            codec = Some("png")))
+        case None => a
+      }
+    })
+  }
+
+  /** "Resize" STUB for payloads with no real codec: truncates/pads the
+    * payload deterministically while updating the typed metadata the way a
+    * resize would. */
   def resizeStub(assets: Dataset[MediaAsset], w: Int, h: Int): Dataset[MediaAsset] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.map { a =>

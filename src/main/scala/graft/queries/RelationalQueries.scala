@@ -235,7 +235,7 @@ object RelationalQueries {
     Tables.orders(s, d)
       .filter(col("o_custkey") < 100)
       .select(col("o_orderkey"), col("o_custkey"),
-        (sum(round(col("o_totalprice") * 100).cast("long")).over(w)
+        (sum(Exact.cents(col("o_totalprice"))).over(w)
           .cast("double") / 100.0).as("running_total"))
   }
 

@@ -1,0 +1,97 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import graft.functions.Multimodal
+import graft.functions.Multimodal.{MediaAsset, MediaMeta}
+
+/** The REAL image codec path: javax.imageio decode → luminance features,
+  * and decode → bilinear resize → PNG re-encode. Fake payloads fall back
+  * to the stub (MultimodalSpec covers that path). */
+class MultimodalCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Encode a solid-RGB w×h PNG. */
+  private def solidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Horizontal black→white gradient PNG. */
+  private def gradientPng(w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 255) / math.max(w - 1, 1)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImage reads real PNG dimensions and luminance histogram") {
+    // pure white 8×6: luma 255 → all pixels in bin 15
+    val white = Multimodal.decodeImage(solidPng(8, 6, 0xFFFFFF))
+    assert(white.exists(d => d.width == 8 && d.height == 6))
+    assert(white.get.luminanceHist(15) === 1.0f)
+    assert(white.get.luminanceHist.take(15).forall(_ === 0.0f))
+    // pure black: bin 0
+    val black = Multimodal.decodeImage(solidPng(4, 4, 0x000000))
+    assert(black.get.luminanceHist(0) === 1.0f)
+    // garbage bytes: None, no throw
+    assert(Multimodal.decodeImage(Array.tabulate(64)(_.toByte)).isEmpty)
+    assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
+  }
+
+  test("extractFeatures uses the real decode for real images") {
+    val assets = Seq(
+      MediaAsset(1L, "image", solidPng(8, 6, 0xFFFFFF),
+        MediaMeta(Some(8), Some(6), None, Some("png"))),
+      MediaAsset(2L, "image", Array.tabulate(64)(_.toByte), // not decodable
+        MediaMeta(None, None, None, Some("fake"))),
+      MediaAsset(3L, "audio", Array.tabulate(32)(_.toByte),
+        MediaMeta(None, None, Some(100L), Some("fakewav")))).toDS()
+    val rows = Multimodal.extractFeatures(assets).collect().sortBy(_.asset_id)
+    // real image: decoded dims + luminance feature
+    assert(rows(0).decoded_width.contains(8) && rows(0).decoded_height.contains(6))
+    assert(rows(0).feature(15) === 1.0f)
+    // undecodable image and audio: stub path, no dims
+    assert(rows(1).decoded_width.isEmpty && rows(2).decoded_width.isEmpty)
+    assert(rows(1).feature.length === 16)
+  }
+
+  test("resizeImages really rescales pixels and re-encodes PNG") {
+    val assets = Seq(
+      MediaAsset(1L, "image", gradientPng(16, 8),
+        MediaMeta(Some(16), Some(8), None, Some("png"))),
+      MediaAsset(2L, "image", Array.tabulate(64)(_.toByte), // undecodable
+        MediaMeta(None, None, None, Some("fake"))),
+      MediaAsset(3L, "video", Array.tabulate(32)(_.toByte),
+        MediaMeta(None, None, Some(100L), Some("fakemp4")))).toDS()
+    val out = Multimodal.resizeImages(assets, 4, 2).collect().sortBy(_.asset_id)
+    // the resized payload is a genuine 4×2 PNG
+    val round = Multimodal.decodeImage(out(0).payload)
+    assert(round.exists(d => d.width == 4 && d.height == 2))
+    assert(out(0).meta.width.contains(4) && out(0).meta.codec.contains("png"))
+    // gradient survives downscale: leftmost darker than rightmost
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(0).payload))
+    assert((img.getRGB(0, 0) & 0xFF) < (img.getRGB(3, 0) & 0xFF))
+    // undecodable + non-image rows pass through untouched
+    assert(out(1).payload.toSeq === Array.tabulate(64)(_.toByte).toSeq)
+    assert(out(2).meta.duration_ms.contains(100L))
+  }
+
+  test("real-image features are deterministic across reruns") {
+    val assets = Seq(MediaAsset(1L, "image", gradientPng(32, 16),
+      MediaMeta(Some(32), Some(16), None, Some("png")))).toDS()
+    val a = Multimodal.extractFeatures(assets).collect()(0)
+    val b = Multimodal.extractFeatures(assets).collect()(0)
+    assert(a.feature.toSeq === b.feature.toSeq)
+    assert(math.abs(a.feature.sum - 1.0f) < 1e-5)
+  }
+}
