@@ -27,6 +27,7 @@ object SparkEntry {
     "p7_semi"        -> (RelationalQueries.p7SemiJoin _),
     "j1_anti"        -> (RelationalQueries.j1AntiJoin _),
     "j2_inner"       -> (RelationalQueries.j2InnerJoin _),
+    "j3_salted"      -> (RelationalQueries.j3SaltedJoin _),
     "a1_minmaxcount" -> (RelationalQueries.a1MinMaxCount _),
     "a3_coalescemax" -> (RelationalQueries.a3CoalesceMax _),
     "a5_groupcount"  -> (RelationalQueries.a5GroupCount _),
@@ -86,6 +87,8 @@ object SparkEntry {
       "SELECT o_orderkey, o_custkey FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_acctbal < 0)",
     "j2_inner" ->
       "SELECT r_name, count(*) AS n_customers, CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_acctbal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name",
+    "j3_salted" ->
+      "SELECT o_orderpriority, count(*) AS n_items, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority",
     "a1_minmaxcount" ->
       "SELECT min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok, count(*) AS cnt FROM lineitem",
     "a3_coalescemax" ->

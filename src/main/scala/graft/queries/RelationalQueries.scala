@@ -109,6 +109,23 @@ object RelationalQueries {
         count(lit(1)).as("n_customers"),
         Exact.sumMoney(col("c_acctbal")).as("total_acctbal"))
 
+  /** J3: the salted skew join on the fact table — value-identical to the
+    * plain lineitem ⋈ orders join (the DuckDB oracle computes exactly
+    * that), while the probe-side shuffle keys on (okey, salt) so a hot
+    * order key spreads over 8 sub-partitions. The oracle check is the
+    * proof that salting never changes results. */
+  def j3SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("okey"), col("l_extendedprice"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    graft.operators.ScaleJoins.saltedJoin(li, ord, "okey", salts = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        Exact.sumMoney(col("l_extendedprice")).as("total_price"))
+  }
+
   // ---- A: aggregations (SURVEY §2.4) ---------------------------------------
 
   /** A1: ungrouped multi-aggregate (`SELECT MIN(s_no), MAX(s_no), COUNT(*)`,
