@@ -64,6 +64,25 @@ object EventQueries {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))
 
+  /** As-of join over the event stream: each click annotated with the
+    * user's most recent prior (ts ≤ click's) purchase amount. Purchases
+    * are pre-aggregated per (user, ts) so ties are deterministic; the
+    * operator is the union+window composition (graft.operators.AsofJoin —
+    * one shuffle on user_id, no range explosion). Oracle: DuckDB's native
+    * ASOF LEFT JOIN. */
+  def asofPurchase(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.eventsUs(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(ExprUtils.cents(col("value"))).as("purchase_cents"))
+    graft.operators.AsofJoin
+      .asofJoin(clicks, purchases, "user_id", "ts_us", "purchase_cents")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("asof_purchase_cents"))
+  }
+
   /** Per-type value distribution: count, exact sum, min/max — the KPI
     * card shape over a stream table. */
   def typeStats(s: SparkSession, d: String): DataFrame =

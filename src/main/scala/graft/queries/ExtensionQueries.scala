@@ -92,6 +92,38 @@ object ExtensionQueries {
     Similarity.embeddingNearDupPairs(embs(s, d),
       "vec_id", "embedding", dim = 64, threshold = 0.4)
 
+  /** End-to-end training-data curation: exact-dedup (keep min doc_id) →
+    * token/digit quality gates → per-(lang, source) token accounting. The
+    * composition a corpus-prep pipeline runs before tokenization, entirely
+    * in exact integer arithmetic so the full chain is DuckDB-oracle-checked.
+    * Scale shape: one dedup shuffle + one group-by shuffle; filters are
+    * per-row column expressions that push into the scan projection. */
+  def curateDocs(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    Dedup.dropExactDuplicates(docs(s, d), "text", "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"),
+        TF.tokenCount(t).as("n_tokens"),
+        when(length(t) === 0, lit(0.0))
+          .otherwise(length(regexp_replace(t, "[^0-9]", "")).cast("double") /
+            length(t))
+          .as("digit_ratio"))
+      .filter(col("n_tokens").between(5, 5000) && col("digit_ratio") < 0.3)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+  }
+
+  /** Deterministic stratified downsampling: keep doc_id % 10 < rate(lang)
+    * — 50% of English, 20% of everything else, reproducible on any
+    * cluster/partitioning (systematic sampling on the key; a production
+    * corpus with non-uniform ids would hash the key first — same plan
+    * shape). No RNG state, no sampleBy nondeterminism across retries. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .filter(pmod(col("doc_id"), lit(10)) <
+        when(col("lang") === "en", lit(5)).otherwise(lit(2)))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sampled_chars"))
+
   // ---- similarity search ----------------------------------------------
 
   /** First 5 vectors as the deterministic query set. */
