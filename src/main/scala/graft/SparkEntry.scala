@@ -55,6 +55,7 @@ object SparkEntry {
     "events_json"      -> (EventQueries.jsonExtract _),
     "events_typestats" -> (EventQueries.typeStats _),
     "events_asof"      -> (EventQueries.asofPurchase _),
+    "events_rangejoin" -> (EventQueries.rangeJoinIncidents _),
     // training-data extension ops (text / dedup / similarity)
     "text_stats"          -> (ExtensionQueries.textStats _),
     "text_triage"         -> (ExtensionQueries.textTriage _),
@@ -146,6 +147,8 @@ object SparkEntry {
       "SELECT doc_id, length(text) AS n_chars, CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g')) = 0 THEN 0 ELSE len(string_split_regex(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g'), '[ \\t\\n\\r\\f\\x0B]+')) END AS n_tokens, length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits, CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) END AS digit_ratio FROM documents",
     "events_asof" ->
       "WITH e AS (SELECT user_id, event_id, event_type, value, epoch_ns(ts) // 1000 AS ts_us FROM events), c AS (SELECT user_id, ts_us, event_id FROM e WHERE event_type = 'click'), p AS (SELECT user_id, ts_us, max(CAST(round(value * 100) AS BIGINT)) AS purchase_cents FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts_us) SELECT c.event_id, c.user_id, c.ts_us, p.purchase_cents AS asof_purchase_cents FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.ts_us",
+    "events_rangejoin" ->
+      "WITH e AS (SELECT event_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events), w AS (SELECT event_id AS window_id, ts_us - 300000000 AS ws, ts_us + 300000000 AS we FROM e WHERE event_type = 'error') SELECT w.window_id, count(*) AS n_events FROM w JOIN e ON e.ts_us BETWEEN w.ws AND w.we GROUP BY w.window_id",
     "curate_docs" ->
       "WITH kept AS (SELECT * FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))), t AS (SELECT doc_id, lang, source, CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g')) = 0 THEN 0 ELSE len(string_split_regex(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g'), '[ \\t\\n\\r\\f\\x0B]+')) END AS n_tokens, CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) END AS digit_ratio FROM kept) SELECT lang, source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM t WHERE n_tokens BETWEEN 5 AND 5000 AND digit_ratio < 0.3 GROUP BY lang, source",
     "sample_stratified" ->

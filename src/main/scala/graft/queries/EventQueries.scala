@@ -83,6 +83,25 @@ object EventQueries {
         col("asof_purchase_cents"))
   }
 
+  /** Range join over the event stream: every error event opens a ±5-minute
+    * incident window; count the events landing inside each window. Runs as
+    * the bucketed equi-join (graft.operators.RangeJoin, 1-hour buckets) —
+    * a hash join plus residual filter, never the nested-loop plan Spark
+    * gives a raw BETWEEN join. Oracle: the plain BETWEEN join in DuckDB. */
+  def rangeJoinIncidents(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.eventsUs(s, d)
+    val points = ev.select(col("ts_us"), col("event_id"))
+    val windows = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("window_id"),
+        (col("ts_us") - 300000000L).as("ws"),
+        (col("ts_us") + 300000000L).as("we"))
+    graft.operators.RangeJoin
+      .intervalJoin(points, "ts_us", windows, "ws", "we",
+        bucketWidth = 3600L * 1000000L)
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
   /** Per-type value distribution: count, exact sum, min/max — the KPI
     * card shape over a stream table. */
   def typeStats(s: SparkSession, d: String): DataFrame =
