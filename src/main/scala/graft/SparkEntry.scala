@@ -69,6 +69,7 @@ object SparkEntry {
     "sim_brute_topk"      -> (ExtensionQueries.simBruteTopK _),
     "sim_ann_topk"        -> (ExtensionQueries.simAnnTopK _),
     "sim_ivf_topk"        -> (ExtensionQueries.simIvfTopK _),
+    "sim_pq_topk"         -> (ExtensionQueries.simPqTopK _),
     "sim_ann_recall"      -> (ExtensionQueries.simAnnRecall _),
   )
 

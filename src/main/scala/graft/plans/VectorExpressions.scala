@@ -414,6 +414,188 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]],
     copy(child = newChild)
 }
 
+/** Product-quantization encode: split the vector into `m` contiguous
+  * subspaces and emit, per subspace, the index of the nearest (L2)
+  * codebook centroid → array<int> of m small codes.
+  *
+  * The 100 TB rationale: a 64-dim float vector is 256 bytes; its PQ codes
+  * (m=16, k=16) are 16 small ints — a ~16× cut of the bytes every ANN
+  * scan reads and every shuffle moves. Codebooks ride in the expression
+  * (m·k·subDim doubles, driver-trained on a bounded sample). */
+case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+
+  @transient private lazy val cb: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val m = cb.length
+  @transient private lazy val subDim = cb(0)(0).length
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode needs array<float|double>, got ${other.simpleString}")
+    }
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  def compute(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val base = s * subDim
+      val codes = cb(s)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < codes.length) {
+        val cent = codes(c)
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val idx = base + i
+          val x = if (idx >= n) 0.0
+            else if (isFloat) v.getFloat(idx).toDouble else v.getDouble(idx)
+          val diff = x - cent(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncode", this, classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-query ADC lookup table: dot products of each query subvector
+  * against every codebook centroid → array<double> of m·k entries
+  * (lut[s·k + c] = q_sub(s) · centroid(s,c)). Computed ONCE per query row
+  * and broadcast with it, so scoring a corpus row is m table lookups
+  * instead of a dim-wide multiply. */
+case class PqLut(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+
+  @transient private lazy val cb: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val m = cb.length
+  @transient private lazy val k = cb(0).length
+  @transient private lazy val subDim = cb(0)(0).length
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_lut needs array<float|double>, got ${other.simpleString}")
+    }
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  def compute(q: ArrayData): ArrayData = {
+    val n = q.numElements()
+    val lut = new Array[Double](m * k)
+    var s = 0
+    while (s < m) {
+      val base = s * subDim
+      var c = 0
+      while (c < k) {
+        val cent = cb(s)(c)
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val idx = base + i
+          val x = if (idx >= n) 0.0
+            else if (isFloat) q.getFloat(idx).toDouble else q.getDouble(idx)
+          d += x * cent(i)
+          i += 1
+        }
+        lut(s * k + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(lut)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqLut", this, classOf[PqLut].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ADC score: approximate dot(query, vector) from the vector's PQ codes
+  * and the query's lookup table — m adds per pair (vs dim multiplies for
+  * the exact dot). */
+case class PqAdc(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  // left = codes array<int>, right = lut array<double>
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_adc needs (array<int>, array<double>), got " +
+            s"${l.simpleString}, ${r.simpleString}")
+    }
+
+  def compute(codes: ArrayData, lut: ArrayData): Double = {
+    val m = codes.numElements()
+    var score = 0.0
+    var s = 0
+    while (s < m) {
+      score += lut.getDouble(s * k + codes.getInt(s))
+      s += 1
+    }
+    score
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdc", this, classOf[PqAdc].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Expose as Columns (Spark 4 classic bridge). */
   def dotProduct(a: Column, b: Column): Column =
@@ -438,4 +620,16 @@ object VectorExpressions {
   def nearestCentroids(vec: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
     GraftColumnBridge.column(NearestCentroids(
       GraftColumnBridge.expression(vec), centroids, nProbe))
+
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    GraftColumnBridge.column(PqEncode(
+      GraftColumnBridge.expression(vec), codebooks))
+
+  def pqLut(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    GraftColumnBridge.column(PqLut(
+      GraftColumnBridge.expression(vec), codebooks))
+
+  def pqAdc(codes: Column, lut: Column, k: Int): Column =
+    GraftColumnBridge.column(PqAdc(
+      GraftColumnBridge.expression(codes), GraftColumnBridge.expression(lut), k))
 }

@@ -159,6 +159,17 @@ object ExtensionQueries {
       queryVectors(s, d), "query_id", "qvec",
       k = 10, nLists = 16, nProbe = 4)
 
+  /** PQ ANN top-10: the corpus rides as m=16 product-quantization codes
+    * (~16× fewer bytes than the float vectors — the memory/bandwidth
+    * lever at corpus scale); queries score via ADC lookup tables. Recall
+    * on clustered data is SimilaritySpec's PQ test; here the full
+    * train→encode→ADC→top-k plan runs on the synthetic embeddings. */
+  def simPqTopK(s: SparkSession, d: String): DataFrame =
+    Similarity.pqTopK(
+      embs(s, d), "vec_id", "embedding",
+      queryVectors(s, d), "query_id", "qvec",
+      dim = 64, k = 10)
+
   /** ANN recall vs the exact baseline — the metric that justifies the
     * approximate path. Returns one row per query with recall@10. */
   def simAnnRecall(s: SparkSession, d: String): DataFrame = {

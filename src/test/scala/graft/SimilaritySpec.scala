@@ -107,4 +107,66 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 100000L)))
   }
+
+  test("PQ: ADC equals the exact dot when vectors quantize losslessly") {
+    // codebooks whose centroids ARE the corpus subvectors → zero
+    // quantization error → adc must equal dot(q, v) exactly.
+    val corpus = Seq((1L, Array(0.6f, 0.8f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val queries = Seq((10L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("query_id", "qvec")
+    val codebooks: Seq[Seq[Seq[Double]]] = Seq(
+      Seq(Seq(0.6, 0.8), Seq(0.0, 0.0)),   // subspace 0 centroids
+      Seq(Seq(0.0, 0.0), Seq(1.0, 0.0)))   // subspace 1 centroids
+    val out = Similarity.pqTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "qvec", dim = 4, k = 2, m = 2, kCodes = 2,
+      codebooksOpt = Some(codebooks))
+      .select("neighbor_id", "adc").as[(Long, Double)].collect().toMap
+    assert(math.abs(out(1L) - 0.6) < 1e-9)  // dot((1,0,0,0),(0.6,0.8,0,0))
+    assert(math.abs(out(2L) - 0.0) < 1e-9)
+  }
+
+  test("PQ ANN: neighbors stay in the query's cluster; ADC tracks cosine") {
+    val rnd = new scala.util.Random(11)
+    val dim = 16; val nClusters = 20; val perCluster = 60
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val centers = Array.fill(nClusters)(
+      unit(Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val points = for {
+      c <- 0 until nClusters
+      i <- 0 until perCluster
+    } yield {
+      val v = unit(centers(c).map(x => x + 0.15f * rnd.nextGaussian().toFloat))
+      ((c * perCluster + i).toLong, v)
+    }
+    val corpus = points.toDF("vec_id", "embedding").repartition(8)
+    val queries = points.take(5).map { case (id, v) => (id, v) }
+      .toDF("query_id", "qvec")
+    val codebooks = Similarity.trainPqCodebooks(
+      corpus, "embedding", dim, m = 4, k = 16, seed = 42L)
+    val approx = Similarity.pqTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "qvec", dim, k = 10, m = 4, kCodes = 16,
+      codebooksOpt = Some(codebooks))
+    // quantization blurs WITHIN-cluster order, but never across these
+    // well-separated clusters: every neighbor shares the query's cluster
+    val offCluster = approx
+      .filter(floor(col("neighbor_id") / perCluster) =!=
+        floor(col("query_id") / perCluster))
+      .count()
+    assert(offCluster === 0, s"$offCluster PQ neighbors left the cluster")
+    // ADC ≈ cosine for the returned pairs (both sides unit vectors)
+    val unitVecs = corpus.select(col("vec_id"),
+      Similarity.unitVector(col("embedding")).as("uv"))
+    val err = approx
+      .join(unitVecs.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(queries.select(col("query_id"),
+        Similarity.unitVector(col("qvec")).as("quv")), Seq("query_id"))
+      .select(abs(col("adc") -
+        Similarity.dot(col("uv"), col("quv"))).as("e"))
+      .agg(avg(col("e")).as("mae")).collect()(0).getDouble(0)
+    assert(err < 0.15, s"mean |adc - cos| = $err")
+  }
 }
