@@ -70,6 +70,7 @@ object SparkEntry {
     "sim_ann_topk"        -> (ExtensionQueries.simAnnTopK _),
     "sim_ivf_topk"        -> (ExtensionQueries.simIvfTopK _),
     "sim_pq_topk"         -> (ExtensionQueries.simPqTopK _),
+    "sim_ivfpq_topk"      -> (ExtensionQueries.simIvfPqTopK _),
     "sim_ann_recall"      -> (ExtensionQueries.simAnnRecall _),
   )
 

@@ -315,6 +315,43 @@ object Similarity {
       .withColumn("adc", round(col("adc"), 6))
   }
 
+  /** IVFPQ top-k: IVF list pruning (compute: scan ~nProbe/nLists of the
+    * corpus) composed with PQ code scoring (memory: ~16× fewer bytes per
+    * stored vector) — the standard billion-scale ANN index layout. The
+    * corpus is assigned to lists and PQ-encoded in ONE scan; queries
+    * explode to their nProbe lists carrying their ADC lookup table; the
+    * bucket join scores codes only. Candidate set identical to ivfTopK;
+    * ordering is ADC-approximate like pqTopK. */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                queries: DataFrame, queryIdCol: String, queryVecCol: String,
+                dim: Int, k: Int = 10, nLists: Int = 64, nProbe: Int = 8,
+                m: Int = 16, kCodes: Int = 16, seed: Long = 42L,
+                centroidsOpt: Option[Seq[Seq[Double]]] = None,
+                codebooksOpt: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+    import graft.plans.VectorExpressions.{nearestCentroids, pqAdc, pqEncode, pqLut}
+    val centroids = centroidsOpt.getOrElse(
+      trainIvfCentroids(corpus, vecCol, nLists, seed))
+    val codebooks = codebooksOpt.getOrElse(
+      trainPqCodebooks(corpus, vecCol, dim, m, kCodes, seed))
+    val encoded = corpus
+      .select(col(idCol).as("neighbor_id"), unitVector(col(vecCol)).as("uv"))
+      .select(col("neighbor_id"),
+        element_at(nearestCentroids(col("uv"), centroids, 1), 1).as("list_id"),
+        pqEncode(col("uv"), codebooks).as("codes"))
+    val qProbes = queries
+      .select(col(queryIdCol).as("query_id"), unitVector(col(queryVecCol)).as("quv"))
+      .select(col("query_id"), pqLut(col("quv"), codebooks).as("lut"),
+        explode(nearestCentroids(col("quv"), centroids, nProbe)).as("list_id"))
+    val scored = encoded.join(broadcast(qProbes), Seq("list_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        pqAdc(col("codes"), col("lut"), kCodes).as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("adc", round(col("adc"), 6))
+  }
+
   /** Embedding-cosine near-duplicate pairs: multi-table hyperplane LSH.
     *
     * A single hash table of b bits catches a cos-θ pair with probability

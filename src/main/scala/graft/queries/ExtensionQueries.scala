@@ -170,6 +170,14 @@ object ExtensionQueries {
       queryVectors(s, d), "query_id", "qvec",
       dim = 64, k = 10)
 
+  /** IVFPQ top-10: list pruning + code compression composed — the
+    * billion-scale index layout (compute AND memory cut together). */
+  def simIvfPqTopK(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfPqTopK(
+      embs(s, d), "vec_id", "embedding",
+      queryVectors(s, d), "query_id", "qvec",
+      dim = 64, k = 10, nLists = 16, nProbe = 4)
+
   /** ANN recall vs the exact baseline — the metric that justifies the
     * approximate path. Returns one row per query with recall@10. */
   def simAnnRecall(s: SparkSession, d: String): DataFrame = {

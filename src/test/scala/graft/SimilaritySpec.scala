@@ -169,4 +169,34 @@ class SimilaritySpec extends SparkSpec {
       .agg(avg(col("e")).as("mae")).collect()(0).getDouble(0)
     assert(err < 0.15, s"mean |adc - cos| = $err")
   }
+
+  test("IVFPQ: full k returned, neighbors cluster-true, lists pruned") {
+    val rnd = new scala.util.Random(23)
+    val dim = 16; val nClusters = 20; val perCluster = 60
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val centers = Array.fill(nClusters)(
+      unit(Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val points = for {
+      c <- 0 until nClusters
+      i <- 0 until perCluster
+    } yield {
+      val v = unit(centers(c).map(x => x + 0.15f * rnd.nextGaussian().toFloat))
+      ((c * perCluster + i).toLong, v)
+    }
+    val corpus = points.toDF("vec_id", "embedding").repartition(8)
+    val queries = points.take(5).map { case (id, v) => (id, v) }
+      .toDF("query_id", "qvec")
+    val out = Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "qvec", dim, k = 10,
+      nLists = nClusters, nProbe = 1, m = 4, kCodes = 16)
+    // nProbe=1 on cluster-shaped lists still fills k (each list ≈ 60 ≥ 10)
+    assert(out.groupBy("query_id").count()
+      .filter(col("count") =!= 10).count() === 0, "some query under-filled")
+    // pruning + quantization never cross these separated clusters
+    assert(out.filter(floor(col("neighbor_id") / perCluster) =!=
+      floor(col("query_id") / perCluster)).count() === 0)
+  }
 }
