@@ -21,6 +21,22 @@ class AsofJoinSpec extends SparkSpec {
     assert(out("d") === None)       // key 2's right row is later (11 > 10)
   }
 
+  test("plans with a single shuffle (union + one keyed window)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val left = spark.range(10000).selectExpr("id % 50 AS k", "id AS ts", "id AS payload")
+    val right = spark.range(2000).selectExpr("id % 50 AS k", "id * 3 AS ts", "id AS v")
+    val out = AsofJoin.asofJoin(left, right, "k", "ts", "v")
+    out.collect()
+    val plan = out.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = plan.collect { case e: Exchange => e }
+    assert(exchanges.size <= 1,
+      s"asof join must shuffle once, saw ${exchanges.size}:\n$plan")
+  }
+
   test("left columns and row count are preserved") {
     val left = Seq((1L, 1L, "x"), (1L, 2L, "y")).toDF("k", "ts", "name")
     val right = Seq((9L, 1L, 7L)).toDF("k", "ts", "v") // different key only
