@@ -333,11 +333,33 @@ object Similarity {
       trainIvfCentroids(corpus, vecCol, nLists, seed))
     val codebooks = codebooksOpt.getOrElse(
       trainPqCodebooks(corpus, vecCol, dim, m, kCodes, seed))
-    val encoded = corpus
+    val encoded = ivfPqEncode(corpus, idCol, vecCol, centroids, codebooks)
+    ivfPqScore(encoded, queries, queryIdCol, queryVecCol,
+      centroids, codebooks, k, nProbe, kCodes)
+  }
+
+  /** One-scan corpus side of IVFPQ: (neighbor_id, list_id, codes). This is
+    * the persisted layout of a VectorIndex table — codes instead of
+    * vectors is the ~16× byte cut. */
+  private[graft] def ivfPqEncode(corpus: DataFrame, idCol: String,
+                                 vecCol: String, centroids: Seq[Seq[Double]],
+                                 codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    import graft.plans.VectorExpressions.{nearestCentroids, pqEncode}
+    corpus
       .select(col(idCol).as("neighbor_id"), unitVector(col(vecCol)).as("uv"))
       .select(col("neighbor_id"),
         element_at(nearestCentroids(col("uv"), centroids, 1), 1).as("list_id"),
         pqEncode(col("uv"), codebooks).as("codes"))
+  }
+
+  /** Query side of IVFPQ over an already-encoded corpus (fresh or loaded
+    * from a VectorIndex snapshot). */
+  private[graft] def ivfPqScore(encoded: DataFrame, queries: DataFrame,
+                                queryIdCol: String, queryVecCol: String,
+                                centroids: Seq[Seq[Double]],
+                                codebooks: Seq[Seq[Seq[Double]]],
+                                k: Int, nProbe: Int, kCodes: Int): DataFrame = {
+    import graft.plans.VectorExpressions.{nearestCentroids, pqAdc, pqLut}
     val qProbes = queries
       .select(col(queryIdCol).as("query_id"), unitVector(col(queryVecCol)).as("quv"))
       .select(col("query_id"), pqLut(col("quv"), codebooks).as("lut"),

@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.store.{SnapshotStore, VectorIndex}
+
+/** Persistent IVFPQ index: build-once-query-many over the snapshot store,
+  * parameters atomic with the data, rebuilds as new versions. */
+class VectorIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def clustered(seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    val dim = 16; val nClusters = 20; val perCluster = 60
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val centers = Array.fill(nClusters)(
+      unit(Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    for {
+      c <- 0 until nClusters
+      i <- 0 until perCluster
+    } yield {
+      val v = unit(centers(c).map(x => x + 0.15f * rnd.nextGaussian().toFloat))
+      ((c * perCluster + i).toLong, v)
+    }
+  }
+
+  test("build persists; query probes without retraining; reopen works") {
+    val dir = Files.createTempDirectory("graft-vindex").toString
+    val store = new SnapshotStore(dir, spark)
+    val points = clustered(31)
+    val corpus = points.toDF("vec_id", "embedding").repartition(8)
+    val queries = points.take(5).toDF("query_id", "qvec")
+
+    val v1 = VectorIndex.build(store, "emb_idx", corpus,
+      "vec_id", "embedding", dim = 16, nLists = 20, m = 4, kCodes = 16)
+    assert(v1 === 1L)
+    // the stored table carries codes, not vectors
+    assert(store.load("emb_idx").columns.toSet ===
+      Set("neighbor_id", "list_id", "codes"))
+
+    val out = VectorIndex.query(store, "emb_idx", queries,
+      "query_id", "qvec", k = 10, nProbe = 1)
+    assert(out.groupBy("query_id").count()
+      .filter(col("count") =!= 10).count() === 0)
+    assert(out.filter(floor(col("neighbor_id") / 60) =!=
+      floor(col("query_id") / 60)).count() === 0, "neighbor left its cluster")
+
+    // a FRESH store handle over the same directory sees the same index —
+    // everything needed to answer queries was committed, nothing lives in
+    // driver memory
+    val reopened = new SnapshotStore(dir, spark)
+    val out2 = VectorIndex.query(reopened, "emb_idx", queries,
+      "query_id", "qvec", k = 10, nProbe = 1)
+    val a = out.select("query_id", "neighbor_id", "adc").collect().map(_.toString).sorted
+    val b = out2.select("query_id", "neighbor_id", "adc").collect().map(_.toString).sorted
+    assert(a.toSeq === b.toSeq, "reopened index answered differently")
+  }
+
+  test("rebuild commits a new version; time travel keeps the old one") {
+    val dir = Files.createTempDirectory("graft-vindex2").toString
+    val store = new SnapshotStore(dir, spark)
+    val corpus = clustered(32).toDF("vec_id", "embedding").repartition(4)
+    val v1 = VectorIndex.build(store, "idx", corpus,
+      "vec_id", "embedding", dim = 16, nLists = 10, m = 4, kCodes = 16)
+    val v2 = VectorIndex.build(store, "idx", corpus,
+      "vec_id", "embedding", dim = 16, nLists = 10, m = 4, kCodes = 16)
+    assert(v1 === 1L && v2 === 2L)
+    assert(store.versions("idx") === Seq(1L, 2L))
+    assert(store.loadVersion("idx", 1L).count() === corpus.count())
+  }
+
+  test("matrix/cube metadata serialization round-trips bit-exactly") {
+    val mx = Seq(Seq(1.5, -2.25, 1e-17), Seq(0.0, Double.MinPositiveValue, 3.0))
+    assert(VectorIndex.decodeMatrix(VectorIndex.encodeMatrix(mx)) === mx)
+    val cube = Seq(mx, Seq(Seq(42.0)))
+    assert(VectorIndex.decodeCube(VectorIndex.encodeCube(cube)) === cube)
+  }
+}
