@@ -61,6 +61,7 @@ object SparkEntry {
     "text_triage"         -> (ExtensionQueries.textTriage _),
     "curate_docs"         -> (ExtensionQueries.curateDocs _),
     "sample_stratified"   -> (ExtensionQueries.sampleStratified _),
+    "pack_shards"         -> ((s, d) => ExtensionQueries.packShards(s, d)),
     "dedup_exact"         -> (ExtensionQueries.dedupExact _),
     "dedup_exact_keep"    -> (ExtensionQueries.dedupExactKeep _),
     "dedup_minhash_pairs" -> (ExtensionQueries.dedupMinhashPairs _),
@@ -155,6 +156,8 @@ object SparkEntry {
       "WITH kept AS (SELECT * FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))), t AS (SELECT doc_id, lang, source, CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g')) = 0 THEN 0 ELSE len(string_split_regex(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g'), '[ \\t\\n\\r\\f\\x0B]+')) END AS n_tokens, CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) END AS digit_ratio FROM kept) SELECT lang, source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM t WHERE n_tokens BETWEEN 5 AND 5000 AND digit_ratio < 0.3 GROUP BY lang, source",
     "sample_stratified" ->
       "SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sampled_chars FROM documents WHERE doc_id % 10 < (CASE WHEN lang = 'en' THEN 5 ELSE 2 END) GROUP BY lang",
+    "pack_shards" ->
+      "WITH t AS (SELECT doc_id, source, CAST(CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g')) = 0 THEN 0 ELSE len(string_split_regex(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g'), '[ \\t\\n\\r\\f\\x0B]+')) END AS BIGINT) AS n_tokens FROM documents), c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM t) SELECT doc_id, source, n_tokens, cum_tokens, CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS shard_id FROM c",
     "dedup_exact" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY md5(text)",
     "dedup_exact_keep" ->

@@ -124,6 +124,24 @@ object ExtensionQueries {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sampled_chars"))
 
+  /** Shard packing: assign documents to fixed token-budget shards
+    * (contiguous greedy packing per source in doc_id order) — the
+    * "pack the corpus into context-window-sized units" step before
+    * tokenization. shard_id = tokens-before-this-doc DIV budget; one
+    * window shuffle keyed on source, exact integer arithmetic
+    * throughout (oracle-checked). */
+  def packShards(s: SparkSession, d: String, budget: Long = 512L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, d)
+      .select(col("doc_id"), col("source"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("shard_id",
+        expr(s"(cum_tokens - n_tokens) DIV $budget"))
+  }
+
   // ---- similarity search ----------------------------------------------
 
   /** First 5 vectors as the deterministic query set. */
