@@ -45,6 +45,30 @@ object VectorIndex {
         s"${P}codebooks" -> encodeCube(codebooks)))
   }
 
+  /** Append new vectors to an existing index: encode them with the
+    * CURRENT version's trained parameters (no retrain — centroids/codebooks
+    * describe the space, not the rows) and commit corpus ∪ batch as the
+    * next version. The store's metadata carry-forward keeps the params
+    * attached; `transactEither` runs the read-union-commit under the
+    * table lock, so concurrent appends serialize like every store
+    * mutation. Retrain-by-rebuild (`build`) when the data distribution
+    * drifts — it is just another version. */
+  def append(store: SnapshotStore, indexTable: String, newVectors: DataFrame,
+             idCol: String, vecCol: String): Long = {
+    val meta = store.latestMeta(indexTable)
+    def req(key: String): String = meta.getOrElse(P + key,
+      throw new IllegalStateException(
+        s"$indexTable has no committed IVFPQ metadata '$P$key'"))
+    val centroids = decodeMatrix(req("centroids"))
+    val codebooks = decodeCube(req("codebooks"))
+    val encoded = Similarity.ivfPqEncode(
+      newVectors, idCol, vecCol, centroids, codebooks)
+    store.transactEither[Unit](indexTable, sortKey = Some("list_id")) {
+      case Some(existing) => Right(existing.unionByName(encoded))
+      case None => Right(encoded)
+    }.toOption.get
+  }
+
   /** Top-k over the latest committed index version: probe + ADC only — no
     * training, no vector scan. */
   def query(store: SnapshotStore, indexTable: String, queries: DataFrame,

@@ -86,6 +86,14 @@ class PlanSpec extends SparkSpec {
       s"no codegen spans:\n$s")
   }
 
+  test("pack_shards prunes unused document columns from the scan") {
+    val s = planString(graft.queries.ExtensionQueries.packShards(spark, sfDir))
+    assert(s.contains("ReadSchema"))
+    // the documents table also carries lang and n_chars — neither is used
+    assert(!s.contains("n_chars") && !s.contains("lang"),
+      s"unused document columns not pruned:\n$s")
+  }
+
   test("native vector expressions stay inside whole-stage codegen") {
     // DotProduct/HyperplaneBucket implement doGenCode (a compiled call into
     // their own compute loop), so the ANN scoring projection must appear

@@ -74,6 +74,27 @@ class VectorIndexSpec extends SparkSpec {
     assert(store.loadVersion("idx", 1L).count() === corpus.count())
   }
 
+  test("append encodes with existing params and versions the index") {
+    val dir = Files.createTempDirectory("graft-vindex3").toString
+    val store = new SnapshotStore(dir, spark)
+    val points = clustered(33)
+    val (seed, late) = points.partition(_._1 % 5 != 0L) // hold out 20%
+    VectorIndex.build(store, "idx", seed.toDF("vec_id", "embedding").repartition(4),
+      "vec_id", "embedding", dim = 16, nLists = 20, m = 4, kCodes = 16)
+    val v2 = VectorIndex.append(store, "idx",
+      late.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    assert(v2 === 2L)
+    assert(store.load("idx").count() === points.size.toLong)
+    // an appended vector is retrievable and its neighborhood is its cluster
+    val q = late.take(3).toDF("query_id", "qvec")
+    val out = VectorIndex.query(store, "idx", q, "query_id", "qvec",
+      k = 10, nProbe = 2)
+    assert(out.groupBy("query_id").count()
+      .filter(col("count") =!= 10).count() === 0)
+    assert(out.filter(floor(col("neighbor_id") / 60) =!=
+      floor(col("query_id") / 60)).count() === 0)
+  }
+
   test("matrix/cube metadata serialization round-trips bit-exactly") {
     val mx = Seq(Seq(1.5, -2.25, 1e-17), Seq(0.0, Double.MinPositiveValue, 3.0))
     assert(VectorIndex.decodeMatrix(VectorIndex.encodeMatrix(mx)) === mx)
