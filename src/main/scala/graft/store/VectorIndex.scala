@@ -48,41 +48,82 @@ object VectorIndex {
   /** Append new vectors to an existing index: encode them with the
     * CURRENT version's trained parameters (no retrain — centroids/codebooks
     * describe the space, not the rows) and commit corpus ∪ batch as the
-    * next version. The store's metadata carry-forward keeps the params
-    * attached; `transactEither` runs the read-union-commit under the
-    * table lock, so concurrent appends serialize like every store
-    * mutation. Retrain-by-rebuild (`build`) when the data distribution
-    * drifts — it is just another version. */
+    * next version. Parameters are read INSIDE the transaction, so a
+    * concurrent rebuild cannot swap codebooks between encode and commit;
+    * appends serialize under the table lock like every store mutation.
+    * Retrain-by-rebuild (`build`) when the data distribution drifts — it
+    * is just another version. */
   def append(store: SnapshotStore, indexTable: String, newVectors: DataFrame,
-             idCol: String, vecCol: String): Long = {
-    val meta = store.latestMeta(indexTable)
-    def req(key: String): String = meta.getOrElse(P + key,
-      throw new IllegalStateException(
-        s"$indexTable has no committed IVFPQ metadata '$P$key'"))
-    val centroids = decodeMatrix(req("centroids"))
-    val codebooks = decodeCube(req("codebooks"))
-    val encoded = Similarity.ivfPqEncode(
-      newVectors, idCol, vecCol, centroids, codebooks)
-    store.transactEither[Unit](indexTable, sortKey = Some("list_id")) {
-      case Some(existing) => Right(existing.unionByName(encoded))
-      case None => Right(encoded)
+             idCol: String, vecCol: String): Long =
+    store.transactEither[Unit](indexTable, sortKey = Some("list_id")) { cur =>
+      val (centroids, codebooks, _) = readParams(store, indexTable)
+      val encoded = Similarity.ivfPqEncode(
+        newVectors, idCol, vecCol, centroids, codebooks)
+      Right(cur.map(_.unionByName(encoded)).getOrElse(encoded))
     }.toOption.get
+
+  /** Exactly-once streaming append: the same batch-id watermark discipline
+    * as the catalog ingest (Mutations.appendBatchOnce) — the last applied
+    * batchId rides in the snapshot metadata atomically with the data, so a
+    * replayed micro-batch (foreachBatch is at-least-once on restart) is
+    * skipped instead of double-appending its vectors. Returns true if
+    * applied, false if skipped as a replay. */
+  def appendBatchOnce(store: SnapshotStore, indexTable: String,
+                      batch: DataFrame, idCol: String, vecCol: String,
+                      streamId: String, batchId: Long): Boolean = {
+    val metaKey = s"stream.$streamId.lastBatchId"
+    store.transactEither[Unit](indexTable, sortKey = Some("list_id"),
+      meta = Map(metaKey -> batchId.toString)) { cur =>
+      val last = store.latestMeta(indexTable).get(metaKey)
+        .map(_.toLong).getOrElse(-1L)
+      if (batchId <= last) Left(())
+      else {
+        val (centroids, codebooks, _) = readParams(store, indexTable)
+        val encoded = Similarity.ivfPqEncode(
+          batch, idCol, vecCol, centroids, codebooks)
+        Right(cur.map(_.unionByName(encoded)).getOrElse(encoded))
+      }
+    }.isRight
   }
+
+  /** Keep an index current from a stream of vectors: each micro-batch
+    * encodes with the live parameters and appends exactly once. Caller
+    * stops the query. */
+  def maintainFromStream(store: SnapshotStore, indexTable: String,
+                         stream: DataFrame, idCol: String, vecCol: String,
+                         checkpointDir: String,
+                         streamId: String = "vector-inbox")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          appendBatchOnce(store, indexTable, batch, idCol, vecCol,
+            streamId, batchId); ()
+        }
+      }
+      .start()
 
   /** Top-k over the latest committed index version: probe + ADC only — no
     * training, no vector scan. */
   def query(store: SnapshotStore, indexTable: String, queries: DataFrame,
             queryIdCol: String, queryVecCol: String,
             k: Int = 10, nProbe: Int = 8): DataFrame = {
+    val (centroids, codebooks, kCodes) = readParams(store, indexTable)
+    Similarity.ivfPqScore(store.load(indexTable), queries,
+      queryIdCol, queryVecCol, centroids, codebooks, k, nProbe, kCodes)
+  }
+
+  /** Trained parameters of the latest committed version:
+    * (centroids, codebooks, kCodes). */
+  private def readParams(store: SnapshotStore, indexTable: String)
+      : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]], Int) = {
     val meta = store.latestMeta(indexTable)
     def req(key: String): String = meta.getOrElse(P + key,
       throw new IllegalStateException(
         s"$indexTable has no committed IVFPQ metadata '$P$key'"))
-    val centroids = decodeMatrix(req("centroids"))
-    val codebooks = decodeCube(req("codebooks"))
-    val kCodes = req("kCodes").toInt
-    Similarity.ivfPqScore(store.load(indexTable), queries,
-      queryIdCol, queryVecCol, centroids, codebooks, k, nProbe, kCodes)
+    (decodeMatrix(req("centroids")), decodeCube(req("codebooks")),
+      req("kCodes").toInt)
   }
 
   // ---- metadata (de)serialization: single-line, Double.toString

@@ -95,6 +95,42 @@ class VectorIndexSpec extends SparkSpec {
       floor(col("query_id") / 60)).count() === 0)
   }
 
+  test("streamed vector batches append exactly once") {
+    val dir = Files.createTempDirectory("graft-vindex4").toString
+    val store = new SnapshotStore(dir, spark)
+    val points = clustered(34)
+    val (seed, late) = points.partition(_._1 < 900L)
+    VectorIndex.build(store, "idx", seed.toDF("vec_id", "embedding").repartition(4),
+      "vec_id", "embedding", dim = 16, nLists = 20, m = 4, kCodes = 16)
+
+    val inbox = Files.createTempDirectory("graft-vinbox")
+    val ckpt = Files.createTempDirectory("graft-vckpt")
+    val lateDf = late.toDF("vec_id", "embedding")
+    val schema = lateDf.schema
+    val stream = spark.readStream.schema(schema).parquet(inbox.toString)
+    val query = VectorIndex.maintainFromStream(store, "idx", stream,
+      "vec_id", "embedding", ckpt.toString)
+    try {
+      // stage a single parquet file at the inbox ROOT (the file source
+      // does not recurse into subdirectories)
+      val tmp = Files.createTempDirectory("graft-vstage")
+      lateDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator()
+      val found = Iterator.continually(part)
+        .takeWhile(_.hasNext).map(_.next())
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(found, inbox.resolve("batch1.parquet"))
+      query.processAllAvailable()
+      assert(store.load("idx").count() === points.size.toLong)
+    } finally query.stop()
+
+    // a replayed batch id is skipped — no duplicate vectors
+    val applied = VectorIndex.appendBatchOnce(store, "idx", lateDf,
+      "vec_id", "embedding", "vector-inbox", batchId = 0L)
+    assert(!applied, "stale batch id must be skipped")
+    assert(store.load("idx").count() === points.size.toLong)
+  }
+
   test("matrix/cube metadata serialization round-trips bit-exactly") {
     val mx = Seq(Seq(1.5, -2.25, 1e-17), Seq(0.0, Double.MinPositiveValue, 3.0))
     assert(VectorIndex.decodeMatrix(VectorIndex.encodeMatrix(mx)) === mx)
