@@ -143,7 +143,7 @@ object Dedup {
 
     // Verify: join the (small) candidate set back to the cached shingle
     // sets — no re-shingling on either side.
-    candidates
+    val verified = candidates
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
@@ -151,6 +151,16 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Materialize eagerly so the CORPUS-SIZED (id, shingles, sig) cache and
+    // the bucket-table cache release now instead of pinning executor memory
+    // for the session (CacheManager blocks are not GC-released the way
+    // checkpoint RDDs are). The returned pairs stay cached — small, and the
+    // caller's to unpersist.
+    verified.count()
+    base.unpersist(blocking = false)
+    capped.unpersist(blocking = false)
+    verified
   }
 
   /** Near-dedup: drop every doc that near-duplicates a lower-id doc. No
@@ -270,11 +280,18 @@ object Dedup {
       col("id").as("id_a"), col("sh64").as("h_a"))
     val b = capped.select(col("band"), col("bucket"),
       col("id").as("id_b"), col("sh64").as("h_b"))
-    a.join(b, Seq("band", "bucket"))
+    val verified = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming64(col("h_a"), col("h_b")).as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Eager materialize + release the banded-key cache (same session-leak
+    // rationale as nearDuplicatePairs); the small verified-pair cache is
+    // the caller's to unpersist.
+    verified.count()
+    capped.unpersist(blocking = false)
+    verified
   }
 
   /** SimHash near-dup pairs from text: hash once, then guaranteed-recall

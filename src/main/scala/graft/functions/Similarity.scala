@@ -135,23 +135,47 @@ object Similarity {
 
   // ---- IVF (inverted-file) ANN ----------------------------------------
 
+  /** Representative bounded training sample: the `sampleSize` rows with the
+    * SMALLEST xxhash64 of the vector bytes — a deterministic uniform draw
+    * over the whole corpus, independent of file layout, partitioning, and
+    * row order. A plain `limit(n)` takes rows from the first partitions:
+    * on a real corpus laid out by source/crawl-date that sample describes
+    * ONE shard and the trained quantizers inherit its bias corpus-wide.
+    * Hash-order top-k plans as TakeOrderedAndProject (per-partition heap +
+    * driver merge of n rows): one scan, fixed driver cost, no shuffle.
+    * Vectors are unit-normalized on the driver; zero/non-finite vectors
+    * are dropped (dirty rows must not steer the quantizers). */
+  private[functions] def sampleUnitVectors(corpus: DataFrame, vecCol: String,
+                                           sampleSize: Int): Array[Array[Double]] =
+    corpus
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull)
+      .orderBy(xxhash64(col("v")))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+      .filter(v => v.forall(java.lang.Double.isFinite) && v.exists(_ != 0.0))
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / n)
+      }
+
   /** Train the IVF coarse quantizer: spherical k-means (Lloyd on the unit
     * sphere) over a BOUNDED sample of the corpus, on the driver.
     *
     * Scale rationale: IVF quantizers are always trained on a sample (the
     * centroids describe the density shape, not every point), so the only
     * driver-side materialization is `sampleSize` unit vectors — fixed
-    * cost, independent of corpus size. Assignment of the full corpus to
-    * lists happens distributed, in one scan, via the NearestCentroids
-    * compiled expression. Deterministic for a given (corpus order, seed). */
+    * cost, independent of corpus size. The sample is a hash-ordered draw
+    * (see sampleUnitVectors), so it is representative of the WHOLE corpus
+    * even when the files are laid out by source or date. Assignment of the
+    * full corpus to lists happens distributed, in one scan, via the
+    * NearestCentroids compiled expression. Deterministic for a given
+    * (corpus content, seed) — partitioning does not matter. */
   def trainIvfCentroids(corpus: DataFrame, vecCol: String, nLists: Int,
                         seed: Long = 42L, sampleSize: Int = 4096,
                         iters: Int = 10): Seq[Seq[Double]] = {
-    val sample: Array[Array[Double]] = corpus
-      .select(unitVector(col(vecCol)).as("uv"))
-      .limit(sampleSize).collect()
-      .map(_.getSeq[Double](0).toArray)
-      .filter(v => v.exists(_ != 0.0))
+    val sample: Array[Array[Double]] = sampleUnitVectors(corpus, vecCol, sampleSize)
     require(sample.length >= nLists,
       s"sample ${sample.length} smaller than nLists=$nLists")
     val dim = sample.head.length
@@ -234,20 +258,18 @@ object Similarity {
   // ---- PQ (product quantization) ANN ----------------------------------
 
   /** Train PQ codebooks: per-subspace Lloyd k-means (L2) over a BOUNDED
-    * unit-normalized sample, on the driver — the same fixed-cost training
-    * posture as the IVF quantizer (centroids describe the space, not every
-    * point). Returns m × k × (dim/m) centroids. */
+    * unit-normalized sample, on the driver — the same fixed-cost,
+    * hash-ordered-draw training posture as the IVF quantizer (centroids
+    * describe the space, not every point; the sample must describe the
+    * whole corpus, not its first partitions — see sampleUnitVectors).
+    * Returns m × k × (dim/m) centroids. */
   def trainPqCodebooks(corpus: DataFrame, vecCol: String, dim: Int,
                        m: Int = 16, k: Int = 16, seed: Long = 42L,
                        sampleSize: Int = 4096, iters: Int = 10)
       : Seq[Seq[Seq[Double]]] = {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val subDim = dim / m
-    val sample: Array[Array[Double]] = corpus
-      .select(unitVector(col(vecCol)).as("uv"))
-      .limit(sampleSize).collect()
-      .map(_.getSeq[Double](0).toArray)
-      .filter(_.exists(_ != 0.0))
+    val sample: Array[Array[Double]] = sampleUnitVectors(corpus, vecCol, sampleSize)
     require(sample.length >= k, s"sample ${sample.length} < k=$k")
     val rnd = new scala.util.Random(seed)
 
@@ -419,11 +441,22 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val unit = corpus.select(col(idCol).as("uid"), unitVector(col(vecCol)).as("uv"))
-    candidates
+    val verified = candidates
       .join(unit.select(col("uid").as("id_a"), col("uv").as("uv_a")), Seq("id_a"))
       .join(unit.select(col("uid").as("id_b"), col("uv").as("uv_b")), Seq("id_b"))
       .withColumn("cos", dot(col("uv_a"), col("uv_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize the (small: verified pairs only) result eagerly so the
+    // two intermediate caches can be released NOW — CacheManager-registered
+    // blocks are pinned for the session otherwise, and a long-running
+    // driver invoking this repeatedly would accumulate bucket tables
+    // forever. The returned DataFrame reads from its own cache; callers
+    // may unpersist it when done.
+    verified.count()
+    capped.unpersist(blocking = false)
+    candidates.unpersist(blocking = false)
+    verified
   }
 }

@@ -276,6 +276,14 @@ case class SimHashComboKeys(child: Expression, nBlocks: Int, maxHamming: Int)
   require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming out of range")
   require(nBlocks > maxHamming && nBlocks <= 64,
     s"nBlocks=$nBlocks must exceed maxHamming=$maxHamming (pigeonhole)")
+  // Same guard as Dedup.simhashBlockCombos, enforced HERE because direct
+  // callers bypass that helper: C(nBlocks, maxHamming) keys materialize
+  // per row — (32, 6) would silently emit ~906k structs per document.
+  require({
+    val kk = math.min(maxHamming, nBlocks - maxHamming)
+    (1 to kk).foldLeft(BigInt(1))((acc, i) => acc * (nBlocks - kk + i) / i) <= 4096
+  }, s"C($nBlocks, ${nBlocks - maxHamming}) combo keys per row is " +
+    "unreasonable; pick nBlocks closer to maxHamming")
 
   // (shift, width) per block: contiguous tiling of the 64 bits.
   @transient private lazy val ranges: Array[(Int, Int)] = {
@@ -394,6 +402,11 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]],
         if (!taken(j) && scores(j) > bestS) { best = j; bestS = scores(j) }
         j += 1
       }
+      // A NaN-poisoned vector makes every comparison false and leaves
+      // best = -1. Route-don't-throw: assign the dirty row an arbitrary
+      // (deterministic) untaken list instead of failing the whole
+      // corpus-assignment job on one bad row.
+      if (best < 0) best = p
       taken(best) = true
       out(p) = best
       p += 1

@@ -20,7 +20,10 @@ object ExtensionQueries {
     * and this round-robin is skipped.) */
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target / 2) df else df.repartition(target)
+    // queryExecution.toRdd reads the physical scan's partition count
+    // without df.rdd's extra InternalRow→Row conversion stage.
+    if (df.queryExecution.toRdd.getNumPartitions >= target / 2) df
+    else df.repartition(target)
   }
 
   private def docs(s: SparkSession, d: String): DataFrame =

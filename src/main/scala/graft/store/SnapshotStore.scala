@@ -93,6 +93,13 @@ final class SnapshotStore(rootDir: String, spark: SparkSession) {
     try {
       val next = currentVersion(table) + 1
       val dest = versionDir(table, next)
+      // Crash recovery: a writer that died after the parquet write but
+      // before the pointer flip leaves an orphaned next-version directory.
+      // Anything past LATEST is by construction an aborted commit (the
+      // pointer flips last, under this lock), so clear it rather than wedge
+      // every future commit on SaveMode.ErrorIfExists — the liveness half
+      // of exactly-once replay (the replayed batch must be able to land).
+      if (Files.exists(dest)) deleteRecursively(dest)
       val sorted = sortKey match {
         case Some(k) if df.columns.contains(k) => df.sortWithinPartitions(k)
         case _ => df

@@ -97,6 +97,67 @@ class SimilaritySpec extends SparkSpec {
     assert(scanned < 0.10, s"IVF scanned fraction = $scanned")
   }
 
+  test("quantizer sample: representative on a cluster-SORTED corpus") {
+    // The failure mode of a limit()-based sample: files laid out by
+    // source/date mean the first partitions describe ONE shard. Sort the
+    // corpus by cluster and give the trainer a sample budget far below the
+    // corpus size — a first-partitions draw would see ~4 of 20 clusters
+    // and recall would collapse; the hash-ordered draw stays uniform.
+    val rnd = new scala.util.Random(31)
+    val dim = 16; val nClusters = 20; val perCluster = 60
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val centers = Array.fill(nClusters)(
+      unit(Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val points = for {
+      c <- 0 until nClusters
+      i <- 0 until perCluster
+    } yield {
+      val v = unit(centers(c).map(x => x + 0.15f * rnd.nextGaussian().toFloat))
+      ((c * perCluster + i).toLong, v)
+    }
+    // Strictly cluster-ordered physical layout (range partition + sort).
+    val corpus = points.toDF("vec_id", "embedding")
+      .repartitionByRange(8, col("vec_id")).sortWithinPartitions("vec_id")
+    val queries = points.take(5).toDF("query_id", "qvec")
+
+    val centroids = Similarity.trainIvfCentroids(
+      corpus, "embedding", nLists = nClusters, seed = 42L, sampleSize = 256)
+    val approx = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 10,
+      nLists = nClusters, nProbe = 2, centroidsOpt = Some(centroids))
+      .select("query_id", "neighbor_id")
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 10)
+      .select("query_id", "neighbor_id")
+    val hit = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val recall = hit.toDouble / exact.count()
+    assert(recall >= 0.8, s"IVF recall@10 on sorted corpus = $recall")
+  }
+
+  test("quantizer sample: identical regardless of partitioning") {
+    val base = Tables.embeddings(spark, sfDir)
+    val a = Similarity.trainIvfCentroids(
+      base.repartition(3), "embedding", nLists = 8, sampleSize = 200)
+    val b = Similarity.trainIvfCentroids(
+      base.repartition(11), "embedding", nLists = 8, sampleSize = 200)
+    assert(a === b, "hash-ordered sample must not depend on partitioning")
+  }
+
+  test("NearestCentroids: NaN vector is routed to a list, not a crash") {
+    import graft.plans.VectorExpressions.nearestCentroids
+    val dirty = Seq((1L, Array(Float.NaN, 1f)), (2L, Array(1f, 0f)))
+      .toDF("id", "v")
+    val cents: Seq[Seq[Double]] = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val out = dirty.select(col("id"),
+      element_at(nearestCentroids(col("v"), cents, 1), 1).as("list_id"))
+      .as[(Long, Int)].collect().toMap
+    assert(out(1L) >= 0 && out(1L) < 2) // dirty row got SOME list
+    assert(out(2L) === 0)               // clean row got the right one
+  }
+
   test("embeddingNearDupPairs: planted duplicate vector is found") {
     val dup = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") === 0)

@@ -166,6 +166,24 @@ class StoreMutationSpec extends SparkSpec {
     assert(mut.appendBatchOnce(Seq("T1").toDF("tool_name"), "inbox2", 0L))
   }
 
+  test("commit recovers from an orphaned next-version directory (crash liveness)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-orphan")
+    val store = new SnapshotStore(dir.toString, spark)
+    store.commit("t", Seq((1, "a")).toDF("k", "v"))
+    // Simulate a writer that died after v2's parquet write but before the
+    // pointer flip: an orphaned v00002 exists, LATEST still points at v1.
+    // The next commit (e.g. the replayed micro-batch) must land as v2
+    // instead of wedging forever on SaveMode.ErrorIfExists.
+    val orphan = dir.resolve("t").resolve("v00002")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("part-00000-junk.parquet"), "garbage")
+    val v = store.commit("t", Seq((2, "b")).toDF("k", "v"))
+    assert(v === 2L)
+    assert(store.loadVersion("t", 2).as[(Int, String)].collect().toSet === Set((2, "b")))
+    assert(store.loadVersion("t", 1).as[(Int, String)].collect().toSet === Set((1, "a")))
+  }
+
   test("E1+E2 slice: ingest real sample → getAllTools → JSON envelope") {
     val path = "/root/reference/sample-data/Sample_Input.csv"
     assume(new java.io.File(path).exists())

@@ -122,6 +122,16 @@ class TextDedupSpec extends SparkSpec {
     assert(Dedup.simhashBlockCombos(b, 6).size === 210) // C(10,4)
   }
 
+  test("simhash combo-count guard holds on the expression itself") {
+    // The native expression is the execution path; it must reject a
+    // combinatorial key explosion even when simhashBlockCombos is
+    // bypassed — (32, 6) would emit ~906k structs per row.
+    intercept[IllegalArgumentException] {
+      graft.plans.VectorExpressions.simhashComboKeys(
+        org.apache.spark.sql.functions.lit(0L), nBlocks = 32, maxHamming = 6)
+    }
+  }
+
   test("simhash combo keys: every ≤h pair shares a key, exhaustively") {
     // Exhaustive pigeonhole check in local Scala (no Spark): for a base
     // hash and EVERY set of ≤h flipped bit positions drawn from a spread
