@@ -122,11 +122,19 @@ final class SnapshotStore(rootDir: String, spark: SparkSession) {
 
   /** Table metadata as of the latest committed version (empty if none).
     * Carried forward by every commit, so a key survives unrelated writes. */
-  def latestMeta(table: String): Map[String, String] = {
-    val v = currentVersion(table)
-    if (v == 0) Map.empty
+  def latestMeta(table: String): Map[String, String] =
+    metaForVersion(table, currentVersion(table))
+
+  /** Table metadata as of a SPECIFIC committed version. Version dirs are
+    * immutable once the pointer has flipped, so resolving a version number
+    * once and reading both its data and its meta gives readers a
+    * CONSISTENT lock-free view — two independent "latest" reads could
+    * straddle a concurrent commit and pair one version's data with
+    * another's metadata. */
+  def metaForVersion(table: String, version: Long): Map[String, String] = {
+    if (version == 0) Map.empty
     else {
-      val f = metaFile(versionDir(table, v))
+      val f = metaFile(versionDir(table, version))
       if (!Files.exists(f)) Map.empty
       else Files.readString(f).linesIterator.filter(_.contains("="))
         .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
@@ -164,6 +172,21 @@ final class SnapshotStore(rootDir: String, spark: SparkSession) {
     } finally l.unlock()
   }
 
+  /** Like transactEither, but `fn` also returns the metadata entries to
+    * commit — for metadata that must be COMPUTED under the table lock
+    * (e.g. a delta chain's parent-version list, which a concurrent commit
+    * would invalidate if read before locking). */
+  def transactWith[A](table: String, sortKey: Option[String] = None)
+      (fn: Option[DataFrame] => Either[A, (DataFrame, Map[String, String])])
+      : Either[A, Long] = {
+    val l = lockFor(table)
+    l.lock()
+    try fn(loadIfExists(table)) match {
+      case Left(a) => Left(a)
+      case Right((df, meta)) => Right(commit(table, df, sortKey, meta))
+    } finally l.unlock()
+  }
+
   private def writePointerAtomically(table: String, version: Long): Unit = {
     val tmp = tableDir(table).resolve(s".LATEST.tmp.${Thread.currentThread().getId}")
     Files.createDirectories(tableDir(table))
@@ -173,12 +196,28 @@ final class SnapshotStore(rootDir: String, spark: SparkSession) {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Drop all versions strictly older than `keepFrom` (vacuum). */
+  /** Drop all versions strictly older than `keepFrom` (vacuum). NOT for
+    * delta-chained index tables — a chained version references older dirs;
+    * use VectorIndex.vacuumIndex there, which keeps the live chain. */
   def vacuum(table: String, keepFrom: Long): Unit = {
     val l = lockFor(table)
     l.lock()
     try versions(table).filter(_ < keepFrom).foreach { v =>
       deleteRecursively(versionDir(table, v))
+    } finally l.unlock()
+  }
+
+  /** Drop a specific set of committed versions (chain-aware vacuum
+    * support). The current version is never dropped; the caller computes
+    * which versions are safe (VectorIndex.vacuumIndex keeps the live
+    * delta chain). */
+  def dropVersions(table: String, drop: Set[Long]): Unit = {
+    val l = lockFor(table)
+    l.lock()
+    try {
+      val cur = currentVersion(table)
+      versions(table).filter(v => drop.contains(v) && v != cur)
+        .foreach(v => deleteRecursively(versionDir(table, v)))
     } finally l.unlock()
   }
 

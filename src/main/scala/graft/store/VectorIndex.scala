@@ -5,7 +5,7 @@ import org.apache.spark.sql.DataFrame
 import graft.functions.Similarity
 
 /** Persistent IVFPQ vector index over the snapshot store — build once,
-  * query many.
+  * query many, append in O(batch).
   *
   * `sim_ivfpq_topk` retrains its quantizers and re-encodes the corpus on
   * every invocation; at corpus scale those are the expensive parts (one
@@ -19,15 +19,25 @@ import graft.functions.Similarity
   * partitions by list_id (row-group stats prune probed lists the way
   * SORTKEY pruned point lookups). The trained parameters — IVF centroids
   * and PQ codebooks — ride in the snapshot METADATA, committed atomically
-  * with the data, so an index version is self-contained: readers can never
-  * pair new codes with old codebooks. Rebuilds are just new versions;
-  * time travel and vacuum apply unchanged. */
+  * with the data, so an index version is self-contained. Readers resolve
+  * ONE version number and take both data and parameters from it, so new
+  * codes can never pair with old codebooks.
+  *
+  * Appends are DELTA versions: the new version directory holds only the
+  * encoded batch, and its metadata records the parent version dirs that
+  * complete the index (`ivfpq.parts`). N appends therefore cost
+  * O(sum of batch sizes), not N full corpus rewrites. Once the chain
+  * reaches `compactEvery` members, the next append folds everything into
+  * a fresh full snapshot, bounding read fan-in; `vacuumIndex` then drops
+  * the dirs outside the live chain. Rebuilds (`build`) are full snapshots
+  * — retrain when the data distribution drifts. */
 object VectorIndex {
 
   private val P = "ivfpq." // metadata key prefix
 
   /** Train quantizers, encode the corpus, commit as the next version of
-    * `indexTable`. Returns the committed version. */
+    * `indexTable` (a full snapshot — empty delta chain). Returns the
+    * committed version. */
   def build(store: SnapshotStore, indexTable: String, corpus: DataFrame,
             idCol: String, vecCol: String, dim: Int,
             nLists: Int = 64, m: Int = 16, kCodes: Int = 16,
@@ -41,26 +51,64 @@ object VectorIndex {
         s"${P}nLists" -> nLists.toString,
         s"${P}m" -> m.toString,
         s"${P}kCodes" -> kCodes.toString,
+        s"${P}parts" -> "",
         s"${P}centroids" -> encodeMatrix(centroids),
         s"${P}codebooks" -> encodeCube(codebooks)))
   }
 
+  /** Version dirs whose rows make up index version `v`: the recorded
+    * parent deltas/base, then v itself. Empty `parts` ⇒ v is a full
+    * snapshot. */
+  private def chainOf(meta: Map[String, String], v: Long): Seq[Long] =
+    meta.get(s"${P}parts").filter(_.nonEmpty)
+      .map(_.split(",").toSeq.map(_.toLong)).getOrElse(Seq.empty) :+ v
+
+  private def loadChain(store: SnapshotStore, table: String, v: Long,
+                        meta: Map[String, String]): DataFrame =
+    chainOf(meta, v).map(store.loadVersion(table, _)).reduce(_ unionByName _)
+
+  /** The live index contents (delta-chain union) as of the current
+    * version — the chained-table counterpart of `store.load`. */
+  def load(store: SnapshotStore, indexTable: String): DataFrame = {
+    val v = store.currentVersion(indexTable)
+    loadChain(store, indexTable, v, store.metaForVersion(indexTable, v))
+  }
+
   /** Append new vectors to an existing index: encode them with the
     * CURRENT version's trained parameters (no retrain — centroids/codebooks
-    * describe the space, not the rows) and commit corpus ∪ batch as the
-    * next version. Parameters are read INSIDE the transaction, so a
-    * concurrent rebuild cannot swap codebooks between encode and commit;
-    * appends serialize under the table lock like every store mutation.
-    * Retrain-by-rebuild (`build`) when the data distribution drifts — it
-    * is just another version. */
+    * describe the space, not the rows) and commit ONLY the encoded batch
+    * as a delta version linking the previous chain. Parameters and chain
+    * are read INSIDE the transaction, so a concurrent rebuild cannot swap
+    * codebooks between encode and commit; appends serialize under the
+    * table lock like every store mutation. Every `compactEvery` chain
+    * members the append folds the chain into a full snapshot instead. */
   def append(store: SnapshotStore, indexTable: String, newVectors: DataFrame,
-             idCol: String, vecCol: String): Long =
-    store.transactEither[Unit](indexTable, sortKey = Some("list_id")) { cur =>
-      val (centroids, codebooks, _) = readParams(store, indexTable)
+             idCol: String, vecCol: String, compactEvery: Int = 8): Long =
+    store.transactWith[Nothing](indexTable, sortKey = Some("list_id")) { _ =>
+      val v = store.currentVersion(indexTable)
+      val meta = store.metaForVersion(indexTable, v)
+      val (centroids, codebooks, _) = paramsFrom(meta, indexTable)
       val encoded = Similarity.ivfPqEncode(
         newVectors, idCol, vecCol, centroids, codebooks)
-      Right(cur.map(_.unionByName(encoded)).getOrElse(encoded))
-    }.toOption.get
+      Right(withChain(store, indexTable, v, meta, encoded, compactEvery,
+        Map.empty))
+    }.merge
+
+  /** Delta-or-compact decision shared by append and appendBatchOnce:
+    * below the threshold the new version is the batch alone (O(batch)
+    * write); at it, the chain folds into a full snapshot (amortized
+    * O(corpus/compactEvery) per append). */
+  private def withChain(store: SnapshotStore, table: String, v: Long,
+                        meta: Map[String, String], encoded: DataFrame,
+                        compactEvery: Int, extraMeta: Map[String, String])
+      : (DataFrame, Map[String, String]) = {
+    val chain = chainOf(meta, v)
+    if (chain.length >= compactEvery)
+      (loadChain(store, table, v, meta).unionByName(encoded),
+        extraMeta + (s"${P}parts" -> ""))
+    else
+      (encoded, extraMeta + (s"${P}parts" -> chain.mkString(",")))
+  }
 
   /** Exactly-once streaming append: the same batch-id watermark discipline
     * as the catalog ingest (Mutations.appendBatchOnce) — the last applied
@@ -70,18 +118,20 @@ object VectorIndex {
     * applied, false if skipped as a replay. */
   def appendBatchOnce(store: SnapshotStore, indexTable: String,
                       batch: DataFrame, idCol: String, vecCol: String,
-                      streamId: String, batchId: Long): Boolean = {
+                      streamId: String, batchId: Long,
+                      compactEvery: Int = 8): Boolean = {
     val metaKey = s"stream.$streamId.lastBatchId"
-    store.transactEither[Unit](indexTable, sortKey = Some("list_id"),
-      meta = Map(metaKey -> batchId.toString)) { cur =>
-      val last = store.latestMeta(indexTable).get(metaKey)
-        .map(_.toLong).getOrElse(-1L)
+    store.transactWith[Unit](indexTable, sortKey = Some("list_id")) { _ =>
+      val v = store.currentVersion(indexTable)
+      val meta = store.metaForVersion(indexTable, v)
+      val last = meta.get(metaKey).map(_.toLong).getOrElse(-1L)
       if (batchId <= last) Left(())
       else {
-        val (centroids, codebooks, _) = readParams(store, indexTable)
+        val (centroids, codebooks, _) = paramsFrom(meta, indexTable)
         val encoded = Similarity.ivfPqEncode(
           batch, idCol, vecCol, centroids, codebooks)
-        Right(cur.map(_.unionByName(encoded)).getOrElse(encoded))
+        Right(withChain(store, indexTable, v, meta, encoded, compactEvery,
+          Map(metaKey -> batchId.toString)))
       }
     }.isRight
   }
@@ -105,23 +155,41 @@ object VectorIndex {
       .start()
 
   /** Top-k over the latest committed index version: probe + ADC only — no
-    * training, no vector scan. */
+    * training, no vector scan.
+    *
+    * The version is resolved ONCE and both the chain data and the trained
+    * parameters are read from it: two independent "latest" reads could
+    * straddle a concurrent rebuild and pair one version's PQ codes with
+    * another version's codebooks, silently corrupting every ADC score.
+    * Version dirs and their meta are immutable, so the single resolution
+    * is a consistent lock-free read. */
   def query(store: SnapshotStore, indexTable: String, queries: DataFrame,
             queryIdCol: String, queryVecCol: String,
             k: Int = 10, nProbe: Int = 8): DataFrame = {
-    val (centroids, codebooks, kCodes) = readParams(store, indexTable)
-    Similarity.ivfPqScore(store.load(indexTable), queries,
+    val v = store.currentVersion(indexTable)
+    val meta = store.metaForVersion(indexTable, v)
+    val (centroids, codebooks, kCodes) = paramsFrom(meta, indexTable)
+    Similarity.ivfPqScore(loadChain(store, indexTable, v, meta), queries,
       queryIdCol, queryVecCol, centroids, codebooks, k, nProbe, kCodes)
   }
 
-  /** Trained parameters of the latest committed version:
+  /** Drop every version dir NOT referenced by the current version's delta
+    * chain. The chain-aware replacement for SnapshotStore.vacuum (which
+    * assumes every version is a full snapshot); like any vacuum, time
+    * travel to the dropped versions is gone. */
+  def vacuumIndex(store: SnapshotStore, indexTable: String): Unit = {
+    val v = store.currentVersion(indexTable)
+    val live = chainOf(store.metaForVersion(indexTable, v), v).toSet
+    store.dropVersions(indexTable, store.versions(indexTable).toSet -- live)
+  }
+
+  /** Trained parameters recorded in a version's metadata:
     * (centroids, codebooks, kCodes). */
-  private def readParams(store: SnapshotStore, indexTable: String)
+  private def paramsFrom(meta: Map[String, String], table: String)
       : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]], Int) = {
-    val meta = store.latestMeta(indexTable)
     def req(key: String): String = meta.getOrElse(P + key,
       throw new IllegalStateException(
-        s"$indexTable has no committed IVFPQ metadata '$P$key'"))
+        s"$table has no committed IVFPQ metadata '$P$key'"))
     (decodeMatrix(req("centroids")), decodeCube(req("codebooks")),
       req("kCodes").toInt)
   }

@@ -84,7 +84,7 @@ class VectorIndexSpec extends SparkSpec {
     val v2 = VectorIndex.append(store, "idx",
       late.toDF("vec_id", "embedding"), "vec_id", "embedding")
     assert(v2 === 2L)
-    assert(store.load("idx").count() === points.size.toLong)
+    assert(VectorIndex.load(store, "idx").count() === points.size.toLong)
     // an appended vector is retrievable and its neighborhood is its cluster
     val q = late.take(3).toDF("query_id", "qvec")
     val out = VectorIndex.query(store, "idx", q, "query_id", "qvec",
@@ -121,14 +121,59 @@ class VectorIndexSpec extends SparkSpec {
         .find(_.getFileName.toString.endsWith(".parquet")).get
       Files.copy(found, inbox.resolve("batch1.parquet"))
       query.processAllAvailable()
-      assert(store.load("idx").count() === points.size.toLong)
+      assert(VectorIndex.load(store, "idx").count() === points.size.toLong)
     } finally query.stop()
 
     // a replayed batch id is skipped — no duplicate vectors
     val applied = VectorIndex.appendBatchOnce(store, "idx", lateDf,
       "vec_id", "embedding", "vector-inbox", batchId = 0L)
     assert(!applied, "stale batch id must be skipped")
-    assert(store.load("idx").count() === points.size.toLong)
+    assert(VectorIndex.load(store, "idx").count() === points.size.toLong)
+  }
+
+  test("append writes O(batch) deltas; compaction folds; vacuum keeps the chain") {
+    val dir = Files.createTempDirectory("graft-vindex5").toString
+    val store = new SnapshotStore(dir, spark)
+    val points = clustered(35)
+    // interleaved holdout: every 8th point (150 of 1200), so the trained
+    // quantizers have seen every cluster the appended batches land in
+    val (rest, seedPts) = points.partition(_._1 % 8 == 0L)
+    val batches = rest.grouped(50).toSeq // 3 × 50
+    VectorIndex.build(store, "idx", seedPts.toDF("vec_id", "embedding").repartition(4),
+      "vec_id", "embedding", dim = 16, nLists = 20, m = 4, kCodes = 16)
+
+    // Deltas: each appended VERSION DIRECTORY holds only its batch — the
+    // write cost of an append is O(batch), not a full corpus rewrite.
+    val v2 = VectorIndex.append(store, "idx",
+      batches(0).toDF("vec_id", "embedding"), "vec_id", "embedding",
+      compactEvery = 3)
+    assert(store.loadVersion("idx", v2).count() === 50L, "append rewrote the corpus")
+    val v3 = VectorIndex.append(store, "idx",
+      batches(1).toDF("vec_id", "embedding"), "vec_id", "embedding",
+      compactEvery = 3)
+    assert(store.loadVersion("idx", v3).count() === 50L)
+    // ... while the live index unions the whole chain
+    assert(VectorIndex.load(store, "idx").count() === 1150L)
+
+    // Third chain member hits compactEvery=3: the chain folds into a full
+    // snapshot and the parts list resets.
+    val v4 = VectorIndex.append(store, "idx",
+      batches(2).toDF("vec_id", "embedding"), "vec_id", "embedding",
+      compactEvery = 3)
+    assert(store.loadVersion("idx", v4).count() === 1200L, "compaction did not fold")
+    assert(store.metaForVersion("idx", v4)("ivfpq.parts") === "")
+
+    // Chain-aware vacuum drops everything outside the live chain...
+    VectorIndex.vacuumIndex(store, "idx")
+    assert(store.versions("idx") === Seq(v4))
+    // ...and the index still answers (cluster-true for an appended vector)
+    val q = batches(2).take(3).toDF("query_id", "qvec")
+    val out = VectorIndex.query(store, "idx", q, "query_id", "qvec",
+      k = 10, nProbe = 2)
+    assert(out.groupBy("query_id").count()
+      .filter(col("count") =!= 10).count() === 0)
+    assert(out.filter(floor(col("neighbor_id") / 60) =!=
+      floor(col("query_id") / 60)).count() === 0)
   }
 
   test("matrix/cube metadata serialization round-trips bit-exactly") {
