@@ -89,42 +89,39 @@ object Similarity {
   def lshBucket(vec: Column, dim: Int, nPlanes: Int = 12, seed: Long = 42L): Column =
     graft.plans.VectorExpressions.hyperplaneBucket(vec, dim, nPlanes, seed)
 
-  /** Approximate top-k: probe the query's own bucket plus all buckets at
-    * Hamming distance ≤ `multiprobe` (flipping low-index planes) — recall
-    * knob without re-bucketing the corpus.
+  /** Approximate top-k with margin-ordered multiprobe: each query probes
+    * its home bucket plus the `multiprobe` NEAREST perturbation buckets
+    * (ranked by the summed |margin| of the flipped hyperplanes — the
+    * buckets a true neighbor most plausibly fell into; see
+    * graft.plans.HyperplaneProbes). Probe sets are nested in the budget,
+    * so recall is monotone in `multiprobe` without re-bucketing the
+    * corpus. `multiprobe = 0` probes the home bucket only.
     *
     * Scale shape: corpus bucketed once (shuffle on 8-byte key); query side
     * explodes to (bucket, query) pairs and joins bucket-to-bucket. Each
     * task handles one bucket's candidates; skew bounded by bucket count
-    * (2^nPlanes ≫ executors). */
+    * (2^nPlanes ≫ executors). No candidate dedup pass is needed: probed
+    * buckets are distinct and a corpus vector lives in exactly one. */
   def annTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, queryIdCol: String, queryVecCol: String,
               dim: Int, k: Int = 10, nPlanes: Int = 12,
-              multiprobe: Int = 1, seed: Long = 42L): DataFrame = {
+              multiprobe: Int = 8, seed: Long = 42L): DataFrame = {
+    import graft.plans.VectorExpressions.hyperplaneProbes
     val bucketed = corpus.select(col(idCol).as("neighbor_id"),
       unitVector(col(vecCol)).as("uv"),
       lshBucket(col(vecCol), dim, nPlanes, seed).as("bucket"))
 
-    val qBucket = queries
+    val qProbes = queries
       .select(col(queryIdCol).as("query_id"),
         unitVector(col(queryVecCol)).as("quv"),
-        lshBucket(col(queryVecCol), dim, nPlanes, seed).as("bucket0"))
-    // Multiprobe: the home bucket + single-bit flips of the first
-    // `multiprobe * nPlanes`... keep it simple: flip each of the nPlanes
-    // bits when multiprobe >= 1 (nPlanes+1 probes per query).
-    val probes: Column =
-      if (multiprobe <= 0) array(col("bucket0"))
-      else array(col("bucket0") +:
-        (0 until nPlanes).map(i => col("bucket0").bitwiseXOR(lit(1L << i))): _*)
-    val qProbes = qBucket
-      .withColumn("bucket", explode(probes))
+        hyperplaneProbes(col(queryVecCol), dim, nPlanes,
+          math.max(multiprobe, 0), seed).as("probes"))
+      .withColumn("bucket", explode(col("probes")))
       .select(col("query_id"), col("quv"), col("bucket"))
 
     val scored = bucketed.join(broadcast(qProbes), Seq("bucket"))
       .select(col("query_id"), col("neighbor_id"),
         dot(col("uv"), col("quv")).as("sim"))
-      // a corpus vector can match several probes of one query
-      .dropDuplicates("query_id", "neighbor_id")
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)

@@ -189,6 +189,109 @@ case class HyperplaneBucket(child: Expression, dim: Int, nPlanes: Int, seed: Lon
     copy(child = newChild)
 }
 
+/** Margin-ordered multiprobe: the home hyperplane-LSH bucket plus the
+  * `nProbes` NEAREST perturbation buckets → array<long>, home first.
+  *
+  * A query vector close to a hyperplane could land on either side —
+  * flipping that near-boundary bit reaches the bucket its near-neighbors
+  * most plausibly fell into. Perturbations are ranked by the summed
+  * |margin| of their flipped planes and generated best-first with the
+  * standard expand/shift heap (each subset of planes reached exactly
+  * once, in nondecreasing-score order), so probe budget T buys the T
+  * most promising buckets — not an indiscriminate ring of single-bit
+  * flips. Probe sets are NESTED in T: recall is monotone in the budget
+  * by construction. */
+case class HyperplaneProbes(child: Expression, dim: Int, nPlanes: Int,
+                            nProbes: Int, seed: Long)
+    extends UnaryExpression {
+
+  require(nPlanes >= 1 && nPlanes <= 62, s"nPlanes=$nPlanes out of range")
+  require(nProbes >= 0, s"nProbes=$nProbes must be non-negative")
+
+  @transient private lazy val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_probes needs array<float|double>, got ${other.simpleString}")
+    }
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  def compute(v: ArrayData): ArrayData = {
+    val n = math.min(v.numElements(), dim)
+    val margins = new Array[Double](nPlanes)
+    var home = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val plane = planes(p)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        s += x * plane(i)
+        i += 1
+      }
+      margins(p) = s
+      if (s > 0) home |= (1L << p)
+      p += 1
+    }
+    // order(j) = plane index of the j-th cheapest flip
+    val order = Array.range(0, nPlanes).sortBy(j => math.abs(margins(j)))
+    val cost = order.map(j => math.abs(margins(j)))
+    val avail = (1L << nPlanes) - 1 // non-empty subsets
+    val t = math.min(nProbes.toLong, avail).toInt
+    val out = new Array[Any](t + 1)
+    out(0) = home
+    if (t > 0) {
+      // (score, sorted-position mask, max position) — expand/shift heap
+      val pq = new java.util.PriorityQueue[(Double, Long, Int)](
+        11, (a, b) => java.lang.Double.compare(a._1, b._1))
+      pq.add((cost(0), 1L, 0))
+      var emitted = 0
+      while (emitted < t && !pq.isEmpty) {
+        val (score, mask, maxPos) = pq.poll()
+        var flip = 0L
+        var j = 0
+        while (j <= maxPos) {
+          if (((mask >>> j) & 1L) == 1L) flip |= (1L << order(j))
+          j += 1
+        }
+        emitted += 1
+        out(emitted) = home ^ flip
+        if (maxPos + 1 < nPlanes) {
+          pq.add((score + cost(maxPos + 1),
+            mask | (1L << (maxPos + 1)), maxPos + 1))
+          pq.add((score - cost(maxPos) + cost(maxPos + 1),
+            (mask & ~(1L << maxPos)) | (1L << (maxPos + 1)), maxPos + 1))
+        }
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplaneProbes", this,
+      classOf[HyperplaneProbes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** MinHash signature of a string-shingle array → array<long> of `k` slots.
   *
   * Each shingle is hashed ONCE with xxhash64 (the same `XxHash64Function`
@@ -625,6 +728,11 @@ object VectorExpressions {
   def hyperplaneBucket(vec: Column, dim: Int, nPlanes: Int, seed: Long): Column =
     GraftColumnBridge.column(HyperplaneBucket(
       GraftColumnBridge.expression(vec), dim, nPlanes, seed))
+
+  def hyperplaneProbes(vec: Column, dim: Int, nPlanes: Int, nProbes: Int,
+                       seed: Long): Column =
+    GraftColumnBridge.column(HyperplaneProbes(
+      GraftColumnBridge.expression(vec), dim, nPlanes, nProbes, seed))
 
   def simhashComboKeys(sh64: Column, nBlocks: Int, maxHamming: Int): Column =
     GraftColumnBridge.column(SimHashComboKeys(

@@ -158,15 +158,17 @@ object ExtensionQueries {
       embs(s, d), "vec_id", "embedding",
       queryVectors(s, d), "query_id", "qvec", k = 10)
 
-  /** ANN top-10 via hyperplane LSH with multiprobe. 8 planes = 256
-    * buckets; with 1-bit multiprobe ≈3.6% of the corpus is scored per
-    * query — a ~5× recall enrichment over random sampling on isotropic
-    * vectors (far higher on clustered real-world embeddings). */
+  /** ANN top-10 via hyperplane LSH with margin-ordered multiprobe.
+    * 8 planes = 256 buckets; home + the 8 nearest perturbation buckets
+    * score ≈3.6% of the corpus per query — a ~5× recall enrichment over
+    * random sampling on isotropic vectors (far higher on clustered
+    * real-world embeddings), and strictly better-targeted than the same
+    * budget spent on blind single-bit flips. */
   def simAnnTopK(s: SparkSession, d: String): DataFrame =
     Similarity.annTopK(
       embs(s, d), "vec_id", "embedding",
       queryVectors(s, d), "query_id", "qvec",
-      dim = 64, k = 10, nPlanes = 8, multiprobe = 1)
+      dim = 64, k = 10, nPlanes = 8, multiprobe = 8)
 
   /** IVF ANN top-10: data-learned coarse quantizer (spherical k-means on
     * a bounded sample) + nProbe-list probe. On the isotropic synthetic

@@ -97,6 +97,42 @@ class SimilaritySpec extends SparkSpec {
     assert(scanned < 0.10, s"IVF scanned fraction = $scanned")
   }
 
+  test("multiprobe: home-first, distinct, saturates the keyspace") {
+    import graft.plans.VectorExpressions.{hyperplaneBucket, hyperplaneProbes}
+    val df = Seq((1L, Array(0.3f, -0.7f, 0.2f, 0.9f))).toDF("id", "v")
+    val row = df.select(
+      hyperplaneBucket(col("v"), 4, 3, 42L).as("home"),
+      hyperplaneProbes(col("v"), 4, 3, 99, 42L).as("probes")).first()
+    val home = row.getLong(0)
+    val probes = row.getSeq[Long](1)
+    assert(probes.head === home)
+    // budget clamps to the 2^3-1 available perturbations; every bucket of
+    // the 3-bit keyspace is reached exactly once
+    assert(probes.size === 8)
+    assert(probes.toSet === (0L until 8L).toSet)
+  }
+
+  test("multiprobe: recall non-decreasing in the probe budget") {
+    // Probe sets are nested in the budget (best-first generation), so the
+    // candidate set — and recall — can only grow with the knob.
+    val corpus = Tables.embeddings(spark, sfDir)
+    val queries = corpus.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 10).select("query_id", "neighbor_id")
+    val nExact = exact.count().toDouble
+    def recallAt(mp: Int): Double = {
+      val approx = Similarity.annTopK(corpus, "vec_id", "embedding",
+        queries, "query_id", "qvec", dim = 64, k = 10, nPlanes = 8,
+        multiprobe = mp).select("query_id", "neighbor_id")
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi").count() / nExact
+    }
+    val curve = Seq(0, 4, 16, 64).map(recallAt)
+    assert(curve.sliding(2).forall { case Seq(a, b) => b >= a - 1e-9 },
+      s"recall curve $curve not monotone in the probe budget")
+    assert(curve.last > curve.head, s"recall curve $curve is flat")
+  }
+
   test("quantizer sample: representative on a cluster-SORTED corpus") {
     // The failure mode of a limit()-based sample: files laid out by
     // source/date mean the first partitions describe ONE shard. Sort the
