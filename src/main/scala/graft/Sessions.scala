@@ -19,6 +19,41 @@ object Sessions {
     .config("spark.sql.files.maxPartitionBytes", "32m")
     .config("spark.ui.enabled", "false")
 
+  /** Production-cluster AQE/skew tuning, applied to a LIVE session (all
+    * runtime-settable SQL confs — usable on a session someone else built).
+    *
+    * The test suites override these knobs DOWN to toy thresholds so skew
+    * handling is observable on kilobyte fixtures (ScaleJoinSpec); these
+    * are the values a real 1000-executor run wants, with the reasoning
+    * recorded so they are tuned, not cargo-culted:
+    *
+    *  - skew split at 5× the median partition AND ≥ 256 MB: the Spark
+    *    defaults — a partition below 256 MB sorts fine in a multi-GB
+    *    executor, and below 5× median the imbalance is noise.
+    *  - advisory partition size 64 MB: post-shuffle coalesce target;
+    *    small enough to keep thousands of cores busy, large enough that
+    *    per-task overhead (~100 ms) stays < 5% of task time.
+    *  - broadcast threshold 64 MB: cluster executors (4–8 GB/core) hold a
+    *    64 MB dim table comfortably; star-schema joins then never shuffle
+    *    the fact side (the local[] default of 10 MB undersells this).
+    *  - `totalCores` > 0 sets shuffle.partitions to 3× cores: enough
+    *    granularity for AQE to coalesce DOWN (it cannot split an
+    *    under-partitioned stage except via skew-split).
+    */
+  def tuneForCluster(s: SparkSession, totalCores: Int = 0): SparkSession = {
+    val c = s.conf
+    c.set("spark.sql.adaptive.enabled", "true")
+    c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "5.0")
+    c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256m")
+    c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+    c.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    if (totalCores > 0)
+      c.set("spark.sql.shuffle.partitions", (totalCores * 3).toString)
+    s
+  }
+
   def local(cpus: Int, appName: String = "graft"): SparkSession = {
     val s = tune(SparkSession.builder()
       .master(s"local[$cpus]")

@@ -37,26 +37,43 @@ object StreamingSessions {
   case class OpenSession(session_start_us: Long, last_ts_us: Long,
                          n_events: Long, value_cents: Long)
 
+  /** Per-user managed state: the open session (if any) plus the number of
+    * sessions already closed — the streaming carrier of the batch query's
+    * per-user `session_seq`. The counter means a small record stays alive
+    * per ever-seen user even after their session closes (the price of
+    * batch-parity numbering); a production TTL eviction would trade seq
+    * continuity for strictly bounded state. */
+  case class UserSessions(nextSeq: Long, open: Option[OpenSession])
+
   /** A closed session — schema matches the batch EventQueries.sessions
-    * output (minus session_seq, which needs full history to number). */
+    * output, INCLUDING session_seq (0-based per user, in session-start
+    * order — sessions close chronologically per user, so the running
+    * counter reproduces the batch window numbering; a session dropped
+    * entirely by the watermark would shift later seqs, the same caveat as
+    * any late-data drop). */
   case class ClosedSession(user_id: Long, session_start_us: Long,
-                           n_events: Long, session_value_cents: Long)
+                           n_events: Long, session_value_cents: Long,
+                           session_seq: Long)
 
   val DefaultGapUs: Long = 1800L * 1000000L // 30 min, same as batch
 
   /** Fold a sorted run of events into the open-session state, emitting
-    * sessions that close mid-batch. Pure function — unit-testable without
-    * a streaming query. */
+    * sessions that close mid-batch numbered from `startSeq`. Returns
+    * (closed, still-open, next seq). Pure function — unit-testable
+    * without a streaming query. */
   private[graft] def advance(user: Long, events: Array[SessionEvent],
-                                 start: Option[OpenSession], gapUs: Long)
-      : (Seq[ClosedSession], Option[OpenSession]) = {
+                             start: Option[OpenSession], gapUs: Long,
+                             startSeq: Long = 0L)
+      : (Seq[ClosedSession], Option[OpenSession], Long) = {
     var open = start
+    var seq = startSeq
     val closed = Seq.newBuilder[ClosedSession]
     events.foreach { e =>
       open = open match {
         case Some(st) if e.ts_us - st.last_ts_us > gapUs =>
           closed += ClosedSession(user, st.session_start_us, st.n_events,
-            st.value_cents)
+            st.value_cents, seq)
+          seq += 1
           Some(OpenSession(e.ts_us, e.ts_us, 1L, e.value_cents))
         case Some(st) =>
           Some(OpenSession(st.session_start_us,
@@ -66,7 +83,7 @@ object StreamingSessions {
           Some(OpenSession(e.ts_us, e.ts_us, 1L, e.value_cents))
       }
     }
-    (closed.result(), open)
+    (closed.result(), open, seq)
   }
 
   /** Sessionize a streaming events table (schema of Tables.events — must
@@ -91,20 +108,27 @@ object StreamingSessions {
       .as[(Long, Long, Long, Long, java.sql.Timestamp)]
 
     typed.groupByKey(_._1)
-      .flatMapGroupsWithState[OpenSession, ClosedSession](
+      .flatMapGroupsWithState[UserSessions, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, it: Iterator[(Long, Long, Long, Long, java.sql.Timestamp)],
-         state: GroupState[OpenSession]) =>
+         state: GroupState[UserSessions]) =>
           if (state.hasTimedOut) {
             val st = state.get
-            state.remove()
-            Iterator.single(ClosedSession(user, st.session_start_us,
-              st.n_events, st.value_cents))
+            st.open match {
+              case Some(o) =>
+                // keep the counter (session_seq continuity), clear the open
+                state.update(UserSessions(st.nextSeq + 1, None))
+                Iterator.single(ClosedSession(user, o.session_start_us,
+                  o.n_events, o.value_cents, st.nextSeq))
+              case None => Iterator.empty
+            }
           } else {
             val evs = it
               .map(t => SessionEvent(t._1, t._2, t._3, t._4))
               .toArray.sortBy(e => (e.ts_us, e.event_id))
-            val (closed, open) = advance(user, evs, state.getOption, gapUs)
+            val st0 = state.getOption.getOrElse(UserSessions(0L, None))
+            val (closed, open, seq) =
+              advance(user, evs, st0.open, gapUs, st0.nextSeq)
             open match {
               case Some(st) =>
                 // Timeout fires when the watermark passes last event + gap
@@ -114,16 +138,18 @@ object StreamingSessions {
                 // throw — the session is closed; emit it now.
                 val timeoutMs = st.last_ts_us / 1000L + gapUs / 1000L
                 if (state.getCurrentWatermarkMs() >= timeoutMs) {
-                  if (state.exists) state.remove()
+                  state.update(UserSessions(seq + 1, None))
                   (closed :+ ClosedSession(user, st.session_start_us,
-                    st.n_events, st.value_cents)).iterator
+                    st.n_events, st.value_cents, seq)).iterator
                 } else {
-                  state.update(st)
+                  state.update(UserSessions(seq, Some(st)))
                   state.setTimeoutTimestamp(timeoutMs)
                   closed.iterator
                 }
               case None =>
-                if (state.exists) state.remove()
+                // no open session: store the counter only if it carries
+                // information (some session has ever closed)
+                if (seq > 0L || state.exists) state.update(UserSessions(seq, None))
                 closed.iterator
             }
           }

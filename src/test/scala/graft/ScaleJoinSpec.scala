@@ -80,6 +80,28 @@ class ScaleJoinSpec extends SparkSpec {
     }
   }
 
+  test("tuneForCluster sets the production AQE/skew knobs on a live session") {
+    // A derived session shares the SparkContext but owns its SQL conf —
+    // the helper must not need a builder (production hands you a session).
+    val s2 = spark.newSession()
+    Sessions.tuneForCluster(s2, totalCores = 1000)
+    val c = s2.conf
+    assert(c.get("spark.sql.adaptive.enabled") === "true")
+    assert(c.get("spark.sql.adaptive.skewJoin.enabled") === "true")
+    assert(c.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor") === "5.0")
+    assert(c.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes") === "256m")
+    assert(c.get("spark.sql.adaptive.advisoryPartitionSizeInBytes") === "64m")
+    assert(c.get("spark.sql.autoBroadcastJoinThreshold") === "64m")
+    assert(c.get("spark.sql.shuffle.partitions") === "3000")
+    // the parent session's conf is untouched
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === "4")
+    // and a join still runs correctly under the tuned conf
+    val (probe, build) = skewed
+    val n = probe.join(build, Seq("k")).count()
+    val n2 = s2.range(1).sparkSession.sql("SELECT 1").count() // session alive
+    assert(n > 0 && n2 === 1L)
+  }
+
   test("bucketed tables join with zero exchanges") {
     val conf = spark.conf
     val savedBroadcast = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
