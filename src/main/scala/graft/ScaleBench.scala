@@ -1,0 +1,212 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Similarity, TextFunctions => TF}
+import graft.store.{SnapshotStore, VectorIndex}
+
+/** Flagship-scale benchmark: generate a ≥5M-document / ≥1M-vector corpus
+  * locally (same schemas as the driver testdata, so every library entry
+  * point runs unchanged) and measure the dedup/ANN/curation paths on it.
+  * sf0.1 (50k docs / 100k vectors) verifies correctness; THIS is where the
+  * candidate-generation shapes are proven — bucket caps, key-space sizing,
+  * and trainer sampling all behave differently at 100× the rows.
+  *
+  * Usage (via sbt runMain):
+  *   ScaleBench gen <dir> [nDocs] [nVecs]   — write documents/embeddings
+  *   ScaleBench run <dir>                   — time the suite, print JSON
+  *
+  * Planted structure (deterministic, id-keyed — retry/partition stable):
+  *  - ids (100k, 100k+1): word-level near-duplicates (2 of 30–100 tokens
+  *    mutated, Jaccard ≈ 0.9) — MinHash/SimHash must find ~nDocs/100 pairs.
+  *  - ids (500k, 500k+3): EXACT text duplicates — exact dedup finds
+  *    ~nDocs/500 groups.
+  *  - vectors: 1024 gaussian clusters on the unit sphere (the shape IVF
+  *    earns its keep on); ids (1000k, 1000k+7) are near-identical copies
+  *    (cos ≈ 0.9999) — embedding near-dup LSH must find ~nVecs/1000 pairs.
+  *
+  * Scale-aware parameterization (vs the sf0.1 demo settings — the knobs a
+  * production run must scale with the corpus, exercised here):
+  *  - embedding near-dup: 16 bits/table (65k buckets) instead of 8 (256):
+  *    at 1M vectors 256 buckets average ~4k members — EVERY bucket would
+  *    trip the 2k skew cap and recall would silently collapse. Bucket bits
+  *    must grow ~log2(N / target-bucket-size).
+  *  - ANN: 16 planes (vs 8) for the same reason; IVF/IVFPQ: 1024 lists,
+  *    nProbe 16 (~1.6% of the corpus per query).
+  */
+object ScaleBench {
+
+  case class Doc(doc_id: Long, text: String, lang: String, source: String,
+                 n_chars: Long)
+  case class Emb(vec_id: Long, embedding: Array[Float], label: Int)
+
+  /** Letters-only token (digit-free so the curation digit-ratio gate stays
+    * meaningful on synthetic text). */
+  private def word(i: Int): String = {
+    val sb = new StringBuilder
+    var x = i
+    do { sb.append(('a' + x % 26).toChar); x /= 26 } while (x > 0)
+    sb.toString
+  }
+  private val VocabSize = 4096
+
+  private[graft] def genDoc(id: Long): Doc = {
+    val seedId =
+      if (id % 100 == 1) id - 1      // near-dup of the previous doc
+      else if (id % 500 == 3) id - 3 // exact dup three back
+      else id
+    val rnd = new java.util.Random(seedId * 0x9E3779B97F4A7C15L + 17)
+    val n = 30 + rnd.nextInt(70)
+    val toks = Array.fill(n)(word(rnd.nextInt(VocabSize)))
+    if (id % 100 == 1) { // mutate 2 tokens → Jaccard ≈ 0.9 vs the base
+      val mut = new java.util.Random(id * 0x5851F42D4C957F2DL + 11)
+      toks(n - 1) = word(mut.nextInt(VocabSize))
+      toks(n / 2) = word(mut.nextInt(VocabSize))
+    }
+    val text = toks.mkString(" ")
+    val lang = (seedId % 10) match {
+      case 0 => "de"; case 1 => "fr"; case 2 => "ja"; case _ => "en"
+    }
+    Doc(id, text, lang, s"src${seedId % 16}", text.length.toLong)
+  }
+
+  private val Dim = 64
+  private val NClusters = 1024
+
+  private[graft] def genEmb(id: Long): Emb = {
+    val baseId = if (id % 1000 == 7) id - 7 else id
+    val cluster = (baseId % NClusters).toInt
+    val c = new java.util.Random(cluster * 7919L + 3)
+    val center = Array.fill(Dim)(c.nextGaussian().toFloat)
+    val p = new java.util.Random(baseId * 0x9E3779B97F4A7C15L + 29)
+    var v = center.map(x => x + 0.12f * p.nextGaussian().toFloat)
+    if (id % 1000 == 7) { // near-identical copy of baseId (cos ≈ 0.9999)
+      val t = new java.util.Random(id)
+      v = v.map(x => x + 0.002f * t.nextGaussian().toFloat)
+    }
+    val nrm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+    Emb(id, v.map(_ / nrm), cluster % 16)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleBench gen|run <dir> [nDocs] [nVecs]")
+    val mode = args(0); val dir = args(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = Sessions.local(cpus, "graft-scalebench")
+    import spark.implicits._
+    mode match {
+      case "gen" =>
+        val nDocs = if (args.length > 2) args(2).toLong else 5000000L
+        val nVecs = if (args.length > 3) args(3).toLong else 1000000L
+        spark.range(0L, nDocs, 1L, 256).map(id => genDoc(id.toLong)).write
+          .mode("overwrite").parquet(s"$dir/documents.parquet")
+        spark.range(0L, nVecs, 1L, 128).map(id => genEmb(id.toLong)).write
+          .mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        println(s"""{"generated":{"docs":$nDocs,"vecs":$nVecs},"dir":"$dir"}""")
+      case "run" => run(spark, dir)
+      case other => sys.error(s"unknown mode $other")
+    }
+    spark.stop()
+  }
+
+  private def run(spark: SparkSession, dir: String): Unit = {
+    val docs = Tables.documents(spark, dir)
+    val embs = Tables.embeddings(spark, dir)
+    val nDocs = docs.count(); val nVecs = embs.count() // warm footers
+    val queries = embs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+
+    def timed(name: String)(thunk: => Long): (String, Double, Long) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val rows = thunk
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[scalebench] $name%-26s ${sec}%9.2f s  rows=$rows")
+      (name, sec, rows)
+    }
+
+    val storeDir = s"$dir/store-${System.currentTimeMillis()}"
+    val store = new SnapshotStore(storeDir, spark)
+
+    val results = Seq(
+      // aggregates FORCE the per-row expressions (a bare count() would let
+      // Spark prune the projection and time only the scan)
+      timed("text_stats_agg") {
+        docs.select(TF.tokenCount(col("text")).as("t"),
+          TF.qualityScore(col("text")).as("q"))
+          .agg(sum(col("t")), avg(col("q"))).collect()
+        nDocs
+      },
+      timed("dedup_exact_groups") {
+        Dedup.exactGroups(docs, "text", "doc_id")
+          .filter(col("dup_count") > 1).count()
+      },
+      timed("curate_docs") {
+        graft.queries.ExtensionQueries.curateDocs(spark, dir)
+          .agg(sum(col("total_tokens"))).collect()
+        nDocs
+      },
+      timed("pack_shards") {
+        graft.queries.ExtensionQueries.packShards(spark, dir)
+          .agg(max(col("shard_id"))).collect()
+        nDocs
+      },
+      timed("dedup_minhash_pairs") {
+        Dedup.nearDuplicatePairs(docs, "text", "doc_id", threshold = 0.5).count()
+      },
+      timed("dedup_simhash_h3") {
+        Dedup.simhashNearDupPairs(docs, "text", "doc_id", maxHamming = 3).count()
+      },
+      timed("dedup_simhash_h6") {
+        Dedup.simhashNearDupPairs(docs, "text", "doc_id", maxHamming = 6).count()
+      },
+      timed("dedup_embed_pairs") {
+        // 0.999 isolates the planted copies (cos ≈ 0.9999) from ordinary
+        // same-cluster neighbors (cos ≈ 0.986 at this noise level)
+        Similarity.embeddingNearDupPairs(embs, "vec_id", "embedding",
+          dim = Dim, threshold = 0.999, nTables = 8, bitsPerTable = 16).count()
+      },
+      timed("sim_brute_topk") {
+        Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 10).count()
+      },
+      timed("sim_ann_topk") {
+        Similarity.annTopK(embs, "vec_id", "embedding",
+          queries, "query_id", "qvec", dim = Dim, k = 10,
+          nPlanes = 16, multiprobe = 32).count()
+      },
+      timed("sim_ivf_topk") {
+        Similarity.ivfTopK(embs, "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 10, nLists = 1024, nProbe = 16).count()
+      },
+      timed("sim_ivfpq_topk") {
+        Similarity.ivfPqTopK(embs, "vec_id", "embedding",
+          queries, "query_id", "qvec", dim = Dim, k = 10,
+          nLists = 1024, nProbe = 16).count()
+      },
+      timed("index_build") {
+        VectorIndex.build(store, "emb_idx", embs, "vec_id", "embedding",
+          dim = Dim, nLists = 1024)
+        nVecs
+      },
+      timed("index_query") {
+        VectorIndex.query(store, "emb_idx", queries, "query_id", "qvec",
+          k = 10, nProbe = 16).count()
+      },
+      timed("index_append_10k") {
+        import spark.implicits._
+        val batch = spark.range(nVecs, nVecs + 10000L, 1L, 8).map(id => genEmb(id.toLong))
+        VectorIndex.append(store, "emb_idx", batch.toDF(), "vec_id", "embedding")
+        10000L
+      }
+    )
+
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val rows = results.map { case (k, _, r) => "\"" + k + "\":" + r }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"scale_total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"nDocs":$nDocs,"nVecs":$nVecs,"dir":"$dir"}""")
+  }
+}
