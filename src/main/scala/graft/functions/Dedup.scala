@@ -262,36 +262,42 @@ object Dedup {
   def simhashPairsFromHashes(hashed: DataFrame, maxHamming: Int,
                              maxBucketSize: Int = 1000,
                              nBlocks: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val blocks = if (nBlocks > 0) nBlocks else simhashDefaultBlocks(maxHamming)
     val banded = hashed.select(col("id"), col("sh64"),
       explode(simhashComboKeys(col("sh64"), blocks, maxHamming)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
         col("id"), col("sh64"))
 
-    // Oversized-bucket cap via key-only aggregate + broadcast anti-join
-    // (no window over the full bucket table).
-    val oversized = banded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
-      .select(col("band"), col("bucket"))
-    val capped = banded.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK) // one relation into both join sides
+    // ONE shuffle on the bucket key. The previous shape (groupBy count →
+    // broadcast anti-join cap → bucket-key self-join → dropDuplicates →
+    // hamming filter) passed the exploded key rows through THREE
+    // shuffles, and worse, aggregated the unfiltered O(bucket²) candidate
+    // set: at 5M docs / h=6 (210 combos, 1.05B key rows) one
+    // dropDuplicates task burned 25 CPU-minutes on candidates the ham ≤ h
+    // test would discard. Here the single hash exchange feeds a window
+    // (row_number caps degenerate buckets at bounded memory — a bucket
+    // never materializes more than maxBucketSize+1 members), the
+    // collect_list rides the same partitioning (no second exchange;
+    // clustered input → the object agg streams), and HammingPairs emits
+    // only VERIFIED pairs, so the final distinct sees ≤ combos ×
+    // true-pairs rows instead of every candidate (flagship-corpus
+    // before/after in NOTES.md).
+    val w = Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))
+    val members = banded
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxBucketSize + 1)
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("id"), col("sh64"))).as("members"))
+      // size == maxBucketSize+1 marks a truncated degenerate bucket:
+      // dropped whole, same cap semantics as the anti-join version.
+      .filter(size(col("members")).between(2, maxBucketSize))
 
-    val a = capped.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sh64").as("h_a"))
-    val b = capped.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sh64").as("h_b"))
-    val verified = a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), hamming64(col("h_a"), col("h_b")).as("hamming"))
+    members
+      .select(explode(graft.plans.VectorExpressions
+        .hammingPairs(col("members"), maxHamming)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .dropDuplicates("id_a", "id_b")
-      .filter(col("hamming") <= maxHamming)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // Eager materialize + release the banded-key cache (same session-leak
-    // rationale as nearDuplicatePairs); the small verified-pair cache is
-    // the caller's to unpersist.
-    verified.count()
-    capped.unpersist(blocking = false)
-    verified
   }
 
   /** SimHash near-dup pairs from text: hash once, then guaranteed-recall

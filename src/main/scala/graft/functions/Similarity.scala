@@ -407,53 +407,44 @@ object Similarity {
                             nTables: Int = 8, bitsPerTable: Int = 8,
                             seed: Long = 42L,
                             maxBucketSize: Int = 2000): DataFrame = {
-    // Bucket rows carry ONLY (table, bucket, id) — vectors never ride the
-    // pair shuffle; they are joined back for the verify dot product.
+    // ONE shuffle, verify INSIDE the bucket. The previous shape (keys-only
+    // buckets → count/anti-join cap → bucket-key self-join → dropDuplicates
+    // → join vectors back → dot filter) was built on the assumption that
+    // candidate pairs are sparse. On clustered corpora — the realistic
+    // embedding distribution, and the flagship 1M-vector bench (1024 tight
+    // clusters, within-cluster cos ≈ 0.986) — every bucket holds a whole
+    // cluster (~1000 members, under the cap), so the self-join emitted
+    // billions of candidate rows into a dropDuplicates that OOM'd
+    // execution memory. Here the unit vectors ride the single bucket
+    // shuffle (nTables × corpus rows — linear, spillable), a row_number
+    // window caps degenerate buckets at bounded memory, and CosinePairs
+    // computes the verify dot products in-bucket, emitting ONLY true
+    // near-dups. The final distinct sees ≤ nTables × true-pair rows.
+    // Cross-table duplicate verify work costs ≤ nTables× CPU on in-bucket
+    // pairs — linear state, no quadratic materialization anywhere.
     val tableKeys = array((0 until nTables).map { t =>
       struct(lit(t).as("table"),
         lshBucket(col(vecCol), dim, bitsPerTable, seed + t * 7919).as("bucket"))
     }: _*)
-    val buckets = corpus
-      .select(col(idCol).as("id"), explode(tableKeys).as("tk"))
-      .select(col("tk.table").as("table"), col("tk.bucket").as("bucket"), col("id"))
-    val oversized = buckets.groupBy(col("table"), col("bucket"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
-      .select(col("table"), col("bucket"))
-    // Persisted before the self-join: cache substitution swaps the subtree
-    // (with its unrolled hyperplane work) for one InMemoryRelation, so the
-    // join is planned over the cache, not two copies of the bucket plan —
-    // the same measured minutes-of-Catalyst fix as Dedup. persist, NOT
-    // localCheckpoint: cached blocks are recomputable from lineage after
-    // an executor loss; checkpoint blocks die with their executor on a
-    // real cluster. The bucket table is tiny (id + table + bucket).
-    val capped = buckets.join(broadcast(oversized), Seq("table", "bucket"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = corpus
+      .select(col(idCol).as("id"), unitVector(col(vecCol)).as("uv"),
+        explode(tableKeys).as("tk"))
+      .select(col("tk.table").as("table"), col("tk.bucket").as("bucket"),
+        col("id"), col("uv"))
+    val w = Window.partitionBy(col("table"), col("bucket")).orderBy(col("id"))
+    val members = rows
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxBucketSize + 1)
+      .groupBy(col("table"), col("bucket"))
+      .agg(collect_list(struct(col("id"), col("uv"))).as("members"))
+      // size == maxBucketSize+1 marks a truncated degenerate bucket:
+      // dropped whole, same cap semantics as the anti-join version.
+      .filter(size(col("members")).between(2, maxBucketSize))
 
-    val candidates = capped.select(col("table"), col("bucket"), col("id").as("id_a"))
-      .join(capped.select(col("table"), col("bucket"), col("id").as("id_b")),
-        Seq("table", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    members
+      .select(explode(graft.plans.VectorExpressions
+        .cosinePairs(col("members"), threshold)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), round(col("p.cos"), 6).as("cos"))
       .dropDuplicates("id_a", "id_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val unit = corpus.select(col(idCol).as("uid"), unitVector(col(vecCol)).as("uv"))
-    val verified = candidates
-      .join(unit.select(col("uid").as("id_a"), col("uv").as("uv_a")), Seq("id_a"))
-      .join(unit.select(col("uid").as("id_b"), col("uv").as("uv_b")), Seq("id_b"))
-      .withColumn("cos", dot(col("uv_a"), col("uv_b")))
-      .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Materialize the (small: verified pairs only) result eagerly so the
-    // two intermediate caches can be released NOW — CacheManager-registered
-    // blocks are pinned for the session otherwise, and a long-running
-    // driver invoking this repeatedly would accumulate bucket tables
-    // forever. The returned DataFrame reads from its own cache; callers
-    // may unpersist it when done.
-    verified.count()
-    capped.unpersist(blocking = false)
-    candidates.unpersist(blocking = false)
-    verified
   }
 }

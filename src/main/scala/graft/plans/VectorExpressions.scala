@@ -443,6 +443,157 @@ case class SimHashComboKeys(child: Expression, nBlocks: Int, maxHamming: Int)
     copy(child = newChild)
 }
 
+/** Verified near-dup pairs within one LSH bucket: all (id_a, id_b,
+  * hamming) with id_a < id_b and hamming ≤ maxHamming over an
+  * array<struct<id:long, sh64:long>> of bucket members.
+  *
+  * Generating pairs INSIDE the per-bucket aggregate (instead of a
+  * bucket-key self-join followed by a hamming filter) means the O(n²)
+  * candidate set never hits a shuffle or an aggregation map: the 5M-doc
+  * flagship bench spent >20 min in a single dropDuplicates task fed by
+  * the join's unfiltered candidates, while the survivors here are only
+  * the true near-dups (≤ maxBucketSize² per bucket in the worst case,
+  * typically ~0–2). */
+case class HammingPairs(child: Expression, maxHamming: Int)
+    extends UnaryExpression {
+
+  require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming out of range")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id_a", LongType, nullable = false),
+      StructField("id_b", LongType, nullable = false),
+      StructField("hamming", IntegerType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StructType(Array(a, b)), _)
+        if a.dataType == LongType && b.dataType == LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hamming_pairs needs array<struct<bigint,bigint>>, got ${other.simpleString}")
+    }
+
+  def compute(members: ArrayData): ArrayData = {
+    val n = members.numElements()
+    val ids = new Array[Long](n)
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val row = members.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      hs(i) = row.getLong(1)
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val ham = java.lang.Long.bitCount(hs(i) ^ hs(j))
+        if (ham <= maxHamming && ids(i) != ids(j)) {
+          val (lo, hi) = if (ids(i) < ids(j)) (ids(i), ids(j)) else (ids(j), ids(i))
+          out += org.apache.spark.sql.catalyst.InternalRow(lo, hi, ham)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hammingPairs", this, classOf[HammingPairs].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Verified embedding near-dup pairs within one LSH bucket: all
+  * (id_a, id_b, cos) with id_a < id_b and cos ≥ threshold over an
+  * array<struct<id:long, uv:array<double>>> of unit-normalized bucket
+  * members (cos = plain dot on unit vectors).
+  *
+  * Same rationale as HammingPairs: on naturally clustered corpora (the
+  * realistic case for embeddings) hyperplane buckets hold whole clusters
+  * — ~1000 members each on the 1M-vector flagship corpus — so a
+  * bucket-key self-join materializes billions of candidate rows through
+  * a shuffle + dropDuplicates before the verify filter sees them
+  * (measured: execution-memory OOM at 1M vectors). Verifying inside the
+  * bucket keeps the quadratic part pure CPU on ≤ maxBucketSize vectors
+  * and emits only true near-dups. */
+case class CosinePairs(child: Expression, threshold: Double)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id_a", LongType, nullable = false),
+      StructField("id_b", LongType, nullable = false),
+      StructField("cos", DoubleType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StructType(Array(a, b)), _)
+        if a.dataType == LongType && b.dataType.isInstanceOf[ArrayType] =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cosine_pairs needs array<struct<bigint,array<double>>>, got ${other.simpleString}")
+    }
+
+  def compute(members: ArrayData): ArrayData = {
+    val n = members.numElements()
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Double]](n)
+    var i = 0
+    while (i < n) {
+      val row = members.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      vecs(i) = row.getArray(1).toDoubleArray()
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    i = 0
+    while (i < n) {
+      val vi = vecs(i)
+      var j = i + 1
+      while (j < n) {
+        val vj = vecs(j)
+        val d = math.min(vi.length, vj.length)
+        var s = 0.0
+        var k = 0
+        while (k < d) { s += vi(k) * vj(k); k += 1 }
+        if (s >= threshold && ids(i) != ids(j)) {
+          val (lo, hi) = if (ids(i) < ids(j)) (ids(i), ids(j)) else (ids(j), ids(i))
+          out += org.apache.spark.sql.catalyst.InternalRow(lo, hi, s)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cosinePairs", this, classOf[CosinePairs].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** IVF coarse-quantizer probe: the `nProbe` nearest centroid ids for a
   * vector, by dot product (= cosine when both sides are unit-normalized) →
   * array<int>, nearest first.
@@ -737,6 +888,14 @@ object VectorExpressions {
   def simhashComboKeys(sh64: Column, nBlocks: Int, maxHamming: Int): Column =
     GraftColumnBridge.column(SimHashComboKeys(
       GraftColumnBridge.expression(sh64), nBlocks, maxHamming))
+
+  def hammingPairs(members: Column, maxHamming: Int): Column =
+    GraftColumnBridge.column(HammingPairs(
+      GraftColumnBridge.expression(members), maxHamming))
+
+  def cosinePairs(members: Column, threshold: Double): Column =
+    GraftColumnBridge.column(CosinePairs(
+      GraftColumnBridge.expression(members), threshold))
 
   def nearestCentroids(vec: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
     GraftColumnBridge.column(NearestCentroids(

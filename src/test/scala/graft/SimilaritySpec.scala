@@ -205,6 +205,30 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((0L, 100000L)))
   }
 
+  test("embeddingNearDupPairs: every reported pair is a true near-dup") {
+    // Precision is exact by construction (the verify dot runs in-bucket):
+    // every returned pair must appear in the brute-force cos ≥ t set.
+    // (Recall is probabilistic in LSH — covered by the planted-dup test.)
+    val rnd = new scala.util.Random(11)
+    val vecs = (1L to 120L).map { i =>
+      val v = Array.fill(8)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (i, v.map(_ / n))
+    }
+    val truth = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib
+      cos = va.zip(vb).map { case (x, y) => x.toDouble * y }.sum
+      if cos >= 0.6
+    } yield (ia, ib)).toSet
+    val got = Similarity.embeddingNearDupPairs(
+      vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dim = 8, threshold = 0.6, nTables = 8, bitsPerTable = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(truth), s"false positives: ${got -- truth}")
+    assert(got.nonEmpty) // 8 tables × 4 bits on dim-8: some collisions certain
+  }
+
   test("PQ: ADC equals the exact dot when vectors quantize losslessly") {
     // codebooks whose centroids ARE the corpus subvectors → zero
     // quantization error → adc must equal dot(q, v) exactly.

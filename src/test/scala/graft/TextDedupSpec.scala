@@ -97,6 +97,33 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)), s"hamming-5 pair missed: $pairs")
   }
 
+  test("simhash pairs equal exhaustive brute force on a random corpus") {
+    // The in-bucket pair generator (window cap → collect_list →
+    // HammingPairs) must produce EXACTLY the brute-force pair set:
+    // pigeonhole banding guarantees recall, the inline hamming filter
+    // guarantees precision. 200 seeded random hashes → ~20k candidate
+    // pairs checked both directions.
+    // 40 random bases × 5 variants at 0–10 flipped bits: plenty of true
+    // pairs on both sides of the h=6 boundary (pure-random longs would
+    // never land within hamming 6 of each other).
+    val rnd = new scala.util.Random(7)
+    val hashes = (for (b <- 0 until 40; v <- 0 until 5) yield {
+      val base = new scala.util.Random(b).nextLong()
+      val h = (0 until rnd.nextInt(11)).foldLeft(base)(
+        (acc, _) => acc ^ (1L << rnd.nextInt(64)))
+      (b * 5L + v + 1L, h)
+    }).toSeq
+    val expected = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 6
+    } yield (ia, ib)).toSet
+    assert(expected.size >= 50, s"weak fixture: only ${expected.size} true pairs")
+    val df = hashes.toDF("id", "sh64")
+    val got = Dedup.simhashPairsFromHashes(df, maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === expected)
+  }
+
   test("simhash band ranges tile all 64 bits") {
     for (nBands <- Seq(4, 7, 9, 10)) {
       val ranges = Dedup.simhashBandRanges(nBands)
