@@ -104,26 +104,28 @@ object ScaleBench {
         spark.range(0L, nVecs, 1L, 128).map(id => genEmb(id.toLong)).write
           .mode("overwrite").parquet(s"$dir/embeddings.parquet")
         println(s"""{"generated":{"docs":$nDocs,"vecs":$nVecs},"dir":"$dir"}""")
-      case "run" => run(spark, dir)
+      case "run" => run(spark, dir, if (args.length > 2) args(2) else "")
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()
   }
 
-  private def run(spark: SparkSession, dir: String): Unit = {
+  /** `filter`: substring over query names — empty runs everything. */
+  private def run(spark: SparkSession, dir: String, filter: String = ""): Unit = {
     val docs = Tables.documents(spark, dir)
     val embs = Tables.embeddings(spark, dir)
     val nDocs = docs.count(); val nVecs = embs.count() // warm footers
     val queries = embs.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
 
-    def timed(name: String)(thunk: => Long): (String, Double, Long) = {
+    def timed(name: String)(thunk: => Long): Option[(String, Double, Long)] = {
+      if (filter.nonEmpty && !name.contains(filter)) return None
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val rows = thunk
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[scalebench] $name%-26s ${sec}%9.2f s  rows=$rows")
-      (name, sec, rows)
+      Some((name, sec, rows))
     }
 
     val storeDir = s"$dir/store-${System.currentTimeMillis()}"
@@ -200,7 +202,7 @@ object ScaleBench {
         VectorIndex.append(store, "emb_idx", batch.toDF(), "vec_id", "embedding")
         10000L
       }
-    )
+    ).flatten
 
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

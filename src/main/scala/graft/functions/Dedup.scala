@@ -198,11 +198,40 @@ object Dedup {
     widths.scanLeft(0)(_ + _).init.zip(widths)
   }
 
-  /** Default block count for multi-block banding: h+4 blocks keeps the
-    * combination count C(h+4, 4) modest (h=3 → 35, h=6 → 210) while the
-    * per-key width (4 blocks) stays ≥ 64·4/(h+4) bits — ~26 bits (67M
-    * buckets) at h=6. */
+  /** Default block count for multi-block banding when the corpus size is
+    * unknown: h+4 blocks keeps the combination count C(h+4, 4) modest
+    * (h=3 → 35, h=6 → 210) while the per-key width (4 blocks) stays ≥
+    * 64·4/(h+4) bits — ~26 bits (67M buckets) at h=6, enough for ~10B
+    * docs. Prefer [[simhashAutoBlocks]] when the corpus size is known. */
   private[graft] def simhashDefaultBlocks(maxHamming: Int): Int = maxHamming + 4
+
+  /** Smallest sound block count for a corpus of `corpusSize` rows.
+    *
+    * With verification applied INSIDE the bucket (HammingPairs — a
+    * popcount per candidate), the banding cost model flips: in-bucket
+    * candidate checks are nearly free, so the expensive resource is the
+    * exploded key-row volume, C(nBlocks, nBlocks−h) rows per doc. The
+    * right nBlocks is therefore the SMALLEST one whose combo keyspace
+    * keeps the expected bucket size well under `maxBucketSize` (8×
+    * headroom), so that the cap still only trims degenerate hash values:
+    * 5M docs at h=6 → 8 blocks = 28 combos of 16-bit keys (vs the
+    * size-blind default's 210 combos of 26-bit keys — measured 7.5× less
+    * shuffle volume for the identical result set); a spec-sized corpus →
+    * h+1 blocks = h+1 single-block keys; ~10B docs → the old default.
+    * Recall stays 1.0 by pigeonhole for EVERY valid nBlocks — this knob
+    * only trades shuffle rows against in-bucket checks. */
+  private[graft] def simhashAutoBlocks(corpusSize: Long, maxHamming: Int,
+                                       maxBucketSize: Int = 1000): Int = {
+    if (corpusSize <= 0) return simhashDefaultBlocks(maxHamming)
+    val needed = math.max(1.0, corpusSize.toDouble * 8.0 / maxBucketSize)
+    ((maxHamming + 1) to math.min(64, maxHamming + 12))
+      .find { nb =>
+        val kk = math.min(maxHamming, nb - maxHamming)
+        val combos = (1 to kk).foldLeft(BigInt(1))((a, i) => a * (nb - kk + i) / i)
+        combos <= 4096 && simhashComboKeyspace(nb, maxHamming) >= needed
+      }
+      .getOrElse(simhashDefaultBlocks(maxHamming))
+  }
 
   /** Block-index combinations used as banding keys: every choice of
     * (nBlocks − maxHamming) of the nBlocks blocks. A pair within Hamming
@@ -261,9 +290,17 @@ object Dedup {
     * doc id), the cheap kind. */
   def simhashPairsFromHashes(hashed: DataFrame, maxHamming: Int,
                              maxBucketSize: Int = 1000,
-                             nBlocks: Int = 0): DataFrame = {
+                             nBlocks: Int = 0,
+                             corpusSize: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val blocks = if (nBlocks > 0) nBlocks else simhashDefaultBlocks(maxHamming)
+    // nBlocks 0 → size the keyspace to the corpus (corpusSize 0 → count
+    // `hashed`, which re-evaluates its plan once — callers that already
+    // know the row count should pass it).
+    val blocks =
+      if (nBlocks > 0) nBlocks
+      else simhashAutoBlocks(
+        if (corpusSize > 0) corpusSize else hashed.count(),
+        maxHamming, maxBucketSize)
     val banded = hashed.select(col("id"), col("sh64"),
       explode(simhashComboKeys(col("sh64"), blocks, maxHamming)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
@@ -307,7 +344,10 @@ object Dedup {
                           maxHamming: Int = 3,
                           maxBucketSize: Int = 1000,
                           nBlocks: Int = 0): DataFrame = {
+    // Count the RAW input for auto-sizing (a metadata-only job on a
+    // parquet scan) so the expensive tokenize+hash plan runs once.
+    val n = if (nBlocks > 0) 0L else df.count()
     val hashed = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh64"))
-    simhashPairsFromHashes(hashed, maxHamming, maxBucketSize, nBlocks)
+    simhashPairsFromHashes(hashed, maxHamming, maxBucketSize, nBlocks, n)
   }
 }

@@ -401,12 +401,26 @@ object Similarity {
     * recall to 1-(1-p)^T (cos 0.95 with 8×8: ≈0.99) while keeping the
     * per-table bucket join small. The embedding analog of
     * Dedup.nearDuplicatePairs — no cross join at any scale; candidate
-    * volume is bounded by bucket size caps per table. */
+    * volume is bounded by bucket size caps per table.
+    *
+    * `bitsPerTable = 0` (the default) sizes the table to the corpus:
+    * ceil(log2(N·8 / maxBucketSize)), clamped to [8, 24]. Bucket count
+    * must track corpus size — at 1M vectors a fixed 8-bit table (256
+    * buckets) averages ~4k members, so EVERY bucket trips the cap and
+    * recall silently collapses; 16 bits keeps the average ~15. A fixed
+    * value is still accepted for reproducing a specific layout. */
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                             dim: Int, threshold: Double = 0.95,
-                            nTables: Int = 8, bitsPerTable: Int = 8,
+                            nTables: Int = 8, bitsPerTable: Int = 0,
                             seed: Long = 42L,
                             maxBucketSize: Int = 2000): DataFrame = {
+    val bits =
+      if (bitsPerTable > 0) bitsPerTable
+      else {
+        val n = math.max(1L, corpus.count())
+        math.min(24, math.max(8,
+          math.ceil(math.log(n * 8.0 / maxBucketSize) / math.log(2)).toInt))
+      }
     // ONE shuffle, verify INSIDE the bucket. The previous shape (keys-only
     // buckets → count/anti-join cap → bucket-key self-join → dropDuplicates
     // → join vectors back → dot filter) was built on the assumption that
@@ -424,7 +438,7 @@ object Similarity {
     // pairs — linear state, no quadratic materialization anywhere.
     val tableKeys = array((0 until nTables).map { t =>
       struct(lit(t).as("table"),
-        lshBucket(col(vecCol), dim, bitsPerTable, seed + t * 7919).as("bucket"))
+        lshBucket(col(vecCol), dim, bits, seed + t * 7919).as("bucket"))
     }: _*)
     val rows = corpus
       .select(col(idCol).as("id"), unitVector(col(vecCol)).as("uv"),

@@ -124,6 +124,21 @@ class TextDedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("simhash auto block count: smallest sound keyspace for the corpus") {
+    // tiny corpus → h+1 blocks (single-block keys suffice)
+    assert(Dedup.simhashAutoBlocks(200, 6) === 7)
+    // 5M docs at h=6 → 8 blocks: C(8,2)=28 combos of 16-bit keys (the
+    // size-blind default is 210 combos — 7.5× the shuffle rows)
+    assert(Dedup.simhashAutoBlocks(5000000L, 6) === 8)
+    // 10B docs still bounded (≤4096 combos) with adequate keyspace
+    val big = Dedup.simhashAutoBlocks(10000000000L, 6)
+    assert(big > 6 && big <= 18)
+    assert(Dedup.simhashComboKeyspace(big, 6) >= 10000000000L * 8.0 / 1000)
+    // chosen count is always pigeonhole-valid
+    for (n <- Seq(0L, 1000L, 100000L, 10000000L, 1000000000L); h <- Seq(3, 6, 8))
+      assert(Dedup.simhashAutoBlocks(n, h) > h)
+  }
+
   test("simhash band ranges tile all 64 bits") {
     for (nBands <- Seq(4, 7, 9, 10)) {
       val ranges = Dedup.simhashBandRanges(nBands)
