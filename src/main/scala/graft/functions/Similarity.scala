@@ -262,11 +262,38 @@ object Similarity {
     * Returns m × k × (dim/m) centroids. */
   def trainPqCodebooks(corpus: DataFrame, vecCol: String, dim: Int,
                        m: Int = 16, k: Int = 16, seed: Long = 42L,
-                       sampleSize: Int = 4096, iters: Int = 10)
+                       sampleSize: Int = 4096, iters: Int = 10,
+                       residualOf: Option[Seq[Seq[Double]]] = None)
       : Seq[Seq[Seq[Double]]] = {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val subDim = dim / m
-    val sample: Array[Array[Double]] = sampleUnitVectors(corpus, vecCol, sampleSize)
+    // ≥32 samples per centroid: 8-bit codebooks (k=256) need more than
+    // the 4096 default or the k-means is fitting noise.
+    val raw: Array[Array[Double]] =
+      sampleUnitVectors(corpus, vecCol, math.max(sampleSize, 32 * k))
+    // residualOf = IVF centroids → train on (v − nearest centroid), the
+    // IVFADC layout: within-list residuals are what the codes must rank,
+    // and codebooks trained on raw vectors waste all their resolution on
+    // the between-list structure the coarse quantizer already encodes.
+    val sample: Array[Array[Double]] = residualOf match {
+      case None => raw
+      case Some(cents) =>
+        val cm = cents.map(_.toArray).toArray
+        raw.map { v =>
+          var best = 0; var bestS = Double.NegativeInfinity
+          var c = 0
+          while (c < cm.length) {
+            val cent = cm(c); val lim = math.min(v.length, cent.length)
+            var s = 0.0; var i = 0
+            while (i < lim) { s += v(i) * cent(i); i += 1 }
+            if (s > bestS) { best = c; bestS = s }
+            c += 1
+          }
+          val cent = cm(best)
+          Array.tabulate(v.length)(i =>
+            v(i) - (if (i < cent.length) cent(i) else 0.0))
+        }
+    }
     require(sample.length >= k, s"sample ${sample.length} < k=$k")
     val rnd = new scala.util.Random(seed)
 
@@ -345,16 +372,51 @@ object Similarity {
                 queries: DataFrame, queryIdCol: String, queryVecCol: String,
                 dim: Int, k: Int = 10, nLists: Int = 64, nProbe: Int = 8,
                 m: Int = 16, kCodes: Int = 16, seed: Long = 42L,
+                refine: Int = 32,
                 centroidsOpt: Option[Seq[Seq[Double]]] = None,
                 codebooksOpt: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
-    import graft.plans.VectorExpressions.{nearestCentroids, pqAdc, pqEncode, pqLut}
     val centroids = centroidsOpt.getOrElse(
       trainIvfCentroids(corpus, vecCol, nLists, seed))
     val codebooks = codebooksOpt.getOrElse(
-      trainPqCodebooks(corpus, vecCol, dim, m, kCodes, seed))
+      trainPqCodebooks(corpus, vecCol, dim, m, kCodes, seed,
+        residualOf = Some(centroids)))
     val encoded = ivfPqEncode(corpus, idCol, vecCol, centroids, codebooks)
-    ivfPqScore(encoded, queries, queryIdCol, queryVecCol,
-      centroids, codebooks, k, nProbe, kCodes)
+    val shortlist = ivfPqScore(encoded, queries, queryIdCol, queryVecCol,
+      centroids, codebooks, math.max(k, k * refine), nProbe, kCodes)
+    if (refine <= 1) shortlist
+    else refineExact(shortlist,
+      corpus.select(col(idCol).as("neighbor_id"), unitVector(col(vecCol)).as("uv")),
+      queries, queryIdCol, queryVecCol, k)
+  }
+
+  /** Exact re-rank of an ADC shortlist (FAISS-style refine): join the
+    * shortlist's (query_id, neighbor_id) back to the full vectors, score
+    * the true dot, keep the top k. ADC on m-subspace codes cannot resolve
+    * cosine gaps below its quantization noise (within a tight cluster the
+    * rank-10/rank-50 gap is ~0.005 — under the ~0.01–0.03 ADC error even
+    * for residual codes), so the codes' job is the SHORTLIST (k·refine of
+    * the ~corpus/nLists·nProbe scanned codes) and the exact pass ranks
+    * it. Cost: one broadcast-semi-joined scan of the corpus restricted to
+    * shortlisted ids — Q·k·refine exact dots, not corpus-sized. Output
+    * matches ivfTopK: (query_id, neighbor_id, sim, rank). */
+  private[graft] def refineExact(shortlist: DataFrame, corpusUnit: DataFrame,
+                                 queries: DataFrame, queryIdCol: String,
+                                 queryVecCol: String, k: Int): DataFrame = {
+    val quv = queries.select(col(queryIdCol).as("query_id"),
+      unitVector(col(queryVecCol)).as("quv"))
+    // Broadcast the (Q·k·refine)-row shortlist into the corpus scan — the
+    // corpus must never shuffle for a re-rank.
+    val exact = corpusUnit
+      .join(broadcast(shortlist.select(col("query_id"), col("neighbor_id"))),
+        Seq("neighbor_id"))
+      .join(broadcast(quv), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("uv"), col("quv")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("sim", round(col("sim"), 6))
   }
 
   /** One-scan corpus side of IVFPQ: (neighbor_id, list_id, codes). This is
@@ -363,12 +425,16 @@ object Similarity {
   private[graft] def ivfPqEncode(corpus: DataFrame, idCol: String,
                                  vecCol: String, centroids: Seq[Seq[Double]],
                                  codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
-    import graft.plans.VectorExpressions.{nearestCentroids, pqEncode}
+    import graft.plans.VectorExpressions.{ivfResidual, pqEncode}
+    // Residual (IVFADC) encoding: codes quantize v − centroid(list), so
+    // they carry the within-list structure ADC must rank (see IvfResidual).
+    // `codebooks` must be residual-trained (trainPqCodebooks residualOf).
     corpus
       .select(col(idCol).as("neighbor_id"), unitVector(col(vecCol)).as("uv"))
+      .select(col("neighbor_id"), ivfResidual(col("uv"), centroids).as("ir"))
       .select(col("neighbor_id"),
-        element_at(nearestCentroids(col("uv"), centroids, 1), 1).as("list_id"),
-        pqEncode(col("uv"), codebooks).as("codes"))
+        col("ir.list_id").as("list_id"),
+        pqEncode(col("ir.residual"), codebooks).as("codes"))
   }
 
   /** Query side of IVFPQ over an already-encoded corpus (fresh or loaded
@@ -378,14 +444,19 @@ object Similarity {
                                 centroids: Seq[Seq[Double]],
                                 codebooks: Seq[Seq[Seq[Double]]],
                                 k: Int, nProbe: Int, kCodes: Int): DataFrame = {
-    import graft.plans.VectorExpressions.{nearestCentroids, pqAdc, pqLut}
+    import graft.plans.VectorExpressions.{centroidDots, pqAdc, pqLut}
+    // Residual-ADC score: dot(q, v) ≈ dot(q, c_list) + dot(q, residual̂).
+    // The centroid term rides the probe row (CentroidDots); the residual
+    // term is the LUT/ADC pair over the residual-trained codebooks.
     val qProbes = queries
       .select(col(queryIdCol).as("query_id"), unitVector(col(queryVecCol)).as("quv"))
       .select(col("query_id"), pqLut(col("quv"), codebooks).as("lut"),
-        explode(nearestCentroids(col("quv"), centroids, nProbe)).as("list_id"))
+        explode(centroidDots(col("quv"), centroids, nProbe)).as("cd"))
+      .select(col("query_id"), col("lut"),
+        col("cd.list_id").as("list_id"), col("cd.cdot").as("cdot"))
     val scored = encoded.join(broadcast(qProbes), Seq("list_id"))
       .select(col("query_id"), col("neighbor_id"),
-        pqAdc(col("codes"), col("lut"), kCodes).as("adc"))
+        (col("cdot") + pqAdc(col("codes"), col("lut"), kCodes)).as("adc"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

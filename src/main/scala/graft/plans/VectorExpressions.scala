@@ -681,6 +681,168 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]],
     copy(child = newChild)
 }
 
+/** IVF list assignment + residual in one pass: struct<list_id:int,
+  * residual:array<double>> where residual = v − centroid(list).
+  *
+  * Residual (IVFADC) encoding is what makes PQ usable inside IVF lists:
+  * raw-vector PQ quantizes the GLOBAL space, so every member of a tight
+  * cluster maps to (nearly) the same code and ADC cannot rank within the
+  * list — measured recall@10 = 0.04 on the 1M-vector flagship corpus
+  * (1024 tight clusters) while the coarse quantizer itself was perfect.
+  * Residuals re-center each list at its centroid, so the codebooks spend
+  * their resolution on exactly the within-list structure the ranking
+  * needs (the IVFADC construction of Jégou et al., "Product Quantization
+  * for Nearest Neighbor Search"). Same NaN routing as NearestCentroids:
+  * a dirty vector gets list 0 with its raw value as residual. */
+case class IvfResidual(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  @transient private lazy val cm: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("list_id", IntegerType, nullable = false),
+    StructField("residual", ArrayType(DoubleType, containsNull = false),
+      nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ivf_residual needs array<float|double>, got ${other.simpleString}")
+    }
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  def compute(v: ArrayData): Any = {
+    val nC = cm.length
+    val n = v.numElements()
+    var best = -1
+    var bestS = Double.NegativeInfinity
+    var c = 0
+    while (c < nC) {
+      val cent = cm(c)
+      val lim = math.min(n, cent.length)
+      var s = 0.0
+      var i = 0
+      while (i < lim) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        s += x * cent(i)
+        i += 1
+      }
+      if (s > bestS) { best = c; bestS = s }
+      c += 1
+    }
+    if (best < 0) best = 0 // NaN-poisoned vector: route, don't throw
+    val cent = cm(best)
+    val res = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      res(i) = x - (if (i < cent.length) cent(i) else 0.0)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(best, new GenericArrayData(res))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfResidual", this, classOf[IvfResidual].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Query-side probe list WITH centroid dot products: the nProbe nearest
+  * centroids as array<struct<list_id:int, cdot:double>>, nearest first.
+  * The residual-ADC score of a candidate in list L is dot(q, c_L) +
+  * dot(q, residual̂): the first term is per-(query, probed list) and
+  * comes from here; the second is the PqLut/PqAdc pair over residual
+  * codebooks. Same selection loop and NaN routing as NearestCentroids. */
+case class CentroidDots(child: Expression, centroids: Seq[Seq[Double]],
+                        nProbe: Int)
+    extends UnaryExpression {
+
+  require(nProbe >= 1 && nProbe <= centroids.size,
+    s"nProbe=$nProbe out of range for ${centroids.size} centroids")
+
+  @transient private lazy val cm: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("list_id", IntegerType, nullable = false),
+      StructField("cdot", DoubleType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"centroid_dots needs array<float|double>, got ${other.simpleString}")
+    }
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  def compute(v: ArrayData): ArrayData = {
+    val nC = cm.length
+    val scores = new Array[Double](nC)
+    var c = 0
+    while (c < nC) {
+      val cent = cm(c)
+      val n = math.min(v.numElements(), cent.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        s += x * cent(i)
+        i += 1
+      }
+      scores(c) = s
+      c += 1
+    }
+    val out = new Array[Any](nProbe)
+    val taken = new Array[Boolean](nC)
+    var p = 0
+    while (p < nProbe) {
+      var best = -1
+      var bestS = Double.NegativeInfinity
+      var j = 0
+      while (j < nC) {
+        if (!taken(j) && scores(j) > bestS) { best = j; bestS = scores(j) }
+        j += 1
+      }
+      if (best < 0) best = p // NaN-poisoned query: route, don't throw
+      taken(best) = true
+      out(p) = org.apache.spark.sql.catalyst.InternalRow(best, scores(best))
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidDots", this, classOf[CentroidDots].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Product-quantization encode: split the vector into `m` contiguous
   * subspaces and emit, per subspace, the index of the nearest (L2)
   * codebook centroid → array<int> of m small codes.
@@ -899,6 +1061,14 @@ object VectorExpressions {
 
   def nearestCentroids(vec: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
     GraftColumnBridge.column(NearestCentroids(
+      GraftColumnBridge.expression(vec), centroids, nProbe))
+
+  def ivfResidual(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    GraftColumnBridge.column(IvfResidual(
+      GraftColumnBridge.expression(vec), centroids))
+
+  def centroidDots(vec: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
+    GraftColumnBridge.column(CentroidDots(
       GraftColumnBridge.expression(vec), centroids, nProbe))
 
   def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =

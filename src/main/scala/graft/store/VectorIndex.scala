@@ -35,6 +35,21 @@ object VectorIndex {
 
   private val P = "ivfpq." // metadata key prefix
 
+  /** Encoding scheme tag. "residual" = IVFADC (codes quantize v − list
+    * centroid; scores are cdot + ADC). Indexes built before the residual
+    * change carry no tag and CANNOT be scored by this code — mixing raw
+    * codes with residual scoring silently corrupts every result, so
+    * `query`/`append` refuse and direct the caller to rebuild. */
+  private val Scheme = "residual"
+
+  private def requireScheme(meta: Map[String, String], table: String): Unit = {
+    val found = meta.getOrElse(s"${P}scheme", "raw")
+    if (found != Scheme)
+      throw new IllegalStateException(
+        s"$table was encoded with scheme '$found' but this library scores " +
+          s"'$Scheme' codes — rebuild the index (VectorIndex.build)")
+  }
+
   /** Train quantizers, encode the corpus, commit as the next version of
     * `indexTable` (a full snapshot — empty delta chain). Returns the
     * committed version. */
@@ -43,7 +58,8 @@ object VectorIndex {
             nLists: Int = 64, m: Int = 16, kCodes: Int = 16,
             seed: Long = 42L): Long = {
     val centroids = Similarity.trainIvfCentroids(corpus, vecCol, nLists, seed)
-    val codebooks = Similarity.trainPqCodebooks(corpus, vecCol, dim, m, kCodes, seed)
+    val codebooks = Similarity.trainPqCodebooks(corpus, vecCol, dim, m, kCodes,
+      seed, residualOf = Some(centroids))
     val encoded = Similarity.ivfPqEncode(corpus, idCol, vecCol, centroids, codebooks)
     store.commit(indexTable, encoded, sortKey = Some("list_id"),
       meta = Map(
@@ -51,6 +67,7 @@ object VectorIndex {
         s"${P}nLists" -> nLists.toString,
         s"${P}m" -> m.toString,
         s"${P}kCodes" -> kCodes.toString,
+        s"${P}scheme" -> Scheme,
         s"${P}parts" -> "",
         s"${P}centroids" -> encodeMatrix(centroids),
         s"${P}codebooks" -> encodeCube(codebooks)))
@@ -87,6 +104,7 @@ object VectorIndex {
     store.transactWith[Nothing](indexTable, sortKey = Some("list_id")) { _ =>
       val v = store.currentVersion(indexTable)
       val meta = store.metaForVersion(indexTable, v)
+      requireScheme(meta, indexTable)
       val (centroids, codebooks, _) = paramsFrom(meta, indexTable)
       val encoded = Similarity.ivfPqEncode(
         newVectors, idCol, vecCol, centroids, codebooks)
@@ -127,6 +145,7 @@ object VectorIndex {
       val last = meta.get(metaKey).map(_.toLong).getOrElse(-1L)
       if (batchId <= last) Left(())
       else {
+        requireScheme(meta, indexTable)
         val (centroids, codebooks, _) = paramsFrom(meta, indexTable)
         val encoded = Similarity.ivfPqEncode(
           batch, idCol, vecCol, centroids, codebooks)
@@ -168,9 +187,31 @@ object VectorIndex {
             k: Int = 10, nProbe: Int = 8): DataFrame = {
     val v = store.currentVersion(indexTable)
     val meta = store.metaForVersion(indexTable, v)
+    requireScheme(meta, indexTable)
     val (centroids, codebooks, kCodes) = paramsFrom(meta, indexTable)
     Similarity.ivfPqScore(loadChain(store, indexTable, v, meta), queries,
       queryIdCol, queryVecCol, centroids, codebooks, k, nProbe, kCodes)
+  }
+
+  /** `query` + exact re-rank (FAISS-style refine): the index's ADC pass
+    * shortlists k·refine candidates per query, then the TRUE dot is
+    * computed against `corpus` (the original vector table — the index
+    * stores only codes, that's its memory win) restricted to the
+    * shortlist via broadcast join, and the exact top-k is returned.
+    * Within tight clusters ADC noise exceeds the neighbor gaps, so pure
+    * code ordering cannot deliver exact-k — codes shortlist, the re-rank
+    * ranks. Output matches ivfTopK: (query_id, neighbor_id, sim, rank). */
+  def queryRefined(store: SnapshotStore, indexTable: String,
+                   corpus: DataFrame, idCol: String, vecCol: String,
+                   queries: DataFrame, queryIdCol: String, queryVecCol: String,
+                   k: Int = 10, nProbe: Int = 8, refine: Int = 32): DataFrame = {
+    val shortlist = query(store, indexTable, queries, queryIdCol, queryVecCol,
+      math.max(k, k * refine), nProbe)
+    Similarity.refineExact(shortlist,
+      corpus.select(org.apache.spark.sql.functions.col(idCol).as("neighbor_id"),
+        Similarity.unitVector(
+          org.apache.spark.sql.functions.col(vecCol)).as("uv")),
+      queries, queryIdCol, queryVecCol, k)
   }
 
   /** Drop every version dir NOT referenced by the current version's delta

@@ -94,6 +94,27 @@ class PlanSpec extends SparkSpec {
       s"unused document columns not pruned:\n$s")
   }
 
+  test("near-dup pair paths: one bucket shuffle + one distinct, no self-join") {
+    // The in-bucket verify shape must hold in the physical plan: the key
+    // explode feeds ONE hash exchange on (band|table, bucket); the window
+    // cap and the collect_list ride that same partitioning (no second
+    // exchange); the only other exchange is the final tiny distinct on
+    // (id_a, id_b). A third exchange means the self-join shape — the one
+    // that OOM'd the 1M-vector flagship run — has crept back in.
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val simhash = graft.functions.Dedup.simhashNearDupPairs(
+      docs, "text", "doc_id", maxHamming = 6)
+    assert(countExchanges(simhash) <= 2,
+      s"simhash pairs plan regressed:\n${planString(simhash)}")
+
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val embed = graft.functions.Similarity.embeddingNearDupPairs(
+      embs, "vec_id", "embedding", dim = 64, threshold = 0.99)
+    assert(countExchanges(embed) <= 2,
+      s"embed pairs plan regressed:\n${planString(embed)}")
+  }
+
   test("native vector expressions stay inside whole-stage codegen") {
     // DotProduct/HyperplaneBucket implement doGenCode (a compiled call into
     // their own compute loop), so the ANN scoring projection must appear

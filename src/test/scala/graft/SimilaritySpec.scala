@@ -320,4 +320,49 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter(floor(col("neighbor_id") / perCluster) =!=
       floor(col("query_id") / perCluster)).count() === 0)
   }
+
+  test("IVFPQ residual codes rank WITHIN a cluster (recall@10 vs brute)") {
+    // The failure mode residual (IVFADC) encoding exists for: with
+    // raw-vector PQ every member of a tight cluster maps to (nearly) the
+    // same code, ADC ties, and within-list ranking degenerates to id
+    // order — recall@10 ≈ k/perCluster (here 10/40 = 0.25; measured 0.04
+    // at 1M flagship vectors) while the coarse quantizer is perfect.
+    // Residual codes must recover most of the true within-list top-10.
+    val rnd = new scala.util.Random(5)
+    val dim = 32; val nClusters = 8; val perCluster = 40
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val centers = Array.fill(nClusters)(
+      unit(Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val points = for {
+      c <- 0 until nClusters; i <- 0 until perCluster
+    } yield {
+      val v = unit(centers(c).map(x => x + 0.15f * rnd.nextGaussian().toFloat))
+      ((c * perCluster + i).toLong, v)
+    }
+    val corpus = points.toDF("vec_id", "embedding").repartition(8)
+    val queries = points.take(5).toDF("query_id", "qvec")
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    val truth = topSets(Similarity.bruteForceTopK(corpus, "vec_id",
+      "embedding", queries, "query_id", "qvec", k = 10))
+    // refine = 1 isolates the residual-ADC ordering (no exact re-rank)
+    val got = topSets(Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "qvec", dim, k = 10,
+      nLists = nClusters, nProbe = 1, m = 8, kCodes = 16, refine = 1))
+    val recall = truth.map { case (q, t) =>
+      got.getOrElse(q, Set.empty[Long]).intersect(t).size / t.size.toDouble
+    }.sum / truth.size
+    assert(recall >= 0.6, f"residual-ADC recall@10 = $recall%.2f < 0.6")
+
+    // With the exact re-rank (refine=8 → shortlist 80 ≥ the 40-member
+    // list), IVFPQ must return exactly the brute-force top-10.
+    val refined = topSets(Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "qvec", dim, k = 10,
+      nLists = nClusters, nProbe = 1, m = 8, kCodes = 16, refine = 8))
+    assert(refined === truth, "refined IVFPQ differs from brute force")
+  }
 }

@@ -53,6 +53,22 @@ class VectorIndexSpec extends SparkSpec {
     // a FRESH store handle over the same directory sees the same index —
     // everything needed to answer queries was committed, nothing lives in
     // driver memory
+    // refined query: ADC shortlists, the original vectors rank — probing
+    // every list with a corpus-covering shortlist (10·120 ≥ 1200 rows)
+    // removes all approximation, so the result must equal exact brute
+    // force (nProbe=1 equality would be too strong: the LEARNED lists
+    // need not match the true clusters at their boundaries)
+    val refined = VectorIndex.queryRefined(store, "emb_idx", corpus,
+      "vec_id", "embedding", queries, "query_id", "qvec",
+      k = 10, nProbe = 20, refine = 120)
+    val truth = graft.functions.Similarity.bruteForceTopK(
+      corpus, "vec_id", "embedding", queries, "query_id", "qvec", k = 10)
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, x) => q -> x.map(_._2).toSet }
+    assert(sets(refined) === sets(truth),
+      "refined index query differs from brute force")
+
     val reopened = new SnapshotStore(dir, spark)
     val out2 = VectorIndex.query(reopened, "emb_idx", queries,
       "query_id", "qvec", k = 10, nProbe = 1)
