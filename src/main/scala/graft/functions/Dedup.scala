@@ -101,65 +101,71 @@ object Dedup {
     * Jaccard over the shingle sets. Returns (id_a, id_b, jaccard) with
     * id_a < id_b, jaccard ≥ `threshold`.
     *
-    * Plan shape at scale: ONE scan computes (id, shingles, signature) —
-    * persisted and reused for banding and both verify sides, so shingling
-    * runs exactly once per document. Then: explode to (band,bucket,id) →
-    * shuffle by bucket → within-bucket self-join (bounded by
-    * maxBucketSize) → distinct id pairs → join the shingle sets back for
-    * Jaccard verify. Bucket rows carry ONLY keys and ids: shuffling the
-    * shingle arrays through the pair join/dedup would turn a key shuffle
-    * into a corpus-sized payload shuffle. */
+    * Plan shape at scale — NOTHING corpus-sized is ever cached or
+    * shuffled with payload:
+    *  1. ONE streaming scan: tokenize → shingle → signature → band keys →
+    *    explode to (band, bucket, id). Only 24-byte key rows shuffle.
+    *  2. One hash exchange on the bucket key; a row_number window caps
+    *    degenerate buckets (truncated at maxBucketSize+1, dropped whole)
+    *    at bounded memory; collect_list rides the same partitioning and
+    *    AllPairs emits the candidate id pairs in-bucket — the same
+    *    single-shuffle shape as the simhash/embedding paths.
+    *  3. Verify re-shingles ONLY the candidate docs (a semi-join of the
+    *    input by candidate id, then the shingle expression over that
+    *    ~few-% subset). The previous shape cached (id, shingles, sig)
+    *    for the WHOLE corpus to share shingles with the verify join —
+    *    tens of GB at 5M docs (array<string> of ~400 shingles per doc),
+    *    and a non-starter at 100 TB; recomputing ~2·pairs docs costs
+    *    seconds and keeps every retained intermediate candidate-sized.
+    * The pair cache returned is the caller's to unpersist. */
   def nearDuplicatePairs(df: DataFrame, textCol: String, idCol: String,
                          shingleN: Int = 3, k: Int = 32, bands: Int = 16,
                          threshold: Double = 0.5,
                          maxBucketSize: Int = 1000): DataFrame = {
-    // One scan: shingle + sign each doc exactly once, share everywhere.
-    val base = df.select(col(idCol).as("id"),
-        shingles(col(textCol), shingleN).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), k))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    val buckets = base
-      .select(col("id"), explode(lshBandKeys(col("sig"), k, bands)).as("bk"))
+    import org.apache.spark.sql.expressions.Window
+    val banded = df
+      .select(col(idCol).as("id"),
+        explode(lshBandKeys(
+          minhashSignature(shingles(col(textCol), shingleN), k), k, bands))
+          .as("bk"))
       .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"), col("id"))
 
-    // Cap degenerate buckets (boilerplate shingles): aggregate bucket sizes
-    // (keys only) and drop oversized buckets via broadcast anti-join — no
-    // window over the full bucket table.
-    val oversized = buckets.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
-      .select(col("band"), col("bucket"))
-    // Persist the (tiny: id + 2 keys) bucket table before self-joining so
-    // the join sees one InMemoryRelation, not two copies of the plan.
-    val capped = buckets.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
+    val w = Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))
+    val candidates = banded
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxBucketSize + 1)
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("id")).as("members"))
+      .filter(size(col("members")).between(2, maxBucketSize))
+      .select(explode(graft.plans.VectorExpressions.allPairs(col("members"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .persist(StorageLevel.MEMORY_AND_DISK) // candidate-sized, read 3×
+
+    // Shingles for candidate docs only. Computed once per verify side —
+    // the semi-join keeps the scan, the shingling, and this cache all
+    // candidate-sized.
+    val candIds = candidates.select(col("id_a").as("id"))
+      .union(candidates.select(col("id_b").as("id"))).distinct()
+    val candSh = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), shingles(col("text"), shingleN).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val candidates = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(capped.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-
-    // Verify: join the (small) candidate set back to the cached shingle
-    // sets — no re-shingling on either side.
     val verified = candidates
-      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(candSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(candSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Materialize eagerly so the CORPUS-SIZED (id, shingles, sig) cache and
-    // the bucket-table cache release now instead of pinning executor memory
-    // for the session (CacheManager blocks are not GC-released the way
-    // checkpoint RDDs are). The returned pairs stay cached — small, and the
-    // caller's to unpersist.
+    // Materialize, then release the (already candidate-sized) helper
+    // caches now rather than pinning them for the session.
     verified.count()
-    base.unpersist(blocking = false)
-    capped.unpersist(blocking = false)
+    candidates.unpersist(blocking = false)
+    candSh.unpersist(blocking = false)
     verified
   }
 

@@ -516,6 +516,63 @@ case class HammingPairs(child: Expression, maxHamming: Int)
     copy(child = newChild)
 }
 
+/** All distinct id pairs within one LSH bucket: array<long> of member ids
+  * → array<struct<id_a:long, id_b:long>> with id_a < id_b. The candidate
+  * generator for verify-by-rejoin paths (MinHash: the verify needs the
+  * shingle SETS, which are far too wide to ride the bucket shuffle the
+  * way simhash's 8-byte hashes or the embeddings' unit vectors do — so
+  * pairs are emitted in-bucket and only candidate docs are re-shingled).
+  * Buckets are capped upstream, so the output is ≤ cap²/2 per bucket. */
+case class AllPairs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id_a", LongType, nullable = false),
+      StructField("id_b", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"all_pairs needs array<bigint>, got ${other.simpleString}")
+    }
+
+  def compute(members: ArrayData): ArrayData = {
+    val n = members.numElements()
+    val ids = new Array[Long](n)
+    var i = 0
+    while (i < n) { ids(i) = members.getLong(i); i += 1 }
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        if (ids(i) != ids(j)) {
+          val (lo, hi) = if (ids(i) < ids(j)) (ids(i), ids(j)) else (ids(j), ids(i))
+          out += org.apache.spark.sql.catalyst.InternalRow(lo, hi)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("allPairs", this, classOf[AllPairs].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Verified embedding near-dup pairs within one LSH bucket: all
   * (id_a, id_b, cos) with id_a < id_b and cos ≥ threshold over an
   * array<struct<id:long, uv:array<double>>> of unit-normalized bucket
@@ -1058,6 +1115,9 @@ object VectorExpressions {
   def cosinePairs(members: Column, threshold: Double): Column =
     GraftColumnBridge.column(CosinePairs(
       GraftColumnBridge.expression(members), threshold))
+
+  def allPairs(members: Column): Column =
+    GraftColumnBridge.column(AllPairs(GraftColumnBridge.expression(members)))
 
   def nearestCentroids(vec: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
     GraftColumnBridge.column(NearestCentroids(
