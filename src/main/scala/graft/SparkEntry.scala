@@ -65,6 +65,8 @@ object SparkEntry {
     "dedup_exact"         -> (ExtensionQueries.dedupExact _),
     "dedup_exact_keep"    -> (ExtensionQueries.dedupExactKeep _),
     "dedup_minhash_pairs" -> (ExtensionQueries.dedupMinhashPairs _),
+    "dedup_minhash_oracle" -> (ExtensionQueries.dedupMinhashOracle _),
+    "dedup_embed_oracle"  -> (ExtensionQueries.dedupEmbedOracle _),
     "dedup_simhash_pairs" -> (ExtensionQueries.dedupSimhashPairs _),
     "dedup_embed_pairs"   -> (ExtensionQueries.dedupEmbeddingPairs _),
     "sim_brute_topk"      -> (ExtensionQueries.simBruteTopK _),
@@ -162,5 +164,27 @@ object SparkEntry {
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY md5(text)",
     "dedup_exact_keep" ->
       "SELECT doc_id, n_chars FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))",
+    // Brute-force 3-gram Jaccard over the doc_id<300 restriction: tokenizer
+    // (full-whitespace-class trim + split) and shingling (distinct word
+    // 3-grams, whole text if <3 tokens) mirror TextFunctions.tokens /
+    // Dedup.shingles exactly. Pair ids only — integer-exact both engines.
+    "dedup_minhash_oracle" ->
+      ("WITH docs AS (SELECT doc_id, CASE WHEN length(regexp_replace(text, " +
+        "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
+        "ELSE string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+        "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM documents WHERE doc_id < 300), " +
+        "sh AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')] " +
+        "ELSE list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))) END AS sh FROM docs) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.5"),
+    // Same planted-duplicate union both engines build; at threshold 0.99
+    // the only qualifying pair is the plant (rest of the corpus is
+    // isotropic, max cos ≈ 0.48) — exact recall + zero false positives.
+    "dedup_embed_oracle" ->
+      ("WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300 " +
+        "UNION ALL SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id = 0) " +
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM v a JOIN v b ON a.vec_id < b.vec_id " +
+        "WHERE list_inner_product(a.embedding, b.embedding) / " +
+        "(sqrt(list_inner_product(a.embedding, a.embedding)) * sqrt(list_inner_product(b.embedding, b.embedding))) >= 0.99"),
   )
 }

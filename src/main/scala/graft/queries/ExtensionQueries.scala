@@ -86,6 +86,34 @@ object ExtensionQueries {
     Dedup.simhashNearDupPairs(docs(s, d), "text", "doc_id",
       maxHamming = 6)
 
+  /** MinHash-LSH near-dup pairs with a FULL DuckDB oracle: the corpus is
+    * restricted to doc_id < 300 so the oracle can brute-force every pair's
+    * exact 3-gram Jaccard (the unrestricted query's oracle would be an
+    * O(n²) SQL join). Emits pair ids only — integer-exact on both engines;
+    * jaccard VALUES are spec-verified (TextDedupSpec). Every sf0.01 truth
+    * pair has J ≥ 0.95, where b=16/r=2 banding recall is 1 − 1e-20 —
+    * deterministic agreement, not luck. */
+  def dedupMinhashOracle(s: SparkSession, d: String): DataFrame =
+    Dedup.nearDuplicatePairs(docs(s, d).filter(col("doc_id") < 300),
+      "text", "doc_id", threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+
+  /** Embedding near-dup with a FULL DuckDB oracle: a copy of vec_id 0 is
+    * planted as vec_id 10000 inside the query (both engines construct the
+    * same union), and at threshold 0.99 the only qualifying pair is that
+    * planted duplicate — the oracle proves exact-recall of the near-identical
+    * regime AND zero false positives on the isotropic rest. Pair ids only
+    * (cosine VALUES are float-order-sensitive across engines; spec-checked
+    * instead). */
+  def dedupEmbedOracle(s: SparkSession, d: String): DataFrame = {
+    val base = embs(s, d).filter(col("vec_id") < 300)
+    val planted = embs(s, d).filter(col("vec_id") === 0)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+    Similarity.embeddingNearDupPairs(base.unionByName(planted),
+      "vec_id", "embedding", dim = 64, threshold = 0.99)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** Embedding-cosine near-dup pairs via multi-table hyperplane LSH.
     * Threshold 0.4 is a DEMO setting: the synthetic embeddings are
     * isotropic (max pairwise cos ≈ 0.48), so a production-style 0.95
