@@ -70,6 +70,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> (ExtensionQueries.dedupSimhashPairs _),
     "dedup_embed_pairs"   -> (ExtensionQueries.dedupEmbeddingPairs _),
     "sim_brute_topk"      -> (ExtensionQueries.simBruteTopK _),
+    "sim_brute_oracle"    -> (ExtensionQueries.simBruteOracle _),
     "sim_ann_topk"        -> (ExtensionQueries.simAnnTopK _),
     "sim_ivf_topk"        -> (ExtensionQueries.simIvfTopK _),
     "sim_pq_topk"         -> (ExtensionQueries.simPqTopK _),
@@ -186,5 +187,17 @@ object SparkEntry {
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM v a JOIN v b ON a.vec_id < b.vec_id " +
         "WHERE list_inner_product(a.embedding, b.embedding) / " +
         "(sqrt(list_inner_product(a.embedding, a.embedding)) * sqrt(list_inner_product(b.embedding, b.embedding))) >= 0.99"),
+    // Full-corpus exact top-10 in double precision (embeddings widened to
+    // DOUBLE like Spark's unitVector); adjacent-rank cosine gaps ~2e-4
+    // make the ordering insensitive to summation order.
+    "sim_brute_oracle" ->
+      ("WITH u AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, e AS qe FROM u WHERE vec_id < 5), " +
+        "scored AS (SELECT q.query_id, u.vec_id AS neighbor_id, " +
+        "CASE WHEN sqrt(list_inner_product(u.e, u.e)) = 0 OR sqrt(list_inner_product(q.qe, q.qe)) = 0 THEN 0.0 " +
+        "ELSE list_inner_product(u.e, q.qe) / (sqrt(list_inner_product(u.e, u.e)) * sqrt(list_inner_product(q.qe, q.qe))) END AS sim " +
+        "FROM u CROSS JOIN q), " +
+        "ranked AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM scored) " +
+        "SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10"),
   )
 }

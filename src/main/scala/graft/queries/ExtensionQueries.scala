@@ -186,6 +186,13 @@ object ExtensionQueries {
       embs(s, d), "vec_id", "embedding",
       queryVectors(s, d), "query_id", "qvec", k = 10)
 
+  /** Brute-force top-10 with a FULL DuckDB oracle: ids + rank only (the
+    * sim column is float-boundary-sensitive under round(·, 6) across
+    * engines; measured adjacent-rank gaps are ~2e-4, so the ORDER is
+    * rock-solid and rank equality is the meaningful check). */
+  def simBruteOracle(s: SparkSession, d: String): DataFrame =
+    simBruteTopK(s, d).select(col("query_id"), col("neighbor_id"), col("rank"))
+
   /** ANN top-10 via hyperplane LSH with margin-ordered multiprobe.
     * 8 planes = 256 buckets; home + the 8 nearest perturbation buckets
     * score ≈3.6% of the corpus per query — a ~5× recall enrichment over
