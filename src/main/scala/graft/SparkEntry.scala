@@ -71,6 +71,8 @@ object SparkEntry {
     "dedup_embed_pairs"   -> (ExtensionQueries.dedupEmbeddingPairs _),
     "sim_brute_topk"      -> (ExtensionQueries.simBruteTopK _),
     "sim_brute_oracle"    -> (ExtensionQueries.simBruteOracle _),
+    "sim_ivf_oracle"      -> (ExtensionQueries.simIvfOracle _),
+    "sim_ivfpq_oracle"    -> (ExtensionQueries.simIvfPqOracle _),
     "sim_ann_topk"        -> (ExtensionQueries.simAnnTopK _),
     "sim_ivf_topk"        -> (ExtensionQueries.simIvfTopK _),
     "sim_pq_topk"         -> (ExtensionQueries.simPqTopK _),
@@ -189,15 +191,23 @@ object SparkEntry {
         "(sqrt(list_inner_product(a.embedding, a.embedding)) * sqrt(list_inner_product(b.embedding, b.embedding))) >= 0.99"),
     // Full-corpus exact top-10 in double precision (embeddings widened to
     // DOUBLE like Spark's unitVector); adjacent-rank cosine gaps ~2e-4
-    // make the ordering insensitive to summation order.
-    "sim_brute_oracle" ->
-      ("WITH u AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +
-        "q AS (SELECT vec_id AS query_id, e AS qe FROM u WHERE vec_id < 5), " +
-        "scored AS (SELECT q.query_id, u.vec_id AS neighbor_id, " +
-        "CASE WHEN sqrt(list_inner_product(u.e, u.e)) = 0 OR sqrt(list_inner_product(q.qe, q.qe)) = 0 THEN 0.0 " +
-        "ELSE list_inner_product(u.e, q.qe) / (sqrt(list_inner_product(u.e, u.e)) * sqrt(list_inner_product(q.qe, q.qe))) END AS sim " +
-        "FROM u CROSS JOIN q), " +
-        "ranked AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM scored) " +
-        "SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10"),
+    // make the ordering insensitive to summation order. The SAME truth
+    // pins the exhaustive-settings IVF and IVFPQ queries: probing every
+    // list (and, for PQ, re-ranking a corpus-covering shortlist) must
+    // reproduce brute force exactly — the approximate production paths
+    // only narrow nProbe/refine from there.
+    "sim_brute_oracle" -> ExactTopKSql,
+    "sim_ivf_oracle" -> ExactTopKSql,
+    "sim_ivfpq_oracle" -> ExactTopKSql,
   )
+
+  private val ExactTopKSql: String =
+    "WITH u AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +
+      "q AS (SELECT vec_id AS query_id, e AS qe FROM u WHERE vec_id < 5), " +
+      "scored AS (SELECT q.query_id, u.vec_id AS neighbor_id, " +
+      "CASE WHEN sqrt(list_inner_product(u.e, u.e)) = 0 OR sqrt(list_inner_product(q.qe, q.qe)) = 0 THEN 0.0 " +
+      "ELSE list_inner_product(u.e, q.qe) / (sqrt(list_inner_product(u.e, u.e)) * sqrt(list_inner_product(q.qe, q.qe))) END AS sim " +
+      "FROM u CROSS JOIN q), " +
+      "ranked AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM scored) " +
+      "SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10"
 }

@@ -193,6 +193,27 @@ object ExtensionQueries {
   def simBruteOracle(s: SparkSession, d: String): DataFrame =
     simBruteTopK(s, d).select(col("query_id"), col("neighbor_id"), col("rank"))
 
+  /** IVF probed EXHAUSTIVELY (nProbe = nLists) is exact by construction —
+    * so the whole IVF machinery (k-means assignment, probe join, scoring,
+    * per-query top-k) is pinned to the same brute-force DuckDB oracle. */
+  def simIvfOracle(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(
+      embs(s, d), "vec_id", "embedding",
+      queryVectors(s, d), "query_id", "qvec", k = 10, nLists = 16, nProbe = 16)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+
+  /** IVFPQ with every list probed and a corpus-covering refine shortlist
+    * is exact end-to-end: residual encode → ADC shortlist → exact re-rank
+    * must reproduce brute force bit-for-bit on ids + rank. The oracle
+    * covers the full billion-scale pipeline, not a special case — the
+    * production path only narrows nProbe/refine. */
+  def simIvfPqOracle(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfPqTopK(
+      embs(s, d), "vec_id", "embedding",
+      queryVectors(s, d), "query_id", "qvec",
+      dim = 64, k = 10, nLists = 16, nProbe = 16, refine = 1000)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+
   /** ANN top-10 via hyperplane LSH with margin-ordered multiprobe.
     * 8 planes = 256 buckets; home + the 8 nearest perturbation buckets
     * score ≈3.6% of the corpus per query — a ~5× recall enrichment over
