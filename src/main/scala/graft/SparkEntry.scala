@@ -71,6 +71,7 @@ object SparkEntry {
     "dedup_embed_pairs"   -> (ExtensionQueries.dedupEmbeddingPairs _),
     "sim_brute_topk"      -> (ExtensionQueries.simBruteTopK _),
     "sim_brute_oracle"    -> (ExtensionQueries.simBruteOracle _),
+    "sim_ann_oracle"      -> (ExtensionQueries.simAnnOracle _),
     "sim_ivf_oracle"      -> (ExtensionQueries.simIvfOracle _),
     "sim_ivfpq_oracle"    -> (ExtensionQueries.simIvfPqOracle _),
     "sim_ann_topk"        -> (ExtensionQueries.simAnnTopK _),
@@ -197,6 +198,7 @@ object SparkEntry {
     // reproduce brute force exactly — the approximate production paths
     // only narrow nProbe/refine from there.
     "sim_brute_oracle" -> ExactTopKSql,
+    "sim_ann_oracle" -> ExactTopKSql,
     "sim_ivf_oracle" -> ExactTopKSql,
     "sim_ivfpq_oracle" -> ExactTopKSql,
   )

@@ -193,6 +193,17 @@ object ExtensionQueries {
   def simBruteOracle(s: SparkSession, d: String): DataFrame =
     simBruteTopK(s, d).select(col("query_id"), col("neighbor_id"), col("rank"))
 
+  /** Hyperplane-LSH ANN probing EVERY bucket (multiprobe = 2^nPlanes − 1
+    * ≥ all non-home flips) is exact by construction — pins the bucketing
+    * + margin-ordered multiprobe + scoring machinery to the brute-force
+    * oracle. */
+  def simAnnOracle(s: SparkSession, d: String): DataFrame =
+    Similarity.annTopK(
+      embs(s, d), "vec_id", "embedding",
+      queryVectors(s, d), "query_id", "qvec",
+      dim = 64, k = 10, nPlanes = 8, multiprobe = 255)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+
   /** IVF probed EXHAUSTIVELY (nProbe = nLists) is exact by construction —
     * so the whole IVF machinery (k-means assignment, probe join, scoring,
     * per-query top-k) is pinned to the same brute-force DuckDB oracle. */
