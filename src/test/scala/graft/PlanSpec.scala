@@ -115,6 +115,24 @@ class PlanSpec extends SparkSpec {
       s"embed pairs plan regressed:\n${planString(embed)}")
   }
 
+  test("IVFPQ + refine: the corpus never shuffles") {
+    // Both joins against the corpus must be broadcast (probe rows into
+    // the encoded scan; shortlist + query vectors into the re-rank scan).
+    // The only exchanges are the two candidate-sized top-k windows
+    // (shortlist rank, final rank) — a third exchange means the corpus
+    // itself started moving.
+    import org.apache.spark.sql.functions._
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = embs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val out = graft.functions.Similarity.ivfPqTopK(
+      embs, "vec_id", "embedding", q, "query_id", "qvec",
+      dim = 64, k = 5, nLists = 4, nProbe = 2, m = 8, kCodes = 16, refine = 4)
+    val s = planString(out)
+    assert(s.contains("BroadcastHashJoin"), s"corpus joins not broadcast:\n$s")
+    assert(countExchanges(out) <= 2, s"corpus-shuffling plan:\n$s")
+  }
+
   test("native vector expressions stay inside whole-stage codegen") {
     // DotProduct/HyperplaneBucket implement doGenCode (a compiled call into
     // their own compute loop), so the ANN scoring projection must appear
