@@ -242,6 +242,16 @@ object ScaleBench {
         val batch = spark.range(nVecs, nVecs + 10000L, 1L, 8).map(id => genEmb(id.toLong))
         VectorIndex.append(store, "emb_idx", batch.toDF(), "vec_id", "embedding")
         10000L
+      },
+      // 10× the batch: delta-append cost must track the BATCH, not the
+      // corpus (a ~linear-in-batch step up from the 10k number, nowhere
+      // near the full index_build time).
+      timed("index_append_100k") {
+        import spark.implicits._
+        val batch = spark.range(nVecs + 10000L, nVecs + 110000L, 1L, 16)
+          .map(id => genEmb(id.toLong))
+        VectorIndex.append(store, "emb_idx", batch.toDF(), "vec_id", "embedding")
+        100000L
       }
     ).flatten
 
