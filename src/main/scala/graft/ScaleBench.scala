@@ -252,6 +252,28 @@ object ScaleBench {
           .map(id => genEmb(id.toLong))
         VectorIndex.append(store, "emb_idx", batch.toDF(), "vec_id", "embedding")
         100000L
+      },
+      // Streaming maintenance end-to-end at the flagship index: 5 file
+      // micro-batches of 20k vectors each through maintainFromStream
+      // (foreachBatch → appendBatchOnce, exactly-once via the batch-id
+      // watermark) — the write path a production index actually runs.
+      timed("index_stream_5x20k") {
+        import spark.implicits._
+        val base = nVecs + 110000L
+        val inbox = s"$dir/inbox-${System.currentTimeMillis()}"
+        (0 until 5).foreach { b =>
+          spark.range(base + b * 20000L, base + (b + 1) * 20000L, 1L, 4)
+            .map(id => genEmb(id.toLong)).write.parquet(s"$inbox/b$b.parquet")
+        }
+        val stream = spark.readStream
+          .schema(Tables.embeddings(spark, dir).schema)
+          .option("maxFilesPerTrigger", 4) // 4 part-files ≈ one dir per trigger
+          .parquet(s"$inbox/*.parquet")
+        val q = VectorIndex.maintainFromStream(store, "emb_idx", stream,
+          "vec_id", "embedding", s"$inbox-ckpt")
+        q.processAllAvailable()
+        q.stop()
+        VectorIndex.load(store, "emb_idx").count()
       }
     ).flatten
 
