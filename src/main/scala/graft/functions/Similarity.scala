@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.ExprUtils.{let, let2}
+import graft.plans.TopKAggregate
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -49,6 +50,32 @@ object Similarity {
         .otherwise(transform(a, x => x.cast("double") / n))
     }
 
+  /** Per-query top-k of scored candidate rows, two-phase.
+    *
+    * The obvious formulation — `row_number() over (partition by query_id
+    * order by score desc)` — hash-exchanges EVERY scored row to the one
+    * task owning its query and sorts the query's whole candidate set
+    * there. For the full-scan paths (brute force, PQ-ADC) that is an
+    * N-row single-task spill-sort per query: fine at 1 M rows, dead at
+    * 100×. `bounded_top_k` is a TypedImperativeAggregate, so Spark runs
+    * it two-phase: the partial (map-side) pass folds each partition's
+    * rows into a k-entry heap, the exchange carries Q·partitions·k heap
+    * entries instead of Q·N score rows, and the final merge per query is
+    * a heap-merge. Ordering contract is identical to the window it
+    * replaces: (score desc, neighbor_id asc), java.lang.Double.compare
+    * total order — results are bit-for-bit the same.
+    *
+    * Output: (query_id, neighbor_id, <scoreName> rounded to 6, rank). */
+  private def topKPerQuery(scored: DataFrame, scoreName: String, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(TopKAggregate.boundedTopK(col("neighbor_id"), col(scoreName), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"),
+        col("col.neighbor_id").as("neighbor_id"),
+        round(col("col.score"), 6).as(scoreName),
+        (col("pos") + 1).cast("int").as("rank"))
+
   /** Exact brute-force cosine top-k.
     *
     * `queries` must be small (it is broadcast): (queryIdCol, queryVecCol).
@@ -56,9 +83,9 @@ object Similarity {
     * ties broken by neighbor id for determinism.
     *
     * Plan: corpus scan → broadcast nested-loop join (no corpus shuffle) →
-    * per-query top-k via window on the query-partitioned shuffle. The only
-    * shuffled data is (query_id, id, sim) triples — 16 bytes/row·Q, not
-    * the vectors. */
+    * two-phase bounded top-k (topKPerQuery). The only shuffled data is the
+    * partial heaps — Q·partitions·k (id, sim) entries, not the N·Q scored
+    * rows and not the vectors. */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, queryIdCol: String, queryVecCol: String,
                      k: Int = 10): DataFrame = {
@@ -70,11 +97,7 @@ object Similarity {
     val scored = corpusN.crossJoin(broadcast(queriesN))
       .select(col("query_id"), col("neighbor_id"),
         dot(col("uv"), col("quv")).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .withColumn("sim", round(col("sim"), 6))
+    topKPerQuery(scored, "sim", k)
   }
 
   /** Deterministic random hyperplanes (seeded), dim × nPlanes. */
@@ -123,11 +146,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         dot(col("uv"), col("quv")).as("sim"))
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .withColumn("sim", round(col("sim"), 6))
+    topKPerQuery(scored, "sim", k)
   }
 
   // ---- IVF (inverted-file) ANN ----------------------------------------
@@ -224,8 +243,7 @@ object Similarity {
     *
     * Scale shape: centroids ride inside the expression (no literal tree);
     * the corpus never shuffles (broadcast query probes join on list_id);
-    * only (query_id, neighbor_id, sim) triples shuffle for the top-k
-    * window. */
+    * only the bounded partial top-k heaps shuffle (topKPerQuery). */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, queryIdCol: String, queryVecCol: String,
               k: Int = 10, nLists: Int = 64, nProbe: Int = 8,
@@ -245,11 +263,7 @@ object Similarity {
     val scored = corpusN.join(broadcast(qProbes), Seq("list_id"))
       .select(col("query_id"), col("neighbor_id"),
         dot(col("uv"), col("quv")).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .withColumn("sim", round(col("sim"), 6))
+    topKPerQuery(scored, "sim", k)
   }
 
   // ---- PQ (product quantization) ANN ----------------------------------
@@ -354,11 +368,7 @@ object Similarity {
     val scored = encoded.crossJoin(broadcast(qLut))
       .select(col("query_id"), col("neighbor_id"),
         pqAdc(col("codes"), col("lut"), kCodes).as("adc"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .withColumn("adc", round(col("adc"), 6))
+    topKPerQuery(scored, "adc", k)
   }
 
   /** IVFPQ top-k: IVF list pruning (compute: scan ~nProbe/nLists of the
@@ -412,11 +422,7 @@ object Similarity {
       .join(broadcast(quv), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         dot(col("uv"), col("quv")).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    exact.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .withColumn("sim", round(col("sim"), 6))
+    topKPerQuery(exact, "sim", k)
   }
 
   /** One-scan corpus side of IVFPQ: (neighbor_id, list_id, codes). This is
@@ -457,11 +463,7 @@ object Similarity {
     val scored = encoded.join(broadcast(qProbes), Seq("list_id"))
       .select(col("query_id"), col("neighbor_id"),
         (col("cdot") + pqAdc(col("codes"), col("lut"), kCodes)).as("adc"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .withColumn("adc", round(col("adc"), 6))
+    topKPerQuery(scored, "adc", k)
   }
 
   /** Embedding-cosine near-duplicate pairs: multi-table hyperplane LSH.

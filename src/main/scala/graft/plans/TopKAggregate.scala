@@ -1,0 +1,201 @@
+package graft.plans
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Fixed-capacity top-k heap over (score, id) pairs, ordered by
+  * (score DESC, id ASC) — the per-query ranking contract of every
+  * similarity path (ties broken by neighbor id for determinism).
+  *
+  * Array-backed binary min-heap with the WORST kept entry at the root, so
+  * an insert against a full heap is one compare (reject) or one sift
+  * (replace root) — O(log k) worst case, O(1) for the overwhelming
+  * majority of corpus rows that don't beat the current k-th best.
+  * Scores compare via java.lang.Double.compare — the same total order
+  * (NaN greatest, -0.0 < 0.0) Spark's sort-based window ranking used, so
+  * the heap result is bit-identical to the window formulation it replaces.
+  */
+final class TopKHeap(val k: Int) extends Serializable {
+  private[plans] val scores = new Array[Double](k)
+  private[plans] val ids = new Array[Long](k)
+  private[plans] var size = 0
+
+  /** true iff (s1, i1) ranks strictly WORSE than (s2, i2) under
+    * (score desc, id asc): lower score, or same score and higher id. */
+  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c < 0 || (c == 0 && i1 > i2)
+  }
+
+  private def siftUp(start: Int): Unit = {
+    var i = start
+    while (i > 0) {
+      val p = (i - 1) >> 1
+      if (worse(scores(i), ids(i), scores(p), ids(p))) {
+        val ts = scores(i); val ti = ids(i)
+        scores(i) = scores(p); ids(i) = ids(p)
+        scores(p) = ts; ids(p) = ti
+        i = p
+      } else return
+    }
+  }
+
+  private def siftDown(): Unit = {
+    var i = 0
+    while (true) {
+      val l = 2 * i + 1
+      if (l >= size) return
+      val r = l + 1
+      var m = l
+      if (r < size && worse(scores(r), ids(r), scores(l), ids(l))) m = r
+      if (worse(scores(m), ids(m), scores(i), ids(i))) {
+        val ts = scores(i); val ti = ids(i)
+        scores(i) = scores(m); ids(i) = ids(m)
+        scores(m) = ts; ids(m) = ti
+        i = m
+      } else return
+    }
+  }
+
+  def add(score: Double, id: Long): Unit = {
+    if (size < k) {
+      scores(size) = score; ids(size) = id; size += 1
+      siftUp(size - 1)
+    } else if (worse(scores(0), ids(0), score, id)) {
+      scores(0) = score; ids(0) = id
+      siftDown()
+    }
+  }
+
+  def mergeFrom(other: TopKHeap): Unit = {
+    var i = 0
+    while (i < other.size) { add(other.scores(i), other.ids(i)); i += 1 }
+  }
+
+  /** (id, score) pairs ordered best-first: (score desc, id asc). */
+  def sortedDesc: Array[(Long, Double)] = {
+    val out = Array.tabulate(size)(i => (ids(i), scores(i)))
+    scala.util.Sorting.stableSort(out, (a: (Long, Double), b: (Long, Double)) =>
+      worse(b._2, b._1, a._2, a._1))
+    out
+  }
+}
+
+/** Bounded per-group top-k as a typed aggregate:
+  * `bounded_top_k(id, score, k)` → array<struct<neighbor_id, score>>
+  * sorted (score desc, id asc).
+  *
+  * This is the scale-correct half of a two-phase top-k. The window
+  * formulation (`row_number over (partition by query_id order by score)`)
+  * hash-exchanges EVERY scored row to the task owning its query and sorts
+  * the query's entire candidate set there — for a full-corpus scan that is
+  * an N-row single-task spill-sort per query, the one plan shape that dies
+  * at 100× scale. As an aggregate, partial (map-side) update folds each
+  * partition's rows into a k-entry heap, so the exchange carries
+  * Q·partitions·k heap entries instead of Q·N score rows, and the final
+  * merge per query is heap-merge over partitions·k entries. Runs under
+  * ObjectHashAggregateExec (one buffer object per group — Q per task). */
+case class BoundedTopK(left: Expression, right: Expression, k: Int,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKHeap] with BinaryLike[Expression] {
+
+  require(k >= 1, s"k=$k must be positive")
+
+  private def idExpr = left
+  private def scoreExpr = right
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (idExpr.dataType, scoreExpr.dataType) match {
+      case (IntegerType | LongType, DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (idT, sT) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bounded_top_k needs (int|bigint id, double score), got " +
+            s"${idT.simpleString}, ${sT.simpleString}")
+    }
+
+  // Output ids keep the input id type so downstream schemas (and the
+  // DuckDB oracle's parquet-derived types) are unchanged by the rewrite.
+  private lazy val idIsLong = idExpr.dataType == LongType
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("neighbor_id", idExpr.dataType, nullable = false),
+      StructField("score", DoubleType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
+
+  override def update(buffer: TopKHeap, input: InternalRow): TopKHeap = {
+    val idV = idExpr.eval(input)
+    if (idV != null) {
+      val sV = scoreExpr.eval(input)
+      if (sV != null) {
+        val id = if (idIsLong) idV.asInstanceOf[Long]
+        else idV.asInstanceOf[Int].toLong
+        buffer.add(sV.asInstanceOf[Double], id)
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: TopKHeap, input: TopKHeap): TopKHeap = {
+    buffer.mergeFrom(input); buffer
+  }
+
+  override def eval(buffer: TopKHeap): Any =
+    new GenericArrayData(buffer.sortedDesc.map { case (id, score) =>
+      InternalRow(if (idIsLong) id else id.toInt, score)
+    })
+
+  override def serialize(buffer: TopKHeap): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buffer.size)
+    bb.putInt(buffer.size)
+    var i = 0
+    while (i < buffer.size) {
+      bb.putLong(buffer.ids(i)); bb.putDouble(buffer.scores(i)); i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKHeap = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val h = new TopKHeap(k)
+    var i = 0
+    while (i < n) {
+      val id = bb.getLong(); val s = bb.getDouble()
+      h.add(s, id); i += 1
+    }
+    h
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedTopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedTopK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BoundedTopK =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "bounded_top_k"
+}
+
+object TopKAggregate {
+  /** Column wrapper: per-group bounded top-k of (id, score). */
+  def boundedTopK(id: Column, score: Column, k: Int): Column =
+    GraftColumnBridge.column(BoundedTopK(
+      GraftColumnBridge.expression(id),
+      GraftColumnBridge.expression(score), k).toAggregateExpression())
+}

@@ -133,6 +133,24 @@ class PlanSpec extends SparkSpec {
     assert(countExchanges(out) <= 2, s"corpus-shuffling plan:\n$s")
   }
 
+  test("full-scan similarity top-k is a bounded aggregate, not a window sort") {
+    // bruteForceTopK / pqTopK score the WHOLE corpus per query. Ranked via
+    // `row_number over (partition by query_id order by score)`, every scored
+    // row hash-exchanges to the one task owning its query, which then sorts
+    // the query's entire candidate set — an N-row single-task spill-sort
+    // per query at 100× scale. bounded_top_k must plan as a two-phase
+    // ObjectHashAggregate (map-side k-heaps; only Q·partitions·k heap
+    // entries cross the exchange) with no Window anywhere in the plan.
+    for (df <- Seq(graft.queries.ExtensionQueries.simBruteTopK(spark, sfDir),
+                   graft.queries.ExtensionQueries.simPqTopK(spark, sfDir))) {
+      val s = planString(df)
+      assert("ObjectHashAggregate".r.findAllIn(s).size >= 2,
+        s"two-phase bounded top-k missing (partial + final):\n$s")
+      assert(!s.contains("Window"),
+        s"corpus-sized per-query window sort crept back:\n$s")
+    }
+  }
+
   test("native vector expressions stay inside whole-stage codegen") {
     // DotProduct/HyperplaneBucket implement doGenCode (a compiled call into
     // their own compute loop), so the ANN scoring projection must appear
