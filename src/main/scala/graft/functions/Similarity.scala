@@ -408,21 +408,40 @@ object Similarity {
     * the ~corpus/nLists·nProbe scanned codes) and the exact pass ranks
     * it. Cost: one broadcast-semi-joined scan of the corpus restricted to
     * shortlisted ids — Q·k·refine exact dots, not corpus-sized. Output
-    * matches ivfTopK: (query_id, neighbor_id, sim, rank). */
+    * matches ivfTopK: (query_id, neighbor_id, sim, rank).
+    *
+    * Coverage-safe: a shortlisted neighbor whose vector is ABSENT from
+    * `corpusUnit` (e.g. an index that holds appended batches the caller's
+    * corpus table predates) keeps its ADC estimate as the ranking score
+    * instead of silently vanishing from the result — residual ADC
+    * approximates the same dot product the exact pass computes, so the
+    * scales are commensurable and the query still returns k neighbors.
+    * With full coverage the fallback never fires and the output is
+    * bit-identical to a pure exact re-rank. `shortlist` must carry its
+    * ADC score in `scoreCol`. */
   private[graft] def refineExact(shortlist: DataFrame, corpusUnit: DataFrame,
                                  queries: DataFrame, queryIdCol: String,
-                                 queryVecCol: String, k: Int): DataFrame = {
+                                 queryVecCol: String, k: Int,
+                                 scoreCol: String = "adc"): DataFrame = {
     val quv = queries.select(col(queryIdCol).as("query_id"),
       unitVector(col(queryVecCol)).as("quv"))
+    val sl = shortlist.select(col("query_id"), col("neighbor_id"),
+      col(scoreCol).as("adc_est"))
     // Broadcast the (Q·k·refine)-row shortlist into the corpus scan — the
     // corpus must never shuffle for a re-rank.
     val exact = corpusUnit
-      .join(broadcast(shortlist.select(col("query_id"), col("neighbor_id"))),
+      .join(broadcast(sl.select(col("query_id"), col("neighbor_id"))),
         Seq("neighbor_id"))
       .join(broadcast(quv), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        dot(col("uv"), col("quv")).as("sim"))
-    topKPerQuery(exact, "sim", k)
+        dot(col("uv"), col("quv")).as("exact_sim"))
+    // Left join keeps uncovered shortlist rows; both sides are
+    // shortlist-sized (the corpus was already cut down by the inner join
+    // above), so broadcasting the exact side keeps this exchange-free.
+    val merged = sl.join(broadcast(exact), Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("neighbor_id"),
+        coalesce(col("exact_sim"), col("adc_est")).as("sim"))
+    topKPerQuery(merged, "sim", k)
   }
 
   /** One-scan corpus side of IVFPQ: (neighbor_id, list_id, codes). This is
@@ -481,7 +500,12 @@ object Similarity {
     * must track corpus size — at 1M vectors a fixed 8-bit table (256
     * buckets) averages ~4k members, so EVERY bucket trips the cap and
     * recall silently collapses; 16 bits keeps the average ~15. A fixed
-    * value is still accepted for reproducing a specific layout. */
+    * value is still accepted for reproducing a specific layout.
+    *
+    * LAZY contract (matches Dedup.simhashPairsFromHashes): returns an
+    * unexecuted plan, persists nothing — multi-action consumers should
+    * cache the result themselves. (The auto-sizing corpus count() is a
+    * metadata-scale action, not a materialization of this plan.) */
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                             dim: Int, threshold: Double = 0.95,
                             nTables: Int = 8, bitsPerTable: Int = 0,

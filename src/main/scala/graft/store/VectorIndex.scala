@@ -200,7 +200,16 @@ object VectorIndex {
     * shortlist via broadcast join, and the exact top-k is returned.
     * Within tight clusters ADC noise exceeds the neighbor gaps, so pure
     * code ordering cannot deliver exact-k — codes shortlist, the re-rank
-    * ranks. Output matches ivfTopK: (query_id, neighbor_id, sim, rank). */
+    * ranks. Output matches ivfTopK: (query_id, neighbor_id, sim, rank).
+    *
+    * Corpus coverage: `corpus` should hold the vector for every index
+    * entry, INCLUDING batches added via append/appendBatchOnce after the
+    * build — the index stores only codes, so the re-rank can only be
+    * exact where the caller supplies the vector. A shortlisted neighbor
+    * missing from `corpus` is NOT silently dropped (the failure mode of a
+    * plain inner re-join): it stays in the result ranked by its ADC
+    * estimate (see Similarity.refineExact), so the query still returns k
+    * neighbors and degrades to ADC ordering exactly where coverage ends. */
   def queryRefined(store: SnapshotStore, indexTable: String,
                    corpus: DataFrame, idCol: String, vecCol: String,
                    queries: DataFrame, queryIdCol: String, queryVecCol: String,

@@ -111,6 +111,52 @@ class VectorIndexSpec extends SparkSpec {
       floor(col("query_id") / 60)).count() === 0)
   }
 
+  test("queryRefined keeps appended neighbors when the corpus misses them") {
+    // The refine re-join can only be exact where the caller's corpus has
+    // the vector; an index entry from a post-build append that the corpus
+    // predates must NOT silently vanish (the old inner-join failure mode)
+    // — it stays in the result ranked by its ADC estimate.
+    val dir = Files.createTempDirectory("graft-vindex6").toString
+    val store = new SnapshotStore(dir, spark)
+    val points = clustered(36)
+    // interleaved holdout so the trained quantizers saw every cluster
+    val (late, seedPts) = points.partition(_._1 % 8 == 0L)
+    val seedDf = seedPts.toDF("vec_id", "embedding").repartition(4)
+    VectorIndex.build(store, "idx", seedDf,
+      "vec_id", "embedding", dim = 16, nLists = 20, m = 4, kCodes = 16)
+    VectorIndex.append(store, "idx",
+      late.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val q = late.take(3).toDF("query_id", "qvec")
+
+    // STALE corpus (build-time vectors only): still k rows per query, and
+    // each query — itself an appended vector, so exact-sim-1 but absent
+    // from the corpus — surfaces via its ADC self-estimate (~1.0, far
+    // above the ~0.96 within-cluster exact sims).
+    val stale = VectorIndex.queryRefined(store, "idx", seedDf,
+      "vec_id", "embedding", q, "query_id", "qvec",
+      k = 10, nProbe = 20, refine = 120)
+    assert(stale.groupBy("query_id").count()
+      .filter(col("count") =!= 10).count() === 0,
+      "coverage loss truncated the result")
+    assert(stale.filter(col("query_id") === col("neighbor_id")).count() > 0,
+      "appended vectors were silently dropped from the refined result")
+
+    // FULL corpus at exhaustive settings: the fallback never fires and the
+    // result equals brute force exactly (coverage-complete behavior is
+    // unchanged by the fallback path).
+    val full = VectorIndex.queryRefined(store, "idx",
+      points.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      q, "query_id", "qvec", k = 10, nProbe = 20, refine = 120)
+    val truth = graft.functions.Similarity.bruteForceTopK(
+      points.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      q, "query_id", "qvec", k = 10)
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (k2, x) => k2 -> x.map(_._2).toSet }
+    assert(sets(full) === sets(truth),
+      "coverage-complete refined query no longer matches brute force")
+  }
+
   test("streamed vector batches append exactly once") {
     val dir = Files.createTempDirectory("graft-vindex4").toString
     val store = new SnapshotStore(dir, spark)
