@@ -64,10 +64,13 @@ object SparkEntry {
     "pack_shards"         -> ((s, d) => ExtensionQueries.packShards(s, d)),
     "dedup_exact"         -> (ExtensionQueries.dedupExact _),
     "dedup_exact_keep"    -> (ExtensionQueries.dedupExactKeep _),
+    "dedup_fingerprint"   -> (ExtensionQueries.dedupFingerprint _),
     "dedup_minhash_pairs" -> (ExtensionQueries.dedupMinhashPairs _),
     "dedup_minhash_oracle" -> (ExtensionQueries.dedupMinhashOracle _),
     "dedup_embed_oracle"  -> (ExtensionQueries.dedupEmbedOracle _),
     "dedup_simhash_pairs" -> (ExtensionQueries.dedupSimhashPairs _),
+    "dedup_simhash_oracle" -> (ExtensionQueries.dedupSimhashOracle _),
+    "text_triage_oracle"  -> (ExtensionQueries.textTriageOracle _),
     "dedup_embed_pairs"   -> (ExtensionQueries.dedupEmbeddingPairs _),
     "sim_brute_topk"      -> (ExtensionQueries.simBruteTopK _),
     "sim_brute_oracle"    -> (ExtensionQueries.simBruteOracle _),
@@ -78,6 +81,7 @@ object SparkEntry {
     "sim_ivf_topk"        -> (ExtensionQueries.simIvfTopK _),
     "sim_pq_topk"         -> (ExtensionQueries.simPqTopK _),
     "sim_ivfpq_topk"      -> (ExtensionQueries.simIvfPqTopK _),
+    "sim_index_topk"      -> (ExtensionQueries.simIndexTopK _),
     "sim_ann_recall"      -> (ExtensionQueries.simAnnRecall _),
   )
 
@@ -168,6 +172,21 @@ object SparkEntry {
       "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY md5(text)",
     "dedup_exact_keep" ->
       "SELECT doc_id, n_chars FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))",
+    // Whitespace-insensitive fingerprint groups over the corpus + planted
+    // tab-indented variants (ids +10000 of doc_id < 50). Hash-agnostic
+    // compare: groups are keyed on the token SEQUENCE (md5 here, xxhash64
+    // in Spark — same partition of the corpus), only survivor + size are
+    // emitted. Every variant folds into its original (dup_count 2).
+    "dedup_fingerprint" ->
+      ("WITH u AS (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 10000 AS doc_id, replace(text, ' ', chr(9) || ' ') AS text " +
+        "FROM documents WHERE doc_id < 50), " +
+        "t AS (SELECT doc_id, CASE WHEN length(regexp_replace(text, " +
+        "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
+        "ELSE string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+        "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM u) " +
+        "SELECT min(doc_id) AS keep_id, count(*) AS dup_count FROM t " +
+        "GROUP BY md5(array_to_string(tk, ' '))"),
     // Brute-force 3-gram Jaccard over the doc_id<300 restriction: tokenizer
     // (full-whitespace-class trim + split) and shingling (distinct word
     // 3-grams, whole text if <3 tokens) mirror TextFunctions.tokens /
@@ -201,6 +220,55 @@ object SparkEntry {
     "sim_ann_oracle" -> ExactTopKSql,
     "sim_ivf_oracle" -> ExactTopKSql,
     "sim_ivfpq_oracle" -> ExactTopKSql,
+    // The persisted-index path (encode → snapshot commit → reload → probe
+    // → ADC → exact refine) at exhaustive settings must also reproduce
+    // brute force — same truth as the in-memory sim_* oracles.
+    "sim_index_topk" -> ExactTopKSql,
+    // Brute-force 64-bit Hamming over doc_id < 300, recomputing the
+    // md5-nibble simhash from raw text (see ExtensionQueries
+    // .dedupSimhashOracle): per token, bit j of the first 16 md5 hex
+    // nibbles votes +1/-1 on simhash bit j (MSB-first packing, vote >= 0
+    // sets the bit) — bit-identical to Dedup.simhash64Md5. Pairs at
+    // Hamming <= 6; empty-token docs excluded on both sides.
+    "dedup_simhash_oracle" ->
+      ("WITH d AS (SELECT doc_id, CASE WHEN length(regexp_replace(text, " +
+        "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
+        "ELSE string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+        "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM documents WHERE doc_id < 300), " +
+        "d2 AS (SELECT doc_id, tk FROM d WHERE len(tk) > 0), " +
+        "tok AS (SELECT doc_id, unnest(tk) AS t FROM d2), " +
+        "bits AS (SELECT doc_id, r.range AS j, CASE WHEN ((strpos('0123456789abcdef', " +
+        "substr(md5(t), CAST(r.range // 4 AS INTEGER) + 1, 1)) - 1) " +
+        "& (1 << CAST(3 - (r.range % 4) AS INTEGER))) != 0 THEN 1 ELSE -1 END AS v " +
+        "FROM tok, range(64) r), " +
+        "votes AS (SELECT doc_id, j, sum(v) AS s FROM bits GROUP BY doc_id, j), " +
+        "sh AS (SELECT doc_id, CAST(sum(CASE WHEN s >= 0 THEN (CASE WHEN j = 0 " +
+        "THEN -9223372036854775807 - 1 ELSE (1::BIGINT << CAST(63 - j AS INTEGER)) END) " +
+        "ELSE 0 END) AS BIGINT) AS sh64 FROM votes GROUP BY doc_id) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.sh64, b.sh64)) <= 6"),
+    // Integer triage signals + argmax language label (ties resolved by the
+    // lexicographically greater lang code via (score, lang) struct max —
+    // the exact semantics of TextFunctions.langId's array_max).
+    "text_triage_oracle" ->
+      ("WITH d AS (SELECT doc_id, text, CASE WHEN length(regexp_replace(lower(text), " +
+        "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
+        "ELSE string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+        "'[ \\t\\n\\x0B\\f\\r]+') END AS ltk FROM documents), " +
+        "h AS (SELECT doc_id, " +
+        "CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN 0 " +
+        "ELSE len(string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+        "'[ \\t\\n\\x0B\\f\\r]+')) END AS n_tokens, " +
+        "len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 \\t\\n\\r\\f\\x0B]')) AS n_subwords, " +
+        "len(list_filter(ltk, t -> list_contains(['der','die','das','und','ist','nicht','ein','eine','mit','auf'], t))) AS hits_de, " +
+        "len(list_filter(ltk, t -> list_contains(['the','and','of','to','in','is','that','it','for','with'], t))) AS hits_en, " +
+        "len(list_filter(ltk, t -> list_contains(['el','la','los','las','que','y','en','un','una','por'], t))) AS hits_es, " +
+        "len(list_filter(ltk, t -> list_contains(['le','la','les','et','des','est','une','dans','pour','du'], t))) AS hits_fr " +
+        "FROM d) " +
+        "SELECT doc_id, n_tokens, n_subwords, hits_de, hits_en, hits_es, hits_fr, " +
+        "CASE WHEN greatest(hits_en, hits_es, hits_fr, hits_de) = 0 THEN 'und' " +
+        "ELSE list_max([{'score': hits_de, 'lang': 'de'}, {'score': hits_en, 'lang': 'en'}, " +
+        "{'score': hits_es, 'lang': 'es'}, {'score': hits_fr, 'lang': 'fr'}])['lang'] END AS lang_pred FROM h"),
   )
 
   private val ExactTopKSql: String =

@@ -117,7 +117,20 @@ object Dedup {
     *    tens of GB at 5M docs (array<string> of ~400 shingles per doc),
     *    and a non-starter at 100 TB; recomputing ~2·pairs docs costs
     *    seconds and keeps every retained intermediate candidate-sized.
-    * The pair cache returned is the caller's to unpersist. */
+    *
+    * EAGER contract: this operator MATERIALIZES its result at construction
+    * time (one count() action) so the helper caches above — which the plan
+    * reads 3× — can be released immediately instead of pinning executor
+    * memory for the session. The returned DataFrame is a persisted,
+    * already-computed pair set: compose it freely (downstream actions read
+    * the cache, never recompute), and unpersist it when done. Callers that
+    * need lazy composition into a larger one-shot plan should accept the
+    * one construction-time materialization as the price of the bounded
+    * caches; a construction-time failure therefore surfaces here, not at
+    * the caller's action. The sibling pair generators
+    * (simhashPairsFromHashes, embeddingNearDupPairs) are LAZY — their
+    * plans have no multi-read intermediates, so caching is the caller's
+    * choice there. */
   def nearDuplicatePairs(df: DataFrame, textCol: String, idCol: String,
                          shingleN: Int = 3, k: Int = 32, bands: Int = 16,
                          threshold: Double = 0.5,
@@ -293,7 +306,12 @@ object Dedup {
     * 4 blocks): ~67M distinct buckets per combo, so the cap only ever
     * trims genuinely degenerate hash values. The cost — more exploded key
     * rows per doc — is keys-only shuffle volume (combo id + packed long +
-    * doc id), the cheap kind. */
+    * doc id), the cheap kind.
+    *
+    * LAZY contract: returns an unexecuted plan and persists nothing (the
+    * single-shuffle shape has no multi-read intermediate to cache) — a
+    * consumer running several actions over the pairs should cache the
+    * result itself. nearDuplicatePairs is the EAGER sibling; see its doc. */
   def simhashPairsFromHashes(hashed: DataFrame, maxHamming: Int,
                              maxBucketSize: Int = 1000,
                              nBlocks: Int = 0,
@@ -343,9 +361,49 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Oracle-portable 64-bit SimHash: the same bit-vote recipe as
+    * [[simhash64]], but the per-token hash is the first 64 bits of
+    * md5(token) (read nibble-by-nibble from the hex digits) instead of
+    * xxhash64 — md5 is the one 64-bit-capable hash Spark and DuckDB
+    * compute identically, so a DuckDB brute-force Hamming oracle can
+    * recompute these exact values from raw text (the production xxhash64
+    * per-token hash has no DuckDB equivalent; its path is pinned by the
+    * exhaustive-equality ScalaTest spec instead). Interpreted HOFs — fine
+    * on the oracle-restricted corpus; production uses the compiled
+    * SimHash64 expression.
+    *
+    * Bit convention (must match the oracle SQL bit-for-bit): token hash
+    * bit j (j = 0 MSB-first over the first 16 hex chars) votes +1/-1 on
+    * simhash bit j; vote ≥ 0 sets the bit; bits pack MSB-first, so bit 0
+    * lands at position 63 of the signed result. Empty-token docs are the
+    * caller's to filter (all-zero votes would hash to -1L). */
+  def simhash64Md5(text: Column): Column =
+    let(TextFunctions.tokens(text)) { tk =>
+      let(aggregate(tk, array_repeat(lit(0), 64),
+        (acc, t) => let(md5(t)) { h =>
+          zip_with(acc, sequence(lit(0), lit(63)), (a, j) => {
+            val nib = conv(h.substr((j / 4).cast("int") + 1, lit(1)), 16, 10)
+              .cast("int")
+            // variable-width shift via divisor table (shiftright needs a
+            // literal shift count): bit = (nib div 2^(3 - j%4)) mod 2
+            val divisor = element_at(array(lit(8), lit(4), lit(2), lit(1)),
+              pmod(j, lit(4)).cast("int") + 1)
+            a + pmod((nib / divisor).cast("int"), lit(2)) * 2 - 1
+          })
+        })) { votes =>
+        aggregate(votes, lit(0L), (acc, v) =>
+          shiftleft(acc, 1).bitwiseOR(when(v >= 0, lit(1L)).otherwise(lit(0L))))
+      }
+    }
+
   /** SimHash near-dup pairs from text: hash once, then guaranteed-recall
     * multi-block banding (see simhashPairsFromHashes). Same scale shape
-    * as MinHash-LSH: shuffle on short keys, no cross join. */
+    * as MinHash-LSH: shuffle on short keys, no cross join.
+    *
+    * LAZY (like simhashPairsFromHashes and embeddingNearDupPairs, unlike
+    * the eager nearDuplicatePairs): returns an unexecuted plan with no
+    * persisted intermediates — a consumer running multiple actions over
+    * the result should cache it. */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           maxHamming: Int = 3,
                           maxBucketSize: Int = 1000,

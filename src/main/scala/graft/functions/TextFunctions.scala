@@ -72,7 +72,10 @@ object TextFunctions {
   // Tiny per-language stopword lists for the n-gram/stopword language-ID
   // heuristic. Sets are disjoint-ish on purpose: shared words (e.g. "a")
   // carry no signal.
-  private val stopwords: Map[String, Seq[String]] = Map(
+  // private[graft] so the DuckDB oracle twin (text_triage_oracle) can emit
+  // per-language hit counts from the SAME lists — a drifted copy would
+  // silently diverge the engines.
+  private[graft] val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
     "es" -> Seq("el", "la", "los", "las", "que", "y", "en", "un", "una", "por"),
     "fr" -> Seq("le", "la", "les", "et", "des", "est", "une", "dans", "pour", "du"),

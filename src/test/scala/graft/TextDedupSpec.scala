@@ -97,6 +97,34 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)), s"hamming-5 pair missed: $pairs")
   }
 
+  test("simhash64Md5 matches an independent JVM reference implementation") {
+    // Pins the Column-expression md5-simhash (the DuckDB-oracle-portable
+    // leaf hash of dedup_simhash_oracle) to a from-scratch MessageDigest
+    // reference: same tokenization, same nibble-order bit votes, same
+    // MSB-first packing. A drift in any of those silently diverges the
+    // Spark side of the oracle twin from the SQL recomputation.
+    def refSimhash(text: String): Long = {
+      val toks = text.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+      val votes = new Array[Int](64)
+      val mdig = java.security.MessageDigest.getInstance("MD5")
+      for (t <- toks) {
+        val hex = mdig.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        for (j <- 0 until 64) {
+          val nib = Integer.parseInt(hex.substring(j / 4, j / 4 + 1), 16)
+          votes(j) += ((nib >> (3 - j % 4)) & 1) * 2 - 1
+        }
+      }
+      votes.foldLeft(0L)((acc, v) => (acc << 1) | (if (v >= 0) 1L else 0L))
+    }
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "hello world", "a",
+      "tabs\tand\nnewlines  doubled  spaces")
+    val got = texts.toDF("t")
+      .select(Dedup.simhash64Md5(col("t"))).as[Long].collect().toSeq
+    assert(got === texts.map(refSimhash))
+  }
+
   test("simhash pairs equal exhaustive brute force on a random corpus") {
     // The in-bucket pair generator (window cap → collect_list →
     // HammingPairs) must produce EXACTLY the brute-force pair set:
