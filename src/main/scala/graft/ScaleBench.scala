@@ -110,7 +110,13 @@ object ScaleBench {
     spark.stop()
   }
 
-  /** `filter`: substring over query names — empty runs everything. */
+  /** `filter`: substring over query names — empty runs everything.
+    * Data dependencies are NOT auto-resolved: later benches read state
+    * earlier ones committed (index_query/index_append/index_stream need
+    * index_build's table; embed near-dup variants share the planted
+    * corpus built in this method). A filter that matches a dependent
+    * bench but not its producer fails on the missing table — include the
+    * producer in the substring (e.g. filter "index", not "index_query"). */
   private def run(spark: SparkSession, dir: String, filter: String = ""): Unit = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)

@@ -598,8 +598,14 @@ case class CosinePairs(child: Expression, threshold: Double)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
+      // compute() reads members via getArray(1).toDoubleArray(), which
+      // misreads any non-double element type (e.g. the raw array<float>
+      // embedding column) — require double elements; unitVector already
+      // widens float embeddings to double.
       case ArrayType(StructType(Array(a, b)), _)
-        if a.dataType == LongType && b.dataType.isInstanceOf[ArrayType] =>
+        if a.dataType == LongType &&
+          b.dataType.isInstanceOf[ArrayType] &&
+          b.dataType.asInstanceOf[ArrayType].elementType == DoubleType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
@@ -750,7 +756,9 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]],
   * their resolution on exactly the within-list structure the ranking
   * needs (the IVFADC construction of Jégou et al., "Product Quantization
   * for Nearest Neighbor Search"). Same NaN routing as NearestCentroids:
-  * a dirty vector gets list 0 with its raw value as residual. */
+  * a dirty vector routes to list 0 and its residual subtracts centroid 0
+  * like any list-0 member (the NaN components stay NaN through the
+  * subtraction, so the poison is preserved, not laundered). */
 case class IvfResidual(child: Expression, centroids: Seq[Seq[Double]])
     extends UnaryExpression {
 
