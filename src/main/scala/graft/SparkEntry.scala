@@ -59,6 +59,8 @@ object SparkEntry {
     // training-data extension ops (text / dedup / similarity)
     "text_stats"          -> (ExtensionQueries.textStats _),
     "text_triage"         -> (ExtensionQueries.textTriage _),
+    "chunk_docs"          -> ((s, d) => ExtensionQueries.chunkDocs(s, d)),
+    "vocab_topk"          -> ((s, d) => ExtensionQueries.vocabTopK(s, d)),
     "curate_docs"         -> (ExtensionQueries.curateDocs _),
     "sample_stratified"   -> (ExtensionQueries.sampleStratified _),
     "pack_shards"         -> ((s, d) => ExtensionQueries.packShards(s, d)),
@@ -158,6 +160,29 @@ object SparkEntry {
       "SELECT event_type, count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value, min(CAST(round(value * 100) AS BIGINT)) AS min_cents, max(CAST(round(value * 100) AS BIGINT)) AS max_cents FROM events GROUP BY event_type",
     "text_stats" ->
       "SELECT doc_id, length(text) AS n_chars, CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g')) = 0 THEN 0 ELSE len(string_split_regex(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g'), '[ \\t\\n\\r\\f\\x0B]+')) END AS n_tokens, length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits, CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) END AS digit_ratio FROM documents",
+    // Token chunking: chunk i of a doc covers tokens [i·48, i·48+64);
+    // chunk count = ceil(max(n − 16, 1) / 48) — integer arithmetic and
+    // token slicing identical on both engines (list slices clamp).
+    "chunk_docs" ->
+      ("WITH d AS (SELECT doc_id, CASE WHEN length(regexp_replace(text, " +
+        "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
+        "ELSE string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+        "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM documents), " +
+        "d2 AS (SELECT doc_id, tk, len(tk) AS n FROM d WHERE len(tk) > 0), " +
+        "c AS (SELECT doc_id, tk, CAST((greatest(n - 16, 1) + 47) // 48 AS INTEGER) AS n_chunks FROM d2), " +
+        "e AS (SELECT doc_id, tk, CAST(unnest(range(n_chunks)) AS INTEGER) AS chunk_id FROM c) " +
+        "SELECT doc_id, chunk_id, len(tk[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS n_chunk_tokens, " +
+        "array_to_string(tk[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk_text FROM e"),
+    // Case-folded token frequency top-100; freq ties break on the token
+    // string so the LIMIT is a total order.
+    "vocab_topk" ->
+      ("WITH d AS (SELECT CASE WHEN length(regexp_replace(lower(text), " +
+        "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
+        "ELSE string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+        "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM documents), " +
+        "t AS (SELECT unnest(tk) AS token FROM d) " +
+        "SELECT token, count(*) AS freq FROM t GROUP BY token " +
+        "ORDER BY freq DESC, token ASC LIMIT 100"),
     "events_asof" ->
       "WITH e AS (SELECT user_id, event_id, event_type, value, epoch_ns(ts) // 1000 AS ts_us FROM events), c AS (SELECT user_id, ts_us, event_id FROM e WHERE event_type = 'click'), p AS (SELECT user_id, ts_us, max(CAST(round(value * 100) AS BIGINT)) AS purchase_cents FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts_us) SELECT c.event_id, c.user_id, c.ts_us, p.purchase_cents AS asof_purchase_cents FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.ts_us",
     "events_rangejoin" ->

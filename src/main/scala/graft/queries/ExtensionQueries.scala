@@ -234,6 +234,57 @@ object ExtensionQueries {
         expr(s"(cum_tokens - n_tokens) DIV $budget"))
   }
 
+  /** Fixed-size token chunking with overlap — the "split long documents
+    * into context-window-sized pieces" step a training pipeline runs
+    * before tokenization. Chunk i covers tokens
+    * [i·stride, min(i·stride + chunkSize, n)); the chunk count is
+    * ceil(max(n − overlap, 1) / stride) in exact integer arithmetic, so
+    * the whole op is DuckDB-oracle-checked (ids, counts, and the joined
+    * chunk text all match bit-for-bit). Empty-token docs yield no chunks.
+    *
+    * Scale shape: one streaming scan with a per-row explode — chunk
+    * boundaries depend only on the row, so there is NO shuffle anywhere;
+    * output order/partitioning inherits the scan. At 100 TB this is the
+    * embarrassingly-parallel map stage it should be. */
+  def chunkDocs(s: SparkSession, d: String,
+                chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride >= 1 && stride <= chunkSize,
+      s"stride=$stride must be in [1, chunkSize=$chunkSize]")
+    val overlap = chunkSize - stride
+    docs(s, d)
+      .select(col("doc_id"), TF.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), col("tk"),
+        // ceil(max(n - overlap, 1) / stride) via (x + stride-1) div stride;
+        // double division + int cast truncates = floor for positives
+        ((greatest(size(col("tk")) - overlap, lit(1)) + (stride - 1)) / stride)
+          .cast("int").as("n_chunks"))
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("tk"), col("chunk_id") * stride + 1, lit(chunkSize)).as("ck"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ck")).as("n_chunk_tokens"),
+        concat_ws(" ", col("ck")).as("chunk_text"))
+  }
+
+  /** Corpus vocabulary: case-folded token frequencies, top k — the vocab
+    * / token-stats pass of corpus prep (and the classic explode-heavy
+    * aggregation shape). Exact integers end-to-end; ties at the cutoff
+    * break on the token string so the limit is a total order (oracle-safe).
+    *
+    * Scale shape: explode → partial hash agg (map-side combine collapses
+    * each partition to its distinct tokens before the exchange) → final
+    * agg → TakeOrderedAndProject. The only shuffled rows are per-partition
+    * distinct (token, partial count) pairs — vocabulary-sized, not
+    * corpus-sized. */
+  def vocabTopK(s: SparkSession, d: String, k: Int = 100): DataFrame =
+    docs(s, d)
+      .select(explode(TF.tokens(lower(col("text")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+
   // ---- similarity search ----------------------------------------------
 
   /** First 5 vectors as the deterministic query set. */

@@ -97,6 +97,30 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)), s"hamming-5 pair missed: $pairs")
   }
 
+  test("chunkDocs: overlap-windowed chunks cover every token exactly") {
+    import graft.queries.ExtensionQueries
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunk")
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 2 chunks: [0,64) [48,100)
+      (2L, (1 to 64).map(i => s"u$i").mkString(" ")),  // exactly one full chunk
+      (3L, (1 to 65).map(i => s"v$i").mkString(" ")),  // tail chunk of 17 (> overlap)
+      (4L, "solo"),                                    // one short chunk
+      (5L, "   ")).toDF("doc_id", "text")              // no tokens → no chunks
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = ExtensionQueries.chunkDocs(spark, dir.toString)
+      .select("doc_id", "chunk_id", "n_chunk_tokens")
+      .as[(Long, Int, Int)].collect().sorted.toSeq
+    assert(out === Seq((1L, 0, 64), (1L, 1, 52), (2L, 0, 64),
+      (3L, 0, 64), (3L, 1, 17), (4L, 0, 1)))
+    // chunk i starts at token i·stride: the overlap region is shared and
+    // the union of half-open windows covers [0, n) with no gaps
+    val texts = ExtensionQueries.chunkDocs(spark, dir.toString)
+      .filter(col("doc_id") === 1L).orderBy("chunk_id")
+      .select("chunk_text").as[String].collect()
+    assert(texts(0).startsWith("t1 ") && texts(0).endsWith(" t64"))
+    assert(texts(1).startsWith("t49 ") && texts(1).endsWith(" t100"))
+  }
+
   test("simhash64Md5 matches an independent JVM reference implementation") {
     // Pins the Column-expression md5-simhash (the DuckDB-oracle-portable
     // leaf hash of dedup_simhash_oracle) to a from-scratch MessageDigest
