@@ -34,6 +34,7 @@ object SparkEntry {
     "a6_groupcount2" -> (RelationalQueries.a6GroupCount2 _),
     "a6_pivot"       -> (RelationalQueries.a6Pivot _),
     "a7_groupsum"    -> (RelationalQueries.a7GroupSum _),
+    "a8_rollup"      -> (RelationalQueries.a8Rollup _),
     "o3_topk"        -> (RelationalQueries.o3TopK _),
     "m1_nextkey"     -> (RelationalQueries.m1NextKey _),
     "m3_update"      -> (RelationalQueries.m3UpdateProjection _),
@@ -79,6 +80,7 @@ object SparkEntry {
     "sim_ann_oracle"      -> (ExtensionQueries.simAnnOracle _),
     "sim_ivf_oracle"      -> (ExtensionQueries.simIvfOracle _),
     "sim_ivfpq_oracle"    -> (ExtensionQueries.simIvfPqOracle _),
+    "sim_pq_oracle"       -> (ExtensionQueries.simPqOracle _),
     "sim_ann_topk"        -> (ExtensionQueries.simAnnTopK _),
     "sim_ivf_topk"        -> (ExtensionQueries.simIvfTopK _),
     "sim_pq_topk"         -> (ExtensionQueries.simPqTopK _),
@@ -120,6 +122,10 @@ object SparkEntry {
       "SELECT o_orderpriority, count(*) FILTER (WHERE o_orderstatus = 'O') AS \"O\", count(*) FILTER (WHERE o_orderstatus = 'F') AS \"F\", count(*) FILTER (WHERE o_orderstatus = 'P') AS \"P\" FROM orders GROUP BY o_orderpriority",
     "a7_groupsum" ->
       "SELECT o_orderpriority, count(*) AS n_orders, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price FROM orders GROUP BY o_orderpriority",
+    "a8_rollup" ->
+      ("SELECT o_orderpriority, o_orderstatus, GROUPING(o_orderpriority, o_orderstatus) AS gid, " +
+        "count(*) AS n_orders, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price " +
+        "FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"),
     "o3_topk" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100",
     "m1_nextkey" ->
@@ -249,6 +255,9 @@ object SparkEntry {
     // → ADC → exact refine) at exhaustive settings must also reproduce
     // brute force — same truth as the in-memory sim_* oracles.
     "sim_index_topk" -> ExactTopKSql,
+    // PQ with a corpus-covering refined shortlist: codes decide nothing,
+    // the exact re-rank must reproduce brute force.
+    "sim_pq_oracle" -> ExactTopKSql,
     // Brute-force 64-bit Hamming over doc_id < 300, recomputing the
     // md5-nibble simhash from raw text (see ExtensionQueries
     // .dedupSimhashOracle): per token, bit j of the first 16 md5 hex

@@ -352,12 +352,20 @@ object Similarity {
     * Same join shape as the brute-force baseline (corpus never shuffles,
     * query side broadcast) — PQ compresses the per-pair cost and the
     * corpus bytes; combine with IVF list-pruning for the full FAISS-style
-    * IVFPQ when both compute and memory need cutting. */
+    * IVFPQ when both compute and memory need cutting.
+    *
+    * `refine > 1` adds the same FAISS-style exact re-rank as ivfPqTopK:
+    * the ADC pass shortlists k·refine candidates, the true dot ranks
+    * them (refineExact) — the memory-compressed-scan + exact-order
+    * configuration for corpora that fit one inverted list. A
+    * corpus-covering refine (k·refine ≥ N) removes ALL approximation,
+    * which is how sim_pq_oracle pins this machinery to brute force. */
   def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
              queries: DataFrame, queryIdCol: String, queryVecCol: String,
              dim: Int, k: Int = 10, m: Int = 16, kCodes: Int = 16,
              seed: Long = 42L,
-             codebooksOpt: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+             codebooksOpt: Option[Seq[Seq[Seq[Double]]]] = None,
+             refine: Int = 1): DataFrame = {
     import graft.plans.VectorExpressions.{pqAdc, pqEncode, pqLut}
     val codebooks = codebooksOpt.getOrElse(
       trainPqCodebooks(corpus, vecCol, dim, m, kCodes, seed))
@@ -368,7 +376,11 @@ object Similarity {
     val scored = encoded.crossJoin(broadcast(qLut))
       .select(col("query_id"), col("neighbor_id"),
         pqAdc(col("codes"), col("lut"), kCodes).as("adc"))
-    topKPerQuery(scored, "adc", k)
+    val shortlist = topKPerQuery(scored, "adc", math.max(k, k * refine))
+    if (refine <= 1) shortlist
+    else refineExact(shortlist,
+      corpus.select(col(idCol).as("neighbor_id"), unitVector(col(vecCol)).as("uv")),
+      queries, queryIdCol, queryVecCol, k)
   }
 
   /** IVFPQ top-k: IVF list pruning (compute: scan ~nProbe/nLists of the

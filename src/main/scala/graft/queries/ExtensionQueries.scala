@@ -361,6 +361,19 @@ object ExtensionQueries {
       queryVectors(s, d), "query_id", "qvec",
       k = 10, nLists = 16, nProbe = 4)
 
+  /** PQ pinned to brute force: a corpus-covering ADC shortlist
+    * (k·refine = 10,000 ≥ N) re-ranked exactly must reproduce the exact
+    * top-10 bit-for-bit — the codes decide nothing, so the whole PQ
+    * machinery (codebook training, encode, LUT, ADC, refine merge) is
+    * pinned to the same DuckDB oracle as the other similarity paths.
+    * Closes the last spec-only ANN family (production narrows refine). */
+  def simPqOracle(s: SparkSession, d: String): DataFrame =
+    Similarity.pqTopK(
+      embs(s, d), "vec_id", "embedding",
+      queryVectors(s, d), "query_id", "qvec",
+      dim = 64, k = 10, refine = 1000)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+
   /** PQ ANN top-10: the corpus rides as m=16 product-quantization codes
     * (~16× fewer bytes than the float vectors — the memory/bandwidth
     * lever at corpus scale); queries score via ADC lookup tables. Recall

@@ -173,6 +173,21 @@ object RelationalQueries {
         count(lit(1)).as("n_orders"),
         Exact.sumMoney(col("o_totalprice")).as("total_price"))
 
+  /** A8 (extension beyond the reference's flat GROUP BYs): ROLLUP over
+    * (priority, status) — the dashboard drill-down hierarchy (detail →
+    * per-priority subtotal → grand total) in ONE pass. grouping_id
+    * disambiguates a rolled-up NULL from a data NULL (both engines emit
+    * the same bitmask). Plan: Spark expands the grouping sets and runs
+    * the same two-phase hash aggregate as a flat GROUP BY — subtotals
+    * cost one Expand over the scan, not one extra scan per level. */
+  def a8Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        Exact.sumMoney(col("o_totalprice")).as("total_price"))
+
   // ---- O: sort / limit / top-k (SURVEY §2.5) -------------------------------
 
   /** O1+O2+O3: ORDER BY … LIMIT k → TakeOrderedAndProject (per-partition
