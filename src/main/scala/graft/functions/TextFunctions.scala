@@ -25,16 +25,30 @@ object TextFunctions {
   /** Whitespace tokens, empty-safe (`""` → empty array, not `[""]`).
     * Trims with the full whitespace class — Spark's `trim` strips only
     * spaces, so tab/newline-led text would otherwise yield a spurious
-    * empty leading token. The trimmed value is let-bound (evaluated once,
-    * read twice). */
+    * empty leading token.
+    *
+    * Compiled byte-scan expression (plans.WhitespaceTokens): the previous
+    * `regexp_replace(trim) + split(WS+)` formulation ran two
+    * java.util.regex passes per document and dominated the flagship text
+    * suite. Semantics are identical (TextExpressionsSpec pins the two
+    * formulations equal on adversarial inputs; every tokens-derived
+    * DuckDB oracle row pins them cross-engine). */
   def tokens(text: Column): Column =
+    graft.plans.TextExpressions.wsTokens(text)
+
+  /** The pre-expression regex formulation of [[tokens]] — kept as the
+    * equivalence reference for TextExpressionsSpec (and as the executable
+    * definition of the contract both engines implement). */
+  private[graft] def tokensRegex(text: Column): Column =
     let(regexp_replace(text, s"^$WS+|$WS+$$", "")) { t =>
       when(length(t) === 0, array().cast("array<string>"))
         .otherwise(split(t, s"$WS+"))
     }
 
-  /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Whitespace token count — count-only byte scan (no token array
+    * allocation; TextExpressionsSpec pins it equal to size(tokens)). */
+  def tokenCount(text: Column): Column =
+    graft.plans.TextExpressions.wsTokenCount(text)
 
   /** BPE-ish subword-unit estimate: letter runs, digits, and individual
     * punctuation each count as one token — a cheap proxy for byte-pair
@@ -43,31 +57,49 @@ object TextFunctions {
     size(regexp_extract_all(text,
       lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 \\t\\n\\r\\f\\x0B]"), lit(0)))
 
-  /** Characters matching `charClassRegex` as a fraction of total length.
-    * 0.0 for empty text. */
-  private def charRatio(text: Column, charClassKeep: String): Column =
-    when(length(text) === 0, lit(0.0)).otherwise(
-      length(regexp_replace(text, charClassKeep, "")).cast("double") / length(text))
-
-  /** Punctuation chars / total chars (explicit char class, not \p{Punct},
-    * so engines with different Unicode tables agree). */
+  /** Punctuation chars / total chars (explicit char set, not \p{Punct},
+    * so engines with different Unicode tables agree). Compiled byte scan;
+    * the set matches the regex class `[.,;:!?'"()\[\]{}-]` exactly
+    * (TextExpressionsSpec pins the equivalence). */
   def punctRatio(text: Column): Column =
-    charRatio(text, "[^.,;:!?'\"()\\[\\]{}-]")
+    when(length(text) === 0, lit(0.0))
+      .otherwise(graft.plans.TextExpressions
+        .asciiSetCount(text, ".,;:!?'\"()[]{}-").cast("double") / length(text))
+
+  /** Count of digit chars — compiled byte scan (an ASCII class can never
+    * match inside a UTF-8 multi-byte sequence, so byte count = char
+    * count; see plans.AsciiRangeCount). */
+  def digitCount(text: Column): Column =
+    graft.plans.TextExpressions.asciiRangeCount(text, '0', '9')
 
   /** Digit chars / total chars. */
-  def digitRatio(text: Column): Column = charRatio(text, "[^0-9]")
+  def digitRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(digitCount(text).cast("double") / length(text))
 
   /** Uppercase chars / total chars. */
-  def upperRatio(text: Column): Column = charRatio(text, "[^A-Z]")
+  def upperRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(graft.plans.TextExpressions.asciiRangeCount(text, 'A', 'Z')
+        .cast("double") / length(text))
 
-  /** Mean whitespace-token length (0.0 for empty). Tokens are let-bound:
-    * evaluated once, referenced three times. */
-  def meanTokenLen(text: Column): Column =
-    let(tokens(text)) { tk =>
-      when(size(tk) === 0, lit(0.0)).otherwise(
-        aggregate(tk, lit(0L), (acc, t) => acc + length(t))
-          .cast("double") / size(tk))
+  /** Mean whitespace-token length (0.0 for empty).
+    *
+    * Identity instead of iteration: separators exist only BETWEEN tokens,
+    * so sum(token chars) = total chars − whitespace chars, and both terms
+    * are compiled byte scans — the previous formulation aggregated
+    * `length(t)` over the token array in an INTERPRETED higher-order
+    * lambda, the last regex/HOF holdout on the text-stats hot path.
+    * Char counts are code points on both sides, so the identity is exact
+    * (TextExpressionsSpec pins old ≡ new). */
+  def meanTokenLen(text: Column): Column = {
+    import graft.functions.ExprUtils.let2
+    let2(graft.plans.TextExpressions.asciiSetCount(text, " \t\n\u000B\f\r"),
+         tokenCount(text)) { (ws, n) =>
+      when(n === 0, lit(0.0))
+        .otherwise((length(text) - ws).cast("double") / n)
     }
+  }
 
   // Tiny per-language stopword lists for the n-gram/stopword language-ID
   // heuristic. Sets are disjoint-ish on purpose: shared words (e.g. "a")

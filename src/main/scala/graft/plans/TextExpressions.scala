@@ -1,0 +1,252 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text expressions for the tokenization hot path.
+  *
+  * Every text operator (stats, triage, curation, shard packing, chunking,
+  * vocabulary, MinHash shingles, SimHash votes) starts from
+  * `TextFunctions.tokens`, previously built from
+  * `regexp_replace(trim) + split(WS+)` — two java.util.regex passes per
+  * document. Correct and codegen'd, but regex state-machine overhead
+  * dominates the flagship text suite (~28 s of text_stats at 5M docs is
+  * mostly tokenization). The separator class is six ASCII characters, and
+  * in UTF-8 no multi-byte sequence contains ASCII bytes (continuations
+  * are ≥ 0x80), so a single byte scan tokenizes safely with zero regex
+  * work and zero intermediate strings.
+  *
+  * Semantics are EXACTLY the regex formulation's (and the DuckDB oracle
+  * SQL's `regexp_replace` + `string_split_regex` mirror): split on runs
+  * of [ \t\n\x0B\f\r], leading/trailing separators trimmed, whitespace-only
+  * or empty input → empty array. Pinned by TextExpressionsSpec's
+  * equivalence property and every tokens-derived oracle row.
+  */
+case class WhitespaceTokens(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ws_tokens needs string, got ${other.simpleString}")
+    }
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0B || b == 0x0C || b == 0x0D
+
+  def compute(s: UTF8String): GenericArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    // pre-count tokens so the output array allocates exactly once
+    var count = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      if (i < n) count += 1
+      while (i < n && !isWs(bytes(i))) i += 1
+    }
+    val out = new Array[Any](count)
+    var t = 0
+    i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > start) {
+        out(t) = UTF8String.fromBytes(bytes, start, i - start)
+        t += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wsTokens", this, classOf[WhitespaceTokens].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "ws_tokens"
+}
+
+/** Token COUNT under WhitespaceTokens' exact semantics, without
+  * materializing the token array — `size(tokens(text))` allocates one
+  * UTF8String per token just to count them; stats columns (n_tokens,
+  * mean token length) only need the number. Same single byte scan. */
+case class WhitespaceTokenCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ws_token_count needs string, got ${other.simpleString}")
+    }
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0B || b == 0x0C || b == 0x0D
+
+  def compute(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var count = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      if (i < n) count += 1
+      while (i < n && !isWs(bytes(i))) i += 1
+    }
+    count
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wsTokenCount", this, classOf[WhitespaceTokenCount].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "ws_token_count"
+}
+
+/** Count of bytes in [lo, hi] → int. The byte-scan replacement for
+  * `length(regexp_replace(text, "[^X]", ""))` counting an ASCII class
+  * (digits, uppercase): same UTF-8 safety argument as WhitespaceTokens —
+  * ASCII bytes never occur inside multi-byte sequences, and non-ASCII
+  * characters can never match an ASCII-only class, so counting matching
+  * BYTES equals counting matching CHARACTERS. */
+case class AsciiRangeCount(child: Expression, lo: Byte, hi: Byte)
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ascii_range_count needs string, got ${other.simpleString}")
+    }
+
+  def compute(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    var c = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b >= lo && b <= hi) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("asciiRangeCount", this, classOf[AsciiRangeCount].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "ascii_range_count"
+}
+
+/** Count of characters in an explicit ASCII set → int. Same byte-scan
+  * safety argument as AsciiRangeCount, for classes that aren't a
+  * contiguous range (punctuation). The 128-entry membership table is
+  * built once per expression instance. */
+case class AsciiSetCount(child: Expression, chars: String)
+    extends UnaryExpression {
+
+  require(chars.nonEmpty && chars.forall(_ < 0x80),
+    "ascii_set_count needs a non-empty ASCII character set")
+
+  @transient private lazy val member: Array[Boolean] = {
+    val t = new Array[Boolean](128)
+    chars.foreach(c => t(c.toInt) = true)
+    t
+  }
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ascii_set_count needs string, got ${other.simpleString}")
+    }
+
+  def compute(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    var c = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b >= 0 && member(b)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("asciiSetCount", this, classOf[AsciiSetCount].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "ascii_set_count"
+}
+
+object TextExpressions {
+  /** Whitespace tokens (explicit 6-char ASCII class), empty-safe. */
+  def wsTokens(text: Column): Column =
+    GraftColumnBridge.column(WhitespaceTokens(GraftColumnBridge.expression(text)))
+
+  /** Token count without materializing the token array. */
+  def wsTokenCount(text: Column): Column =
+    GraftColumnBridge.column(WhitespaceTokenCount(GraftColumnBridge.expression(text)))
+
+  /** Count of characters in the ASCII range [lo, hi]. */
+  def asciiRangeCount(text: Column, lo: Char, hi: Char): Column = {
+    require(lo <= hi && hi < 0x80, s"[$lo, $hi] must be an ASCII range")
+    GraftColumnBridge.column(
+      AsciiRangeCount(GraftColumnBridge.expression(text), lo.toByte, hi.toByte))
+  }
+
+  /** Count of characters in an explicit ASCII set. */
+  def asciiSetCount(text: Column, chars: String): Column =
+    GraftColumnBridge.column(
+      AsciiSetCount(GraftColumnBridge.expression(text), chars))
+}

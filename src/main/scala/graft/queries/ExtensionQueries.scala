@@ -44,10 +44,8 @@ object ExtensionQueries {
       col("doc_id"),
       length(t).as("n_chars"),
       TF.tokenCount(t).as("n_tokens"),
-      length(regexp_replace(t, "[^0-9]", "")).as("n_digits"),
-      when(length(t) === 0, lit(0.0))
-        .otherwise(length(regexp_replace(t, "[^0-9]", "")).cast("double") / length(t))
-        .as("digit_ratio"))
+      TF.digitCount(t).as("n_digits"),
+      TF.digitRatio(t).as("digit_ratio"))
   }
 
   /** Language ID + quality scoring + token accounting — the full text
@@ -195,10 +193,7 @@ object ExtensionQueries {
     Dedup.dropExactDuplicates(docs(s, d), "text", "doc_id")
       .select(col("doc_id"), col("lang"), col("source"),
         TF.tokenCount(t).as("n_tokens"),
-        when(length(t) === 0, lit(0.0))
-          .otherwise(length(regexp_replace(t, "[^0-9]", "")).cast("double") /
-            length(t))
-          .as("digit_ratio"))
+        TF.digitRatio(t).as("digit_ratio"))
       .filter(col("n_tokens").between(5, 5000) && col("digit_ratio") < 0.3)
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+import graft.plans.TextExpressions
+
+/** The compiled byte-scan text expressions must be EXACTLY equivalent to
+  * the regex formulations they replaced — those regexes are the contract
+  * the DuckDB oracle SQL mirrors, so any divergence here is a silent
+  * cross-engine correctness break, not just a perf bug. */
+class TextExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Adversarial fixed cases + seeded random strings mixing every
+    * separator, ASCII text, digits, and multi-byte UTF-8 (whose
+    * continuation bytes must never be mistaken for ASCII separators). */
+  private val fixed = Seq(
+    "", " ", "\t", "\n\r\f", "a", " a", "a ", "  a  b  ",
+    "a\tb\nc\rd\fef", "héllo wörld", "日本語 テスト", "a b",
+    "ő\t\tő", "mixé1 23digits", "😀 emoji 😀",
+    "trailing\n", "\ttab-led", "double  space", "ABC xyz 123 .,;")
+
+  private val random: Seq[String] = {
+    val rnd = new scala.util.Random(20260813L)
+    val alphabet: Array[String] = Array(
+      " ", "\t", "\n", "\r", "\f", "\u000B", "a", "Z", "0", "9", ".",
+      "é", "ñ", "日", "語", "😀", " ", "x", "Q", "5",
+      ",", "!", "?", "(", ")", "{", "}", "-", "'", "\"", "[", "]")
+    Seq.fill(300)(Seq.fill(rnd.nextInt(40))(
+      alphabet(rnd.nextInt(alphabet.length))).mkString)
+  }
+
+  private val corpus = (fixed ++ random).zipWithIndex
+    .map { case (t, i) => (i.toLong, t) }
+
+  test("ws_tokens equals the regex trim+split formulation on every input") {
+    val df = corpus.toDF("id", "t")
+    val mismatches = df.select(col("id"),
+        TF.tokens(col("t")).as("fast"),
+        TF.tokensRegex(col("t")).as("ref"))
+      .filter(not(col("fast") === col("ref")))
+      .count()
+    assert(mismatches === 0)
+  }
+
+  test("ascii_range_count equals the regex char-class count on every input") {
+    val df = corpus.toDF("id", "t")
+    val mismatches = df.select(col("id"),
+        TextExpressions.asciiRangeCount(col("t"), '0', '9').as("fast"),
+        length(regexp_replace(col("t"), "[^0-9]", "")).as("ref"),
+        TextExpressions.asciiRangeCount(col("t"), 'A', 'Z').as("fastU"),
+        length(regexp_replace(col("t"), "[^A-Z]", "")).as("refU"))
+      .filter(col("fast") =!= col("ref") || col("fastU") =!= col("refU"))
+      .count()
+    assert(mismatches === 0)
+  }
+
+  test("ascii_set_count equals the punct regex class on every input") {
+    val df = corpus.toDF("id", "t")
+    val mismatches = df.select(col("id"),
+        TextExpressions.asciiSetCount(col("t"), ".,;:!?'\"()[]{}-").as("fast"),
+        length(regexp_replace(col("t"), "[^.,;:!?'\"()\\[\\]{}-]", "")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(mismatches === 0)
+  }
+
+  test("ws_token_count equals size(ws_tokens) on every input") {
+    val df = corpus.toDF("id", "t")
+    val mismatches = df.select(col("id"),
+        TF.tokenCount(col("t")).as("fast"),
+        size(TF.tokens(col("t"))).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(mismatches === 0)
+  }
+
+  test("meanTokenLen identity equals the per-token aggregate formulation") {
+    // new: (chars − ws chars) / tokens;  old: interpreted HOF summing
+    // length(token). Code-point counting makes the identity exact, emoji
+    // and multi-byte text included.
+    val df = corpus.toDF("id", "t")
+    val old = graft.functions.ExprUtils.let(TF.tokens(col("t"))) { tk =>
+      when(size(tk) === 0, lit(0.0)).otherwise(
+        aggregate(tk, lit(0L), (acc, s) => acc + length(s))
+          .cast("double") / size(tk))
+    }
+    val mismatches = df.select(col("id"),
+        TF.meanTokenLen(col("t")).as("fast"), old.as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(mismatches === 0)
+  }
+
+  test("ws_tokens handles nulls and stays inside whole-stage codegen") {
+    val df = Seq((1L, "a b"), (2L, null)).toDF("id", "t")
+    val out = df.select(col("id"), TF.tokens(col("t")).as("tk")).collect()
+    assert(out.find(_.getLong(0) == 1L).get.getSeq[String](1) === Seq("a", "b"))
+    assert(out.find(_.getLong(0) == 2L).get.isNullAt(1))
+
+    // codegen assertion needs a real scan (a local relation constant-folds)
+    val scanned = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(TF.tokens(col("text")).as("tk"))
+    scanned.collect()
+    val plan = scanned.queryExecution.executedPlan.toString
+    val projLine = plan.linesIterator
+      .find(l => l.contains("ws_tokens") || l.contains("Project")).getOrElse("")
+    assert(projLine.trim.startsWith("*") || projLine.contains("*("),
+      s"ws_tokens fell out of codegen:\n$plan")
+  }
+}
