@@ -161,6 +161,15 @@ object ScaleBench {
           .agg(max(col("shard_id"))).collect()
         nDocs
       },
+      // new-op aggregates force the full chunk/vocab pipelines end-to-end
+      timed("chunk_docs_agg") {
+        graft.queries.ExtensionQueries.chunkDocs(spark, dir)
+          .agg(count(lit(1)), sum(col("n_chunk_tokens"))).collect()
+        nDocs
+      },
+      timed("vocab_topk") {
+        graft.queries.ExtensionQueries.vocabTopK(spark, dir).count()
+      },
       timed("dedup_minhash_pairs") {
         Dedup.nearDuplicatePairs(docs, "text", "doc_id", threshold = 0.5).count()
       },
