@@ -191,6 +191,48 @@ object Multimodal {
     }.toDF("asset_id", "frame_idx", "ts_ms", "frame_payload")
   }
 
+  /** Ingest a directory of media FILES into the MediaAsset schema via
+    * Spark's `binaryFile` source — the missing first stage of the
+    * multimodal pipeline (everything above consumes MediaAsset rows that
+    * something must produce from raw files). The source gives
+    * (path, modificationTime, length, content) with the bytes read
+    * distributed, one task per file group — no driver-side file I/O.
+    *
+    * media_type derives from the file extension (image/audio/video by
+    * the usual suffixes; anything else → "binary" and flows through the
+    * stub path — route, don't throw). asset_id is xxhash64 of the path:
+    * deterministic across re-runs and re-partitioning, collision odds at
+    * corpus scale ~n²/2⁶⁵. Width/height/duration are left None here —
+    * extractFeatures fills decoded dims from the actual pixels; trusting
+    * file names over bytes is how corrupt corpora sneak through.
+    *
+    * `pathGlobFilter` pushes suffix filtering into the file listing
+    * (e.g. "*.png"); at 100 TB the listing prune matters as much as the
+    * scan prune. */
+  def ingestBinaryFiles(spark: SparkSession, dir: String,
+                        globFilter: Option[String] = None): Dataset[MediaAsset] = {
+    import spark.implicits._
+    val reader = spark.read.format("binaryFile")
+    val withGlob = globFilter.fold(reader)(g => reader.option("pathGlobFilter", g))
+    withGlob.load(dir)
+      .select(
+        xxhash64(col("path")).as("asset_id"),
+        lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)).as("ext"),
+        col("content").as("payload"))
+      .select(col("asset_id"),
+        when(col("ext").isin("png", "jpg", "jpeg", "bmp", "gif"), "image")
+          .when(col("ext").isin("wav", "mp3", "flac", "ogg"), "audio")
+          .when(col("ext").isin("mp4", "mkv", "webm", "avi"), "video")
+          .otherwise("binary").as("media_type"),
+        col("payload"))
+      .withColumn("meta", struct(
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("bigint").as("duration_ms"),
+        lit(null).cast("string").as("codec")))
+      .as[MediaAsset]
+  }
+
   /** Partition-shape guard used by ingest jobs: binary payloads make rows
     * heavyweight, so repartition by byte budget, not row count. */
   def repartitionByPayloadBytes(df: DataFrame, targetBytesPerPartition: Long): DataFrame = {

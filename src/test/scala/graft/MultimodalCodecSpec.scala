@@ -33,6 +33,35 @@ class MultimodalCodecSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  test("binaryFile ingest routes by extension and decodes real pixels") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media")
+    java.nio.file.Files.write(dir.resolve("a.png"), solidPng(8, 6, 0xFFFFFF))
+    java.nio.file.Files.write(dir.resolve("b.PNG"), gradientPng(16, 8))
+    java.nio.file.Files.write(dir.resolve("c.wav"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(dir.resolve("junk.bin"), Array[Byte](9, 9))
+
+    val assets = Multimodal.ingestBinaryFiles(spark, dir.toString)
+    val byType = assets.collect().groupBy(_.media_type)
+    assert(byType("image").length === 2)   // extension match is case-folded
+    assert(byType("audio").length === 1)
+    assert(byType("binary").length === 1)
+    // deterministic ids: re-ingest yields the same asset_ids
+    val again = Multimodal.ingestBinaryFiles(spark, dir.toString)
+    assert(assets.collect().map(_.asset_id).sorted.toSeq ===
+      again.collect().map(_.asset_id).sorted.toSeq)
+
+    // the ingested payloads are the REAL file bytes: features decode dims
+    val feats = Multimodal.extractFeatures(assets).collect()
+      .filter(_.media_type == "image").sortBy(_.decoded_width)
+    assert(feats.map(f => (f.decoded_width, f.decoded_height)).toSeq ===
+      Seq((Some(8), Some(6)), (Some(16), Some(8))))
+
+    // glob pushdown: listing-level prune to png only
+    val pngOnly = Multimodal.ingestBinaryFiles(spark, dir.toString,
+      globFilter = Some("*.{png,PNG}"))
+    assert(pngOnly.count() === 2)
+  }
+
   test("decodeImage reads real PNG dimensions and luminance histogram") {
     // pure white 8×6: luma 255 → all pixels in bin 15
     val white = Multimodal.decodeImage(solidPng(8, 6, 0xFFFFFF))
