@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing — schema, partition shape, batched typed
   * transforms over binary columns — is real and tested. The IMAGE codec is
   * real: `javax.imageio` (JDK built-in — PNG/JPEG/BMP/GIF) decodes,
-  * feature-extracts, and resizes actual pixel data; payloads ImageIO
-  * cannot decode fall back to the deterministic byte-level stub so the
-  * pipeline never throws on dirty data. Audio/video remain clearly-marked
-  * STUBS (no such codecs in the JDK); swapping in a real decoder changes
-  * ONLY the function body, not the dataflow.
+  * feature-extracts, and resizes actual pixel data. The AUDIO codec is
+  * real for the formats the JDK ships SPIs for: `javax.sound.sampled`
+  * decodes WAV/AIFF/AU PCM into sample rate, channel count, duration, and
+  * a 16-bin temporal RMS energy envelope. Payloads neither codec can
+  * decode fall back to the deterministic byte-level stub so the pipeline
+  * never throws on dirty data. VIDEO remains a clearly-marked STUB (the
+  * JDK has no container/codec demuxer); swapping in a real decoder
+  * changes ONLY the function body, not the dataflow.
   *
   * Scala note: the PySpark guidance maps `mapInPandas` batches to typed
   * `Dataset.mapPartitions` here — same execution shape (one JVM-side
@@ -33,16 +36,20 @@ object Multimodal {
     duration_ms: Option[Long], codec: Option[String])
 
   /** Decoded-feature row. For images that ImageIO decodes, `feature` is a
-    * real 16-bin luminance histogram and decoded_width/height are set;
-    * otherwise the byte-histogram stub with None dims. */
+    * real 16-bin luminance histogram and decoded_width/height are set; for
+    * audio that javax.sound decodes it is a 16-bin temporal RMS energy
+    * envelope with sample_rate/duration set; otherwise the byte-histogram
+    * stub with every decoded field None. */
   final case class MediaFeatures(
     asset_id: Long,
     media_type: String,
     n_bytes: Int,
     byte_entropy: Double,          // content feature from raw bytes
-    feature: Array[Float],         // luminance hist (real) | byte hist (stub)
+    feature: Array[Float],         // luma hist | RMS envelope | byte stub
     decoded_width: Option[Int],
-    decoded_height: Option[Int])
+    decoded_height: Option[Int],
+    decoded_duration_ms: Option[Long],
+    sample_rate: Option[Int])
 
   /** A really-decoded image: dimensions + 16-bin luminance histogram
     * (fractions of pixels per bin — a scale-invariant content feature). */
@@ -103,6 +110,62 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** A really-decoded audio clip: stream parameters plus a 16-bin temporal
+    * RMS energy envelope — the clip's time axis split into 16 equal spans,
+    * each reduced to the RMS of its samples in [-1, 1]. Duration-invariant
+    * shape feature: silence detection, clipping triage, and coarse
+    * near-dup blocking all read straight off it. */
+  final case class DecodedAudio(sampleRate: Int, channels: Int,
+                                durationMs: Long, energyEnvelope: Array[Float])
+
+  /** REAL audio decode via the JDK's javax.sound.sampled (WAV/AIFF/AU; the
+    * built-in SPIs cover PCM and log-PCM encodings). Any payload the SPI
+    * chain rejects — mp3/flac/ogg, which the JDK does not ship decoders
+    * for, or plain garbage — returns None and callers fall back to the
+    * byte-level stub: same route-don't-throw posture as images. The
+    * stream is first converted to 16-bit signed PCM at its native rate so
+    * 8-bit/μ-law/big-endian inputs all land in one sample-reading loop. */
+  private[graft] def decodeAudio(payload: Array[Byte]): Option[DecodedAudio] =
+    if (payload.isEmpty) None
+    else try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val src = in.getFormat
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels, src.getChannels * 2,
+          src.getSampleRate, false)
+        val pcm = AudioSystem.getAudioInputStream(target, in)
+        try {
+          val bytes = pcm.readAllBytes()
+          val channels = target.getChannels
+          val frames = bytes.length / (2 * channels)
+          if (frames == 0) None
+          else {
+            val sumSq = new Array[Double](16)
+            val cnt = new Array[Long](16)
+            var i = 0
+            val nSamples = frames * channels
+            while (i < nSamples) {
+              // little-endian 16-bit signed, channels interleaved per frame
+              val s = (((bytes(2 * i + 1).toInt << 8) |
+                (bytes(2 * i) & 0xFF)).toShort).toDouble / 32768.0
+              val bin = ((i / channels) * 16L / frames).toInt min 15
+              sumSq(bin) += s * s; cnt(bin) += 1
+              i += 1
+            }
+            val env = Array.tabulate(16) { b =>
+              if (cnt(b) == 0) 0f else math.sqrt(sumSq(b) / cnt(b)).toFloat
+            }
+            val rate = math.round(target.getSampleRate)
+            Some(DecodedAudio(rate, channels,
+              frames * 1000L / math.max(rate, 1), env))
+          }
+        } finally pcm.close()
+      } finally in.close()
+    } catch { case _: Exception => None }
+
   /** STUB decode fallback: derives a deterministic 16-dim feature from byte
     * histograms so non-decodable payloads still flow end-to-end. */
   private[functions] def decodeStub(payload: Array[Byte]): Array[Float] = {
@@ -124,22 +187,27 @@ object Multimodal {
 
   /** Decode / feature-extract stage: one iterator per partition (the
     * `mapInPandas` batch shape). Images get the REAL ImageIO decode (16-bin
-    * luminance histogram + decoded dims); everything else — and images
-    * ImageIO rejects — gets the byte-level stub. Pure function of the
-    * payload → deterministic, re-runnable, no driver involvement. */
+    * luminance histogram + decoded dims); audio gets the REAL javax.sound
+    * decode (16-bin RMS envelope + rate/duration); everything else — and
+    * payloads the codecs reject — gets the byte-level stub. Pure function
+    * of the payload → deterministic, re-runnable, no driver involvement. */
   def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.map { a =>
-      val decoded =
-        if (a.media_type == "image") decodeImage(a.payload) else None
-      decoded match {
-        case Some(img) =>
+      def stub = MediaFeatures(a.asset_id, a.media_type, a.payload.length,
+        byteEntropy(a.payload), decodeStub(a.payload), None, None, None, None)
+      a.media_type match {
+        case "image" => decodeImage(a.payload).fold(stub) { img =>
           MediaFeatures(a.asset_id, a.media_type, a.payload.length,
             byteEntropy(a.payload), img.luminanceHist,
-            Some(img.width), Some(img.height))
-        case None =>
+            Some(img.width), Some(img.height), None, None)
+        }
+        case "audio" => decodeAudio(a.payload).fold(stub) { aud =>
           MediaFeatures(a.asset_id, a.media_type, a.payload.length,
-            byteEntropy(a.payload), decodeStub(a.payload), None, None)
+            byteEntropy(a.payload), aud.energyEnvelope, None, None,
+            Some(aud.durationMs), Some(aud.sampleRate))
+        }
+        case _ => stub
       }
     })
   }

@@ -33,6 +33,67 @@ class MultimodalCodecSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  /** Encode a 16-bit mono PCM WAV from [-1,1] samples via javax.sound —
+    * the same SPI family the decoder under test uses, but the assertions
+    * below check CONTENT (RMS values, durations), not round-tripping. */
+  private def pcmWav(samples: Array[Double], sampleRate: Float): Array[Byte] = {
+    import javax.sound.sampled._
+    val bytes = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      val v = math.max(-1.0, math.min(1.0, s))
+      val sh = math.round(v * 32767).toInt
+      bytes(2 * i) = (sh & 0xFF).toByte
+      bytes(2 * i + 1) = ((sh >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate, 16, 1, 2, sampleRate, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodeAudio reads real WAV params and temporal RMS envelope") {
+    // 0.5 s of a 0.5-amplitude 440 Hz sine at 8 kHz mono
+    val rate = 8000f
+    val sine = Array.tabulate(4000)(i =>
+      0.5 * math.sin(2 * math.Pi * 440 * i / rate))
+    val d = Multimodal.decodeAudio(pcmWav(sine, rate))
+    assert(d.exists(a => a.sampleRate == 8000 && a.channels == 1 &&
+      a.durationMs == 500L))
+    // every bin holds the sine's RMS: amplitude/√2 ≈ 0.3536
+    d.get.energyEnvelope.foreach(e => assert(math.abs(e - 0.3536f) < 0.01f))
+
+    // silence-then-tone: the envelope localizes energy in TIME
+    val half = Array.tabulate(4000)(i =>
+      if (i < 2000) 0.0 else 0.8 * math.sin(2 * math.Pi * 200 * i / rate))
+    val env = Multimodal.decodeAudio(pcmWav(half, rate)).get.energyEnvelope
+    assert(env.take(8).forall(_ < 0.01f))
+    assert(env.drop(8).forall(e => math.abs(e - 0.8f / math.sqrt(2).toFloat) < 0.02f))
+
+    // garbage and empty: None, no throw (mp3/ogg would land here too)
+    assert(Multimodal.decodeAudio(Array.tabulate(64)(_.toByte)).isEmpty)
+    assert(Multimodal.decodeAudio(Array.emptyByteArray).isEmpty)
+  }
+
+  test("extractFeatures routes audio through the real javax.sound decode") {
+    val rate = 8000f
+    val tone = Array.tabulate(8000)(i =>
+      0.25 * math.sin(2 * math.Pi * 330 * i / rate))
+    val assets = Seq(
+      MediaAsset(1L, "audio", pcmWav(tone, rate),
+        MediaMeta(None, None, None, Some("wav"))),
+      MediaAsset(2L, "audio", Array.tabulate(32)(_.toByte), // not decodable
+        MediaMeta(None, None, Some(100L), Some("fakewav")))).toDS()
+    val rows = Multimodal.extractFeatures(assets).collect().sortBy(_.asset_id)
+    assert(rows(0).sample_rate.contains(8000))
+    assert(rows(0).decoded_duration_ms.contains(1000L))
+    assert(rows(0).feature.forall(e => math.abs(e - 0.25f / math.sqrt(2).toFloat) < 0.01f))
+    // stub fallback carries no decoded audio params
+    assert(rows(1).sample_rate.isEmpty && rows(1).decoded_duration_ms.isEmpty)
+  }
+
   test("binaryFile ingest routes by extension and decodes real pixels") {
     val dir = java.nio.file.Files.createTempDirectory("graft-media")
     java.nio.file.Files.write(dir.resolve("a.png"), solidPng(8, 6, 0xFFFFFF))
