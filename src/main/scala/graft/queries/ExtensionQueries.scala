@@ -397,6 +397,25 @@ object ExtensionQueries {
   private val indexRoots =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Content-version tag for the embeddings corpus under `d`: a hash of
+    * the file listing (name, length, modification time) of
+    * embeddings.parquet via the Hadoop FileSystem API — one listing RPC,
+    * no data read, any Spark-supported filesystem. Parquet corpora change
+    * by file replacement (immutable files), so any rewrite moves the
+    * listing and therefore the tag. */
+  private[graft] def corpusFingerprint(s: SparkSession, d: String): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val f = it.next()
+      entries += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
+    }
+    java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.orderedHash(entries.sorted))
+  }
+
   /** Index-backed ANN top-10 through the persistent VectorIndex:
     * IVFPQ codes + trained parameters committed to the snapshot store,
     * queried via ADC shortlist + exact re-rank (queryRefined).
@@ -412,9 +431,15 @@ object ExtensionQueries {
     val root = indexRoots.getOrElseUpdate(d,
       java.nio.file.Files.createTempDirectory("graft-simindex").toString)
     val store = new SnapshotStore(root, s)
-    if (!store.exists("emb_ivfpq"))
+    // Rebuild when the corpus CONTENT drifts from the tag the index was
+    // built against, not just when the index is absent: the dir string
+    // names a location, the fingerprint names the data. A drifted corpus
+    // gets a fresh versioned build (the store keeps the old version).
+    val tag = corpusFingerprint(s, d)
+    if (!store.exists("emb_ivfpq") ||
+        !VectorIndex.corpusTagOf(store, "emb_ivfpq").contains(tag))
       VectorIndex.build(store, "emb_ivfpq", embs(s, d), "vec_id", "embedding",
-        dim = 64, nLists = 16, m = 16, kCodes = 16)
+        dim = 64, nLists = 16, m = 16, kCodes = 16, corpusTag = Some(tag))
     VectorIndex.queryRefined(store, "emb_ivfpq", embs(s, d), "vec_id", "embedding",
       queryVectors(s, d), "query_id", "qvec", k = 10, nProbe = 16, refine = 1000)
       .select(col("query_id"), col("neighbor_id"), col("rank"))

@@ -52,11 +52,20 @@ object VectorIndex {
 
   /** Train quantizers, encode the corpus, commit as the next version of
     * `indexTable` (a full snapshot — empty delta chain). Returns the
-    * committed version. */
+    * committed version.
+    *
+    * `corpusTag` is an optional content-version identifier of the corpus
+    * the index was BUILT from (e.g. a hash of the source file listing).
+    * It rides in the snapshot metadata — atomic with the codes — and
+    * survives later appends (store.commit carries meta forward), so a
+    * caller can detect that its corpus has drifted from what the index
+    * describes and rebuild instead of serving stale codes. Appended
+    * vectors deliberately do NOT move the tag: the tag names the
+    * training/build corpus, not the index contents. */
   def build(store: SnapshotStore, indexTable: String, corpus: DataFrame,
             idCol: String, vecCol: String, dim: Int,
             nLists: Int = 64, m: Int = 16, kCodes: Int = 16,
-            seed: Long = 42L): Long = {
+            seed: Long = 42L, corpusTag: Option[String] = None): Long = {
     val centroids = Similarity.trainIvfCentroids(corpus, vecCol, nLists, seed)
     val codebooks = Similarity.trainPqCodebooks(corpus, vecCol, dim, m, kCodes,
       seed, residualOf = Some(centroids))
@@ -70,8 +79,15 @@ object VectorIndex {
         s"${P}scheme" -> Scheme,
         s"${P}parts" -> "",
         s"${P}centroids" -> encodeMatrix(centroids),
-        s"${P}codebooks" -> encodeCube(codebooks)))
+        s"${P}codebooks" -> encodeCube(codebooks))
+        ++ corpusTag.map(t => s"${P}corpusTag" -> t))
   }
+
+  /** The corpus content tag recorded when the current index version's
+    * lineage was built (None for indexes built without one). */
+  def corpusTagOf(store: SnapshotStore, indexTable: String): Option[String] =
+    store.metaForVersion(indexTable, store.currentVersion(indexTable))
+      .get(s"${P}corpusTag")
 
   /** Version dirs whose rows make up index version `v`: the recorded
     * parent deltas/base, then v itself. Empty `parts` ⇒ v is a full

@@ -111,6 +111,68 @@ class VectorIndexSpec extends SparkSpec {
       floor(col("query_id") / 60)).count() === 0)
   }
 
+  test("corpusTag is recorded at build and survives appends") {
+    val dir = Files.createTempDirectory("graft-vindex-tag").toString
+    val store = new SnapshotStore(dir, spark)
+    val points = clustered(37)
+    val corpus = points.toDF("vec_id", "embedding").repartition(4)
+    VectorIndex.build(store, "idx", corpus, "vec_id", "embedding",
+      dim = 16, nLists = 10, m = 4, kCodes = 16, corpusTag = Some("fp-v1"))
+    assert(VectorIndex.corpusTagOf(store, "idx").contains("fp-v1"))
+    // an append changes the index CONTENTS but not the build-corpus tag
+    VectorIndex.append(store, "idx",
+      Seq((9000L, points.head._2)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    assert(VectorIndex.corpusTagOf(store, "idx").contains("fp-v1"))
+    // indexes built without a tag report None
+    VectorIndex.build(store, "idx2", corpus, "vec_id", "embedding",
+      dim = 16, nLists = 10, m = 4, kCodes = 16)
+    assert(VectorIndex.corpusTagOf(store, "idx2").isEmpty)
+  }
+
+  test("simIndexTopK rebuilds when the corpus content drifts") {
+    import graft.queries.ExtensionQueries
+    val dir = Files.createTempDirectory("graft-simindex-drift").toString
+    def writeCorpus(n: Int, planted: Boolean): Unit = {
+      val rnd = new scala.util.Random(64)
+      def unit(v: Array[Float]): Array[Float] = {
+        val nm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+        v.map(_ / nm)
+      }
+      val vecs = Array.fill(n)(unit(Array.fill(64)(rnd.nextGaussian().toFloat)))
+      if (planted) vecs(310) = vecs(0) // exact duplicate of query 0's vector
+      vecs.zipWithIndex.map { case (v, i) => (i.toLong, v, 0) }.toSeq
+        .toDF("vec_id", "embedding", "label").repartition(2)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+        .as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, x) => q -> x.map(_._2).toSet }
+
+    writeCorpus(300, planted = false)
+    val fp1 = ExtensionQueries.corpusFingerprint(spark, dir)
+    assert(ExtensionQueries.simIndexTopK(spark, dir).count() === 50L)
+    // unchanged corpus ⇒ stable fingerprint ⇒ the built index is reused
+    assert(ExtensionQueries.corpusFingerprint(spark, dir) === fp1)
+
+    // REWRITE the corpus in place: 20 extra vectors, one of them (310) a
+    // planted twin of query 0. The stale index's shortlist cannot contain
+    // id 310 (it was never encoded), so only a rebuild makes the result
+    // match brute force over the new corpus.
+    writeCorpus(320, planted = true)
+    assert(ExtensionQueries.corpusFingerprint(spark, dir) !== fp1)
+    val r2 = ExtensionQueries.simIndexTopK(spark, dir)
+    assert(sets(r2)(0L).contains(310L), "rebuilt index must see the twin")
+    val corpus = Tables.embeddings(spark, dir)
+    val queries = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val truth = graft.functions.Similarity.bruteForceTopK(
+      corpus, "vec_id", "embedding", queries, "query_id", "qvec", k = 10)
+    assert(sets(r2) === sets(truth),
+      "post-drift index query differs from brute force on the new corpus")
+  }
+
   test("queryRefined keeps appended neighbors when the corpus misses them") {
     // The refine re-join can only be exact where the caller's corpus has
     // the vector; an index entry from a post-build append that the corpus
