@@ -279,11 +279,16 @@ object Multimodal {
     * scan prune. */
   def ingestBinaryFiles(spark: SparkSession, dir: String,
                         globFilter: Option[String] = None): Dataset[MediaAsset] = {
-    import spark.implicits._
     val reader = spark.read.format("binaryFile")
     val withGlob = globFilter.fold(reader)(g => reader.option("pathGlobFilter", g))
-    withGlob.load(dir)
-      .select(
+    assetsFromBinaryFiles(withGlob.load(dir))
+  }
+
+  /** The binaryFile-row → MediaAsset projection shared by the batch and
+    * streaming ingest paths (pure Column tree — codegen'd, streamable). */
+  private def assetsFromBinaryFiles(df: DataFrame): Dataset[MediaAsset] = {
+    import df.sparkSession.implicits._
+    df.select(
         xxhash64(col("path")).as("asset_id"),
         lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)).as("ext"),
         col("content").as("payload"))
@@ -299,6 +304,46 @@ object Multimodal {
         lit(null).cast("bigint").as("duration_ms"),
         lit(null).cast("string").as("codec")))
       .as[MediaAsset]
+  }
+
+  /** The binaryFile source's fixed schema — streaming reads must declare
+    * it (file stream sources do not infer). */
+  private val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("modificationTime",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("length",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("content",
+      org.apache.spark.sql.types.BinaryType)))
+
+  /** CONTINUOUS media ingest: watch `inboxDir` for new files and land them
+    * in `outDir` as MediaAsset parquet. The streaming twin of
+    * `ingestBinaryFiles`, built entirely from Spark's own exactly-once
+    * machinery — the file source's processed-file log (checkpoint) on the
+    * read side, the parquet sink's `_spark_metadata` batch commit log on
+    * the write side — so a crashed-and-restarted query neither re-ingests
+    * a file nor double-writes a batch, with NO per-batch rewrite of
+    * existing data (each micro-batch appends only its own files; an
+    * O(corpus) rewrite per batch would sink a 100 TB media crawl).
+    * `maxFilesPerTrigger` bounds memory per batch — media payloads are
+    * heavyweight rows. Caller stops the query. */
+  def startMediaIngestStream(spark: SparkSession, inboxDir: String,
+                             outDir: String, checkpointDir: String,
+                             globFilter: Option[String] = None,
+                             maxFilesPerTrigger: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val withGlob = globFilter.fold(reader)(g => reader.option("pathGlobFilter", g))
+    assetsFromBinaryFiles(withGlob.load(inboxDir)).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      .format("parquet")
+      .option("path", outDir)
+      .start()
   }
 
   /** Partition-shape guard used by ingest jobs: binary payloads make rows

@@ -123,6 +123,38 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(pngOnly.count() === 2)
   }
 
+  test("streaming media ingest lands waves of files exactly once") {
+    val base = java.nio.file.Files.createTempDirectory("graft-mstream")
+    val inbox = java.nio.file.Files.createDirectory(base.resolve("inbox"))
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    java.nio.file.Files.write(inbox.resolve("a.png"), solidPng(8, 6, 0xFFFFFF))
+    java.nio.file.Files.write(inbox.resolve("b.wav"),
+      pcmWav(Array.tabulate(800)(i => 0.5 * math.sin(0.3 * i)), 8000f))
+
+    val q = Multimodal.startMediaIngestStream(spark, inbox.toString, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val wave1 = spark.read.parquet(out).as[MediaAsset]
+    assert(wave1.count() === 2)
+    assert(wave1.collect().map(_.media_type).sorted.toSeq === Seq("audio", "image"))
+
+    // second wave through a RESTARTED query on the same checkpoint: the
+    // already-processed files must not re-ingest, the new one must land
+    java.nio.file.Files.write(inbox.resolve("c.bin"), Array[Byte](1, 2, 3))
+    val q2 = Multimodal.startMediaIngestStream(spark, inbox.toString, out, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val all = spark.read.parquet(out).as[MediaAsset].collect()
+    assert(all.length === 3)
+    assert(all.map(_.asset_id).distinct.length === 3, "a file ingested twice")
+
+    // the landed payloads are the real bytes: image decodes to its dims
+    val feats = Multimodal.extractFeatures(spark.read.parquet(out).as[MediaAsset])
+      .collect().sortBy(_.asset_id)
+    assert(feats.count(f => f.decoded_width.contains(8)) === 1)
+    assert(feats.count(f => f.sample_rate.contains(8000)) === 1)
+  }
+
   test("decodeImage reads real PNG dimensions and luminance histogram") {
     // pure white 8×6: luma 255 → all pixels in bin 15
     val white = Multimodal.decodeImage(solidPng(8, 6, 0xFFFFFF))
