@@ -62,6 +62,7 @@ object SparkEntry {
     "text_triage"         -> (ExtensionQueries.textTriage _),
     "chunk_docs"          -> ((s, d) => ExtensionQueries.chunkDocs(s, d)),
     "vocab_topk"          -> ((s, d) => ExtensionQueries.vocabTopK(s, d)),
+    "embed_docs"          -> ((s, d) => ExtensionQueries.embedDocs(s, d)),
     "curate_docs"         -> (ExtensionQueries.curateDocs _),
     "sample_stratified"   -> (ExtensionQueries.sampleStratified _),
     "pack_shards"         -> ((s, d) => ExtensionQueries.packShards(s, d)),
@@ -189,6 +190,21 @@ object SparkEntry {
         "t AS (SELECT unnest(tk) AS token FROM d) " +
         "SELECT token, count(*) AS freq FROM t GROUP BY token " +
         "ORDER BY freq DESC, token ASC LIMIT 100"),
+    // Feature-hashed sparse embeddings (Featurize.hashFeaturesSparse):
+    // per token, md5 nibbles give bucket = (nib1·16 + nib2) mod 64 and
+    // sign = parity of nib3; weights are signed counts, zeros dropped.
+    "embed_docs" ->
+      ("WITH d AS (SELECT doc_id, CASE WHEN length(regexp_replace(text, " +
+        "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
+        "ELSE string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+        "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM documents), " +
+        "m AS (SELECT doc_id, md5(unnest(tk)) AS h FROM d WHERE len(tk) > 0), " +
+        "b AS (SELECT doc_id, CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 " +
+        "+ (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 64 AS INTEGER) AS bucket, " +
+        "CASE WHEN ((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) % 2) = 1 " +
+        "THEN 1 ELSE -1 END AS s FROM m) " +
+        "SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS weight " +
+        "FROM b GROUP BY doc_id, bucket HAVING sum(s) != 0"),
     "events_asof" ->
       "WITH e AS (SELECT user_id, event_id, event_type, value, epoch_ns(ts) // 1000 AS ts_us FROM events), c AS (SELECT user_id, ts_us, event_id FROM e WHERE event_type = 'click'), p AS (SELECT user_id, ts_us, max(CAST(round(value * 100) AS BIGINT)) AS purchase_cents FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts_us) SELECT c.event_id, c.user_id, c.ts_us, p.purchase_cents AS asof_purchase_cents FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.ts_us",
     "events_rangejoin" ->

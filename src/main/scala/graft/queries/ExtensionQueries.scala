@@ -273,6 +273,16 @@ object ExtensionQueries {
     * agg → TakeOrderedAndProject. The only shuffled rows are per-partition
     * distinct (token, partial count) pairs — vocabulary-sized, not
     * corpus-sized. */
+  /** Feature-hashed sparse embedding of the documents table — (doc_id,
+    * bucket, weight) signed token counts at dim 64 (Featurize). The
+    * md5-nibble recipe is engine-portable, so this whole featurization
+    * (tokenize → hash → bucket → signed count) carries a FULL DuckDB
+    * oracle from raw text. The dense/ANN consumer path is spec-verified
+    * against exactly these weights (FeaturizeSpec). */
+  def embedDocs(s: SparkSession, d: String, dim: Int = 64): DataFrame =
+    graft.functions.Featurize.hashFeaturesSparse(docs(s, d), "text", "doc_id", dim)
+      .select(col("doc_id"), col("bucket"), col("weight"))
+
   def vocabTopK(s: SparkSession, d: String, k: Int = 100): DataFrame =
     docs(s, d)
       .select(explode(TF.tokens(lower(col("text")))).as("token"))
