@@ -63,6 +63,8 @@ object SparkEntry {
     "chunk_docs"          -> ((s, d) => ExtensionQueries.chunkDocs(s, d)),
     "vocab_topk"          -> ((s, d) => ExtensionQueries.vocabTopK(s, d)),
     "embed_docs"          -> ((s, d) => ExtensionQueries.embedDocs(s, d)),
+    "retrieve_sparse"     -> ((s, d) => ExtensionQueries.retrieveSparse(s, d)),
+    "dedup_jaccard_pairs" -> (ExtensionQueries.dedupJaccardPairs _),
     "curate_docs"         -> (ExtensionQueries.curateDocs _),
     "sample_stratified"   -> (ExtensionQueries.sampleStratified _),
     "pack_shards"         -> ((s, d) => ExtensionQueries.packShards(s, d)),
@@ -205,6 +207,46 @@ object SparkEntry {
         "THEN 1 ELSE -1 END AS s FROM m) " +
         "SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS weight " +
         "FROM b GROUP BY doc_id, bucket HAVING sum(s) != 0"),
+    // Sparse inverted-index retrieval over the hashed features: integer
+    // dot products, (dot desc, id asc) rank — exact in both engines.
+    "retrieve_sparse" ->
+      ("WITH d AS (SELECT doc_id, CASE WHEN length(regexp_replace(text, " +
+        "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
+        "ELSE string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+        "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM documents), " +
+        "m AS (SELECT doc_id, md5(unnest(tk)) AS h FROM d WHERE len(tk) > 0), " +
+        "b AS (SELECT doc_id, CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 " +
+        "+ (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 64 AS INTEGER) AS bucket, " +
+        "CASE WHEN ((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) % 2) = 1 " +
+        "THEN 1 ELSE -1 END AS s FROM m), " +
+        "sp AS (SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS weight " +
+        "FROM b GROUP BY doc_id, bucket HAVING sum(s) != 0), " +
+        "q AS (SELECT doc_id, bucket, weight FROM sp WHERE doc_id < 3), " +
+        "p AS (SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id, " +
+        "sum(q.weight * c.weight) AS dot FROM sp c JOIN q ON c.bucket = q.bucket " +
+        "GROUP BY 1, 2) " +
+        "SELECT query_id, neighbor_id, CAST(dot AS BIGINT) AS dot, " +
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS INTEGER) AS rank " +
+        "FROM p QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) <= 10"),
+    // Exact n-gram Jaccard join, tau = 4/5: FULL-corpus brute force via
+    // the same inverted-index formulation (integer threshold compare —
+    // no float boundary, no id restriction needed).
+    "dedup_jaccard_pairs" ->
+      ("WITH d AS (SELECT doc_id, CASE WHEN length(regexp_replace(text, " +
+        "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
+        "ELSE string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+        "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM documents), " +
+        "g AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')] " +
+        "ELSE list_distinct(list_transform(range(1, len(tk) - 1), " +
+        "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS sh FROM d), " +
+        "s AS (SELECT doc_id, unnest(sh) AS sh FROM g), " +
+        "z AS (SELECT doc_id, len(sh) AS sz FROM g), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter " +
+        "FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter_count, " +
+        "CAST(za.sz + zb.sz - inter AS BIGINT) AS union_count " +
+        "FROM p JOIN z za ON za.doc_id = p.id_a JOIN z zb ON zb.doc_id = p.id_b " +
+        "WHERE inter * 5 >= 4 * (za.sz + zb.sz - inter)"),
     "events_asof" ->
       "WITH e AS (SELECT user_id, event_id, event_type, value, epoch_ns(ts) // 1000 AS ts_us FROM events), c AS (SELECT user_id, ts_us, event_id FROM e WHERE event_type = 'click'), p AS (SELECT user_id, ts_us, max(CAST(round(value * 100) AS BIGINT)) AS purchase_cents FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts_us) SELECT c.event_id, c.user_id, c.ts_us, p.purchase_cents AS asof_purchase_cents FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.ts_us",
     "events_rangejoin" ->

@@ -194,6 +194,108 @@ object Dedup {
     df.join(dupIds, col(idCol) === col("dup_id"), "left_anti")
   }
 
+  // ---- exact n-gram Jaccard similarity join ---------------------------
+
+  /** EXACT all-pairs n-gram Jaccard join with prefix filtering — the
+    * deterministic sibling of [[nearDuplicatePairs]]: every pair with
+    * Jaccard(shingles(a), shingles(b)) ≥ tauNum/tauDen is returned, no
+    * probabilistic recall (MinHash banding catches a true pair w.h.p.;
+    * this catches it always).
+    *
+    * Algorithm (Bayardo et al., WWW'07 prefix filter; Vernica et al.,
+    * SIGMOD'10 distributed formulation): order every document's shingles
+    * by a global (document-frequency asc, shingle asc) total order and
+    * index only the first |S| − ⌈τ·|S|⌉ + 1 — the RAREST — shingles per
+    * doc. If two sets have Jaccard ≥ τ, their prefixes must share a
+    * shingle, so the candidate self-join over the prefix index is
+    * recall-complete; an exact intersect/union verify restricted to
+    * candidate docs gives precision.
+    *
+    * Scale design:
+    *  - The threshold is a RATIONAL (tauNum/tauDen) and the verify
+    *    compares `inter·tauDen ≥ tauNum·union` in integer arithmetic —
+    *    no float boundary, which is what lets the whole operator carry a
+    *    full-corpus DuckDB oracle (`dedup_jaccard_pairs`), not a
+    *    restricted one.
+    *  - At τ = 4/5 the prefix index holds ~20 % of the postings; the
+    *    candidate join only ever touches those rare-shingle lists, and a
+    *    size-compatibility filter (τ·max ≤ min, integer) prunes pairs
+    *    before the verify join.
+    *  - Like [[nearDuplicatePairs]], nothing corpus-sized is cached:
+    *    verify re-shingles ONLY candidate docs via a semi-join, and the
+    *    same EAGER contract applies (the result is materialized at
+    *    construction so the candidate-sized helper caches release
+    *    immediately; the returned DataFrame is the persisted pair set —
+    *    unpersist it when done).
+    *  - Worst case is inherently quadratic when the OUTPUT is quadratic
+    *    (a corpus of near-identical boilerplate): an exact join cannot
+    *    cap buckets the way the LSH paths do without breaking its
+    *    contract. For corpora where that risk is real, run
+    *    [[nearDuplicatePairs]] (capped, probabilistic) instead.
+    *
+    * Returns (id_a, id_b, inter_count, union_count) with id_a < id_b. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        shingleN: Int = 3,
+                        tauNum: Int = 4, tauDen: Int = 5): DataFrame = {
+    require(tauNum > 0 && tauNum <= tauDen, s"need 0 < tau <= 1, got $tauNum/$tauDen")
+    import org.apache.spark.sql.expressions.Window
+
+    // One scan: postings (id, size, shingle), exploded. Shingle sets are
+    // distinct by construction (Dedup.shingles), so df counts documents.
+    val post = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh_arr"))
+      .select(col("id"), size(col("sh_arr")).cast("long").as("sz"),
+        explode(col("sh_arr")).as("sh"))
+
+    val dfreq = post.groupBy(col("sh")).agg(count(lit(1)).as("dfreq"))
+
+    // Prefix index: the |S| − ceil(tau·|S|) + 1 globally-rarest shingles
+    // per doc. ceil(tauNum·sz / tauDen) in exact integer arithmetic.
+    val prefixLen = col("sz") -
+      floor((lit(tauNum) * col("sz") + lit(tauDen - 1)) / lit(tauDen)) + 1
+    val prefix = post.join(dfreq, Seq("sh"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("dfreq"), col("sh"))))
+      .filter(col("rn") <= prefixLen)
+      .select(col("sh"), col("id"), col("sz"))
+
+    // Candidate pairs: prefix-prefix equi-join on the shingle, ordered
+    // ids, size-compatibility pruning (J ≥ τ ⇒ τ·max(|A|,|B|) ≤ min).
+    val a = prefix.select(col("sh"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = prefix.select(col("sh"), col("id").as("id_b"), col("sz").as("sz_b"))
+    val candidates = a.join(b, Seq("sh"))
+      .filter(col("id_a") < col("id_b") &&
+        lit(tauNum) * greatest(col("sz_a"), col("sz_b")) <=
+          lit(tauDen) * least(col("sz_a"), col("sz_b")))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .persist(StorageLevel.MEMORY_AND_DISK) // candidate-sized, read 3×
+
+    // Exact verify over candidate docs only (semi-join keeps the scan,
+    // the shingling, and this cache all candidate-sized).
+    val candIds = candidates.select(col("id_a").as("id"))
+      .union(candidates.select(col("id_b").as("id"))).distinct()
+    val candSh = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), shingles(col("text"), shingleN).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val verified = candidates
+      .join(candSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(candSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter_count",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("union_count",
+        size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter_count"))
+      .filter(col("inter_count") * tauDen >= lit(tauNum) * col("union_count"))
+      .select(col("id_a"), col("id_b"), col("inter_count"), col("union_count"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    verified.count()
+    candidates.unpersist(blocking = false)
+    candSh.unpersist(blocking = false)
+    verified
+  }
+
   // ---- SimHash ---------------------------------------------------------
 
   /** 64-bit SimHash of the token multiset: per-token xxhash64 bit votes,

@@ -283,6 +283,25 @@ object ExtensionQueries {
     graft.functions.Featurize.hashFeaturesSparse(docs(s, d), "text", "doc_id", dim)
       .select(col("doc_id"), col("bucket"), col("weight"))
 
+  /** Sparse inverted-index retrieval: hashed signed-count features, the
+    * three lowest-id docs as queries, top-10 by integer dot product.
+    * Integer scores + deterministic tie-break ⇒ full DuckDB oracle of
+    * the entire tokenize → hash → index-join → top-k path. */
+  def retrieveSparse(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val sparse = graft.functions.Featurize
+      .hashFeaturesSparse(docs(s, d), "text", "doc_id", dim = 64)
+    val queries = sparse.filter(col("doc_id") < 3)
+    graft.functions.Retrieval.sparseDotTopK(sparse, "doc_id", queries, "doc_id", k = k)
+  }
+
+  /** EXACT n-gram Jaccard all-pairs join at tau = 4/5 — deterministic
+    * recall (prefix filter theorem), integer-rational threshold, so the
+    * oracle is a FULL-corpus DuckDB brute force via the same
+    * inverted-index formulation, no id restriction. */
+  def dedupJaccardPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id",
+      shingleN = 3, tauNum = 4, tauDen = 5)
+
   def vocabTopK(s: SparkSession, d: String, k: Int = 100): DataFrame =
     docs(s, d)
       .select(explode(TF.tokens(lower(col("text")))).as("token"))

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Dedup
+
+/** Exact n-gram Jaccard similarity join: the pair set must EQUAL the
+  * brute-force all-pairs computation — the prefix filter is a pruning
+  * optimization, never a semantics change. */
+class JaccardJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** In-JVM reference: word 3-gram shingle set, Dedup.shingles contract
+    * (size < n → single joined shingle; empty text → [""]). */
+  private def shingleSet(text: String, n: Int = 3): Set[String] = {
+    val tk = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    if (tk.size < n) Set(tk.mkString(" "))
+    else tk.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  private def bruteForce(docs: Seq[(Long, String)], tauNum: Int, tauDen: Int,
+                         n: Int = 3): Set[(Long, Long, Long, Long)] = {
+    val sh = docs.map { case (id, t) => id -> shingleSet(t, n) }
+    (for {
+      (ia, sa) <- sh; (ib, sb) <- sh if ia < ib
+      inter = (sa & sb).size.toLong
+      union = sa.size + sb.size - inter
+      if inter * tauDen >= tauNum * union
+    } yield (ia, ib, inter, union)).toSet
+  }
+
+  private def run(docs: Seq[(Long, String)], tauNum: Int, tauDen: Int) =
+    Dedup.ngramJaccardPairs(docs.toDF("doc_id", "text"), "text", "doc_id",
+        shingleN = 3, tauNum = tauNum, tauDen = tauDen)
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+  test("pair set equals brute force on a planted near-dup corpus") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "mu", "nu")
+    val base = (0L until 60L).map { i =>
+      i -> Seq.fill(12 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    // planted: one-word edits of every 5th doc (high Jaccard), plus exact dups
+    val variants = base.collect { case (i, t) if i % 5 == 1 =>
+      val w = t.split(" "); w(w.length / 2) = "CHANGED"
+      (i + 1000L) -> w.mkString(" ")
+    }
+    val exact = base.collect { case (i, t) if i % 7 == 3 => (i + 2000L) -> t }
+    val docs = base ++ variants ++ exact
+    val expected = bruteForce(docs, 4, 5)
+    assert(expected.nonEmpty, "planted corpus must contain true pairs")
+    assert(run(docs, 4, 5) === expected)
+  }
+
+  test("exact rational threshold boundary: >= tau kept, < tau dropped") {
+    // 3-gram shingles of k+2 tokens => k shingles. a: tokens 0..11 (10
+    // shingles), b: tokens 0..10 + x (9 shared + 1 new => inter 9,
+    // union 11). J = 9/11: kept at tau = 9/11 exactly, dropped at 5/6.
+    val tks = (0 until 12).map(i => s"w$i")
+    val a = tks.mkString(" ")
+    val b = (tks.take(11) :+ "x").mkString(" ")
+    val docs = Seq(1L -> a, 2L -> b)
+    assert(run(docs, 9, 11) === Set((1L, 2L, 9L, 11L)))
+    assert(run(docs, 5, 6) === Set.empty)
+  }
+
+  test("short and degenerate docs follow the shingle contract") {
+    val docs = Seq(
+      1L -> "one two",          // < n tokens: single "one two" shingle
+      2L -> "one two",          // identical short doc => J = 1
+      3L -> "",                 // empty => [""] shingle
+      4L -> " \t ",             // whitespace-only => [""] too => J = 1 with 3
+      5L -> "one two three four five")
+    val got = run(docs, 4, 5)
+    assert(got === bruteForce(docs, 4, 5))
+    assert(got.contains((1L, 2L, 1L, 1L)))
+    assert(got.contains((3L, 4L, 1L, 1L)))
+  }
+
+  test("tau = 1 returns exactly the identical-shingle-set pairs") {
+    val docs = Seq(
+      1L -> "a b c d e",
+      2L -> "a b c d e",
+      3L -> "a b c d e f")
+    assert(run(docs, 1, 1) === Set((1L, 2L, 3L, 3L)))
+  }
+}
