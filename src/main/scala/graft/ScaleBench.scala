@@ -173,6 +173,24 @@ object ScaleBench {
       timed("dedup_minhash_pairs") {
         Dedup.nearDuplicatePairs(docs, "text", "doc_id", threshold = 0.5).count()
       },
+      // Exact n-gram Jaccard at tau = 3/4: the planted word-level
+      // near-dups sit at shingle-Jaccard ~0.75 (30-token docs) to ~0.92
+      // (100-token docs), so 3/4 keeps essentially all of them plus the
+      // exact-dup pairs — deterministic recall, no banding probability.
+      timed("dedup_jaccard_pairs") {
+        Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          shingleN = 3, tauNum = 3, tauDen = 4).count()
+      },
+      // Sparse inverted-index retrieval: postings for the WHOLE corpus
+      // (~64 non-zero buckets/doc) joined against 3 broadcast query
+      // postings, two-phase integer-dot top-k. Linear in the corpus.
+      timed("retrieve_sparse") {
+        val sparse = graft.functions.Featurize.hashFeaturesSparse(
+          docs, "text", "doc_id", dim = 64)
+        val qs = sparse.filter(col("doc_id") < 3)
+        graft.functions.Retrieval.sparseDotTopK(
+          sparse, "doc_id", qs, "doc_id", k = 10).count()
+      },
       timed("dedup_simhash_h3") {
         Dedup.simhashNearDupPairs(docs, "text", "doc_id", maxHamming = 3).count()
       },

@@ -151,6 +151,45 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sparse retrieval: broadcast postings join + bounded top-k, no window") {
+    // The corpus postings must NOT shuffle to meet the (small) query
+    // postings — the join on the bucket key is broadcast — and ranking is
+    // the same two-phase bounded aggregate as the dense paths. A Window
+    // or a non-broadcast postings join is the 100×-scale regression.
+    val df = graft.queries.ExtensionQueries.retrieveSparse(spark, sfDir)
+    val s = planString(df)
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      s"query postings not broadcast:\n$s")
+    assert("ObjectHashAggregate".r.findAllIn(s).size >= 2,
+      s"two-phase bounded top-k missing:\n$s")
+    assert(!s.contains("Window"), s"window sort crept in:\n$s")
+  }
+
+  test("exact jaccard join: hash joins only, no nested-loop candidate plan") {
+    // Prefix filtering must produce equi-joins end-to-end (dfreq join,
+    // prefix self-join, verify joins). A BroadcastNestedLoopJoin or
+    // CartesianProduct means the all-pairs comparison crept back. The
+    // operator is eager+persisted, so the join plans live inside the
+    // cached-relation build plans — recurse through every cache level.
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def deepPlanString(p0: SparkPlan): String = {
+      // AQE roots are leaves to collect(); unwrap to the real plan first
+      val p = p0 match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      val nested = p.collect { case s: InMemoryTableScanExec => s.relation.cachedPlan }
+      (p.toString +: nested.map(deepPlanString)).mkString("\n")
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pairs = graft.functions.Dedup.ngramJaccardPairs(
+      docs, "text", "doc_id", tauNum = 4, tauDen = 5)
+    val s = deepPlanString(executed(pairs))
+    assert(s.contains("Join"), s"expected the cached join pipeline:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"non-equi candidate join:\n$s")
+  }
+
   test("native vector expressions stay inside whole-stage codegen") {
     // DotProduct/HyperplaneBucket implement doGenCode (a compiled call into
     // their own compute loop), so the ANN scoring projection must appear
