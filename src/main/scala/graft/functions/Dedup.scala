@@ -240,30 +240,59 @@ object Dedup {
     require(tauNum > 0 && tauNum <= tauDen, s"need 0 < tau <= 1, got $tauNum/$tauDen")
     import org.apache.spark.sql.expressions.Window
 
-    // One scan: postings (id, size, shingle), exploded. Shingle sets are
-    // distinct by construction (Dedup.shingles), so df counts documents.
+    // One scan: postings (id, size, shingle-HASH), exploded. The whole
+    // candidate phase runs on 8-byte xxhash64 keys, never the ~25-byte
+    // shingle strings — hashing can only MERGE set elements, so
+    // hash-space Jaccard ≥ true Jaccard and the prefix filter stays
+    // recall-complete for every true-Jaccard-≥ τ pair; a collision only
+    // adds a candidate the exact (string-level) verify discards.
+    // Shingle sets are distinct by construction, so df counts documents.
     val post = df
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh_arr"))
       .select(col("id"), size(col("sh_arr")).cast("long").as("sz"),
         explode(col("sh_arr")).as("sh"))
+      .select(col("id"), col("sz"), xxhash64(col("sh")).as("h"))
 
-    val dfreq = post.groupBy(col("sh")).agg(count(lit(1)).as("dfreq"))
+    // Only duplicated hashes matter for candidates: a df=1 posting list
+    // cannot pair, and the prefix element the theorem guarantees a
+    // true pair shares is BY DEFINITION in both docs, hence df ≥ 2.
+    // Everything ranked, windowed, or self-joined downstream is
+    // dup-postings-sized (~1% of postings in a deduplicatable corpus).
+    //
+    // The df computation itself is ONE corpus pass with no aggregate
+    // map and no join: repartition the postings on the hash, radix-sort
+    // each partition (single 8-byte sort key), and read the count as a
+    // streaming window over the sorted runs. The groupBy formulation
+    // built a ~250M-group BytesToBytesMap (mostly-unique keys: the map
+    // grows, rehashes, and spills for no reduction) and then joined it
+    // back — measured at 5M docs it dominated a 966 s run; the
+    // sort-run shape needs neither the map nor the join-back.
+    val byHash = Window.partitionBy(col("h"))
+    val dup = post.repartition(col("h")).sortWithinPartitions(col("h"))
+      .withColumn("dfreq", count(lit(1)).over(byHash))
+      .filter(col("dfreq") >= 2)
 
     // Prefix index: the |S| − ceil(tau·|S|) + 1 globally-rarest shingles
-    // per doc. ceil(tauNum·sz / tauDen) in exact integer arithmetic.
+    // per doc, rarity = (df asc, hash asc) with absent df meaning 1.
+    // All of a doc's df=1 hashes precede its duplicated ones in that
+    // order, so a duplicated hash is in the prefix iff
+    //   (#df=1 hashes) + rank among the doc's dups = (sz − ndup) + rn
+    // fits inside the prefix — computed entirely on the dup table.
+    // ceil(tauNum·sz / tauDen) in exact integer arithmetic.
     val prefixLen = col("sz") -
       floor((lit(tauNum) * col("sz") + lit(tauDen - 1)) / lit(tauDen)) + 1
-    val prefix = post.join(dfreq, Seq("sh"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("dfreq"), col("sh"))))
-      .filter(col("rn") <= prefixLen)
-      .select(col("sh"), col("id"), col("sz"))
+    val byDoc = Window.partitionBy(col("id"))
+    val prefix = dup
+      .withColumn("rn", row_number().over(byDoc.orderBy(col("dfreq"), col("h"))))
+      .withColumn("ndup", count(lit(1)).over(byDoc))
+      .filter(col("sz") - col("ndup") + col("rn") <= prefixLen)
+      .select(col("h"), col("id"), col("sz"))
 
-    // Candidate pairs: prefix-prefix equi-join on the shingle, ordered
-    // ids, size-compatibility pruning (J ≥ τ ⇒ τ·max(|A|,|B|) ≤ min).
-    val a = prefix.select(col("sh"), col("id").as("id_a"), col("sz").as("sz_a"))
-    val b = prefix.select(col("sh"), col("id").as("id_b"), col("sz").as("sz_b"))
-    val candidates = a.join(b, Seq("sh"))
+    // Candidate pairs: prefix-prefix equi-join on the duplicated hashes,
+    // ordered ids, size-compatibility pruning (J ≥ τ ⇒ τ·max ≤ min).
+    val a = prefix.select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = prefix.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b"))
+    val candidates = a.join(b, Seq("h"))
       .filter(col("id_a") < col("id_b") &&
         lit(tauNum) * greatest(col("sz_a"), col("sz_b")) <=
           lit(tauDen) * least(col("sz_a"), col("sz_b")))

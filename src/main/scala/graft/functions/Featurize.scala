@@ -42,17 +42,20 @@ object Featurize {
 
   /** Sparse hashed bag-of-tokens: one row per (id, bucket) with the
     * signed token count, zero-weight buckets dropped. Empty/whitespace
-    * docs contribute no rows (explode of an empty token array). */
+    * docs contribute no rows (explode of an empty feature array).
+    *
+    * A PURE MAP stage: the native HashedFeatures expression accumulates
+    * the whole signed-count vector per row, so no shuffle and no
+    * aggregation map ever sees corpus-sized data. (The first
+    * formulation exploded tokens and re-aggregated
+    * `groupBy(id, bucket)` — a ~235M-group hash aggregate at 5M docs;
+    * this one is scan-shaped at any corpus size.) */
   def hashFeaturesSparse(df: DataFrame, textCol: String, idCol: String,
                          dim: Int = 64): DataFrame =
-    df.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("t"))
-      .select(col(idCol),
-        let(md5(col("t"))) { h =>
-          struct(bucketOf(h, dim).as("b"), signOf(h).as("s"))
-        }.as("bs"))
-      .groupBy(col(idCol), col("bs.b").as("bucket"))
-      .agg(sum(col("bs.s")).as("weight"))
-      .filter(col("weight") =!= 0L)
+    df.select(col(idCol),
+        explode(graft.plans.TextExpressions.hashedFeatures(
+          TextFunctions.tokens(col(textCol)), dim)).as("f"))
+      .select(col(idCol), col("f.bucket").as("bucket"), col("f.weight").as("weight"))
 
   /** Dense hashed embedding as an `array<double>` column: the same
     * signed-count recipe accumulated per row (no shuffle — the whole

@@ -229,6 +229,88 @@ case class AsciiSetCount(child: Expression, chars: String)
   override def prettyName: String = "ascii_set_count"
 }
 
+/** Hashing-trick featurization of a token array: signed md5-nibble
+  * counts over `dim` buckets, emitted as array<struct<bucket, weight>>
+  * with zero-weight buckets dropped, bucket ascending.
+  *
+  * Recipe (must stay bit-equal to the `embed_docs` DuckDB oracle, which
+  * computes it from `md5(token)` HEX): bucket = (nib1·16 + nib2) mod dim
+  * = (first md5 byte, unsigned) mod dim; sign = +1 iff nib3 (high nibble
+  * of the second byte) is odd, i.e. bit 4 of byte 1.
+  *
+  * Why an expression: the Column formulation exploded every token and
+  * re-aggregated `groupBy(id, bucket)` — a corpus·tokens-row shuffle
+  * into a ~(docs·dim)-group hash map (~235M groups at 5M docs, the same
+  * mostly-unique-key aggregate disease the jaccard df count had). Per
+  * row the whole vector is computable locally, so featurization is a
+  * pure map stage: no shuffle, no aggregate map, one md5 per token. */
+case class HashedFeatures(child: Expression, dim: Int) extends UnaryExpression {
+
+  require(dim > 0 && dim <= 256, s"dim must be in 1..256, got $dim")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("bucket", IntegerType, nullable = false),
+      StructField("weight", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hashed_features needs array<string>, got ${other.simpleString}")
+    }
+
+  // one digest per thread — MessageDigest is stateful and this expression
+  // instance is shared across a stage's tasks via the codegen reference
+  @transient private lazy val md =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): GenericArrayData = {
+    val counts = new Array[Long](dim)
+    val digest = md.get()
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      digest.reset()
+      val hash = digest.digest(arr.getUTF8String(i).getBytes)
+      val bucket = (hash(0) & 0xFF) % dim
+      counts(bucket) += (if (((hash(1) >> 4) & 1) == 1) 1L else -1L)
+      i += 1
+    }
+    var nnz = 0
+    var b = 0
+    while (b < dim) { if (counts(b) != 0L) nnz += 1; b += 1 }
+    val out = new Array[Any](nnz)
+    var j = 0
+    b = 0
+    while (b < dim) {
+      if (counts(b) != 0L) {
+        out(j) = org.apache.spark.sql.catalyst.InternalRow(b, counts(b))
+        j += 1
+      }
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hashedFeatures", this, classOf[HashedFeatures].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "hashed_features"
+}
+
 object TextExpressions {
   /** Whitespace tokens (explicit 6-char ASCII class), empty-safe. */
   def wsTokens(text: Column): Column =
@@ -249,4 +331,9 @@ object TextExpressions {
   def asciiSetCount(text: Column, chars: String): Column =
     GraftColumnBridge.column(
       AsciiSetCount(GraftColumnBridge.expression(text), chars))
+
+  /** Hashing-trick sparse features of a token array (see HashedFeatures). */
+  def hashedFeatures(tokens: Column, dim: Int): Column =
+    GraftColumnBridge.column(
+      HashedFeatures(GraftColumnBridge.expression(tokens), dim))
 }
