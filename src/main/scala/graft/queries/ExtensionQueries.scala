@@ -302,6 +302,14 @@ object ExtensionQueries {
     Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id",
       shingleN = 3, tauNum = 4, tauDen = 5)
 
+  /** Duplicate CLUSTERS: connected components over the exact jaccard
+    * pair graph, component id = min doc id. Deterministic end-to-end,
+    * so the oracle is the same pair SQL closed transitively by a DuckDB
+    * recursive CTE. */
+  def dedupComponents(s: SparkSession, d: String): DataFrame =
+    Dedup.connectedComponents(dedupJaccardPairs(s, d), "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("component_id"))
+
   def vocabTopK(s: SparkSession, d: String, k: Int = 100): DataFrame =
     docs(s, d)
       .select(explode(TF.tokens(lower(col("text")))).as("token"))

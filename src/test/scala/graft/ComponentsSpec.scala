@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Dedup
+
+/** Connected components over pair graphs: must equal a JVM union-find
+  * on every topology a dup graph produces (cliques, stars, chains,
+  * singleton-free disjoint unions). */
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+
+  test("cliques, stars, and a long chain resolve to min-id components") {
+    val clique = for (a <- 10L to 14L; b <- (a + 1) to 14L) yield (a, b)
+    val star = (1L to 8L).map(i => (100L, 100L + i))
+    // a 64-node path: diameter 63 — pointer jumping must converge well
+    // inside maxIter (plain propagation would need 63 rounds)
+    val chain = (200L until 263L).map(i => (i, i + 1))
+    val edges = clique ++ star ++ chain
+    assert(run(edges) === unionFind(edges))
+  }
+
+  test("random graph matches union-find") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    assert(run(edges) === unionFind(edges))
+  }
+
+  test("empty pair list yields empty components") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() === 0)
+  }
+
+  test("merging two clusters through a single bridge edge") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (3L, 10L))
+    val got = run(edges)
+    assert(got.values.toSet === Set(1L))
+    assert(got.keySet === Set(1L, 2L, 3L, 10L, 11L, 12L))
+  }
+}
