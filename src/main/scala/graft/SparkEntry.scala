@@ -64,6 +64,7 @@ object SparkEntry {
     "vocab_topk"          -> ((s, d) => ExtensionQueries.vocabTopK(s, d)),
     "embed_docs"          -> ((s, d) => ExtensionQueries.embedDocs(s, d)),
     "retrieve_sparse"     -> ((s, d) => ExtensionQueries.retrieveSparse(s, d)),
+    "retrieve_bm25"       -> ((s, d) => ExtensionQueries.retrieveBm25(s, d)),
     "dedup_jaccard_pairs" -> (ExtensionQueries.dedupJaccardPairs _),
     "dedup_components"    -> (ExtensionQueries.dedupComponents _),
     "curate_docs"         -> (ExtensionQueries.curateDocs _),

@@ -294,6 +294,17 @@ object ExtensionQueries {
     graft.functions.Retrieval.sparseDotTopK(sparse, "doc_id", queries, "doc_id", k = k)
   }
 
+  /** BM25 ranked retrieval, three lowest-id docs as queries. Float
+    * scores (ln) ⇒ rows-only driver check; RetrievalSpec pins the
+    * formula to an independent JVM implementation. */
+  def retrieveBm25(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val ds = docs(s, d)
+    val qs = ds.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+    graft.functions.Retrieval.bm25TopK(ds, "doc_id", "text",
+      qs, "query_id", "qtext", k = k)
+  }
+
   /** EXACT n-gram Jaccard all-pairs join at tau = 4/5 — deterministic
     * recall (prefix filter theorem), integer-rational threshold, so the
     * oracle is a FULL-corpus DuckDB brute force via the same

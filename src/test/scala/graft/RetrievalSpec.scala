@@ -73,6 +73,42 @@ class RetrievalSpec extends SparkSpec {
     assert(got.forall(_._3 == 1L))
   }
 
+  test("bm25 matches an independent JVM implementation of the formula") {
+    val k1 = 1.2; val b = 0.75
+    val corp = corpus // (id, text) from the suite fixture
+    val queries = Seq(0L -> corp(0)._2, 1L -> "sun rock mist")
+    def toks(t: String) = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val docToks = corp.map { case (id, t) => id -> toks(t) }
+    val nDocs = corp.size.toDouble
+    val avgdl = docToks.map(_._2.size).sum / nDocs
+    def bm25(qt: Seq[String], dt: Seq[String]): Double = {
+      val tf = dt.groupBy(identity).map { case (w, xs) => w -> xs.size.toDouble }
+      qt.distinct.flatMap { t =>
+        tf.get(t).map { f =>
+          val df = docToks.count(_._2.contains(t)).toDouble
+          val idf = math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+          idf * f * (k1 + 1) / (f + (dt.size * (b / avgdl) + (1 - b)) * k1)
+        }
+      }.sum
+    }
+    val want = queries.flatMap { case (qid, qt) =>
+      docToks.map { case (id, dt) => (qid, id, bm25(toks(qt), dt)) }
+        .filter(_._3 > 0.0)
+        .sortBy { case (_, id, s) => (-s, id) }
+        .take(5)
+        .zipWithIndex.map { case ((q, id, s), i) => (q, id, s, i + 1) }
+    }
+    val got = Retrieval.bm25TopK(
+      corp.toDF("doc_id", "text"), "doc_id", "text",
+      queries.toDF("query_id", "qtext"), "query_id", "qtext", k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(r => (r._1, r._4))
+    assert(got.map(r => (r._1, r._2, r._4)) === want.map(r => (r._1, r._2, r._4)),
+      s"ranking mismatch:\n$got\nvs\n$want")
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._3 - w._3) < 1e-6, s"score mismatch at $g vs $w")
+    }
+  }
+
   test("ties rank by neighbor id ascending") {
     val docs = Seq(10L -> "sun moon", 20L -> "sun moon", 30L -> "sun moon")
     val sparse = Featurize.hashFeaturesSparse(
