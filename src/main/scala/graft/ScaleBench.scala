@@ -191,6 +191,24 @@ object ScaleBench {
         graft.functions.Retrieval.sparseDotTopK(
           sparse, "doc_id", qs, "doc_id", k = 10).count()
       },
+      // BM25 over the full corpus, 3 full-length docs as queries: the
+      // broadcast term filter keeps every aggregate candidate-sized.
+      timed("retrieve_bm25") {
+        val qs = docs.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+        graft.functions.Retrieval.bm25TopK(docs, "doc_id", "text",
+          qs, "query_id", "qtext", k = 10).count()
+      },
+      // Connected components isolated on a worst-case synthetic graph:
+      // 2M nodes in 2000 chains of depth 1000 — plain propagation would
+      // need ~1000 rounds; pointer jumping must close it in ~a dozen.
+      timed("components_2m_chain") {
+        val edges = spark.range(0L, 2000000L, 1L, 64)
+          .filter(col("id") % 1000 =!= 999)
+          .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+        Dedup.connectedComponents(edges.toDF(), "id_a", "id_b")
+          .select(col("component_id")).distinct().count()
+      },
       timed("dedup_simhash_h3") {
         Dedup.simhashNearDupPairs(docs, "text", "doc_id", maxHamming = 3).count()
       },
