@@ -55,8 +55,17 @@ object Dedup {
 
   // ---- shingling + MinHash + LSH --------------------------------------
 
-  /** Word n-gram shingles of the token array (distinct). */
+  /** Word n-gram shingles of the token array (distinct). Native
+    * compiled expression; semantics pinned equal to [[shinglesHof]] by
+    * TextExpressionsSpec. */
   def shingles(text: Column, n: Int = 3): Column =
+    graft.plans.TextExpressions.wordShingles(TextFunctions.tokens(text), n)
+
+  /** The pre-expression HOF formulation of [[shingles]] — kept as the
+    * equivalence reference for TextExpressionsSpec (the interpreted
+    * transform + per-window Slice allocation dominated the 5M-doc
+    * candidate scans). */
+  private[graft] def shinglesHof(text: Column, n: Int = 3): Column =
     let(TextFunctions.tokens(text)) { tk =>
       // tk is a lambda VARIABLE: referencing it per shingle position costs
       // an array read, not a re-tokenization (see ExprUtils.let).
@@ -66,6 +75,12 @@ object Dedup {
             sequence(lit(0), size(tk) - n),
             i => concat_ws(" ", slice(tk, i + 1, lit(n))))))
     }
+
+  /** Distinct sorted xxhash64 hashes of the word n-gram shingles — the
+    * allocation-free scan form the candidate-generation phases consume
+    * (verify re-materializes shingle STRINGS for candidates only). */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    graft.plans.TextExpressions.wordShingleHashes(TextFunctions.tokens(text), n)
 
   /** MinHash signature: native compiled expression
     * (graft.plans.MinHashSignature) — one xxhash64 per shingle, k
@@ -139,7 +154,9 @@ object Dedup {
     val banded = df
       .select(col(idCol).as("id"),
         explode(lshBandKeys(
-          minhashSignature(shingles(col(textCol), shingleN), k), k, bands))
+          // pre-hashed shingles: same signatures (same XXH64 seed), no
+          // shingle strings materialized on the corpus scan
+          minhashSignature(shingleHashes(col(textCol), shingleN), k), k, bands))
           .as("bk"))
       .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"), col("id"))
 
@@ -248,10 +265,9 @@ object Dedup {
     // adds a candidate the exact (string-level) verify discards.
     // Shingle sets are distinct by construction, so df counts documents.
     val post = df
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh_arr"))
-      .select(col("id"), size(col("sh_arr")).cast("long").as("sz"),
-        explode(col("sh_arr")).as("sh"))
-      .select(col("id"), col("sz"), xxhash64(col("sh")).as("h"))
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("h_arr"))
+      .select(col("id"), size(col("h_arr")).cast("long").as("sz"),
+        explode(col("h_arr")).as("h"))
 
     // Only duplicated hashes matter for candidates: a df=1 posting list
     // cannot pair, and the prefix element the theorem guarantees a

@@ -229,6 +229,159 @@ case class AsciiSetCount(child: Expression, chars: String)
   override def prettyName: String = "ascii_set_count"
 }
 
+/** Word n-gram shingles of a token array, distinct, first-occurrence
+  * order — semantics identical to the Column formulation it replaces
+  * (`array_distinct(transform(sequence(0, n-gram), i => concat_ws(" ",
+  * slice(tk, i+1, n))))`, with the size<n → single-joined-shingle and
+  * empty → [""] edges), pinned equal by TextExpressionsSpec.
+  *
+  * Why native: the HOF transform evaluates INTERPRETED and each window
+  * allocates a sliced GenericArrayData + concat — jstack of the 5M-doc
+  * jaccard run showed the scan pinned in Slice.nullSafeEval. Here each
+  * shingle is one UTF8String.concatWs over a reused window array. */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_shingles needs array<string>, got ${other.simpleString}")
+    }
+
+  private val SEP = UTF8String.fromString(" ")
+
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): GenericArrayData = {
+    val nTok = arr.numElements()
+    if (nTok < n) {
+      val all = new Array[UTF8String](nTok)
+      var i = 0
+      while (i < nTok) { all(i) = arr.getUTF8String(i); i += 1 }
+      return new GenericArrayData(Array[Any](UTF8String.concatWs(SEP, all: _*)))
+    }
+    val window = new Array[UTF8String](n)
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= nTok - n) {
+      var j = 0
+      while (j < n) { window(j) = arr.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(SEP, window: _*))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var t = 0
+    while (it.hasNext) { out(t) = it.next(); t += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordShingles", this, classOf[WordShingles].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_shingles"
+}
+
+/** Distinct xxhash64 values of a token array's word n-gram shingles,
+  * ascending — `sort(array_distinct(xxhash64(shingle)))` without ever
+  * materializing a shingle string: window bytes accumulate in a reused
+  * scratch buffer and hash via the same XXH64 primitive Spark's
+  * `xxhash64` uses (seed 42), so values are bit-equal to hashing the
+  * WordShingles strings. The candidate phases of the jaccard join and
+  * MinHash LSH consume ONLY these hashes (exact string verification is
+  * candidate-sized), so the corpus scan allocates nothing per window. */
+case class WordShingleHashes(child: Expression, n: Int, seed: Long = 42L)
+    extends UnaryExpression {
+
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_shingle_hashes needs array<string>, got ${other.simpleString}")
+    }
+
+  @transient private lazy val scratch =
+    ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](1 << 12))
+
+  private def hashWindow(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                         start: Int, len: Int): Long = {
+    var total = 0
+    var j = 0
+    while (j < len) { total += arr.getUTF8String(start + j).numBytes() + 1; j += 1 }
+    var buf = scratch.get()
+    if (buf.length < total) {
+      buf = new Array[Byte](Integer.highestOneBit(total) * 2)
+      scratch.set(buf)
+    }
+    var pos = 0
+    j = 0
+    while (j < len) {
+      if (j > 0) { buf(pos) = ' '; pos += 1 }
+      val s = arr.getUTF8String(start + j)
+      s.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos)
+      pos += s.numBytes()
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      UTF8String.fromBytes(buf, 0, pos), StringType, seed)
+  }
+
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): GenericArrayData = {
+    val nTok = arr.numElements()
+    if (nTok < n)
+      return new GenericArrayData(Array(hashWindow(arr, 0, nTok)))
+    val m = nTok - n + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) { hs(i) = hashWindow(arr, i, n); i += 1 }
+    java.util.Arrays.sort(hs)
+    var distinct = 1
+    var i2 = 1
+    while (i2 < m) { if (hs(i2) != hs(i2 - 1)) distinct += 1; i2 += 1 }
+    if (distinct == m) return new GenericArrayData(hs)
+    val out = new Array[Long](distinct)
+    out(0) = hs(0)
+    var t = 1
+    i2 = 1
+    while (i2 < m) {
+      if (hs(i2) != hs(i2 - 1)) { out(t) = hs(i2); t += 1 }
+      i2 += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordShingleHashes", this, classOf[WordShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_shingle_hashes"
+}
+
 /** Hashing-trick featurization of a token array: signed md5-nibble
   * counts over `dim` buckets, emitted as array<struct<bucket, weight>>
   * with zero-weight buckets dropped, bucket ascending.
@@ -336,4 +489,14 @@ object TextExpressions {
   def hashedFeatures(tokens: Column, dim: Int): Column =
     GraftColumnBridge.column(
       HashedFeatures(GraftColumnBridge.expression(tokens), dim))
+
+  /** Distinct word n-gram shingles of a token array (see WordShingles). */
+  def wordShingles(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      WordShingles(GraftColumnBridge.expression(tokens), n))
+
+  /** Distinct sorted xxhash64 shingle hashes (see WordShingleHashes). */
+  def wordShingleHashes(tokens: Column, n: Int, seed: Long = 42L): Column =
+    GraftColumnBridge.column(
+      WordShingleHashes(GraftColumnBridge.expression(tokens), n, seed))
 }

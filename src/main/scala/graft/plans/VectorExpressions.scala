@@ -321,12 +321,18 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long = 42L)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(StringType, _) =>
+      // strings hash here; longs are PRE-hashed bases (WordShingleHashes
+      // with the same seed) — identical signatures, no shingle strings
+      // ever materialized on the scan side
+      case ArrayType(StringType, _) | ArrayType(LongType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"minhash_signature needs array<string>, got ${other.simpleString}")
+          s"minhash_signature needs array<string> or array<bigint>, got ${other.simpleString}")
     }
+
+  private lazy val preHashed =
+    child.dataType.asInstanceOf[ArrayType].elementType == LongType
 
   def compute(arr: ArrayData): ArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
@@ -334,8 +340,10 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long = 42L)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val base = XxHash64Function.hash(
-          arr.getUTF8String(i).asInstanceOf[UTF8String], StringType, seed)
+        val base =
+          if (preHashed) arr.getLong(i)
+          else XxHash64Function.hash(
+            arr.getUTF8String(i).asInstanceOf[UTF8String], StringType, seed)
         var j = 0
         while (j < k) {
           val h = mixA(j) * base + mixB(j)

@@ -93,6 +93,31 @@ class TextExpressionsSpec extends SparkSpec {
     assert(mismatches === 0)
   }
 
+  test("word_shingles equals the HOF slice+concat formulation on every input") {
+    for (n <- Seq(1, 2, 3, 5)) {
+      val mismatches = corpus.toDF("id", "t")
+        .select(col("id"),
+          graft.functions.Dedup.shingles(col("t"), n).as("fast"),
+          graft.functions.Dedup.shinglesHof(col("t"), n).as("ref"))
+        .filter(not(col("fast") === col("ref")))
+        .count()
+      assert(mismatches === 0, s"shingle mismatch at n=$n")
+    }
+  }
+
+  test("word_shingle_hashes equals sorted distinct xxhash64 of the shingles") {
+    for (n <- Seq(1, 3)) {
+      val mismatches = corpus.toDF("id", "t")
+        .select(col("id"),
+          graft.functions.Dedup.shingleHashes(col("t"), n).as("fast"),
+          array_sort(transform(graft.functions.Dedup.shinglesHof(col("t"), n),
+            s => xxhash64(s))).as("ref"))
+        .filter(not(col("fast") === col("ref")))
+        .count()
+      assert(mismatches === 0, s"shingle-hash mismatch at n=$n")
+    }
+  }
+
   test("ws_tokens handles nulls and stays inside whole-stage codegen") {
     val df = Seq((1L, "a b"), (2L, null)).toDF("id", "t")
     val out = df.select(col("id"), TF.tokens(col("t")).as("tk")).collect()
