@@ -67,6 +67,7 @@ object SparkEntry {
     "retrieve_bm25"       -> ((s, d) => ExtensionQueries.retrieveBm25(s, d)),
     "dedup_jaccard_pairs" -> (ExtensionQueries.dedupJaccardPairs _),
     "dedup_components"    -> (ExtensionQueries.dedupComponents _),
+    "dedup_cluster_keep"  -> (ExtensionQueries.dedupClusterKeep _),
     "curate_docs"         -> (ExtensionQueries.curateDocs _),
     "sample_stratified"   -> (ExtensionQueries.sampleStratified _),
     "pack_shards"         -> ((s, d) => ExtensionQueries.packShards(s, d)),
@@ -271,6 +272,30 @@ object SparkEntry {
         "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a) " +
         "SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS component_id " +
         "FROM reach GROUP BY a"),
+    // Transitive cluster dedup: every doc except non-min component
+    // members of the same closure.
+    "dedup_cluster_keep" ->
+      ("WITH RECURSIVE d AS (SELECT doc_id, CASE WHEN length(regexp_replace(text, " +
+        "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
+        "ELSE string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+        "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM documents), " +
+        "g AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')] " +
+        "ELSE list_distinct(list_transform(range(1, len(tk) - 1), " +
+        "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS sh FROM d), " +
+        "s AS (SELECT doc_id, unnest(sh) AS sh FROM g), " +
+        "z AS (SELECT doc_id, len(sh) AS sz FROM g), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter " +
+        "FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "jac AS (SELECT id_a, id_b FROM p JOIN z za ON za.doc_id = p.id_a " +
+        "JOIN z zb ON zb.doc_id = p.id_b " +
+        "WHERE inter * 5 >= 4 * (za.sz + zb.sz - inter)), " +
+        "edges AS (SELECT id_a AS a, id_b AS b FROM jac UNION SELECT id_b, id_a FROM jac), " +
+        "reach AS (SELECT a, b FROM edges " +
+        "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), " +
+        "comp AS (SELECT a AS doc_id, least(a, min(b)) AS component_id " +
+        "FROM reach GROUP BY a) " +
+        "SELECT doc_id FROM documents WHERE doc_id NOT IN " +
+        "(SELECT doc_id FROM comp WHERE doc_id != component_id)"),
     "events_asof" ->
       "WITH e AS (SELECT user_id, event_id, event_type, value, epoch_ns(ts) // 1000 AS ts_us FROM events), c AS (SELECT user_id, ts_us, event_id FROM e WHERE event_type = 'click'), p AS (SELECT user_id, ts_us, max(CAST(round(value * 100) AS BIGINT)) AS purchase_cents FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts_us) SELECT c.event_id, c.user_id, c.ts_us, p.purchase_cents AS asof_purchase_cents FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.ts_us",
     "events_rangejoin" ->

@@ -412,6 +412,23 @@ object Dedup {
     labels.select(col("id"), col("label").as("component_id"))
   }
 
+  /** Transitive cluster dedup: one survivor (the min id) per connected
+    * component of the exact jaccard pair graph. This is the standard
+    * training-corpus contract; note it is MORE aggressive than pairwise
+    * keep-min ([[dropNearDuplicates]]): with pairs (1,3) and (2,3),
+    * pairwise drops only 3 (2 never appears as a higher id), while the
+    * component {1,2,3} keeps only 1 — transitivity treats 2 as a dup of
+    * the cluster even though it never paired with 1 directly. */
+  def dropDuplicateClusters(df: DataFrame, textCol: String, idCol: String,
+                            shingleN: Int = 3,
+                            tauNum: Int = 4, tauDen: Int = 5): DataFrame = {
+    val pairs = ngramJaccardPairs(df, textCol, idCol, shingleN, tauNum, tauDen)
+    val losers = connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("id") =!= col("component_id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ---- SimHash ---------------------------------------------------------
 
   /** 64-bit SimHash of the token multiset: per-token xxhash64 bit votes,

@@ -321,6 +321,14 @@ object ExtensionQueries {
     Dedup.connectedComponents(dedupJaccardPairs(s, d), "id_a", "id_b")
       .select(col("id").as("doc_id"), col("component_id"))
 
+  /** Transitive cluster dedup: min-id survivor per duplicate component
+    * (more aggressive than pairwise keep-min — see
+    * Dedup.dropDuplicateClusters). */
+  def dedupClusterKeep(s: SparkSession, d: String): DataFrame =
+    Dedup.dropDuplicateClusters(docs(s, d), "text", "doc_id",
+      shingleN = 3, tauNum = 4, tauDen = 5)
+      .select(col("doc_id"))
+
   def vocabTopK(s: SparkSession, d: String, k: Int = 100): DataFrame =
     docs(s, d)
       .select(explode(TF.tokens(lower(col("text")))).as("token"))

@@ -50,6 +50,25 @@ class ComponentsSpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() === 0)
   }
 
+  test("cluster dedup is transitive where pairwise keep-min is not") {
+    // docs 1 and 3 near-dup, 2 and 3 near-dup, 1 and 2 NOT (direct
+    // Jaccard below tau): the component {1,2,3} keeps only doc 1,
+    // while pairwise keep-min would also keep 2 (never a higher id).
+    val base = (0 until 12).map(i => s"w$i")
+    val d3 = base.mkString(" ")                               // hub
+    val d1 = (base.take(11) :+ "x1").mkString(" ")            // ~ d3
+    val d2 = ("x2" +: base.drop(1)).mkString(" ")             // ~ d3, not ~ d1
+    val docs = Seq(1L -> d1, 2L -> d2, 3L -> d3, 9L -> "totally different words here")
+    val pairs = graft.functions.Dedup.ngramJaccardPairs(
+      docs.toDF("doc_id", "text"), "text", "doc_id", tauNum = 4, tauDen = 5)
+      .as[(Long, Long, Long, Long)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs === Set((1L, 3L), (2L, 3L)), s"planted topology broken: $pairs")
+    val kept = graft.functions.Dedup.dropDuplicateClusters(
+      docs.toDF("doc_id", "text"), "text", "doc_id", tauNum = 4, tauDen = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 9L))
+  }
+
   test("merging two clusters through a single bridge edge") {
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (3L, 10L))
     val got = run(edges)
