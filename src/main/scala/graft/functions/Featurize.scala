@@ -27,19 +27,6 @@ import graft.functions.ExprUtils.let
   */
 object Featurize {
 
-  /** Hash bucket in [0, dim) for one token column (dim ≤ 256: two md5
-    * nibbles = 8 bits of keyspace; plenty for the embedding widths the
-    * ANN family uses and keeps the oracle SQL finite). */
-  private def bucketOf(h: Column, dim: Int): Column = {
-    require(dim > 0 && dim <= 256, s"dim must be in 1..256, got $dim")
-    pmod(conv(h.substr(1, 1), 16, 10).cast("int") * 16 +
-      conv(h.substr(2, 1), 16, 10).cast("int"), lit(dim))
-  }
-
-  private def signOf(h: Column): Column =
-    when(pmod(conv(h.substr(3, 1), 16, 10).cast("int"), lit(2)) === 1,
-      lit(1L)).otherwise(lit(-1L))
-
   /** Sparse hashed bag-of-tokens: one row per (id, bucket) with the
     * signed token count, zero-weight buckets dropped. Empty/whitespace
     * docs contribute no rows (explode of an empty feature array).
@@ -57,27 +44,23 @@ object Featurize {
           TextFunctions.tokens(col(textCol)), dim)).as("f"))
       .select(col(idCol), col("f.bucket").as("bucket"), col("f.weight").as("weight"))
 
-  /** Dense hashed embedding as an `array<double>` column: the same
-    * signed-count recipe accumulated per row (no shuffle — the whole
-    * featurization is a projection), L2-normalized so downstream cosine
-    * operators (Similarity.*) read it directly. All-zero vectors (empty
-    * docs, or exact sign cancellation) come back as all-zero rather than
-    * NaN. HOF lambdas evaluate interpreted — fine for the featurize-once
-    * write path this feeds; the hot read path consumes the materialized
-    * vectors, not this expression. */
+  /** Dense hashed embedding as an `array<double>` column: the native
+    * sparse accumulation (HashedFeatures) scattered into a dense
+    * array, L2-normalized so downstream cosine operators (Similarity.*)
+    * read it directly. All-zero vectors (empty docs, or exact sign
+    * cancellation) come back as all-zero rather than NaN. Still a pure
+    * projection (no shuffle); the residual HOF work is dim map-lookups
+    * per row — the earlier formulation folded a zip_with over every
+    * TOKEN interpreted (~dim·tokens ops per row) and was write-path-only. */
   def hashEmbedding(text: Column, dim: Int = 64): Column = {
     require(dim > 0 && dim <= 256, s"dim must be in 1..256, got $dim")
-    let(aggregate(TextFunctions.tokens(text),
-      array_repeat(lit(0.0), dim),
-      (acc, t) => let(md5(t)) { h =>
-        let(bucketOf(h, dim))(b =>
-          let(signOf(h).cast("double")) { s =>
-            zip_with(acc, sequence(lit(0), lit(dim - 1)),
-              (a, j) => when(j === b, a + s).otherwise(a))
-          })
-      })) { v =>
-      let(sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))) { nrm =>
-        when(nrm === 0.0, v).otherwise(transform(v, x => x / nrm))
+    let(map_from_entries(graft.plans.TextExpressions.hashedFeatures(
+      TextFunctions.tokens(text), dim))) { m =>
+      let(transform(sequence(lit(0), lit(dim - 1)),
+        j => coalesce(element_at(m, j), lit(0L)).cast("double"))) { v =>
+        let(sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))) { nrm =>
+          when(nrm === 0.0, v).otherwise(transform(v, x => x / nrm))
+        }
       }
     }
   }

@@ -151,6 +151,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("hashed featurization is a pure map: zero exchanges") {
+    // The signed-count vector accumulates per ROW (native expression);
+    // any exchange here means the groupBy(id, bucket) formulation — a
+    // docs·dim-group aggregate at scale — crept back.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sp = graft.functions.Featurize.hashFeaturesSparse(docs, "text", "doc_id", 64)
+    assert(countExchanges(sp) === 0, s"featurization shuffles:\n${planString(sp)}")
+  }
+
   test("sparse retrieval: broadcast postings join + bounded top-k, no window") {
     // The corpus postings must NOT shuffle to meet the (small) query
     // postings — the join on the bucket key is broadcast — and ranking is
