@@ -171,15 +171,24 @@ object ScaleBench {
         graft.queries.ExtensionQueries.vocabTopK(spark, dir).count()
       },
       timed("dedup_minhash_pairs") {
-        Dedup.nearDuplicatePairs(docs, "text", "doc_id", threshold = 0.5).count()
+        // EAGER pair generators return a persisted result the caller
+        // owns — count, then release, or repeated bench runs accumulate
+        // session-lifetime executor caches.
+        val pairs = Dedup.nearDuplicatePairs(docs, "text", "doc_id", threshold = 0.5)
+        val n = pairs.count()
+        pairs.unpersist(blocking = false)
+        n
       },
       // Exact n-gram Jaccard at tau = 3/4: the planted word-level
       // near-dups sit at shingle-Jaccard ~0.75 (30-token docs) to ~0.92
       // (100-token docs), so 3/4 keeps essentially all of them plus the
       // exact-dup pairs — deterministic recall, no banding probability.
       timed("dedup_jaccard_pairs") {
-        Dedup.ngramJaccardPairs(docs, "text", "doc_id",
-          shingleN = 3, tauNum = 3, tauDen = 4).count()
+        val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          shingleN = 3, tauNum = 3, tauDen = 4)
+        val n = pairs.count()
+        pairs.unpersist(blocking = false)
+        n
       },
       // Sparse inverted-index retrieval: postings for the WHOLE corpus
       // (~64 non-zero buckets/doc) joined against 3 broadcast query

@@ -248,21 +248,35 @@ object Dedup {
     *    (a corpus of near-identical boilerplate): an exact join cannot
     *    cap buckets the way the LSH paths do without breaking its
     *    contract. For corpora where that risk is real, run
-    *    [[nearDuplicatePairs]] (capped, probabilistic) instead.
+    *    [[nearDuplicatePairs]] (capped, probabilistic) instead — or set
+    *    `maxCandidates` so a misuse FAILS FAST: when > 0 and the
+    *    candidate-pair count exceeds it, the join throws with a clear
+    *    message BEFORE the verify join fans out, instead of running an
+    *    unbounded output-quadratic job on a 100 TB cluster. The check
+    *    costs nothing extra: it counts the candidate cache the verify
+    *    phase was about to materialize anyway.
     *
     * Returns (id_a, id_b, inter_count, union_count) with id_a < id_b. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleN: Int = 3,
-                        tauNum: Int = 4, tauDen: Int = 5): DataFrame = {
+                        tauNum: Int = 4, tauDen: Int = 5,
+                        maxCandidates: Long = 0L): DataFrame = {
     require(tauNum > 0 && tauNum <= tauDen, s"need 0 < tau <= 1, got $tauNum/$tauDen")
     import org.apache.spark.sql.expressions.Window
 
     // One scan: postings (id, size, shingle-HASH), exploded. The whole
     // candidate phase runs on 8-byte xxhash64 keys, never the ~25-byte
-    // shingle strings — hashing can only MERGE set elements, so
-    // hash-space Jaccard ≥ true Jaccard and the prefix filter stays
-    // recall-complete for every true-Jaccard-≥ τ pair; a collision only
-    // adds a candidate the exact (string-level) verify discards.
+    // shingle strings. Recall caveat: a collision that merges elements
+    // WITHIN one doc's set, or across the difference sets of a pair, can
+    // only raise hash-space Jaccard (smaller union, same-or-larger
+    // intersection) — those collisions add candidates the exact
+    // (string-level) verify discards. But a collision between two
+    // DISTINCT shingles both inside a pair's intersection lowers inter
+    // and union by 1 each, giving (i−1)/(u−1) < i/u, so a pair exactly
+    // at the threshold could in principle drop below τ in hash space and
+    // be missed. "EXACT recall" therefore holds modulo xxhash64
+    // collisions (~2⁻⁶⁴ per shingle pair — vanishing even at 100 TB,
+    // but an honest caveat, not a theorem; do not build on the ≥ lemma).
     // Shingle sets are distinct by construction, so df counts documents.
     val post = df
       .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("h_arr"))
@@ -315,6 +329,22 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .persist(StorageLevel.MEMORY_AND_DISK) // candidate-sized, read 3×
+
+    if (maxCandidates > 0L) {
+      // Fail-fast budget: materializes the candidate cache (which the
+      // verify joins below read anyway) and aborts before the verify
+      // fan-out if the corpus is output-quadratic for this threshold.
+      val nCand = candidates.count()
+      if (nCand > maxCandidates) {
+        candidates.unpersist(blocking = false)
+        throw new IllegalStateException(
+          s"ngramJaccardPairs: $nCand candidate pairs exceed the " +
+            s"maxCandidates budget of $maxCandidates — the corpus is " +
+            s"output-quadratic at tau=$tauNum/$tauDen (near-identical " +
+            "boilerplate). Deduplicate it with the capped probabilistic " +
+            "path (nearDuplicatePairs) or raise the budget deliberately.")
+      }
+    }
 
     // Exact verify over candidate docs only (semi-join keeps the scan,
     // the shingling, and this cache all candidate-sized).
@@ -379,6 +409,15 @@ object Dedup {
     def cut(df: DataFrame): DataFrame =
       if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
+    // Lazy variant for the per-round body: the convergence count below is
+    // the action that materializes it, so each round runs ONE job (plus
+    // the reliable-checkpoint write job when a checkpoint dir is set)
+    // instead of a materialization job AND a separate next-vs-labels
+    // convergence join job.
+    def cutLazy(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
     val edges = cut(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -393,17 +432,22 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("dlabel")).as("nlabel"))
         .select(col("src").as("id"), col("nlabel"))
-      // pointer jump: follow the current label to ITS label
-      val next = cut(labels
+      // pointer jump: follow the current label to ITS label. The round's
+      // result carries its own `changed` flag (new label ≠ old label), so
+      // the count that materializes the checkpoint IS the convergence
+      // check — `next` has exactly the ids of `labels` (left joins), so
+      // zero changed rows ⟺ fixpoint, the same exact condition the
+      // previous separate next-vs-labels join computed as a second job.
+      val newLabel = least(col("label"), coalesce(col("nlabel"), col("label")),
+        coalesce(col("jlabel"), col("label")))
+      val next = cutLazy(labels
         .join(nbrMin, Seq("id"), "left")
         .join(labels.select(col("id").as("label"), col("label").as("jlabel")),
           Seq("label"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label")),
-            coalesce(col("jlabel"), col("label"))).as("label")))
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
+        .select(col("id"), newLabel.as("label"),
+          (newLabel =!= col("label")).as("changed")))
+      converged = next.filter(col("changed")).count() == 0L
+      labels = next.select(col("id"), col("label"))
       iter += 1
     }
     if (!converged && !edges.isEmpty)
@@ -423,7 +467,13 @@ object Dedup {
                             shingleN: Int = 3,
                             tauNum: Int = 4, tauDen: Int = 5): DataFrame = {
     val pairs = ngramJaccardPairs(df, textCol, idCol, shingleN, tauNum, tauDen)
-    val losers = connectedComponents(pairs, "id_a", "id_b")
+    val labels = connectedComponents(pairs, "id_a", "id_b")
+    // connectedComponents returns CHECKPOINTED labels (lineage cut every
+    // round), so the eager pair cache is no longer reachable from the
+    // result plan — release it here instead of pinning it for the
+    // session (this wrapper owns the cache it asked for).
+    pairs.unpersist(blocking = false)
+    val losers = labels
       .filter(col("id") =!= col("component_id"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")

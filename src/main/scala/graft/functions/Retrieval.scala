@@ -89,20 +89,55 @@ object Retrieval {
     * query is rows-only; RetrievalSpec pins scores to an independent JVM
     * implementation of the same formula.
     *
+    * Corpus scans — the dominant cost at 100 TB. The formula needs two
+    * things from the full corpus: the scalar stats (N, avgdl) and the
+    * query-term postings. With `corpusStats` supplied (the production
+    * path: corpora maintain a stats table; any change to it is one cheap
+    * aggregate per ingest batch) the plan is LAZY and tokenizes the
+    * corpus exactly ONCE — the postings scan. Without it, this method
+    * must derive the stats itself: it persists the tokenized corpus
+    * (MEMORY_AND_DISK — spills, never OOMs), runs the stats aggregate as
+    * a construction-time action (EAGER contract, like
+    * Dedup.nearDuplicatePairs: a failure surfaces here, not at the
+    * caller's action), materializes the candidate-sized result, and
+    * releases the corpus cache before returning — so the corpus is still
+    * tokenized once, at the price of one transient corpus-sized
+    * spillable cache. An empty corpus returns an empty, correctly-typed
+    * result instead of failing on the null avgdl aggregate.
+    *
     * Returns (query_id, neighbor_id, score, rank), rank 1..k,
     * (score desc, id asc). */
   def bm25TopK(corpus: DataFrame, corpusIdCol: String, textCol: String,
                queries: DataFrame, queryIdCol: String, queryTextCol: String,
-               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+               corpusStats: Option[(Long, Double)] = None): DataFrame = {
     import graft.functions.{TextFunctions => TF}
-    val docsTok = corpus.select(col(corpusIdCol).as("neighbor_id"),
+    import org.apache.spark.storage.StorageLevel
+    val docsTokRaw = corpus.select(col(corpusIdCol).as("neighbor_id"),
       TF.tokens(lower(col(textCol))).as("toks"))
+    val docsTok =
+      if (corpusStats.isDefined) docsTokRaw
+      else docsTokRaw.persist(StorageLevel.MEMORY_AND_DISK)
 
-    // scalar corpus stats: one aggregate over the token-count projection
-    val stats = docsTok.agg(
-      count(lit(1)).as("n_docs"), avg(size(col("toks"))).as("avgdl")).collect()(0)
-    val nDocs = stats.getLong(0)
-    val avgdl = stats.getDouble(1)
+    val (nDocs, avgdl) = corpusStats.getOrElse {
+      // scalar corpus stats: one aggregate over the (cached) tokenization
+      val stats = docsTok.agg(
+        count(lit(1)).as("n_docs"), avg(size(col("toks"))).as("avgdl")).collect()(0)
+      (stats.getLong(0), if (stats.isNullAt(1)) 0.0 else stats.getDouble(1))
+    }
+    if (nDocs == 0L || avgdl <= 0.0) {
+      // empty corpus (or all-empty docs): no postings can exist — return
+      // the typed empty result rather than dividing by a null aggregate
+      docsTok.unpersist(blocking = false)
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("query_id", queries.schema(queryIdCol).dataType),
+        StructField("neighbor_id", corpus.schema(corpusIdCol).dataType),
+        StructField("score", DoubleType),
+        StructField("rank", IntegerType)))
+      return corpus.sparkSession.createDataFrame(
+        corpus.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
 
     // distinct query terms, broadcast into the postings filter
     val qTerms = queries
@@ -135,7 +170,7 @@ object Retrieval {
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("contrib")).as("score"))
 
-    scored
+    val ranked = scored
       .groupBy(col("query_id"))
       .agg(TopKAggregate.boundedTopK(col("neighbor_id"), col("score"), k).as("topk"))
       .select(col("query_id"), posexplode(col("topk")))
@@ -143,5 +178,16 @@ object Retrieval {
         col("col.neighbor_id").as("neighbor_id"),
         round(col("col.score"), 6).as("score"),
         (col("pos") + 1).cast("int").as("rank"))
+
+    if (corpusStats.isDefined) ranked // lazy: stats given, single corpus scan
+    else {
+      // EAGER: materialize the (Q·k)-row result, then free the corpus
+      // cache — the result DataFrame the caller composes reads its own
+      // small cache, never the corpus again.
+      val out = ranked.persist(StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      docsTok.unpersist(blocking = false)
+      out
+    }
   }
 }

@@ -65,15 +65,23 @@ object Similarity {
     * replaces: (score desc, neighbor_id asc), java.lang.Double.compare
     * total order — results are bit-for-bit the same.
     *
-    * Output: (query_id, neighbor_id, <scoreName> rounded to 6, rank). */
-  private def topKPerQuery(scored: DataFrame, scoreName: String, k: Int): DataFrame =
+    * Output: (query_id, neighbor_id, <scoreName> rounded to 6, rank).
+    * `roundScore = false` keeps the raw score — REQUIRED for internal
+    * shortlists that feed refineExact, whose coverage fallback compares
+    * the shortlist's ADC estimate against unrounded exact dots in one
+    * heap ordering (rounding one side of that comparison would let a
+    * ±5e-7 rounding step reorder near-ties between covered and
+    * uncovered neighbors). */
+  private def topKPerQuery(scored: DataFrame, scoreName: String, k: Int,
+                           roundScore: Boolean = true): DataFrame =
     scored
       .groupBy(col("query_id"))
       .agg(TopKAggregate.boundedTopK(col("neighbor_id"), col(scoreName), k).as("topk"))
       .select(col("query_id"), posexplode(col("topk")))
       .select(col("query_id"),
         col("col.neighbor_id").as("neighbor_id"),
-        round(col("col.score"), 6).as(scoreName),
+        (if (roundScore) round(col("col.score"), 6) else col("col.score"))
+          .as(scoreName),
         (col("pos") + 1).cast("int").as("rank"))
 
   /** Exact brute-force cosine top-k.
@@ -359,7 +367,14 @@ object Similarity {
     * them (refineExact) — the memory-compressed-scan + exact-order
     * configuration for corpora that fit one inverted list. A
     * corpus-covering refine (k·refine ≥ N) removes ALL approximation,
-    * which is how sim_pq_oracle pins this machinery to brute force. */
+    * which is how sim_pq_oracle pins this machinery to brute force.
+    *
+    * Score column naming contract (here, ivfPqTopK, VectorIndex.query):
+    * an UNREFINED result names its score "adc" — it is a quantization
+    * ESTIMATE of the cosine, and naming it "sim" would invite treating
+    * it as one; every refined result names the exact score "sim".
+    * Downstream code selecting the score column must branch on the
+    * refine setting it asked for. */
   def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
              queries: DataFrame, queryIdCol: String, queryVecCol: String,
              dim: Int, k: Int = 10, m: Int = 16, kCodes: Int = 16,
@@ -376,7 +391,8 @@ object Similarity {
     val scored = encoded.crossJoin(broadcast(qLut))
       .select(col("query_id"), col("neighbor_id"),
         pqAdc(col("codes"), col("lut"), kCodes).as("adc"))
-    val shortlist = topKPerQuery(scored, "adc", math.max(k, k * refine))
+    val shortlist = topKPerQuery(scored, "adc", math.max(k, k * refine),
+      roundScore = refine <= 1)
     if (refine <= 1) shortlist
     else refineExact(shortlist,
       corpus.select(col(idCol).as("neighbor_id"), unitVector(col(vecCol)).as("uv")),
@@ -404,7 +420,8 @@ object Similarity {
         residualOf = Some(centroids)))
     val encoded = ivfPqEncode(corpus, idCol, vecCol, centroids, codebooks)
     val shortlist = ivfPqScore(encoded, queries, queryIdCol, queryVecCol,
-      centroids, codebooks, math.max(k, k * refine), nProbe, kCodes)
+      centroids, codebooks, math.max(k, k * refine), nProbe, kCodes,
+      roundScore = refine <= 1)
     if (refine <= 1) shortlist
     else refineExact(shortlist,
       corpus.select(col(idCol).as("neighbor_id"), unitVector(col(vecCol)).as("uv")),
@@ -480,7 +497,8 @@ object Similarity {
                                 queryIdCol: String, queryVecCol: String,
                                 centroids: Seq[Seq[Double]],
                                 codebooks: Seq[Seq[Seq[Double]]],
-                                k: Int, nProbe: Int, kCodes: Int): DataFrame = {
+                                k: Int, nProbe: Int, kCodes: Int,
+                                roundScore: Boolean = true): DataFrame = {
     import graft.plans.VectorExpressions.{centroidDots, pqAdc, pqLut}
     // Residual-ADC score: dot(q, v) ≈ dot(q, c_list) + dot(q, residual̂).
     // The centroid term rides the probe row (CentroidDots); the residual
@@ -494,7 +512,7 @@ object Similarity {
     val scored = encoded.join(broadcast(qProbes), Seq("list_id"))
       .select(col("query_id"), col("neighbor_id"),
         (col("cdot") + pqAdc(col("codes"), col("lut"), kCodes)).as("adc"))
-    topKPerQuery(scored, "adc", k)
+    topKPerQuery(scored, "adc", k, roundScore)
   }
 
   /** Embedding-cosine near-duplicate pairs: multi-table hyperplane LSH.

@@ -323,21 +323,35 @@ case class WordShingleHashes(child: Expression, n: Int, seed: Long = 42L)
 
   private def hashWindow(arr: org.apache.spark.sql.catalyst.util.ArrayData,
                          start: Int, len: Int): Long = {
+    // Null elements are SKIPPED, matching the concat_ws semantics of the
+    // HOF reference formulation (and of WordShingles, whose
+    // UTF8String.concatWs drops null inputs) — the type check accepts
+    // containsNull=true, so this path must tolerate them.
     var total = 0
     var j = 0
-    while (j < len) { total += arr.getUTF8String(start + j).numBytes() + 1; j += 1 }
+    while (j < len) {
+      val s = arr.getUTF8String(start + j)
+      if (s != null) total += s.numBytes() + 1
+      j += 1
+    }
     var buf = scratch.get()
     if (buf.length < total) {
-      buf = new Array[Byte](Integer.highestOneBit(total) * 2)
+      // max(total, 2×) — highestOneBit(total)·2 overflows negative past
+      // 1 GiB; geometric growth without the power-of-two round-up is safe.
+      buf = new Array[Byte](math.max(total, buf.length * 2))
       scratch.set(buf)
     }
     var pos = 0
+    var written = 0
     j = 0
     while (j < len) {
-      if (j > 0) { buf(pos) = ' '; pos += 1 }
       val s = arr.getUTF8String(start + j)
-      s.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos)
-      pos += s.numBytes()
+      if (s != null) {
+        if (written > 0) { buf(pos) = ' '; pos += 1 }
+        s.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos)
+        pos += s.numBytes()
+        written += 1
+      }
       j += 1
     }
     org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(

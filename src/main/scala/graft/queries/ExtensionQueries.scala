@@ -317,9 +317,14 @@ object ExtensionQueries {
     * pair graph, component id = min doc id. Deterministic end-to-end,
     * so the oracle is the same pair SQL closed transitively by a DuckDB
     * recursive CTE. */
-  def dedupComponents(s: SparkSession, d: String): DataFrame =
-    Dedup.connectedComponents(dedupJaccardPairs(s, d), "id_a", "id_b")
-      .select(col("id").as("doc_id"), col("component_id"))
+  def dedupComponents(s: SparkSession, d: String): DataFrame = {
+    val pairs = dedupJaccardPairs(s, d)
+    val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    // The labels are checkpointed (lineage cut per round), so the eager
+    // pair cache is unreachable from the result — release it now.
+    pairs.unpersist(blocking = false)
+    labels.select(col("id").as("doc_id"), col("component_id"))
+  }
 
   /** Transitive cluster dedup: min-id survivor per duplicate component
     * (more aggressive than pairwise keep-min — see
@@ -444,14 +449,23 @@ object ExtensionQueries {
       queryVectors(s, d), "query_id", "qvec",
       dim = 64, k = 10, nLists = 16, nProbe = 4)
 
-  // Per-corpus-dir root for the persisted IVFPQ index, created once per
-  // driver JVM: the first simIndexTopK invocation on a dir BUILDS the
-  // index into the snapshot store; every later invocation (the bench's
-  // second timed pass, repeat queries) answers from the committed codes
-  // with no retrain and no corpus re-encode — the build-once/query-many
-  // amortization a production ANN service lives on.
-  private val indexRoots =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Durable per-corpus root for the persisted IVFPQ index: a PURE
+    * FUNCTION of the data directory, so build-once/query-many holds
+    * across driver restarts — a fresh JVM derives the same root, finds
+    * the committed LATEST pointer, and serves from the existing codes
+    * (the content-version tag below still forces a rebuild when the
+    * corpus data itself drifts). The previous driver-JVM TrieMap +
+    * createTempDirectory scheme kept the amortization only within one
+    * session. The root lives beside the JVM temp dir (the testdata dirs
+    * are read-only here; a deployment would point this at its lake) —
+    * name = sanitized dir + a hash so distinct dirs can never collide. */
+  private[graft] def indexRootFor(d: String): String = {
+    val safe = d.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(60)
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(d))
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-simindex", s"$safe-$tag").toString
+  }
 
   /** Content-version tag for the embeddings corpus under `d`: a hash of
     * the file listing (name, length, modification time) of
@@ -484,9 +498,7 @@ object ExtensionQueries {
     * plan shape (index codes scanned, corpus touched only for the
     * broadcast-semi-joined re-rank) is identical. */
   def simIndexTopK(s: SparkSession, d: String): DataFrame = {
-    val root = indexRoots.getOrElseUpdate(d,
-      java.nio.file.Files.createTempDirectory("graft-simindex").toString)
-    val store = new SnapshotStore(root, s)
+    val store = new SnapshotStore(indexRootFor(d), s)
     // Rebuild when the corpus CONTENT drifts from the tag the index was
     // built against, not just when the index is absent: the dir string
     // names a location, the fingerprint names the data. A drifted corpus

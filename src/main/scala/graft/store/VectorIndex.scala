@@ -200,13 +200,27 @@ object VectorIndex {
     * is a consistent lock-free read. */
   def query(store: SnapshotStore, indexTable: String, queries: DataFrame,
             queryIdCol: String, queryVecCol: String,
-            k: Int = 10, nProbe: Int = 8): DataFrame = {
+            k: Int = 10, nProbe: Int = 8): DataFrame =
+    queryInternal(store, indexTable, queries, queryIdCol, queryVecCol,
+      k, nProbe, roundScore = true)
+
+  /** `roundScore = false` keeps the raw ADC for the refine path — see
+    * Similarity.topKPerQuery: the coverage fallback must compare the ADC
+    * estimate and the exact dot in ONE unrounded ordering. Score column
+    * naming contract across the family: a pure-ADC result ("query"/
+    * unrefined pqTopK/ivfPqTopK) names its score "adc" — it IS an
+    * estimate, not a cosine; every refined result names it "sim". */
+  private def queryInternal(store: SnapshotStore, indexTable: String,
+                            queries: DataFrame, queryIdCol: String,
+                            queryVecCol: String, k: Int, nProbe: Int,
+                            roundScore: Boolean): DataFrame = {
     val v = store.currentVersion(indexTable)
     val meta = store.metaForVersion(indexTable, v)
     requireScheme(meta, indexTable)
     val (centroids, codebooks, kCodes) = paramsFrom(meta, indexTable)
     Similarity.ivfPqScore(loadChain(store, indexTable, v, meta), queries,
-      queryIdCol, queryVecCol, centroids, codebooks, k, nProbe, kCodes)
+      queryIdCol, queryVecCol, centroids, codebooks, k, nProbe, kCodes,
+      roundScore)
   }
 
   /** `query` + exact re-rank (FAISS-style refine): the index's ADC pass
@@ -230,8 +244,8 @@ object VectorIndex {
                    corpus: DataFrame, idCol: String, vecCol: String,
                    queries: DataFrame, queryIdCol: String, queryVecCol: String,
                    k: Int = 10, nProbe: Int = 8, refine: Int = 32): DataFrame = {
-    val shortlist = query(store, indexTable, queries, queryIdCol, queryVecCol,
-      math.max(k, k * refine), nProbe)
+    val shortlist = queryInternal(store, indexTable, queries, queryIdCol,
+      queryVecCol, math.max(k, k * refine), nProbe, roundScore = false)
     Similarity.refineExact(shortlist,
       corpus.select(org.apache.spark.sql.functions.col(idCol).as("neighbor_id"),
         Similarity.unitVector(

@@ -85,4 +85,23 @@ class JaccardJoinSpec extends SparkSpec {
       3L -> "a b c d e f")
     assert(run(docs, 1, 1) === Set((1L, 2L, 3L, 3L)))
   }
+
+  test("maxCandidates budget fails fast on a boilerplate corpus") {
+    // 40 identical boilerplate docs: every pair is a candidate —
+    // C(40,2) = 780, the output-quadratic regime the guard exists for.
+    val docs = (0L until 40L)
+      .map(i => i -> "the exact same boilerplate paragraph repeated verbatim")
+    val df = docs.toDF("doc_id", "text")
+    val ex = intercept[IllegalStateException] {
+      Dedup.ngramJaccardPairs(df, "text", "doc_id",
+        shingleN = 3, tauNum = 4, tauDen = 5, maxCandidates = 100L)
+    }
+    assert(ex.getMessage.contains("maxCandidates"), ex.getMessage)
+    // the same corpus under a sufficient budget (and the unlimited
+    // default, which every other test exercises) completes normally
+    val pairs = Dedup.ngramJaccardPairs(df, "text", "doc_id",
+      shingleN = 3, tauNum = 4, tauDen = 5, maxCandidates = 1000L)
+    assert(pairs.count() === 780L)
+    pairs.unpersist(blocking = false)
+  }
 }

@@ -109,6 +109,34 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("bm25 on an empty corpus returns a typed empty result") {
+    // The derived-stats path aggregates avg(size(toks)) — null on an
+    // empty corpus; the guard must return the output schema, not NPE.
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val qs = Seq(1L -> "alpha beta").toDF("query_id", "qtext")
+    val got = Retrieval.bm25TopK(empty, "doc_id", "text",
+      qs, "query_id", "qtext", k = 5)
+    assert(got.count() === 0L)
+    assert(got.columns.toSeq === Seq("query_id", "neighbor_id", "score", "rank"))
+  }
+
+  test("bm25 with precomputed corpus stats equals the derived-stats result") {
+    // The production single-scan path: (N, avgdl) supplied from a stats
+    // table instead of a construction-time aggregate. Same rows, same
+    // scores — only the number of corpus scans changes.
+    val corp = corpus
+    val queries = Seq(0L -> corp(0)._2, 1L -> "sun rock mist")
+    def toks(t: String) = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    val nDocs = corp.size.toLong
+    val avgdl = corp.map(c => toks(c._2).length.toLong).sum.toDouble / nDocs
+    def run(stats: Option[(Long, Double)]) = Retrieval.bm25TopK(
+        corp.toDF("doc_id", "text"), "doc_id", "text",
+        queries.toDF("query_id", "qtext"), "query_id", "qtext", k = 5,
+        corpusStats = stats)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    assert(run(Some((nDocs, avgdl))) === run(None))
+  }
+
   test("ties rank by neighbor id ascending") {
     val docs = Seq(10L -> "sun moon", 20L -> "sun moon", 30L -> "sun moon")
     val sparse = Featurize.hashFeaturesSparse(

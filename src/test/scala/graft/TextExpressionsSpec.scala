@@ -118,6 +118,33 @@ class TextExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("word_shingle_hashes skips null tokens like concat_ws and regrows its buffer") {
+    // The type check accepts array<string, containsNull=true>, so null
+    // elements must hash exactly like the concat_ws reference (which
+    // drops them) — not NPE. The long-token rows force the scratch
+    // buffer past its 4 KiB initial size through the overflow-safe
+    // max(total, 2×) growth path.
+    val big1 = "x" * 10000; val big2 = "y" * 9000
+    val df = Seq(
+      (1L, Seq("a", null, "b", "c")),
+      (2L, Seq[String](null, null)),
+      (3L, Seq("x", null)),
+      (4L, Seq(big1, big2, "z", big1))
+    ).toDF("id", "tk")
+    val n = 3
+    val ref = graft.functions.ExprUtils.let(col("tk")) { tk =>
+      when(size(tk) < n, array(xxhash64(concat_ws(" ", tk))))
+        .otherwise(array_sort(array_distinct(transform(
+          sequence(lit(0), size(tk) - n),
+          i => xxhash64(concat_ws(" ", slice(tk, i + 1, lit(n))))))))
+    }
+    val mismatches = df.select(col("id"),
+        TextExpressions.wordShingleHashes(col("tk"), n).as("fast"), ref.as("ref"))
+      .filter(not(col("fast") === col("ref")))
+      .count()
+    assert(mismatches === 0)
+  }
+
   test("ws_tokens handles nulls and stays inside whole-stage codegen") {
     val df = Seq((1L, "a b"), (2L, null)).toDF("id", "t")
     val out = df.select(col("id"), TF.tokens(col("t")).as("tk")).collect()

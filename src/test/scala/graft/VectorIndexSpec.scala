@@ -173,6 +173,34 @@ class VectorIndexSpec extends SparkSpec {
       "post-drift index query differs from brute force on the new corpus")
   }
 
+  test("simIndexTopK's index root is durable: a fresh driver reuses the build") {
+    import graft.queries.ExtensionQueries
+    val dir = Files.createTempDirectory("graft-simindex-durable").toString
+    val rnd = new scala.util.Random(77)
+    def unit(v: Array[Float]): Array[Float] = {
+      val nm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / nm)
+    }
+    Array.fill(300)(unit(Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v, 0) }.toSeq
+      .toDF("vec_id", "embedding", "label").repartition(2)
+      .write.parquet(s"$dir/embeddings.parquet")
+
+    // The root is a pure function of the data dir — no JVM state. A
+    // "fresh driver" is therefore just another call: if it could see
+    // state the first call left only in memory, this derivation would
+    // not be deterministic. Assert the first call commits version 1 and
+    // the second serves from it without a rebuild (version unchanged).
+    val root = ExtensionQueries.indexRootFor(dir)
+    assert(root === ExtensionQueries.indexRootFor(dir))
+    assert(ExtensionQueries.simIndexTopK(spark, dir).count() === 50L)
+    val store = new SnapshotStore(root, spark)
+    assert(store.currentVersion("emb_ivfpq") === 1L)
+    assert(ExtensionQueries.simIndexTopK(spark, dir).count() === 50L)
+    assert(store.currentVersion("emb_ivfpq") === 1L,
+      "second driver/session must reuse the committed index, not rebuild")
+  }
+
   test("queryRefined keeps appended neighbors when the corpus misses them") {
     // The refine re-join can only be exact where the caller's corpus has
     // the vector; an index entry from a post-build append that the corpus
