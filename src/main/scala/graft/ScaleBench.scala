@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Dedup, Similarity, TextFunctions => TF}
-import graft.store.{SnapshotStore, VectorIndex}
+import graft.store.{DedupIndex, SnapshotStore, VectorIndex}
 
 /** Flagship-scale benchmark: generate a ≥5M-document / ≥1M-vector corpus
   * locally (same schemas as the driver testdata, so every library entry
@@ -175,6 +175,29 @@ object ScaleBench {
         // owns — count, then release, or repeated bench runs accumulate
         // session-lifetime executor caches.
         val pairs = Dedup.nearDuplicatePairs(docs, "text", "doc_id", threshold = 0.5)
+        val n = pairs.count()
+        pairs.unpersist(blocking = false)
+        n
+      },
+      // Incremental dedup, the growing-corpus production mode: build the
+      // persisted band-key index once (≈ one minhash pass + write), then
+      // dedup a 100k crawl batch against the 5M corpus in O(batch) text
+      // work — candidate keys enter through a broadcast bucket filter,
+      // nothing corpus-sized shuffles, and only the index's (id,bks) /
+      // (id,h_arr) columns are scanned. The append time vs
+      // dedup_minhash_pairs (the full recompute it replaces) is the
+      // O(batch)-not-O(corpus) evidence. The batch plants ~1k in-batch
+      // near-dup pairs (same id%100==1 structure as the corpus).
+      timed("dedup_incr_build") {
+        DedupIndex.build(store, "docs_minhash", docs, "text", "doc_id")
+        nDocs
+      },
+      timed("dedup_incr_append_100k") {
+        import spark.implicits._
+        val batch = spark.range(nDocs, nDocs + 100000L, 1L, 16)
+          .map(id => genDoc(id.toLong)).toDF()
+        val pairs = DedupIndex.appendBatch(store, "docs_minhash", batch,
+          "text", "doc_id", threshold = 0.5)
         val n = pairs.count()
         pairs.unpersist(blocking = false)
         n

@@ -76,6 +76,7 @@ object SparkEntry {
     "dedup_fingerprint"   -> (ExtensionQueries.dedupFingerprint _),
     "dedup_minhash_pairs" -> (ExtensionQueries.dedupMinhashPairs _),
     "dedup_minhash_oracle" -> (ExtensionQueries.dedupMinhashOracle _),
+    "dedup_incr_oracle"   -> (ExtensionQueries.dedupIncrOracle _),
     "dedup_embed_oracle"  -> (ExtensionQueries.dedupEmbedOracle _),
     "dedup_simhash_pairs" -> (ExtensionQueries.dedupSimhashPairs _),
     "dedup_simhash_oracle" -> (ExtensionQueries.dedupSimhashOracle _),
@@ -325,19 +326,12 @@ object SparkEntry {
         "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM u) " +
         "SELECT min(doc_id) AS keep_id, count(*) AS dup_count FROM t " +
         "GROUP BY md5(array_to_string(tk, ' '))"),
-    // Brute-force 3-gram Jaccard over the doc_id<300 restriction: tokenizer
-    // (full-whitespace-class trim + split) and shingling (distinct word
-    // 3-grams, whole text if <3 tokens) mirror TextFunctions.tokens /
-    // Dedup.shingles exactly. Pair ids only — integer-exact both engines.
-    "dedup_minhash_oracle" ->
-      ("WITH docs AS (SELECT doc_id, CASE WHEN length(regexp_replace(text, " +
-        "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
-        "ELSE string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
-        "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM documents WHERE doc_id < 300), " +
-        "sh AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')] " +
-        "ELSE list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))) END AS sh FROM docs) " +
-        "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
-        "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.5"),
+    "dedup_minhash_oracle" -> MinhashBruteForceSql,
+    // The SAME truth pins the incremental batch-vs-corpus path: three
+    // appends over the identical restricted corpus must union to the
+    // one-shot batch result (equivalence is DedupIndexSpec's theorem;
+    // this row pins the union to external brute force).
+    "dedup_incr_oracle" -> MinhashBruteForceSql,
     // Same planted-duplicate union both engines build; at threshold 0.99
     // the only qualifying pair is the plant (rest of the corpus is
     // isotropic, max cos ≈ 0.48) — exact recall + zero false positives.
@@ -411,6 +405,22 @@ object SparkEntry {
         "ELSE list_max([{'score': hits_de, 'lang': 'de'}, {'score': hits_en, 'lang': 'en'}, " +
         "{'score': hits_es, 'lang': 'es'}, {'score': hits_fr, 'lang': 'fr'}])['lang'] END AS lang_pred FROM h"),
   )
+
+  // Brute-force 3-gram Jaccard over the doc_id<300 restriction: tokenizer
+  // (full-whitespace-class trim + split) and shingling (distinct word
+  // 3-grams, whole text if <3 tokens) mirror TextFunctions.tokens /
+  // Dedup.shingles exactly. Pair ids only — integer-exact both engines.
+  // Shared by the one-shot batch path (dedup_minhash_oracle) and the
+  // incremental index path (dedup_incr_oracle).
+  private val MinhashBruteForceSql: String =
+    "WITH docs AS (SELECT doc_id, CASE WHEN length(regexp_replace(text, " +
+      "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
+      "ELSE string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+      "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM documents WHERE doc_id < 300), " +
+      "sh AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')] " +
+      "ELSE list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))) END AS sh FROM docs) " +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+      "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.5"
 
   private val ExactTopKSql: String =
     "WITH u AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +

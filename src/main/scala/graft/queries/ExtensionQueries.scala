@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Dedup, Similarity, TextFunctions => TF}
-import graft.store.{SnapshotStore, VectorIndex}
+import graft.store.{DedupIndex, SnapshotStore, VectorIndex}
 
 /** Training-data-pipeline queries over `documents` / `embeddings`
   * (builder prompt extension ops). Entries registered in SparkEntry;
@@ -96,6 +96,35 @@ object ExtensionQueries {
     Dedup.nearDuplicatePairs(docs(s, d).filter(col("doc_id") < 300),
       "text", "doc_id", threshold = 0.5)
       .select(col("id_a"), col("id_b"))
+
+  /** INCREMENTAL batch-vs-corpus near-dup dedup, pinned to the same
+    * brute-force DuckDB oracle as `dedup_minhash_oracle`: the doc_id<300
+    * corpus arrives as three appends (doc_id mod 3) into a fresh
+    * persisted band-key index, and the union of the per-append pair sets
+    * must equal the full-corpus truth — the production growing-corpus
+    * mode proving it misses nothing the one-shot batch run finds
+    * (pair-for-pair equivalence incl. jaccard values is DedupIndexSpec's
+    * contract; the oracle pins the end result to external truth). The
+    * index root is a per-invocation temp dir: a durable root would
+    * double-append on a rerun. */
+  def dedupIncrOracle(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-dedupincr").toString
+    val store = new SnapshotStore(root, s)
+    DedupIndex.build(store, "docs_minhash", base.limit(0), "text", "doc_id")
+    val parts = (0 until 3).map { i =>
+      DedupIndex.appendBatchOnce(store, "docs_minhash",
+        base.filter(col("doc_id") % 3 === i), "text", "doc_id",
+        streamId = "verify", batchId = i, threshold = 0.5).get
+    }
+    val out = parts.reduce(_ unionByName _)
+      .select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    parts.foreach(_.unpersist(blocking = false))
+    out
+  }
 
   /** Embedding near-dup with a FULL DuckDB oracle: a copy of vec_id 0 is
     * planted as vec_id 10000 inside the query (both engines construct the

@@ -1,0 +1,57 @@
+package graft.store
+
+import org.apache.spark.sql.DataFrame
+
+/** Delta-chain versioning over a [[SnapshotStore]] table, shared by the
+  * persistent indexes (VectorIndex's IVFPQ codes, DedupIndex's band keys).
+  *
+  * A chained table's version directory holds only that commit's DELTA
+  * rows; the version's metadata records (under `partsKey`) the parent
+  * version dirs whose union completes the table. N appends therefore cost
+  * O(sum of batch sizes), not N full rewrites. Once the chain reaches
+  * `compactEvery` members, the next append folds everything into a fresh
+  * full snapshot (empty parts), bounding read fan-in; a chain-aware
+  * vacuum then drops the dirs outside the live chain.
+  *
+  * Version dirs and their metadata are immutable once the LATEST pointer
+  * has flipped, so resolving one version number and reading both its
+  * chain and its data is a consistent lock-free read. Chain WRITES
+  * (`next`) must run under the table lock (SnapshotStore.transactWith) —
+  * a concurrent commit invalidates a chain read taken before locking. */
+private[store] final class DeltaChain(partsKey: String) {
+
+  /** Version dirs whose rows make up table version `v`: the recorded
+    * parent deltas/base, then v itself. Empty parts ⇒ v is a full
+    * snapshot. */
+  def chainOf(meta: Map[String, String], v: Long): Seq[Long] =
+    meta.get(partsKey).filter(_.nonEmpty)
+      .map(_.split(",").toSeq.map(_.toLong)).getOrElse(Seq.empty) :+ v
+
+  /** The live table contents (delta-chain union) as of version `v`. */
+  def load(store: SnapshotStore, table: String, v: Long,
+           meta: Map[String, String]): DataFrame =
+    chainOf(meta, v).map(store.loadVersion(table, _)).reduce(_ unionByName _)
+
+  /** Delta-or-compact decision for the next commit: below the threshold
+    * the new version is `delta` alone (O(batch) write); at it, the chain
+    * folds into a full snapshot (amortized O(corpus/compactEvery) per
+    * append). Returns (rows to commit, metadata to commit). */
+  def next(store: SnapshotStore, table: String, v: Long,
+           meta: Map[String, String], delta: DataFrame,
+           compactEvery: Int, extraMeta: Map[String, String])
+      : (DataFrame, Map[String, String]) = {
+    val chain = chainOf(meta, v)
+    if (chain.length >= compactEvery)
+      (load(store, table, v, meta).unionByName(delta),
+        extraMeta + (partsKey -> ""))
+    else
+      (delta, extraMeta + (partsKey -> chain.mkString(",")))
+  }
+
+  /** Version dirs referenced by the CURRENT version — everything a
+    * chain-aware vacuum must keep. */
+  def liveVersions(store: SnapshotStore, table: String): Set[Long] = {
+    val v = store.currentVersion(table)
+    chainOf(store.metaForVersion(table, v), v).toSet
+  }
+}

@@ -34,6 +34,7 @@ import graft.functions.Similarity
 object VectorIndex {
 
   private val P = "ivfpq." // metadata key prefix
+  private val chain = new DeltaChain(s"${P}parts")
 
   /** Encoding scheme tag. "residual" = IVFADC (codes quantize v − list
     * centroid; scores are cdot + ADC). Indexes built before the residual
@@ -89,22 +90,11 @@ object VectorIndex {
     store.metaForVersion(indexTable, store.currentVersion(indexTable))
       .get(s"${P}corpusTag")
 
-  /** Version dirs whose rows make up index version `v`: the recorded
-    * parent deltas/base, then v itself. Empty `parts` ⇒ v is a full
-    * snapshot. */
-  private def chainOf(meta: Map[String, String], v: Long): Seq[Long] =
-    meta.get(s"${P}parts").filter(_.nonEmpty)
-      .map(_.split(",").toSeq.map(_.toLong)).getOrElse(Seq.empty) :+ v
-
-  private def loadChain(store: SnapshotStore, table: String, v: Long,
-                        meta: Map[String, String]): DataFrame =
-    chainOf(meta, v).map(store.loadVersion(table, _)).reduce(_ unionByName _)
-
   /** The live index contents (delta-chain union) as of the current
     * version — the chained-table counterpart of `store.load`. */
   def load(store: SnapshotStore, indexTable: String): DataFrame = {
     val v = store.currentVersion(indexTable)
-    loadChain(store, indexTable, v, store.metaForVersion(indexTable, v))
+    chain.load(store, indexTable, v, store.metaForVersion(indexTable, v))
   }
 
   /** Append new vectors to an existing index: encode them with the
@@ -128,21 +118,13 @@ object VectorIndex {
         Map.empty))
     }.merge
 
-  /** Delta-or-compact decision shared by append and appendBatchOnce:
-    * below the threshold the new version is the batch alone (O(batch)
-    * write); at it, the chain folds into a full snapshot (amortized
-    * O(corpus/compactEvery) per append). */
+  /** Delta-or-compact decision shared by append and appendBatchOnce —
+    * see [[DeltaChain.next]]. */
   private def withChain(store: SnapshotStore, table: String, v: Long,
                         meta: Map[String, String], encoded: DataFrame,
                         compactEvery: Int, extraMeta: Map[String, String])
-      : (DataFrame, Map[String, String]) = {
-    val chain = chainOf(meta, v)
-    if (chain.length >= compactEvery)
-      (loadChain(store, table, v, meta).unionByName(encoded),
-        extraMeta + (s"${P}parts" -> ""))
-    else
-      (encoded, extraMeta + (s"${P}parts" -> chain.mkString(",")))
-  }
+      : (DataFrame, Map[String, String]) =
+    chain.next(store, table, v, meta, encoded, compactEvery, extraMeta)
 
   /** Exactly-once streaming append: the same batch-id watermark discipline
     * as the catalog ingest (Mutations.appendBatchOnce) — the last applied
@@ -218,7 +200,7 @@ object VectorIndex {
     val meta = store.metaForVersion(indexTable, v)
     requireScheme(meta, indexTable)
     val (centroids, codebooks, kCodes) = paramsFrom(meta, indexTable)
-    Similarity.ivfPqScore(loadChain(store, indexTable, v, meta), queries,
+    Similarity.ivfPqScore(chain.load(store, indexTable, v, meta), queries,
       queryIdCol, queryVecCol, centroids, codebooks, k, nProbe, kCodes,
       roundScore)
   }
@@ -257,11 +239,9 @@ object VectorIndex {
     * chain. The chain-aware replacement for SnapshotStore.vacuum (which
     * assumes every version is a full snapshot); like any vacuum, time
     * travel to the dropped versions is gone. */
-  def vacuumIndex(store: SnapshotStore, indexTable: String): Unit = {
-    val v = store.currentVersion(indexTable)
-    val live = chainOf(store.metaForVersion(indexTable, v), v).toSet
-    store.dropVersions(indexTable, store.versions(indexTable).toSet -- live)
-  }
+  def vacuumIndex(store: SnapshotStore, indexTable: String): Unit =
+    store.dropVersions(indexTable,
+      store.versions(indexTable).toSet -- chain.liveVersions(store, indexTable))
 
   /** Trained parameters recorded in a version's metadata:
     * (centroids, codebooks, kCodes). */
