@@ -18,19 +18,29 @@ object Bench {
     // single sample conflates engine cost with host weather. Min-of-2 is
     // steady-state microbenchmark hygiene, not result caching — each pass
     // re-executes the full scan/shuffle pipeline.
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOnce(name: String,
+                 fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       // Dedup/similarity queries persist() shared intermediates; clear the
       // cache so every timed pass recomputes from the parquet scans (the
       // min-of-2 must measure the engine, not a warm cache).
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          // A broken query must be loud in the bench log, not just a quiet
+          // -1.0 in the JSON (r7 shipped 3 silently-broken queries this way).
+          System.err.println(s"BENCH ERROR $name: ${e.getClass.getName}: ${e.getMessage}")
+          return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val a = timeOnce(fn)
-      val b = timeOnce(fn)
+      val a = timeOnce(name, fn)
+      val b = timeOnce(name, fn)
       name -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+    }
+    results.filter(_._2 < 0).foreach { case (n, _) =>
+      System.err.println(s"BENCH ERROR $n: both passes failed (recorded -1.0)")
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

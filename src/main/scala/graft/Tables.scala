@@ -32,14 +32,27 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame =
     normalizeEventTs(load(s, d, "events"))
 
-  /** ns-long `ts` → µs TimestampType (no-op if already a timestamp).
-    * Applies to both batch and streaming reads of the events table. */
+  /** `ts` → µs TimestampType (no-op if already a timestamp).
+    * Applies to both batch and streaming reads of the events table.
+    *
+    * Handles both testdata generations the driver has shipped:
+    *   - TIMESTAMP(NANOS) read as a raw long (nanosAsLong=true) → integer
+    *     DIV 1000 then timestamp_micros;
+    *   - TIMESTAMP(MICROS) with isAdjustedToUTC=false, read as
+    *     TIMESTAMP_NTZ → cast to TIMESTAMP. The session timezone is pinned
+    *     to UTC (Sessions.tune), so the cast reinterprets the wall-clock
+    *     value as the identical UTC instant — value-preserving, and
+    *     required because `withWatermark`/`unix_micros` reject NTZ. */
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   /** events plus an integer-microseconds `ts_us` column — the canonical
@@ -57,7 +70,9 @@ object Tables {
             org.apache.spark.sql.functions.timestamp_micros(
               org.apache.spark.sql.functions.col("ts_us")))
       case _ =>
-        raw.withColumn("ts_us",
+        // TIMESTAMP and TIMESTAMP_NTZ both land here; unix_micros rejects
+        // NTZ, so route through normalizeEventTs (UTC cast — same µs ints).
+        normalizeEventTs(raw).withColumn("ts_us",
           org.apache.spark.sql.functions.unix_micros(
             org.apache.spark.sql.functions.col("ts")))
     }

@@ -99,13 +99,18 @@ object ExtensionQueries {
 
   /** INCREMENTAL batch-vs-corpus near-dup dedup, pinned to the same
     * brute-force DuckDB oracle as `dedup_minhash_oracle`: the doc_id<300
-    * corpus arrives as three appends (doc_id mod 3) into a fresh
+    * corpus arrives as two appends (doc_id mod 2) into a fresh
     * persisted band-key index, and the union of the per-append pair sets
     * must equal the full-corpus truth — the production growing-corpus
     * mode proving it misses nothing the one-shot batch run finds
     * (pair-for-pair equivalence incl. jaccard values is DedupIndexSpec's
-    * contract; the oracle pins the end result to external truth). The
-    * index root is a per-invocation temp dir: a durable root would
+    * contract, across MORE batchings than this; the oracle pins the end
+    * result to external truth). Two appends suffice for the oracle pin —
+    * append 2 exercises both batch-vs-corpus and batch-vs-self — and the
+    * 150-doc batches are coalesced to one partition so a query that is
+    * job-count-bound, not data-bound, doesn't pay 32-task shuffles per
+    * commit (the r7 3-append version timed 20 s of pure task overhead).
+    * The index root is a per-invocation temp dir: a durable root would
     * double-append on a rerun. */
   def dedupIncrOracle(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d).filter(col("doc_id") < 300)
@@ -113,9 +118,9 @@ object ExtensionQueries {
     val root = java.nio.file.Files.createTempDirectory("graft-dedupincr").toString
     val store = new SnapshotStore(root, s)
     DedupIndex.build(store, "docs_minhash", base.limit(0), "text", "doc_id")
-    val parts = (0 until 3).map { i =>
+    val parts = (0 until 2).map { i =>
       DedupIndex.appendBatchOnce(store, "docs_minhash",
-        base.filter(col("doc_id") % 3 === i), "text", "doc_id",
+        base.filter(col("doc_id") % 2 === i).coalesce(1), "text", "doc_id",
         streamId = "verify", batchId = i, threshold = 0.5).get
     }
     val out = parts.reduce(_ unionByName _)
