@@ -6,6 +6,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // Comma-separated substring filter for targeted clean-window reruns
+    // (adjudicating one query's regression without paying the full sweep);
+    // empty = everything, the driver's per-round mode.
+    val filter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", "")
+      .split(',').map(_.trim).filter(_.nonEmpty)
+    def selected(name: String): Boolean =
+      filter.isEmpty || filter.exists(name.contains)
     val spark = Sessions.local(cpus, "graft-bench")
     // Warmup: touch each table + run the flagship once (JIT, codegen cache,
     // parquet footer cache) — standard benchmarking hygiene, not cheating:
@@ -34,11 +41,13 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val a = timeOnce(name, fn)
-      val b = timeOnce(name, fn)
-      name -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
-    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => selected(name) }
+      .map { case (name, fn) =>
+        val a = timeOnce(name, fn)
+        val b = timeOnce(name, fn)
+        name -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+      }
     results.filter(_._2 < 0).foreach { case (n, _) =>
       System.err.println(s"BENCH ERROR $n: both passes failed (recorded -1.0)")
     }

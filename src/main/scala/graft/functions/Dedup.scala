@@ -406,18 +406,17 @@ object Dedup {
     // after). Checkpointing (reliable if a checkpoint dir is set, local
     // otherwise) resets the lineage to the materialized blocks each
     // round, the same discipline GraphX applies to iterative graphs.
+    // EAGER only — `eager = false` looked like a free job saved (let the
+    // convergence count materialize the round), but the 2M-node chain
+    // flagship measured it at 180 s vs 43 s eager, same result. Suspected
+    // cause: a lazily-marked local checkpoint is finalized by the first
+    // action's doCheckpoint pass, and under AQE most of the round's work
+    // runs inside stage materializations that bypass that pass — so the
+    // round boundary the checkpoint is supposed to pin down isn't. The
+    // measured fact is what this code encodes: cut eagerly, every round.
     def cut(df: DataFrame): DataFrame =
       if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
-    // Lazy variant for the per-round body: the convergence count below is
-    // the action that materializes it, so each round runs ONE job (plus
-    // the reliable-checkpoint write job when a checkpoint dir is set)
-    // instead of a materialization job AND a separate next-vs-labels
-    // convergence join job.
-    def cutLazy(df: DataFrame): DataFrame =
-      if (spark.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint(eager = false)
-      else df.localCheckpoint(eager = false)
     val edges = cut(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -434,13 +433,13 @@ object Dedup {
         .select(col("src").as("id"), col("nlabel"))
       // pointer jump: follow the current label to ITS label. The round's
       // result carries its own `changed` flag (new label ≠ old label), so
-      // the count that materializes the checkpoint IS the convergence
-      // check — `next` has exactly the ids of `labels` (left joins), so
-      // zero changed rows ⟺ fixpoint, the same exact condition the
-      // previous separate next-vs-labels join computed as a second job.
+      // convergence is a linear count over the checkpointed blocks —
+      // `next` has exactly the ids of `labels` (left joins), so zero
+      // changed rows ⟺ fixpoint, the same exact condition the earlier
+      // formulation computed with a full next-vs-labels join per round.
       val newLabel = least(col("label"), coalesce(col("nlabel"), col("label")),
         coalesce(col("jlabel"), col("label")))
-      val next = cutLazy(labels
+      val next = cut(labels
         .join(nbrMin, Seq("id"), "left")
         .join(labels.select(col("id").as("label"), col("label").as("jlabel")),
           Seq("label"), "left")
