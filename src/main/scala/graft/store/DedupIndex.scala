@@ -61,8 +61,24 @@ import graft.functions.Dedup
   *    policy as dropNearDuplicates);
   *  - honest cost floor: the index columns are SCANNED once per append
   *    (columnar, no corpus CPU, no corpus shuffle) — ~10-20 % of the raw
-  *    text bytes. Bucket-partitioned key layout would prune that scan
-  *    statically; the delta chain keeps the option open.
+  *    text bytes. Measured at the 5M-doc flagship for a 100k-doc append
+  *    (41.7 s end-to-end): (id,bks) scan ≈ 10 s + (id,h_arr) scan ≈ 3 s
+  *    are the only corpus-size-dependent terms; encode (~2.5 s), the
+  *    batch bucket-set distinct (~2.5 s), the capped window + pair gen
+  *    (~7 s) and the delta commit (~5 s) are all O(batch).
+  *
+  *    A bucket-partitioned key layout was CONSIDERED and rejected after
+  *    doing the pruning math: a 100k-doc batch probes ~1.6M distinct
+  *    (band,bucket) keys, and LSH buckets are uniformly hash-scattered,
+  *    so any shard/partition/row-group granularity coarse enough to
+  *    avoid a small-file explosion is hit by ~every probe set larger
+  *    than a few hundred docs (1.6M scattered probes cover 64 shards,
+  *    256 shards, or 640 sorted row groups with probability ≈ 1).
+  *    Static pruning therefore only helps single-document lookups, while
+  *    costing partitioned tiny-file writes on EVERY delta. The scan
+  *    floor is the honest Spark-native price; it amortizes by batching
+  *    appends (the floor is per append, not per document), and the
+  *    delta chain still keeps a future layout change open.
   *
   * Contract: document ids must be globally unique across the corpus and
   * all batches (they are join keys and pair members). Pair outputs match
