@@ -57,6 +57,9 @@ object SparkEntry {
     "events_typestats" -> (EventQueries.typeStats _),
     "events_asof"      -> (EventQueries.asofPurchase _),
     "events_rangejoin" -> (EventQueries.rangeJoinIncidents _),
+    "events_distinct"  -> (EventQueries.distinctUsers _),
+    "events_quantiles" -> (EventQueries.quantiles _),
+    "events_sliding"   -> (EventQueries.slidingActivity _),
     // training-data extension ops (text / dedup / similarity)
     "text_stats"          -> (ExtensionQueries.textStats _),
     "text_triage"         -> (ExtensionQueries.textTriage _),
@@ -169,6 +172,30 @@ object SparkEntry {
       "WITH e AS (SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS ts_us FROM events), g AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_session FROM e), s AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM g) SELECT user_id, session_seq, min(ts_us) AS session_start_us, count(*) AS n_events, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS session_value_cents FROM s GROUP BY user_id, session_seq",
     "events_json" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events",
+    "events_distinct" ->
+      "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events FROM events GROUP BY event_type",
+    // Rank-based percentiles (percentile_disc semantics): value at rank
+    // ceil(q*n) in cents order — integer rank arithmetic on both engines,
+    // no interpolation floats in the hashed output.
+    "events_quantiles" ->
+      ("WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
+        "w AS (SELECT event_type, cents, row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn, " +
+        "count(*) OVER (PARTITION BY event_type) AS n FROM e) " +
+        "SELECT event_type, CAST(max(n) AS BIGINT) AS n, " +
+        "max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS p50_cents, " +
+        "max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS p90_cents, " +
+        "max(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END) AS p99_cents " +
+        "FROM w GROUP BY event_type"),
+    // Sliding windows: Spark's window(ts, 10 min, 5 min) puts each event
+    // in the two epoch-aligned 5-minute starts covering it — reconstructed
+    // here as floor-to-5-min UNION ALL its 5-minute-earlier twin.
+    "events_sliding" ->
+      ("WITH b AS (SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS s0, event_type, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
+        "u AS (SELECT s0 AS s, event_type, cents FROM b " +
+        "UNION ALL SELECT s0 - INTERVAL 5 MINUTE, event_type, cents FROM b) " +
+        "SELECT strftime(s, '%Y-%m-%d %H:%M:%S') AS win_start, event_type, count(*) AS n, " +
+        "CAST(sum(cents) AS BIGINT) AS value_cents FROM u GROUP BY 1, 2"),
     "events_typestats" ->
       "SELECT event_type, count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value, min(CAST(round(value * 100) AS BIGINT)) AS min_cents, max(CAST(round(value * 100) AS BIGINT)) AS max_cents FROM events GROUP BY event_type",
     "text_stats" ->

@@ -112,4 +112,62 @@ object EventQueries {
         ExprUtils.sumMoney(col("value")).as("total_value"),
         min(ExprUtils.cents(col("value"))).as("min_cents"),
         max(ExprUtils.cents(col("value"))).as("max_cents"))
+
+  /** Per-type EXACT distinct-user count (audience KPI). Catalyst plans
+    * grouped COUNT(DISTINCT x) as the two-shuffle expand/partial shape —
+    * exact at any scale, but the distinct keys all pass through the
+    * shuffle. The 100 TB alternative when ±2 % error is fine is
+    * `approx_count_distinct` (HyperLogLog++, one mergeable sketch per
+    * group, single shuffle) — SketchSpec pins its error against this
+    * exact query. */
+  def distinctUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+
+  /** Per-type rank-based percentiles (p50/p90/p99 of integer cents):
+    * the value at rank ceil(q·n) in cents order — percentile_disc
+    * semantics, chosen over interpolating `percentile`/quantile_cont
+    * because rank selection on integers is bit-exact across engines
+    * while interpolation arithmetic (a·(1-f)+b·f vs a+f·(b-a)) can
+    * differ in the last ulp and flip a hashed compare. Ranks use pure
+    * integer arithmetic: ceil(q·n) = (q_num·n + q_den - 1) div q_den.
+    *
+    * Scale note: the row_number window sorts each type's rows inside ONE
+    * partition — with low-cardinality group keys (5 types here) that is
+    * the skew-bound exact formulation. At 100 TB the engine answer is
+    * `approx_percentile` (mergeable GK sketch, no per-group sort);
+    * SketchSpec pins its rank error against this exact query. */
+  def quantiles(s: SparkSession, d: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+    val whole = Window.partitionBy(col("event_type"))
+    Tables.events(s, d)
+      .select(col("event_type"), ExprUtils.cents(col("value")).as("cents"))
+      .withColumn("rn", row_number().over(byType))
+      .withColumn("n", count(lit(1)).over(whole))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("cents"))).as("p50_cents"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("cents"))).as("p90_cents"),
+        max(when(col("rn") === expr("(99 * n + 99) div 100"), col("cents"))).as("p99_cents"))
+  }
+
+  /** Sliding-window activity: 10-minute windows every 5 minutes (each
+    * event lands in exactly two overlapping windows) — the OVERLAPPING
+    * variant of [[hourlyAgg]]'s tumbling window, same shape Structured
+    * Streaming uses for sliding event-time aggs. Spark's `window()`
+    * aligns starts to the epoch, so the oracle reconstructs membership
+    * as floor-to-5-minutes plus its 5-minute-shifted twin. */
+  def slidingActivity(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(ExprUtils.cents(col("value"))).as("value_cents"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("value_cents"))
 }
