@@ -72,6 +72,20 @@ class PlanSpec extends SparkSpec {
     assert(countExchanges(RelationalQueries.q1Pricing(spark, sfDir)) <= 1)
   }
 
+  test("sliding windows stay a two-phase hash agg, no per-event sort") {
+    // window(ts, 10m, 5m) expands each event to its two windows and then
+    // aggregates — the scale shape is expand → partial agg → one exchange
+    // → final agg. A Window/Sort operator here would mean the overlap was
+    // planned as a per-event window function, which cannot map-side
+    // combine and collapses at 100 TB.
+    val df = graft.queries.EventQueries.slidingActivity(spark, sfDir)
+    val s = planString(df)
+    assert("HashAggregate".r.findAllIn(s).size >= 2,
+      s"sliding agg lost map-side combine:\n$s")
+    assert(!s.contains("Window"), s"sliding agg planned as window function:\n$s")
+    assert(countExchanges(df) <= 1, s"extra shuffle in sliding agg:\n$s")
+  }
+
   test("q3 join+agg keeps lineitem to ≤3 exchanges (join key + group key)") {
     // lineitem⨝orders shuffle on the join key, customer broadcast, final
     // group-by reuses/repartitions — anything above 4 exchanges means a
