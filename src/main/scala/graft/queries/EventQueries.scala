@@ -135,24 +135,34 @@ object EventQueries {
     * differ in the last ulp and flip a hashed compare. Ranks use pure
     * integer arithmetic: ceil(q·n) = (q_num·n + q_den - 1) div q_den.
     *
-    * Scale note: the row_number window sorts each type's rows inside ONE
-    * partition — with low-cardinality group keys (5 types here) that is
-    * the skew-bound exact formulation. At 100 TB the engine answer is
-    * `approx_percentile` (mergeable GK sketch, no per-group sort);
-    * SketchSpec pins its rank error against this exact query. */
+    * Plan shape — HISTOGRAM, not per-row sort: a naive row_number window
+    * sorts every row of a type inside one partition, which with
+    * low-cardinality group keys (5 types here) is the skew-bound plan
+    * that collapses at 100 TB. Instead the rows two-phase-aggregate to a
+    * (type, cents) → count histogram — map-side combine shrinks the
+    * shuffle to the DISTINCT VALUE DOMAIN, not the row count — and the
+    * cumulative window + rank lookup then run over histogram rows
+    * (bounded by the cents domain, independent of corpus size). Value at
+    * rank r = MIN cents whose cumulative count ≥ r. Exact at any scale
+    * whenever the value domain is bounded (integer cents is); for
+    * unbounded domains the engine answer is `approx_percentile`
+    * (mergeable GK sketch), whose rank error SketchSpec pins against
+    * this exact query. */
   def quantiles(s: SparkSession, d: String): DataFrame = {
     val byType = Window.partitionBy(col("event_type")).orderBy(col("cents"))
     val whole = Window.partitionBy(col("event_type"))
     Tables.events(s, d)
       .select(col("event_type"), ExprUtils.cents(col("value")).as("cents"))
-      .withColumn("rn", row_number().over(byType))
-      .withColumn("n", count(lit(1)).over(whole))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(byType))
+      .withColumn("n", sum(col("c")).over(whole))
       .groupBy(col("event_type"))
       .agg(
         max(col("n")).as("n"),
-        max(when(col("rn") === expr("(n + 1) div 2"), col("cents"))).as("p50_cents"),
-        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("cents"))).as("p90_cents"),
-        max(when(col("rn") === expr("(99 * n + 99) div 100"), col("cents"))).as("p99_cents"))
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("cents"))).as("p50_cents"),
+        min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("cents"))).as("p90_cents"),
+        min(when(col("cum") >= expr("(99 * n + 99) div 100"), col("cents"))).as("p99_cents"))
   }
 
   /** Sliding-window activity: 10-minute windows every 5 minutes (each

@@ -61,22 +61,34 @@ object StreamingIngest {
     * watermark — the streaming twin of EventQueries.hourlyAgg. Late data
     * beyond 10 minutes is dropped; state is bounded by (watermark horizon ×
     * event types). */
+  /** Watermarked event-time window agg — tumbling by default, SLIDING
+    * (overlapping windows, each event in duration/slide of them) when
+    * `slide` is given; the streaming twin of EventQueries.hourlyAgg /
+    * slidingActivity. The state store keys on (window, type); sliding
+    * multiplies state rows by the overlap factor, which is why the
+    * watermark matters: closed windows are evicted, bounding state. */
   def windowedEventAgg(events: DataFrame,
                        window_ : String = "1 hour",
-                       watermark: String = "10 minutes"): DataFrame =
+                       watermark: String = "10 minutes",
+                       slide: Option[String] = None): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), window_), col("event_type"))
+      .groupBy(
+        slide.map(sl => window(col("ts"), window_, sl))
+          .getOrElse(window(col("ts"), window_)),
+        col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
   /** Stream the events table from parquet files (for tests/demos: drop
     * event parquet files into a dir and watch windows close). */
   def startEventWindowStream(spark: SparkSession, eventsDir: String,
                              schema: StructType, checkpointDir: String,
-                             queryName: String): StreamingQuery = {
+                             queryName: String,
+                             window_ : String = "1 hour",
+                             slide: Option[String] = None): StreamingQuery = {
     val stream = graft.Tables.normalizeEventTs(
       spark.readStream.schema(schema).parquet(eventsDir))
-    windowedEventAgg(stream).writeStream
+    windowedEventAgg(stream, window_, slide = slide).writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .format("memory")

@@ -66,4 +66,38 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.count() > 0, "at least one window closed")
     } finally query.stop()
   }
+
+  test("ST3 sliding: overlapping 10m/5m windows close and match batch") {
+    val eventsDir = Files.createTempDirectory("graft-sevents")
+    val ckpt = Files.createTempDirectory("graft-seckpt")
+    val src = Paths.get(s"$sfDir/events.parquet")
+    Files.copy(src, eventsDir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(src.toString).schema
+
+    val query = StreamingIngest.startEventWindowStream(
+      spark, eventsDir.toString, schema, ckpt.toString, "ev_sliding",
+      window_ = "10 minutes", slide = Some("5 minutes"))
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("ev_sliding")
+        .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      val batch = StreamingIngest.windowedEventAgg(
+        Tables.normalizeEventTs(spark.read.parquet(src.toString)),
+        window_ = "10 minutes", slide = Some("5 minutes"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      val joined = streamed.alias("s")
+        .join(batch.alias("b"), Seq("ws", "event_type"))
+        .filter(col("s.n") =!= col("b.n"))
+      assert(joined.count() === 0, "closed sliding windows must match batch")
+      assert(streamed.count() > 0, "at least one sliding window closed")
+      // overlap sanity: consecutive window starts are 5 minutes apart
+      // somewhere in the closed set (i.e. the slide actually overlapped)
+      val starts = spark.table("ev_sliding")
+        .select(col("window.start").cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      assert(starts.sliding(2).exists { case Array(a, b) => b - a == 300 },
+        "no 5-minute-apart window starts — slide did not take effect")
+    } finally query.stop()
+  }
 }
