@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Dedup, Similarity, TextFunctions => TF}
-import graft.store.{DedupIndex, SnapshotStore, VectorIndex}
+import graft.store.{DedupIndex, FingerprintIndex, SnapshotStore, VectorIndex}
 
 /** Training-data-pipeline queries over `documents` / `embeddings`
   * (builder prompt extension ops). Entries registered in SparkEntry;
@@ -129,6 +129,36 @@ object ExtensionQueries {
     out.count()
     parts.foreach(_.unpersist(blocking = false))
     out
+  }
+
+  /** INCREMENTAL exact/reformatting dedup over the persistent fingerprint
+    * index, pinned to a DuckDB oracle: the doc_id<500 corpus plus
+    * tab-indented variants of doc_id<50 (planted reformatting-only dups
+    * at +10000, same construction as `dedup_fingerprint`) arrives as two
+    * ascending-id appends; every document reports its content owner
+    * (keep_id). With id-ordered arrival, first-arrival keep ≡ global
+    * keep-min, so the oracle is a per-group window-min over the
+    * whitespace-normalized token key — engine-hash-agnostic like
+    * `dedup_fingerprint` (md5 on the oracle side, xxhash64 here; groups
+    * agree iff token sequences agree). Every planted variant must map to
+    * its original (keep_id = doc_id − 10000). */
+  def dedupIncrFpOracle(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).filter(col("doc_id") < 500)
+      .select(col("doc_id"), col("text"))
+    val variants = base.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        regexp_replace(col("text"), " ", "\t ").as("text"))
+    val u = base.unionByName(variants)
+    val root = java.nio.file.Files.createTempDirectory("graft-fpincr").toString
+    val store = new SnapshotStore(root, s)
+    FingerprintIndex.build(store, "docs_fp", u.limit(0), "text", "doc_id")
+    val parts = Seq(u.filter(col("doc_id") < 250), u.filter(col("doc_id") >= 250))
+      .zipWithIndex.map { case (b, i) =>
+        FingerprintIndex.appendBatchOnce(store, "docs_fp", b.coalesce(1),
+          "text", "doc_id", streamId = "verify", batchId = i.toLong).get
+      }
+    parts.reduce(_ unionByName _)
+      .select(col("id").as("doc_id"), col("keep_id"))
   }
 
   /** Embedding near-dup with a FULL DuckDB oracle: a copy of vec_id 0 is
