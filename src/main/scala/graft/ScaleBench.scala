@@ -202,6 +202,31 @@ object ScaleBench {
         pairs.unpersist(blocking = false)
         n
       },
+      // Fingerprint (exact/reformatting) incremental dedup on the same
+      // corpus: the 16-byte-per-doc index should make both the build and
+      // the append far cheaper than the band-key path above — this pair
+      // of timings is the measured form of that claim.
+      timed("fp_incr_build") {
+        graft.store.FingerprintIndex.build(store, "docs_fp", docs,
+          "text", "doc_id")
+        nDocs
+      },
+      timed("fp_incr_append_100k") {
+        import spark.implicits._
+        // 50k fresh docs + 50k exact copies of corpus docs: half the
+        // batch must resolve to an existing owner through the collision
+        // probe, half must survive as new content.
+        val batch = spark.range(nDocs + 100000L, nDocs + 150000L, 1L, 16)
+          .map(id => genDoc(id.toLong)).toDF()
+          .unionByName(spark.range(0L, 50000L, 1L, 16)
+            .map(id => { val d = genDoc(id.toLong); d.copy(doc_id = id + 20000000L) })
+            .toDF())
+        val resolved = graft.store.FingerprintIndex.appendBatchOnce(
+          store, "docs_fp", batch, "text", "doc_id", "bench", 0L).get
+        val dups = resolved.filter(!col("is_new")).count()
+        resolved.unpersist(blocking = false)
+        dups
+      },
       // Exact n-gram Jaccard at tau = 3/4: the planted word-level
       // near-dups sit at shingle-Jaccard ~0.75 (30-token docs) to ~0.92
       // (100-token docs), so 3/4 keeps essentially all of them plus the
