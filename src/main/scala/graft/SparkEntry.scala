@@ -84,6 +84,7 @@ object SparkEntry {
     "dedup_embed_oracle"  -> (ExtensionQueries.dedupEmbedOracle _),
     "dedup_simhash_pairs" -> (ExtensionQueries.dedupSimhashPairs _),
     "dedup_simhash_oracle" -> (ExtensionQueries.dedupSimhashOracle _),
+    "dedup_simhash_incr_oracle" -> (ExtensionQueries.dedupSimhashIncrOracle _),
     "text_triage_oracle"  -> (ExtensionQueries.textTriageOracle _),
     "dedup_embed_pairs"   -> (ExtensionQueries.dedupEmbeddingPairs _),
     "sim_brute_topk"      -> (ExtensionQueries.simBruteTopK _),
@@ -401,29 +402,12 @@ object SparkEntry {
     // PQ with a corpus-covering refined shortlist: codes decide nothing,
     // the exact re-rank must reproduce brute force.
     "sim_pq_oracle" -> ExactTopKSql,
-    // Brute-force 64-bit Hamming over doc_id < 300, recomputing the
-    // md5-nibble simhash from raw text (see ExtensionQueries
-    // .dedupSimhashOracle): per token, bit j of the first 16 md5 hex
-    // nibbles votes +1/-1 on simhash bit j (MSB-first packing, vote >= 0
-    // sets the bit) — bit-identical to Dedup.simhash64Md5. Pairs at
-    // Hamming <= 6; empty-token docs excluded on both sides.
-    "dedup_simhash_oracle" ->
-      ("WITH d AS (SELECT doc_id, CASE WHEN length(regexp_replace(text, " +
-        "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
-        "ELSE string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
-        "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM documents WHERE doc_id < 300), " +
-        "d2 AS (SELECT doc_id, tk FROM d WHERE len(tk) > 0), " +
-        "tok AS (SELECT doc_id, unnest(tk) AS t FROM d2), " +
-        "bits AS (SELECT doc_id, r.range AS j, CASE WHEN ((strpos('0123456789abcdef', " +
-        "substr(md5(t), CAST(r.range // 4 AS INTEGER) + 1, 1)) - 1) " +
-        "& (1 << CAST(3 - (r.range % 4) AS INTEGER))) != 0 THEN 1 ELSE -1 END AS v " +
-        "FROM tok, range(64) r), " +
-        "votes AS (SELECT doc_id, j, sum(v) AS s FROM bits GROUP BY doc_id, j), " +
-        "sh AS (SELECT doc_id, CAST(sum(CASE WHEN s >= 0 THEN (CASE WHEN j = 0 " +
-        "THEN -9223372036854775807 - 1 ELSE (1::BIGINT << CAST(63 - j AS INTEGER)) END) " +
-        "ELSE 0 END) AS BIGINT) AS sh64 FROM votes GROUP BY doc_id) " +
-        "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
-        "WHERE bit_count(xor(a.sh64, b.sh64)) <= 6"),
+    "dedup_simhash_oracle" -> SimhashBruteForceSql,
+    // Same truth pins the incremental simhash-index path: two appends
+    // over the identical restricted corpus must union to the one-shot
+    // result (equivalence is SimHashIndexSpec's theorem; this row pins
+    // the union to external brute force).
+    "dedup_simhash_incr_oracle" -> SimhashBruteForceSql,
     // Integer triage signals + argmax language label (ties resolved by the
     // lexicographically greater lang code via (score, lang) struct max —
     // the exact semantics of TextFunctions.langId's array_max).
@@ -463,6 +447,32 @@ object SparkEntry {
       "ELSE list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))) END AS sh FROM docs) " +
       "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
       "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.5"
+
+  // Brute-force 64-bit Hamming over doc_id < 300, recomputing the
+  // md5-nibble simhash from raw text (see ExtensionQueries
+  // .dedupSimhashOracle): per token, bit j of the first 16 md5 hex
+  // nibbles votes +1/-1 on simhash bit j (MSB-first packing, vote >= 0
+  // sets the bit) — bit-identical to Dedup.simhash64Md5. Pairs at
+  // Hamming <= 6; empty-token docs excluded on both sides. Shared by
+  // the one-shot batch path (dedup_simhash_oracle) and the incremental
+  // index path (dedup_simhash_incr_oracle).
+  private val SimhashBruteForceSql: String =
+    "WITH d AS (SELECT doc_id, CASE WHEN length(regexp_replace(text, " +
+      "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
+      "ELSE string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+      "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM documents WHERE doc_id < 300), " +
+      "d2 AS (SELECT doc_id, tk FROM d WHERE len(tk) > 0), " +
+      "tok AS (SELECT doc_id, unnest(tk) AS t FROM d2), " +
+      "bits AS (SELECT doc_id, r.range AS j, CASE WHEN ((strpos('0123456789abcdef', " +
+      "substr(md5(t), CAST(r.range // 4 AS INTEGER) + 1, 1)) - 1) " +
+      "& (1 << CAST(3 - (r.range % 4) AS INTEGER))) != 0 THEN 1 ELSE -1 END AS v " +
+      "FROM tok, range(64) r), " +
+      "votes AS (SELECT doc_id, j, sum(v) AS s FROM bits GROUP BY doc_id, j), " +
+      "sh AS (SELECT doc_id, CAST(sum(CASE WHEN s >= 0 THEN (CASE WHEN j = 0 " +
+      "THEN -9223372036854775807 - 1 ELSE (1::BIGINT << CAST(63 - j AS INTEGER)) END) " +
+      "ELSE 0 END) AS BIGINT) AS sh64 FROM votes GROUP BY doc_id) " +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.sh64, b.sh64)) <= 6"
 
   private val ExactTopKSql: String =
     "WITH u AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Dedup, Similarity, TextFunctions => TF}
-import graft.store.{DedupIndex, FingerprintIndex, SnapshotStore, VectorIndex}
+import graft.store.{DedupIndex, FingerprintIndex, SimHashIndex, SnapshotStore, VectorIndex}
 
 /** Training-data-pipeline queries over `documents` / `embeddings`
   * (builder prompt extension ops). Entries registered in SparkEntry;
@@ -224,6 +224,37 @@ object ExtensionQueries {
       .select(col("doc_id").as("id"), Dedup.simhash64Md5(col("text")).as("sh64"))
     Dedup.simhashPairsFromHashes(hashed, maxHamming = 6, corpusSize = 300L)
       .select(col("id_a"), col("id_b"))
+  }
+
+  /** INCREMENTAL simhash dedup over the persistent combo-key index,
+    * pinned to the SAME brute-force Hamming oracle as
+    * `dedup_simhash_oracle`: the doc_id<300 corpus (md5-portable simhash,
+    * empty-token docs excluded) arrives as two appends into a fresh
+    * index built with the banding parameters the one-shot path would
+    * auto-size for this corpus, and the union of the per-append pair
+    * sets must equal the full-corpus truth (pair-for-pair equivalence
+    * incl. hamming values is SimHashIndexSpec's contract; this row pins
+    * the union to external truth). Per-invocation temp root — a durable
+    * root would double-append on rerun. */
+  def dedupSimhashIncrOracle(s: SparkSession, d: String): DataFrame = {
+    val hashed = docs(s, d)
+      .filter(col("doc_id") < 300 && size(TF.tokens(col("text"))) > 0)
+      .select(col("doc_id").as("id"), Dedup.simhash64Md5(col("text")).as("sh64"))
+    val root = java.nio.file.Files.createTempDirectory("graft-shincr").toString
+    val store = new SnapshotStore(root, s)
+    SimHashIndex.build(store, "docs_simhash", hashed.limit(0),
+      nBlocks = Dedup.simhashAutoBlocks(300L, 6), maxHamming = 6)
+    val parts = (0 until 2).map { i =>
+      SimHashIndex.appendBatchOnce(store, "docs_simhash",
+        hashed.filter(col("id") % 2 === i).coalesce(1),
+        streamId = "verify", batchId = i.toLong).get
+    }
+    val out = parts.reduce(_ unionByName _)
+      .select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    parts.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Integer-only triage projection with a FULL DuckDB oracle: token and

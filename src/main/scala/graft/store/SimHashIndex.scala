@@ -1,0 +1,159 @@
+package graft.store
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Persistent SimHash combo-key index — INCREMENTAL batch-vs-corpus
+  * near-dup dedup for the Hamming-distance regime, the simhash twin of
+  * [[DedupIndex]] (which owns the MinHash/Jaccard regime).
+  *
+  * One row per document:
+  * {{{ (id, sh64: long, bks: array<struct<band:int,bucket:long>>) }}}
+  * `sh64` is the caller-computed 64-bit SimHash (production:
+  * `Dedup.simhash64(text)`; oracle paths: the md5-portable variant) and
+  * `bks` its pigeonhole block-combination keys — any pair within the
+  * committed Hamming radius shares at least one key (recall 1.0 by
+  * construction, see Dedup.simhashBlockCombos). The banding parameters
+  * (nBlocks, maxHamming, maxBucketSize) are FIXED at build time and ride
+  * in the snapshot metadata atomically with the rows: combo keys are a
+  * function of those parameters, so re-keying per append would silently
+  * break the shared-bucket guarantee across generations.
+  *
+  * The verify payload is the 8-byte hash itself — riding WITH the key
+  * rows — so unlike DedupIndex there is no second corpus column scan:
+  * one append costs one columnar scan of (id, sh64, bks), a broadcast
+  * bucket-set semi-join (no corpus shuffle), a capped window over the
+  * touched-bucket membership, and in-bucket popcount verification
+  * (HammingPairs). Appends are O(batch) [[DeltaChain]] versions with the
+  * shared exactly-once batch-id watermark.
+  *
+  * Incremental ≡ batch: the same split-independence argument as
+  * DedupIndex — combo keys are a pure per-doc function, the append sees
+  * the union membership of every batch-touched bucket, and pairs between
+  * older docs were emitted by the append that introduced their younger
+  * member; cap semantics match while the final bucket size stays under
+  * maxBucketSize (degenerate-regime superset caveat identical).
+  * SimHashIndexSpec pins pair-for-pair equality with
+  * `Dedup.simhashPairsFromHashes` across batchings. */
+object SimHashIndex {
+
+  private val P = "shdedup." // metadata key prefix
+  private val chain = new DeltaChain(s"${P}parts")
+
+  private def encode(hashed: DataFrame, nBlocks: Int, maxHamming: Int): DataFrame =
+    hashed.select(col("id"), col("sh64"),
+      graft.plans.VectorExpressions
+        .simhashComboKeys(col("sh64"), nBlocks, maxHamming).as("bks"))
+
+  /** Encode `hashed` (id, sh64) and commit it as a fresh full snapshot
+    * with the banding parameters in the metadata. Computes NO pairs (run
+    * simhashPairsFromHashes for the corpus-internal ones) — or init
+    * empty with `hashed.limit(0)`. `nBlocks` should come from
+    * `Dedup.simhashAutoBlocks` for the EXPECTED final corpus size: it is
+    * fixed for the index's lifetime. */
+  def build(store: SnapshotStore, table: String, hashed: DataFrame,
+            nBlocks: Int, maxHamming: Int,
+            maxBucketSize: Int = 1000): Long =
+    store.commit(table, encode(hashed, nBlocks, maxHamming),
+      sortKey = Some("id"),
+      meta = Map(
+        s"${P}nBlocks" -> nBlocks.toString,
+        s"${P}maxHamming" -> maxHamming.toString,
+        s"${P}maxBucketSize" -> maxBucketSize.toString,
+        s"${P}parts" -> ""))
+
+  /** The live index contents as of the current version. */
+  def load(store: SnapshotStore, table: String): DataFrame = {
+    val v = store.currentVersion(table)
+    chain.load(store, table, v, store.metaForVersion(table, v))
+  }
+
+  /** Dedup `batchHashed` (id, sh64) against the indexed corpus AND
+    * itself under the COMMITTED banding parameters, then append its
+    * encodings as an O(batch) delta. Returns the new pairs —
+    * (id_a, id_b, hamming ≤ committed maxHamming) with at least one
+    * member in the batch — EAGER (persisted + materialized; unpersist
+    * when done), or None for a replayed (streamId, batchId). */
+  def appendBatchOnce(store: SnapshotStore, table: String,
+                      batchHashed: DataFrame,
+                      streamId: String, batchId: Long,
+                      compactEvery: Int = 8): Option[DataFrame] = {
+    var result: Option[DataFrame] = None
+    var enc: DataFrame = null
+    store.transactWith[Unit](table, sortKey = Some("id")) { _ =>
+      val v = store.currentVersion(table)
+      if (v == 0)
+        throw new IllegalStateException(
+          s"$table: build the simhash index before appending " +
+            "(SimHashIndex.build; hashed.limit(0) for an empty init)")
+      val meta = store.metaForVersion(table, v)
+      val key = s"stream.$streamId.lastBatchId"
+      if (batchId <= meta.get(key).map(_.toLong).getOrElse(-1L)) Left(())
+      else {
+        def req(k: String): Int = meta.getOrElse(P + k,
+          throw new IllegalStateException(
+            s"$table has no committed simhash-index metadata '$P$k'")).toInt
+        val (nBlocks, maxHamming, maxBucketSize) =
+          (req("nBlocks"), req("maxHamming"), req("maxBucketSize"))
+        enc = encode(batchHashed, nBlocks, maxHamming)
+          .persist(StorageLevel.MEMORY_AND_DISK) // batch-sized, read 3×
+        result = Some(pairsVsIndex(
+          chain.load(store, table, v, meta), enc, maxHamming, maxBucketSize))
+        Right(chain.next(store, table, v, meta, enc, compactEvery,
+          Map(key -> batchId.toString)))
+      }
+    }
+    if (enc != null) enc.unpersist(blocking = false)
+    result
+  }
+
+  /** Pairs of `batchEnc` against `idx` ∪ itself — the batch path's
+    * single-shuffle shape with the corpus entering through a broadcast
+    * bucket filter. The hash rides with the key rows, so verification
+    * (HammingPairs popcount) happens in-bucket with no extra corpus
+    * scan. */
+  private def pairsVsIndex(idx: DataFrame, batchEnc: DataFrame,
+                           maxHamming: Int, maxBucketSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def keysOf(e: DataFrame): DataFrame =
+      e.select(col("id"), col("sh64"), explode(col("bks")).as("bk"))
+        .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
+          col("id"), col("sh64"))
+    val bKeys = keysOf(batchEnc)
+    val bBuckets = bKeys.select(col("band"), col("bucket")).distinct()
+    val cKeys = keysOf(idx)
+      .join(broadcast(bBuckets), Seq("band", "bucket"), "left_semi")
+
+    val w = Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))
+    val allPairs = cKeys.unionByName(bKeys)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxBucketSize + 1)
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("id"), col("sh64"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucketSize))
+      .select(explode(graft.plans.VectorExpressions
+        .hammingPairs(col("members"), maxHamming)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+      .dropDuplicates("id_a", "id_b")
+
+    // Keep only pairs touching the batch (corpus-internal pairs were
+    // emitted by the append that introduced their younger member).
+    val newIds = batchEnc.select(col("id"))
+    val verified = allPairs
+      .join(broadcast(newIds.select(col("id").as("id_a"), lit(1).as("na"))),
+        Seq("id_a"), "left")
+      .join(broadcast(newIds.select(col("id").as("id_b"), lit(1).as("nb"))),
+        Seq("id_b"), "left")
+      .filter(col("na").isNotNull || col("nb").isNotNull)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    verified.count()
+    verified
+  }
+
+  /** Drop version dirs outside the live delta chain. */
+  def vacuumIndex(store: SnapshotStore, table: String): Unit =
+    store.dropVersions(table,
+      store.versions(table).toSet -- chain.liveVersions(store, table))
+}

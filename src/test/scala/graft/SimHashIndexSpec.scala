@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Dedup
+import graft.store.{SimHashIndex, SnapshotStore}
+
+/** Incremental simhash dedup: the union of per-append pair sets must
+  * equal the one-shot `simhashPairsFromHashes` result pair-for-pair
+  * (ids AND hamming values) under the committed banding parameters,
+  * with exactly-once replay semantics and O(batch) delta appends. */
+class SimHashIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val MaxHamming = 3
+  private val NBlocks = 7 // C(7,4) = 35 combo keys; spec-sized keyspace
+
+  /** Direct 64-bit hashes (no text): 50 well-separated random longs
+    * (pairwise Hamming ~32 w.h.p.), plus planted near-dups that CROSS
+    * the id-parity batch split used below: 100+i flips 2 bits of i
+    * (100+i has opposite parity of i for even i), and 200+i flips 3 bits
+    * of i (the radius boundary). 300 flips 4 bits of 0 — JUST OUTSIDE
+    * the radius, must never appear. */
+  private def corpus: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val base = (0 until 50).map(i => i.toLong -> rnd.nextLong())
+    def flip(h: Long, bits: Seq[Int]): Long = bits.foldLeft(h)((a, b) => a ^ (1L << b))
+    val near2 = (0 until 10).map(i => (100 + i).toLong -> flip(base(i)._2, Seq(3, 17)))
+    val near3 = (0 until 10).map(i => (200 + i).toLong -> flip(base(i)._2, Seq(5, 23, 41)))
+    val out4 = Seq(300L -> flip(base(0)._2, Seq(7, 19, 37, 53)))
+    base ++ near2 ++ near3 ++ out4
+  }
+
+  private def pairSet(df: DataFrame): Set[(Long, Long, Int)] =
+    df.select(col("id_a"), col("id_b"), col("hamming").cast("int"))
+      .as[(Long, Long, Int)].collect().toSet
+
+  test("incremental appends equal the batch result pair-for-pair") {
+    val hashed = corpus.toDF("id", "sh64").repartition(4)
+    val want = pairSet(Dedup.simhashPairsFromHashes(
+      hashed, MaxHamming, nBlocks = NBlocks))
+    assert(want.nonEmpty && want.exists(_._3 == MaxHamming),
+      "planted structure must include radius-boundary pairs")
+    assert(!want.exists(p => p._1 == 300L || p._2 == 300L),
+      "outside-radius plant must not pair")
+
+    for (nBatches <- Seq(2, 3)) {
+      val root = Files.createTempDirectory("graft-shidx").toString
+      val store = new SnapshotStore(root, spark)
+      SimHashIndex.build(store, "t", hashed.limit(0), NBlocks, MaxHamming)
+      val parts = (0 until nBatches).map { i =>
+        SimHashIndex.appendBatchOnce(store, "t",
+          hashed.filter(col("id") % nBatches === i), "s", i.toLong).get
+      }
+      val got = parts.map(pairSet).reduce(_ ++ _)
+      assert(got == want, s"incremental != batch for $nBatches batches")
+      parts.foreach(_.unpersist(blocking = false))
+      // index holds every document exactly once
+      assert(SimHashIndex.load(store, "t").count() == corpus.size)
+    }
+  }
+
+  test("replay is skipped; append before build throws; deltas are O(batch)") {
+    val hashed = corpus.toDF("id", "sh64")
+    val root = Files.createTempDirectory("graft-shidx2").toString
+    val store = new SnapshotStore(root, spark)
+    intercept[IllegalStateException] {
+      SimHashIndex.appendBatchOnce(store, "t", hashed, "s", 0L)
+    }
+    SimHashIndex.build(store, "t", hashed.filter(col("id") < 50),
+      NBlocks, MaxHamming)
+    val first = SimHashIndex.appendBatchOnce(store, "t",
+      hashed.filter(col("id") >= 50), "s", 0L)
+    assert(first.isDefined)
+    // cross (corpus vs batch) pairs ARE found through the index
+    assert(pairSet(first.get).exists { case (a, b, _) => a < 50 && b >= 100 })
+    first.foreach(_.unpersist(blocking = false))
+    assert(SimHashIndex.appendBatchOnce(store, "t",
+      hashed.filter(col("id") >= 50), "s", 0L).isEmpty,
+      "replayed batchId must be skipped")
+    // the delta version holds only the batch rows
+    val v = store.currentVersion("t")
+    assert(store.loadVersion("t", v).count() ==
+      hashed.filter(col("id") >= 50).count())
+  }
+}
