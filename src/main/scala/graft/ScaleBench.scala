@@ -202,6 +202,29 @@ object ScaleBench {
         pairs.unpersist(blocking = false)
         n
       },
+      // SimHash incremental dedup: the Hamming-regime index. The hash
+      // rides with the combo keys (no h_arr payload), so the corpus-side
+      // append cost is one (id, sh64, bks) scan; nBlocks is auto-sized
+      // once for the final corpus and committed with the table.
+      timed("sh_incr_build") {
+        import spark.implicits._
+        val hashed = docs.select(col("doc_id").as("id"),
+          Dedup.simhash64(col("text")).as("sh64"))
+        graft.store.SimHashIndex.build(store, "docs_sh", hashed,
+          nBlocks = 8, maxHamming = 6)
+        nDocs
+      },
+      timed("sh_incr_append_100k") {
+        import spark.implicits._
+        val batch = spark.range(nDocs + 150000L, nDocs + 250000L, 1L, 16)
+          .map(id => genDoc(id.toLong)).toDF()
+          .select(col("doc_id").as("id"), Dedup.simhash64(col("text")).as("sh64"))
+        val pairs = graft.store.SimHashIndex.appendBatchOnce(
+          store, "docs_sh", batch, "bench", 0L).get
+        val n = pairs.count()
+        pairs.unpersist(blocking = false)
+        n
+      },
       // Fingerprint (exact/reformatting) incremental dedup on the same
       // corpus: the 16-byte-per-doc index should make both the build and
       // the append far cheaper than the band-key path above — this pair

@@ -152,6 +152,28 @@ object SimHashIndex {
     verified
   }
 
+  /** Keep the index current from a stream of (id, sh64) rows: each
+    * micro-batch is deduplicated against the corpus-so-far and appended
+    * exactly once; its new pairs go to `onPairs` (unpersisted after the
+    * callback — materialize inside it). Replayed micro-batches are
+    * skipped entirely (same contract as DedupIndex.maintainFromStream). */
+  def maintainFromStream(store: SnapshotStore, table: String,
+                         stream: DataFrame, checkpointDir: String,
+                         streamId: String = "sh-inbox",
+                         onPairs: (DataFrame, Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          appendBatchOnce(store, table, batch, streamId, batchId).foreach { pairs =>
+            try onPairs(pairs, batchId)
+            finally pairs.unpersist(blocking = false)
+          }
+        }
+      }
+      .start()
+
   /** Drop version dirs outside the live delta chain. */
   def vacuumIndex(store: SnapshotStore, table: String): Unit =
     store.dropVersions(table,

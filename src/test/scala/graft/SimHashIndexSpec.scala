@@ -86,4 +86,30 @@ class SimHashIndexSpec extends SparkSpec {
     assert(store.loadVersion("t", v).count() ==
       hashed.filter(col("id") >= 50).count())
   }
+
+  test("streaming maintenance delivers the same pairs exactly once") {
+    val hashed = corpus.toDF("id", "sh64")
+    val want = pairSet(Dedup.simhashPairsFromHashes(
+      hashed, MaxHamming, nBlocks = NBlocks))
+
+    val inbox = Files.createTempDirectory("graft-shidx-inbox").toString
+    (0 until 3).foreach { i =>
+      hashed.filter(col("id") % 3 === i).coalesce(1)
+        .write.parquet(s"$inbox/b$i.parquet")
+    }
+    val root = Files.createTempDirectory("graft-shidx-stream").toString
+    val store = new SnapshotStore(root, spark)
+    SimHashIndex.build(store, "t", hashed.limit(0), NBlocks, MaxHamming)
+
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+    val stream = spark.readStream.schema(hashed.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$inbox/*.parquet")
+    val q = SimHashIndex.maintainFromStream(store, "t", stream, s"$inbox-ckpt",
+      onPairs = (pairs, _) => got.synchronized { got ++= pairSet(pairs) })
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSet == want)
+    assert(SimHashIndex.load(store, "t").count() == corpus.size)
+  }
 }
