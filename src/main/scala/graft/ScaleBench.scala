@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Dedup, Similarity, TextFunctions => TF}
-import graft.store.{DedupIndex, SnapshotStore, VectorIndex}
+import graft.store.{CurationIngest, DedupIndex, MinHashRegime,
+  SnapshotStore, VectorIndex}
 
 /** Flagship-scale benchmark: generate a ≥5M-document / ≥1M-vector corpus
   * locally (same schemas as the driver testdata, so every library entry
@@ -116,7 +117,23 @@ object ScaleBench {
     * index_build's table; embed near-dup variants share the planted
     * corpus built in this method). A filter that matches a dependent
     * bench but not its producer fails on the missing table — include the
-    * producer in the substring (e.g. filter "index", not "index_query"). */
+    * producer in the substring (e.g. filter "index", not "index_query";
+    * curate_ungated_100k additionally needs dedup_incr_build's
+    * docs_minhash table — filter "" for the curate comparison). */
+  /** The curate-flagship crawl batch: 50k fresh docs (ids nDocs+300k…,
+    * carrying the corpus recipe's planted ~500 in-batch near-dups and
+    * ~100 in-batch exact dups) + 50k exact re-fetches of corpus docs
+    * 0..50k at ids +21M — ~half the batch must resolve through the
+    * fingerprint gate. */
+  private def mixedBatch(spark: SparkSession, nDocs: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(nDocs + 300000L, nDocs + 350000L, 1L, 16)
+      .map(id => genDoc(id.toLong)).toDF()
+      .unionByName(spark.range(0L, 50000L, 1L, 16)
+        .map(id => { val d = genDoc(id.toLong); d.copy(doc_id = id + 21000000L) })
+        .toDF())
+  }
+
   private def run(spark: SparkSession, dir: String, filter: String = ""): Unit = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
@@ -236,9 +253,11 @@ object ScaleBench {
       },
       timed("fp_incr_append_100k") {
         import spark.implicits._
-        // 50k fresh docs + 50k exact copies of corpus docs: half the
+        // 50k fresh docs + 50k exact copies of corpus docs: ~half the
         // batch must resolve to an existing owner through the collision
-        // probe, half must survive as new content.
+        // probe, ~half survives as new content. "~": genDoc plants exact
+        // dups at id % 500 == 3 inside the fresh range too, so ~100
+        // in-batch duplicates land on top of the 50k planted copies.
         val batch = spark.range(nDocs + 100000L, nDocs + 150000L, 1L, 16)
           .map(id => genDoc(id.toLong)).toDF()
           .unionByName(spark.range(0L, 50000L, 1L, 16)
@@ -249,6 +268,49 @@ object ScaleBench {
         val dups = resolved.filter(!col("is_new")).count()
         resolved.unpersist(blocking = false)
         dups
+      },
+      // COMPOSED dedup-on-ingest (CurationIngest): fingerprint gate →
+      // minhash gate under one exactly-once protocol. The bootstrap is
+      // the pair-free build of both indexes (fp over the corpus, band
+      // keys over the fp survivors only).
+      timed("curate_build_5m") {
+        CurationIngest.build(store, "cur", MinHashRegime(), docs,
+          "text", "doc_id")
+        nDocs
+      },
+      // One mixed 100k crawl batch — 50k fresh docs (with the corpus
+      // recipe's planted ~500 in-batch near-dups and ~100 in-batch exact
+      // dups) + 50k exact re-fetches of corpus docs — through the full
+      // gate. The fingerprint stage resolves the ~50k exact dups, so the
+      // band-key stage encodes/probes only the ~50k survivors: the
+      // fingerprint-first saving the operator's scaladoc claims, measured
+      // against curate_ungated_100k below (the SAME batch through the
+      // bare minhash index, where all 100k pay shingling + banding).
+      timed("curate_append_100k") {
+        import spark.implicits._
+        val batch = mixedBatch(spark, nDocs)
+        val lineage = CurationIngest.ingestBatchOnce(store, "cur",
+          MinHashRegime(), batch, "text", "doc_id", "bench", 0L)
+        val byRegime = lineage.groupBy(col("regime")).count()
+          .as[(String, Long)].collect().toMap
+        System.err.println(s"[scalebench] curate regimes: $byRegime")
+        lineage.unpersist(blocking = false)
+        byRegime.getOrElse("exact", 0L) + byRegime.getOrElse("near", 0L)
+      },
+      // The ungated twin: the IDENTICAL batch straight into the bare
+      // minhash index over the same 5M corpus (dedup_incr_build's
+      // docs_minhash — appending to cur_nd instead would let the two
+      // batches' shared content cross-pair and distort both timings) —
+      // no fingerprint gate, so all 100k docs pay shingling + banding
+      // and the 50k re-fetches surface as ~50k J=1.0 pairs instead of
+      // O(1)-cheap fingerprint hits.
+      timed("curate_ungated_100k") {
+        import spark.implicits._
+        val pairs = DedupIndex.appendBatch(store, "docs_minhash",
+          mixedBatch(spark, nDocs), "text", "doc_id")
+        val n = pairs.count()
+        pairs.unpersist(blocking = false)
+        n
       },
       // Exact n-gram Jaccard at tau = 3/4: the planted word-level
       // near-dups sit at shingle-Jaccard ~0.75 (30-token docs) to ~0.92

@@ -59,6 +59,10 @@ object SparkEntry {
     "events_rangejoin" -> (EventQueries.rangeJoinIncidents _),
     "events_distinct"  -> (EventQueries.distinctUsers _),
     "events_quantiles" -> (EventQueries.quantiles _),
+    // no oracle by design (GK sketch values are engine-specific);
+    // SketchSpec pins it: exact-equal at lossless accuracy, rank-bounded
+    // in the high-cardinality regime the exact query's contract excludes.
+    "events_quantiles_approx" -> ((s, d) => EventQueries.quantilesApprox(s, d)),
     "events_sliding"   -> (EventQueries.slidingActivity _),
     // training-data extension ops (text / dedup / similarity)
     "text_stats"          -> (ExtensionQueries.textStats _),
@@ -68,6 +72,7 @@ object SparkEntry {
     "embed_docs"          -> ((s, d) => ExtensionQueries.embedDocs(s, d)),
     "retrieve_sparse"     -> ((s, d) => ExtensionQueries.retrieveSparse(s, d)),
     "retrieve_bm25"       -> ((s, d) => ExtensionQueries.retrieveBm25(s, d)),
+    "retrieve_bm25_oracle" -> (ExtensionQueries.retrieveBm25Oracle _),
     "dedup_jaccard_pairs" -> (ExtensionQueries.dedupJaccardPairs _),
     "dedup_components"    -> (ExtensionQueries.dedupComponents _),
     "dedup_cluster_keep"  -> (ExtensionQueries.dedupClusterKeep _),
@@ -85,6 +90,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> (ExtensionQueries.dedupSimhashPairs _),
     "dedup_simhash_oracle" -> (ExtensionQueries.dedupSimhashOracle _),
     "dedup_simhash_incr_oracle" -> (ExtensionQueries.dedupSimhashIncrOracle _),
+    "curate_ingest_oracle" -> (ExtensionQueries.curateIngestOracle _),
     "text_triage_oracle"  -> (ExtensionQueries.textTriageOracle _),
     "dedup_embed_pairs"   -> (ExtensionQueries.dedupEmbeddingPairs _),
     "sim_brute_topk"      -> (ExtensionQueries.simBruteTopK _),
@@ -355,6 +361,7 @@ object SparkEntry {
         "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM u) " +
         "SELECT min(doc_id) AS keep_id, count(*) AS dup_count FROM t " +
         "GROUP BY md5(array_to_string(tk, ' '))"),
+    "retrieve_bm25_oracle" -> Bm25RankSql,
     "dedup_minhash_oracle" -> MinhashBruteForceSql,
     // The SAME truth pins the incremental batch-vs-corpus path: three
     // appends over the identical restricted corpus must union to the
@@ -408,6 +415,14 @@ object SparkEntry {
     // result (equivalence is SimHashIndexSpec's theorem; this row pins
     // the union to external brute force).
     "dedup_simhash_incr_oracle" -> SimhashBruteForceSql,
+    // Composed dedup-on-ingest (CurationIngest): fingerprint window-min
+    // first (ascending arrival ⇒ first-arrival ≡ global keep-min), then
+    // brute-force Hamming ≤ 6 among the fingerprint SURVIVORS only —
+    // near keep = smallest-id partner (the operator's one-hop lineage).
+    // Corpus = doc_id < 300 ∪ planted tab variants (+10000 of < 50),
+    // empty-token docs excluded; simhash leaf = the md5-nibble portable
+    // hash (see SimhashBruteForceSql).
+    "curate_ingest_oracle" -> CurateIngestSql,
     // Integer triage signals + argmax language label (ties resolved by the
     // lexicographically greater lang code via (score, lang) struct max —
     // the exact semantics of TextFunctions.langId's array_max).
@@ -473,6 +488,74 @@ object SparkEntry {
       "ELSE 0 END) AS BIGINT) AS sh64 FROM votes GROUP BY doc_id) " +
       "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
       "WHERE bit_count(xor(a.sh64, b.sh64)) <= 6"
+
+  // Okapi BM25 (k1=1.2, b=0.75) over the case-folded whitespace tokens,
+  // three lowest-id docs as queries, ids+rank only: measured
+  // adjacent-rank score gaps (≥ 4e-4 across ranks 1..12 at sf0.01) are
+  // ~11 orders of magnitude above double-summation noise, so the
+  // ORDERING is engine-stable even though the ln-sum score values are
+  // not hashable — same double-precision argument as ExactTopKSql.
+  // Ties (exact duplicate docs) order by neighbor_id on both engines.
+  private val Bm25RankSql: String =
+    "WITH d AS (SELECT doc_id, CASE WHEN length(regexp_replace(lower(text), " +
+      "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
+      "ELSE string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+      "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM documents), " +
+      "stats AS (SELECT count(*)::DOUBLE AS n, avg(len(tk))::DOUBLE AS avgdl FROM d), " +
+      "qterm AS (SELECT doc_id AS query_id, unnest(list_distinct(tk)) AS term FROM d WHERE doc_id < 3), " +
+      "post AS (SELECT doc_id AS neighbor_id, len(tk) AS dl, unnest(tk) AS term FROM d), " +
+      "hits AS (SELECT term, neighbor_id, dl, count(*)::DOUBLE AS tf FROM post " +
+      "WHERE term IN (SELECT DISTINCT term FROM qterm) GROUP BY 1, 2, 3), " +
+      "dft AS (SELECT term, count(*)::DOUBLE AS df FROM hits GROUP BY term), " +
+      "contrib AS (SELECT h.term, h.neighbor_id, " +
+      "ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5)) * h.tf * 2.2 / " +
+      "(h.tf + (h.dl * (0.75 / s.avgdl) + 0.25) * 1.2) AS c " +
+      "FROM hits h CROSS JOIN stats s JOIN dft f ON h.term = f.term), " +
+      "scored AS (SELECT q.query_id, c.neighbor_id, sum(c.c) AS score " +
+      "FROM qterm q JOIN contrib c ON q.term = c.term GROUP BY 1, 2), " +
+      "ranked AS (SELECT query_id, neighbor_id, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM scored) " +
+      "SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10"
+
+  // Composite truth for the composed dedup-on-ingest operator: the
+  // variant-augmented corpus (doc_id < 300 ∪ tab-reformatting copies of
+  // doc_id < 50 at +10000; empty-token docs dropped) first folds under
+  // the whitespace-normalized token key (window-min = keep), then the
+  // md5-nibble simhash (identical construction to SimhashBruteForceSql)
+  // brute-forces Hamming ≤ 6 pairs among the fold SURVIVORS; a
+  // survivor's keep is its smallest-id partner if any, else itself.
+  private val CurateIngestSql: String =
+    "WITH u AS (SELECT doc_id, text FROM documents WHERE doc_id < 300 " +
+      "UNION ALL SELECT doc_id + 10000 AS doc_id, replace(text, ' ', chr(9) || ' ') AS text " +
+      "FROM documents WHERE doc_id < 50), " +
+      "d AS (SELECT doc_id, CASE WHEN length(regexp_replace(text, " +
+      "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
+      "ELSE string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+      "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM u), " +
+      "d2 AS (SELECT doc_id, tk FROM d WHERE len(tk) > 0), " +
+      "f AS (SELECT doc_id, tk, min(doc_id) OVER (PARTITION BY " +
+      "md5(array_to_string(tk, ' '))) AS fp_keep FROM d2), " +
+      "s AS (SELECT doc_id, tk FROM f WHERE doc_id = fp_keep), " +
+      "tok AS (SELECT doc_id, unnest(tk) AS t FROM s), " +
+      "bits AS (SELECT doc_id, r.range AS j, CASE WHEN ((strpos('0123456789abcdef', " +
+      "substr(md5(t), CAST(r.range // 4 AS INTEGER) + 1, 1)) - 1) " +
+      "& (1 << CAST(3 - (r.range % 4) AS INTEGER))) != 0 THEN 1 ELSE -1 END AS v " +
+      "FROM tok, range(64) r), " +
+      "votes AS (SELECT doc_id, j, sum(v) AS s FROM bits GROUP BY doc_id, j), " +
+      "sh AS (SELECT doc_id, CAST(sum(CASE WHEN s >= 0 THEN (CASE WHEN j = 0 " +
+      "THEN -9223372036854775807 - 1 ELSE (1::BIGINT << CAST(63 - j AS INTEGER)) END) " +
+      "ELSE 0 END) AS BIGINT) AS sh64 FROM votes GROUP BY doc_id), " +
+      "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b " +
+      "ON a.doc_id < b.doc_id WHERE bit_count(xor(a.sh64, b.sh64)) <= 6), " +
+      "near AS (SELECT id_b AS doc_id, min(id_a) AS near_keep FROM pairs GROUP BY id_b) " +
+      "SELECT f.doc_id, " +
+      "CASE WHEN f.doc_id != f.fp_keep THEN f.fp_keep " +
+      "WHEN n.near_keep IS NOT NULL THEN n.near_keep " +
+      "ELSE f.doc_id END AS keep_id, " +
+      "CASE WHEN f.doc_id != f.fp_keep THEN 'exact' " +
+      "WHEN n.near_keep IS NOT NULL THEN 'near' " +
+      "ELSE 'new' END AS regime " +
+      "FROM f LEFT JOIN near n ON n.doc_id = f.doc_id"
 
   private val ExactTopKSql: String =
     "WITH u AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +

@@ -85,9 +85,12 @@ object Retrieval {
     * Tokens are case-folded (IR convention — unlike the hashing-trick
     * family, which matches its oracle's raw-token recipe).
     *
-    * Scores are floats (ln), so no cross-engine oracle — the registered
-    * query is rows-only; RetrievalSpec pins scores to an independent JVM
-    * implementation of the same formula.
+    * Scores are floats (ln), so the score VALUES carry no cross-engine
+    * oracle — RetrievalSpec pins them to an independent JVM
+    * implementation of the formula. The RANKING does: measured
+    * adjacent-rank score gaps (≥ 4e-4 over ranks 1..12 at sf0.01) dwarf
+    * double-summation noise, so the ids+rank projection is
+    * DuckDB-oracle-checked (`retrieve_bm25_oracle`).
     *
     * Corpus scans — the dominant cost at 100 TB. The formula needs two
     * things from the full corpus: the scalar stats (N, avgdl) and the

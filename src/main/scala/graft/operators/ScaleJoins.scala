@@ -10,9 +10,13 @@ import org.apache.spark.sql.functions._
   * Three tools, in preference order:
   *  1. AQE skew-join (free, runtime): Sessions.tune keeps
   *     `spark.sql.adaptive.enabled=true`; AQE splits oversized post-shuffle
-  *     partitions of a sort-merge join automatically. PlanSpec asserts the
-  *     split actually happens on a skewed fixture (`skew=true` in the
-  *     final adaptive plan).
+  *     partitions of a sort-merge join automatically. ScaleJoinSpec asserts
+  *     the split actually happens on a skewed fixture (`skew=true` in the
+  *     final adaptive plan) — with TEST-SCALE thresholds (64 KB partitions)
+  *     so a ~MB fixture registers as skew; the PRODUCTION knob set
+  *     (256 MB skew threshold, 64 MB advisory partitions, 3×cores shuffle
+  *     partitions) is `Sessions.tuneForCluster`, asserted by the same
+  *     spec — deployments call that, never the test values.
   *  2. Salted join (explicit, deterministic): when one probe-side key is so
   *     hot a SINGLE key exceeds an executor (AQE cannot split one key's
   *     sort-merge group), spread it over `salts` sub-keys and replicate the

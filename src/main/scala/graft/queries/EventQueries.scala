@@ -143,11 +143,19 @@ object EventQueries {
     * shuffle to the DISTINCT VALUE DOMAIN, not the row count — and the
     * cumulative window + rank lookup then run over histogram rows
     * (bounded by the cents domain, independent of corpus size). Value at
-    * rank r = MIN cents whose cumulative count ≥ r. Exact at any scale
-    * whenever the value domain is bounded (integer cents is); for
-    * unbounded domains the engine answer is `approx_percentile`
-    * (mergeable GK sketch), whose rank error SketchSpec pins against
-    * this exact query. */
+    * rank r = MIN cents whose cumulative count ≥ r.
+    *
+    * CONTRACT — bounded value domain: the histogram plan wins only while
+    * the per-group DISTINCT-value count stays small relative to the row
+    * count (integer cents: ≤ ~10^6 distinct values regardless of corpus
+    * size, so the shuffle and the window stay tiny). Pointed at a
+    * high-cardinality column (raw floats, micro-timestamps), the
+    * "histogram" degenerates to ~one row per input row — the per-group
+    * window then re-creates exactly the skew-bound sort this plan exists
+    * to avoid. For that regime use [[quantilesApprox]] (mergeable GK
+    * sketch, no per-group window at all); SketchSpec pins its rank error
+    * against this exact query and demonstrates the high-cardinality
+    * crossover. */
   def quantiles(s: SparkSession, d: String): DataFrame = {
     val byType = Window.partitionBy(col("event_type")).orderBy(col("cents"))
     val whole = Window.partitionBy(col("event_type"))
@@ -164,6 +172,27 @@ object EventQueries {
         min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("cents"))).as("p90_cents"),
         min(when(col("cum") >= expr("(99 * n + 99) div 100"), col("cents"))).as("p99_cents"))
   }
+
+  /** The UNBOUNDED-domain twin of [[quantiles]]: `approx_percentile`
+    * (Greenwald-Khanna, rank error ≤ n/accuracy) — one mergeable sketch
+    * per group, single shuffle of sketch-sized rows, NO per-group window
+    * — so its cost is independent of the value domain's cardinality.
+    * Same output shape as the exact query (per-type p50/p90/p99 cents);
+    * values are approximate, hence no DuckDB oracle — SketchSpec bounds
+    * them against the exact ranks instead. */
+  def quantilesApprox(s: SparkSession, d: String,
+                      accuracy: Int = 10000): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), ExprUtils.cents(col("value")).as("cents"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        percentile_approx(col("cents"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(accuracy)).as("ps"))
+      .select(col("event_type"), col("n"),
+        col("ps").getItem(0).as("p50_cents"),
+        col("ps").getItem(1).as("p90_cents"),
+        col("ps").getItem(2).as("p99_cents"))
 
   /** Sliding-window activity: 10-minute windows every 5 minutes (each
     * event lands in exactly two overlapping windows) — the OVERLAPPING

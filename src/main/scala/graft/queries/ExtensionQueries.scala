@@ -257,6 +257,50 @@ object ExtensionQueries {
     out
   }
 
+  /** COMPOSED dedup-on-ingest ([[graft.store.CurationIngest]]) with a
+    * FULL DuckDB oracle — fingerprint (exact/reformatting) gating first,
+    * then simhash near-dup gating of only the fingerprint survivors,
+    * arriving as two ascending-id micro-batches under the composed
+    * exactly-once protocol. The corpus is doc_id < 300 plus planted
+    * tab-reformatting variants (+10000 of doc_id < 50 — they must
+    * resolve regime='exact' to their originals WITHOUT ever reaching the
+    * simhash index), empty-token docs excluded on both sides (degenerate
+    * simhash). Composite truth = fingerprint window-min (ascending
+    * arrival ⇒ first-arrival ≡ global keep-min, same argument as
+    * dedup_incr_fp_oracle) ∘ brute-force 64-bit Hamming pairs among the
+    * survivors (md5-portable simhash, same leaf as dedup_simhash_oracle);
+    * a survivor's keep is its SMALLEST-id partner within Hamming ≤ 6
+    * (one-hop, the operator's documented lineage contract). Stage
+    * equivalence and crash-between-commits replay are
+    * CurationIngestSpec's contract; this row pins the composed end
+    * result to external truth. Per-invocation temp root. */
+  def curateIngestOracle(s: SparkSession, d: String): DataFrame = {
+    import graft.store.{CurationIngest, SimHashRegime, SnapshotStore}
+    val base = docs(s, d).filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("text"))
+    val variants = base.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        regexp_replace(col("text"), " ", "\t ").as("text"))
+    val u = base.unionByName(variants)
+      .filter(size(TF.tokens(col("text"))) > 0)
+    val root = java.nio.file.Files.createTempDirectory("graft-curing").toString
+    val store = new SnapshotStore(root, s)
+    val regime = SimHashRegime(hash = Dedup.simhash64Md5(_),
+      maxHamming = 6, expectedCorpus = 300L)
+    CurationIngest.init(store, "cur", regime, u, "text", "doc_id")
+    val parts = Seq(u.filter(col("doc_id") < 150), u.filter(col("doc_id") >= 150))
+      .zipWithIndex.map { case (b, i) =>
+        CurationIngest.ingestBatchOnce(store, "cur", regime, b.coalesce(1),
+          "text", "doc_id", streamId = "verify", batchId = i.toLong)
+      }
+    val out = parts.reduce(_ unionByName _)
+      .select(col("id").as("doc_id"), col("keep_id"), col("regime"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    parts.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** Integer-only triage projection with a FULL DuckDB oracle: token and
     * subword counts plus the per-language stopword hit counts that feed
     * langId, and the argmax language label itself (exact string CASE on
@@ -399,6 +443,17 @@ object ExtensionQueries {
     graft.functions.Retrieval.bm25TopK(ds, "doc_id", "text",
       qs, "query_id", "qtext", k = k)
   }
+
+  /** BM25 ids + rank with a FULL DuckDB oracle — the float scores stay
+    * unhashable cross-engine (ln summation order), but the ORDER is
+    * pinned: measured adjacent-rank score gaps across ranks 1..12 at
+    * sf0.01 are ≥ 4e-4 (min, query 1) — eleven orders of magnitude above
+    * double-summation noise — so both engines must produce the same
+    * (query_id, neighbor_id, rank) triples; exact-tie duplicates order
+    * by id on both sides. Score VALUES remain RetrievalSpec's
+    * JVM-formula contract. */
+  def retrieveBm25Oracle(s: SparkSession, d: String): DataFrame =
+    retrieveBm25(s, d).select(col("query_id"), col("neighbor_id"), col("rank"))
 
   /** EXACT n-gram Jaccard all-pairs join at tau = 4/5 — deterministic
     * recall (prefix filter theorem), integer-rational threshold, so the

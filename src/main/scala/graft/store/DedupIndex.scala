@@ -130,6 +130,9 @@ object DedupIndex {
     * one member in the batch (corpus-internal pairs were returned by the
     * appends that introduced them). EAGER like nearDuplicatePairs: the
     * result is persisted and materialized; unpersist it when done.
+    * Consume-before-vacuum: the frame's lineage reads the pre-append
+    * snapshot dirs — materialize it before vacuumIndex/compaction can
+    * drop them, or cache eviction makes recomputation FileNotFound.
     *
     * NOT idempotent — a retried call double-appends the batch (and then
     * pairs it against its own first copy). Use [[appendBatchOnce]] from
@@ -137,9 +140,11 @@ object DedupIndex {
   def appendBatch(store: SnapshotStore, table: String, batch: DataFrame,
                   textCol: String, idCol: String,
                   threshold: Double = 0.5, maxBucketSize: Int = 1000,
-                  compactEvery: Int = 8): DataFrame =
+                  compactEvery: Int = 8,
+                  broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit)
+      : DataFrame =
     appendInternal(store, table, batch, textCol, idCol, threshold,
-      maxBucketSize, compactEvery, None).get
+      maxBucketSize, compactEvery, None, broadcastKeyLimit).get
 
   /** [[appendBatch]] with the exactly-once batch-id watermark discipline
     * (same as VectorIndex.appendBatchOnce / Mutations.appendBatchOnce):
@@ -150,15 +155,19 @@ object DedupIndex {
                       textCol: String, idCol: String,
                       streamId: String, batchId: Long,
                       threshold: Double = 0.5, maxBucketSize: Int = 1000,
-                      compactEvery: Int = 8): Option[DataFrame] =
+                      compactEvery: Int = 8,
+                      broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit)
+      : Option[DataFrame] =
     appendInternal(store, table, batch, textCol, idCol, threshold,
-      maxBucketSize, compactEvery, Some((streamId, batchId)))
+      maxBucketSize, compactEvery, Some((streamId, batchId)),
+      broadcastKeyLimit)
 
   private def appendInternal(store: SnapshotStore, table: String,
                              batch: DataFrame, textCol: String, idCol: String,
                              threshold: Double, maxBucketSize: Int,
                              compactEvery: Int,
-                             onceKey: Option[(String, Long)])
+                             onceKey: Option[(String, Long)],
+                             broadcastKeyLimit: Long)
       : Option[DataFrame] = {
     var result: Option[DataFrame] = None
     var enc: DataFrame = null
@@ -186,7 +195,8 @@ object DedupIndex {
         enc = encode(batch, textCol, idCol, shingleN, k, bands)
           .persist(StorageLevel.MEMORY_AND_DISK) // batch-sized, read 4×
         result = Some(pairsVsIndex(
-          chain.load(store, table, v, meta), enc, threshold, maxBucketSize))
+          chain.load(store, table, v, meta), enc, threshold, maxBucketSize,
+          broadcastKeyLimit))
         Right(chain.next(store, table, v, meta, enc, compactEvery,
           watermark.map { case (key, bid) => Map(key -> bid.toString) }
             .getOrElse(Map.empty)))
@@ -199,28 +209,92 @@ object DedupIndex {
     result
   }
 
+  private def keysOf(enc: DataFrame): DataFrame =
+    enc.select(col("id"), explode(col("bks")).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
+        col("id"))
+
   /** Near-dup pairs of `batchEnc` against `idx` ∪ itself — the same
     * candidate shape as nearDuplicatePairs, with the corpus side entering
-    * through a broadcast bucket filter instead of a full re-band. */
+    * through a size-gated broadcast bucket filter instead of a full
+    * re-band. */
   private def pairsVsIndex(idx: DataFrame, batchEnc: DataFrame,
-                           threshold: Double, maxBucketSize: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def keysOf(enc: DataFrame): DataFrame =
-      enc.select(col("id"), explode(col("bks")).as("bk"))
-        .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
-          col("id"))
+                           threshold: Double, maxBucketSize: Int,
+                           broadcastKeyLimit: Long): DataFrame = {
     val bKeys = keysOf(batchEnc)
     // The batch's bucket set (batch-sized) broadcasts into the corpus
-    // keys scan: index rows stream through the semi-join — no shuffle —
-    // and only members of batch-touched buckets survive.
+    // keys scan below the gate: index rows stream through the semi-join
+    // — no shuffle — and only members of batch-touched buckets survive.
     val bBuckets = bKeys.select(col("band"), col("bucket")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nBuckets = bBuckets.count() // sizes the gate + warms the filter
     val cKeys = keysOf(idx)
-      .join(broadcast(bBuckets), Seq("band", "bucket"), "left_semi")
+      .join(BroadcastGate(bBuckets, nBuckets, broadcastKeyLimit),
+        Seq("band", "bucket"), "left_semi")
+    val out = pairsAmong(cKeys.unionByName(bKeys),
+      idx.select(col("id"), col("h_arr"))
+        .unionByName(batchEnc.select(col("id"), col("h_arr"))),
+      batchEnc.select(col("id")), nBuckets,
+      threshold, maxBucketSize, broadcastKeyLimit)
+    bBuckets.unpersist(blocking = false)
+    out
+  }
 
+  /** READ-ONLY recovery twin of [[appendBatchOnce]]'s pair result: the
+    * pairs touching `ids` recomputed from the COMMITTED index alone —
+    * for replaying a batch whose append already committed (its band keys
+    * and shingle hashes are read back from the index rather than
+    * re-derived from text). Reproduces the original append's pair set
+    * exactly (same touched-bucket membership and id-ordered cap, same
+    * stored-hash jaccard) PROVIDED no later batch was appended in
+    * between — guaranteed under the sequential-batchId streaming
+    * discipline. `threshold`/`maxBucketSize` must match the original
+    * call (they are per-call, not committed metadata). EAGER like the
+    * append result. */
+  def pairsForCommitted(store: SnapshotStore, table: String, ids: DataFrame,
+                        threshold: Double = 0.5, maxBucketSize: Int = 1000,
+                        broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit)
+      : DataFrame = {
+    val v = store.currentVersion(table)
+    val meta = store.metaForVersion(table, v)
+    val idx = chain.load(store, table, v, meta)
+    val idRows = ids.select(col("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nIds = idRows.count()
+    val batchRows = idx.join(BroadcastGate(idRows, nIds, broadcastKeyLimit),
+      Seq("id"), "left_semi")
+    val bBuckets = keysOf(batchRows).select(col("band"), col("bucket"))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val nBuckets = bBuckets.count()
+    // Batch rows are ALREADY in idx — membership and signatures both
+    // come from the committed columns, no union.
+    val allKeys = keysOf(idx)
+      .join(BroadcastGate(bBuckets, nBuckets, broadcastKeyLimit),
+        Seq("band", "bucket"), "left_semi")
+    val out = pairsAmong(allKeys, idx.select(col("id"), col("h_arr")),
+      idRows, nIds, threshold, maxBucketSize, broadcastKeyLimit)
+    bBuckets.unpersist(blocking = false)
+    idRows.unpersist(blocking = false)
+    out
+  }
+
+  /** Candidate generation + exact verify over the touched-bucket
+    * membership `allKeys` (band, bucket, id), restricted to pairs
+    * touching `newIds`, with shingle-hash signatures looked up in
+    * `sigSource` (id, h_arr). Shared by the append path (membership and
+    * signatures = corpus ∪ batch) and the replay-recovery path (both
+    * read back from the committed index). */
+  private def pairsAmong(allKeys: DataFrame, sigSource: DataFrame,
+                         newIds: DataFrame, nIds: Long,
+                         threshold: Double, maxBucketSize: Int,
+                         broadcastKeyLimit: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def gate(df: DataFrame): DataFrame =
+      BroadcastGate(df, nIds, broadcastKeyLimit)
     // Union membership of every touched bucket, capped in id order —
     // bit-identical semantics to the batch path over the union corpus.
     val w = Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))
-    val allCand = cKeys.unionByName(bKeys)
+    val allCand = allKeys
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= maxBucketSize + 1)
       .groupBy(col("band"), col("bucket"))
@@ -233,11 +307,10 @@ object DedupIndex {
     // Keep only pairs touching the batch: corpus-corpus pairs inside a
     // touched bucket were emitted by the append that introduced their
     // younger member.
-    val newIds = batchEnc.select(col("id"))
     val candidates = allCand
-      .join(broadcast(newIds.select(col("id").as("id_a"), lit(1).as("na"))),
+      .join(gate(newIds.select(col("id").as("id_a"), lit(1).as("na"))),
         Seq("id_a"), "left")
-      .join(broadcast(newIds.select(col("id").as("id_b"), lit(1).as("nb"))),
+      .join(gate(newIds.select(col("id").as("id_b"), lit(1).as("nb"))),
         Seq("id_b"), "left")
       .filter(col("na").isNotNull || col("nb").isNotNull)
       .select(col("id_a"), col("id_b"))
@@ -249,8 +322,7 @@ object DedupIndex {
     // path's candidate semi-join).
     val candIds = candidates.select(col("id_a").as("id"))
       .union(candidates.select(col("id_b").as("id"))).distinct()
-    val sigs = idx.select(col("id"), col("h_arr"))
-      .unionByName(batchEnc.select(col("id"), col("h_arr")))
+    val sigs = sigSource
       .join(candIds, Seq("id"), "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)
 

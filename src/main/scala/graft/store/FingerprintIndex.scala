@@ -28,7 +28,9 @@ import graft.functions.TextFunctions
   * Scale shape of one append (batch b against corpus N):
   *  - encode: one xxhash64 over the batch tokens — O(b), no corpus CPU;
   *  - collision probe: the batch's fingerprint set (distinct, b-sized)
-  *    BROADCASTS into the index (fp, id) scan — index rows stream
+  *    BROADCASTS (size-gated, [[BroadcastGate]] — a backfill-sized batch
+  *    falls back to a plain join and AQE picks the side) into the index
+  *    (fp, id) scan — index rows stream
   *    through the hash join, no corpus shuffle; only colliding rows
   *    (≤ b) come back;
   *  - commit: the batch's new-survivor rows as an O(b) [[DeltaChain]]
@@ -68,6 +70,49 @@ object FingerprintIndex {
     chain.load(store, table, v, store.metaForVersion(table, v))
   }
 
+  /** READ-ONLY dedup resolution of `batch` against the live index and
+    * itself — exactly what [[appendBatchOnce]] would return, computed
+    * without committing anything: (id, keep_id, is_new) with keep_id the
+    * index owner of the content if indexed, else the batch keep-min.
+    *
+    * Two uses: a dry-run "what would this batch dedup to" probe, and
+    * REPLAY RECOVERY — after a batch's append has committed, resolving
+    * the same batch reproduces the original append's return frame
+    * exactly (every batch fingerprint is now indexed and its owner is
+    * the keep the append assigned), PROVIDED no later batch was appended
+    * in between — guaranteed under the sequential-batchId streaming
+    * discipline appendBatchOnce is built for. NOT eager (plain lazy
+    * frame — persist it yourself if read more than once). */
+  def resolve(store: SnapshotStore, table: String, batch: DataFrame,
+              textCol: String, idCol: String,
+              broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit)
+      : DataFrame = {
+    val enc = encode(batch, textCol, idCol)
+    resolveAgainst(load(store, table), enc,
+      enc.select(col("fp")).distinct().count(), broadcastKeyLimit)
+  }
+
+  /** The shared dedup-resolution plan: batch-internal keep-min per
+    * fingerprint, index owners fetched through a size-gated broadcast
+    * collision probe (the corpus side never shuffles below the gate),
+    * keep = indexed owner else batch keep-min. `nKeys` = the batch's
+    * distinct-fingerprint count, driving [[BroadcastGate]]. */
+  private def resolveAgainst(idx: DataFrame, enc: DataFrame, nKeys: Long,
+                             broadcastKeyLimit: Long): DataFrame = {
+    def gate(df: DataFrame): DataFrame =
+      BroadcastGate(df, nKeys, broadcastKeyLimit)
+    val batchKeep = enc.groupBy(col("fp")).agg(min(col("id")).as("batch_keep"))
+    val owners = idx
+      .join(gate(batchKeep.select(col("fp"))), Seq("fp"), "left_semi")
+      .select(col("fp"), col("id").as("owner_id"))
+    enc
+      .join(gate(batchKeep), Seq("fp"))
+      .join(gate(owners), Seq("fp"), "left")
+      .select(col("id"),
+        coalesce(col("owner_id"), col("batch_keep")).as("keep_id"))
+      .withColumn("is_new", col("id") === col("keep_id"))
+  }
+
   /** Dedup `batch` against the indexed corpus and itself, append the new
     * survivors, and return one row per batch document:
     * {{{ (id, keep_id, is_new) }}}
@@ -75,11 +120,19 @@ object FingerprintIndex {
     * (itself iff is_new) — the lineage a curation pipeline records for
     * every dropped duplicate. EAGER: persisted + materialized before the
     * commit; unpersist when done. Exactly-once via (streamId, batchId):
-    * a replayed batch returns None. */
+    * a replayed batch returns None.
+    *
+    * Consume-before-vacuum: the returned frame's LINEAGE reads the
+    * pre-append snapshot dirs, so if cached blocks are evicted AFTER
+    * `vacuumIndex`/compaction has dropped those dirs, recomputation
+    * fails (FileNotFound). Materialize (write/collect/checkpoint) the
+    * result before vacuuming the table. */
   def appendBatchOnce(store: SnapshotStore, table: String, batch: DataFrame,
                       textCol: String, idCol: String,
                       streamId: String, batchId: Long,
-                      compactEvery: Int = 8): Option[DataFrame] = {
+                      compactEvery: Int = 8,
+                      broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit)
+      : Option[DataFrame] = {
     var result: Option[DataFrame] = None
     var enc: DataFrame = null
     store.transactWith[Unit](table, sortKey = Some("fp")) { _ =>
@@ -93,22 +146,14 @@ object FingerprintIndex {
       if (batchId <= meta.get(key).map(_.toLong).getOrElse(-1L)) Left(())
       else {
         enc = encode(batch, textCol, idCol)
-          .persist(StorageLevel.MEMORY_AND_DISK) // batch-sized, read 3×
-        // Batch-internal keep-min per fingerprint.
-        val batchKeep = enc.groupBy(col("fp")).agg(min(col("id")).as("batch_keep"))
-        // Collision probe: batch fp set broadcasts into the index scan —
-        // the corpus side never shuffles; owners of already-seen content
-        // (≤ batch-sized) come back.
-        val owners = load(store, table)
-          .join(broadcast(batchKeep.select(col("fp"))), Seq("fp"), "left_semi")
-          .select(col("fp"), col("id").as("owner_id"))
-        val resolved = enc
-          .join(broadcast(batchKeep), Seq("fp"))
-          .join(broadcast(owners), Seq("fp"), "left")
-          .select(col("id"),
-            coalesce(col("owner_id"), col("batch_keep")).as("keep_id"))
-          .withColumn("is_new", col("id") === col("keep_id"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .persist(StorageLevel.MEMORY_AND_DISK) // batch-sized, read 4×
+        // Collision probe + keep resolution (size-gated broadcasts —
+        // the corpus side never shuffles below the gate); the count here
+        // both sizes the gate and warms the enc cache.
+        val nKeys = enc.select(col("fp")).distinct().count()
+        val resolved =
+          resolveAgainst(load(store, table), enc, nKeys, broadcastKeyLimit)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         resolved.count()
         result = Some(resolved)
         val newSurvivors = enc

@@ -74,11 +74,18 @@ object SimHashIndex {
     * encodings as an O(batch) delta. Returns the new pairs —
     * (id_a, id_b, hamming ≤ committed maxHamming) with at least one
     * member in the batch — EAGER (persisted + materialized; unpersist
-    * when done), or None for a replayed (streamId, batchId). */
+    * when done), or None for a replayed (streamId, batchId).
+    *
+    * Consume-before-vacuum: the pair frame's lineage reads the
+    * pre-append snapshot dirs; cache eviction after a vacuum/compaction
+    * that dropped them makes recomputation fail. Materialize the result
+    * before vacuuming (same contract as FingerprintIndex). */
   def appendBatchOnce(store: SnapshotStore, table: String,
                       batchHashed: DataFrame,
                       streamId: String, batchId: Long,
-                      compactEvery: Int = 8): Option[DataFrame] = {
+                      compactEvery: Int = 8,
+                      broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit)
+      : Option[DataFrame] = {
     var result: Option[DataFrame] = None
     var enc: DataFrame = null
     store.transactWith[Unit](table, sortKey = Some("id")) { _ =>
@@ -99,7 +106,8 @@ object SimHashIndex {
         enc = encode(batchHashed, nBlocks, maxHamming)
           .persist(StorageLevel.MEMORY_AND_DISK) // batch-sized, read 3×
         result = Some(pairsVsIndex(
-          chain.load(store, table, v, meta), enc, maxHamming, maxBucketSize))
+          chain.load(store, table, v, meta), enc, maxHamming, maxBucketSize,
+          broadcastKeyLimit))
         Right(chain.next(store, table, v, meta, enc, compactEvery,
           Map(key -> batchId.toString)))
       }
@@ -108,25 +116,83 @@ object SimHashIndex {
     result
   }
 
+  private def keysOf(e: DataFrame): DataFrame =
+    e.select(col("id"), col("sh64"), explode(col("bks")).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
+        col("id"), col("sh64"))
+
   /** Pairs of `batchEnc` against `idx` ∪ itself — the batch path's
-    * single-shuffle shape with the corpus entering through a broadcast
-    * bucket filter. The hash rides with the key rows, so verification
-    * (HammingPairs popcount) happens in-bucket with no extra corpus
-    * scan. */
+    * single-shuffle shape with the corpus entering through a size-gated
+    * broadcast bucket filter. The hash rides with the key rows, so
+    * verification (HammingPairs popcount) happens in-bucket with no
+    * extra corpus scan. */
   private def pairsVsIndex(idx: DataFrame, batchEnc: DataFrame,
-                           maxHamming: Int, maxBucketSize: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def keysOf(e: DataFrame): DataFrame =
-      e.select(col("id"), col("sh64"), explode(col("bks")).as("bk"))
-        .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
-          col("id"), col("sh64"))
+                           maxHamming: Int, maxBucketSize: Int,
+                           broadcastKeyLimit: Long): DataFrame = {
     val bKeys = keysOf(batchEnc)
     val bBuckets = bKeys.select(col("band"), col("bucket")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nBuckets = bBuckets.count() // sizes the gate + warms the filter
     val cKeys = keysOf(idx)
-      .join(broadcast(bBuckets), Seq("band", "bucket"), "left_semi")
+      .join(BroadcastGate(bBuckets, nBuckets, broadcastKeyLimit),
+        Seq("band", "bucket"), "left_semi")
+    val out = pairsAmong(cKeys.unionByName(bKeys), batchEnc.select(col("id")),
+      nBuckets, maxHamming, maxBucketSize, broadcastKeyLimit)
+    bBuckets.unpersist(blocking = false)
+    out
+  }
 
+  /** READ-ONLY recovery twin of [[appendBatchOnce]]'s pair result: the
+    * pairs touching `ids` recomputed from the COMMITTED index alone —
+    * for replaying a batch whose append already committed (the batch's
+    * rows are in the index, so its bucket keys and hashes are read back
+    * rather than re-unioned). Reproduces the original append's pair set
+    * exactly (same touched-bucket membership, same id-ordered cap)
+    * PROVIDED no later batch was appended in between — the
+    * sequential-batchId streaming discipline guarantees that. EAGER like
+    * the append result. */
+  def pairsForCommitted(store: SnapshotStore, table: String, ids: DataFrame,
+                        broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit)
+      : DataFrame = {
+    val v = store.currentVersion(table)
+    val meta = store.metaForVersion(table, v)
+    val maxHamming = meta(s"${P}maxHamming").toInt
+    val maxBucketSize = meta(s"${P}maxBucketSize").toInt
+    val idx = chain.load(store, table, v, meta)
+    val idRows = ids.select(col("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nIds = idRows.count()
+    val batchRows = idx.join(BroadcastGate(idRows, nIds, broadcastKeyLimit),
+      Seq("id"), "left_semi")
+    val bBuckets = keysOf(batchRows).select(col("band"), col("bucket"))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val nBuckets = bBuckets.count()
+    // Batch rows are ALREADY in idx — touched-bucket membership comes
+    // from one pass over the committed keys, no union.
+    val allKeys = keysOf(idx)
+      .join(BroadcastGate(bBuckets, nBuckets, broadcastKeyLimit),
+        Seq("band", "bucket"), "left_semi")
+    val out = pairsAmong(allKeys, idRows, nIds, maxHamming, maxBucketSize,
+      broadcastKeyLimit)
+    bBuckets.unpersist(blocking = false)
+    idRows.unpersist(blocking = false)
+    out
+  }
+
+  /** In-bucket pair generation over the touched-bucket membership
+    * `allKeys` (band, bucket, id, sh64), restricted to pairs touching
+    * `newIds`: id-ordered cap, HammingPairs popcount verification, pair
+    * dedup across buckets. Shared by the append path (membership =
+    * corpus-semi-join ∪ batch keys) and the replay-recovery path
+    * (membership read back from the committed index). */
+  private def pairsAmong(allKeys: DataFrame, newIds: DataFrame, nIds: Long,
+                         maxHamming: Int, maxBucketSize: Int,
+                         broadcastKeyLimit: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def gate(df: DataFrame): DataFrame =
+      BroadcastGate(df, nIds, broadcastKeyLimit)
     val w = Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))
-    val allPairs = cKeys.unionByName(bKeys)
+    val allPairs = allKeys
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= maxBucketSize + 1)
       .groupBy(col("band"), col("bucket"))
@@ -139,11 +205,10 @@ object SimHashIndex {
 
     // Keep only pairs touching the batch (corpus-internal pairs were
     // emitted by the append that introduced their younger member).
-    val newIds = batchEnc.select(col("id"))
     val verified = allPairs
-      .join(broadcast(newIds.select(col("id").as("id_a"), lit(1).as("na"))),
+      .join(gate(newIds.select(col("id").as("id_a"), lit(1).as("na"))),
         Seq("id_a"), "left")
-      .join(broadcast(newIds.select(col("id").as("id_b"), lit(1).as("nb"))),
+      .join(gate(newIds.select(col("id").as("id_b"), lit(1).as("nb"))),
         Seq("id_b"), "left")
       .filter(col("na").isNotNull || col("nb").isNotNull)
       .select(col("id_a"), col("id_b"), col("hamming"))

@@ -1,0 +1,235 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, TextFunctions}
+import graft.store.{CurationIngest, FingerprintIndex, MinHashRegime,
+  NearDupRegime, SimHashRegime, SnapshotStore}
+
+/** The composed dedup-on-ingest operator: its lineage must equal the
+  * manual composition of the batch-mode stages (fingerprint keep-min ∘
+  * near-dup pairs of the survivors), under BOTH near-dup regimes and any
+  * ascending-id batching; a crash between the two index commits must be
+  * fully repaired by replaying the batch; a full replay must be a
+  * read-only no-op returning the identical frame. */
+class CurationIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** ids 0..39: base docs, each 12 distinct tokens — near-dup radius
+    * friends at 50+i (i<8): same text with ONE token changed (small
+    * Hamming / high Jaccard). 100+i (i<6): tab-reformatted copies of i
+    * (exact regime, must never reach the near-dup stage). 200/201:
+    * verbatim copies of 0 and 150. 150: unique. 300/301: whitespace-only
+    * docs (both fold to one fingerprint; the survivor skips simhash). */
+  private def corpus: Seq[(Long, String)] = {
+    def base(i: Int) = s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i " +
+      s"eta$i theta$i iota$i kappa$i lambda$i mu$i"
+    val b = (0 until 40).map(i => i.toLong -> base(i))
+    val near = (0 until 8).map(i => (50 + i).toLong ->
+      base(i).replace(s"mu$i", "omega"))
+    val reform = (0 until 6).map(i => (100 + i).toLong ->
+      ("\t" + base(i).replace(" ", "  \t") + " \n"))
+    val copies = Seq(200L -> base(0), 201L -> "solo unique content here")
+    val uniq = Seq(150L -> "solo unique content here")
+    val blank = Seq(300L -> "   \t  ", 301L -> " ")
+    b ++ near ++ reform ++ uniq ++ copies ++ blank
+  }
+
+  private def docsDF: DataFrame = corpus.toDF("doc_id", "text").repartition(4)
+
+  /** The expected lineage, composed MANUALLY from the batch operators:
+    * per-doc fingerprint window-min, then near pairs among the survivors
+    * (regime-appropriate batch pair generator), near keep = min smaller
+    * partner. */
+  private def expected(regime: NearDupRegime): Map[Long, (Long, String)] = {
+    val fp = docsDF.select(col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+      .as[(Long, Long)].collect()
+    val keepOfFp = fp.groupBy(_._2).map { case (f, xs) => f -> xs.map(_._1).min }
+    val fpKeep = fp.map { case (id, f) => id -> keepOfFp(f) }.toMap
+    val survivors = fpKeep.collect { case (id, k) if id == k => id }.toSet
+    val survDocs = docsDF.filter(col("doc_id").isin(survivors.toSeq: _*))
+    val pairs: Seq[(Long, Long)] = (regime match {
+      case r: SimHashRegime =>
+        Dedup.simhashPairsFromHashes(
+          survDocs.filter(size(TextFunctions.tokens(col("text"))) > 0)
+            .select(col("doc_id").as("id"), r.hash(col("text")).as("sh64")),
+          r.maxHamming, r.maxBucketSize)
+      case r: MinHashRegime =>
+        Dedup.nearDuplicatePairs(survDocs, "text", "doc_id",
+          r.shingleN, r.k, r.bands, r.threshold, r.maxBucketSize)
+    }).select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSeq
+    val nearKeep = pairs.groupBy(_._2).map { case (b, xs) => b -> xs.map(_._1).min }
+    corpus.map(_._1).map { id =>
+      if (fpKeep(id) != id) id -> (fpKeep(id), "exact")
+      else nearKeep.get(id) match {
+        case Some(k) => id -> (k, "near")
+        case None    => id -> (id, "new")
+      }
+    }.toMap
+  }
+
+  private def freshStore(regime: NearDupRegime): (SnapshotStore, String) = {
+    val root = Files.createTempDirectory("graft-curing").toString
+    val store = new SnapshotStore(root, spark)
+    CurationIngest.init(store, "cur", regime, docsDF, "text", "doc_id")
+    (store, "cur")
+  }
+
+  private def ingestAll(store: SnapshotStore, prefix: String,
+                        regime: NearDupRegime,
+                        splits: Seq[Long => Boolean]): Map[Long, (Long, String)] = {
+    val out = splits.zipWithIndex.flatMap { case (p, i) =>
+      val f = udf(p)
+      val lin = CurationIngest.ingestBatchOnce(store, prefix, regime,
+        docsDF.filter(f(col("doc_id"))), "text", "doc_id", "s", i.toLong)
+      val rows = lin.as[(Long, Long, String)].collect()
+      lin.unpersist(blocking = false)
+      rows
+    }
+    out.map { case (id, k, r) => id -> (k, r) }.toMap
+  }
+
+  // maxHamming 20: a one-token edit of a 12-token doc lands at Hamming
+  // ~3-13 (each boundary-sum bit flips with p≈0.1), while unrelated
+  // docs sit at 32±4 — 20 separates the two populations with margin.
+  private val regimes: Seq[(String, NearDupRegime)] = Seq(
+    "simhash" -> SimHashRegime(maxHamming = 20, expectedCorpus = 100L),
+    "minhash" -> MinHashRegime(threshold = 0.5))
+
+  test("composed lineage ≡ manual stage composition, both regimes, any ascending batching") {
+    for ((label, regime) <- regimes) {
+      val want = expected(regime)
+      // the corpus must actually exercise all three regimes
+      assert(want.values.count(_._2 == "exact") >= 7, s"$label: no exact rows")
+      assert(want.values.count(_._2 == "near") >= 4, s"$label: no near rows")
+      assert(want.values.count(_._2 == "new") >= 30, s"$label: no new rows")
+      // reformatting copies fold to their originals without touching simhash
+      for (i <- 0 until 6) assert(want(100L + i) == (i.toLong, "exact"), label)
+      for (splits <- Seq(
+        Seq[Long => Boolean](_ < 120, _ >= 120),
+        Seq[Long => Boolean](_ < 55, id => id >= 55 && id < 200, _ >= 200))) {
+        val (store, t) = freshStore(regime)
+        val got = ingestAll(store, t, regime, splits)
+        assert(got == want, s"$label lineage diverged for ${splits.length} batches")
+      }
+    }
+  }
+
+  test("crash between the two commits is repaired by replay") {
+    val regime = regimes.head._2
+    val want = expected(regime)
+    val (store, t) = freshStore(regime)
+    val b0 = docsDF.filter(col("doc_id") < 120)
+    val b1 = docsDF.filter(col("doc_id") >= 120)
+    val l0 = CurationIngest.ingestBatchOnce(store, t, regime, b0,
+      "text", "doc_id", "s", 0L)
+    // Simulate the crash window: batch 1's FINGERPRINT append commits
+    // (same streamId/batchId the composed call will use), then the
+    // process "dies" before the near-dup append.
+    val crashed = FingerprintIndex.appendBatchOnce(store,
+      CurationIngest.fpTable(t), b1, "text", "doc_id", "s", 1L)
+    assert(crashed.isDefined, "setup: the fp stage must have committed")
+    crashed.foreach(_.unpersist(blocking = false))
+    // Replay of the full composed ingest: fp stage recovers read-only,
+    // nd stage appends live; the union lineage must equal the clean run.
+    val l1 = CurationIngest.ingestBatchOnce(store, t, regime, b1,
+      "text", "doc_id", "s", 1L)
+    val got = (l0.as[(Long, Long, String)].collect() ++
+      l1.as[(Long, Long, String)].collect())
+      .map { case (id, k, r) => id -> (k, r) }.toMap
+    assert(got == want, "crash-repaired lineage diverged from the clean run")
+    l0.unpersist(blocking = false); l1.unpersist(blocking = false)
+  }
+
+  test("full replay is a read-only no-op returning the identical frame") {
+    val regime = regimes.head._2
+    val (store, t) = freshStore(regime)
+    val b0 = docsDF.filter(col("doc_id") < 120)
+    val l0 = CurationIngest.ingestBatchOnce(store, t, regime, b0,
+      "text", "doc_id", "s", 0L)
+    val fpV = store.currentVersion(CurationIngest.fpTable(t))
+    val ndV = store.currentVersion(CurationIngest.ndTable(t))
+    val l0r = CurationIngest.ingestBatchOnce(store, t, regime, b0,
+      "text", "doc_id", "s", 0L)
+    assert(store.currentVersion(CurationIngest.fpTable(t)) == fpV,
+      "replay must not commit to the fingerprint index")
+    assert(store.currentVersion(CurationIngest.ndTable(t)) == ndV,
+      "replay must not commit to the near-dup index")
+    assert(l0.as[(Long, Long, String)].collect().sorted.toSeq ==
+      l0r.as[(Long, Long, String)].collect().sorted.toSeq,
+      "replayed lineage must be identical")
+    l0.unpersist(blocking = false); l0r.unpersist(blocking = false)
+  }
+
+  test("bulk build bootstrap: appends against a built corpus match the all-appends run") {
+    for ((label, regime) <- regimes) {
+      // clean truth: everything via appends
+      val (cleanStore, ct) = freshStore(regime)
+      val clean = ingestAll(cleanStore, ct, regime,
+        Seq[Long => Boolean](_ < 120, _ >= 120))
+      // bootstrap path: batch 0 committed via build (pair-free), then
+      // batch 1 appended — its lineage must match the clean run's
+      val root = Files.createTempDirectory("graft-curb").toString
+      val store = new SnapshotStore(root, spark)
+      CurationIngest.build(store, "cur", regime,
+        docsDF.filter(col("doc_id") < 120), "text", "doc_id")
+      val l1 = CurationIngest.ingestBatchOnce(store, "cur", regime,
+        docsDF.filter(col("doc_id") >= 120), "text", "doc_id", "s", 0L)
+      val got = l1.as[(Long, Long, String)].collect()
+        .map { case (id, k, r) => id -> (k, r) }.toMap
+      assert(got == clean.filter(_._1 >= 120),
+        s"$label: post-build append lineage diverged")
+      l1.unpersist(blocking = false)
+    }
+  }
+
+  test("streaming maintenance delivers the composed lineage exactly once") {
+    val regime = regimes.head._2
+    val want = expected(regime)
+    val (store, t) = freshStore(regime)
+    val inbox = Files.createTempDirectory("graft-curing-inbox").toString
+    // ascending-id micro-batches; path order b0 < b1 matches arrival order
+    docsDF.filter(col("doc_id") < 120).coalesce(1)
+      .write.parquet(s"$inbox/b0.parquet")
+    Thread.sleep(100) // distinct mod-times for the file source's ordering
+    docsDF.filter(col("doc_id") >= 120).coalesce(1)
+      .write.parquet(s"$inbox/b1.parquet")
+    val got = scala.collection.mutable.Map.empty[Long, (Long, String)]
+    val stream = spark.readStream.schema(docsDF.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$inbox/*.parquet")
+    val q = CurationIngest.maintainFromStream(store, t, regime, stream,
+      "text", "doc_id", s"$inbox-ckpt",
+      onLineage = (lin, _) => got.synchronized {
+        got ++= lin.as[(Long, Long, String)].collect()
+          .map { case (id, k, r) => id -> (k, r) }
+      })
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toMap == want, "streamed lineage diverged from the batch truth")
+  }
+
+  test("init is idempotent; empty-doc fold leaves one survivor off the simhash index") {
+    val regime = regimes.head._2
+    val (store, t) = freshStore(regime)
+    CurationIngest.init(store, t, regime, docsDF, "text", "doc_id") // second init: no-op
+    assert(store.currentVersion(CurationIngest.fpTable(t)) == 1L)
+    val lin = CurationIngest.ingestBatchOnce(store, t, regime, docsDF,
+      "text", "doc_id", "s", 0L)
+    val rows = lin.as[(Long, Long, String)].collect()
+      .map { case (id, k, r) => id -> (k, r) }.toMap
+    assert(rows(301L) == (300L, "exact"),
+      "whitespace-only docs share one fingerprint")
+    assert(rows(300L) == (300L, "new"),
+      "the lone blank survivor stays new (excluded from simhash)")
+    // the blank survivor must NOT be in the simhash index
+    val ndIds = graft.store.SimHashIndex.load(store, CurationIngest.ndTable(t))
+      .select(col("id")).as[Long].collect().toSet
+    assert(!ndIds.contains(300L) && !ndIds.contains(301L))
+    lin.unpersist(blocking = false)
+  }
+}

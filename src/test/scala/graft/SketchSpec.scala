@@ -65,6 +65,57 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("quantilesApprox at accuracy ≥ n reproduces the exact rank quantiles") {
+    // GK's rank error is ≤ n/accuracy; with accuracy above the row count
+    // the sketch is lossless, so the twin must agree with the exact
+    // histogram query value-for-value — pinning that both compute the
+    // same percentile_disc semantics before the approximate regime opens
+    // any gap.
+    val exact = EventQueries.quantiles(spark, sfDir)
+      .select(col("event_type"), col("n"), col("p50_cents"),
+        col("p90_cents"), col("p99_cents"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val approx = EventQueries.quantilesApprox(spark, sfDir, accuracy = 2000000)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(approx == exact, "lossless-accuracy sketch diverged from exact")
+  }
+
+  test("high-cardinality domain: the exact histogram degenerates; the GK sketch holds its rank bound") {
+    import spark.implicits._
+    // The regime EventQueries.quantiles' contract EXCLUDES: ~every value
+    // distinct (7919 is coprime to the prime 999983, so 100k ids map to
+    // 100k distinct residues).
+    val n = 100000
+    val df = spark.range(n).select(lit("g").as("event_type"),
+      (col("id") * 7919L % 999983L).as("cents"))
+    val nDistinct = df.select(col("cents")).distinct().count()
+    assert(nDistinct == n, "fixture must be all-distinct")
+    // The histogram "compression" is 1:1 here — the exact plan's grouped
+    // histogram carries one row per input row into the per-group window,
+    // which is the degenerate sort the scaladoc warns about...
+    val hist = df.groupBy(col("event_type"), col("cents")).count()
+    assert(hist.count() == nDistinct)
+    // ...while the sketch path needs no window at all and keeps its
+    // rank guarantee: approx value within the exact values at ranks
+    // ceil(q·n) ∓ 2n/accuracy.
+    val acc = 1000
+    val ps = df.groupBy(col("event_type"))
+      .agg(percentile_approx(col("cents"),
+        array(lit(0.5), lit(0.9)), lit(acc)).as("ps"))
+      .collect()(0).getSeq[Long](1)
+    val sorted = df.select(col("cents")).as[Long].collect().sorted
+    val slack = 2 * n / acc
+    for ((q, v) <- Seq(0.5 -> ps(0), 0.9 -> ps(1))) {
+      val r = math.ceil(q * n).toInt
+      val lo = sorted(math.max(0, r - 1 - slack))
+      val hi = sorted(math.min(n - 1, r - 1 + slack))
+      assert(v >= lo && v <= hi,
+        s"q=$q: approx $v outside exact rank band [$lo, $hi]")
+    }
+  }
+
   test("sliding windows cover each event exactly twice") {
     val n = Tables.events(spark, sfDir).count()
     val windowed = EventQueries.slidingActivity(spark, sfDir)

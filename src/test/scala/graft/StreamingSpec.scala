@@ -96,7 +96,7 @@ class StreamingSpec extends SparkSpec {
       val starts = spark.table("ev_sliding")
         .select(col("window.start").cast("long")).distinct()
         .collect().map(_.getLong(0)).sorted
-      assert(starts.sliding(2).exists { case Array(a, b) => b - a == 300 },
+      assert(starts.zip(starts.drop(1)).exists { case (a, b) => b - a == 300 },
         "no 5-minute-apart window starts — slide did not take effect")
     } finally query.stop()
   }
