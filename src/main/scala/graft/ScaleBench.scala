@@ -111,15 +111,16 @@ object ScaleBench {
     spark.stop()
   }
 
-  /** `filter`: substring over query names — empty runs everything.
-    * Data dependencies are NOT auto-resolved: later benches read state
-    * earlier ones committed (index_query/index_append/index_stream need
-    * index_build's table; embed near-dup variants share the planted
-    * corpus built in this method). A filter that matches a dependent
-    * bench but not its producer fails on the missing table — include the
-    * producer in the substring (e.g. filter "index", not "index_query";
-    * curate_ungated_100k additionally needs dedup_incr_build's
-    * docs_minhash table — filter "" for the curate comparison). */
+  /** `filter`: comma-separated substrings over query names (a bench runs
+    * if ANY matches) — empty runs everything. Data dependencies are NOT
+    * auto-resolved: later benches read state earlier ones committed
+    * (index_query/index_append/index_stream need index_build's table;
+    * embed near-dup variants share the planted corpus built in this
+    * method). A filter that matches a dependent bench but not its
+    * producer fails on the missing table — include the producer (e.g.
+    * "index", not "index_query"; the curate comparison needs
+    * "dedup_incr_build,curate" because curate_ungated_100k appends to
+    * dedup_incr_build's docs_minhash table). */
   /** The curate-flagship crawl batch: 50k fresh docs (ids nDocs+300k…,
     * carrying the corpus recipe's planted ~500 in-batch near-dups and
     * ~100 in-batch exact dups) + 50k exact re-fetches of corpus docs
@@ -142,8 +143,9 @@ object ScaleBench {
     val queries = embs.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
 
+    val filters = filter.split(',').map(_.trim).filter(_.nonEmpty)
     def timed(name: String)(thunk: => Long): Option[(String, Double, Long)] = {
-      if (filter.nonEmpty && !name.contains(filter)) return None
+      if (filters.nonEmpty && !filters.exists(name.contains)) return None
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val rows = thunk
@@ -308,6 +310,44 @@ object ScaleBench {
         import spark.implicits._
         val pairs = DedupIndex.appendBatch(store, "docs_minhash",
           mixedBatch(spark, nDocs), "text", "doc_id")
+        val n = pairs.count()
+        pairs.unpersist(blocking = false)
+        n
+      },
+      // The 500k-batch twins: at 100k the composed gate measured SLOWER
+      // than the ungated append (r9 NOTES: 30.6 vs 24.6 s) — the
+      // per-append corpus floor (one columnar scan of the 5M-row band-key
+      // index) plus the second store commit outweigh halving the
+      // shingling input. Both of those costs are ~batch-size-independent,
+      // while the stage saving is batch-linear, so the gate must win as
+      // batches grow; these twins measure whether 5× batch crosses over.
+      // 250k fresh (ids nDocs+400k…) + 250k re-fetches (+23M offset —
+      // fresh content to both indexes, no cross-pairing with the 100k
+      // twins' ranges).
+      timed("curate_append_500k") {
+        import spark.implicits._
+        val batch = spark.range(nDocs + 400000L, nDocs + 650000L, 1L, 32)
+          .map(id => genDoc(id.toLong)).toDF()
+          .unionByName(spark.range(0L, 250000L, 1L, 32)
+            .map(id => { val d = genDoc(id.toLong); d.copy(doc_id = id + 23000000L) })
+            .toDF())
+        val lineage = CurationIngest.ingestBatchOnce(store, "cur",
+          MinHashRegime(), batch, "text", "doc_id", "bench", 1L)
+        val byRegime = lineage.groupBy(col("regime")).count()
+          .as[(String, Long)].collect().toMap
+        System.err.println(s"[scalebench] curate 500k regimes: $byRegime")
+        lineage.unpersist(blocking = false)
+        byRegime.getOrElse("exact", 0L) + byRegime.getOrElse("near", 0L)
+      },
+      timed("curate_ungated_500k") {
+        import spark.implicits._
+        val batch = spark.range(nDocs + 400000L, nDocs + 650000L, 1L, 32)
+          .map(id => genDoc(id.toLong)).toDF()
+          .unionByName(spark.range(0L, 250000L, 1L, 32)
+            .map(id => { val d = genDoc(id.toLong); d.copy(doc_id = id + 24000000L) })
+            .toDF())
+        val pairs = DedupIndex.appendBatch(store, "docs_minhash",
+          batch, "text", "doc_id")
         val n = pairs.count()
         pairs.unpersist(blocking = false)
         n

@@ -61,6 +61,7 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus.toString))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(s) // the graft_* SQL surface
     s
   }
 }

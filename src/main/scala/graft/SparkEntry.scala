@@ -46,6 +46,16 @@ object SparkEntry {
     "w2_runningsum"  -> (RelationalQueries.w2RunningSum _),
     "w3_topkgroup"   -> (RelationalQueries.w3TopKPerGroup _),
     "sql_joinagg"    -> (RelationalQueries.sqlJoinAgg _),
+    // the graft_* SQL surface (GraftFunctions): the registered native
+    // expressions driven from spark.sql, gated by the same DuckDB oracle
+    // as the Column-API text_stats
+    "sql_textfns"    -> ((s, dir) => {
+      GraftFunctions.register(s) // no-op on Sessions.local sessions
+      Tables.documents(s, dir).createOrReplaceTempView("graft_docs")
+      s.sql("SELECT doc_id, graft_token_count(text) AS n_tokens, " +
+        "graft_digit_count(text) AS n_digits, " +
+        "graft_digit_ratio(text) AS digit_ratio FROM graft_docs")
+    }),
     "u1_union"       -> (RelationalQueries.u1Union _),
     "f7_dategroup"   -> (RelationalQueries.f7DateGroup _),
     "q1_pricing"     -> (RelationalQueries.q1Pricing _),
@@ -64,6 +74,9 @@ object SparkEntry {
     // in the high-cardinality regime the exact query's contract excludes.
     "events_quantiles_approx" -> ((s, d) => EventQueries.quantilesApprox(s, d)),
     "events_sliding"   -> (EventQueries.slidingActivity _),
+    "events_funnel"    -> ((s, d) => EventQueries.funnel(s, d,
+      horizonUs = 7L * 86400L * 1000000L)),
+    "events_retention" -> (EventQueries.retention _),
     // training-data extension ops (text / dedup / similarity)
     "text_stats"          -> (ExtensionQueries.textStats _),
     "text_triage"         -> (ExtensionQueries.textTriage _),
@@ -166,6 +179,10 @@ object SparkEntry {
       "SELECT * FROM (SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk FROM orders) WHERE rk <= 5",
     "sql_joinagg" ->
       "SELECT n_name, count(*) AS n_customers, CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_acctbal FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
+    // sql_textfns drives the graft_* registered functions from spark.sql;
+    // the truth is the same tokenization/digit contract as text_stats.
+    "sql_textfns" ->
+      "SELECT doc_id, CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g')) = 0 THEN 0 ELSE len(string_split_regex(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g'), '[ \\t\\n\\r\\f\\x0B]+')) END AS n_tokens, length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits, CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) END AS digit_ratio FROM documents",
     "u1_union" ->
       "SELECT o_orderkey, 'HI' AS bucket FROM orders WHERE o_totalprice > 200000.0 UNION ALL SELECT o_orderkey, 'LO' AS bucket FROM orders WHERE o_totalprice < 10000.0",
     "f7_dategroup" ->
@@ -206,6 +223,29 @@ object SparkEntry {
         "CAST(sum(cents) AS BIGINT) AS value_cents FROM u GROUP BY 1, 2"),
     "events_typestats" ->
       "SELECT event_type, count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value, min(CAST(round(value * 100) AS BIGINT)) AS min_cents, max(CAST(round(value * 100) AS BIGINT)) AS max_cents FROM events GROUP BY event_type",
+    // Ordered funnel (view → click → purchase, 7-day per-step horizon):
+    // step i's first qualifying event strictly after step i-1's and within
+    // 7 days of it. Chained conditional-min CTEs mirror the Spark chained
+    // window minima; all comparisons on integer µs.
+    "events_funnel" ->
+      ("WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events), " +
+        "s1 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts_us END) AS t0 FROM e GROUP BY user_id), " +
+        "s2 AS (SELECT e.user_id, min(CASE WHEN e.event_type = 'click' AND e.ts_us > s1.t0 AND e.ts_us <= s1.t0 + 604800000000 THEN e.ts_us END) AS t1 " +
+        "FROM e JOIN s1 USING (user_id) GROUP BY e.user_id), " +
+        "s3 AS (SELECT e.user_id, min(CASE WHEN e.event_type = 'purchase' AND e.ts_us > s2.t1 AND e.ts_us <= s2.t1 + 604800000000 THEN e.ts_us END) AS t2 " +
+        "FROM e JOIN s2 USING (user_id) GROUP BY e.user_id) " +
+        "SELECT '1_view' AS step, count(CASE WHEN t0 IS NOT NULL THEN 1 END) AS users FROM s1 " +
+        "UNION ALL SELECT '2_click', count(CASE WHEN t1 IS NOT NULL THEN 1 END) FROM s2 " +
+        "UNION ALL SELECT '3_purchase', count(CASE WHEN t2 IS NOT NULL THEN 1 END) FROM s3"),
+    // Weekly retention triangle. Monday-aligned week index is pure integer
+    // math — (epoch_day - 4) div 7 — identical in both engines (all
+    // operands positive, so floor vs truncate division agree).
+    "events_retention" ->
+      ("WITH e AS (SELECT user_id, ((epoch_ns(ts) // 1000) // 86400000000 - 4) // 7 AS week FROM events), " +
+        "u AS (SELECT DISTINCT user_id, week FROM e), " +
+        "c AS (SELECT user_id, week, min(week) OVER (PARTITION BY user_id) AS cohort_w FROM u) " +
+        "SELECT CAST(DATE '1970-01-05' + CAST(cohort_w * 7 AS INTEGER) AS VARCHAR) AS cohort_week, " +
+        "week - cohort_w AS week_offset, count(*) AS n_users FROM c GROUP BY 1, 2"),
     "text_stats" ->
       "SELECT doc_id, length(text) AS n_chars, CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g')) = 0 THEN 0 ELSE len(string_split_regex(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g'), '[ \\t\\n\\r\\f\\x0B]+')) END AS n_tokens, length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits, CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) END AS digit_ratio FROM documents",
     // Token chunking: chunk i of a doc covers tokens [i·48, i·48+64);

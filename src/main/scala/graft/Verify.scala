@@ -6,9 +6,16 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // Comma-separated substring filter for iterating on a few queries
+    // (the driver's per-round run leaves it unset = everything).
+    val filter = sys.env.getOrElse("SPARK_GRAFT_VERIFY_FILTER", "")
+      .split(',').map(_.trim).filter(_.nonEmpty)
     val spark = Sessions.local(cpus, "graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) =>
+        filter.isEmpty || filter.exists(name.contains) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

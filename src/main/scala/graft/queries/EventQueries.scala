@@ -194,6 +194,91 @@ object EventQueries {
         col("ps").getItem(1).as("p90_cents"),
         col("ps").getItem(2).as("p99_cents"))
 
+  /** Ordered conversion funnel: how many users reached step i of
+    * `steps` IN ORDER (each step's first qualifying event strictly after
+    * the previous step's, and — when `horizonUs` > 0 — within that many
+    * microseconds of the previous step). Returns one row per step:
+    * {{{ (step, users) }}} with users monotonically non-increasing.
+    *
+    * Plan shape: one shuffle. Step timestamps chain as per-user window
+    * minima over the SAME partitioning (user_id, no ordering — unbounded
+    * min needs no sort), so Catalyst plans one Exchange followed by k
+    * chained Window operators; the per-user collapse then reuses that
+    * partitioning (groupBy user_id), and the final step-count aggregate
+    * is k rows. No per-user sort, no driver state — 100 TB of events
+    * funnel with a single keyed shuffle.
+    *
+    * All comparisons run on integer microseconds (`ts_us`) — the
+    * cross-engine-safe representation (see [[graft.Tables.eventsUs]]). */
+  def funnel(s: SparkSession, d: String,
+             steps: Seq[String] = Seq("view", "click", "purchase"),
+             horizonUs: Long = 0L): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val byUser = Window.partitionBy(col("user_id"))
+    val withTs = steps.zipWithIndex.foldLeft(Tables.eventsUs(s, d)) {
+      case (df, (step, i)) =>
+        val hit =
+          if (i == 0) col("event_type") === step
+          else {
+            val afterPrev = col("event_type") === step &&
+              col(s"t${i - 1}").isNotNull &&
+              col("ts_us") > col(s"t${i - 1}")
+            if (horizonUs > 0L)
+              afterPrev && col("ts_us") <= col(s"t${i - 1}") + horizonUs
+            else afterPrev
+          }
+        df.withColumn(s"t$i", min(when(hit, col("ts_us"))).over(byUser))
+    }
+    val tAggs = steps.indices.map(i => max(col(s"t$i")).as(s"t$i"))
+    val perUser = withTs.groupBy(col("user_id"))
+      .agg(tAggs.head, tAggs.tail: _*)
+    val cAggs = steps.indices.map(i =>
+      count(when(col(s"t$i").isNotNull, lit(1))).as(s"c$i"))
+    val counts = perUser.agg(cAggs.head, cAggs.tail: _*)
+    // k step-count columns → k (step, users) rows; `stack` keeps it one
+    // projection over the single aggregate row.
+    val stackArgs = steps.zipWithIndex
+      .map { case (step, i) => s"'${i + 1}_$step', c$i" }
+      .mkString(", ")
+    counts.select(expr(
+      s"stack(${steps.length}, $stackArgs) AS (step, users)"))
+  }
+
+  /** Weekly retention cohorts: users bucketed by the ISO week (Monday
+    * start) of their FIRST event; for every (cohort_week, week_offset),
+    * the number of cohort users active in that later week. The classic
+    * retention triangle — offset 0 is the cohort size.
+    *
+    * Week arithmetic is pure integer math on `ts_us` (µs → epoch day →
+    * Monday-aligned week index `(day - 4) div 7`; epoch day 4 =
+    * Monday 1970-01-05), so both engines bucket identically — no reliance
+    * on engine-specific `date_trunc('week')` edge behavior, and immune to
+    * the ns-vs-µs parquet precision split.
+    *
+    * Plan shape — two shuffles, both small: (1) groupBy user_id with
+    * map-side-combined `min(week)` + `collect_set(week)` — the set is
+    * bounded by CALENDAR weeks (52/user/year), not event count, so the
+    * shuffle carries ~distinct (user, week) pairs, a tiny fraction of
+    * 100 TB of raw events; (2) the cohort × offset aggregate over
+    * exploded per-user week sets — at most |users| × |weeks| rows in,
+    * |weeks|² rows out. A window-based formulation would shuffle FULL
+    * event rows; this one never moves more than the distinct pairs. */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val week = expr("(ts_us div 86400000000 - 4) div 7")
+    Tables.eventsUs(s, d)
+      .select(col("user_id"), week.as("week"))
+      .groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_w"),
+        collect_set(col("week")).as("weeks"))
+      .select(col("cohort_w"), explode(col("weeks")).as("week"))
+      .groupBy(col("cohort_w"), (col("week") - col("cohort_w")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users")) // (user, week) unique post-collect_set
+      .select(
+        date_add(to_date(lit("1970-01-05")), (col("cohort_w") * 7).cast("int"))
+          .cast("string").as("cohort_week"),
+        col("week_offset"), col("n_users"))
+  }
+
   /** Sliding-window activity: 10-minute windows every 5 minutes (each
     * event lands in exactly two overlapping windows) — the OVERLAPPING
     * variant of [[hourlyAgg]]'s tumbling window, same shape Structured
