@@ -271,6 +271,36 @@ object ScaleBench {
         resolved.unpersist(blocking = false)
         dups
       },
+      // Incremental embedding-cosine dedup (EmbedIndex) on the 1M-vector
+      // corpus — the fourth persistent index's flagship pair. Bits are
+      // sized for the 1M corpus (auto formula); threshold 0.999 isolates
+      // the planted near-identical copies (cos ≈ 0.9999) from ordinary
+      // cluster members (cos ≈ 0.986), same argument as the one-shot
+      // dedup_embed_pairs bench above.
+      timed("emb_incr_build") {
+        graft.store.EmbedIndex.build(store, "vecs_embed",
+          embs.select(col("vec_id").as("id"), col("embedding").as("vec")),
+          dim = 64, threshold = 0.999, expectedCorpus = nVecs)
+        nVecs
+      },
+      // 50k fresh vectors (ids nVecs+150k…, carrying ~50 in-batch planted
+      // copies) + 50k exact re-embeds of corpus vectors 0..50k at +20M —
+      // each re-embed must pair with its original THROUGH the index
+      // (identical vector ⇒ identical buckets in every table).
+      timed("emb_incr_append_100k") {
+        import spark.implicits._
+        val batch = spark.range(nVecs + 150000L, nVecs + 200000L, 1L, 16)
+          .map(id => genEmb(id.toLong)).toDF()
+          .unionByName(spark.range(0L, 50000L, 1L, 16)
+            .map(id => { val e = genEmb(id.toLong); e.copy(vec_id = id + 20000000L) })
+            .toDF())
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val pairs = graft.store.EmbedIndex.appendBatchOnce(
+          store, "vecs_embed", batch, "bench", 0L).get
+        val n = pairs.count()
+        pairs.unpersist(blocking = false)
+        n
+      },
       // COMPOSED dedup-on-ingest (CurationIngest): fingerprint gate →
       // minhash gate under one exactly-once protocol. The bootstrap is
       // the pair-free build of both indexes (fp over the corpus, band

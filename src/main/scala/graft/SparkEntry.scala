@@ -103,6 +103,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> (ExtensionQueries.dedupSimhashPairs _),
     "dedup_simhash_oracle" -> (ExtensionQueries.dedupSimhashOracle _),
     "dedup_simhash_incr_oracle" -> (ExtensionQueries.dedupSimhashIncrOracle _),
+    "dedup_embed_incr_oracle" -> (ExtensionQueries.dedupEmbedIncrOracle _),
     "curate_ingest_oracle" -> (ExtensionQueries.curateIngestOracle _),
     "text_triage_oracle"  -> (ExtensionQueries.textTriageOracle _),
     "dedup_embed_pairs"   -> (ExtensionQueries.dedupEmbeddingPairs _),
@@ -430,6 +431,15 @@ object SparkEntry {
         "UNION ALL SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id = 0) " +
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM v a JOIN v b ON a.vec_id < b.vec_id " +
         "WHERE list_inner_product(a.embedding, b.embedding) / " +
+        "(sqrt(list_inner_product(a.embedding, a.embedding)) * sqrt(list_inner_product(b.embedding, b.embedding))) >= 0.99"),
+    // Incremental embed dedup: brute-force cosine truth over corpus ∪
+    // batch, restricted to pairs TOUCHING the batch (b >= 300 suffices:
+    // ids are ordered a < b and every batch id sorts after the corpus).
+    "dedup_embed_incr_oracle" ->
+      ("WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 350 " +
+        "UNION ALL SELECT vec_id + 10300 AS vec_id, embedding FROM embeddings WHERE vec_id = 0) " +
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM v a JOIN v b ON a.vec_id < b.vec_id " +
+        "WHERE b.vec_id >= 300 AND list_inner_product(a.embedding, b.embedding) / " +
         "(sqrt(list_inner_product(a.embedding, a.embedding)) * sqrt(list_inner_product(b.embedding, b.embedding))) >= 0.99"),
     // Full-corpus exact top-10 in double precision (embeddings widened to
     // DOUBLE like Spark's unitVector); adjacent-rank cosine gaps ~2e-4

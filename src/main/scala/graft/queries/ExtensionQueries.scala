@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Dedup, Similarity, TextFunctions => TF}
-import graft.store.{DedupIndex, FingerprintIndex, SimHashIndex, SnapshotStore, VectorIndex}
+import graft.store.{DedupIndex, EmbedIndex, FingerprintIndex, SimHashIndex,
+  SnapshotStore, VectorIndex}
 
 /** Training-data-pipeline queries over `documents` / `embeddings`
   * (builder prompt extension ops). Entries registered in SparkEntry;
@@ -254,6 +255,38 @@ object ExtensionQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     parts.foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** INCREMENTAL embedding-cosine dedup over the persistent
+    * hyperplane-LSH index ([[EmbedIndex]]), pinned to the SAME
+    * brute-force cosine truth as `dedup_embed_oracle`: the vec_id<300
+    * corpus is bulk-built (pair-free), then ONE batch arrives — fresh
+    * rows 300..349 plus the planted near-identical copy of vector 0 at
+    * id 10300 — and the append's pair set must equal every brute-force
+    * pair at cos ≥ 0.99 touching the batch (at this threshold: exactly
+    * the planted copy against its original; the isotropic rest is far
+    * below). Pair ids only (cosine VALUES are float-order-sensitive
+    * across engines; EmbedIndexSpec checks them in-JVM). Per-invocation
+    * temp root — a durable root would double-append on rerun. */
+  def dedupEmbedIncrOracle(s: SparkSession, d: String): DataFrame = {
+    val base = embs(s, d).filter(col("vec_id") < 300)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val batch = embs(s, d)
+      .filter(col("vec_id") >= 300 && col("vec_id") < 350)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .unionByName(embs(s, d).filter(col("vec_id") === 0)
+        .select((col("vec_id") + 10300).as("id"), col("embedding").as("vec")))
+    val root = java.nio.file.Files.createTempDirectory("graft-embincr").toString
+    val store = new SnapshotStore(root, s)
+    EmbedIndex.build(store, "vecs_embed", base, dim = 64, threshold = 0.99,
+      expectedCorpus = 360L)
+    val pairs = EmbedIndex.appendBatchOnce(store, "vecs_embed", batch,
+      streamId = "verify", batchId = 0L).get
+    val out = pairs.select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    pairs.unpersist(blocking = false)
     out
   }
 

@@ -34,6 +34,25 @@ final case class MinHashRegime(
     bands: Int = 16,
     maxBucketSize: Int = 1000) extends NearDupRegime
 
+/** Embedding-cosine gating over a hyperplane-LSH index ([[EmbedIndex]])
+  * — the SEMANTIC near-dup regime (re-worded content token hashes
+  * miss). `embed` maps the text column to an embedding vector; default
+  * is the hashing-trick embedding (self-contained), production passes a
+  * model-computed embedding column through instead. Must be the SAME
+  * function at init and every ingest (the same contract as
+  * [[SimHashRegime]]'s hash). A degenerate all-zero vector (empty text)
+  * produces no pairs — cos is 0 against everything — and the
+  * fingerprint stage has already collapsed empty docs to one survivor. */
+final case class EmbedRegime(
+    embed: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      graft.functions.Featurize.hashEmbedding(_, 64),
+    dim: Int = 64,
+    threshold: Double = 0.95,
+    nTables: Int = 8,
+    expectedCorpus: Long = 5000000L,
+    maxBucketSize: Int = 2000,
+    seed: Long = 42L) extends NearDupRegime
+
 /** Dedup-on-ingest: the composition of the persistent incremental
   * indexes into ONE operator a curation pipeline calls per micro-batch —
   * fingerprint (exact/reformatting) dedup FIRST, then near-dup gating of
@@ -48,11 +67,14 @@ final case class MinHashRegime(
   * automatically halved wall-clock: each near-dup append also pays a
   * ~batch-size-independent floor (one columnar scan of the corpus index)
   * plus this operator's second store commit, so at 100k-doc batches the
-  * composed gate measured slightly SLOWER than the bare near-dup append
-  * (30.6 vs 24.6 s); the floor and commit costs are batch-size-
-  * independent while the stage saving is batch-linear, so larger batches
-  * shift the balance (the 500k flagship twins in ScaleBench/NOTES
-  * measure it). The composition's constant value is semantic:
+  * composed gate measured SLOWER than the bare near-dup append (30.6 vs
+  * 24.6 s, and 37.2 vs 18.8 in a second window) — the floor and commit
+  * dominate. Those costs are batch-size-independent while the stage
+  * saving is batch-linear, so the gate crosses over as batches grow:
+  * at 500k docs the composed path measured 30.6 s vs 52.9 s ungated
+  * (1.7× faster; flagship tables in NOTES). Size micro-batches
+  * accordingly — the gate pays off from a few hundred thousand docs per
+  * batch. The composition's constant value is semantic:
   * re-fetches resolve as O(1) fingerprint hits with "exact" lineage
   * instead of surfacing as tens of thousands of spurious J=1.0 LSH
   * pairs that downstream consumers must re-classify.
@@ -129,6 +151,11 @@ object CurationIngest {
       case r: MinHashRegime =>
         DedupIndex.build(store, ndTable(prefix), empty, textCol, idCol,
           shingleN = r.shingleN, k = r.k, bands = r.bands)
+      case r: EmbedRegime =>
+        EmbedIndex.build(store, ndTable(prefix),
+          empty.select(col(idCol).as("id"), r.embed(col(textCol)).as("vec")),
+          r.dim, r.threshold, r.nTables, r.expectedCorpus, r.maxBucketSize,
+          r.seed)
     }
   }
 
@@ -157,6 +184,11 @@ object CurationIngest {
       case r: MinHashRegime =>
         DedupIndex.build(store, ndTable(prefix), survivors, textCol, idCol,
           shingleN = r.shingleN, k = r.k, bands = r.bands)
+      case r: EmbedRegime =>
+        EmbedIndex.build(store, ndTable(prefix),
+          survivors.select(col(idCol).as("id"), r.embed(col(textCol)).as("vec")),
+          r.dim, r.threshold, r.nTables, r.expectedCorpus, r.maxBucketSize,
+          r.seed)
     }
   }
 
@@ -226,6 +258,13 @@ object CurationIngest {
           .getOrElse(DedupIndex.pairsForCommitted(store, ndT,
             survivors.select(col(idCol).as("id")), r.threshold,
             r.maxBucketSize, broadcastKeyLimit))
+      case r: EmbedRegime =>
+        val vecs = survivors.select(col(idCol).as("id"),
+          r.embed(col(textCol)).as("vec"))
+        EmbedIndex.appendBatchOnce(store, ndT, vecs, streamId, batchId,
+            compactEvery, broadcastKeyLimit)
+          .getOrElse(EmbedIndex.pairsForCommitted(store, ndT,
+            vecs.select(col("id")), broadcastKeyLimit))
     }
 
     // Unified lineage. Near keep = smallest-id partner: pairs come
@@ -260,6 +299,7 @@ object CurationIngest {
     regime match {
       case _: SimHashRegime => SimHashIndex.vacuumIndex(store, ndTable(prefix))
       case _: MinHashRegime => DedupIndex.vacuumIndex(store, ndTable(prefix))
+      case _: EmbedRegime => EmbedIndex.vacuumIndex(store, ndTable(prefix))
     }
   }
 

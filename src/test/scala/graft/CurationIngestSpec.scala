@@ -5,9 +5,10 @@ import java.nio.file.Files
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Dedup, TextFunctions}
-import graft.store.{CurationIngest, FingerprintIndex, MinHashRegime,
-  NearDupRegime, SimHashRegime, SnapshotStore}
+import graft.functions.{Dedup, Similarity, TextFunctions}
+import graft.store.{CurationIngest, EmbedIndex, EmbedRegime,
+  FingerprintIndex, MinHashRegime, NearDupRegime, SimHashRegime,
+  SnapshotStore}
 
 /** The composed dedup-on-ingest operator: its lineage must equal the
   * manual composition of the batch-mode stages (fingerprint keep-min ∘
@@ -61,6 +62,13 @@ class CurationIngestSpec extends SparkSpec {
       case r: MinHashRegime =>
         Dedup.nearDuplicatePairs(survDocs, "text", "doc_id",
           r.shingleN, r.k, r.bands, r.threshold, r.maxBucketSize)
+      case r: EmbedRegime =>
+        Similarity.embeddingNearDupPairs(
+          survDocs.select(col("doc_id").as("id"), r.embed(col("text")).as("vec")),
+          "id", "vec", dim = r.dim, threshold = r.threshold,
+          nTables = r.nTables,
+          bitsPerTable = EmbedIndex.autoBits(r.expectedCorpus, r.maxBucketSize),
+          seed = r.seed, maxBucketSize = r.maxBucketSize)
     }).select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSeq
     val nearKeep = pairs.groupBy(_._2).map { case (b, xs) => b -> xs.map(_._1).min }
     corpus.map(_._1).map { id =>
@@ -96,9 +104,13 @@ class CurationIngestSpec extends SparkSpec {
   // maxHamming 20: a one-token edit of a 12-token doc lands at Hamming
   // ~3-13 (each boundary-sum bit flips with p≈0.1), while unrelated
   // docs sit at 32±4 — 20 separates the two populations with margin.
+  // embed threshold 0.8: a one-token edit of a 12-token doc keeps 11/12
+  // signed hash counts, cos ≈ 11/12 ≈ 0.92 modulo bucket collisions;
+  // unrelated docs share no tokens, cos ≈ 0 — 0.8 splits them cleanly.
   private val regimes: Seq[(String, NearDupRegime)] = Seq(
     "simhash" -> SimHashRegime(maxHamming = 20, expectedCorpus = 100L),
-    "minhash" -> MinHashRegime(threshold = 0.5))
+    "minhash" -> MinHashRegime(threshold = 0.5),
+    "embed" -> EmbedRegime(threshold = 0.8, expectedCorpus = 100L))
 
   test("composed lineage ≡ manual stage composition, both regimes, any ascending batching") {
     for ((label, regime) <- regimes) {

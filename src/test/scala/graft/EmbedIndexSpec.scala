@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Similarity
+import graft.store.{EmbedIndex, SnapshotStore}
+
+/** Incremental embedding-cosine dedup: the union of per-append pair sets
+  * must equal the one-shot `Similarity.embeddingNearDupPairs` result
+  * pair-for-pair (ids AND rounded cosines) under the committed LSH
+  * parameters, with exactly-once replay semantics and O(batch) delta
+  * appends — the EmbedIndex twin of SimHashIndexSpec. */
+class EmbedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Dim = 8
+  private val Threshold = 0.99
+  private val NTables = 4
+  private val MaxBucket = 200
+  private val Expected = 200L // spec corpus scale
+  private val Seed = 42L
+  private lazy val Bits = EmbedIndex.autoBits(Expected, MaxBucket)
+
+  /** 40 random unit vectors (8-d isotropic: pairwise cos ≥ 0.99 is
+    * ~1e-6-rare, and the fixed seed makes whatever happens reproducible)
+    * plus planted near-identical copies that CROSS the id-parity batch
+    * splits below: 100+i is a 0.002-perturbation of i (cos ≈ 0.9999).
+    * 300 is a 45° rotation blend of 0 — far below threshold, must never
+    * pair. */
+  private def corpus: Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(0xBEEF)
+    def unit(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val base = (0 until 40).map(i =>
+      i.toLong -> unit(Array.fill(Dim)(rnd.nextGaussian())))
+    val near = (0 until 10).map { i =>
+      val p = new scala.util.Random(900 + i)
+      (100 + i).toLong -> unit(
+        base(i)._2.map(x => x.toDouble + 0.002 * p.nextGaussian()))
+    }
+    val far = {
+      val mix = base(0)._2.zip(base(1)._2).map { case (a, b) => (a + b).toDouble }
+      Seq(300L -> unit(mix))
+    }
+    base ++ near ++ far
+  }
+
+  private def vecsDf: DataFrame =
+    corpus.toDF("id", "vec").repartition(4)
+
+  private def pairSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.select(col("id_a"), col("id_b"), col("cos"))
+      .as[(Long, Long, Double)].collect().toSet
+
+  private def batchTruth: Set[(Long, Long, Double)] =
+    pairSet(Similarity.embeddingNearDupPairs(
+      vecsDf.select(col("id").as("vid"), col("vec")), "vid", "vec",
+      dim = Dim, threshold = Threshold, nTables = NTables,
+      bitsPerTable = Bits, seed = Seed, maxBucketSize = MaxBucket))
+
+  test("incremental appends equal the batch operator pair-for-pair") {
+    val want = batchTruth
+    assert(want.size >= 10, "the 10 planted near-identical pairs must pair")
+    assert(!want.exists(p => p._1 == 300L || p._2 == 300L),
+      "far plant must not pair")
+
+    for (nBatches <- Seq(2, 3)) {
+      val root = Files.createTempDirectory("graft-embidx").toString
+      val store = new SnapshotStore(root, spark)
+      EmbedIndex.build(store, "t", vecsDf.limit(0), Dim, Threshold,
+        NTables, Expected, MaxBucket, Seed)
+      val parts = (0 until nBatches).map { i =>
+        EmbedIndex.appendBatchOnce(store, "t",
+          vecsDf.filter(col("id") % nBatches === i), "s", i.toLong).get
+      }
+      val got = parts.map(pairSet).reduce(_ ++ _)
+      assert(got == want, s"incremental != batch for $nBatches batches")
+      parts.foreach(_.unpersist(blocking = false))
+      assert(EmbedIndex.load(store, "t").count() == corpus.size)
+    }
+  }
+
+  test("replay skipped; append before build throws; recovery twin matches") {
+    val root = Files.createTempDirectory("graft-embidx2").toString
+    val store = new SnapshotStore(root, spark)
+    intercept[IllegalStateException] {
+      EmbedIndex.appendBatchOnce(store, "t", vecsDf, "s", 0L)
+    }
+    EmbedIndex.build(store, "t", vecsDf.filter(col("id") < 50),
+      Dim, Threshold, NTables, Expected, MaxBucket, Seed)
+    val batch = vecsDf.filter(col("id") >= 50)
+    val first = EmbedIndex.appendBatchOnce(store, "t", batch, "s", 0L)
+    assert(first.isDefined)
+    val firstPairs = pairSet(first.get)
+    // cross (corpus vs batch) pairs ARE found through the index
+    assert(firstPairs.exists { case (a, b, _) => a < 50 && b >= 100 })
+    first.foreach(_.unpersist(blocking = false))
+    assert(EmbedIndex.appendBatchOnce(store, "t", batch, "s", 0L).isEmpty,
+      "replayed batchId must be skipped")
+    // read-only recovery reproduces the committed append's pair set
+    val recovered = EmbedIndex.pairsForCommitted(store, "t",
+      batch.select(col("id")))
+    assert(pairSet(recovered) == firstPairs)
+    recovered.unpersist(blocking = false)
+    // the delta version holds only the batch rows
+    val v = store.currentVersion("t")
+    assert(store.loadVersion("t", v).count() == batch.count())
+  }
+
+  test("streaming maintenance delivers the same pairs exactly once") {
+    val want = batchTruth
+    val inbox = Files.createTempDirectory("graft-embidx-inbox").toString
+    (0 until 3).foreach { i =>
+      vecsDf.filter(col("id") % 3 === i).coalesce(1)
+        .write.parquet(s"$inbox/b$i.parquet")
+    }
+    val root = Files.createTempDirectory("graft-embidx-stream").toString
+    val store = new SnapshotStore(root, spark)
+    EmbedIndex.build(store, "t", vecsDf.limit(0), Dim, Threshold,
+      NTables, Expected, MaxBucket, Seed)
+
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    val stream = spark.readStream.schema(vecsDf.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$inbox/*.parquet")
+    val q = EmbedIndex.maintainFromStream(store, "t", stream, s"$inbox-ckpt",
+      onPairs = (pairs, _) => got.synchronized { got ++= pairSet(pairs) })
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSet == want)
+    assert(EmbedIndex.load(store, "t").count() == corpus.size)
+  }
+}
