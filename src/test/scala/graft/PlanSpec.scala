@@ -234,4 +234,40 @@ class PlanSpec extends SparkSpec {
     assert(projLine.trim.startsWith("*") || projLine.contains("*("),
       s"vector scoring projection fell out of codegen:\n$s")
   }
+
+  test("funnel: one event-volume shuffle, chained windows share sort + partitioning") {
+    val df = graft.queries.EventQueries.funnel(spark, sfDir)
+    df.collect()
+    val plan = executed(df)
+    val s = plan.toString
+    // One hash-partitioning exchange on user_id carries the events; the
+    // only other allowed exchange is the k-row final-aggregate collapse.
+    val n = plan.collect { case e: Exchange => e }.size
+    assert(n <= 2, s"funnel shuffled events more than once:\n$s")
+    // The k chained per-step windows must REUSE one sort: every
+    // WindowExec keys on user_id, so Spark plans a single SortExec under
+    // the first and the rest inherit the ordering. A sort per step would
+    // re-sort the full event volume k times at 100 TB.
+    val sorts = s.linesIterator.count(_.trim.stripPrefix("+- ").stripPrefix("*(")
+      .contains("Sort ["))
+    assert(sorts <= 1, s"chained funnel windows re-sort per step:\n$s")
+  }
+
+  test("retention: no window, no sort — shuffle volume is distinct (user, week) pairs") {
+    val df = graft.queries.EventQueries.retention(spark, sfDir)
+    df.collect()
+    val plan = executed(df)
+    val s = plan.toString
+    assert(!s.contains("Window"), s"retention should not need a window:\n$s")
+    assert(!s.contains("Sort ["), s"retention should not sort:\n$s")
+    // groupBy(user) collect_set + cohort×offset aggregate = 2 exchanges,
+    // the first already reduced map-side to distinct (user, week) pairs
+    val n = plan.collect { case e: Exchange => e }.size
+    assert(n <= 2, s"retention shuffled more than twice:\n$s")
+    // collect_set partial aggregation must run map-side (ObjectHashAggregate
+    // with partial_collect_set before the exchange) so the shuffle carries
+    // per-user week SETS, not raw event rows
+    assert(s.contains("ObjectHashAggregate") && s.contains("partial_collect_set"),
+      s"collect_set not partially aggregated map-side:\n$s")
+  }
 }
