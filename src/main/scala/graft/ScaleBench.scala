@@ -41,6 +41,8 @@ object ScaleBench {
   case class Doc(doc_id: Long, text: String, lang: String, source: String,
                  n_chars: Long)
   case class Emb(vec_id: Long, embedding: Array[Float], label: Int)
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                event_type: String, value: Double, props: String)
 
   /** Letters-only token (digit-free so the curation digit-ratio gate stays
     * meaningful on synthetic text). */
@@ -90,6 +92,25 @@ object ScaleBench {
     Emb(id, v.map(_ / nrm), cluster % 16)
   }
 
+  private val EvTypes = Array("view", "click", "purchase", "signup", "error")
+  private val EvBase = 1704067200000L // 2024-01-01 UTC
+  private val EvUsers = 150000
+
+  /** Deterministic event row: 30 days of activity over 150k users with a
+    * REAL skew tail — ~1 % of all events land on 5 whale users (~100k
+    * events each at 50M), the distribution the per-user window plans
+    * (sessions, funnel) must survive without a straggler partition. */
+  private[graft] def genEvent(id: Long): Ev = {
+    val rnd = new java.util.Random(id * 0x9E3779B97F4A7C15L + 5)
+    val user =
+      if (rnd.nextInt(100) == 0) rnd.nextInt(5).toLong
+      else 5L + rnd.nextInt(EvUsers - 5)
+    val ts = new java.sql.Timestamp(
+      EvBase + (rnd.nextDouble() * 30 * 86400000L).toLong)
+    Ev(id, ts, user, EvTypes(rnd.nextInt(EvTypes.length)),
+      rnd.nextInt(5000) / 100.0, s"""{"k": ${rnd.nextInt(100)}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleBench gen|run <dir> [nDocs] [nVecs]")
     val mode = args(0); val dir = args(1)
@@ -100,11 +121,19 @@ object ScaleBench {
       case "gen" =>
         val nDocs = if (args.length > 2) args(2).toLong else 5000000L
         val nVecs = if (args.length > 3) args(3).toLong else 1000000L
+        val nEvents = if (args.length > 4) args(4).toLong else 50000000L
         spark.range(0L, nDocs, 1L, 256).map(id => genDoc(id.toLong)).write
           .mode("overwrite").parquet(s"$dir/documents.parquet")
         spark.range(0L, nVecs, 1L, 128).map(id => genEmb(id.toLong)).write
           .mode("overwrite").parquet(s"$dir/embeddings.parquet")
-        println(s"""{"generated":{"docs":$nDocs,"vecs":$nVecs},"dir":"$dir"}""")
+        spark.range(0L, nEvents, 1L, 256).map(id => genEvent(id.toLong)).write
+          .mode("overwrite").parquet(s"$dir/events.parquet")
+        println(s"""{"generated":{"docs":$nDocs,"vecs":$nVecs,"events":$nEvents},"dir":"$dir"}""")
+      case "gen-events" => // top up an existing corpus dir with events only
+        val nEvents = if (args.length > 2) args(2).toLong else 50000000L
+        spark.range(0L, nEvents, 1L, 256).map(id => genEvent(id.toLong)).write
+          .mode("overwrite").parquet(s"$dir/events.parquet")
+        println(s"""{"generated":{"events":$nEvents},"dir":"$dir"}""")
       case "run" => run(spark, dir, if (args.length > 2) args(2) else "")
       case other => sys.error(s"unknown mode $other")
     }
@@ -538,7 +567,7 @@ object ScaleBench {
         q.stop()
         VectorIndex.load(store, "emb_idx").count()
       }
-    ).flatten
+    ).flatten ++ eventBenches(spark, dir, timed)
 
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -546,5 +575,51 @@ object ScaleBench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"scale_total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"nDocs":$nDocs,"nVecs":$nVecs,"dir":"$dir"}""")
+  }
+
+  /** Event-analytics flagship (50M events, 150k users, 1 % whale skew):
+    * the PRODUCTION EventQueries entry points run unchanged against the
+    * generated events table — this is the evidence the per-user window
+    * plans (sessions, funnel), the histogram quantile plan, and the
+    * pair-shuffle retention plan hold at ~1000× the sf0.1 row count and
+    * under real key skew. Skipped (with a log line) on corpora generated
+    * before the events recipe existed. */
+  private def eventBenches(
+      spark: SparkSession, dir: String,
+      timed: String => (=> Long) => Option[(String, Double, Long)])
+      : Seq[(String, Double, Long)] = {
+    if (!new java.io.File(s"$dir/events.parquet").exists()) {
+      System.err.println(
+        s"[scalebench] no events.parquet under $dir — regenerate " +
+          "(ScaleBench gen) for the event-analytics flagship")
+      return Seq.empty
+    }
+    import graft.queries.EventQueries
+    Seq(
+      timed("ev_hourly_50m") {
+        EventQueries.hourlyAgg(spark, dir).count()
+      },
+      timed("ev_sessions_50m") {
+        EventQueries.sessions(spark, dir).count()
+      },
+      timed("ev_funnel_50m") {
+        import org.apache.spark.sql.functions.sum
+        EventQueries.funnel(spark, dir, horizonUs = 7L * 86400L * 1000000L)
+          .agg(sum(org.apache.spark.sql.functions.col("users")))
+          .collect()(0).getLong(0)
+      },
+      timed("ev_retention_50m") {
+        EventQueries.retention(spark, dir).count()
+      },
+      timed("ev_quantiles_50m") {
+        EventQueries.quantiles(spark, dir).count()
+      },
+      timed("ev_sliding_50m") {
+        EventQueries.slidingActivity(spark, dir).count()
+      },
+      timed("ev_asof_50m") {
+        EventQueries.asofPurchase(spark, dir).count()
+      }
+    ).flatten
   }
 }
