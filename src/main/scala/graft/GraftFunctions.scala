@@ -97,7 +97,16 @@ object GraftFunctions {
     },
     // vectors
     fn2("graft_dot")(Similarity.dot),
-    fn1i("graft_hash_embedding", 64)(Featurize.hashEmbedding))
+    fn1i("graft_hash_embedding", 64)(Featurize.hashEmbedding),
+    // aggregate: per-group bounded top-k heap (the scale-correct two-phase
+    // top-k — map-side k-entry heaps, no per-group window sort). Returned
+    // BARE: the analyzer wraps an AggregateFunction from a registry
+    // builder exactly as it does the built-in ones.
+    "graft_topk" -> { args =>
+      arity("graft_topk", args, 3)
+      graft.plans.BoundedTopK(args(0), args(1),
+        litInt("graft_topk", "k", args(2)))
+    })
 
   /** Register everything on a live session (idempotent — re-registration
     * replaces with the identical builder). */

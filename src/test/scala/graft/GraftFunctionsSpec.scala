@@ -72,6 +72,19 @@ class GraftFunctionsSpec extends SparkSpec {
       Featurize.hashEmbedding(col("text"), 32))
   }
 
+  test("graft_topk aggregate: SQL ≡ Column API (bounded heap, grouped)") {
+    ready
+    val viaSql = spark.sql(
+      "SELECT label, graft_topk(vec_id, graft_dot(embedding, embedding), 3) AS v " +
+        "FROM gf_embs GROUP BY label")
+      .collect().map(r => (r.getInt(0), r.get(1).toString)).sortBy(_._1)
+    val viaCol = spark.table("gf_embs").groupBy(col("label"))
+      .agg(graft.plans.TopKAggregate.boundedTopK(col("vec_id"),
+        Similarity.dot(col("embedding"), col("embedding")), 3).as("v"))
+      .collect().map(r => (r.getInt(0), r.get(1).toString)).sortBy(_._1)
+    assert(viaSql.nonEmpty && (viaSql.toSeq == viaCol.toSeq))
+  }
+
   test("integer parameters must be literals") {
     ready
     val e = intercept[Exception] {
