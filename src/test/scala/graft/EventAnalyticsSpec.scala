@@ -73,6 +73,15 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(m("3_purchase") === 1L)
   }
 
+  test("repeated step types: each step needs a FRESH later event") {
+    // steps = [view, view]: step 2 is a SECOND view strictly after the
+    // first (one event can never satisfy two steps — strict >).
+    val m = stepMap(EventQueries.funnel(spark, craftedDir,
+      steps = Seq("view", "view")))
+    assert(m("1_view") === 4L) // u1, u2, u3, u5 viewed at least once
+    assert(m("2_view") === 1L) // only u1 has a second, later view
+  }
+
   test("funnel step counts are monotonically non-increasing (sf0.001)") {
     val rows = EventQueries.funnel(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
