@@ -66,15 +66,16 @@ final case class EmbedRegime(
   * band-key stage at the 5M-doc flagship, NOTES). Halved input is NOT
   * automatically halved wall-clock: each near-dup append also pays a
   * ~batch-size-independent floor (one columnar scan of the corpus index)
-  * plus this operator's second store commit, so at 100k-doc batches the
-  * composed gate measured SLOWER than the bare near-dup append (30.6 vs
-  * 24.6 s, and 37.2 vs 18.8 in a second window) — the floor and commit
-  * dominate. Those costs are batch-size-independent while the stage
-  * saving is batch-linear, so the gate crosses over as batches grow:
-  * at 500k docs the composed path measured 30.6 s vs 52.9 s ungated
-  * (1.7× faster; flagship tables in NOTES). Size micro-batches
-  * accordingly — the gate pays off from a few hundred thousand docs per
-  * batch. The composition's constant value is semantic:
+  * plus this operator's second store commit. Measured across FIVE
+  * flagship windows (NOTES): the gated path is ~2× slower at 100k-doc
+  * batches (median 37 vs 19 s) and near-parity at 500k (38.5 vs
+  * 34.5 s) — its wall-time is nearly batch-size-FLAT (constant costs +
+  * a halved per-doc stage) while the ungated append grows with the
+  * batch, so the wall-clock crossover extrapolates to ~1M-doc batches
+  * on the bench host but was not directly measured (one window showed
+  * a 1.7× gated win at 500k; it did not reproduce — adjudicated in
+  * NOTES). Size micro-batches large if wall-clock is the goal. The
+  * composition's durable value is semantic:
   * re-fetches resolve as O(1) fingerprint hits with "exact" lineage
   * instead of surfacing as tens of thousands of spurious J=1.0 LSH
   * pairs that downstream consumers must re-classify.
