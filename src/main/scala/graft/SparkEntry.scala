@@ -80,6 +80,8 @@ object SparkEntry {
     // training-data extension ops (text / dedup / similarity)
     "text_stats"          -> (ExtensionQueries.textStats _),
     "text_triage"         -> (ExtensionQueries.textTriage _),
+    "text_repetition"     -> (ExtensionQueries.textRepetition _),
+    "decon_docs"          -> ((s, d) => ExtensionQueries.deconDocs(s, d)),
     "chunk_docs"          -> ((s, d) => ExtensionQueries.chunkDocs(s, d)),
     "vocab_topk"          -> ((s, d) => ExtensionQueries.vocabTopK(s, d)),
     "embed_docs"          -> ((s, d) => ExtensionQueries.embedDocs(s, d)),
@@ -249,6 +251,43 @@ object SparkEntry {
         "week - cohort_w AS week_offset, count(*) AS n_users FROM c GROUP BY 1, 2"),
     "text_stats" ->
       "SELECT doc_id, length(text) AS n_chars, CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g')) = 0 THEN 0 ELSE len(string_split_regex(regexp_replace(text, '^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$', '', 'g'), '[ \\t\\n\\r\\f\\x0B]+')) END AS n_tokens, length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits, CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) END AS digit_ratio FROM documents",
+    // Gopher repetition counts: per doc, 2-gram total/top and 3-gram
+    // total/duplicate window counts (1-indexed windows i → tk[i]..tk[i+n-1];
+    // docs with fewer than n tokens have zero windows, restored by the
+    // LEFT JOIN + coalesce). All-integer — ratios stay caller-side.
+    "text_repetition" ->
+      ("WITH d AS (SELECT doc_id, CASE WHEN length(regexp_replace(text, " +
+        "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
+        "ELSE string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+        "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM documents), " +
+        "g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), " +
+        "i -> tk[i] || ' ' || tk[i+1])) AS g FROM d WHERE len(tk) >= 2), " +
+        "c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2), " +
+        "a2 AS (SELECT doc_id, sum(c) AS t2, max(c) AS m2 FROM c2 GROUP BY 1), " +
+        "g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1), " +
+        "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g FROM d WHERE len(tk) >= 3), " +
+        "c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2), " +
+        "a3 AS (SELECT doc_id, sum(c) AS t3, sum(c) - count(*) AS d3 FROM c3 GROUP BY 1) " +
+        "SELECT d.doc_id, CAST(coalesce(t2, 0) AS BIGINT) AS ng2_total, " +
+        "CAST(coalesce(m2, 0) AS BIGINT) AS ng2_top, " +
+        "CAST(coalesce(t3, 0) AS BIGINT) AS ng3_total, " +
+        "CAST(coalesce(d3, 0) AS BIGINT) AS ng3_dup " +
+        "FROM d LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)"),
+    // Benchmark decontamination: distinct word 4-grams of the
+    // doc_id % 23 == 0 eval slice vs every other document's distinct
+    // 4-grams; short docs (< 4 tokens) contribute their whole-token
+    // joined shingle, mirroring WordShingles' edge semantics.
+    "decon_docs" ->
+      ("WITH d AS (SELECT doc_id, CASE WHEN length(regexp_replace(text, " +
+        "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
+        "ELSE string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+        "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM documents), " +
+        "g AS (SELECT doc_id, CASE WHEN len(tk) < 4 THEN [array_to_string(tk, ' ')] " +
+        "ELSE list_distinct(list_transform(range(1, len(tk) - 2), " +
+        "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) END AS sh FROM d), " +
+        "b AS (SELECT DISTINCT unnest(sh) AS sh FROM g WHERE doc_id % 23 = 0), " +
+        "s AS (SELECT doc_id, unnest(sh) AS sh FROM g WHERE doc_id % 23 <> 0) " +
+        "SELECT s.doc_id, count(*) AS n_hits FROM s JOIN b USING (sh) GROUP BY 1"),
     // Token chunking: chunk i of a doc covers tokens [i·48, i·48+64);
     // chunk count = ceil(max(n − 16, 1) / 48) — integer arithmetic and
     // token slicing identical on both engines (list slices clamp).

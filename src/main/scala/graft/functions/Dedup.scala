@@ -53,6 +53,35 @@ object Dedup {
     df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Benchmark decontamination (GPT-3 appx C / PaLM-style): per training
+    * document, the count of its DISTINCT word n-grams that also occur
+    * anywhere in the benchmark (eval) corpus — one row per contaminated
+    * document, `(idCol, n_hits)`, zero-hit documents absent.
+    *
+    * Scale shape: benchmark suites are tiny next to a training corpus
+    * (every published decontamination run fits the eval n-gram set in
+    * memory), so the corpus side is ONE scan → shingle → broadcast
+    * semi-join → count by id; the only corpus-keyed exchange carries hit
+    * rows. The benchmark gram set is size-gated ([[graft.store.BroadcastGate]])
+    * so a benchmark-sized mistake degrades to an AQE-planned join instead
+    * of a driver OOM. The gram set stays cached (it is eval-set-sized and
+    * every later decon batch reuses it); callers doing a one-shot sweep
+    * can `spark.catalog.clearCache()` after. */
+  def benchmarkOverlap(train: DataFrame, bench: DataFrame, textCol: String,
+                       idCol: String, n: Int = 5,
+                       broadcastKeyLimit: Long = graft.store.BroadcastGate.DefaultKeyLimit): DataFrame = {
+    def grams(c: Column): Column =
+      graft.plans.TextExpressions.wordShingles(TextFunctions.tokens(c), n)
+    val bg = bench.select(explode(grams(col(textCol))).as("__g"))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val nBench = bg.count()
+    train.select(col(idCol), explode(grams(col(textCol))).as("__g"))
+      .join(graft.store.BroadcastGate(bg, nBench, broadcastKeyLimit),
+        Seq("__g"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   // ---- shingling + MinHash + LSH --------------------------------------
 
   /** Word n-gram shingles of the token array (distinct). Native

@@ -478,6 +478,79 @@ case class HashedFeatures(child: Expression, dim: Int) extends UnaryExpression {
   override def prettyName: String = "hashed_features"
 }
 
+/** Per-document word n-gram repetition statistics:
+  * {{{ struct(total: int, distinct: int, top: int) }}}
+  * over the `windows = max(len(tokens) - n + 1, 0)` contiguous n-grams —
+  * `total` the window count, `distinct` the distinct-n-gram count, `top`
+  * the highest single n-gram frequency (0 when there are no windows).
+  * The Gopher-family repetition filters (Rae et al. 2021 §A1.1:
+  * "fraction of duplicate n-grams", "fraction in the most common
+  * n-gram") are ratios of these integers — emitting the raw counts
+  * keeps downstream thresholds exact and the cross-engine oracle
+  * hashable (no float division on either side).
+  *
+  * Why an expression: every statistic is a pure function of ONE row's
+  * token array, so the distributed plan is a zero-exchange map stage —
+  * the explode + groupBy(doc, gram) + re-aggregate formulation would
+  * shuffle corpus·windows rows into a mostly-unique-key aggregate
+  * (the same disease HashedFeatures' scaladoc records). A per-row
+  * HashMap over ~window count entries replaces all of it. N-gram
+  * equality is joined-string equality (tokens are whitespace-split, so
+  * no token contains a space — the join is injective). */
+case class NgramRepetition(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"n-gram width must be >= 1, got $n")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("total", IntegerType, nullable = false),
+    StructField("distinct", IntegerType, nullable = false),
+    StructField("top", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngram_repetition needs array<string>, got ${other.simpleString}")
+    }
+
+  private val SEP = UTF8String.fromString(" ")
+
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val nTok = arr.numElements()
+    val windows = nTok - n + 1
+    if (windows <= 0)
+      return org.apache.spark.sql.catalyst.InternalRow(0, 0, 0)
+    val counts = new java.util.HashMap[UTF8String, Int](windows * 2)
+    val window = new Array[UTF8String](n)
+    var top = 0
+    var i = 0
+    while (i < windows) {
+      var j = 0
+      while (j < n) { window(j) = arr.getUTF8String(i + j); j += 1 }
+      val key = UTF8String.concatWs(SEP, window: _*)
+      val c = counts.merge(key, 1, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(windows, counts.size, top)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ngramRepetition", this, classOf[NgramRepetition].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "ngram_repetition"
+}
+
 object TextExpressions {
   /** Whitespace tokens (explicit 6-char ASCII class), empty-safe. */
   def wsTokens(text: Column): Column =
@@ -513,4 +586,9 @@ object TextExpressions {
   def wordShingleHashes(tokens: Column, n: Int, seed: Long = 42L): Column =
     GraftColumnBridge.column(
       WordShingleHashes(GraftColumnBridge.expression(tokens), n, seed))
+
+  /** Per-row n-gram repetition counts (see NgramRepetition). */
+  def ngramRepetition(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      NgramRepetition(GraftColumnBridge.expression(tokens), n))
 }

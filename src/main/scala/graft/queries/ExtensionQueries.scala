@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Dedup, Similarity, TextFunctions => TF}
+import graft.plans.{TextExpressions => TX}
 import graft.store.{DedupIndex, EmbedIndex, FingerprintIndex, SimHashIndex,
   SnapshotStore, VectorIndex}
 
@@ -63,6 +64,53 @@ object ExtensionQueries {
       TF.subwordCount(t).as("n_subwords"),
       TF.stopwordRatio(t).as("stopword_ratio"),
       TF.fingerprint(t).as("fp64"))
+  }
+
+  /** Gopher-family repetition filters (Rae et al. 2021 §A1.1): per
+    * document, the 2-gram total/top counts and the 3-gram total/duplicate
+    * counts. The published thresholds are ratios of these integers
+    * (top-2-gram fraction ≤ 0.2, duplicate-3-gram fraction ≤ 0.18…);
+    * emitting raw counts keeps thresholds exact on any engine and the
+    * DuckDB oracle hashable (no float division anywhere).
+    *
+    * Scale shape: every column is a pure function of ONE row's text, so
+    * the plan is a zero-exchange map stage ([[graft.plans.NgramRepetition]]
+    * builds a per-row window-count HashMap) — the explode + groupBy(doc,
+    * gram) formulation this replaces would shuffle corpus·windows rows
+    * into a mostly-unique-key aggregate. PlanSpec asserts no Exchange. */
+  def textRepetition(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), TF.tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        TX.ngramRepetition(col("tk"), 2).as("r2"),
+        TX.ngramRepetition(col("tk"), 3).as("r3"))
+      .select(
+        col("doc_id"),
+        col("r2.total").cast("long").as("ng2_total"),
+        col("r2.top").cast("long").as("ng2_top"),
+        col("r3.total").cast("long").as("ng3_total"),
+        (col("r3.total") - col("r3.distinct")).cast("long").as("ng3_dup"))
+
+  /** Benchmark decontamination (GPT-3 appx C / PaLM-style): flag every
+    * training document sharing a word n-gram with the eval set, with the
+    * distinct-overlapping-n-gram count as evidence. The eval set here is
+    * the deterministic `doc_id % benchMod == 0` slice standing in for a
+    * held-out benchmark table; production passes a real one. Published
+    * runs use 8–13-grams on web text; this corpus's ~50-token synthetic
+    * docs get the proportionally tight n=4 (n=3 flags 77 % of the corpus
+    * — filtration, not decontamination; n=5 only the planted dups).
+    *
+    * Plumbing only — the operator is [[graft.functions.Dedup.benchmarkOverlap]]
+    * (broadcast-gated semi-join; per-doc shingles are DISTINCT via
+    * [[graft.plans.WordShingles]], so `count(*)` after the semi-join IS
+    * the distinct-overlap count). */
+  def deconDocs(s: SparkSession, d: String, n: Int = 4,
+                benchMod: Int = 23): DataFrame = {
+    val t = docs(s, d)
+    Dedup.benchmarkOverlap(
+      t.filter(col("doc_id") % benchMod =!= 0),
+      t.filter(col("doc_id") % benchMod === 0),
+      "text", "doc_id", n)
   }
 
   // ---- dedup -----------------------------------------------------------

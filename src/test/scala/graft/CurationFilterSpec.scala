@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, TextFunctions => TF}
+import graft.plans.{TextExpressions => TX}
+import graft.queries.ExtensionQueries
+
+/** Repetition-filter and decontamination queries: the registered entry
+  * points must agree with independent brute-force formulations on real
+  * testdata, and the decon operator must obey its benchmark/train
+  * contract (no eval doc in the output, hit counts exact). */
+class CurationFilterSpec extends SparkSpec {
+
+  private val docsPath = s"$sfDir/documents.parquet"
+
+  test("text_repetition equals brute-force counts and covers every doc") {
+    val docs = spark.read.parquet(docsPath)
+    val out = ExtensionQueries.textRepetition(spark, sfDir)
+    assert(out.count() === docs.count(), "one row per document")
+
+    // Brute force: explode 2-/3-gram windows, count per (doc, gram).
+    def brute(n: Int) = docs
+      .select(col("doc_id"), TF.tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        explode(when(size(col("tk")) < n, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(col("tk")) - n),
+            i => concat_ws(" ", slice(col("tk"), i + 1, lit(n)))))).as("g"))
+      .groupBy(col("doc_id"), col("g")).count()
+    val ref2 = brute(2).groupBy("doc_id")
+      .agg(sum("count").as("t2"), max("count").as("m2"))
+    val ref3 = brute(3).groupBy("doc_id")
+      .agg(sum("count").as("t3"), (sum("count") - count(lit(1))).as("d3"))
+    val joined = out
+      .join(ref2, Seq("doc_id"), "left").join(ref3, Seq("doc_id"), "left")
+    val bad = joined.filter(
+      col("ng2_total") =!= coalesce(col("t2"), lit(0L)) ||
+      col("ng2_top")   =!= coalesce(col("m2"), lit(0L)) ||
+      col("ng3_total") =!= coalesce(col("t3"), lit(0L)) ||
+      col("ng3_dup")   =!= coalesce(col("d3"), lit(0L))).count()
+    assert(bad === 0, "repetition counts diverge from brute force")
+
+    // The Gopher thresholds are ratios of these integers — exactness of
+    // a threshold decision needs no floats: top-2-gram fraction > 0.2
+    // ⟺ 5·top > total.
+    val flagged = out.filter(col("ng2_top") * 5 > col("ng2_total")).count()
+    assert(flagged >= 0) // computable; count depends on corpus
+  }
+
+  test("decon overlap counts match a collected-benchmark brute force") {
+    val docs = spark.read.parquet(docsPath)
+    val out = ExtensionQueries.deconDocs(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // no benchmark (eval-slice) doc may appear in the training output
+    assert(out.keys.forall(_ % 23 != 0), "eval doc leaked into decon output")
+
+    // brute force: collect the benchmark gram set to the driver, then
+    // count per-train-doc distinct-gram membership locally (n = 4, the
+    // registered query's width)
+    val grams = TX.wordShingles(TF.tokens(col("text")), 4)
+    val benchSet = docs.filter(col("doc_id") % 23 === 0)
+      .select(explode(grams).as("g")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val expected = docs.filter(col("doc_id") % 23 =!= 0)
+      .select(col("doc_id"), grams.as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).count(benchSet).toLong)
+      .filter(_._2 > 0L).toMap
+    assert(out === expected, "decon hit counts diverge from brute force")
+    assert(expected.nonEmpty,
+      "fixture produced zero contamination — test has no signal")
+  }
+
+  test("benchmarkOverlap flags planted eval text inside a training doc") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "intro text then the quick brown fox jumps over it ends"),
+      (2L, "completely unrelated content about spark physical plans"),
+      (3L, "quick brown fox jumps over the lazy dog verbatim tail here"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.benchmarkOverlap(train, bench, "text", "doc_id", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares two 5-grams ("the quick brown fox jumps", "quick
+    // brown fox jumps over"); doc 3 shares four ("quick brown fox jumps
+    // over" … "jumps over the lazy dog"); doc 2 shares none.
+    assert(hits === Map(1L -> 2L, 3L -> 4L))
+  }
+}

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.Exchange
@@ -172,6 +173,36 @@ class PlanSpec extends SparkSpec {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val sp = graft.functions.Featurize.hashFeaturesSparse(docs, "text", "doc_id", 64)
     assert(countExchanges(sp) === 0, s"featurization shuffles:\n${planString(sp)}")
+  }
+
+  test("repetition stats are a pure map: zero exchanges") {
+    // Every column is a function of one row's token array (per-row
+    // HashMap in NgramRepetition); an exchange here means the explode +
+    // groupBy(doc, gram) formulation — a corpus·windows-row shuffle into
+    // a mostly-unique-key aggregate at scale — crept back.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val tk = graft.functions.TextFunctions.tokens(col("text"))
+    val df = docs.select(col("doc_id"),
+      graft.plans.TextExpressions.ngramRepetition(tk, 2).as("r2"),
+      graft.plans.TextExpressions.ngramRepetition(tk, 3).as("r3"))
+    assert(countExchanges(df) === 0, s"repetition shuffles:\n${planString(df)}")
+  }
+
+  test("decontamination: benchmark grams broadcast, corpus side unshuffled") {
+    // The corpus (train) side must meet the benchmark n-gram set through
+    // a BROADCAST semi-join — a shuffle of the exploded corpus grams to
+    // the benchmark is the 100×-scale regression. Expected exchanges:
+    // benchmark distinct (eval-sized), its broadcast, and the final
+    // hit-rows aggregate — never a corpus-gram shuffle join.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.functions.Dedup.benchmarkOverlap(
+      docs.filter(col("doc_id") % 23 =!= 0),
+      docs.filter(col("doc_id") % 23 === 0),
+      "text", "doc_id", n = 5)
+    val s = planString(df)
+    assert(s.contains("BroadcastHashJoin"),
+      s"benchmark grams not broadcast:\n$s")
+    assert(countExchanges(df) <= 3, s"extra shuffle in decon plan:\n$s")
   }
 
   test("sparse retrieval: broadcast postings join + bounded top-k, no window") {

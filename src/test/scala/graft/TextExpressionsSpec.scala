@@ -145,6 +145,53 @@ class TextExpressionsSpec extends SparkSpec {
     assert(mismatches === 0)
   }
 
+  test("ngram_repetition equals the explode+groupBy formulation on every input") {
+    // The per-row HashMap must agree with the distributed reference
+    // formulation it replaces (the one the DuckDB oracle mirrors):
+    // explode n-gram windows, count per (id, gram), aggregate per id.
+    for (n <- Seq(2, 3)) {
+      val df = corpus.toDF("id", "t")
+        .select(col("id"), TF.tokens(col("t")).as("tk"))
+      val fast = df.select(col("id"),
+        TextExpressions.ngramRepetition(col("tk"), n).as("r"))
+      val windows = df.select(col("id"),
+          explode(when(size(col("tk")) < n, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(0), size(col("tk")) - n),
+              i => concat_ws(" ", slice(col("tk"), i + 1, lit(n)))))).as("g"))
+      val perGram = windows.groupBy(col("id"), col("g")).count()
+      val refAgg = perGram.groupBy(col("id")).agg(
+        sum("count").cast("int").as("total"),
+        count(lit(1)).cast("int").as("distinct"),
+        max("count").cast("int").as("top"))
+      val ref = df.select(col("id")).join(refAgg, Seq("id"), "left")
+        .select(col("id"), struct(
+          coalesce(col("total"), lit(0)).as("total"),
+          coalesce(col("distinct"), lit(0)).as("distinct"),
+          coalesce(col("top"), lit(0)).as("top")).as("r"))
+      val mismatches = fast.alias("f").join(ref.alias("r"), Seq("id"))
+        .filter(not(col("f.r") === col("r.r"))).count()
+      assert(mismatches === 0, s"ngram_repetition n=$n diverged")
+    }
+  }
+
+  test("ngram_repetition fixed cases pin the window semantics") {
+    val df = Seq(
+      (1L, "a a a a"),      // 2-grams: 3 windows of "a a"
+      (2L, "a b a b a"),    // 2-grams: a b, b a, a b, b a
+      (3L, "x"),            // no 2-gram window
+      (4L, "")              // no tokens at all
+    ).toDF("id", "t")
+    val out = df.select(col("id"),
+        TextExpressions.ngramRepetition(TF.tokens(col("t")), 2).as("r"))
+      .selectExpr("id", "r.total", "r.distinct", "r.top")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    assert(out(1L) === ((3, 1, 3)))
+    assert(out(2L) === ((4, 2, 2)))
+    assert(out(3L) === ((0, 0, 0)))
+    assert(out(4L) === ((0, 0, 0)))
+  }
+
   test("ws_tokens handles nulls and stays inside whole-stage codegen") {
     val df = Seq((1L, "a b"), (2L, null)).toDF("id", "t")
     val out = df.select(col("id"), TF.tokens(col("t")).as("tk")).collect()
