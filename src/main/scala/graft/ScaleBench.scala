@@ -199,6 +199,29 @@ object ScaleBench {
         Dedup.exactGroups(docs, "text", "doc_id")
           .filter(col("dup_count") > 1).count()
       },
+      // Repetition filters: per-row NgramRepetition over the full corpus;
+      // the aggregate forces every struct field. The zero-exchange claim
+      // is PlanSpec's; this entry measures the fused byte-scan cost (the
+      // token-array formulation measured 250 s here — see the
+      // expression's scaladoc).
+      timed("text_repetition_agg") {
+        docs.select(
+            graft.plans.TextExpressions.ngramRepetition(col("text"), 2).as("r2"),
+            graft.plans.TextExpressions.ngramRepetition(col("text"), 3).as("r3"))
+          .agg(sum(col("r2.top")), sum(col("r3.total")),
+            sum(col("r3.total") - col("r3.distinct"))).collect()
+        nDocs
+      },
+      // Decontamination: the corpus-scale stage is the shingle explode +
+      // broadcast membership probe. Eval slice = doc_id % 4999 == 0
+      // (~1k docs at 5M — a realistic benchmark-suite size, and sparse
+      // enough that hits stay selective at the corpus's vocab density).
+      timed("decon_docs_5m") {
+        Dedup.benchmarkOverlap(
+          docs.filter(col("doc_id") % 4999 =!= 0),
+          docs.filter(col("doc_id") % 4999 === 0),
+          "text", "doc_id", n = 5).count()
+      },
       timed("curate_docs") {
         graft.queries.ExtensionQueries.curateDocs(spark, dir)
           .agg(sum(col("total_tokens"))).collect()

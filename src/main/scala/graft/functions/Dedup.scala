@@ -58,29 +58,77 @@ object Dedup {
     * anywhere in the benchmark (eval) corpus — one row per contaminated
     * document, `(idCol, n_hits)`, zero-hit documents absent.
     *
-    * Scale shape: benchmark suites are tiny next to a training corpus
-    * (every published decontamination run fits the eval n-gram set in
-    * memory), so the corpus side is ONE scan → shingle → broadcast
-    * semi-join → count by id; the only corpus-keyed exchange carries hit
-    * rows. The benchmark gram set is size-gated ([[graft.store.BroadcastGate]])
-    * so a benchmark-sized mistake degrades to an AQE-planned join instead
-    * of a driver OOM. The gram set stays cached (it is eval-set-sized and
-    * every later decon batch reuses it); callers doing a one-shot sweep
-    * can `spark.catalog.clearCache()` after. */
+    * Scale shape — candidate generation on HASHES, exact verify on the
+    * candidates (the jaccard join's discipline), tuned by measurement at
+    * 5M docs:
+    *  - the gram-STRING formulation of the corpus pass cost 157 s
+    *    (token/window allocation dominates), and even the hash-explode +
+    *    broadcast-semi-join variant cost ~140 s — 302M exploded rows
+    *    through the generator + join machinery;
+    *  - so the probe is an EXPRESSION: each doc's fused text→shingle
+    *    hashes ([[graft.plans.WordShingleHashes]] string path, no token
+    *    array) are counted against the collected, sorted benchmark hash
+    *    set in place ([[graft.plans.SortedLongSetHits]]). The corpus
+    *    pass is a pure filter — zero extra rows, zero corpus shuffle.
+    *  - docs surviving the hash filter (candidate-sized) re-shingle as
+    *    STRINGS and count per-doc distinct grams in the eval string set
+    *    via a broadcast semi-join — a hash collision dies here, so the
+    *    output is bit-identical to the direct string-join formulation
+    *    (CurationFilterSpec pins it against a collected brute force).
+    *    No false negatives: equal grams have equal hashes, and the
+    *    filter only ever REMOVES docs with zero hash matches.
+    * The benchmark hash set rides in the task binary (torrent-broadcast)
+    * up to [[FusedProbeMaxHashes]] (~32 MB); an oversized benchmark
+    * falls back to the explode + size-gated-broadcast semi-join plan —
+    * same output, corpus-gram rows never shuffle either way. The eval
+    * gram set stays cached (eval-set-sized; every later decon batch
+    * reuses it); one-shot sweeps can `spark.catalog.clearCache()`. */
   def benchmarkOverlap(train: DataFrame, bench: DataFrame, textCol: String,
                        idCol: String, n: Int = 5,
-                       broadcastKeyLimit: Long = graft.store.BroadcastGate.DefaultKeyLimit): DataFrame = {
+                       broadcastKeyLimit: Long = graft.store.BroadcastGate.DefaultKeyLimit,
+                       fusedProbeMaxHashes: Int = FusedProbeMaxHashes): DataFrame = {
+    import graft.store.BroadcastGate
     def grams(c: Column): Column =
       graft.plans.TextExpressions.wordShingles(TextFunctions.tokens(c), n)
-    val bg = bench.select(explode(grams(col(textCol))).as("__g"))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    val nBench = bg.count()
-    train.select(col(idCol), explode(grams(col(textCol))).as("__g"))
-      .join(graft.store.BroadcastGate(bg, nBench, broadcastKeyLimit),
-        Seq("__g"), "left_semi")
+    def gramHashes(c: Column): Column =
+      graft.plans.TextExpressions.wordShingleHashesOfText(c, n)
+    val bh = bench.select(explode(gramHashes(col(textCol))).as("__h")).distinct()
+    // pull one row past the budget: length decides the path and IS the
+    // collect-size guard (an oversized set stops at the limit, not OOM)
+    val probeRows = bh.limit(fusedProbeMaxHashes + 1).collect()
+    val candidates: DataFrame =
+      if (probeRows.length <= fusedProbeMaxHashes) {
+        val set = probeRows.map(_.getLong(0)).sorted
+        train.filter(
+          graft.plans.TextExpressions.sortedLongSetHits(
+            gramHashes(col(textCol)), set) > 0)
+      } else {
+        val bhP = bh.persist(StorageLevel.MEMORY_AND_DISK)
+        val nBench = bhP.count()
+        val ids = train
+          .select(col(idCol), explode(gramHashes(col(textCol))).as("__h"))
+          .join(BroadcastGate(bhP, nBench, broadcastKeyLimit), Seq("__h"), "left_semi")
+          .select(col(idCol)).distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val nCand = ids.count()
+        train.join(BroadcastGate(ids, nCand, broadcastKeyLimit), Seq(idCol), "left_semi")
+      }
+    // exact string verify, candidate docs only
+    val bg = bench.select(explode(grams(col(textCol))).as("__g")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nBg = bg.count()
+    candidates
+      .select(col(idCol), explode(grams(col(textCol))).as("__g"))
+      .join(BroadcastGate(bg, nBg, broadcastKeyLimit), Seq("__g"), "left_semi")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
   }
+
+  /** Upper bound on the collected benchmark hash set for
+    * [[benchmarkOverlap]]'s in-expression probe: 4M longs ≈ 32 MB in the
+    * task binary. Covers every published benchmark suite's n-gram count
+    * with room; beyond it the explode+join fallback engages. */
+  val FusedProbeMaxHashes: Int = 4 << 20
 
   // ---- shingling + MinHash + LSH --------------------------------------
 

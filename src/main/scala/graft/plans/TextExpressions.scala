@@ -294,14 +294,22 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "word_shingles"
 }
 
-/** Distinct xxhash64 values of a token array's word n-gram shingles,
-  * ascending — `sort(array_distinct(xxhash64(shingle)))` without ever
-  * materializing a shingle string: window bytes accumulate in a reused
-  * scratch buffer and hash via the same XXH64 primitive Spark's
-  * `xxhash64` uses (seed 42), so values are bit-equal to hashing the
-  * WordShingles strings. The candidate phases of the jaccard join and
-  * MinHash LSH consume ONLY these hashes (exact string verification is
-  * candidate-sized), so the corpus scan allocates nothing per window. */
+/** Distinct xxhash64 values of word n-gram shingles, ascending —
+  * `sort(array_distinct(xxhash64(shingle)))` without ever materializing
+  * a shingle string: window bytes accumulate in a reused scratch buffer
+  * and hash via the same XXH64 primitive Spark's `xxhash64` uses
+  * (seed 42), so values are bit-equal to hashing the WordShingles
+  * strings. The candidate phases of the jaccard join and MinHash LSH
+  * consume ONLY these hashes (exact string verification is
+  * candidate-sized), so the corpus scan allocates nothing per window.
+  *
+  * Accepts EITHER a token array OR the raw text string. The string path
+  * fuses WhitespaceTokens in: token boundaries land in two int arrays
+  * and window bytes copy straight from the text bytes — profiled at 5M
+  * docs, materializing the intermediate token array costs ~80 s by
+  * itself (250M UTF8String allocations), which the fused path skips
+  * entirely. Both paths produce bit-identical hashes
+  * (TextExpressionsSpec pins them equal on the adversarial corpus). */
 case class WordShingleHashes(child: Expression, n: Int, seed: Long = 42L)
     extends UnaryExpression {
 
@@ -311,12 +319,14 @@ case class WordShingleHashes(child: Expression, n: Int, seed: Long = 42L)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(StringType, _) =>
+      case ArrayType(StringType, _) | StringType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"word_shingle_hashes needs array<string>, got ${other.simpleString}")
+          s"word_shingle_hashes needs array<string> or string, got ${other.simpleString}")
     }
+
+  @transient private lazy val fromText: Boolean = child.dataType == StringType
 
   @transient private lazy val scratch =
     ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](1 << 12))
@@ -366,6 +376,70 @@ case class WordShingleHashes(child: Expression, n: Int, seed: Long = 42L)
     val hs = new Array[Long](m)
     var i = 0
     while (i < m) { hs(i) = hashWindow(arr, i, n); i += 1 }
+    sortedDistinct(hs)
+  }
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0B || b == 0x0C || b == 0x0D
+
+  /** Copy tokens [start, start+len) of the text into the scratch buffer
+    * joined by single spaces and hash — the string-child mirror of
+    * [[hashWindow]] (no nulls possible here). */
+  private def hashTextWindow(bytes: Array[Byte], starts: Array[Int],
+                             ends: Array[Int], start: Int, len: Int): Long = {
+    var total = 0
+    var j = 0
+    while (j < len) { total += ends(start + j) - starts(start + j) + 1; j += 1 }
+    var buf = scratch.get()
+    if (buf.length < total) {
+      buf = new Array[Byte](math.max(total, buf.length * 2))
+      scratch.set(buf)
+    }
+    var pos = 0
+    j = 0
+    while (j < len) {
+      if (j > 0) { buf(pos) = ' '; pos += 1 }
+      val s0 = starts(start + j); val tl = ends(start + j) - s0
+      System.arraycopy(bytes, s0, buf, pos, tl)
+      pos += tl
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      UTF8String.fromBytes(buf, 0, pos), StringType, seed)
+  }
+
+  def computeText(str: UTF8String): GenericArrayData = {
+    val bytes = str.getBytes
+    val len = bytes.length
+    var nTok = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      if (i < len) nTok += 1
+      while (i < len && !isWs(bytes(i))) i += 1
+    }
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var t = 0
+    i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      val s0 = i
+      while (i < len && !isWs(bytes(i))) i += 1
+      if (i > s0) { starts(t) = s0; ends(t) = i; t += 1 }
+    }
+    if (nTok < n)
+      return new GenericArrayData(
+        Array(hashTextWindow(bytes, starts, ends, 0, nTok)))
+    val m = nTok - n + 1
+    val hs = new Array[Long](m)
+    i = 0
+    while (i < m) { hs(i) = hashTextWindow(bytes, starts, ends, i, n); i += 1 }
+    sortedDistinct(hs)
+  }
+
+  private def sortedDistinct(hs: Array[Long]): GenericArrayData = {
+    val m = hs.length
     java.util.Arrays.sort(hs)
     var distinct = 1
     var i2 = 1
@@ -383,17 +457,70 @@ case class WordShingleHashes(child: Expression, n: Int, seed: Long = 42L)
   }
 
   override def nullSafeEval(input: Any): Any =
-    compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    if (fromText) computeText(input.asInstanceOf[UTF8String])
+    else compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("wordShingleHashes", this, classOf[WordShingleHashes].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    val method = if (fromText) "computeText" else "compute"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.$method($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 
   override def prettyName: String = "word_shingle_hashes"
+}
+
+/** Count of a long-array column's elements that occur in a fixed sorted
+  * long array (binary search per element) — the expression form of a
+  * `explode + broadcast semi-join + count` membership probe.
+  *
+  * Why an expression: profiled at 5M docs, exploding 302M shingle-hash
+  * rows just to semi-join them against a 60k-entry benchmark set cost
+  * 137 s — the generator + per-row join machinery, not the hashing. A
+  * per-row binary-search count over the same sorted set is a pure map
+  * with zero extra rows. The set rides in the expression and ships with
+  * the (torrent-broadcast) task binary — callers gate its size
+  * ([[graft.functions.Dedup.benchmarkOverlap]] falls back to the
+  * explode+join plan above ~4M entries). */
+case class SortedLongSetHits(child: Expression, set: Array[Long])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sorted_long_set_hits needs array<long>, got ${other.simpleString}")
+    }
+
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val m = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < m) {
+      if (java.util.Arrays.binarySearch(set, arr.getLong(i)) >= 0) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sortedLongSetHits", this, classOf[SortedLongSetHits].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "sorted_long_set_hits"
 }
 
 /** Hashing-trick featurization of a token array: signed md5-nibble
@@ -478,25 +605,30 @@ case class HashedFeatures(child: Expression, dim: Int) extends UnaryExpression {
   override def prettyName: String = "hashed_features"
 }
 
-/** Per-document word n-gram repetition statistics:
-  * {{{ struct(total: int, distinct: int, top: int) }}}
-  * over the `windows = max(len(tokens) - n + 1, 0)` contiguous n-grams —
-  * `total` the window count, `distinct` the distinct-n-gram count, `top`
-  * the highest single n-gram frequency (0 when there are no windows).
-  * The Gopher-family repetition filters (Rae et al. 2021 §A1.1:
-  * "fraction of duplicate n-grams", "fraction in the most common
-  * n-gram") are ratios of these integers — emitting the raw counts
-  * keeps downstream thresholds exact and the cross-engine oracle
-  * hashable (no float division on either side).
+/** Per-document word n-gram repetition statistics, FUSED from the raw
+  * text: {{{ struct(total: int, distinct: int, top: int) }}}
+  * over the `windows = max(tokenCount - n + 1, 0)` contiguous n-grams of
+  * the WhitespaceTokens tokenization — `total` the window count,
+  * `distinct` the distinct-n-gram count, `top` the highest single n-gram
+  * frequency (0 when there are no windows). The Gopher-family repetition
+  * filters (Rae et al. 2021 §A1.1: "fraction of duplicate n-grams",
+  * "fraction in the most common n-gram") are ratios of these integers —
+  * emitting raw counts keeps downstream thresholds exact and the
+  * cross-engine oracle hashable (no float division on either side).
   *
-  * Why an expression: every statistic is a pure function of ONE row's
-  * token array, so the distributed plan is a zero-exchange map stage —
-  * the explode + groupBy(doc, gram) + re-aggregate formulation would
-  * shuffle corpus·windows rows into a mostly-unique-key aggregate
-  * (the same disease HashedFeatures' scaladoc records). A per-row
-  * HashMap over ~window count entries replaces all of it. N-gram
-  * equality is joined-string equality (tokens are whitespace-split, so
-  * no token contains a space — the join is injective). */
+  * Why fused (string child, not array<string>): the statistics are pure
+  * functions of one row's bytes, and the corpus-scale cost of the
+  * compose-with-ws_tokens formulation is ALLOCATION, not arithmetic —
+  * profiled at 5M docs, `sum(size(ws_tokens(text)))` alone costs ~80 s
+  * against a 3.6 s count-only byte scan, i.e. materializing 250M token
+  * UTF8Strings dominates everything downstream (a first HashMap-based
+  * version of this expression measured 250 s for exactly this reason).
+  * Here token BOUNDARIES live in two int arrays, windows are compared
+  * byte-wise in place via a sorted index permutation, and the only
+  * allocations are four primitive arrays per document. Window equality
+  * is token-sequence equality, which equals joined-string equality
+  * (tokens contain no separators), so the counts are bit-identical to
+  * the DuckDB string-grouping oracle. */
 case class NgramRepetition(child: Expression, n: Int) extends UnaryExpression {
 
   require(n >= 1, s"n-gram width must be >= 1, got $n")
@@ -508,37 +640,109 @@ case class NgramRepetition(child: Expression, n: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(StringType, _) =>
+      case StringType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"ngram_repetition needs array<string>, got ${other.simpleString}")
+          s"ngram_repetition needs string, got ${other.simpleString}")
     }
 
-  private val SEP = UTF8String.fromString(" ")
+  @inline private def isWs(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0B || b == 0x0C || b == 0x0D
 
-  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
-    val nTok = arr.numElements()
+  /** Lexicographic-ish total order on windows a and b (window i = tokens
+    * i..i+n-1, compared token by token, unsigned bytes then length).
+    * ONLY the equivalence classes matter for the counts; any total order
+    * groups equal windows adjacently after the sort. */
+  private def cmpWindows(bytes: Array[Byte], starts: Array[Int],
+                         ends: Array[Int], a: Int, b: Int): Int = {
+    var k = 0
+    while (k < n) {
+      var i = starts(a + k); val ie = ends(a + k)
+      var j = starts(b + k); val je = ends(b + k)
+      while (i < ie && j < je) {
+        val d = (bytes(i) & 0xFF) - (bytes(j) & 0xFF)
+        if (d != 0) return d
+        i += 1; j += 1
+      }
+      val d = (ie - starts(a + k)) - (je - starts(b + k))
+      if (d != 0) return d
+      k += 1
+    }
+    0
+  }
+
+  /** 3-way quicksort of the index array (duplicate-heavy by design —
+    * that is what the statistic measures). Insertion sort below 8. */
+  private def sortIdx(idx: Array[Int], lo: Int, hi: Int,
+                      bytes: Array[Byte], starts: Array[Int], ends: Array[Int]): Unit = {
+    if (hi - lo < 8) {
+      var i = lo + 1
+      while (i <= hi) {
+        val v = idx(i); var j = i - 1
+        while (j >= lo && cmpWindows(bytes, starts, ends, idx(j), v) > 0) {
+          idx(j + 1) = idx(j); j -= 1
+        }
+        idx(j + 1) = v; i += 1
+      }
+      return
+    }
+    val pivot = idx(lo + (hi - lo) / 2)
+    var lt = lo; var gt = hi; var i = lo
+    while (i <= gt) {
+      val c = cmpWindows(bytes, starts, ends, idx(i), pivot)
+      if (c < 0) { val t = idx(lt); idx(lt) = idx(i); idx(i) = t; lt += 1; i += 1 }
+      else if (c > 0) { val t = idx(gt); idx(gt) = idx(i); idx(i) = t; gt -= 1 }
+      else i += 1
+    }
+    sortIdx(idx, lo, lt - 1, bytes, starts, ends)
+    sortIdx(idx, gt + 1, hi, bytes, starts, ends)
+  }
+
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    // pass 1: count tokens; pass 2: record boundaries
+    var nTok = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      if (i < len) nTok += 1
+      while (i < len && !isWs(bytes(i))) i += 1
+    }
     val windows = nTok - n + 1
     if (windows <= 0)
       return org.apache.spark.sql.catalyst.InternalRow(0, 0, 0)
-    val counts = new java.util.HashMap[UTF8String, Int](windows * 2)
-    val window = new Array[UTF8String](n)
-    var top = 0
-    var i = 0
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var t = 0
+    i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      val s0 = i
+      while (i < len && !isWs(bytes(i))) i += 1
+      if (i > s0) { starts(t) = s0; ends(t) = i; t += 1 }
+    }
+    val idx = new Array[Int](windows)
+    i = 0
+    while (i < windows) { idx(i) = i; i += 1 }
+    sortIdx(idx, 0, windows - 1, bytes, starts, ends)
+    var distinct = 1
+    var top = 1
+    var run = 1
+    i = 1
     while (i < windows) {
-      var j = 0
-      while (j < n) { window(j) = arr.getUTF8String(i + j); j += 1 }
-      val key = UTF8String.concatWs(SEP, window: _*)
-      val c = counts.merge(key, 1, (a, b) => a + b)
-      if (c > top) top = c
+      if (cmpWindows(bytes, starts, ends, idx(i - 1), idx(i)) == 0) {
+        run += 1
+        if (run > top) top = run
+      } else { distinct += 1; run = 1 }
       i += 1
     }
-    org.apache.spark.sql.catalyst.InternalRow(windows, counts.size, top)
+    org.apache.spark.sql.catalyst.InternalRow(windows, distinct, top)
   }
 
   override def nullSafeEval(input: Any): Any =
-    compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    compute(input.asInstanceOf[UTF8String])
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("ngramRepetition", this, classOf[NgramRepetition].getName)
@@ -582,13 +786,28 @@ object TextExpressions {
     GraftColumnBridge.column(
       WordShingles(GraftColumnBridge.expression(tokens), n))
 
-  /** Distinct sorted xxhash64 shingle hashes (see WordShingleHashes). */
+  /** Distinct sorted xxhash64 shingle hashes (see WordShingleHashes).
+    * Accepts a token array; [[wordShingleHashesOfText]] is the fused
+    * string-input twin (bit-identical hashes, no token allocation). */
   def wordShingleHashes(tokens: Column, n: Int, seed: Long = 42L): Column =
     GraftColumnBridge.column(
       WordShingleHashes(GraftColumnBridge.expression(tokens), n, seed))
 
-  /** Per-row n-gram repetition counts (see NgramRepetition). */
-  def ngramRepetition(tokens: Column, n: Int): Column =
+  /** Fused text→shingle-hashes path of WordShingleHashes: tokenization
+    * boundaries stay in int arrays, no token array is materialized. */
+  def wordShingleHashesOfText(text: Column, n: Int, seed: Long = 42L): Column =
     GraftColumnBridge.column(
-      NgramRepetition(GraftColumnBridge.expression(tokens), n))
+      WordShingleHashes(GraftColumnBridge.expression(text), n, seed))
+
+  /** Per-row membership count against a fixed sorted long set
+    * (see SortedLongSetHits). */
+  def sortedLongSetHits(arr: Column, set: Array[Long]): Column =
+    GraftColumnBridge.column(
+      SortedLongSetHits(GraftColumnBridge.expression(arr), set))
+
+  /** Per-row n-gram repetition counts, fused from raw text
+    * (see NgramRepetition — takes the STRING, not a token array). */
+  def ngramRepetition(text: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      NgramRepetition(GraftColumnBridge.expression(text), n))
 }

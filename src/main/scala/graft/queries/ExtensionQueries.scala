@@ -75,15 +75,15 @@ object ExtensionQueries {
     *
     * Scale shape: every column is a pure function of ONE row's text, so
     * the plan is a zero-exchange map stage ([[graft.plans.NgramRepetition]]
-    * builds a per-row window-count HashMap) — the explode + groupBy(doc,
-    * gram) formulation this replaces would shuffle corpus·windows rows
-    * into a mostly-unique-key aggregate. PlanSpec asserts no Exchange. */
+    * counts windows in place over the text bytes, no token array ever
+    * materialized) — the explode + groupBy(doc, gram) formulation this
+    * replaces would shuffle corpus·windows rows into a mostly-unique-key
+    * aggregate. PlanSpec asserts no Exchange. */
   def textRepetition(s: SparkSession, d: String): DataFrame =
     docs(s, d)
-      .select(col("doc_id"), TF.tokens(col("text")).as("tk"))
       .select(col("doc_id"),
-        TX.ngramRepetition(col("tk"), 2).as("r2"),
-        TX.ngramRepetition(col("tk"), 3).as("r3"))
+        TX.ngramRepetition(col("text"), 2).as("r2"),
+        TX.ngramRepetition(col("text"), 3).as("r3"))
       .select(
         col("doc_id"),
         col("r2.total").cast("long").as("ng2_total"),

@@ -71,6 +71,21 @@ class CurationFilterSpec extends SparkSpec {
       "fixture produced zero contamination — test has no signal")
   }
 
+  test("oversized-benchmark fallback path emits identical hit counts") {
+    // Force fusedProbeMaxHashes below the eval set size so the
+    // explode + broadcast-semi-join fallback engages; output must be
+    // row-identical to the in-expression probe path.
+    val docs = spark.read.parquet(docsPath)
+    val bench = docs.filter(col("doc_id") % 23 === 0)
+    val train = docs.filter(col("doc_id") % 23 =!= 0)
+    val fused = Dedup.benchmarkOverlap(train, bench, "text", "doc_id", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fallback = Dedup.benchmarkOverlap(train, bench, "text", "doc_id",
+        n = 4, fusedProbeMaxHashes = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused === fallback, "fallback path diverged from fused probe")
+  }
+
   test("benchmarkOverlap flags planted eval text inside a training doc") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))

@@ -181,27 +181,28 @@ class PlanSpec extends SparkSpec {
     // groupBy(doc, gram) formulation — a corpus·windows-row shuffle into
     // a mostly-unique-key aggregate at scale — crept back.
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val tk = graft.functions.TextFunctions.tokens(col("text"))
     val df = docs.select(col("doc_id"),
-      graft.plans.TextExpressions.ngramRepetition(tk, 2).as("r2"),
-      graft.plans.TextExpressions.ngramRepetition(tk, 3).as("r3"))
+      graft.plans.TextExpressions.ngramRepetition(col("text"), 2).as("r2"),
+      graft.plans.TextExpressions.ngramRepetition(col("text"), 3).as("r3"))
     assert(countExchanges(df) === 0, s"repetition shuffles:\n${planString(df)}")
   }
 
-  test("decontamination: benchmark grams broadcast, corpus side unshuffled") {
-    // The corpus (train) side must meet the benchmark n-gram set through
-    // a BROADCAST semi-join — a shuffle of the exploded corpus grams to
-    // the benchmark is the 100×-scale regression. Expected exchanges:
-    // benchmark distinct (eval-sized), its broadcast, and the final
-    // hit-rows aggregate — never a corpus-gram shuffle join.
+  test("decontamination: in-expression hash probe, corpus grams never shuffle") {
+    // The corpus pass must be a FILTER on the per-row benchmark-set hit
+    // count (SortedLongSetHits) — no explode, no join, no exchange until
+    // the candidate-sized verify. The only join is the broadcast string
+    // verify; a SortMergeJoin anywhere means corpus windows started
+    // shuffling — the 100×-scale regression.
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val df = graft.functions.Dedup.benchmarkOverlap(
       docs.filter(col("doc_id") % 23 =!= 0),
       docs.filter(col("doc_id") % 23 === 0),
       "text", "doc_id", n = 5)
     val s = planString(df)
-    assert(s.contains("BroadcastHashJoin"),
-      s"benchmark grams not broadcast:\n$s")
+    assert(s.contains("sorted_long_set_hits"),
+      s"fused membership filter missing from the corpus scan:\n$s")
+    assert(s.contains("BroadcastHashJoin"), s"string verify not broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$s")
     assert(countExchanges(df) <= 3, s"extra shuffle in decon plan:\n$s")
   }
 

@@ -145,15 +145,32 @@ class TextExpressionsSpec extends SparkSpec {
     assert(mismatches === 0)
   }
 
+  test("word_shingle_hashes from text is bit-equal to the token-array path") {
+    // The fused string path must produce EXACTLY the hashes of
+    // wordShingleHashes(ws_tokens(text)) — decon candidate generation
+    // relies on hash equality matching gram-string equality.
+    for (n <- Seq(2, 4)) {
+      val df = corpus.toDF("id", "t")
+      val mismatches = df.select(col("id"),
+          TextExpressions.wordShingleHashesOfText(col("t"), n).as("fused"),
+          TextExpressions.wordShingleHashes(TF.tokens(col("t")), n).as("ref"))
+        .filter(not(col("fused") === col("ref")))
+        .count()
+      assert(mismatches === 0, s"fused shingle hashes diverged at n=$n")
+    }
+  }
+
   test("ngram_repetition equals the explode+groupBy formulation on every input") {
-    // The per-row HashMap must agree with the distributed reference
-    // formulation it replaces (the one the DuckDB oracle mirrors):
-    // explode n-gram windows, count per (id, gram), aggregate per id.
+    // The fused byte-scan + index-sort must agree with the distributed
+    // reference formulation it replaces (the one the DuckDB oracle
+    // mirrors): tokenize, explode n-gram windows, count per (id, gram),
+    // aggregate per id. The adversarial corpus exercises multi-byte
+    // UTF-8, every separator, and empty/whitespace-only strings.
     for (n <- Seq(2, 3)) {
       val df = corpus.toDF("id", "t")
-        .select(col("id"), TF.tokens(col("t")).as("tk"))
+        .select(col("id"), col("t"), TF.tokens(col("t")).as("tk"))
       val fast = df.select(col("id"),
-        TextExpressions.ngramRepetition(col("tk"), n).as("r"))
+        TextExpressions.ngramRepetition(col("t"), n).as("r"))
       val windows = df.select(col("id"),
           explode(when(size(col("tk")) < n, array().cast("array<string>"))
             .otherwise(transform(sequence(lit(0), size(col("tk")) - n),
@@ -179,10 +196,13 @@ class TextExpressionsSpec extends SparkSpec {
       (1L, "a a a a"),      // 2-grams: 3 windows of "a a"
       (2L, "a b a b a"),    // 2-grams: a b, b a, a b, b a
       (3L, "x"),            // no 2-gram window
-      (4L, "")              // no tokens at all
+      (4L, ""),             // no tokens at all
+      // 2000 tokens, maximal duplication — drives the 3-way quicksort
+      // deep: 2-grams are "a b"×1000 and "b a"×999
+      (5L, "a b " * 1000)
     ).toDF("id", "t")
     val out = df.select(col("id"),
-        TextExpressions.ngramRepetition(TF.tokens(col("t")), 2).as("r"))
+        TextExpressions.ngramRepetition(col("t"), 2).as("r"))
       .selectExpr("id", "r.total", "r.distinct", "r.top")
       .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3))))
       .toMap
@@ -190,6 +210,7 @@ class TextExpressionsSpec extends SparkSpec {
     assert(out(2L) === ((4, 2, 2)))
     assert(out(3L) === ((0, 0, 0)))
     assert(out(4L) === ((0, 0, 0)))
+    assert(out(5L) === ((1999, 2, 1000)))
   }
 
   test("ws_tokens handles nulls and stays inside whole-stage codegen") {
