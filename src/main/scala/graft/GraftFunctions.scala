@@ -82,6 +82,9 @@ object GraftFunctions {
     fn1("graft_lang_id")(TextFunctions.langId),
     fn1("graft_quality_score")(TextFunctions.qualityScore),
     fn1("graft_fingerprint")(TextFunctions.fingerprint),
+    // fused repetition counts: struct(total, distinct, top) n-gram
+    // window stats straight off the text bytes (Gopher filter inputs)
+    fn1i("graft_ngram_stats", 2)(graft.plans.TextExpressions.ngramRepetition),
     // dedup hashes
     fn1("graft_simhash64")(Dedup.simhash64),
     fn1("graft_simhash64_md5")(Dedup.simhash64Md5),

@@ -82,6 +82,7 @@ object SparkEntry {
     "text_triage"         -> (ExtensionQueries.textTriage _),
     "text_repetition"     -> (ExtensionQueries.textRepetition _),
     "decon_docs"          -> ((s, d) => ExtensionQueries.deconDocs(s, d)),
+    "mix_temperature"     -> (ExtensionQueries.mixTemperature _),
     "chunk_docs"          -> ((s, d) => ExtensionQueries.chunkDocs(s, d)),
     "vocab_topk"          -> ((s, d) => ExtensionQueries.vocabTopK(s, d)),
     "embed_docs"          -> ((s, d) => ExtensionQueries.embedDocs(s, d)),
@@ -288,6 +289,22 @@ object SparkEntry {
         "b AS (SELECT DISTINCT unnest(sh) AS sh FROM g WHERE doc_id % 23 = 0), " +
         "s AS (SELECT doc_id, unnest(sh) AS sh FROM g WHERE doc_id % 23 <> 0) " +
         "SELECT s.doc_id, count(*) AS n_hits FROM s JOIN b USING (sh) GROUP BY 1"),
+    // Temperature-2 mixture weights: every float is a chain of
+    // individually correctly-rounded IEEE ops (sqrt ÷ sqrt; ×100000 then
+    // floor), so both engines produce bit-identical doubles — the
+    // cross-group normalizer (an order-dependent float sum) is
+    // deliberately caller-side. n_tokens reuses text_stats' exact
+    // integer token count.
+    "mix_temperature" ->
+      ("WITH g AS (SELECT lang, count(*) AS n_docs, " +
+        "SUM(CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN 0 " +
+        "ELSE len(string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+        "'[ \\t\\n\\x0B\\f\\r]+')) END) AS n_tokens FROM documents GROUP BY 1), " +
+        "m AS (SELECT max(n_docs) AS max_docs FROM g) " +
+        "SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "sqrt(n_docs) / sqrt(max_docs) AS w_rel, " +
+        "CAST(floor(100000 * sqrt(n_docs) / sqrt(max_docs)) AS BIGINT) AS quota_100k " +
+        "FROM g, m"),
     // Token chunking: chunk i of a doc covers tokens [i·48, i·48+64);
     // chunk count = ceil(max(n − 16, 1) / 48) — integer arithmetic and
     // token slicing identical on both engines (list slices clamp).

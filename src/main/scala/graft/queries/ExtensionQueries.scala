@@ -113,6 +113,35 @@ object ExtensionQueries {
       "text", "doc_id", n)
   }
 
+  /** Temperature-weighted corpus mixing (multilingual-sampling style:
+    * upweight low-resource groups by flattening the size distribution
+    * with exponent α = 1/2, i.e. temperature 2): per language, the doc
+    * and token counts plus the sampling weight RELATIVE to the largest
+    * group and an integer per-100k quota.
+    *
+    * Weights are emitted relative to the max group, not normalized over
+    * all groups, deliberately: the normalizer is a cross-group float SUM
+    * whose value depends on addition order — unhashable cross-engine —
+    * while `sqrt(n_i)/sqrt(n_max)` and `floor(100000·sqrt(n_i)/sqrt(n_max))`
+    * are chains of individually correctly-rounded IEEE ops (sqrt, one
+    * multiply, one divide, floor), bit-identical on any engine. The
+    * caller normalizes in one pass over the (group-count-sized) result.
+    *
+    * Scale shape: one two-phase hash aggregate over the group key; the
+    * max joins back as a broadcast 1-row frame against the GROUP rows
+    * (≤ #langs — never event-volume). */
+  def mixTemperature(s: SparkSession, d: String): DataFrame = {
+    val g = docs(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"))
+    g.crossJoin(broadcast(g.agg(max(col("n_docs")).as("max_docs"))))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        (sqrt(col("n_docs")) / sqrt(col("max_docs"))).as("w_rel"),
+        floor(lit(100000) * sqrt(col("n_docs")) / sqrt(col("max_docs")))
+          .cast("long").as("quota_100k"))
+  }
+
   // ---- dedup -----------------------------------------------------------
 
   /** Exact dedup groups keyed on md5(text) — SQL-oracle-able. */

@@ -86,6 +86,23 @@ class CurationFilterSpec extends SparkSpec {
     assert(fused === fallback, "fallback path diverged from fused probe")
   }
 
+  test("mix_temperature: α=1/2 weights relative to the largest group") {
+    val docs = spark.read.parquet(docsPath)
+    val out = ExtensionQueries.mixTemperature(spark, sfDir).collect()
+    assert(out.length ===
+      docs.select(col("lang")).distinct().count(), "one row per language")
+    val byLang = out.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getDouble(3), r.getLong(4)))).toMap
+    val maxDocs = byLang.values.map(_._1).max
+    byLang.foreach { case (lang, (n, w, q)) =>
+      assert(w > 0.0 && w <= 1.0, s"$lang weight out of range: $w")
+      assert(math.abs(w - math.sqrt(n.toDouble) / math.sqrt(maxDocs.toDouble)) == 0.0,
+        s"$lang weight diverges from sqrt ratio")
+      assert(q === math.floor(100000.0 * math.sqrt(n.toDouble) / math.sqrt(maxDocs.toDouble)).toLong)
+      if (n == maxDocs) { assert(w === 1.0); assert(q === 100000L) }
+    }
+  }
+
   test("benchmarkOverlap flags planted eval text inside a training doc") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
