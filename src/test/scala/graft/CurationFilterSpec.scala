@@ -86,6 +86,49 @@ class CurationFilterSpec extends SparkSpec {
     assert(fused === fallback, "fallback path diverged from fused probe")
   }
 
+  test("decontamination composes with streaming ingest (per-batch ≡ batch)") {
+    // Decon is per-document (no cross-doc state), so a crawl stream can
+    // run the SAME operator inside foreachBatch and the union of
+    // per-micro-batch hits must equal the one-shot batch run. The
+    // benchmark set is fixed (a batch frame) — the realistic topology.
+    import java.nio.file.Files
+    val docs = spark.read.parquet(docsPath)
+    val bench = docs.filter(col("doc_id") % 23 === 0)
+    val train = docs.filter(col("doc_id") % 23 =!= 0)
+    val inDir = Files.createTempDirectory("graft-decon-in")
+    val ckpt = Files.createTempDirectory("graft-decon-ck")
+    val results = scala.collection.mutable.Map[Long, Long]()
+    val query = spark.readStream.schema(docs.schema).parquet(inDir.toString)
+      .writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val hits = Dedup.benchmarkOverlap(batch, bench, "text", "doc_id", n = 4)
+          .collect()
+        results.synchronized {
+          hits.foreach(r => results += r.getLong(0) -> r.getLong(1))
+        }
+        ()
+      }
+      .start()
+    try {
+      def arrive(half: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+        val stage = Files.createTempDirectory(s"graft-decon-$tag")
+        half.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.copy(part, inDir.resolve(s"$tag.parquet"))
+        query.processAllAvailable()
+      }
+      arrive(train.filter(col("doc_id") % 2 === 0), "even")
+      arrive(train.filter(col("doc_id") % 2 =!= 0), "odd")
+    } finally query.stop()
+
+    val expected = ExtensionQueries.deconDocs(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(results.toMap === expected,
+      "streamed per-batch decon diverged from the batch operator")
+  }
+
   test("mix_temperature: α=1/2 weights relative to the largest group") {
     val docs = spark.read.parquet(docsPath)
     val out = ExtensionQueries.mixTemperature(spark, sfDir).collect()
