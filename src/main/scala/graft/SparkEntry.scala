@@ -83,6 +83,7 @@ object SparkEntry {
     "text_repetition"     -> (ExtensionQueries.textRepetition _),
     "decon_docs"          -> ((s, d) => ExtensionQueries.deconDocs(s, d)),
     "mix_temperature"     -> (ExtensionQueries.mixTemperature _),
+    "curate_filtered"     -> (ExtensionQueries.curateFiltered _),
     "chunk_docs"          -> ((s, d) => ExtensionQueries.chunkDocs(s, d)),
     "vocab_topk"          -> ((s, d) => ExtensionQueries.vocabTopK(s, d)),
     "embed_docs"          -> ((s, d) => ExtensionQueries.embedDocs(s, d)),
@@ -529,6 +530,7 @@ object SparkEntry {
     // empty-token docs excluded; simhash leaf = the md5-nibble portable
     // hash (see SimhashBruteForceSql).
     "curate_ingest_oracle" -> CurateIngestSql,
+    "curate_filtered" -> CurateFilteredSql,
     // Integer triage signals + argmax language label (ties resolved by the
     // lexicographically greater lang code via (score, lang) struct max —
     // the exact semantics of TextFunctions.langId's array_max).
@@ -559,6 +561,47 @@ object SparkEntry {
   // Dedup.shingles exactly. Pair ids only — integer-exact both engines.
   // Shared by the one-shot batch path (dedup_minhash_oracle) and the
   // incremental index path (dedup_incr_oracle).
+  /** The composed curation funnel: hold out the eval slice, exact-dedup
+    * (min doc_id per text), drop eval-4-gram-contaminated docs, apply
+    * the integer Gopher repetition gates and the curate_docs quality
+    * gates, account per (lang, source). Every fragment reuses an
+    * already-pinned oracle recipe (dedup_exact_keep, decon_docs,
+    * text_repetition, curate_docs). */
+  private val CurateFilteredSql: String = {
+    val ws = "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$'"
+    val cls = "'[ \\t\\n\\x0B\\f\\r]+'"
+    "WITH train AS (SELECT * FROM documents WHERE doc_id % 23 <> 0), " +
+      "kept AS (SELECT * FROM train WHERE doc_id IN (SELECT min(doc_id) FROM train GROUP BY md5(text))), " +
+      s"dtok AS (SELECT doc_id, CASE WHEN length(regexp_replace(text, $ws, '', 'g')) = 0 THEN []::VARCHAR[] " +
+      s"ELSE string_split_regex(regexp_replace(text, $ws, '', 'g'), $cls) END AS tk FROM documents), " +
+      "g4 AS (SELECT doc_id, CASE WHEN len(tk) < 4 THEN [array_to_string(tk, ' ')] " +
+      "ELSE list_distinct(list_transform(range(1, len(tk) - 2), " +
+      "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) END AS sh FROM dtok), " +
+      "bench AS (SELECT DISTINCT unnest(sh) AS sh FROM g4 WHERE doc_id % 23 = 0), " +
+      "tr4 AS (SELECT doc_id, unnest(sh) AS sh FROM g4 WHERE doc_id % 23 <> 0), " +
+      "cont AS (SELECT DISTINCT tr4.doc_id FROM tr4 JOIN bench USING (sh)), " +
+      "ktok AS (SELECT doc_id, tk FROM dtok WHERE doc_id IN (SELECT doc_id FROM kept)), " +
+      "g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), " +
+      "i -> tk[i] || ' ' || tk[i+1])) AS g FROM ktok WHERE len(tk) >= 2), " +
+      "c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2), " +
+      "a2 AS (SELECT doc_id, sum(c) AS t2, max(c) AS m2 FROM c2 GROUP BY 1), " +
+      "g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1), " +
+      "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g FROM ktok WHERE len(tk) >= 3), " +
+      "c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2), " +
+      "a3 AS (SELECT doc_id, sum(c) AS t3, sum(c) - count(*) AS d3 FROM c3 GROUP BY 1), " +
+      "q AS (SELECT k.doc_id, k.lang, k.source, " +
+      s"CASE WHEN length(regexp_replace(k.text, $ws, '', 'g')) = 0 THEN 0 " +
+      s"ELSE len(string_split_regex(regexp_replace(k.text, $ws, '', 'g'), $cls)) END AS n_tokens, " +
+      "CASE WHEN length(k.text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(k.text, '[^0-9]', '', 'g')) AS DOUBLE) / length(k.text) END AS digit_ratio, " +
+      "coalesce(t2, 0) AS t2, coalesce(m2, 0) AS m2, coalesce(t3, 0) AS t3, coalesce(d3, 0) AS d3 " +
+      "FROM kept k LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)) " +
+      "SELECT lang, source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens " +
+      "FROM q WHERE doc_id NOT IN (SELECT doc_id FROM cont) " +
+      "AND m2 * 5 <= t2 AND d3 * 50 <= t3 * 9 " +
+      "AND n_tokens BETWEEN 5 AND 5000 AND digit_ratio < 0.3 " +
+      "GROUP BY 1, 2"
+  }
+
   private val MinhashBruteForceSql: String =
     "WITH docs AS (SELECT doc_id, CASE WHEN length(regexp_replace(text, " +
       "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +

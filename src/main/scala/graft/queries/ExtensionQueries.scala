@@ -142,6 +142,42 @@ object ExtensionQueries {
           .cast("long").as("quota_100k"))
   }
 
+  /** The COMPOSED curation funnel with every round-9 filter in one
+    * pipeline — the query a training-data team actually ships:
+    *  0. the `doc_id % 23 == 0` eval slice is held out (it is the
+    *     benchmark, not training data);
+    *  1. exact dedup (keep min doc_id per text);
+    *  2. decontamination: drop survivors sharing a word 4-gram with the
+    *     eval slice ([[deconDocs]]'s operator; the anti side is
+    *     hit-doc-sized, so it broadcasts);
+    *  3. Gopher-style repetition gates as INTEGER inequalities
+    *     (top-2-gram fraction ≤ 0.2 ⟺ 5·top ≤ total; duplicate-3-gram
+    *     fraction ≤ 0.18 ⟺ 50·dup ≤ 9·total — thresholds from Rae et
+    *     al. 2021 table A1, adapted to this corpus's short docs;
+    *     zero-window docs pass);
+    *  4. quality gates (5 ≤ n_tokens ≤ 5000, digit_ratio < 0.3 — the
+    *     same row-local gates curate_docs pins);
+    *  5. per-(lang, source) doc/token accounting.
+    * Every stage is a pure row-local function or a broadcast anti-join,
+    * so the only corpus-keyed exchanges are the dedup hash aggregate
+    * and the final group-by. */
+  def curateFiltered(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    val train = docs(s, d).filter(col("doc_id") % 23 =!= 0)
+    val kept = Dedup.dropExactDuplicates(train, "text", "doc_id")
+    val contaminated = deconDocs(s, d).select(col("doc_id"))
+    kept.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"),
+        TF.tokenCount(t).as("n_tokens"), TF.digitRatio(t).as("digit_ratio"),
+        TX.ngramRepetition(t, 2).as("r2"), TX.ngramRepetition(t, 3).as("r3"))
+      .filter(col("r2.top") * 5 <= col("r2.total"))
+      .filter((col("r3.total") - col("r3.distinct")) * 50 <= col("r3.total") * 9)
+      .filter(col("n_tokens").between(5, 5000) && col("digit_ratio") < 0.3)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"))
+  }
+
   // ---- dedup -----------------------------------------------------------
 
   /** Exact dedup groups keyed on md5(text) — SQL-oracle-able. */

@@ -146,6 +146,37 @@ class CurationFilterSpec extends SparkSpec {
     }
   }
 
+  test("curate_filtered equals the composition of its pinned stages") {
+    // Rebuild the funnel from the independently oracle-pinned pieces — exact-dedup
+    // keep set, decon hits, per-doc repetition counts, per-doc stats —
+    // composed in DataFrame space, and require group-for-group equality.
+    val docs = spark.read.parquet(docsPath)
+    val train = docs.filter(col("doc_id") % 23 =!= 0)
+    val keptIds = Dedup.dropExactDuplicates(train, "text", "doc_id")
+      .select(col("doc_id"))
+    val cont = ExtensionQueries.deconDocs(spark, sfDir).select(col("doc_id"))
+    val rep = ExtensionQueries.textRepetition(spark, sfDir)
+    val stats = ExtensionQueries.textStats(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"), col("digit_ratio"))
+    val expected = train
+      .join(keptIds, Seq("doc_id"), "left_semi")
+      .join(cont, Seq("doc_id"), "left_anti")
+      .join(rep, Seq("doc_id")).join(stats, Seq("doc_id"))
+      .filter(col("ng2_top") * 5 <= col("ng2_total"))
+      .filter(col("ng3_dup") * 50 <= col("ng3_total") * 9)
+      .filter(col("n_tokens").between(5, 5000) && col("digit_ratio") < 0.3)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val actual = ExtensionQueries.curateFiltered(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(actual === expected, "composed funnel diverged from its stages")
+    assert(actual.nonEmpty && actual.values.map(_._1).sum > 0)
+  }
+
   test("benchmarkOverlap flags planted eval text inside a training doc") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
