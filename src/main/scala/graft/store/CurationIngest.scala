@@ -92,7 +92,11 @@ final case class EmbedRegime(
   *    transitive closure — is deliberately the BATCH operator
   *    `Dedup.clusterKeepMin`'s job, because closure over an unbounded
   *    past is not an O(batch) incremental computation);
-  *  - `regime = "new"`: survives both gates — keep_id = id.
+  *  - `regime = "new"`: survives both gates — keep_id = id;
+  *  - `regime = "contaminated"` (only when a `benchmark` frame is
+  *    passed): the document shares a word n-gram with the eval corpus
+  *    and was dropped BEFORE either index saw it — keep_id = id, and
+  *    nothing of its content is ingested.
   *
   * Partial-failure story (the reason this is an operator and not three
   * calls in a notebook): the two index commits are SEQUENTIAL and each
@@ -208,9 +212,34 @@ object CurationIngest {
                       textCol: String, idCol: String,
                       streamId: String, batchId: Long,
                       compactEvery: Int = 8,
-                      broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit)
+                      broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit,
+                      benchmark: Option[DataFrame] = None,
+                      deconN: Int = 4)
       : DataFrame = {
-    val b = batch.persist(StorageLevel.MEMORY_AND_DISK) // read by both stages
+    val b0 = batch.persist(StorageLevel.MEMORY_AND_DISK)
+    // Stage 0 (optional) — benchmark decontamination: docs sharing a
+    // word deconN-gram with the eval corpus never enter EITHER index
+    // (contaminated content must not be ingested at all); they surface
+    // in the lineage as regime = "contaminated", keep_id = id. The gate
+    // is read-only and deterministic given the benchmark frame, so it
+    // needs no commit and leaves the two-commit crash matrix untouched —
+    // the CONTRACT is that a replayed (streamId, batchId) passes the
+    // SAME benchmark, so the committed stages see the same clean subset.
+    val contaminated: Option[DataFrame] = benchmark.map { bench =>
+      val ids = graft.functions.Dedup
+        .benchmarkOverlap(b0, bench, textCol, idCol, deconN, broadcastKeyLimit)
+        .select(col(idCol).as("id"))
+        .localCheckpoint() // eager, hit-sized; severs lineage into bench
+      ids
+    }
+    val b = contaminated match {
+      case None => b0
+      case Some(ids) =>
+        val n = ids.count()
+        b0.join(BroadcastGate(ids.select(col("id").as(idCol)), n,
+            broadcastKeyLimit), Seq(idCol), "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+    }
     val fpT = fpTable(prefix); val ndT = ndTable(prefix)
 
     // Stage 1 — exact/reformatting dedup. Replay ⇒ read-only resolution
@@ -275,7 +304,7 @@ object CurationIngest {
     // pair-set-sized, not corpus-sized.
     val nearKeep = pairs.groupBy(col("id_b").as("id"))
       .agg(min(col("id_a")).as("near_keep"))
-    val lineage = fpRes
+    val gated = fpRes
       .join(BroadcastGate(nearKeep, nSurv, broadcastKeyLimit),
         Seq("id"), "left")
       .select(col("id"),
@@ -285,9 +314,14 @@ object CurationIngest {
         when(!col("is_new"), lit("exact"))
           .when(col("near_keep").isNotNull, lit("near"))
           .otherwise(lit("new")).as("regime"))
+    val lineage = contaminated
+      .map(ids => gated.unionByName(ids.select(col("id"),
+        col("id").as("keep_id"), lit("contaminated").as("regime"))))
+      .getOrElse(gated)
       .localCheckpoint() // eager; plan-cut + self-contained, see above
     pairs.unpersist(blocking = false)
-    b.unpersist(blocking = false)
+    if (!(b eq b0)) b.unpersist(blocking = false)
+    b0.unpersist(blocking = false)
     lineage
   }
 

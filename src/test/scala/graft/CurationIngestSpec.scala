@@ -225,6 +225,54 @@ class CurationIngestSpec extends SparkSpec {
     assert(got.toMap == want, "streamed lineage diverged from the batch truth")
   }
 
+  test("decon gate: contaminated docs never enter the indexes; replay identical") {
+    val regime = regimes.head._2
+    val doc5 = corpus.toMap.apply(5L)
+    val bench = Seq(9000L -> doc5, 9001L -> "totally separate eval prose here")
+      .toDF("doc_id", "text")
+
+    val (store, t) = freshStore(regime)
+    val lin = CurationIngest.ingestBatchOnce(store, t, regime, docsDF,
+      "text", "doc_id", "s", 0L, benchmark = Some(bench))
+    val got = lin.as[(Long, Long, String)].collect()
+      .map { case (id, k, r) => id -> (k, r) }.toMap
+
+    // the gate's verdicts must equal the standalone decon operator's
+    val expectedCont = Dedup.benchmarkOverlap(docsDF, bench, "text",
+      "doc_id", n = 4).select(col("doc_id")).as[Long].collect().toSet
+    val flagged = got.collect { case (id, (_, "contaminated")) => id }.toSet
+    assert(flagged === expectedCont)
+    // doc 5 (verbatim in the eval set), its reformatting copy 105 (same
+    // token sequence), and its one-token edit 55 (shares leading
+    // 4-grams) must all be caught
+    assert(Set(5L, 105L, 55L).subsetOf(flagged), s"missing from $flagged")
+    assert(got.contains(5L) && got(5L)._1 == 5L, "contaminated keep_id = id")
+
+    // nothing contaminated reached either index
+    val fpIds = FingerprintIndex.load(store, CurationIngest.fpTable(t))
+      .select(col("id")).as[Long].collect().toSet
+    assert(fpIds.intersect(expectedCont).isEmpty, "eval content was ingested")
+
+    // the non-contaminated lineage equals running the pipeline on the
+    // clean subset with no gate at all
+    val clean = docsDF.filter(!col("doc_id").isin(expectedCont.toSeq: _*))
+    val (store2, t2) = freshStore(regime)
+    val lin2 = CurationIngest.ingestBatchOnce(store2, t2, regime, clean,
+      "text", "doc_id", "s", 0L)
+    val got2 = lin2.as[(Long, Long, String)].collect()
+      .map { case (id, k, r) => id -> (k, r) }.toMap
+    assert(got.filterNot(_._2._2 == "contaminated") === got2,
+      "gated lineage diverged from the clean-subset run")
+
+    // full replay with the same benchmark reproduces the frame read-only
+    val lin3 = CurationIngest.ingestBatchOnce(store, t, regime, docsDF,
+      "text", "doc_id", "s", 0L, benchmark = Some(bench))
+    val got3 = lin3.as[(Long, Long, String)].collect()
+      .map { case (id, k, r) => id -> (k, r) }.toMap
+    assert(got3 === got, "replay with the gate diverged")
+    Seq(lin, lin2, lin3).foreach(_.unpersist(blocking = false))
+  }
+
   test("init is idempotent; empty-doc fold leaves one survivor off the simhash index") {
     val regime = regimes.head._2
     val (store, t) = freshStore(regime)
