@@ -46,7 +46,21 @@ object Bench {
       .map { case (name, fn) =>
         val a = timeOnce(name, fn)
         val b = timeOnce(name, fn)
-        name -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+        val best =
+          if (a < 0 || b < 0) math.max(a, b)
+          else {
+            val lo = math.min(a, b); val hi = math.max(a, b)
+            // Two samples disagreeing by >3x is the host-noise signature
+            // (NOTES: r4 sim block, r9 simhash/components — every such
+            // case adjudicated to weather, never to the engine). Both
+            // samples can land inside one bad window, so spend ONE extra
+            // pass on exactly these queries before writing the record.
+            if (hi > 3 * lo && hi - lo > 0.5) {
+              val c = timeOnce(name, fn)
+              if (c < 0) lo else math.min(lo, c)
+            } else lo
+          }
+        name -> best
       }
     results.filter(_._2 < 0).foreach { case (n, _) =>
       System.err.println(s"BENCH ERROR $n: both passes failed (recorded -1.0)")
