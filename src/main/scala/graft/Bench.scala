@@ -44,31 +44,46 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => selected(name) }
       .map { case (name, fn) =>
-        val a = timeOnce(name, fn)
-        val b = timeOnce(name, fn)
-        val best =
-          if (a < 0 || b < 0) math.max(a, b)
-          else {
-            val lo = math.min(a, b); val hi = math.max(a, b)
-            // Two samples disagreeing by >3x is the host-noise signature
-            // (NOTES: r4 sim block, r9 simhash/components — every such
-            // case adjudicated to weather, never to the engine). Both
-            // samples can land inside one bad window, so spend ONE extra
-            // pass on exactly these queries before writing the record.
-            if (hi > 3 * lo && hi - lo > 0.5) {
-              val c = timeOnce(name, fn)
-              if (c < 0) lo else math.min(lo, c)
-            } else lo
-          }
-        name -> best
+        val samples = scala.collection.mutable.ArrayBuffer(
+          timeOnce(name, fn), timeOnce(name, fn))
+        def good = samples.filter(_ >= 0)
+        if (good.size == 1)
+          // One of the two passes failed: the lone success carries no noise
+          // guard, so spend one retry before trusting it (same rationale as
+          // the >3x third-sample rule below).
+          samples += timeOnce(name, fn)
+        else if (good.size == 2) {
+          val lo = good.min; val hi = good.max
+          // Two samples disagreeing by >3x is the host-noise signature
+          // (NOTES: r4 sim block, r9 simhash/components — every such
+          // case adjudicated to weather, never to the engine). Both
+          // samples can land inside one bad window, so spend ONE extra
+          // pass on exactly these queries before writing the record.
+          if (hi > 3 * lo && hi - lo > 0.5) samples += timeOnce(name, fn)
+        }
+        val best = if (good.isEmpty) -1.0 else good.min
+        (name, best, good.toSeq)
       }
-    results.filter(_._2 < 0).foreach { case (n, _) =>
-      System.err.println(s"BENCH ERROR $n: both passes failed (recorded -1.0)")
+    results.filter(_._2 < 0).foreach { case (n, _, _) =>
+      System.err.println(s"BENCH ERROR $n: all passes failed (recorded -1.0)")
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Per-query [min, max, n_successful_samples]: cross-round adjudication
+    // has needed manual worktree A/Bs three rounds running because the
+    // artifact kept only the min — spread in the record lets a reader
+    // separate "all samples slow (regression)" from "one bad sample
+    // (weather)" without rerunning anything. The headline "queries" map
+    // stays min-only so the driver's parser is unchanged.
+    def r3(v: Double) = math.round(v * 1000) / 1000.0
+    val spread = results.map { case (k, _, ss) =>
+      val arr =
+        if (ss.isEmpty) "[-1.0,-1.0,0]"
+        else s"[${r3(ss.min)},${r3(ss.max)},${ss.size}]"
+      "\"" + k + "\":" + arr
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

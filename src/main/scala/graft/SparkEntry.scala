@@ -109,6 +109,7 @@ object SparkEntry {
     "dedup_simhash_incr_oracle" -> (ExtensionQueries.dedupSimhashIncrOracle _),
     "dedup_embed_incr_oracle" -> (ExtensionQueries.dedupEmbedIncrOracle _),
     "curate_ingest_oracle" -> (ExtensionQueries.curateIngestOracle _),
+    "curate_lineage_oracle" -> (ExtensionQueries.curateLineageOracle _),
     "text_triage_oracle"  -> (ExtensionQueries.textTriageOracle _),
     "dedup_embed_pairs"   -> (ExtensionQueries.dedupEmbeddingPairs _),
     "sim_brute_topk"      -> (ExtensionQueries.simBruteTopK _),
@@ -530,6 +531,9 @@ object SparkEntry {
     // empty-token docs excluded; simhash leaf = the md5-nibble portable
     // hash (see SimhashBruteForceSql).
     "curate_ingest_oracle" -> CurateIngestSql,
+    // Same one-hop truth, closed by a recursive-CTE chain chase (the
+    // root is the chase's min — pointers strictly decrease).
+    "curate_lineage_oracle" -> CurateLineageSql,
     "curate_filtered" -> CurateFilteredSql,
     // Integer triage signals + argmax language label (ties resolved by the
     // lexicographically greater lang code via (score, lang) struct max —
@@ -673,8 +677,8 @@ object SparkEntry {
   // md5-nibble simhash (identical construction to SimhashBruteForceSql)
   // brute-forces Hamming ≤ 6 pairs among the fold SURVIVORS; a
   // survivor's keep is its smallest-id partner if any, else itself.
-  private val CurateIngestSql: String =
-    "WITH u AS (SELECT doc_id, text FROM documents WHERE doc_id < 300 " +
+  private val CurateIngestCtes: String =
+    "u AS (SELECT doc_id, text FROM documents WHERE doc_id < 300 " +
       "UNION ALL SELECT doc_id + 10000 AS doc_id, replace(text, ' ', chr(9) || ' ') AS text " +
       "FROM documents WHERE doc_id < 50), " +
       "d AS (SELECT doc_id, CASE WHEN length(regexp_replace(text, " +
@@ -696,15 +700,33 @@ object SparkEntry {
       "ELSE 0 END) AS BIGINT) AS sh64 FROM votes GROUP BY doc_id), " +
       "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b " +
       "ON a.doc_id < b.doc_id WHERE bit_count(xor(a.sh64, b.sh64)) <= 6), " +
-      "near AS (SELECT id_b AS doc_id, min(id_a) AS near_keep FROM pairs GROUP BY id_b) " +
-      "SELECT f.doc_id, " +
+      "near AS (SELECT id_b AS doc_id, min(id_a) AS near_keep FROM pairs GROUP BY id_b), " +
+      "onehop AS (SELECT f.doc_id, " +
       "CASE WHEN f.doc_id != f.fp_keep THEN f.fp_keep " +
       "WHEN n.near_keep IS NOT NULL THEN n.near_keep " +
       "ELSE f.doc_id END AS keep_id, " +
       "CASE WHEN f.doc_id != f.fp_keep THEN 'exact' " +
       "WHEN n.near_keep IS NOT NULL THEN 'near' " +
       "ELSE 'new' END AS regime " +
-      "FROM f LEFT JOIN near n ON n.doc_id = f.doc_id"
+      "FROM f LEFT JOIN near n ON n.doc_id = f.doc_id)"
+
+  private val CurateIngestSql: String =
+    "WITH " + CurateIngestCtes +
+      " SELECT doc_id, keep_id, regime FROM onehop"
+
+  // Transitive closure of the one-hop lineage: chase each keep chain to
+  // its root (pointers strictly decrease, so the root is the MIN value
+  // the chase visits). The CHAIN contract — not component-min; see
+  // CurationIngest.closeLineage's scaladoc for the divergence case.
+  private val CurateLineageSql: String =
+    "WITH RECURSIVE " + CurateIngestCtes + ", " +
+      "chase(doc_id, cur, regime) AS (" +
+      "SELECT doc_id, keep_id, regime FROM onehop " +
+      "UNION " +
+      "SELECT c.doc_id, o.keep_id, c.regime FROM chase c " +
+      "JOIN onehop o ON o.doc_id = c.cur) " +
+      "SELECT doc_id, min(cur) AS keep_id, min(regime) AS regime " +
+      "FROM chase GROUP BY doc_id"
 
   private val ExactTopKSql: String =
     "WITH u AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +

@@ -447,6 +447,43 @@ object ExtensionQueries {
     out
   }
 
+  /** The lineage-closure MAINTENANCE op over the same composed ingest:
+    * accumulate both batches' one-hop lineage, then
+    * [[graft.store.CurationIngest.closeLineage]] compacts every keep
+    * chain to its root (canonical owner — always a regime-new survivor).
+    * The DuckDB oracle is a recursive-CTE chase over the SAME one-hop
+    * truth CurateIngestSql pins, so this row proves the pointer-jump
+    * closure — not just the one-hop lineage — against external truth.
+    * Regimes ride through unchanged (they describe HOW the doc deduped,
+    * not who owns it). Per-invocation temp root. */
+  def curateLineageOracle(s: SparkSession, d: String): DataFrame = {
+    import graft.store.{CurationIngest, SimHashRegime, SnapshotStore}
+    val base = docs(s, d).filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("text"))
+    val variants = base.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        regexp_replace(col("text"), " ", "\t ").as("text"))
+    val u = base.unionByName(variants)
+      .filter(size(TF.tokens(col("text"))) > 0)
+    val root = java.nio.file.Files.createTempDirectory("graft-curlin").toString
+    val store = new SnapshotStore(root, s)
+    val regime = SimHashRegime(hash = Dedup.simhash64Md5(_),
+      maxHamming = 6, expectedCorpus = 300L)
+    CurationIngest.init(store, "cur", regime, u, "text", "doc_id")
+    val parts = Seq(u.filter(col("doc_id") < 150), u.filter(col("doc_id") >= 150))
+      .zipWithIndex.map { case (b, i) =>
+        CurationIngest.ingestBatchOnce(store, "cur", regime, b.coalesce(1),
+          "text", "doc_id", streamId = "verify", batchId = i.toLong)
+      }
+    val closed = CurationIngest.closeLineage(parts.reduce(_ unionByName _))
+    val out = closed
+      .select(col("id").as("doc_id"), col("keep_id"), col("regime"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    parts.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** Integer-only triage projection with a FULL DuckDB oracle: token and
     * subword counts plus the per-language stopword hit counts that feed
     * langId, and the argmax language label itself (exact string CASE on

@@ -141,10 +141,12 @@ object DedupIndex {
                   textCol: String, idCol: String,
                   threshold: Double = 0.5, maxBucketSize: Int = 1000,
                   compactEvery: Int = 8,
-                  broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit)
+                  broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit,
+                  batchCountHint: Option[Long] = None)
       : DataFrame =
     appendInternal(store, table, batch, textCol, idCol, threshold,
-      maxBucketSize, compactEvery, None, broadcastKeyLimit).get
+      maxBucketSize, compactEvery, None, broadcastKeyLimit,
+      batchCountHint).get
 
   /** [[appendBatch]] with the exactly-once batch-id watermark discipline
     * (same as VectorIndex.appendBatchOnce / Mutations.appendBatchOnce):
@@ -156,18 +158,20 @@ object DedupIndex {
                       streamId: String, batchId: Long,
                       threshold: Double = 0.5, maxBucketSize: Int = 1000,
                       compactEvery: Int = 8,
-                      broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit)
+                      broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit,
+                      batchCountHint: Option[Long] = None)
       : Option[DataFrame] =
     appendInternal(store, table, batch, textCol, idCol, threshold,
       maxBucketSize, compactEvery, Some((streamId, batchId)),
-      broadcastKeyLimit)
+      broadcastKeyLimit, batchCountHint)
 
   private def appendInternal(store: SnapshotStore, table: String,
                              batch: DataFrame, textCol: String, idCol: String,
                              threshold: Double, maxBucketSize: Int,
                              compactEvery: Int,
                              onceKey: Option[(String, Long)],
-                             broadcastKeyLimit: Long)
+                             broadcastKeyLimit: Long,
+                             batchCountHint: Option[Long])
       : Option[DataFrame] = {
     var result: Option[DataFrame] = None
     var enc: DataFrame = null
@@ -176,7 +180,7 @@ object DedupIndex {
     // pointer flips) and materialized before the commit — a failure
     // anywhere leaves the index unchanged, so retry reruns the whole
     // batch, never half of it.
-    store.transactWith[Unit](table, sortKey = Some("id")) { _ =>
+    store.transactMeta[Unit](table, sortKey = Some("id")) {
       val v = store.currentVersion(table)
       if (v == 0)
         throw new IllegalStateException(
@@ -194,9 +198,16 @@ object DedupIndex {
         val (shingleN, k, bands) = paramsFrom(meta, table)
         enc = encode(batch, textCol, idCol, shingleN, k, bands)
           .persist(StorageLevel.MEMORY_AND_DISK) // batch-sized, read 4×
+        // One driver action at most for gate sizing: callers that already
+        // know the batch size (CurationIngest counts its survivors) pass
+        // it through; the fallback is a NARROW count on the persisted
+        // encoding (also warms the cache) — never a distinct() exchange
+        // (r9 verdict: each blocking action is a separate job whose
+        // latency multiplies under host degradation).
+        val nBatch = batchCountHint.getOrElse(enc.count())
         result = Some(pairsVsIndex(
-          chain.load(store, table, v, meta), enc, threshold, maxBucketSize,
-          broadcastKeyLimit))
+          chain.load(store, table, v, meta), enc, nBatch, bands, threshold,
+          maxBucketSize, broadcastKeyLimit))
         Right(chain.next(store, table, v, meta, enc, compactEvery,
           watermark.map { case (key, bid) => Map(key -> bid.toString) }
             .getOrElse(Map.empty)))
@@ -219,25 +230,27 @@ object DedupIndex {
     * through a size-gated broadcast bucket filter instead of a full
     * re-band. */
   private def pairsVsIndex(idx: DataFrame, batchEnc: DataFrame,
+                           nBatch: Long, bands: Int,
                            threshold: Double, maxBucketSize: Int,
                            broadcastKeyLimit: Long): DataFrame = {
     val bKeys = keysOf(batchEnc)
     // The batch's bucket set (batch-sized) broadcasts into the corpus
     // keys scan below the gate: index rows stream through the semi-join
     // — no shuffle — and only members of batch-touched buckets survive.
+    // Gate sizing costs no driver action: each doc emits exactly `bands`
+    // keys, so nBatch × bands bounds the distinct bucket count from
+    // above (over-estimating only flips broadcast→shuffle, the safe
+    // side — and the byte gate in BroadcastGate caps the width too).
     val bBuckets = bKeys.select(col("band"), col("bucket")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nBuckets = bBuckets.count() // sizes the gate + warms the filter
-    val cKeys = keysOf(idx)
-      .join(BroadcastGate(bBuckets, nBuckets, broadcastKeyLimit),
-        Seq("band", "bucket"), "left_semi")
-    val out = pairsAmong(cKeys.unionByName(bKeys),
+    pairsAmong(
+      keysOf(idx)
+        .join(BroadcastGate(bBuckets, nBatch * bands, broadcastKeyLimit),
+          Seq("band", "bucket"), "left_semi")
+        .unionByName(bKeys),
       idx.select(col("id"), col("h_arr"))
         .unionByName(batchEnc.select(col("id"), col("h_arr"))),
-      batchEnc.select(col("id")), nBuckets,
+      batchEnc.select(col("id")), nBatch,
       threshold, maxBucketSize, broadcastKeyLimit)
-    bBuckets.unpersist(blocking = false)
-    out
   }
 
   /** READ-ONLY recovery twin of [[appendBatchOnce]]'s pair result: the
@@ -257,23 +270,23 @@ object DedupIndex {
       : DataFrame = {
     val v = store.currentVersion(table)
     val meta = store.metaForVersion(table, v)
+    val (_, _, bands) = paramsFrom(meta, table)
     val idx = chain.load(store, table, v, meta)
     val idRows = ids.select(col("id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nIds = idRows.count()
     val batchRows = idx.join(BroadcastGate(idRows, nIds, broadcastKeyLimit),
       Seq("id"), "left_semi")
+    // nIds × bands bounds the touched-bucket count — no second action.
     val bBuckets = keysOf(batchRows).select(col("band"), col("bucket"))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    val nBuckets = bBuckets.count()
+      .distinct()
     // Batch rows are ALREADY in idx — membership and signatures both
     // come from the committed columns, no union.
     val allKeys = keysOf(idx)
-      .join(BroadcastGate(bBuckets, nBuckets, broadcastKeyLimit),
+      .join(BroadcastGate(bBuckets, nIds * bands, broadcastKeyLimit),
         Seq("band", "bucket"), "left_semi")
     val out = pairsAmong(allKeys, idx.select(col("id"), col("h_arr")),
       idRows, nIds, threshold, maxBucketSize, broadcastKeyLimit)
-    bBuckets.unpersist(blocking = false)
     idRows.unpersist(blocking = false)
     out
   }
@@ -289,8 +302,6 @@ object DedupIndex {
                          threshold: Double, maxBucketSize: Int,
                          broadcastKeyLimit: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def gate(df: DataFrame): DataFrame =
-      BroadcastGate(df, nIds, broadcastKeyLimit)
     // Union membership of every touched bucket, capped in id order —
     // bit-identical semantics to the batch path over the union corpus.
     val w = Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))
@@ -306,14 +317,10 @@ object DedupIndex {
 
     // Keep only pairs touching the batch: corpus-corpus pairs inside a
     // touched bucket were emitted by the append that introduced their
-    // younger member.
-    val candidates = allCand
-      .join(gate(newIds.select(col("id").as("id_a"), lit(1).as("na"))),
-        Seq("id_a"), "left")
-      .join(gate(newIds.select(col("id").as("id_b"), lit(1).as("nb"))),
-        Seq("id_b"), "left")
-      .filter(col("na").isNotNull || col("nb").isNotNull)
-      .select(col("id_a"), col("id_b"))
+    // younger member. ONE shared broadcast for both membership probes.
+    val candidates = BroadcastGate
+      .restrictToTouching(allCand, newIds.select(col("id")), nIds,
+        broadcastKeyLimit)
       .persist(StorageLevel.MEMORY_AND_DISK) // candidate-sized, read 3×
 
     // Exact verify on the stored hash sets — the semi-join keeps the

@@ -114,11 +114,12 @@ object EmbedIndex {
                       batchVecs: DataFrame,
                       streamId: String, batchId: Long,
                       compactEvery: Int = 8,
-                      broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit)
+                      broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit,
+                      batchCountHint: Option[Long] = None)
       : Option[DataFrame] = {
     var result: Option[DataFrame] = None
     var enc: DataFrame = null
-    store.transactWith[Unit](table, sortKey = Some("id")) { _ =>
+    store.transactMeta[Unit](table, sortKey = Some("id")) {
       val v = store.currentVersion(table)
       if (v == 0)
         throw new IllegalStateException(
@@ -131,11 +132,15 @@ object EmbedIndex {
         def req(k: String): String = meta.getOrElse(P + k,
           throw new IllegalStateException(
             s"$table has no committed embed-index metadata '$P$k'"))
-        enc = encode(batchVecs, req("dim").toInt, req("nTables").toInt,
+        val nTables = req("nTables").toInt
+        enc = encode(batchVecs, req("dim").toInt, nTables,
           req("bits").toInt, req("seed").toLong)
           .persist(StorageLevel.MEMORY_AND_DISK) // batch-sized, read 3×
+        // Gate sizing without a distinct() job: hint from the caller, or
+        // a narrow count on the persisted encoding (warms the cache).
+        val nBatch = batchCountHint.getOrElse(enc.count())
         result = Some(pairsVsIndex(
-          chain.load(store, table, v, meta), enc,
+          chain.load(store, table, v, meta), enc, nBatch, nTables,
           req("threshold").toDouble, req("maxBucketSize").toInt,
           broadcastKeyLimit))
         Right(chain.next(store, table, v, meta, enc, compactEvery,
@@ -156,20 +161,19 @@ object EmbedIndex {
     * with the key rows, so verification (CosinePairs dot products)
     * happens in-bucket with no extra corpus scan. */
   private def pairsVsIndex(idx: DataFrame, batchEnc: DataFrame,
+                           nBatch: Long, nTables: Int,
                            threshold: Double, maxBucketSize: Int,
                            broadcastKeyLimit: Long): DataFrame = {
     val bKeys = keysOf(batchEnc)
+    // nBatch × nTables bounds the distinct bucket count (one key per
+    // hash table per vector) — gate sized with zero driver actions.
     val bBuckets = bKeys.select(col("table"), col("bucket")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nBuckets = bBuckets.count() // sizes the gate + warms the filter
     val cKeys = keysOf(idx)
-      .join(BroadcastGate(bBuckets, nBuckets, broadcastKeyLimit),
+      .join(BroadcastGate(bBuckets, nBatch * nTables, broadcastKeyLimit),
         Seq("table", "bucket"), "left_semi")
-    val out = pairsAmong(cKeys.unionByName(bKeys),
-      batchEnc.select(col("id")), nBuckets, threshold, maxBucketSize,
+    pairsAmong(cKeys.unionByName(bKeys),
+      batchEnc.select(col("id")), nBatch, threshold, maxBucketSize,
       broadcastKeyLimit)
-    bBuckets.unpersist(blocking = false)
-    out
   }
 
   /** READ-ONLY recovery twin of [[appendBatchOnce]]'s pair result (same
@@ -182,21 +186,21 @@ object EmbedIndex {
     val meta = store.metaForVersion(table, v)
     val threshold = meta(s"${P}threshold").toDouble
     val maxBucketSize = meta(s"${P}maxBucketSize").toInt
+    val nTables = meta(s"${P}nTables").toInt
     val idx = chain.load(store, table, v, meta)
     val idRows = ids.select(col("id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nIds = idRows.count()
     val batchRows = idx.join(BroadcastGate(idRows, nIds, broadcastKeyLimit),
       Seq("id"), "left_semi")
+    // nIds × nTables bounds the touched-bucket count — no second action.
     val bBuckets = keysOf(batchRows).select(col("table"), col("bucket"))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    val nBuckets = bBuckets.count()
+      .distinct()
     val allKeys = keysOf(idx)
-      .join(BroadcastGate(bBuckets, nBuckets, broadcastKeyLimit),
+      .join(BroadcastGate(bBuckets, nIds * nTables, broadcastKeyLimit),
         Seq("table", "bucket"), "left_semi")
     val out = pairsAmong(allKeys, idRows, nIds, threshold, maxBucketSize,
       broadcastKeyLimit)
-    bBuckets.unpersist(blocking = false)
     idRows.unpersist(blocking = false)
     out
   }
@@ -208,8 +212,6 @@ object EmbedIndex {
                          threshold: Double, maxBucketSize: Int,
                          broadcastKeyLimit: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def gate(df: DataFrame): DataFrame =
-      BroadcastGate(df, nIds, broadcastKeyLimit)
     val w = Window.partitionBy(col("table"), col("bucket")).orderBy(col("id"))
     val allPairs = allKeys
       .withColumn("rn", row_number().over(w))
@@ -224,12 +226,10 @@ object EmbedIndex {
       .select(col("p.id_a"), col("p.id_b"), round(col("p.cos"), 6).as("cos"))
       .dropDuplicates("id_a", "id_b")
 
-    val verified = allPairs
-      .join(gate(newIds.select(col("id").as("id_a"), lit(1).as("na"))),
-        Seq("id_a"), "left")
-      .join(gate(newIds.select(col("id").as("id_b"), lit(1).as("nb"))),
-        Seq("id_b"), "left")
-      .filter(col("na").isNotNull || col("nb").isNotNull)
+    // ONE shared broadcast for both membership probes.
+    val verified = BroadcastGate
+      .restrictToTouching(allPairs, newIds.select(col("id")), nIds,
+        broadcastKeyLimit)
       .select(col("id_a"), col("id_b"), col("cos"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     verified.count()

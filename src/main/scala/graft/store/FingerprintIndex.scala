@@ -88,8 +88,9 @@ object FingerprintIndex {
               broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit)
       : DataFrame = {
     val enc = encode(batch, textCol, idCol)
-    resolveAgainst(load(store, table), enc,
-      enc.select(col("fp")).distinct().count(), broadcastKeyLimit)
+    // Batch row count bounds the distinct-fingerprint count from above —
+    // a NARROW count (one xxhash64 pass), no distinct() exchange.
+    resolveAgainst(load(store, table), enc, enc.count(), broadcastKeyLimit)
   }
 
   /** The shared dedup-resolution plan: batch-internal keep-min per
@@ -97,16 +98,22 @@ object FingerprintIndex {
     * collision probe (the corpus side never shuffles below the gate),
     * keep = indexed owner else batch keep-min. `nKeys` = the batch's
     * distinct-fingerprint count, driving [[BroadcastGate]]. */
+  /** `nKeys` may be an upper bound (batch row count) — over-estimating
+    * only flips a gated broadcast to the safe shuffle fallback. */
   private def resolveAgainst(idx: DataFrame, enc: DataFrame, nKeys: Long,
                              broadcastKeyLimit: Long): DataFrame = {
     def gate(df: DataFrame): DataFrame =
       BroadcastGate(df, nKeys, broadcastKeyLimit)
-    val batchKeep = enc.groupBy(col("fp")).agg(min(col("id")).as("batch_keep"))
+    val batchKeep = gate(
+      enc.groupBy(col("fp")).agg(min(col("id")).as("batch_keep")))
+    // The collision probe semi-joins the SAME gated frame the keep join
+    // uses (the extra batch_keep column is inert in a semi-join), so the
+    // planner's exchange reuse builds ONE broadcast instead of two.
     val owners = idx
-      .join(gate(batchKeep.select(col("fp"))), Seq("fp"), "left_semi")
+      .join(batchKeep, Seq("fp"), "left_semi")
       .select(col("fp"), col("id").as("owner_id"))
     enc
-      .join(gate(batchKeep), Seq("fp"))
+      .join(batchKeep, Seq("fp"))
       .join(gate(owners), Seq("fp"), "left")
       .select(col("id"),
         coalesce(col("owner_id"), col("batch_keep")).as("keep_id"))
@@ -131,11 +138,12 @@ object FingerprintIndex {
                       textCol: String, idCol: String,
                       streamId: String, batchId: Long,
                       compactEvery: Int = 8,
-                      broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit)
+                      broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit,
+                      batchCountHint: Option[Long] = None)
       : Option[DataFrame] = {
     var result: Option[DataFrame] = None
     var enc: DataFrame = null
-    store.transactWith[Unit](table, sortKey = Some("fp")) { _ =>
+    store.transactMeta[Unit](table, sortKey = Some("fp")) {
       val v = store.currentVersion(table)
       if (v == 0)
         throw new IllegalStateException(
@@ -148,9 +156,12 @@ object FingerprintIndex {
         enc = encode(batch, textCol, idCol)
           .persist(StorageLevel.MEMORY_AND_DISK) // batch-sized, read 4×
         // Collision probe + keep resolution (size-gated broadcasts —
-        // the corpus side never shuffles below the gate); the count here
-        // both sizes the gate and warms the enc cache.
-        val nKeys = enc.select(col("fp")).distinct().count()
+        // the corpus side never shuffles below the gate). Gate sizing is
+        // the caller's hint or a NARROW count on the persisted encoding
+        // (warms the cache) — never a distinct() exchange; the batch row
+        // count upper-bounds the distinct-fp count, which is the safe
+        // direction for the gate.
+        val nKeys = batchCountHint.getOrElse(enc.count())
         val resolved =
           resolveAgainst(load(store, table), enc, nKeys, broadcastKeyLimit)
             .persist(StorageLevel.MEMORY_AND_DISK)

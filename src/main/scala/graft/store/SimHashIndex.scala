@@ -84,11 +84,12 @@ object SimHashIndex {
                       batchHashed: DataFrame,
                       streamId: String, batchId: Long,
                       compactEvery: Int = 8,
-                      broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit)
+                      broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit,
+                      batchCountHint: Option[Long] = None)
       : Option[DataFrame] = {
     var result: Option[DataFrame] = None
     var enc: DataFrame = null
-    store.transactWith[Unit](table, sortKey = Some("id")) { _ =>
+    store.transactMeta[Unit](table, sortKey = Some("id")) {
       val v = store.currentVersion(table)
       if (v == 0)
         throw new IllegalStateException(
@@ -105,8 +106,12 @@ object SimHashIndex {
           (req("nBlocks"), req("maxHamming"), req("maxBucketSize"))
         enc = encode(batchHashed, nBlocks, maxHamming)
           .persist(StorageLevel.MEMORY_AND_DISK) // batch-sized, read 3×
+        // Gate sizing without a distinct() job: hint from the caller, or
+        // a narrow count on the persisted encoding (warms the cache).
+        val nBatch = batchCountHint.getOrElse(enc.count())
         result = Some(pairsVsIndex(
-          chain.load(store, table, v, meta), enc, maxHamming, maxBucketSize,
+          chain.load(store, table, v, meta), enc, nBatch,
+          combosPerDoc(nBlocks, maxHamming), maxHamming, maxBucketSize,
           broadcastKeyLimit))
         Right(chain.next(store, table, v, meta, enc, compactEvery,
           Map(key -> batchId.toString)))
@@ -121,25 +126,33 @@ object SimHashIndex {
       .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
         col("id"), col("sh64"))
 
+  /** Combo keys emitted per document: C(nBlocks, nBlocks−maxHamming) —
+    * the pigeonhole block-combination count (Dedup.simhashComboKeys
+    * caps it at 4096). Bounds the distinct-bucket count of a batch from
+    * above, so the BroadcastGate needs no driver-side count. */
+  private def combosPerDoc(nBlocks: Int, maxHamming: Int): Long = {
+    val k = math.min(maxHamming, nBlocks - maxHamming)
+    (1 to k).foldLeft(1L)((a, i) => a * (nBlocks - k + i) / i)
+  }
+
   /** Pairs of `batchEnc` against `idx` ∪ itself — the batch path's
     * single-shuffle shape with the corpus entering through a size-gated
     * broadcast bucket filter. The hash rides with the key rows, so
     * verification (HammingPairs popcount) happens in-bucket with no
     * extra corpus scan. */
   private def pairsVsIndex(idx: DataFrame, batchEnc: DataFrame,
+                           nBatch: Long, keysPerDoc: Long,
                            maxHamming: Int, maxBucketSize: Int,
                            broadcastKeyLimit: Long): DataFrame = {
     val bKeys = keysOf(batchEnc)
+    // nBatch × keysPerDoc bounds the distinct bucket count — gate sized
+    // with zero driver actions (over-estimate = safe shuffle fallback).
     val bBuckets = bKeys.select(col("band"), col("bucket")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nBuckets = bBuckets.count() // sizes the gate + warms the filter
     val cKeys = keysOf(idx)
-      .join(BroadcastGate(bBuckets, nBuckets, broadcastKeyLimit),
+      .join(BroadcastGate(bBuckets, nBatch * keysPerDoc, broadcastKeyLimit),
         Seq("band", "bucket"), "left_semi")
-    val out = pairsAmong(cKeys.unionByName(bKeys), batchEnc.select(col("id")),
-      nBuckets, maxHamming, maxBucketSize, broadcastKeyLimit)
-    bBuckets.unpersist(blocking = false)
-    out
+    pairsAmong(cKeys.unionByName(bKeys), batchEnc.select(col("id")),
+      nBatch, maxHamming, maxBucketSize, broadcastKeyLimit)
   }
 
   /** READ-ONLY recovery twin of [[appendBatchOnce]]'s pair result: the
@@ -158,23 +171,24 @@ object SimHashIndex {
     val meta = store.metaForVersion(table, v)
     val maxHamming = meta(s"${P}maxHamming").toInt
     val maxBucketSize = meta(s"${P}maxBucketSize").toInt
+    val nBlocks = meta(s"${P}nBlocks").toInt
     val idx = chain.load(store, table, v, meta)
     val idRows = ids.select(col("id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nIds = idRows.count()
     val batchRows = idx.join(BroadcastGate(idRows, nIds, broadcastKeyLimit),
       Seq("id"), "left_semi")
+    // nIds × combos bounds the touched-bucket count — no second action.
     val bBuckets = keysOf(batchRows).select(col("band"), col("bucket"))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    val nBuckets = bBuckets.count()
+      .distinct()
     // Batch rows are ALREADY in idx — touched-bucket membership comes
     // from one pass over the committed keys, no union.
     val allKeys = keysOf(idx)
-      .join(BroadcastGate(bBuckets, nBuckets, broadcastKeyLimit),
+      .join(BroadcastGate(bBuckets, nIds * combosPerDoc(nBlocks, maxHamming),
+          broadcastKeyLimit),
         Seq("band", "bucket"), "left_semi")
     val out = pairsAmong(allKeys, idRows, nIds, maxHamming, maxBucketSize,
       broadcastKeyLimit)
-    bBuckets.unpersist(blocking = false)
     idRows.unpersist(blocking = false)
     out
   }
@@ -189,8 +203,6 @@ object SimHashIndex {
                          maxHamming: Int, maxBucketSize: Int,
                          broadcastKeyLimit: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def gate(df: DataFrame): DataFrame =
-      BroadcastGate(df, nIds, broadcastKeyLimit)
     val w = Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))
     val allPairs = allKeys
       .withColumn("rn", row_number().over(w))
@@ -205,12 +217,10 @@ object SimHashIndex {
 
     // Keep only pairs touching the batch (corpus-internal pairs were
     // emitted by the append that introduced their younger member).
-    val verified = allPairs
-      .join(gate(newIds.select(col("id").as("id_a"), lit(1).as("na"))),
-        Seq("id_a"), "left")
-      .join(gate(newIds.select(col("id").as("id_b"), lit(1).as("nb"))),
-        Seq("id_b"), "left")
-      .filter(col("na").isNotNull || col("nb").isNotNull)
+    // ONE shared broadcast for both membership probes.
+    val verified = BroadcastGate
+      .restrictToTouching(allPairs, newIds.select(col("id")), nIds,
+        broadcastKeyLimit)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     verified.count()

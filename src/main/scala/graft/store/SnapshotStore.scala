@@ -70,10 +70,25 @@ final class SnapshotStore(rootDir: String, spark: SparkSession) {
   /** Load the latest snapshot. */
   def load(table: String): DataFrame = loadVersion(table, currentVersion(table))
 
-  /** Time travel: load a specific committed version. */
+  /** Time travel: load a specific committed version.
+    *
+    * The version's schema was recorded at commit time, so the read plans
+    * WITHOUT a parquet footer-inference job — each schema job is a
+    * driver round trip that multiplies under host degradation, and the
+    * index append paths pay one per snapshot touched (r9 verdict item
+    * 1). Pre-upgrade version dirs (no recorded schema) fall back to
+    * inference. */
   def loadVersion(table: String, version: Long): DataFrame = {
     require(version > 0, s"table $table has no committed snapshot")
-    spark.read.parquet(versionDir(table, version).toString)
+    val dir = versionDir(table, version).toString
+    metaForVersion(table, version).get(SchemaKey) match {
+      case Some(s64) =>
+        val json = new String(java.util.Base64.getDecoder.decode(s64), "UTF-8")
+        val schema = org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        spark.read.schema(schema).parquet(dir)
+      case None => spark.read.parquet(dir)
+    }
   }
 
   def loadIfExists(table: String): Option[DataFrame] =
@@ -105,11 +120,35 @@ final class SnapshotStore(rootDir: String, spark: SparkSession) {
         case _ => df
       }
       sorted.write.mode(SaveMode.ErrorIfExists).parquet(dest.toString)
-      val merged = latestMeta(table) ++ meta
-      if (merged.nonEmpty) writeMeta(dest, merged)
+      // Record THIS version's schema (all-nullable, matching what parquet
+      // inference would report) so loadVersion skips the footer job. Set
+      // fresh every commit — never carried forward — so schema evolution
+      // (M6) stays per-version correct.
+      val schema64 = java.util.Base64.getEncoder.encodeToString(
+        allNullable(sorted.schema).json.getBytes("UTF-8"))
+      val merged = latestMeta(table) ++ meta + (SchemaKey -> schema64)
+      writeMeta(dest, merged)
       writePointerAtomically(table, next)
       next
     } finally l.unlock()
+  }
+
+  private val SchemaKey = "_graft.schema64"
+
+  private def allNullable(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def go(dt: DataType): DataType = dt match {
+      case st: StructType =>
+        StructType(st.fields.map(f =>
+          f.copy(dataType = go(f.dataType), nullable = true)))
+      case at: ArrayType =>
+        at.copy(elementType = go(at.elementType), containsNull = true)
+      case mt: MapType =>
+        mt.copy(valueType = go(mt.valueType), valueContainsNull = true)
+      case other => other
+    }
+    go(s).asInstanceOf[StructType]
   }
 
   private def metaFile(dir: Path): Path = dir.resolve("_graft_meta")
@@ -182,6 +221,22 @@ final class SnapshotStore(rootDir: String, spark: SparkSession) {
     val l = lockFor(table)
     l.lock()
     try fn(loadIfExists(table)) match {
+      case Left(a) => Left(a)
+      case Right((df, meta)) => Right(commit(table, df, sortKey, meta))
+    } finally l.unlock()
+  }
+
+  /** [[transactWith]] for callers that do NOT need the locked snapshot
+    * handed to them (the delta-chain index appends read their table via
+    * currentVersion/metaForVersion/loadVersion themselves): skips the
+    * eager loadIfExists, whose schema-inference job was pure overhead —
+    * one fewer driver round trip per append. */
+  def transactMeta[A](table: String, sortKey: Option[String] = None)
+      (fn: => Either[A, (DataFrame, Map[String, String])])
+      : Either[A, Long] = {
+    val l = lockFor(table)
+    l.lock()
+    try fn match {
       case Left(a) => Left(a)
       case Right((df, meta)) => Right(commit(table, df, sortKey, meta))
     } finally l.unlock()

@@ -107,7 +107,7 @@ object VectorIndex {
     * members the append folds the chain into a full snapshot instead. */
   def append(store: SnapshotStore, indexTable: String, newVectors: DataFrame,
              idCol: String, vecCol: String, compactEvery: Int = 8): Long =
-    store.transactWith[Nothing](indexTable, sortKey = Some("list_id")) { _ =>
+    store.transactMeta[Nothing](indexTable, sortKey = Some("list_id")) {
       val v = store.currentVersion(indexTable)
       val meta = store.metaForVersion(indexTable, v)
       requireScheme(meta, indexTable)
@@ -137,7 +137,7 @@ object VectorIndex {
                       streamId: String, batchId: Long,
                       compactEvery: Int = 8): Boolean = {
     val metaKey = s"stream.$streamId.lastBatchId"
-    store.transactWith[Unit](indexTable, sortKey = Some("list_id")) { _ =>
+    store.transactMeta[Unit](indexTable, sortKey = Some("list_id")) {
       val v = store.currentVersion(indexTable)
       val meta = store.metaForVersion(indexTable, v)
       val last = meta.get(metaKey).map(_.toLong).getOrElse(-1L)

@@ -30,6 +30,26 @@ class BroadcastGateSpec extends SparkSpec {
     assert(hints(BroadcastGate(df, 0, 0)).nonEmpty, "limit 0, 0 keys: hint")
   }
 
+  test("byte gate: a wide (array-bearing) frame loses the hint at key counts the narrow case allows") {
+    // 5M narrow (id: long) rows ≈ 80 MB — hint attaches under both the
+    // 10M key limit and the 256 MB byte limit. The same 5M keys on an
+    // array<long>-bearing frame estimate to ~2.7 GB — the byte gate must
+    // drop the hint even though the KEY limit alone would allow it
+    // (r9 verdict: the key-count default misapplied to h_arr/embedding
+    // frames would be a several-GB broadcast).
+    val narrow = spark.range(10).toDF("id")
+    val wide = spark.range(10).toDF("id")
+      .withColumn("h_arr", array(lit(1L), lit(2L)))
+    val n = 5000000L
+    assert(hints(BroadcastGate(narrow, n, BroadcastGate.DefaultKeyLimit)).nonEmpty,
+      "narrow frame at 5M keys: hint expected")
+    assert(hints(BroadcastGate(wide, n, BroadcastGate.DefaultKeyLimit)).isEmpty,
+      "wide frame at the same 5M keys: byte gate must drop the hint")
+    // A batch-sized wide frame still broadcasts (the normal regime).
+    assert(hints(BroadcastGate(wide, 1000L, BroadcastGate.DefaultKeyLimit)).nonEmpty,
+      "small wide frame: hint expected")
+  }
+
   test("above the limit the join plans without a forced BroadcastExchange") {
     val conf = spark.conf
     val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")

@@ -292,4 +292,77 @@ class CurationIngestSpec extends SparkSpec {
     assert(!ndIds.contains(300L) && !ndIds.contains(301L))
     lin.unpersist(blocking = false)
   }
+
+  /** Brute-force chain chase: follow keep pointers to the fixpoint. */
+  private def chaseAll(onehop: Map[Long, Long]): Map[Long, Long] =
+    onehop.map { case (id, _) =>
+      var cur = id
+      while (onehop.getOrElse(cur, cur) != cur) cur = onehop(cur)
+      id -> cur
+    }
+
+  test("closeLineage: pointer-jump closure equals the brute-force chain chase") {
+    // A 9-deep chain (0←1←…←9), a bushy tree onto 20, self-roots, and a
+    // keep_id absent from the frame (treated as a root) — depth forces
+    // ≥ 4 pointer-jump rounds, the tree exercises shared parents.
+    val onehop: Seq[(Long, Long, String)] =
+      (1L to 9L).map(i => (i, i - 1, "near")) ++
+        Seq((0L, 0L, "new"), (20L, 20L, "new"),
+          (21L, 20L, "exact"), (22L, 21L, "near"), (23L, 21L, "near"),
+          (24L, 23L, "exact"),
+          (30L, 999L, "near")) // 999 absent → 30's root is 999
+    val lineage = onehop.toDF("id", "keep_id", "regime")
+    val closed = CurationIngest.closeLineage(lineage)
+      .select(col("id"), col("keep_id"), col("regime"))
+      .as[(Long, Long, String)].collect()
+    val expectedRoots = chaseAll(onehop.map(r => r._1 -> r._2).toMap)
+    assert(closed.length == onehop.length, "row count preserved")
+    closed.foreach { case (id, keep, _) =>
+      assert(keep == expectedRoots(id), s"root of $id")
+    }
+    // regimes ride through unchanged
+    val regimes = closed.map(r => r._1 -> r._3).toMap
+    onehop.foreach { case (id, _, reg) => assert(regimes(id) == reg) }
+  }
+
+  test("closeLineage on a real composed ingest: every keep chain compacts to a surviving root") {
+    val store = new SnapshotStore(Files.createTempDirectory("graft-cls").toString, spark)
+    val regime = SimHashRegime(maxHamming = 6, expectedCorpus = 300L)
+    CurationIngest.init(store, "cl", regime, docsDF, "text", "doc_id")
+    val parts = Seq(docsDF.filter(col("doc_id") < 60), docsDF.filter(col("doc_id") >= 60))
+      .zipWithIndex.map { case (b, i) =>
+        CurationIngest.ingestBatchOnce(store, "cl", regime, b,
+          "text", "doc_id", "s", i.toLong)
+      }
+    val lineage = parts.reduce(_ unionByName _)
+    val closed = CurationIngest.closeLineage(lineage)
+    val oneHop = lineage.select(col("id"), col("keep_id"))
+      .as[(Long, Long)].collect().toMap
+    val got = closed.select(col("id"), col("keep_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == chaseAll(oneHop), "closure ≡ brute-force chase")
+    // Every root is a row whose one-hop keep is itself (a survivor).
+    got.values.toSet.foreach { r: Long => assert(oneHop(r) == r, s"root $r survives") }
+    // And the closure is idempotent.
+    val again = CurationIngest.closeLineage(closed)
+      .select(col("id"), col("keep_id")).as[(Long, Long)].collect().toMap
+    assert(again == got)
+    parts.foreach(_.unpersist(blocking = false))
+  }
+
+  test("closeLineage is the CHAIN contract, not component-min (documented divergence)") {
+    // Pairs (1,4), (2,3), (3,4) in id-arrival order: 3's only smaller
+    // partner is 2, 4's smallest is 1. Component min of {1,2,3,4} is 1,
+    // but 3 was never compared against 1 — the chain closure keeps 3→2.
+    val onehop = Seq((1L, 1L, "new"), (2L, 2L, "new"),
+      (3L, 2L, "near"), (4L, 1L, "near"))
+    val closed = CurationIngest.closeLineage(onehop.toDF("id", "keep_id", "regime"))
+      .select(col("id"), col("keep_id")).as[(Long, Long)].collect().toMap
+    assert(closed(3L) == 2L && closed(4L) == 1L,
+      "chain closure must not collapse to component-min")
+    val comp = Dedup.connectedComponents(
+      Seq((1L, 4L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(comp(3L) == 1L, "fixture really does diverge from component-min")
+  }
 }
