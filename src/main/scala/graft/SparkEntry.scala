@@ -76,12 +76,18 @@ object SparkEntry {
     "events_sliding"   -> (EventQueries.slidingActivity _),
     "events_funnel"    -> ((s, d) => EventQueries.funnel(s, d,
       horizonUs = 7L * 86400L * 1000000L)),
+    // k=4 steps, tighter 3-day horizon: exercises the chained
+    // conditional-min generalization past the 3-step default.
+    "events_funnel4"   -> ((s, d) => EventQueries.funnel(s, d,
+      steps = Seq("signup", "view", "click", "purchase"),
+      horizonUs = 3L * 86400L * 1000000L)),
     "events_retention" -> (EventQueries.retention _),
     // training-data extension ops (text / dedup / similarity)
     "text_stats"          -> (ExtensionQueries.textStats _),
     "text_triage"         -> (ExtensionQueries.textTriage _),
     "text_repetition"     -> (ExtensionQueries.textRepetition _),
     "decon_docs"          -> ((s, d) => ExtensionQueries.deconDocs(s, d)),
+    "decon_docs_table"    -> ((s, d) => ExtensionQueries.deconDocsTable(s, d)),
     "mix_temperature"     -> (ExtensionQueries.mixTemperature _),
     "curate_filtered"     -> (ExtensionQueries.curateFiltered _),
     "chunk_docs"          -> ((s, d) => ExtensionQueries.chunkDocs(s, d)),
@@ -243,6 +249,21 @@ object SparkEntry {
         "SELECT '1_view' AS step, count(CASE WHEN t0 IS NOT NULL THEN 1 END) AS users FROM s1 " +
         "UNION ALL SELECT '2_click', count(CASE WHEN t1 IS NOT NULL THEN 1 END) FROM s2 " +
         "UNION ALL SELECT '3_purchase', count(CASE WHEN t2 IS NOT NULL THEN 1 END) FROM s3"),
+    // 4-step funnel (signup → view → click → purchase), 3-day horizon:
+    // the same chained conditional-min CTE recipe, one more link.
+    "events_funnel4" ->
+      ("WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events), " +
+        "s1 AS (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts_us END) AS t0 FROM e GROUP BY user_id), " +
+        "s2 AS (SELECT e.user_id, min(CASE WHEN e.event_type = 'view' AND e.ts_us > s1.t0 AND e.ts_us <= s1.t0 + 259200000000 THEN e.ts_us END) AS t1 " +
+        "FROM e JOIN s1 USING (user_id) GROUP BY e.user_id), " +
+        "s3 AS (SELECT e.user_id, min(CASE WHEN e.event_type = 'click' AND e.ts_us > s2.t1 AND e.ts_us <= s2.t1 + 259200000000 THEN e.ts_us END) AS t2 " +
+        "FROM e JOIN s2 USING (user_id) GROUP BY e.user_id), " +
+        "s4 AS (SELECT e.user_id, min(CASE WHEN e.event_type = 'purchase' AND e.ts_us > s3.t2 AND e.ts_us <= s3.t2 + 259200000000 THEN e.ts_us END) AS t3 " +
+        "FROM e JOIN s3 USING (user_id) GROUP BY e.user_id) " +
+        "SELECT '1_signup' AS step, count(CASE WHEN t0 IS NOT NULL THEN 1 END) AS users FROM s1 " +
+        "UNION ALL SELECT '2_view', count(CASE WHEN t1 IS NOT NULL THEN 1 END) FROM s2 " +
+        "UNION ALL SELECT '3_click', count(CASE WHEN t2 IS NOT NULL THEN 1 END) FROM s3 " +
+        "UNION ALL SELECT '4_purchase', count(CASE WHEN t3 IS NOT NULL THEN 1 END) FROM s4"),
     // Weekly retention triangle. Monday-aligned week index is pure integer
     // math — (epoch_day - 4) div 7 — identical in both engines (all
     // operands positive, so floor vs truncate division agree).
@@ -290,6 +311,22 @@ object SparkEntry {
         "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) END AS sh FROM d), " +
         "b AS (SELECT DISTINCT unnest(sh) AS sh FROM g WHERE doc_id % 23 = 0), " +
         "s AS (SELECT doc_id, unnest(sh) AS sh FROM g WHERE doc_id % 23 <> 0) " +
+        "SELECT s.doc_id, count(*) AS n_hits FROM s JOIN b USING (sh) GROUP BY 1"),
+    // Production-shaped decon: benchmark = the doc_id % 23 hold-out as
+    // a separate table, corpus = ALL documents (leaked copies flag with
+    // full overlap — the canonical decon scenario). The oracle derives
+    // the hold-out with the same modulus; contents are identical to the
+    // parquet hold-out the Spark side wrote once.
+    "decon_docs_table" ->
+      ("WITH d AS (SELECT doc_id, CASE WHEN length(regexp_replace(text, " +
+        "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
+        "ELSE string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+        "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM documents), " +
+        "g AS (SELECT doc_id, CASE WHEN len(tk) < 4 THEN [array_to_string(tk, ' ')] " +
+        "ELSE list_distinct(list_transform(range(1, len(tk) - 2), " +
+        "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) END AS sh FROM d), " +
+        "b AS (SELECT DISTINCT unnest(sh) AS sh FROM g WHERE doc_id % 23 = 0), " +
+        "s AS (SELECT doc_id, unnest(sh) AS sh FROM g) " +
         "SELECT s.doc_id, count(*) AS n_hits FROM s JOIN b USING (sh) GROUP BY 1"),
     // Temperature-2 mixture weights: every float is a chain of
     // individually correctly-rounded IEEE ops (sqrt ÷ sqrt; ×100000 then

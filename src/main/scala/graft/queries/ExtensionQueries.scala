@@ -113,6 +113,30 @@ object ExtensionQueries {
       "text", "doc_id", n)
   }
 
+  /** [[deconDocs]] in the PRODUCTION query shape: the benchmark is a
+    * SEPARATE table (a hold-out slice written once to parquet and read
+    * back), so the corpus parquet is scanned exactly ONCE — the
+    * modulus fixture above derives both sides from the corpus scan,
+    * forcing 3 corpus reads the real pipeline never pays (the bench
+    * number should reflect the production plan, r9 verdict item 5).
+    * The corpus deliberately RETAINS the rows the hold-out was carved
+    * from: a training set genuinely containing leaked benchmark copies
+    * is the canonical decontamination scenario, and those rows flag
+    * with full overlap — deterministic and oracle-pinned. */
+  def deconDocsTable(s: SparkSession, d: String, n: Int = 4,
+                     benchMod: Int = 23): DataFrame = {
+    val dir = new java.io.File("/tmp/graft_bench_tables",
+      d.replaceAll("[^A-Za-z0-9.]", "_"))
+    val f = new java.io.File(dir, "benchmark.parquet")
+    if (!f.exists()) {
+      dir.mkdirs()
+      docs(s, d).filter(col("doc_id") % benchMod === 0)
+        .write.mode("overwrite").parquet(f.getPath)
+    }
+    Dedup.benchmarkOverlap(docs(s, d), s.read.parquet(f.getPath),
+      "text", "doc_id", n)
+  }
+
   /** Temperature-weighted corpus mixing (multilingual-sampling style:
     * upweight low-resource groups by flattening the size distribution
     * with exponent α = 1/2, i.e. temperature 2): per language, the doc
