@@ -618,6 +618,9 @@ object ScaleBench {
       return Seq.empty
     }
     import graft.queries.EventQueries
+    // Captured by ev_funnel_50m for the streaming twin's equivalence
+    // check (the usual producer/dependent filter contract).
+    var batchFunnelTotal = -1L
     Seq(
       timed("ev_hourly_50m") {
         EventQueries.hourlyAgg(spark, dir).count()
@@ -627,9 +630,11 @@ object ScaleBench {
       },
       timed("ev_funnel_50m") {
         import org.apache.spark.sql.functions.sum
-        EventQueries.funnel(spark, dir, horizonUs = 7L * 86400L * 1000000L)
+        val v = EventQueries.funnel(spark, dir, horizonUs = 7L * 86400L * 1000000L)
           .agg(sum(org.apache.spark.sql.functions.col("users")))
           .collect()(0).getLong(0)
+        batchFunnelTotal = v
+        v
       },
       timed("ev_retention_50m") {
         EventQueries.retention(spark, dir).count()
@@ -642,6 +647,54 @@ object ScaleBench {
       },
       timed("ev_asof_50m") {
         EventQueries.asofPurchase(spark, dir).count()
+      },
+      // Streaming funnel at the flagship: the one component whose scale
+      // behavior was spec-only (r9 verdict item 7). Single AvailableNow
+      // trigger = one micro-batch, so the intra-batch (ts, event_id)
+      // sort absorbs all disorder and the streamed step rows must EQUAL
+      // the batch funnel's user counts — asserted here, at 50M events /
+      // 150k users, not just at spec scale. State sizing (one k-long
+      // record per user) is read off the query's stateOperators progress
+      // and logged for NOTES.
+      timed("ev_funnel_stream_50m") {
+        import org.apache.spark.sql.streaming.Trigger
+        val horizon = 7L * 86400L * 1000000L
+        val schema = spark.read.parquet(s"$dir/events.parquet").schema
+        val stream = spark.readStream.schema(schema)
+          .parquet(s"$dir/events.parquet")
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-funnel-ckpt").toString
+        val acc = spark.sparkContext.longAccumulator("stepRows")
+        val q = graft.streaming.StreamingFunnel
+          .funnelSteps(stream, horizonUs = horizon)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreach(new org.apache.spark.sql.ForeachWriter[
+            graft.streaming.StreamingFunnel.StepReached] {
+            def open(p: Long, v: Long) = true
+            def process(r: graft.streaming.StreamingFunnel.StepReached): Unit =
+              acc.add(1L)
+            def close(e: Throwable): Unit = ()
+          })
+          .start()
+        q.awaitTermination()
+        Option(q.lastProgress).flatMap(p => p.stateOperators.headOption)
+          .foreach { so =>
+            System.err.println(
+              s"[scalebench] ev_funnel_stream_50m state: " +
+                s"rows=${so.numRowsTotal} mem=${so.memoryUsedBytes}B " +
+                s"updated=${so.numRowsUpdated}")
+          }
+        val streamed = acc.value
+        if (batchFunnelTotal >= 0L)
+          require(streamed == batchFunnelTotal,
+            s"streamed funnel rows $streamed != batch total $batchFunnelTotal")
+        else System.err.println(
+          "[scalebench] ev_funnel_stream_50m: ev_funnel_50m filtered out — " +
+            "equivalence check skipped (include it in the filter)")
+        streamed
       }
     ).flatten
   }

@@ -196,4 +196,31 @@ class StoreMutationSpec extends SparkSpec {
     assert(analytics.toolCountByTeam.count() > 0)
     assert(analytics.recordsByTeamAndStatusFlat.count() > 0)
   }
+
+  test("schema-in-metadata: loadVersion plans without footer inference, per-version schemas survive evolution, pre-upgrade dirs fall back") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-schema").toString
+    val store = new SnapshotStore(dir, spark)
+    val v1 = store.commit("t", Seq((1L, "a")).toDF("id", "name"))
+    val v2 = store.commit("t",
+      Seq((1L, "a", 3.5)).toDF("id", "name", "score"))
+    // Each version reports ITS OWN schema (M6 evolution stays
+    // per-version correct even though meta is carried forward).
+    assert(store.loadVersion("t", v1).columns.toSeq == Seq("id", "name"))
+    assert(store.loadVersion("t", v2).columns.toSeq == Seq("id", "name", "score"))
+    assert(store.loadVersion("t", v2).as[(Long, String, Double)].collect()
+      .toSeq == Seq((1L, "a", 3.5)))
+    // The recorded schema matches what parquet inference would report
+    // (all-nullable), so downstream schema comparisons are unchanged.
+    val inferred = spark.read.parquet(s"$dir/t/v%05d".format(v2))
+    assert(store.loadVersion("t", v2).schema == inferred.schema)
+    // A version dir WITHOUT the schema key (pre-upgrade layout) still
+    // loads via inference: strip the key from v1's meta file.
+    val metaFile = java.nio.file.Paths.get(dir, "t", "v%05d".format(v1), "_graft_meta")
+    val stripped = Files.readString(metaFile).linesIterator
+      .filterNot(_.startsWith("_graft.schema64=")).mkString("\n")
+    Files.writeString(metaFile, stripped)
+    assert(store.loadVersion("t", v1).as[(Long, String)].collect()
+      .toSeq == Seq((1L, "a")))
+  }
 }
