@@ -473,6 +473,23 @@ object ScaleBench {
         Dedup.connectedComponents(edges.toDF(), "id_a", "id_b")
           .select(col("component_id")).distinct().count()
       },
+      // Lineage-closure maintenance op on a worst-reasonable synthetic
+      // frame: 5M lineage rows in 500k chains of depth 9 (keep = id-1
+      // except at each chain head) — closed-form truth root = id - id%10
+      // lets the entry VERIFY every row distributively (a wrong root is
+      // a filter hit, no collect). Pointer jumping must close depth 9 in
+      // 4 rounds; the cost is 4 lineage-sized self-joins + cuts.
+      timed("lineage_close_5m") {
+        val lineage = spark.range(0L, 5000000L, 1L, 64)
+          .select(col("id"),
+            when(col("id") % 10 === 0, col("id"))
+              .otherwise(col("id") - 1).as("keep_id"))
+        val closed = graft.store.CurationIngest.closeLineage(lineage)
+        val bad = closed
+          .filter(col("keep_id") =!= col("id") - col("id") % 10).count()
+        require(bad == 0L, s"$bad rows closed to the wrong root")
+        5000000L
+      },
       timed("dedup_simhash_h3") {
         Dedup.simhashNearDupPairs(docs, "text", "doc_id", maxHamming = 3).count()
       },
