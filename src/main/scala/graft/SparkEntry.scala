@@ -89,6 +89,7 @@ object SparkEntry {
     "decon_docs"          -> ((s, d) => ExtensionQueries.deconDocs(s, d)),
     "decon_docs_table"    -> ((s, d) => ExtensionQueries.deconDocsTable(s, d)),
     "mix_temperature"     -> (ExtensionQueries.mixTemperature _),
+    "mix_sampled"         -> (ExtensionQueries.mixSampled _),
     "curate_filtered"     -> (ExtensionQueries.curateFiltered _),
     "chunk_docs"          -> ((s, d) => ExtensionQueries.chunkDocs(s, d)),
     "vocab_topk"          -> ((s, d) => ExtensionQueries.vocabTopK(s, d)),
@@ -344,6 +345,21 @@ object SparkEntry {
         "sqrt(n_docs) / sqrt(max_docs) AS w_rel, " +
         "CAST(floor(100000 * sqrt(n_docs) / sqrt(max_docs)) AS BIGINT) AS quota_100k " +
         "FROM g, m"),
+    // The quota MATERIALIZED: keep doc iff doc_id % 100 < quota div 1000
+    // (percent granularity, so rejection happens at every sf), then
+    // per-language sampled accounting — the same IEEE-exact quota chain,
+    // an integer modulus filter, and integer counts, so the whole sample
+    // is oracle-checkable.
+    "mix_sampled" ->
+      ("WITH g AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1), " +
+        "m AS (SELECT max(n_docs) AS max_docs FROM g), " +
+        "q AS (SELECT lang, CAST(floor(100000 * sqrt(n_docs) / sqrt(max_docs)) AS BIGINT) AS quota_100k FROM g, m) " +
+        "SELECT d.lang, q.quota_100k, count(*) AS n_sampled, " +
+        "CAST(SUM(CASE WHEN length(regexp_replace(d.text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN 0 " +
+        "ELSE len(string_split_regex(regexp_replace(d.text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+        "'[ \\t\\n\\x0B\\f\\r]+')) END) AS BIGINT) AS tokens_sampled " +
+        "FROM documents d JOIN q USING (lang) " +
+        "WHERE d.doc_id % 100 < q.quota_100k // 1000 GROUP BY 1, 2"),
     // Token chunking: chunk i of a doc covers tokens [i·48, i·48+64);
     // chunk count = ceil(max(n − 16, 1) / 48) — integer arithmetic and
     // token slicing identical on both engines (list slices clamp).

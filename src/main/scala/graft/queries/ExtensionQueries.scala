@@ -166,6 +166,37 @@ object ExtensionQueries {
           .cast("long").as("quota_100k"))
   }
 
+  /** The temperature policy MATERIALIZED as an actual sample:
+    * [[mixTemperature]] computes per-language quotas; this op applies
+    * them as a deterministic systematic sample — keep a doc iff
+    * `doc_id % 100 < quota_100k(lang) div 1000` (percent granularity:
+    * fine enough for a mixing policy, coarse enough that the REJECT
+    * branch is exercised at every test scale — a %100000 modulus never
+    * rejects while doc_ids stay below the quota) — and accounts the
+    * sampled docs/tokens per language. Systematic-on-the-key sampling
+    * is the cluster-safe choice (reproducible on any partitioning, no
+    * RNG state) and makes the WHOLE pipeline integer/IEEE-exact, so the
+    * sampled accounting carries a full DuckDB oracle, not just the
+    * policy weights.
+    *
+    * Scale shape: TWO corpus scans by necessity — the quota depends on
+    * global group stats (scan 1: the group aggregate), then the sample
+    * filter is row-local against the broadcast group-sized quota frame
+    * (scan 2: filter + final group-by). No corpus-keyed exchange beyond
+    * the two aggregates. */
+  def mixSampled(s: SparkSession, d: String): DataFrame = {
+    val quotas = mixTemperature(s, d)
+      .select(col("lang"), col("quota_100k"))
+    docs(s, d)
+      .join(broadcast(quotas), Seq("lang"))
+      .filter(col("doc_id") % 100 < expr("quota_100k div 1000"))
+      .groupBy(col("lang"), col("quota_100k"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(TF.tokenCount(col("text")).cast("long")).as("tokens_sampled"))
+      .select(col("lang"), col("quota_100k"), col("n_sampled"),
+        col("tokens_sampled"))
+  }
+
   /** The COMPOSED curation funnel with every round-9 filter in one
     * pipeline — the query a training-data team actually ships:
     *  0. the `doc_id % 23 == 0` eval slice is held out (it is the

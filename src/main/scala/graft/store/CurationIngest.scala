@@ -395,6 +395,40 @@ object CurationIngest {
     lineage.drop("keep_id").join(ptr, Seq("id"))
   }
 
+  /** One index table's operational state: committed version, delta-chain
+    * fan-in (1 = freshly compacted), live row count, and the last applied
+    * batchId per stream (the exactly-once watermarks). */
+  final case class IndexTableStats(table: String, version: Long,
+                                   chainLength: Int, rows: Long,
+                                   lastBatchIds: Map[String, Long])
+
+  /** Operational introspection of the pipeline's two indexes — what an
+    * operator dashboards before scheduling compaction/vacuum/
+    * [[closeLineage]]: chain fan-in says how overdue compaction is, the
+    * watermarks say which micro-batch each index has durably applied (a
+    * gap between the two tables = a crash between the commits, repaired
+    * by replay), and rows sizes the next append's scan floor. Cost: one
+    * count per table (the chain union — `store.load` alone would
+    * undercount a delta-chained table); metadata reads are file I/O,
+    * no jobs. */
+  def stats(store: SnapshotStore, prefix: String): Seq[IndexTableStats] =
+    Seq(fpTable(prefix), ndTable(prefix)).map { table =>
+      val v = store.currentVersion(table)
+      val meta = store.metaForVersion(table, v)
+      val chain = meta.collectFirst {
+        case (k, parts) if k.endsWith(".parts") && parts.nonEmpty =>
+          parts.split(",").toSeq.map(_.toLong)
+      }.getOrElse(Seq.empty) :+ v
+      val rows =
+        if (v == 0) 0L
+        else chain.map(store.loadVersion(table, _)).reduce(_ unionByName _).count()
+      val wm = meta.collect {
+        case (k, value) if k.startsWith("stream.") && k.endsWith(".lastBatchId") =>
+          k.stripPrefix("stream.").stripSuffix(".lastBatchId") -> value.toLong
+      }
+      IndexTableStats(table, v, chain.length, rows, wm.toMap)
+    }
+
   /** Chain-aware vacuum of both indexes (after the lineage frames of
     * every outstanding append have been consumed — see the
     * consume-before-vacuum contract). */

@@ -350,6 +350,34 @@ class CurationIngestSpec extends SparkSpec {
     parts.foreach(_.unpersist(blocking = false))
   }
 
+  test("stats: versions, chain fan-in, row counts, watermarks track the ingest protocol") {
+    val store = new SnapshotStore(Files.createTempDirectory("graft-stats").toString, spark)
+    val regime = SimHashRegime(maxHamming = 6, expectedCorpus = 300L)
+    CurationIngest.init(store, "st", regime, docsDF, "text", "doc_id")
+    val s0 = CurationIngest.stats(store, "st")
+    assert(s0.map(_.table) == Seq("st_fp", "st_nd"))
+    assert(s0.forall(t => t.version == 1 && t.chainLength == 1 && t.rows == 0
+      && t.lastBatchIds.isEmpty), s"fresh init: $s0")
+    val l0 = CurationIngest.ingestBatchOnce(store, "st", regime,
+      docsDF.filter(col("doc_id") < 60), "text", "doc_id", "s", 0L)
+    val l1 = CurationIngest.ingestBatchOnce(store, "st", regime,
+      docsDF.filter(col("doc_id") >= 60), "text", "doc_id", "s", 1L)
+    val s2 = CurationIngest.stats(store, "st")
+    // init + 2 delta appends per table; both watermarks at batch 1.
+    assert(s2.forall(t => t.version == 3 && t.chainLength == 3
+      && t.lastBatchIds == Map("s" -> 1L)), s"after 2 ingests: $s2")
+    // fp rows = distinct contents ingested; nd rows = non-empty-token
+    // fp survivors (the union across both appends).
+    val fpRows = s2.find(_.table == "st_fp").get.rows
+    val ndRows = s2.find(_.table == "st_nd").get.rows
+    val lineage = l0.unionByName(l1)
+    val nNew = lineage.filter(col("regime") =!= "exact").count()
+    assert(fpRows == nNew, s"fp rows $fpRows != non-exact lineage $nNew")
+    assert(ndRows == nNew - 1, // the lone whitespace-only survivor skips simhash
+      s"nd rows $ndRows != survivors minus the empty-doc one (${nNew - 1})")
+    Seq(l0, l1).foreach(_.unpersist(blocking = false))
+  }
+
   test("closeLineage is the CHAIN contract, not component-min (documented divergence)") {
     // Pairs (1,4), (2,3), (3,4) in id-arrival order: 3's only smaller
     // partner is 2, 4's smallest is 1. Component min of {1,2,3,4} is 1,
