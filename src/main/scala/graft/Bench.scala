@@ -52,13 +52,15 @@ object Bench {
           // guard, so spend one retry before trusting it (same rationale as
           // the >3x third-sample rule below).
           samples += timeOnce(name, fn)
-        else if (good.size == 2) {
+        // Two samples disagreeing by >3x is the host-noise signature
+        // (NOTES: r4 sim block, r9 simhash/components — every such case
+        // adjudicated to weather, never to the engine). Both samples can
+        // land inside one bad window, so spend ONE extra pass on exactly
+        // these queries before writing the record. Evaluated AFTER any
+        // failed-pass retry (the retry's two good samples deserve the
+        // same guard), capped at 4 passes total.
+        if (good.size == 2 && samples.size < 4) {
           val lo = good.min; val hi = good.max
-          // Two samples disagreeing by >3x is the host-noise signature
-          // (NOTES: r4 sim block, r9 simhash/components — every such
-          // case adjudicated to weather, never to the engine). Both
-          // samples can land inside one bad window, so spend ONE extra
-          // pass on exactly these queries before writing the record.
           if (hi > 3 * lo && hi - lo > 0.5) samples += timeOnce(name, fn)
         }
         val best = if (good.isEmpty) -1.0 else good.min

@@ -705,12 +705,27 @@ object ScaleBench {
                 s"updated=${so.numRowsUpdated}")
           }
         val streamed = acc.value
-        if (batchFunnelTotal >= 0L)
+        // The equality contract holds only if the WHOLE backlog landed in
+        // one micro-batch (intra-batch sort absorbs disorder; part files
+        // are not time-partitioned, so a split backlog may legitimately
+        // diverge). Verify that before comparing, instead of turning a
+        // config change into a phantom engine bug.
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        if (dataBatches != 1)
+          System.err.println(
+            s"[scalebench] ev_funnel_stream_50m: backlog split into " +
+              s"$dataBatches micro-batches — equality check skipped " +
+              "(cross-batch event-time order is not guaranteed)")
+        else if (batchFunnelTotal >= 0L)
           require(streamed == batchFunnelTotal,
             s"streamed funnel rows $streamed != batch total $batchFunnelTotal")
         else System.err.println(
           "[scalebench] ev_funnel_stream_50m: ev_funnel_50m filtered out — " +
             "equivalence check skipped (include it in the filter)")
+        def del(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(del)); p.delete(): Unit
+        }
+        del(new java.io.File(ckpt))
         streamed
       }
     ).flatten

@@ -125,13 +125,31 @@ object ExtensionQueries {
     * with full overlap — deterministic and oracle-pinned. */
   def deconDocsTable(s: SparkSession, d: String, n: Int = 4,
                      benchMod: Int = 23): DataFrame = {
-    val dir = new java.io.File("/tmp/graft_bench_tables",
-      d.replaceAll("[^A-Za-z0-9.]", "_"))
+    // Cache key carries the SOURCE's mtime (regenerating the dataset at
+    // the same path invalidates the hold-out), completeness is judged by
+    // Spark's _SUCCESS marker (a crashed first write leaves no marker),
+    // and publication is an atomic rename (concurrent sessions race to
+    // an identical result; losers fall through to the winner's copy).
+    val src = new java.io.File(s"$d/documents.parquet")
+    val key = s"${d.replaceAll("[^A-Za-z0-9.]", "_")}_${src.lastModified()}"
+    val dir = new java.io.File("/tmp/graft_bench_tables", key)
     val f = new java.io.File(dir, "benchmark.parquet")
-    if (!f.exists()) {
+    if (!new java.io.File(f, "_SUCCESS").exists()) {
       dir.mkdirs()
+      val tmp = new java.io.File(dir, s".tmp-${System.nanoTime()}")
       docs(s, d).filter(col("doc_id") % benchMod === 0)
-        .write.mode("overwrite").parquet(f.getPath)
+        .write.mode("overwrite").parquet(tmp.getPath)
+      try java.nio.file.Files.move(tmp.toPath, f.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException
+            | _: java.nio.file.AccessDeniedException =>
+          // a concurrent session published the identical hold-out first
+          def del(p: java.io.File): Unit = {
+            Option(p.listFiles).foreach(_.foreach(del)); p.delete(): Unit
+          }
+          del(tmp)
+      }
     }
     Dedup.benchmarkOverlap(docs(s, d), s.read.parquet(f.getPath),
       "text", "doc_id", n)

@@ -21,10 +21,15 @@ import org.apache.spark.sql.types._
   *  - `keyCount × rowWidth(schema) ≤ DefaultByteLimit` — a byte budget
   *    derived from the frame's schema, so the same key limit cannot be
   *    misapplied to a wide frame: 10M (band,bucket) rows is ~160 MB,
-  *    but 10M `h_arr`/embedding-bearing rows would be several GB. The
-  *    width estimate is deliberately pessimistic for variable-width
-  *    types (strings at a nominal 48 B, arrays at 64 elements) —
-  *    over-estimating only flips broadcast→shuffle, the safe side.
+  *    but 10M `h_arr`/embedding-bearing rows would be several GB.
+  *    Fixed-width columns are estimated exactly; variable-width columns
+  *    (strings, arrays, maps) get deliberately LARGE nominals (strings
+  *    256 B, containers 256 elements — ~2 KB for an array<long>), so a
+  *    text- or shingle-array-bearing frame falls back to the planner
+  *    beyond a few hundred thousand keys. The estimate errs toward
+  *    shuffle, the safe side; a caller who KNOWS its variable-width
+  *    rows are small and wants the broadcast anyway should project the
+  *    keys first (which every current call site already does).
   *
   * `keyCount` itself may be an UPPER BOUND, not an exact count — the
   * append paths bound it as batchRows × keysPerDoc precisely so sizing
@@ -39,8 +44,9 @@ private[graft] object BroadcastGate {
   val DefaultByteLimit: Long = 256L << 20
 
   /** Estimated serialized bytes per row for gate math. Fixed-width types
-    * at their width; variable-width types at pessimistic nominals
-    * (string/binary 48 B, containers 64 elements). */
+    * at their exact width; variable-width types at LARGE nominals
+    * (string/binary 256 B, containers 256 elements) — the estimate must
+    * err toward "too wide to broadcast", never the reverse. */
   private[store] def rowWidth(schema: StructType): Long =
     schema.fields.map(f => widthOf(f.dataType)).sum + 8L // row overhead
 
@@ -50,11 +56,11 @@ private[graft] object BroadcastGate {
     case IntegerType | FloatType | DateType => 4L
     case LongType | DoubleType | TimestampType | TimestampNTZType => 8L
     case _: DecimalType => 16L
-    case StringType | BinaryType => 48L
-    case ArrayType(et, _) => 16L + 64L * widthOf(et)
-    case MapType(kt, vt, _) => 16L + 64L * (widthOf(kt) + widthOf(vt))
+    case StringType | BinaryType => 256L
+    case ArrayType(et, _) => 16L + 256L * widthOf(et)
+    case MapType(kt, vt, _) => 16L + 256L * (widthOf(kt) + widthOf(vt))
     case StructType(fields) => 8L + fields.map(f => widthOf(f.dataType)).sum
-    case _ => 64L
+    case _ => 256L
   }
 
   def apply(df: DataFrame, keyCount: Long, limit: Long): DataFrame =

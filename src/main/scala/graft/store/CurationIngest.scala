@@ -384,6 +384,11 @@ object CurationIngest {
           coalesce(col("jumped"), col("keep_id")).as("keep_id"),
           col("jumped").isNotNull.as("changed")))
       converged = next.filter(col("changed")).count() == 0L
+      // `next` is materialized (eager cut + the count above), so the
+      // previous round's checkpoint blocks are dead — release them now
+      // instead of pinning ceil(log2 depth) lineage-sized copies in
+      // executor storage for the whole op.
+      ptr.unpersist(blocking = false)
       ptr = next.select(col("id"), col("keep_id"))
       iter += 1
     }
@@ -415,10 +420,17 @@ object CurationIngest {
     Seq(fpTable(prefix), ndTable(prefix)).map { table =>
       val v = store.currentVersion(table)
       val meta = store.metaForVersion(table, v)
-      val chain = meta.collectFirst {
-        case (k, parts) if k.endsWith(".parts") && parts.nonEmpty =>
-          parts.split(",").toSeq.map(_.toLong)
-      }.getOrElse(Seq.empty) :+ v
+      // A table's meta carries exactly ONE delta-chain parts key (its
+      // own index's). Metadata is carried forward by every commit, so
+      // guard against a second one ever landing rather than letting an
+      // arbitrary Map-iteration winner report a wrong chain.
+      val partsKeys = meta.keys.filter(_.endsWith(".parts")).toSeq.sorted
+      if (partsKeys.size > 1)
+        throw new IllegalStateException(
+          s"$table carries ${partsKeys.size} delta-chain keys " +
+            s"(${partsKeys.mkString(", ")}) — stats cannot pick one")
+      val chain = partsKeys.headOption.flatMap(meta.get).filter(_.nonEmpty)
+        .map(_.split(",").toSeq.map(_.toLong)).getOrElse(Seq.empty) :+ v
       val rows =
         if (v == 0) 0L
         else chain.map(store.loadVersion(table, _)).reduce(_ unionByName _).count()
