@@ -213,7 +213,7 @@ object DedupIndex {
             .getOrElse(Map.empty)))
       }
     }
-    // The commit (inside transactWith) consumed the encoding; the pair
+    // The commit (inside transactMeta) consumed the encoding; the pair
     // result has its own cache, and its lineage re-derives enc if an
     // executor loses blocks.
     if (enc != null) enc.unpersist(blocking = false)

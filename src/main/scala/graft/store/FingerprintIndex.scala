@@ -96,10 +96,10 @@ object FingerprintIndex {
   /** The shared dedup-resolution plan: batch-internal keep-min per
     * fingerprint, index owners fetched through a size-gated broadcast
     * collision probe (the corpus side never shuffles below the gate),
-    * keep = indexed owner else batch keep-min. `nKeys` = the batch's
-    * distinct-fingerprint count, driving [[BroadcastGate]]. */
-  /** `nKeys` may be an upper bound (batch row count) — over-estimating
-    * only flips a gated broadcast to the safe shuffle fallback. */
+    * keep = indexed owner else batch keep-min. `nKeys` drives
+    * [[BroadcastGate]] and may be an UPPER BOUND on the batch's distinct
+    * fingerprints (the batch row count) — over-estimating only flips a
+    * gated broadcast to the safe shuffle fallback. */
   private def resolveAgainst(idx: DataFrame, enc: DataFrame, nKeys: Long,
                              broadcastKeyLimit: Long): DataFrame = {
     def gate(df: DataFrame): DataFrame =
@@ -174,7 +174,7 @@ object FingerprintIndex {
           compactEvery, Map(key -> batchId.toString)))
       }
     }
-    // The commit (inside transactWith) consumed the encoding; the result
+    // The commit (inside transactMeta) consumed the encoding; the result
     // has its own cache and re-derives enc from `batch` on block loss.
     if (enc != null) enc.unpersist(blocking = false)
     result
