@@ -54,6 +54,133 @@ class MultimodalCodecSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  /** Hand-write an uncompressed 24-bpp DIB AVI (RIFF layout): one vids
+    * stream, `frames(k)` giving frame k's constant gray value 0..255.
+    * Width 5 exercises the 4-byte DIB row padding (15 → 16 bytes). */
+  private def rawAvi(w: Int, h: Int, usPerFrame: Long,
+                     grays: Seq[Int]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    def le32(v: Long): Unit = {
+      bos.write((v & 0xFF).toInt); bos.write(((v >> 8) & 0xFF).toInt)
+      bos.write(((v >> 16) & 0xFF).toInt); bos.write(((v >> 24) & 0xFF).toInt)
+    }
+    def cc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val frameSize = rowBytes * h
+    val patches = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    def chunk(id: String)(body: => Unit): Unit = {
+      cc(id)
+      val sizeAt = bos.size(); le32(0) // placeholder
+      body
+      val end = bos.size(); val size = end - sizeAt - 4
+      if (size % 2 == 1) bos.write(0) // even padding
+      patches += ((sizeAt, size))
+    }
+    chunk("RIFF") {
+      cc("AVI ")
+      chunk("LIST") {
+        cc("hdrl")
+        chunk("avih") {
+          le32(usPerFrame); le32(0); le32(0); le32(0)
+          le32(grays.length); le32(0); le32(1); le32(0)
+          le32(w); le32(h); le32(0); le32(0); le32(0); le32(0)
+        }
+        chunk("LIST") {
+          cc("strl")
+          chunk("strh") {
+            cc("vids"); cc("DIB "); le32(0); le32(0); le32(0)
+            le32(usPerFrame); le32(1000000L); le32(0); le32(grays.length)
+            le32(frameSize); le32(0); le32(0); le32(0); le32(0)
+          }
+          chunk("strf") { // BITMAPINFOHEADER
+            le32(40); le32(w); le32(h); le32((24 << 16) | 1) // planes=1, bpp=24
+            le32(0) /* BI_RGB */; le32(frameSize)
+            le32(0); le32(0); le32(0); le32(0)
+          }
+        }
+      }
+      chunk("LIST") {
+        cc("movi")
+        grays.foreach { g =>
+          chunk("00db") {
+            (0 until h).foreach { _ =>
+              (0 until w).foreach { _ => bos.write(g); bos.write(g); bos.write(g) }
+              (w * 3 until rowBytes).foreach(_ => bos.write(0))
+            }
+          }
+        }
+      }
+    }
+    val out = bos.toByteArray
+    patches.foreach { case (at, v) =>
+      out(at) = (v & 0xFF).toByte; out(at + 1) = ((v >> 8) & 0xFF).toByte
+      out(at + 2) = ((v >> 16) & 0xFF).toByte; out(at + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    out
+  }
+
+  test("parseAvi/decodeVideo read a real uncompressed-DIB AVI") {
+    // 4 frames of 5×4 at 25 fps; grays 0, 60, 120, 240
+    val grays = Seq(0, 60, 120, 240)
+    val avi = rawAvi(5, 4, 40000L, grays)
+    val vid = Multimodal.decodeVideo(avi).get
+    assert(vid.width == 5 && vid.height == 4)
+    assert(vid.nFrames == 4 && vid.durationMs == 160L)
+    // frames land in envelope bins 0, 4, 8, 12 (i·16/4); a constant-gray
+    // frame's mean Rec.601 luma is its gray value (299+587+114 = 1000).
+    val expected = grays.map(_ / 255f)
+    Seq(0, 4, 8, 12).zip(expected).foreach { case (bin, e) =>
+      assert(math.abs(vid.lumaEnvelope(bin) - e) < 2e-3, s"bin $bin")
+    }
+    Seq(1, 2, 3, 5, 6, 7, 9, 10, 11, 13, 14, 15).foreach(b =>
+      assert(vid.lumaEnvelope(b) == 0f, s"empty bin $b"))
+  }
+
+  test("sampleFrames pulls REAL frames and re-encodes them as PNG") {
+    val grays = Seq(10, 80, 150, 220)
+    val avi = rawAvi(5, 4, 40000L, grays)
+    val assets = Seq(MediaAsset(7L, "video", avi,
+      MediaMeta(None, None, None, None))).toDS()
+    val rows = Multimodal.sampleFrames(assets, everyMs = 40L)
+      .orderBy("ts_ms").collect()
+    assert(rows.length == 4) // 160 ms / 40 ms
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(2) == i * 40L)
+      assert(r.getInt(1) == i, "frame index tracks stream time")
+      val png = r.getAs[Array[Byte]]("frame_payload")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == 5 && img.getHeight == 4)
+      val g = grays(i)
+      assert((img.getRGB(2, 1) & 0xFF) == g, s"frame $i pixel gray")
+    }
+    // everyMs = 80 → every second frame
+    val sparse = Multimodal.sampleFrames(assets, everyMs = 80L)
+      .orderBy("ts_ms").collect()
+    assert(sparse.map(_.getInt(1)).toSeq == Seq(0, 2))
+  }
+
+  test("extractFeatures routes video through the real demux; compressed AVIs fall back") {
+    val avi = rawAvi(5, 4, 40000L, Seq(100, 100))
+    val real = Multimodal.extractFeatures(Seq(MediaAsset(1L, "video", avi,
+      MediaMeta(None, None, None, None))).toDS()).collect()(0)
+    assert(real.decoded_width.contains(5) && real.decoded_height.contains(4))
+    assert(real.decoded_duration_ms.contains(80L))
+    assert(math.abs(real.feature(0) - 100 / 255f) < 2e-3)
+    // Flip biCompression to a non-zero codec tag: demux must refuse and
+    // the stub path must take over (decoded fields empty).
+    val compressed = avi.clone()
+    val strfData = indexOfSlice(compressed, "strf".getBytes("US-ASCII")) + 8
+    compressed(strfData + 16) = 1 // biCompression = BI_RLE8
+    assert(Multimodal.decodeVideo(compressed).isEmpty)
+    val fallback = Multimodal.extractFeatures(Seq(MediaAsset(2L, "video",
+      compressed, MediaMeta(None, None, None, None))).toDS()).collect()(0)
+    assert(fallback.decoded_width.isEmpty && fallback.decoded_duration_ms.isEmpty)
+  }
+
+  private def indexOfSlice(hay: Array[Byte], needle: Array[Byte]): Int =
+    hay.indices.find(i => i + needle.length <= hay.length &&
+      needle.indices.forall(j => hay(i + j) == needle(j))).get
+
   test("decodeAudio reads real WAV params and temporal RMS envelope") {
     // 0.5 s of a 0.5-amplitude 440 Hz sine at 8 kHz mono
     val rate = 8000f
