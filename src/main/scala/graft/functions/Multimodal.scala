@@ -433,6 +433,45 @@ object Multimodal {
     }.toDF("asset_id", "frame_idx", "ts_ms", "frame_payload")
   }
 
+  /** Sampled video frames as IMAGE-feature rows — the bridge from the
+    * demuxer into the embedding / near-dup pipeline: one row per sampled
+    * frame with the same 16-bin luminance histogram the image path
+    * computes, ready to hash-embed or near-dup-block like any other
+    * image corpus. Decodes straight from the DIB bytes (no PNG
+    * round-trip); payloads the demuxer rejects contribute no rows
+    * (their asset-level stub features come from [[extractFeatures]]).
+    * Pure per-row function → zero exchanges, scan-shaped at 100 TB. */
+  def videoFrameFeatures(assets: Dataset[MediaAsset], everyMs: Long): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.media_type == "video").flatMap { a =>
+      parseAvi(a.payload).toSeq.flatMap { s =>
+        val n = math.max(1L,
+          (s.durationMs + math.max(everyMs, 1L) - 1) / math.max(everyMs, 1L))
+        (0L until n).map { i =>
+          val tMs = i * everyMs
+          val idx = math.min(tMs * 1000L / s.usPerFrame, s.nFrames - 1L).toInt
+          val img = frameImage(s, idx)
+          val hist = new Array[Int](16)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xFF) * 299 +
+                ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
+              hist(lum >> 4) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val np = math.max(img.getWidth * img.getHeight, 1)
+          (a.asset_id, idx, tMs, s.width, s.height,
+            hist.map(_.toFloat / np))
+        }
+      }
+    }.toDF("asset_id", "frame_idx", "ts_ms", "width", "height", "luma_hist")
+  }
+
   /** Frame-sampling stage for videos: emit one row per sampled "frame"
     * (every `everyMs` of the declared duration). Real decoders pull actual
     * frames; the stub slices the payload deterministically. Kept as the

@@ -159,6 +159,26 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(sparse.map(_.getInt(1)).toSeq == Seq(0, 2))
   }
 
+  test("videoFrameFeatures: per-frame luminance histograms match the frame grays") {
+    val grays = Seq(10, 80, 150, 220)
+    val assets = Seq(MediaAsset(9L, "video", rawAvi(5, 4, 40000L, grays),
+      MediaMeta(None, None, None, None))).toDS()
+    val rows = Multimodal.videoFrameFeatures(assets, everyMs = 40L)
+      .orderBy("ts_ms").collect()
+    assert(rows.length == 4)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(3) == 5 && r.getInt(4) == 4)
+      val hist = r.getAs[scala.collection.Seq[Float]]("luma_hist")
+      // a constant-gray frame has ALL pixels in bin gray/16
+      assert(hist(grays(i) >> 4) == 1.0f, s"frame $i histogram")
+      assert(math.abs(hist.sum - 1.0f) < 1e-5)
+    }
+    // non-demuxable payload contributes no frame rows
+    val junk = Seq(MediaAsset(10L, "video", Array.fill[Byte](64)(3),
+      MediaMeta(None, None, Some(1000L), None))).toDS()
+    assert(Multimodal.videoFrameFeatures(junk, 40L).count() == 0L)
+  }
+
   test("extractFeatures routes video through the real demux; compressed AVIs fall back") {
     val avi = rawAvi(5, 4, 40000L, Seq(100, 100))
     val real = Multimodal.extractFeatures(Seq(MediaAsset(1L, "video", avi,
