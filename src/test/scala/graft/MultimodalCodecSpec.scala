@@ -197,6 +197,32 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(fallback.decoded_width.isEmpty && fallback.decoded_duration_ms.isEmpty)
   }
 
+  test("media feature envelopes flow into the embedding near-dup operator") {
+    // Multimodal near-dup: the 16-dim feature envelopes from
+    // extractFeatures are just embeddings — the EXISTING
+    // embeddingNearDupPairs operator blocks and verifies them with no
+    // media-specific code. Two re-encodes of the same clip (identical
+    // envelope) must pair at cos ≥ 0.999; a reversed clip must not.
+    val same = Seq(10, 80, 150, 220)
+    val assets = Seq(
+      Multimodal.MediaAsset(1L, "video", rawAvi(5, 4, 40000L, same),
+        MediaMeta(None, None, None, None)),
+      Multimodal.MediaAsset(2L, "video", rawAvi(5, 4, 40000L, same),
+        MediaMeta(None, None, None, None)),
+      Multimodal.MediaAsset(3L, "video", rawAvi(5, 4, 40000L, same.reverse),
+        MediaMeta(None, None, None, None))).toDS()
+    val vecs = Multimodal.extractFeatures(assets)
+      .select(org.apache.spark.sql.functions.col("asset_id"),
+        org.apache.spark.sql.functions.col("feature"))
+      .toDF("vec_id", "embedding")
+    val pairs = graft.functions.Similarity
+      .embeddingNearDupPairs(vecs, "vec_id", "embedding", dim = 16,
+        threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)),
+      s"identical clips pair, reversed clip does not: $pairs")
+  }
+
   private def indexOfSlice(hay: Array[Byte], needle: Array[Byte]): Int =
     hay.indices.find(i => i + needle.length <= hay.length &&
       needle.indices.forall(j => hay(i + j) == needle(j))).get
