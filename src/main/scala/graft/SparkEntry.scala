@@ -345,11 +345,13 @@ object SparkEntry {
         "sqrt(n_docs) / sqrt(max_docs) AS w_rel, " +
         "CAST(floor(100000 * sqrt(n_docs) / sqrt(max_docs)) AS BIGINT) AS quota_100k " +
         "FROM g, m"),
-    // The quota MATERIALIZED: keep doc iff doc_id % 100 < quota div 1000
-    // (percent granularity, so rejection happens at every sf), then
-    // per-language sampled accounting — the same IEEE-exact quota chain,
-    // an integer modulus filter, and integer counts, so the whole sample
-    // is oracle-checkable.
+    // The quota MATERIALIZED: keep doc iff mixHash(doc_id) < quota div
+    // 1000, where mixHash is the two-round multiplicative hash onto
+    // [0,100) (ExtensionQueries.mixHashBucket — every intermediate
+    // bounded below 2^63 so neither engine hits its overflow behavior;
+    // % and * are same-precedence left-assoc in BOTH engines), then
+    // per-language sampled accounting — an integer filter chain and
+    // integer counts, so the whole sample is oracle-checkable.
     "mix_sampled" ->
       ("WITH g AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1), " +
         "m AS (SELECT max(n_docs) AS max_docs FROM g), " +
@@ -359,7 +361,8 @@ object SparkEntry {
         "ELSE len(string_split_regex(regexp_replace(d.text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
         "'[ \\t\\n\\x0B\\f\\r]+')) END) AS BIGINT) AS tokens_sampled " +
         "FROM documents d JOIN q USING (lang) " +
-        "WHERE d.doc_id % 100 < q.quota_100k // 1000 GROUP BY 1, 2"),
+        "WHERE d.doc_id % 2147483647 * 2654435761 % 100000007 * 97003 % 100000007 % 100 " +
+        "< q.quota_100k // 1000 GROUP BY 1, 2"),
     // Token chunking: chunk i of a doc covers tokens [i·48, i·48+64);
     // chunk count = ceil(max(n − 16, 1) / 48) — integer arithmetic and
     // token slicing identical on both engines (list slices clamp).

@@ -208,40 +208,62 @@ object Multimodal {
       var bitCount = -1; var compression = -1
       var lastStrhType = ""
       val frames = Vector.newBuilder[(Int, Int)]
-      def walk(from: Int, to: Int): Unit = {
-        var off = from
-        while (off + 8 <= to) {
+      // Iterative chunk walk with an explicit range stack: a crafted
+      // payload can nest LIST chunks ~12 bytes deep each, so recursion
+      // would turn a 1 MB body into ~80k stack frames and throw
+      // StackOverflowError — an Error, invisible to the Exception guard
+      // below. The stack holds at most one pending range per nesting
+      // level actually entered, bounded by payload size.
+      var stack = List((12, end))
+      while (stack.nonEmpty) {
+        var (off, to) = stack.head
+        stack = stack.tail
+        var walking = true
+        while (walking && off + 8 <= to) {
           val id = fourcc(payload, off)
           val size = u32(payload, off + 4).toInt
           val data = off + 8
-          if (size < 0 || data + size > to) return // malformed tail: stop
-          id match {
-            case "LIST" if size >= 4 =>
-              walk(data + 4, data + size) // recurse past the list type
-            case "avih" if size >= 40 =>
-              usPerFrame = u32(payload, data)
-              width = u32(payload, data + 32).toInt
-              height = u32(payload, data + 36).toInt
-            case "strh" if size >= 4 =>
-              lastStrhType = fourcc(payload, data)
-            case "strf" if lastStrhType == "vids" && size >= 20 =>
-              bitCount = ((payload(data + 14) & 0xFF) |
-                ((payload(data + 15) & 0xFF) << 8))
-              compression = u32(payload, data + 16).toInt
-            case _ if id.length == 4 && id.substring(2) == "db" &&
-                id.take(2).forall(_.isDigit) =>
-              frames += ((data, size))
-            case _ => ()
+          if (size < 0 || data + size > to) walking = false // malformed tail
+          else {
+            id match {
+              case "LIST" if size >= 4 =>
+                // Depth-first, in stream order (same order as the old
+                // recursion — strh/strf pairing relies on it): park the
+                // rest of the current range, descend into the list body.
+                stack = (data + size + (size & 1), to) :: stack
+                stack = (data + 4, data + size) :: stack
+                walking = false
+              case "avih" if size >= 40 =>
+                usPerFrame = u32(payload, data)
+                width = u32(payload, data + 32).toInt
+                height = u32(payload, data + 36).toInt
+              case "strh" if size >= 4 =>
+                lastStrhType = fourcc(payload, data)
+              case "strf" if lastStrhType == "vids" && size >= 20 =>
+                bitCount = ((payload(data + 14) & 0xFF) |
+                  ((payload(data + 15) & 0xFF) << 8))
+                compression = u32(payload, data + 16).toInt
+              case _ if id.length == 4 && id.substring(2) == "db" &&
+                  id.take(2).forall(_.isDigit) =>
+                frames += ((data, size))
+              case _ => ()
+            }
+            off = data + size + (size & 1) // chunks pad to even offsets
           }
-          off = data + size + (size & 1) // chunks pad to even offsets
         }
       }
-      walk(12, end)
       val fs = frames.result()
-      val rowBytes = ((width * 3 + 3) / 4) * 4
-      if (width > 0 && height > 0 && usPerFrame > 0 && compression == 0 &&
+      // Frame-size validation in LONG arithmetic: with header dims like
+      // 40000x30000, `rowBytes * height` overflows Int to a negative
+      // bound that every undersized frame passes, and the decoders then
+      // read past the payload. Also reject dims no real raw-DIB AVI has
+      // (>32767 px — BMP's own signed-16 legacy bound): they only occur
+      // in corrupt/crafted headers.
+      val rowBytesL = ((width.toLong * 3 + 3) / 4) * 4
+      if (width > 0 && height > 0 && width <= 32767 && height <= 32767 &&
+          usPerFrame > 0 && compression == 0 &&
           bitCount == 24 && fs.nonEmpty &&
-          fs.forall { case (_, sz) => sz >= rowBytes * height })
+          fs.forall { case (_, sz) => sz.toLong >= rowBytesL * height })
         Some(AviStream(width, height, usPerFrame, fs, payload))
       else None
     } catch { case _: Exception => None }

@@ -11,9 +11,11 @@ import graft.functions.ExprUtils
   * windows, sessionization, and JSON-props extraction over `events`.
   *
   * NOTE on timestamps: `events.ts` is ns-precision in parquet; Spark
-  * truncates to µs while DuckDB keeps ns — every hashed output therefore
-  * emits ts only through `date_trunc`/`date_format` at second-or-coarser
-  * granularity (see .claude/skills/verify/SKILL.md).
+  * truncates to µs while other engines may keep ns — every hashed output
+  * therefore emits ts only through `date_trunc`/`date_format` at
+  * second-or-coarser granularity, and sums of monetary values use
+  * integer cents (never float sums, whose value is addition-order-
+  * dependent) so cross-engine comparisons are bit-exact.
   */
 object EventQueries {
 

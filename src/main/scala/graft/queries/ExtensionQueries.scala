@@ -139,17 +139,22 @@ object ExtensionQueries {
       val tmp = new java.io.File(dir, s".tmp-${System.nanoTime()}")
       docs(s, d).filter(col("doc_id") % benchMod === 0)
         .write.mode("overwrite").parquet(tmp.getPath)
+      def del(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(del)); p.delete(): Unit
+      }
       try java.nio.file.Files.move(tmp.toPath, f.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
-        case _: java.nio.file.FileAlreadyExistsException
-            | _: java.nio.file.AccessDeniedException =>
-          // a concurrent session published the identical hold-out first
-          def del(p: java.io.File): Unit = {
-            Option(p.listFiles).foreach(_.foreach(del)); p.delete(): Unit
-          }
-          del(tmp)
-      }
+        // A concurrent session published the identical hold-out first.
+        // On Linux, renaming a directory onto an existing NON-EMPTY
+        // directory fails with ENOTEMPTY → DirectoryNotEmptyException
+        // (a FileSystemException, not FileAlreadyExistsException), so
+        // catch the whole FileSystemException family — but only swallow
+        // when the winner's copy is genuinely complete (_SUCCESS
+        // present); anything else is a real publish failure.
+        case e: java.nio.file.FileSystemException =>
+          if (!new java.io.File(f, "_SUCCESS").exists()) { del(tmp); throw e }
+      } finally del(tmp) // loser's staging dir must never leak
     }
     Dedup.benchmarkOverlap(docs(s, d), s.read.parquet(f.getPath),
       "text", "doc_id", n)
@@ -186,28 +191,49 @@ object ExtensionQueries {
 
   /** The temperature policy MATERIALIZED as an actual sample:
     * [[mixTemperature]] computes per-language quotas; this op applies
-    * them as a deterministic systematic sample — keep a doc iff
-    * `doc_id % 100 < quota_100k(lang) div 1000` (percent granularity:
-    * fine enough for a mixing policy, coarse enough that the REJECT
-    * branch is exercised at every test scale — a %100000 modulus never
-    * rejects while doc_ids stay below the quota) — and accounts the
-    * sampled docs/tokens per language. Systematic-on-the-key sampling
-    * is the cluster-safe choice (reproducible on any partitioning, no
-    * RNG state) and makes the WHOLE pipeline integer/IEEE-exact, so the
-    * sampled accounting carries a full DuckDB oracle, not just the
-    * policy weights.
+    * them as a deterministic hash sample — keep a doc iff
+    * `mixHash(doc_id) < quota_100k(lang) div 1000`, where mixHash is a
+    * two-round multiplicative integer hash onto [0,100) (percent
+    * granularity: fine enough for a mixing policy, coarse enough that
+    * the REJECT branch is exercised at every test scale). Hash-on-the-key
+    * sampling is the cluster-safe choice (reproducible on any
+    * partitioning, no RNG state) and makes the WHOLE pipeline
+    * integer-exact, so the sampled accounting carries a full DuckDB
+    * oracle, not just the policy weights.
+    *
+    * Why a hash and not `doc_id % 100` (the r10 shape): ids are assigned
+    * in ingest order, so an id-modulus keeps a PERIODIC slice of the
+    * ingest sequence — any structure in the corpus with a period sharing
+    * a factor with 100 (round-robin source interleaving, batch-of-1000
+    * loaders, sharded id blocks) lands whole stripes of itself in or out
+    * of the sample instead of sampling uniformly. The multiplicative
+    * rounds decorrelate the bucket from id adjacency while staying a
+    * pure integer chain.
+    *
+    * Every intermediate is bounded FAR below 2^63 by construction
+    * (pre-fold to < 2^31, multipliers ≤ 2654435761 (Knuth's 2^32/φ) and
+    * 97003, fold to < 10^8+7): Spark would silently wrap on int64
+    * overflow while DuckDB raises — identical results require that
+    * neither engine ever reaches its overflow behavior.
     *
     * Scale shape: TWO corpus scans by necessity — the quota depends on
     * global group stats (scan 1: the group aggregate), then the sample
     * filter is row-local against the broadcast group-sized quota frame
     * (scan 2: filter + final group-by). No corpus-keyed exchange beyond
     * the two aggregates. */
+  /** Two-round multiplicative hash of a non-negative integer key onto
+    * [0,100), as a Column — the sampling bucket (see [[mixSampled]]'s
+    * scaladoc for the overflow-safety argument and the DuckDB twin). */
+  private[graft] def mixHashBucket(key: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    key % 2147483647L * 2654435761L % 100000007L * 97003L % 100000007L % 100L
+
   def mixSampled(s: SparkSession, d: String): DataFrame = {
     val quotas = mixTemperature(s, d)
       .select(col("lang"), col("quota_100k"))
     docs(s, d)
       .join(broadcast(quotas), Seq("lang"))
-      .filter(col("doc_id") % 100 < expr("quota_100k div 1000"))
+      .filter(mixHashBucket(col("doc_id")) < expr("quota_100k div 1000"))
       .groupBy(col("lang"), col("quota_100k"))
       .agg(count(lit(1)).as("n_sampled"),
         sum(TF.tokenCount(col("text")).cast("long")).as("tokens_sampled"))

@@ -397,7 +397,18 @@ object CurationIngest {
         s"closeLineage did not converge in $maxIter rounds — the lineage " +
           "frame has a keep_id cycle, which the ingest operator cannot " +
           "emit (pointers strictly decrease); the input is corrupt")
-    lineage.drop("keep_id").join(ptr, Seq("id"))
+    // Materialize the joined result, THEN release the final ptr round:
+    // returning a lazy frame would pin ptr's checkpoint blocks for as
+    // long as the caller holds the result (r10 leaked one lineage-sized
+    // cached frame per invocation this way). The returned frame is
+    // itself checkpointed — callers holding it long-term should
+    // `unpersist()` it when done. NOTE: reliable `checkpoint()` FILES
+    // (when a checkpoint dir is set) are not deleted by unpersist and
+    // accumulate for the session lifetime; `maintain`'s vacuum step and
+    // session teardown are the places to clean the checkpoint dir.
+    val closed = cut(lineage.drop("keep_id").join(ptr, Seq("id")))
+    ptr.unpersist(blocking = false)
+    closed
   }
 
   /** One index table's operational state: committed version, delta-chain

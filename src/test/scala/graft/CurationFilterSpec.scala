@@ -146,6 +146,36 @@ class CurationFilterSpec extends SparkSpec {
     }
   }
 
+  test("mix_sampled hash bucket decorrelates from ingest order (why not doc_id % 100)") {
+    // The r10 sample keyed on `doc_id % 100`: ids are assigned in ingest
+    // order, so that filter keeps a PERIODIC stripe of the ingest
+    // sequence — a corpus interleaved round-robin across sources with a
+    // period sharing a factor with 100 (batch loaders, sharded id
+    // blocks) lands whole stripes in or out of the sample instead of
+    // sampling each stratum uniformly. The multiplicative hash must
+    // break exactly that structure while staying a pure integer chain
+    // (oracle-exact; asserted against DuckDB by the mix_sampled row).
+    val ids = spark.range(0, 10000)
+      .select(col("id"), ExtensionQueries.mixHashBucket(col("id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val buckets = ids.map(_._2)
+    assert(buckets.forall(b => b >= 0 && b < 100), "bucket range")
+    // All 100 buckets are hit, roughly uniformly (10k ids -> mean 100/bucket).
+    val hist = buckets.groupBy(identity).view.mapValues(_.length)
+    assert(hist.size === 100, "every bucket populated")
+    assert(hist.values.min > 50 && hist.values.max < 200, "rough uniformity")
+    // The id-modulus pathology: ids in one ingest stripe (id % 100 == k)
+    // all share a bucket under the old scheme. Under the hash they
+    // spread over ~all buckets.
+    val stripe = ids.filter(_._1 % 100 == 7).map(_._2)
+    assert(stripe.distinct.length > 60,
+      "an ingest-period stripe must spread across buckets, not stay in one")
+    // Adjacent ids land in unrelated buckets (no residual periodicity).
+    val adjacentSame = ids.sortBy(_._1).sliding(2)
+      .count { case Array((_, a), (_, b)) => a == b }
+    assert(adjacentSame < 300, s"adjacent-id bucket collisions: $adjacentSame")
+  }
+
   test("curate_filtered equals the composition of its pinned stages") {
     // Rebuild the funnel from the independently oracle-pinned pieces — exact-dedup
     // keep set, decon hits, per-doc repetition counts, per-doc stats —

@@ -381,6 +381,44 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(out(2).meta.duration_ms.contains(100L))
   }
 
+  test("parseAvi rejects overflow-sized header dims instead of OOB-reading") {
+    // A crafted header claiming 40000x30000 over the small real frames:
+    // rowBytes*height = 3.6e9 overflows Int to a negative bound every
+    // undersized frame would pass, and the decoders would then read far
+    // past the payload (AIOOBE escaping the route-don't-throw contract).
+    // The demuxer must validate in Long and reject the insane dims.
+    val avi = rawAvi(5, 4, 40000L, Seq(10, 80))
+    def patchDims(bytes: Array[Byte], cc: String, at: Int): Unit = {
+      val idx = bytes.indices.find(i => i + 4 <= bytes.length &&
+        new String(bytes, i, 4, "US-ASCII") == cc).get
+      def le32(off: Int, v: Long): Unit = (0 until 4).foreach(k =>
+        bytes(off + k) = ((v >> (8 * k)) & 0xFF).toByte)
+      le32(idx + 8 + at, 40000L); le32(idx + 8 + at + 4, 30000L)
+    }
+    patchDims(avi, "avih", 32) // dwWidth/dwHeight
+    patchDims(avi, "strf", 4)  // biWidth/biHeight
+    assert(Multimodal.parseAvi(avi).isEmpty)
+    assert(Multimodal.decodeVideo(avi).isEmpty) // no crash, routed to stub
+  }
+
+  test("parseAvi survives 60k-deep nested LIST chunks (no stack overflow)") {
+    // ~12 bytes per nesting level: a ~700 KB crafted payload drives the
+    // old recursive chunk walk through 60k stack frames and throws
+    // StackOverflowError — an Error, invisible to the Exception guard.
+    // The iterative walk must return None (no frames) without crashing.
+    val n = 60000
+    val sizes = new Array[Int](n)
+    sizes(n - 1) = 4
+    ((n - 2) to 0 by -1).foreach(i => sizes(i) = 12 + sizes(i + 1))
+    val bos = new ByteArrayOutputStream()
+    def cc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def le32(v: Long): Unit = (0 until 4).foreach(k =>
+      bos.write(((v >> (8 * k)) & 0xFF).toInt))
+    cc("RIFF"); le32(4L + 8 + sizes(0)); cc("AVI ")
+    (0 until n).foreach { i => cc("LIST"); le32(sizes(i)); cc("hdrl") }
+    assert(Multimodal.parseAvi(bos.toByteArray).isEmpty)
+  }
+
   test("real-image features are deterministic across reruns") {
     val assets = Seq(MediaAsset(1L, "image", gradientPng(32, 16),
       MediaMeta(Some(32), Some(16), None, Some("png")))).toDS()
