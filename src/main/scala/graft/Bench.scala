@@ -31,7 +31,7 @@ object Bench {
     "dedup_minhash_oracle", "dedup_simhash_oracle", "dedup_embed_oracle",
     "sim_brute_oracle", "sim_ann_oracle", "sim_ivf_oracle",
     "sim_ivfpq_oracle", "sim_pq_oracle",
-    "text_triage_oracle", "retrieve_bm25_oracle", "retrieve_bm25_indexed_oracle")
+    "text_triage_oracle", "retrieve_bm25_oracle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

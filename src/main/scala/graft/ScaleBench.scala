@@ -463,6 +463,23 @@ object ScaleBench {
         graft.functions.Retrieval.bm25TopK(docs, "doc_id", "text",
           qs, "query_id", "qtext", k = 10).count()
       },
+      // The amortization case for the persistent postings index: build
+      // pays the tokenize+explode scan ONCE (the dominant cost of every
+      // retrieve_bm25 invocation above)...
+      timed("bm25_index_build") {
+        graft.store.TextIndex.build(store, "docs_bm25", docs, "text", "doc_id")
+      },
+      // ...and a query batch then reads ONLY its own terms' postings
+      // rows (term-sorted row groups + pushed IN filter): the floor of
+      // serving retrieval from a maintained index vs re-tokenizing 5M
+      // docs per query batch. Depends on bm25_index_build's table —
+      // filter with "bm25_index", not "bm25_index_query".
+      timed("bm25_index_query") {
+        val qs = docs.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+        graft.store.TextIndex.query(store, "docs_bm25",
+          qs, "query_id", "qtext", k = 10).count()
+      },
       // Connected components isolated on a worst-case synthetic graph:
       // 2M nodes in 2000 chains of depth 1000 — plain propagation would
       // need ~1000 rounds; pointer jumping must close it in ~a dozen.

@@ -97,6 +97,7 @@ object SparkEntry {
     "retrieve_sparse"     -> ((s, d) => ExtensionQueries.retrieveSparse(s, d)),
     "retrieve_bm25"       -> ((s, d) => ExtensionQueries.retrieveBm25(s, d)),
     "retrieve_bm25_oracle" -> (ExtensionQueries.retrieveBm25Oracle _),
+    "retrieve_bm25_indexed" -> ((s, d) => ExtensionQueries.retrieveBm25Indexed(s, d)),
     "dedup_jaccard_pairs" -> (ExtensionQueries.dedupJaccardPairs _),
     "dedup_components"    -> (ExtensionQueries.dedupComponents _),
     "dedup_cluster_keep"  -> (ExtensionQueries.dedupClusterKeep _),
@@ -517,6 +518,10 @@ object SparkEntry {
         "SELECT min(doc_id) AS keep_id, count(*) AS dup_count FROM t " +
         "GROUP BY md5(array_to_string(tk, ' '))"),
     "retrieve_bm25_oracle" -> Bm25RankSql,
+    // The persistent-postings path (TextIndex: build on even ids + one
+    // append of the odd ids, then probe) must produce the identical
+    // ranking — same truth as the scan path.
+    "retrieve_bm25_indexed" -> Bm25RankSql,
     "dedup_minhash_oracle" -> MinhashBruteForceSql,
     // The SAME truth pins the incremental batch-vs-corpus path: three
     // appends over the identical restricted corpus must union to the

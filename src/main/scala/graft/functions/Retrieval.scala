@@ -132,14 +132,8 @@ object Retrieval {
       // empty corpus (or all-empty docs): no postings can exist — return
       // the typed empty result rather than dividing by a null aggregate
       docsTok.unpersist(blocking = false)
-      import org.apache.spark.sql.types._
-      val schema = StructType(Seq(
-        StructField("query_id", queries.schema(queryIdCol).dataType),
-        StructField("neighbor_id", corpus.schema(corpusIdCol).dataType),
-        StructField("score", DoubleType),
-        StructField("rank", IntegerType)))
-      return corpus.sparkSession.createDataFrame(
-        corpus.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      return emptyRanked(corpus.sparkSession,
+        queries.schema(queryIdCol).dataType, corpus.schema(corpusIdCol).dataType)
     }
 
     // distinct query terms, broadcast into the postings filter
@@ -147,40 +141,17 @@ object Retrieval {
       .select(explode(array_distinct(TF.tokens(lower(col(queryTextCol))))).as("term"))
       .distinct()
 
-    // postings restricted to query terms, then tf per (doc, term) and
-    // df per term — both candidate-sized aggregations
+    // postings restricted to query terms — tf per (doc, term), a
+    // candidate-sized aggregation
     val hits = docsTok
       .select(col("neighbor_id"), size(col("toks")).as("dl"),
         explode(col("toks")).as("term"))
       .join(broadcast(qTerms), Seq("term"))
       .groupBy(col("term"), col("neighbor_id"), col("dl"))
       .agg(count(lit(1)).cast("double").as("tf"))
-    val dfPerTerm = hits.groupBy(col("term"))
-      .agg(count(lit(1)).cast("double").as("df"))
 
-    val perTerm = hits.join(broadcast(dfPerTerm), Seq("term"))
-      .withColumn("idf", log(lit(1.0) +
-        (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
-      .withColumn("contrib", col("idf") * col("tf") * (k1 + 1) /
-        (col("tf") + (col("dl") * (b / avgdl) + (1 - b)) * k1))
-
-    // fan out per query: (query_id, its term multiset) — tf weighting of
-    // repeated query terms is 1 per distinct term (standard BM25 query
-    // side at these lengths)
-    val qSide = queries.select(col(queryIdCol).as("query_id"),
-      explode(array_distinct(TF.tokens(lower(col(queryTextCol))))).as("term"))
-    val scored = perTerm.join(broadcast(qSide), Seq("term"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("contrib")).as("score"))
-
-    val ranked = scored
-      .groupBy(col("query_id"))
-      .agg(TopKAggregate.boundedTopK(col("neighbor_id"), col("score"), k).as("topk"))
-      .select(col("query_id"), posexplode(col("topk")))
-      .select(col("query_id"),
-        col("col.neighbor_id").as("neighbor_id"),
-        round(col("col.score"), 6).as("score"),
-        (col("pos") + 1).cast("int").as("rank"))
+    val ranked = bm25Score(hits, queries, queryIdCol, queryTextCol,
+      nDocs, avgdl, k, k1, b)
 
     if (corpusStats.isDefined) ranked // lazy: stats given, single corpus scan
     else {
@@ -192,5 +163,66 @@ object Retrieval {
       docsTok.unpersist(blocking = false)
       out
     }
+  }
+
+  /** The BM25 scoring tail shared by [[bm25TopK]] (which derives `hits`
+    * from a corpus scan) and `TextIndex.query` (which reads `hits` from
+    * the persistent postings table): df per term → idf → per-(doc,term)
+    * contribution → per-query sum → bounded top-k heap.
+    *
+    * `hits` columns: (term, neighbor_id, dl, tf) — one row per (query
+    * term, matching doc), ALREADY restricted to the query-term set (df
+    * is counted from these rows: restricting to query terms loses
+    * nothing because only those terms are scored). Every aggregate and
+    * join here is candidate-sized — this tail never sees corpus-sized
+    * data, which is exactly why the postings-index path can reuse it
+    * verbatim: both producers feed the same (term, doc) hit rows, so
+    * indexed and unindexed ranking agree score-for-score (the sums run
+    * over identical values; RetrievalSpec pins exact equality). */
+  private[graft] def bm25Score(hits: DataFrame,
+                               queries: DataFrame, queryIdCol: String,
+                               queryTextCol: String,
+                               nDocs: Long, avgdl: Double,
+                               k: Int, k1: Double, b: Double): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val dfPerTerm = hits.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val perTerm = hits.join(broadcast(dfPerTerm), Seq("term"))
+      .withColumn("idf", log(lit(1.0) +
+        (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib", col("idf") * col("tf").cast("double") * (k1 + 1) /
+        (col("tf").cast("double") + (col("dl") * (b / avgdl) + (1 - b)) * k1))
+    // fan out per query: (query_id, its term multiset) — tf weighting of
+    // repeated query terms is 1 per distinct term (standard BM25 query
+    // side at these lengths)
+    val qSide = queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(TF.tokens(lower(col(queryTextCol))))).as("term"))
+    val scored = perTerm.join(broadcast(qSide), Seq("term"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("contrib")).as("score"))
+    scored
+      .groupBy(col("query_id"))
+      .agg(TopKAggregate.boundedTopK(col("neighbor_id"), col("score"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"),
+        col("col.neighbor_id").as("neighbor_id"),
+        round(col("col.score"), 6).as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** The typed empty (query_id, neighbor_id, score, rank) result — shared
+    * by the empty-corpus/empty-query early exits of both BM25 paths. */
+  private[graft] def emptyRanked(spark: org.apache.spark.sql.SparkSession,
+                                 queryIdType: org.apache.spark.sql.types.DataType,
+                                 neighborIdType: org.apache.spark.sql.types.DataType)
+      : DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("query_id", queryIdType),
+      StructField("neighbor_id", neighborIdType),
+      StructField("score", DoubleType),
+      StructField("rank", IntegerType)))
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 }

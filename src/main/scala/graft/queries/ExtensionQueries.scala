@@ -7,7 +7,7 @@ import graft.Tables
 import graft.functions.{Dedup, Similarity, TextFunctions => TF}
 import graft.plans.{TextExpressions => TX}
 import graft.store.{DedupIndex, EmbedIndex, FingerprintIndex, SimHashIndex,
-  SnapshotStore, VectorIndex}
+  SnapshotStore, TextIndex, VectorIndex}
 
 /** Training-data-pipeline queries over `documents` / `embeddings`
   * (builder prompt extension ops). Entries registered in SparkEntry;
@@ -736,6 +736,30 @@ object ExtensionQueries {
     * JVM-formula contract. */
   def retrieveBm25Oracle(s: SparkSession, d: String): DataFrame =
     retrieveBm25(s, d).select(col("query_id"), col("neighbor_id"), col("rank"))
+
+  /** BM25 through the PERSISTENT postings index (TextIndex), pinned to
+    * the SAME DuckDB rank oracle as the scan path: the corpus arrives as
+    * a build (even ids) plus one append (odd ids) — exercising the delta
+    * chain and the metadata-stats accumulation against external truth —
+    * then the standard 3-query batch probes the committed index. Indexed
+    * and scan-path ranking agree score-for-score (shared bm25Score tail
+    * over identical hit rows and exact stats; RetrievalSpec pins it), so
+    * the rank projection carries the identical oracle. The index root is
+    * a per-invocation temp dir: a durable root would double-append on a
+    * rerun (same rationale as dedup_incr_oracle). */
+  def retrieveBm25Indexed(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val ds = docs(s, d).select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25idx").toString
+    val store = new SnapshotStore(root, s)
+    TextIndex.build(store, "docs_bm25",
+      ds.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+    TextIndex.append(store, "docs_bm25",
+      ds.filter(col("doc_id") % 2 =!= 0), "text", "doc_id")
+    val qs = ds.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+    TextIndex.query(store, "docs_bm25", qs, "query_id", "qtext", k = k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
 
   /** EXACT n-gram Jaccard all-pairs join at tau = 4/5 — deterministic
     * recall (prefix filter theorem), integer-rational threshold, so the

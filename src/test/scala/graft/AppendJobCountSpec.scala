@@ -97,6 +97,22 @@ class AppendJobCountSpec extends SparkSpec {
     assert(jobs <= 18, s"append spent $jobs jobs (budget 18)")
   }
 
+  test("TextIndex append: the stats aggregate is the only blocking action") {
+    val store = freshStore()
+    graft.store.TextIndex.build(store, "tx", docs.limit(0), "text", "doc_id")
+    val (jobs, sites) = jobsIn {
+      graft.store.TextIndex.append(store, "tx", docs, "text", "doc_id")
+    }
+    info(s"TextIndex append: $jobs jobs, action callsites=$sites")
+    // The batch stats aggregate (exact by necessity — it changes every
+    // score) is the single permitted driver action; a reintroduced
+    // sizing count, schema-inference read, or eager chain load would
+    // surface as an extra callsite.
+    assert(sites.forall(_.startsWith("collect at TextIndex")),
+      s"unexpected driver actions in the append path: $sites")
+    assert(jobs <= 14, s"append spent $jobs jobs (budget 14)")
+  }
+
   test("hinted and unhinted appends produce identical pairs") {
     def pairsOf(hint: Option[Long]): Set[(Long, Long)] = {
       val store = freshStore()

@@ -1,0 +1,160 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Retrieval
+import graft.store.{SnapshotStore, TextIndex}
+
+/** Persistent BM25 postings index: indexed querying must equal the
+  * corpus-scan path EXACTLY (same hit rows, same exact stats, shared
+  * scoring tail ⇒ identical doubles), across build/append/compaction/
+  * replay/vacuum. */
+class TextIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = {
+    val rnd = new scala.util.Random(29)
+    val vocab = Vector("sun", "moon", "star", "rain", "wind", "snow",
+      "leaf", "tree", "rock", "wave", "fire", "mist", "dawn", "dusk")
+    (0L until 60L).map { i =>
+      i -> Seq.fill(4 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+  }
+  private def corpusDF: DataFrame = corpus.toDF("doc_id", "text")
+  private def queriesDF: DataFrame = corpusDF.filter(col("doc_id") < 3)
+    .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+
+  private def freshStore(): SnapshotStore =
+    new SnapshotStore(Files.createTempDirectory("graft-textidx").toString, spark)
+
+  /** The scan path's result, the exact-equality reference. */
+  private def scanRanked(k: Int = 10): Seq[(Long, Long, Double, Int)] =
+    Retrieval.bm25TopK(corpusDF, "doc_id", "text",
+      queriesDF, "query_id", "qtext", k = k)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(r => (r._1, r._4))
+
+  private def indexRanked(store: SnapshotStore, k: Int = 10)
+      : Seq[(Long, Long, Double, Int)] =
+    TextIndex.query(store, "idx", queriesDF, "query_id", "qtext", k = k)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(r => (r._1, r._4))
+
+  test("build + append equals the corpus-scan path score-for-score") {
+    val store = freshStore()
+    TextIndex.build(store, "idx", corpusDF.filter(col("doc_id") % 2 === 0),
+      "text", "doc_id")
+    TextIndex.append(store, "idx", corpusDF.filter(col("doc_id") % 2 =!= 0),
+      "text", "doc_id")
+    // EXACT double equality, not approximate: both paths aggregate the
+    // identical (term, doc, tf, dl, df, N, avgdl) values through the
+    // same bm25Score tail, so even the float scores must agree bitwise.
+    assert(indexRanked(store) === scanRanked())
+    // Metadata stats equal the full-corpus truth after accumulation.
+    val (n, avgdl) = TextIndex.stats(store, "idx")
+    val toks = corpus.map(_._2.trim.split("\\s+").count(_.nonEmpty))
+    assert(n === 60L)
+    assert(avgdl === toks.sum.toDouble / toks.length)
+  }
+
+  test("many small appends + compaction preserve the ranking") {
+    val store = freshStore()
+    TextIndex.build(store, "idx", corpusDF.limit(0), "text", "doc_id")
+    (0 until 6).foreach { i =>
+      TextIndex.append(store, "idx",
+        corpusDF.filter(col("doc_id") % 6 === i), "text", "doc_id",
+        compactEvery = 3)
+    }
+    assert(indexRanked(store) === scanRanked())
+    // compactEvery=3 must have folded at least once: the live chain is
+    // shorter than the total number of commits.
+    val live = {
+      val v = store.currentVersion("idx")
+      val meta = store.metaForVersion("idx", v)
+      meta.get("text.parts").filter(_.nonEmpty)
+        .map(_.split(",").length).getOrElse(0) + 1
+    }
+    assert(live < 7, s"chain never compacted (live=$live)")
+    // Chain-aware vacuum drops the dead dirs; the query still works.
+    val before = store.versions("idx").size
+    TextIndex.vacuumIndex(store, "idx")
+    assert(store.versions("idx").size < before)
+    assert(indexRanked(store) === scanRanked())
+  }
+
+  test("query's term probe pushes an IN filter down to the postings scan") {
+    val store = freshStore()
+    TextIndex.build(store, "idx", corpusDF, "text", "doc_id")
+    val q = TextIndex.query(store, "idx",
+      Seq((0L, "sun moon")).toDF("query_id", "qtext"), "query_id", "qtext")
+    q.collect() // finalize AQE so the plan is the real one
+    val plan = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+    // The collected query-term list must reach the parquet scan as a
+    // pushed In(term, ...) — with term-sorted row groups that is what
+    // turns "read the postings table" into "read the probed terms'
+    // blocks". A broadcast-join formulation would filter post-scan and
+    // this assertion is what catches regressing to it.
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"query terms not pushed into the postings scan:\n$plan")
+  }
+
+  test("appendBatchOnce skips a replayed batch id (exactly-once)") {
+    val store = freshStore()
+    TextIndex.build(store, "idx", corpusDF.filter(col("doc_id") < 30),
+      "text", "doc_id")
+    val batch = corpusDF.filter(col("doc_id") >= 30)
+    assert(TextIndex.appendBatchOnce(store, "idx", batch, "text", "doc_id",
+      "s", 0L))
+    val ranked = indexRanked(store)
+    val statsApplied = TextIndex.stats(store, "idx")
+    // the replay: same batchId — must be skipped, postings AND stats
+    // unchanged (a double-count would shift avgdl and every df/tf)
+    assert(!TextIndex.appendBatchOnce(store, "idx", batch, "text", "doc_id",
+      "s", 0L))
+    assert(indexRanked(store) === ranked)
+    assert(TextIndex.stats(store, "idx") === statsApplied)
+    assert(ranked === scanRanked())
+  }
+
+  test("empty index and empty-term queries return typed empty results") {
+    val store = freshStore()
+    TextIndex.build(store, "idx", corpusDF.limit(0), "text", "doc_id")
+    val out = TextIndex.query(store, "idx", queriesDF, "query_id", "qtext")
+    assert(out.columns.toSeq === Seq("query_id", "neighbor_id", "score", "rank"))
+    assert(out.count() === 0L)
+    // populated index, but the query has no tokens
+    TextIndex.append(store, "idx", corpusDF, "text", "doc_id")
+    val blank = Seq((7L, "   ")).toDF("query_id", "qtext")
+    assert(TextIndex.query(store, "idx", blank, "query_id", "qtext").count() === 0L)
+  }
+
+  test("querying a foreign-tokenizer table refuses instead of mis-scoring") {
+    val store = freshStore()
+    // a postings-shaped table committed WITHOUT TextIndex (wrong recipe
+    // tag): term strings would not line up with ws-lower query tokens,
+    // so query/append must refuse loudly
+    store.commit("idx", Seq(("sun", 1L, 3, 1L)).toDF("term", "neighbor_id", "dl", "tf"),
+      meta = Map("text.parts" -> "", "text.tokenizer" -> "char-ngram",
+        "text.nDocs" -> "1", "text.sumDl" -> "3"))
+    val e = intercept[IllegalStateException] {
+      TextIndex.query(store, "idx", queriesDF, "query_id", "qtext")
+    }
+    assert(e.getMessage.contains("char-ngram"))
+    intercept[IllegalStateException] {
+      TextIndex.append(store, "idx", corpusDF, "text", "doc_id")
+    }
+  }
+
+  test("appending before build refuses") {
+    val store = freshStore()
+    val e = intercept[IllegalStateException] {
+      TextIndex.append(store, "idx", corpusDF, "text", "doc_id")
+    }
+    assert(e.getMessage.contains("build"))
+  }
+}
