@@ -91,6 +91,7 @@ object SparkEntry {
     "mix_temperature"     -> (ExtensionQueries.mixTemperature _),
     "mix_sampled"         -> (ExtensionQueries.mixSampled _),
     "curate_filtered"     -> (ExtensionQueries.curateFiltered _),
+    "curate_scored"       -> (ExtensionQueries.curateScored _),
     "chunk_docs"          -> ((s, d) => ExtensionQueries.chunkDocs(s, d)),
     "vocab_topk"          -> ((s, d) => ExtensionQueries.vocabTopK(s, d)),
     "embed_docs"          -> ((s, d) => ExtensionQueries.embedDocs(s, d)),
@@ -596,6 +597,7 @@ object SparkEntry {
     // root is the chase's min — pointers strictly decrease).
     "curate_lineage_oracle" -> CurateLineageSql,
     "curate_filtered" -> CurateFilteredSql,
+    "curate_scored" -> CurateScoredSql,
     // Integer triage signals + argmax language label (ties resolved by the
     // lexicographically greater lang code via (score, lang) struct max —
     // the exact semantics of TextFunctions.langId's array_max).
@@ -632,9 +634,35 @@ object SparkEntry {
     * gates, account per (lang, source). Every fragment reuses an
     * already-pinned oracle recipe (dedup_exact_keep, decon_docs,
     * text_repetition, curate_docs). */
-  private val CurateFilteredSql: String = {
+  private val CurateFilteredSql: String = curateFunnelSql(withMargin = false)
+
+  /** [[CurateFilteredSql]] plus the learned linear-classifier gate
+    * (`curate_scored`): the margin CTE recomputes Featurize.qualityMargin
+    * exactly — per token, bucket = (first md5 byte) mod 64 via the two
+    * leading hex nibbles, sign = parity of nibble 3 (the embed_docs
+    * recipe), fixture weight w(b) = ((b·37+11) mod 21) − 10, bias 3 —
+    * and the output adds margin_sum so the VALUES are pinned, not just
+    * the keep decisions. */
+  private val CurateScoredSql: String = curateFunnelSql(withMargin = true)
+
+  private def curateFunnelSql(withMargin: Boolean): String = {
     val ws = "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$'"
     val cls = "'[ \\t\\n\\x0B\\f\\r]+'"
+    val marginCtes = if (!withMargin) "" else
+      "mt AS (SELECT doc_id, md5(unnest(tk)) AS h FROM dtok), " +
+        "mf AS (SELECT doc_id, " +
+        "((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 " +
+        "+ (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 64 AS bucket, " +
+        "CASE WHEN ((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) % 2) = 1 " +
+        "THEN 1 ELSE -1 END AS sg FROM mt), " +
+        "marg AS (SELECT doc_id, 3 + sum(sg * (((bucket * 37 + 11) % 21) - 10)) " +
+        "AS margin FROM mf GROUP BY 1), "
+    val marginSel =
+      if (!withMargin) "" else ", coalesce(m.margin, 3) AS margin"
+    val marginJoin = if (!withMargin) "" else " LEFT JOIN marg m USING (doc_id)"
+    val marginGate = if (!withMargin) "" else " AND margin >= 0"
+    val marginOut =
+      if (!withMargin) "" else ", CAST(sum(margin) AS BIGINT) AS margin_sum"
     "WITH train AS (SELECT * FROM documents WHERE doc_id % 23 <> 0), " +
       "kept AS (SELECT * FROM train WHERE doc_id IN (SELECT min(doc_id) FROM train GROUP BY md5(text))), " +
       s"dtok AS (SELECT doc_id, CASE WHEN length(regexp_replace(text, $ws, '', 'g')) = 0 THEN []::VARCHAR[] " +
@@ -654,16 +682,21 @@ object SparkEntry {
       "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g FROM ktok WHERE len(tk) >= 3), " +
       "c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2), " +
       "a3 AS (SELECT doc_id, sum(c) AS t3, sum(c) - count(*) AS d3 FROM c3 GROUP BY 1), " +
+      marginCtes +
       "q AS (SELECT k.doc_id, k.lang, k.source, " +
       s"CASE WHEN length(regexp_replace(k.text, $ws, '', 'g')) = 0 THEN 0 " +
       s"ELSE len(string_split_regex(regexp_replace(k.text, $ws, '', 'g'), $cls)) END AS n_tokens, " +
       "CASE WHEN length(k.text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(k.text, '[^0-9]', '', 'g')) AS DOUBLE) / length(k.text) END AS digit_ratio, " +
-      "coalesce(t2, 0) AS t2, coalesce(m2, 0) AS m2, coalesce(t3, 0) AS t3, coalesce(d3, 0) AS d3 " +
-      "FROM kept k LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)) " +
-      "SELECT lang, source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens " +
+      "coalesce(t2, 0) AS t2, coalesce(m2, 0) AS m2, coalesce(t3, 0) AS t3, coalesce(d3, 0) AS d3" +
+      marginSel + " " +
+      "FROM kept k LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)" +
+      marginJoin + ") " +
+      "SELECT lang, source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens" +
+      marginOut + " " +
       "FROM q WHERE doc_id NOT IN (SELECT doc_id FROM cont) " +
       "AND m2 * 5 <= t2 AND d3 * 50 <= t3 * 9 " +
-      "AND n_tokens BETWEEN 5 AND 5000 AND digit_ratio < 0.3 " +
+      "AND n_tokens BETWEEN 5 AND 5000 AND digit_ratio < 0.3" +
+      marginGate + " " +
       "GROUP BY 1, 2"
   }
 

@@ -44,6 +44,25 @@ object Featurize {
           TextFunctions.tokens(col(textCol)), dim)).as("f"))
       .select(col(idCol), col("f.bucket").as("bucket"), col("f.weight").as("weight"))
 
+  /** Learned quality-filter margin: a fastText-style linear classifier
+    * head over the hashed bag-of-words ([[graft.plans.TextExpressions
+    * .LinearMargin]] — one fused md5+accumulate pass per row, no feature
+    * array materialized). `weights` are integer (fixed-point) per-bucket
+    * parameters — scale a trained float model to milli-units — so the
+    * margin is an exact integer and the keep decision
+    * (margin ≥ threshold) carries a full cross-engine oracle, unlike
+    * any float-dot formulation. */
+  def qualityMargin(text: Column, weights: Seq[Long], bias: Long): Column =
+    graft.plans.TextExpressions.linearMargin(
+      TextFunctions.tokens(text), weights, bias)
+
+  /** Deterministic stand-in weights for the quality filter's fixtures
+    * and oracle queries: w(b) = ((b·37 + 11) mod 21) − 10 — integers in
+    * [−10, 10], expressible verbatim in the DuckDB oracle, playing the
+    * role of a trained model's (scaled) parameters. */
+  def fixtureWeights(dim: Int = 64): Seq[Long] =
+    (0 until dim).map(b => ((b * 37 + 11) % 21 - 10).toLong)
+
   /** Dense hashed embedding as an `array<double>` column: the native
     * sparse accumulation (HashedFeatures) scattered into a dense
     * array, L2-normalized so downstream cosine operators (Similarity.*)

@@ -608,6 +608,78 @@ case class HashedFeatures(child: Expression, dim: Int) extends UnaryExpression {
   override def prettyName: String = "hashed_features"
 }
 
+/** fastText-style LINEAR CLASSIFIER HEAD over the hashing-trick features
+  * (Joulin et al. 2016's model shape: hashed bag-of-words → linear
+  * layer), FUSED with the hashing: margin = bias + Σ_token sign(token) ·
+  * weights(bucket(token)), with bucket/sign EXACTLY HashedFeatures'
+  * md5-nibble recipe — so the margin over integer weights is the exact
+  * integer dot product of the signed-count feature vector with the
+  * weight vector, reproducible from raw text in any engine that has md5
+  * (the `curate_scored` DuckDB oracle recomputes it value-for-value).
+  *
+  * Integer weights are the fixed-point discipline the rest of the
+  * library uses for cross-engine-exact scoring (a float dot would be
+  * summation-order-sensitive); a trained float model is used here by
+  * scaling to integer milli-units, which changes no decision at any
+  * sensible precision. dim = weights.length.
+  *
+  * Why fused (token child, not the features array): the margin needs no
+  * intermediate per-row feature array — one md5 per token, one
+  * accumulator, a pure codegen map stage at any corpus size. */
+case class LinearMargin(child: Expression, weights: Seq[Long], bias: Long)
+    extends UnaryExpression {
+
+  require(weights.nonEmpty && weights.length <= 256,
+    s"weights length must be in 1..256, got ${weights.length}")
+
+  private val dim = weights.length
+  @transient private lazy val w = weights.toArray
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"linear_margin needs array<string>, got ${other.simpleString}")
+    }
+
+  @transient private lazy val md =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val digest = md.get()
+    val n = arr.numElements()
+    var margin = bias
+    var i = 0
+    while (i < n) {
+      digest.reset()
+      val hash = digest.digest(arr.getUTF8String(i).getBytes)
+      val bucket = (hash(0) & 0xFF) % dim
+      val sign = if (((hash(1) >> 4) & 1) == 1) 1L else -1L
+      margin += sign * w(bucket)
+      i += 1
+    }
+    margin
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("linearMargin", this, classOf[LinearMargin].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "linear_margin"
+}
+
 /** Per-document word n-gram repetition statistics, FUSED from the raw
   * text: {{{ struct(total: int, distinct: int, top: int) }}}
   * over the `windows = max(tokenCount - n + 1, 0)` contiguous n-grams of
@@ -783,6 +855,11 @@ object TextExpressions {
   def hashedFeatures(tokens: Column, dim: Int): Column =
     GraftColumnBridge.column(
       HashedFeatures(GraftColumnBridge.expression(tokens), dim))
+
+  /** Linear-classifier margin over hashed features (see LinearMargin). */
+  def linearMargin(tokens: Column, weights: Seq[Long], bias: Long): Column =
+    GraftColumnBridge.column(
+      LinearMargin(GraftColumnBridge.expression(tokens), weights, bias))
 
   /** Distinct word n-gram shingles of a token array (see WordShingles). */
   def wordShingles(tokens: Column, n: Int): Column =

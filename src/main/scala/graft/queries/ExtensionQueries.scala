@@ -277,6 +277,41 @@ object ExtensionQueries {
         sum(col("n_tokens").cast("long")).as("total_tokens"))
   }
 
+  /** [[curateFiltered]] with the LEARNED quality gate added — the one
+    * first-class curation stage real training-data pipelines run that
+    * the heuristic funnel lacks: a fastText-style linear classifier over
+    * the hashed bag-of-words ([[graft.functions.Featurize.qualityMargin]]),
+    * keeping a doc iff margin ≥ 0. Weights here are the deterministic
+    * fixtures ([[graft.functions.Featurize.fixtureWeights]], bias 3)
+    * standing in for trained parameters; the operator takes any integer
+    * weight vector. Emits the funnel's per-(lang, source) accounting
+    * plus `margin_sum` — the exact integer sum of kept docs' margins, so
+    * the oracle pins the margin VALUES, not just the keep decisions.
+    *
+    * Scale shape: the gate is one more row-local codegen expression in
+    * the same funnel scan — no new shuffle, no new pass. */
+  def curateScored(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    val train = docs(s, d).filter(col("doc_id") % 23 =!= 0)
+    val kept = Dedup.dropExactDuplicates(train, "text", "doc_id")
+    val contaminated = deconDocs(s, d).select(col("doc_id"))
+    import graft.functions.Featurize
+    kept.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"),
+        TF.tokenCount(t).as("n_tokens"), TF.digitRatio(t).as("digit_ratio"),
+        TX.ngramRepetition(t, 2).as("r2"), TX.ngramRepetition(t, 3).as("r3"),
+        Featurize.qualityMargin(t, Featurize.fixtureWeights(64), bias = 3L)
+          .as("margin"))
+      .filter(col("r2.top") * 5 <= col("r2.total"))
+      .filter((col("r3.total") - col("r3.distinct")) * 50 <= col("r3.total") * 9)
+      .filter(col("n_tokens").between(5, 5000) && col("digit_ratio") < 0.3)
+      .filter(col("margin") >= 0)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        sum(col("margin")).as("margin_sum"))
+  }
+
   // ---- dedup -----------------------------------------------------------
 
   /** Exact dedup groups keyed on md5(text) — SQL-oracle-able. */

@@ -207,6 +207,49 @@ class CurationFilterSpec extends SparkSpec {
     assert(actual.nonEmpty && actual.values.map(_._1).sum > 0)
   }
 
+  test("curate_scored is curate_filtered plus the learned margin gate") {
+    import graft.functions.Featurize
+    val docs = spark.read.parquet(docsPath)
+    val weights = Featurize.fixtureWeights(64)
+    // the margin gate composed OUTSIDE the operator, on top of the
+    // independently-verified funnel stages
+    val train = docs.filter(col("doc_id") % 23 =!= 0)
+    val keptIds = Dedup.dropExactDuplicates(train, "text", "doc_id")
+      .select(col("doc_id"))
+    val cont = ExtensionQueries.deconDocs(spark, sfDir).select(col("doc_id"))
+    val rep = ExtensionQueries.textRepetition(spark, sfDir)
+    val stats = ExtensionQueries.textStats(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"), col("digit_ratio"))
+    val expected = train
+      .join(keptIds, Seq("doc_id"), "left_semi")
+      .join(cont, Seq("doc_id"), "left_anti")
+      .join(rep, Seq("doc_id")).join(stats, Seq("doc_id"))
+      .filter(col("ng2_top") * 5 <= col("ng2_total"))
+      .filter(col("ng3_dup") * 50 <= col("ng3_total") * 9)
+      .filter(col("n_tokens").between(5, 5000) && col("digit_ratio") < 0.3)
+      .withColumn("margin",
+        Featurize.qualityMargin(col("text"), weights, bias = 3L))
+      .filter(col("margin") >= 0)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        sum(col("margin")).as("margin_sum"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val actual = ExtensionQueries.curateScored(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(actual === expected, "scored funnel diverged from its composition")
+    // the gate must actually reject something at this corpus, and keep
+    // something — otherwise the fixture threshold is not exercising both
+    // branches
+    val filteredTotal = ExtensionQueries.curateFiltered(spark, sfDir)
+      .agg(sum(col("n_docs"))).collect()(0).getLong(0)
+    val scoredTotal = actual.values.map(_._1).sum
+    assert(scoredTotal > 0 && scoredTotal < filteredTotal,
+      s"margin gate inert: $scoredTotal of $filteredTotal kept")
+  }
+
   test("benchmarkOverlap flags planted eval text inside a training doc") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))

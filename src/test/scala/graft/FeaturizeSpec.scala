@@ -46,6 +46,33 @@ class FeaturizeSpec extends SparkSpec {
     assert(by(3L) === expectSparse("pack my box with five dozen liquor jugs", 64))
   }
 
+  test("linear quality margin equals the JVM twin of the formula") {
+    // margin = bias + Σ_token sign(token)·w(bucket(token)) — exactly the
+    // integer dot of the signed-count feature vector with the weights.
+    val weights = Featurize.fixtureWeights(64)
+    assert(weights.min >= -10 && weights.max <= 10 && weights.distinct.size > 10)
+    val got = docsDf.select(col("doc_id"),
+      Featurize.qualityMargin(col("text"), weights, bias = 3L).as("m"))
+      .as[(Long, Long)].collect().toMap
+    def expectMargin(text: String): Long =
+      3L + expectSparse(text, 64)
+        .map { case (b, c) => c * weights(b) }.sum
+    assert(got(1L) === expectMargin("the quick brown fox jumps over the lazy dog"))
+    assert(got(1L) === got(2L), "identical docs score identically")
+    assert(got(3L) === expectMargin("pack my box with five dozen liquor jugs"))
+    // empty/whitespace docs: no tokens → margin is exactly the bias
+    assert(got(4L) === 3L && got(5L) === 3L)
+    // the fused expression ≡ explicit sparse-features dot (same recipe)
+    val viaSparse = Featurize.hashFeaturesSparse(docsDf, "text", "doc_id", 64)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("weight") * element_at(
+        typedLit(weights.toArray), col("bucket") + 1)).as("dot"))
+      .as[(Long, Long)].collect().toMap
+    docsDf.select(col("doc_id")).as[Long].collect().foreach { id =>
+      assert(got(id) === 3L + viaSparse.getOrElse(id, 0L), s"doc $id")
+    }
+  }
+
   test("dense embedding is the L2-normalized sparse vector") {
     val dim = 64
     val dense = docsDf
