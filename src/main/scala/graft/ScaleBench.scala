@@ -434,6 +434,23 @@ object ScaleBench {
         pairs.unpersist(blocking = false)
         n
       },
+      // Stats-driven maintenance on the curate pipeline the two appends
+      // above left with a 3-member delta chain per table: maintain folds
+      // both chains into full snapshots (the corpus-scale rewrite this
+      // entry prices) and vacuums the dead dirs. Safe here because every
+      // append's lineage was consumed (collected) before this runs.
+      // Depends on curate_build_5m/curate_append_* — filter with
+      // "curate", not "curate_maintain".
+      timed("curate_maintain") {
+        val report = CurationIngest.maintain(store, "cur", MinHashRegime(),
+          CurationIngest.MaintenancePolicy(maxChainLength = 3))
+        System.err.println(s"[scalebench] maintain compacted=" +
+          s"${report.compacted} chains=" +
+          report.after.map(t => s"${t.table}:${t.chainLength}").mkString(","))
+        require(report.after.forall(_.chainLength == 1),
+          s"maintain left an unfolded chain: ${report.after}")
+        report.after.map(_.rows).sum
+      },
       // Exact n-gram Jaccard at tau = 3/4: the planted word-level
       // near-dups sit at shingle-Jaccard ~0.75 (30-token docs) to ~0.92
       // (100-token docs), so 3/4 keeps essentially all of them plus the

@@ -452,6 +452,61 @@ object CurationIngest {
       IndexTableStats(table, v, chain.length, rows, wm.toMap)
     }
 
+  /** Thresholds for [[maintain]] — when the operational [[stats]] say a
+    * table's delta fan-in has grown past `maxChainLength`, it is folded
+    * into a full snapshot; `vacuum` then drops the dead version dirs.
+    *
+    * `vacuum = true` is only safe once every outstanding append's
+    * lineage frame has been MATERIALIZED by its consumer (the
+    * consume-before-vacuum contract on the whole pipeline): a lazy
+    * lineage frame still reads the pre-append snapshot dirs that vacuum
+    * deletes. Run with `vacuum = false` from contexts that cannot see
+    * their consumers. */
+  final case class MaintenancePolicy(maxChainLength: Int = 4,
+                                     vacuum: Boolean = true)
+
+  /** What one [[maintain]] invocation did: the tables it folded, whether
+    * it vacuumed, and the operational stats before/after (chain fan-in
+    * back to 1 for every folded table). */
+  final case class MaintenanceReport(compacted: Seq[String], vacuumed: Boolean,
+                                     before: Seq[IndexTableStats],
+                                     after: Seq[IndexTableStats])
+
+  /** The scheduled-maintenance entry point that CONSUMES [[stats]] — the
+    * missing wiring between the pipeline's introspection and its upkeep
+    * operators: read both index tables' operational stats, fold any
+    * chain at/past `policy.maxChainLength` into a full snapshot
+    * (amortizing read fan-in the way the per-append compactEvery does,
+    * but on an operator's schedule instead of a fixed stride), then
+    * chain-aware-vacuum the dead dirs. ([[closeLineage]] stays a
+    * separate call: lineage frames live with the ingest's consumer, not
+    * in the store — close them where they are accumulated.)
+    *
+    * Safety: each fold is one atomic version flip (idempotent — a
+    * re-run on a compact table is a no-op), vacuum only ever drops dirs
+    * outside the live chain, and a crash ANYWHERE between steps leaves
+    * every table readable — the next maintain run simply finishes the
+    * remaining work. Appends interleaved with maintain serialize under
+    * the per-table lock. */
+  def maintain(store: SnapshotStore, prefix: String, regime: NearDupRegime,
+               policy: MaintenancePolicy = MaintenancePolicy())
+      : MaintenanceReport = {
+    val before = stats(store, prefix)
+    val compacted = before
+      .filter(_.chainLength >= policy.maxChainLength)
+      .map(_.table)
+      .filter { table =>
+        if (table == fpTable(prefix)) FingerprintIndex.compactIndex(store, table)
+        else regime match {
+          case _: SimHashRegime => SimHashIndex.compactIndex(store, table)
+          case _: MinHashRegime => DedupIndex.compactIndex(store, table)
+          case _: EmbedRegime => EmbedIndex.compactIndex(store, table)
+        }
+      }
+    if (policy.vacuum) vacuum(store, prefix, regime)
+    MaintenanceReport(compacted, policy.vacuum, before, stats(store, prefix))
+  }
+
   /** Chain-aware vacuum of both indexes (after the lineage frames of
     * every outstanding append have been consumed — see the
     * consume-before-vacuum contract). */

@@ -48,6 +48,18 @@ private[store] final class DeltaChain(partsKey: String) {
       (delta, extraMeta + (partsKey -> chain.mkString(",")))
   }
 
+  /** On-demand fold of the whole chain into a full snapshot — the
+    * maintenance-triggered form of the compactEvery path in [[next]]:
+    * (rows, metadata) for the compacting commit, or None when version
+    * `v` is already a full snapshot (chain length ≤ 1) and committing
+    * would only rewrite identical data. Must run under the table lock
+    * like every chain write. */
+  def compactNow(store: SnapshotStore, table: String, v: Long,
+                 meta: Map[String, String])
+      : Option[(DataFrame, Map[String, String])] =
+    if (chainOf(meta, v).length <= 1) None
+    else Some((load(store, table, v, meta), Map(partsKey -> "")))
+
   /** Version dirs referenced by the CURRENT version — everything a
     * chain-aware vacuum must keep. */
   def liveVersions(store: SnapshotStore, table: String): Set[Long] = {

@@ -180,6 +180,19 @@ object FingerprintIndex {
     result
   }
 
+  /** On-demand chain fold into a full snapshot (maintenance-triggered;
+    * appends also fold themselves every `compactEvery`). Returns true if
+    * a compacting commit happened, false if already compact — IDEMPOTENT,
+    * and the commit is the store's atomic version flip, so a crash
+    * mid-compaction leaves the old chain fully live. */
+  def compactIndex(store: SnapshotStore, table: String): Boolean =
+    store.transactMeta[Unit](table, sortKey = Some("fp")) {
+      val v = store.currentVersion(table)
+      if (v == 0) Left(())
+      else chain.compactNow(store, table, v, store.metaForVersion(table, v))
+        .toRight(())
+    }.isRight
+
   /** Drop version dirs outside the live delta chain (see
     * VectorIndex.vacuumIndex). */
   def vacuumIndex(store: SnapshotStore, table: String): Unit =

@@ -269,6 +269,19 @@ object TextIndex {
       nDocs, avgdl, k, k1, b)
   }
 
+  /** On-demand chain fold into a full snapshot (maintenance-triggered;
+    * appends also fold themselves every `compactEvery`). Returns true if
+    * a compacting commit happened, false if already compact — IDEMPOTENT,
+    * and the commit is the store's atomic version flip, so a crash
+    * mid-compaction leaves the old chain fully live. */
+  def compactIndex(store: SnapshotStore, indexTable: String): Boolean =
+    store.transactMeta[Unit](indexTable, sortKey = Some("term")) {
+      val v = store.currentVersion(indexTable)
+      if (v == 0) Left(())
+      else chain.compactNow(store, indexTable, v,
+        store.metaForVersion(indexTable, v)).toRight(())
+    }.isRight
+
   /** Drop version dirs outside the live delta chain (see
     * VectorIndex.vacuumIndex). */
   def vacuumIndex(store: SnapshotStore, indexTable: String): Unit =

@@ -235,6 +235,19 @@ object VectorIndex {
       queries, queryIdCol, queryVecCol, k)
   }
 
+  /** On-demand chain fold into a full snapshot (maintenance-triggered;
+    * appends also fold themselves every `compactEvery`). Returns true if
+    * a compacting commit happened, false if already compact — IDEMPOTENT,
+    * and the commit is the store's atomic version flip, so a crash
+    * mid-compaction leaves the old chain fully live. */
+  def compactIndex(store: SnapshotStore, indexTable: String): Boolean =
+    store.transactMeta[Unit](indexTable, sortKey = Some("list_id")) {
+      val v = store.currentVersion(indexTable)
+      if (v == 0) Left(())
+      else chain.compactNow(store, indexTable, v,
+        store.metaForVersion(indexTable, v)).toRight(())
+    }.isRight
+
   /** Drop every version dir NOT referenced by the current version's delta
     * chain. The chain-aware replacement for SnapshotStore.vacuum (which
     * assumes every version is a full snapshot); like any vacuum, time

@@ -378,6 +378,69 @@ class CurationIngestSpec extends SparkSpec {
     Seq(l0, l1).foreach(_.unpersist(blocking = false))
   }
 
+  test("maintain: stats-driven compaction+vacuum ≡ the unmaintained pipeline, idempotent, crash-window safe") {
+    val regime = SimHashRegime(maxHamming = 20, expectedCorpus = 100L)
+    val policy = CurationIngest.MaintenancePolicy(maxChainLength = 3)
+    // Same append-heavy 5-batch ingest into two stores; one runs the
+    // stats-driven maintain after every batch (lineage is collected —
+    // i.e. consumed — before each maintain, honoring the
+    // consume-before-vacuum contract), the other never maintains.
+    def ingest5(withMaintain: Boolean)
+        : (SnapshotStore, String, Map[Long, (Long, String)]) = {
+      val root = Files.createTempDirectory("graft-maint").toString
+      val store = new SnapshotStore(root, spark)
+      CurationIngest.init(store, "mt", regime, docsDF, "text", "doc_id")
+      val out = (0 until 5).flatMap { i =>
+        val lin = CurationIngest.ingestBatchOnce(store, "mt", regime,
+          docsDF.filter(col("doc_id") % 5 === i), "text", "doc_id", "s", i.toLong)
+        val rows = lin.as[(Long, Long, String)].collect()
+        lin.unpersist(blocking = false)
+        if (withMaintain) CurationIngest.maintain(store, "mt", regime, policy)
+        rows
+      }
+      (store, "mt", out.map { case (id, k, r) => id -> (k, r) }.toMap)
+    }
+    val (plain, _, linPlain) = ingest5(withMaintain = false)
+    val (maint, _, linMaint) = ingest5(withMaintain = true)
+    assert(linMaint === linPlain,
+      "maintenance changed the pipeline's dedup lineage")
+    // The maintained store's chains never exceeded the policy bound and
+    // end compact; the unmaintained one kept growing.
+    val sm = CurationIngest.stats(maint, "mt")
+    val sp = CurationIngest.stats(plain, "mt")
+    assert(sm.forall(_.chainLength <= policy.maxChainLength), s"$sm")
+    assert(sp.exists(_.chainLength > policy.maxChainLength), s"$sp")
+    // Vacuum really dropped the dead dirs: fewer versions on disk than
+    // commits made (init + 5 appends + compactions).
+    assert(maint.versions("mt_fp").size < plain.versions("mt_fp").size)
+    // Idempotence: a maintain on an already-maintained store folds
+    // nothing and leaves the stats untouched.
+    val again = CurationIngest.maintain(maint, "mt", regime, policy)
+    assert(again.compacted.isEmpty, s"second maintain refolded: $again")
+    assert(again.after.map(t => (t.table, t.version, t.chainLength, t.rows))
+      === sm.map(t => (t.table, t.version, t.chainLength, t.rows)))
+    // Crash-window safety: compact WITHOUT vacuum (the state a crash
+    // between the two steps leaves behind) keeps every table readable,
+    // and the next maintain finishes the vacuum.
+    val (half, _, _) = ingest5(withMaintain = false)
+    val r1 = CurationIngest.maintain(half, "mt", regime,
+      policy.copy(vacuum = false))
+    assert(r1.compacted.nonEmpty && !r1.vacuumed)
+    val preVacuumStats = CurationIngest.stats(half, "mt")
+    assert(preVacuumStats.forall(_.chainLength == 1))
+    val r2 = CurationIngest.maintain(half, "mt", regime, policy)
+    assert(r2.compacted.isEmpty && r2.vacuumed)
+    // and the final state answers a fresh ingest identically
+    val lin6 = CurationIngest.ingestBatchOnce(half, "mt", regime,
+      docsDF.filter(col("doc_id") === 0L), "text", "doc_id", "s", 6L)
+    val lin6p = CurationIngest.ingestBatchOnce(plain, "mt", regime,
+      docsDF.filter(col("doc_id") === 0L), "text", "doc_id", "s", 6L)
+    assert(lin6.as[(Long, Long, String)].collect().toSet
+      === lin6p.as[(Long, Long, String)].collect().toSet,
+      "post-maintenance store answers a replay batch differently")
+    Seq(lin6, lin6p).foreach(_.unpersist(blocking = false))
+  }
+
   test("closeLineage is the CHAIN contract, not component-min (documented divergence)") {
     // Pairs (1,4), (2,3), (3,4) in id-arrival order: 3's only smaller
     // partner is 2, 4's smallest is 1. Component min of {1,2,3,4} is 1,
