@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{EventQueries, ExtensionQueries, RelationalQueries}
+import graft.queries.{EventQueries, ExtensionQueries, RelationalQueries, StorageQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -42,6 +42,8 @@ object SparkEntry {
     "m8_distinct"    -> (RelationalQueries.m8Distinct _),
     "p3_streq"       -> (RelationalQueries.p3StringEq _),
     "s6_page"        -> (RelationalQueries.s6Page _),
+    "store_prune_range" -> (StorageQueries.storePruneRange _),
+    "store_zorder_rect" -> (StorageQueries.storeZorderRect _),
     "w1_rownumber"   -> (RelationalQueries.w1RowNumber _),
     "w2_runningsum"  -> (RelationalQueries.w2RunningSum _),
     "w3_topkgroup"   -> (RelationalQueries.w3TopKPerGroup _),
@@ -186,6 +188,17 @@ object SparkEntry {
       "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_name = 'Customer#000000042'",
     "s6_page" ->
       "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey > 500 ORDER BY o_orderkey ASC LIMIT 100",
+    // zone-map pruned scans: the oracle filters the FULL table — pruning
+    // may only skip files, never change an answer
+    "store_prune_range" ->
+      ("SELECT l_returnflag, count(*) AS cnt, " +
+        "CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents " +
+        "FROM lineitem WHERE l_orderkey BETWEEN 1200 AND 4200 GROUP BY 1"),
+    "store_zorder_rect" ->
+      ("SELECT l_returnflag, count(*) AS cnt, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents " +
+        "FROM lineitem WHERE l_partkey BETWEEN 100 AND 600 " +
+        "AND l_suppkey BETWEEN 5 AND 60 GROUP BY 1"),
     "w1_rownumber" ->
       "SELECT o_orderkey, o_custkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn FROM orders WHERE o_custkey < 50",
     "w2_runningsum" ->

@@ -49,6 +49,21 @@ final class SnapshotStore(rootDir: String, spark: SparkSession) {
   private def versionDir(table: String, v: Long): Path =
     tableDir(table).resolve(f"v$v%05d")
 
+  private[store] def session: SparkSession = spark
+  private[store] def versionDirOf(table: String, v: Long): Path =
+    versionDir(table, v)
+
+  /** The schema recorded at commit time for `version`, if present —
+    * shared by loadVersion and ZoneMap.prunedScan so both read paths
+    * plan without a parquet footer-inference job. */
+  private[store] def recordedSchema(table: String, version: Long)
+      : Option[org.apache.spark.sql.types.StructType] =
+    metaForVersion(table, version).get(SchemaKey).map { s64 =>
+      val json = new String(java.util.Base64.getDecoder.decode(s64), "UTF-8")
+      org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+
   /** Current version number, 0 if the table does not exist. */
   def currentVersion(table: String): Long = {
     val p = pointer(table)
@@ -81,13 +96,9 @@ final class SnapshotStore(rootDir: String, spark: SparkSession) {
   def loadVersion(table: String, version: Long): DataFrame = {
     require(version > 0, s"table $table has no committed snapshot")
     val dir = versionDir(table, version).toString
-    metaForVersion(table, version).get(SchemaKey) match {
-      case Some(s64) =>
-        val json = new String(java.util.Base64.getDecoder.decode(s64), "UTF-8")
-        val schema = org.apache.spark.sql.types.DataType.fromJson(json)
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
-        spark.read.schema(schema).parquet(dir)
-      case None => spark.read.parquet(dir)
+    recordedSchema(table, version) match {
+      case Some(schema) => spark.read.schema(schema).parquet(dir)
+      case None         => spark.read.parquet(dir)
     }
   }
 
@@ -100,9 +111,17 @@ final class SnapshotStore(rootDir: String, spark: SparkSession) {
     * `meta` entries are merged over the previous version's metadata and
     * written INSIDE the new version directory before the pointer flip —
     * so metadata is exactly as atomic and durable as the data it rides
-    * with (used for streaming batch-id watermarks, ST1 exactly-once). */
+    * with (used for streaming batch-id watermarks, ST1 exactly-once).
+    *
+    * `statsCols` opts the version into a file-level zone map ([[ZoneMap]]):
+    * after the parquet write, per-file min/max for those columns are
+    * harvested from the freshly written footers (footer-only — no second
+    * data pass, no Spark job at local file counts) into a `_graft_zones`
+    * sidecar, written before the pointer flip so it shares the snapshot's
+    * atomicity. Empty (the default) costs nothing. */
   def commit(table: String, df: DataFrame, sortKey: Option[String] = None,
-             meta: Map[String, String] = Map.empty): Long = {
+             meta: Map[String, String] = Map.empty,
+             statsCols: Seq[String] = Nil): Long = {
     val l = lockFor(table)
     l.lock()
     try {
@@ -120,6 +139,7 @@ final class SnapshotStore(rootDir: String, spark: SparkSession) {
         case _ => df
       }
       sorted.write.mode(SaveMode.ErrorIfExists).parquet(dest.toString)
+      if (statsCols.nonEmpty) ZoneMap.writeSidecar(dest, statsCols.distinct, spark)
       // Record THIS version's schema (all-nullable, matching what parquet
       // inference would report) so loadVersion skips the footer job. Set
       // fresh every commit — never carried forward — so schema evolution
