@@ -497,6 +497,32 @@ object ScaleBench {
         graft.store.TextIndex.query(store, "docs_bm25",
           qs, "query_id", "qtext", k = 10).count()
       },
+      // Zone-map layout: commit the corpus range-clustered on doc_id with
+      // per-file min/max harvested footer-only at commit. The build price
+      // is the clustering shuffle + write — paid once per snapshot.
+      timed("zones_commit_5m") {
+        store.commit("docs_zones",
+          docs.repartitionByRange(64, col("doc_id")),
+          sortKey = Some("doc_id"), statsCols = Seq("doc_id"))
+        nDocs
+      },
+      // ...and the payoff: a narrow id-range lookup enumerates only the
+      // surviving files (expected 1-2 of 64) instead of opening every
+      // footer. The full-scan twin below is the same predicate without
+      // pruning — the gap is pure skipped IO. Depends on zones_commit_5m
+      // — filter with "zones", not "zones_pruned".
+      timed("zones_pruned_lookup") {
+        val preds = Seq(graft.store.ZoneMap.longRange(
+          "doc_id", 1000000L, 1000999L))
+        val (kept, total) = graft.store.ZoneMap.selectedFiles(
+          store, "docs_zones", preds)
+        System.err.println(s"[scalebench] zones kept ${kept.size}/$total files")
+        graft.store.ZoneMap.prunedScan(store, "docs_zones", preds).count()
+      },
+      timed("zones_full_lookup") {
+        store.load("docs_zones")
+          .filter(col("doc_id").between(1000000L, 1000999L)).count()
+      },
       // Connected components isolated on a worst-case synthetic graph:
       // 2M nodes in 2000 chains of depth 1000 — plain propagation would
       // need ~1000 rounds; pointer jumping must close it in ~a dozen.

@@ -32,17 +32,34 @@ private[store] final class DeltaChain(partsKey: String) {
            meta: Map[String, String]): DataFrame =
     chainOf(meta, v).map(store.loadVersion(table, _)).reduce(_ unionByName _)
 
+  /** Zone-pruned chain read: each chain member version is pruned by its
+    * OWN `_graft_zones` sidecar (immutable alongside its data), so a
+    * selective predicate skips whole delta files before any footer is
+    * opened. Members without a sidecar (pre-zone-map commits) fall back
+    * to a full read of that member; the predicate is re-applied as an
+    * ordinary filter either way, so results ≡ `load(...).filter(preds)`. */
+  def loadPruned(store: SnapshotStore, table: String, v: Long,
+                 meta: Map[String, String],
+                 preds: Seq[ZoneMap.ZonePred]): DataFrame =
+    chainOf(meta, v).map(ZoneMap.prunedScanAt(store, table, _, preds))
+      .reduce(_ unionByName _)
+
   /** Delta-or-compact decision for the next commit: below the threshold
     * the new version is `delta` alone (O(batch) write); at it, the chain
     * folds into a full snapshot (amortized O(corpus/compactEvery) per
     * append). Returns (rows to commit, metadata to commit). */
+  /** `layout` re-establishes a physical layout (e.g. a range partition)
+    * on COMPACTING commits only — chain unions interleave the members'
+    * file layouts, so a fold is where clustering must be re-applied;
+    * plain deltas pass through untouched (the producer laid them out). */
   def next(store: SnapshotStore, table: String, v: Long,
            meta: Map[String, String], delta: DataFrame,
-           compactEvery: Int, extraMeta: Map[String, String])
+           compactEvery: Int, extraMeta: Map[String, String],
+           layout: DataFrame => DataFrame = identity)
       : (DataFrame, Map[String, String]) = {
     val chain = chainOf(meta, v)
     if (chain.length >= compactEvery)
-      (load(store, table, v, meta).unionByName(delta),
+      (layout(load(store, table, v, meta).unionByName(delta)),
         extraMeta + (partsKey -> ""))
     else
       (delta, extraMeta + (partsKey -> chain.mkString(",")))
@@ -55,10 +72,11 @@ private[store] final class DeltaChain(partsKey: String) {
     * would only rewrite identical data. Must run under the table lock
     * like every chain write. */
   def compactNow(store: SnapshotStore, table: String, v: Long,
-                 meta: Map[String, String])
+                 meta: Map[String, String],
+                 layout: DataFrame => DataFrame = identity)
       : Option[(DataFrame, Map[String, String])] =
     if (chainOf(meta, v).length <= 1) None
-    else Some((load(store, table, v, meta), Map(partsKey -> "")))
+    else Some((layout(load(store, table, v, meta)), Map(partsKey -> "")))
 
   /** Version dirs referenced by the CURRENT version — everything a
     * chain-aware vacuum must keep. */

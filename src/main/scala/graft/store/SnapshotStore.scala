@@ -251,14 +251,15 @@ final class SnapshotStore(rootDir: String, spark: SparkSession) {
     * currentVersion/metaForVersion/loadVersion themselves): skips the
     * eager loadIfExists, whose schema-inference job was pure overhead —
     * one fewer driver round trip per append. */
-  def transactMeta[A](table: String, sortKey: Option[String] = None)
+  def transactMeta[A](table: String, sortKey: Option[String] = None,
+                      statsCols: Seq[String] = Nil)
       (fn: => Either[A, (DataFrame, Map[String, String])])
       : Either[A, Long] = {
     val l = lockFor(table)
     l.lock()
     try fn match {
       case Left(a) => Left(a)
-      case Right((df, meta)) => Right(commit(table, df, sortKey, meta))
+      case Right((df, meta)) => Right(commit(table, df, sortKey, meta, statsCols))
     } finally l.unlock()
   }
 

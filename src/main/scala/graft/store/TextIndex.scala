@@ -73,12 +73,28 @@ object TextIndex {
 
   /** Postings rows of a tokenized batch: explode → per-(term, doc) count.
     * Empty-token docs contribute no postings (no terms — correct: they
-    * can never match) but DO count in the metadata stats. */
+    * can never match) but DO count in the metadata stats.
+    *
+    * The explode output is RANGE-partitioned on (term, neighbor_id)
+    * before the aggregation: range partitioning on a subset of the
+    * grouping keys satisfies the aggregate's clustering requirement, so
+    * the groupBy reuses the range exchange (ONE shuffle either way —
+    * TextIndexSpec pins the exchange count) and the committed files end
+    * up owning disjoint term ranges. That file layout is what makes the
+    * per-file term zones ([[ZoneMap]], harvested at commit) selective:
+    * hash-partitioned files would each span the whole vocabulary and a
+    * term probe could never skip one. */
   private def postingsOf(tok: DataFrame): DataFrame =
     tok.select(col("neighbor_id"), size(col("toks")).as("dl"),
         explode(col("toks")).as("term"))
+      .repartitionByRange(col("term"), col("neighbor_id"))
       .groupBy(col("term"), col("neighbor_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
+
+  /** Term-range layout for compaction folds (chain unions lose the
+    * per-version range layout; re-establish it when folding). */
+  private val termLayout: DataFrame => DataFrame =
+    _.repartitionByRange(col("term"), col("neighbor_id"))
 
   /** (nDocs, sumDl) of a tokenized frame — ONE aggregate action. */
   private def statsOf(tok: DataFrame): (Long, Long) = {
@@ -104,6 +120,7 @@ object TextIndex {
     try {
       val (nDocs, sumDl) = statsOf(tok)
       store.commit(indexTable, postingsOf(tok), sortKey = Some("term"),
+        statsCols = Seq("term"),
         meta = Map(
           s"${P}parts" -> "",
           s"${P}tokenizer" -> Tokenizer,
@@ -143,7 +160,8 @@ object TextIndex {
              textCol: String, idCol: String, compactEvery: Int = 8): Long = {
     var tok: DataFrame = null
     try {
-      store.transactMeta[Nothing](indexTable, sortKey = Some("term")) {
+      store.transactMeta[Nothing](indexTable, sortKey = Some("term"),
+          statsCols = Seq("term")) {
         val v = store.currentVersion(indexTable)
         requireBuilt(v, indexTable)
         val meta = store.metaForVersion(indexTable, v)
@@ -166,7 +184,8 @@ object TextIndex {
     val metaKey = s"stream.$streamId.lastBatchId"
     var tok: DataFrame = null
     try {
-      store.transactMeta[Unit](indexTable, sortKey = Some("term")) {
+      store.transactMeta[Unit](indexTable, sortKey = Some("term"),
+          statsCols = Seq("term")) {
         val v = store.currentVersion(indexTable)
         requireBuilt(v, indexTable)
         val meta = store.metaForVersion(indexTable, v)
@@ -218,7 +237,7 @@ object TextIndex {
     chain.next(store, table, v, meta, postingsOf(tok), compactEvery,
       extraMeta ++ Map(
         s"${P}nDocs" -> nDocs.toString,
-        s"${P}sumDl" -> sumDl.toString))
+        s"${P}sumDl" -> sumDl.toString), layout = termLayout)
   }
 
   /** BM25 top-k over the latest committed index version: term probe +
@@ -264,7 +283,14 @@ object TextIndex {
     if (terms.isEmpty)
       return Retrieval.emptyRanked(queries.sparkSession, qIdType,
         postings.schema("neighbor_id").dataType)
-    val hits = postings.filter(col("term").isin(terms: _*))
+    // Two pruning layers share the term probe: the zone map drops whole
+    // chain files whose [min,max] term range misses every query term
+    // (term-sorted layout → tight zones; no footer is even opened), and
+    // the residual isin prunes row groups inside the survivors. Results
+    // ≡ the plain isin over the full chain (DeltaChain.loadPruned
+    // contract); RetrievalSpec pins indexed ≡ scan score-for-score.
+    val hits = chain.loadPruned(store, indexTable, v, meta,
+      Seq(ZoneMap.stringIn("term", terms)))
     Retrieval.bm25Score(hits, queries, queryIdCol, queryTextCol,
       nDocs, avgdl, k, k1, b)
   }
@@ -275,11 +301,12 @@ object TextIndex {
     * and the commit is the store's atomic version flip, so a crash
     * mid-compaction leaves the old chain fully live. */
   def compactIndex(store: SnapshotStore, indexTable: String): Boolean =
-    store.transactMeta[Unit](indexTable, sortKey = Some("term")) {
+    store.transactMeta[Unit](indexTable, sortKey = Some("term"),
+          statsCols = Seq("term")) {
       val v = store.currentVersion(indexTable)
       if (v == 0) Left(())
       else chain.compactNow(store, indexTable, v,
-        store.metaForVersion(indexTable, v)).toRight(())
+        store.metaForVersion(indexTable, v), layout = termLayout).toRight(())
     }.isRight
 
   /** Drop version dirs outside the live delta chain (see

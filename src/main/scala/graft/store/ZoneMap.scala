@@ -70,6 +70,13 @@ object ZoneMap {
       extends ZonePred
   final case class StringRange(column: String, lo: Option[String], hi: Option[String])
       extends ZonePred
+  /** Membership predicate (`col IN (…)`): a file survives if ANY value
+    * falls inside its [min,max] — the shape a term/key probe produces
+    * (TextIndex query terms, id-list lookups). Still only an upper
+    * bound: a value inside the zone need not be present; the residual
+    * `isin` decides membership. */
+  final case class LongIn(column: String, values: Seq[Long]) extends ZonePred
+  final case class StringIn(column: String, values: Seq[String]) extends ZonePred
 
   def longRange(column: String, lo: Long, hi: Long): ZonePred =
     LongRange(column, Some(lo), Some(hi))
@@ -80,6 +87,9 @@ object ZoneMap {
     StringRange(column, Some(lo), Some(hi))
   def stringEq(column: String, v: String): ZonePred =
     StringRange(column, Some(v), Some(v))
+  def longIn(column: String, values: Seq[Long]): ZonePred = LongIn(column, values)
+  def stringIn(column: String, values: Seq[String]): ZonePred =
+    StringIn(column, values)
 
   private val SidecarName = "_graft_zones"
 
@@ -180,7 +190,8 @@ object ZoneMap {
       rows += b.getRowCount
       val cc = b.getColumns.asScala.find(_.getPath.toDotString == c)
         .getOrElse(return None)
-      val st = cc.getStatistics
+      val st: org.apache.parquet.column.statistics.Statistics[_] =
+        cc.getStatistics
       if (st == null || st.isEmpty) return None
       nulls += st.getNumNulls
       if (st.getNumNulls < 0) return None // unknown null count → unusable
@@ -267,6 +278,13 @@ object ZoneMap {
     case ("string", StringRange(_, lo, hi)) =>
       lo.forall(s => unsignedCompare(s.getBytes("UTF-8"), z.maxBytes) <= 0) &&
         hi.forall(s => unsignedCompare(s.getBytes("UTF-8"), z.minBytes) >= 0)
+    case ("long", LongIn(_, vs)) =>
+      vs.exists(v => v >= z.minLong && v <= z.maxLong)
+    case ("string", StringIn(_, vs)) =>
+      vs.exists { s =>
+        val b = s.getBytes("UTF-8")
+        unsignedCompare(b, z.minBytes) >= 0 && unsignedCompare(b, z.maxBytes) <= 0
+      }
     case _ => true // type mismatch between predicate and zone → keep
   }
 
@@ -313,6 +331,8 @@ object ZoneMap {
       case StringRange(c, lo, hi) =>
         lo.map(col(c) >= _).getOrElse(lit(true)) &&
           hi.map(col(c) <= _).getOrElse(lit(true))
+      case LongIn(c, vs)   => col(c).isin(vs: _*)
+      case StringIn(c, vs) => col(c).isin(vs: _*)
     }.reduceOption(_ && _).getOrElse(lit(true))
 
   /** Zone-pruned selective read of `table`'s latest snapshot: only the
@@ -322,13 +342,21 @@ object ZoneMap {
     * `store.load(table).filter(preds)`. */
   def prunedScan(store: SnapshotStore, table: String,
                  preds: Seq[ZonePred]): DataFrame = {
-    val spark = store.session
     val v = store.currentVersion(table)
     require(v > 0, s"table $table has no committed snapshot")
-    val (kept, _) = selectedFilesAt(store, table, v, preds)
-    val schema = store.recordedSchema(table, v)
+    prunedScanAt(store, table, v, preds)
+  }
+
+  /** [[prunedScan]] pinned to a SPECIFIC version — the form delta-chain
+    * readers use (each chain member is its own immutable version dir
+    * with its own zone map; see [[DeltaChain.loadPruned]]). */
+  def prunedScanAt(store: SnapshotStore, table: String, version: Long,
+                   preds: Seq[ZonePred]): DataFrame = {
+    val spark = store.session
+    val (kept, _) = selectedFilesAt(store, table, version, preds)
+    val schema = store.recordedSchema(table, version)
     if (kept.isEmpty) {
-      val s = schema.getOrElse(store.loadVersion(table, v).schema)
+      val s = schema.getOrElse(store.loadVersion(table, version).schema)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
     } else {
       val base = schema match {

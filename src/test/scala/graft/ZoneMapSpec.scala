@@ -25,7 +25,7 @@ class ZoneMapSpec extends SparkSpec {
       .toDF("k", "x", "y", "name")
 
   private def collectSorted(df: DataFrame): Seq[Row] =
-    df.orderBy(df.columns.map(col): _*).collect().toSeq
+    df.orderBy(df.columns.toIndexedSeq.map(col): _*).collect().toSeq
 
   test("range-partitioned sorted layout: narrow key range skips most files") {
     val store = freshStore()
@@ -110,6 +110,48 @@ class ZoneMapSpec extends SparkSpec {
     df.unpersist()
     // exactly the parquet-write job — the harvest adds none
     assert(count.get <= 1, s"harvest should add no jobs, saw ${count.get}")
+  }
+
+  test("IN predicates: membership prunes by zone, residual decides truth") {
+    val store = freshStore()
+    store.commit("t", table().repartitionByRange(10, col("k")),
+      sortKey = Some("k"), statsCols = Seq("k"))
+    // two ids in the same decile + one far away → ≤2 files survive
+    val pred = Seq(ZoneMap.longIn("k", Seq(101L, 150L, 950L)))
+    val (kept, total) = ZoneMap.selectedFiles(store, "t", pred)
+    assert(kept.size <= 2 && kept.size < total)
+    assert(ZoneMap.prunedScan(store, "t", pred).count() === 3)
+    // a value inside a zone but absent from the data: zones may keep the
+    // file, the residual isin must reject the row
+    val miss = Seq(ZoneMap.longIn("k", Seq(5000L)))
+    assert(ZoneMap.prunedScan(store, "t", miss).count() === 0)
+  }
+
+  test("TextIndex postings files own disjoint term ranges; term probes skip files") {
+    val store = freshStore()
+    val docs = ((0 until 40).map(i => (i.toLong, s"alpha bravo common w${"%03d".format(i)}")) :+
+      (99L, "zulu zebra zygote")).toDF("doc_id", "text")
+    // At test scale AQE coalesces the range shuffle to ONE partition
+    // (the right call at scale — file count tracks data size); pin the
+    // partition count here so the multi-file layout is observable.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try graft.store.TextIndex.build(store, "idx", docs, "text", "doc_id")
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // the build snapshot (v1): a term at the top of the alphabet lives in
+    // the last range file only
+    val (kept, total) = ZoneMap.selectedFilesAt(store, "idx", 1L,
+      Seq(ZoneMap.stringIn("term", Seq("zygote"))))
+    assert(total > 1, s"range layout should write >1 file, got $total")
+    assert(kept.size < total, s"term probe kept ${kept.size}/$total")
+    // and the pruned probe still finds exactly the right postings
+    assert(ZoneMap.prunedScanAt(store, "idx", 1L,
+      Seq(ZoneMap.stringIn("term", Seq("zygote")))).count() === 1)
+    // end-to-end: query through the index (which now prunes via zones)
+    // still ranks the right doc first
+    val qs = Seq((1L, "zygote zebra")).toDF("query_id", "qtext")
+    val top = graft.store.TextIndex.query(store, "idx", qs, "query_id", "qtext", k = 3)
+      .orderBy(col("rank")).collect()
+    assert(top.nonEmpty && top.head.getAs[Long]("neighbor_id") === 99L)
   }
 
   // ----------------------------------------------------------- z-order
