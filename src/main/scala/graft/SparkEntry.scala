@@ -43,6 +43,7 @@ object SparkEntry {
     "p3_streq"       -> (RelationalQueries.p3StringEq _),
     "s6_page"        -> (RelationalQueries.s6Page _),
     "store_prune_range" -> (StorageQueries.storePruneRange _),
+    "store_prune_time"  -> (StorageQueries.storePruneTime _),
     "store_zorder_rect" -> (StorageQueries.storeZorderRect _),
     "w1_rownumber"   -> (RelationalQueries.w1RowNumber _),
     "w2_runningsum"  -> (RelationalQueries.w2RunningSum _),
@@ -194,6 +195,11 @@ object SparkEntry {
       ("SELECT l_returnflag, count(*) AS cnt, " +
         "CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents " +
         "FROM lineitem WHERE l_orderkey BETWEEN 1200 AND 4200 GROUP BY 1"),
+    "store_prune_time" ->
+      ("SELECT event_type, count(*) AS cnt, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents " +
+        "FROM events WHERE epoch_ns(ts) // 1000 " +
+        "BETWEEN 1704844800000000 AND 1705103999999999 GROUP BY 1"),
     "store_zorder_rect" ->
       ("SELECT l_returnflag, count(*) AS cnt, " +
         "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents " +

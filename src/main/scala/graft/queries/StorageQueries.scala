@@ -39,6 +39,28 @@ object StorageQueries {
         sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
   }
 
+  /** Zone-pruned time-window lookup: events committed range-clustered on
+    * `ts` (the layout a time-partitioned streaming sink produces
+    * naturally — late data aside, files arrive in event-time order), a
+    * 3-day window then touches only the files whose µs-normalized
+    * [min,max] intersect it. Bounds are pure epoch-µs integers on BOTH
+    * sides (the oracle compares `epoch_ns // 1000`), sidestepping
+    * ns-vs-µs truncation at the window edges. */
+  def storePruneTime(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val root = java.nio.file.Files.createTempDirectory("graft-tzones").toString
+    val store = new SnapshotStore(root, s)
+    store.commit("ev", ev.repartitionByRange(16, col("ts")),
+      sortKey = Some("ts"), statsCols = Seq("ts"))
+    // [2024-01-10, 2024-01-13) UTC as inclusive µs bounds
+    val lo = 1704844800000000L
+    val hi = 1705103999999999L
+    ZoneMap.prunedScan(store, "ev", Seq(ZoneMap.tsRangeMicros("ts", lo, hi)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+  }
+
   /** Zone-pruned rectangle lookup on a Z-ordered layout: files tile the
     * (l_partkey, l_suppkey) Morton curve, so per-file zones are tight in
     * BOTH columns and the rectangle prunes on each. A single-key sort

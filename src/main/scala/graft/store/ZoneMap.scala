@@ -11,7 +11,7 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.parquet.schema.LogicalTypeAnnotation
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
 
 /** File-level zone maps (min/max data skipping) for [[SnapshotStore]]
   * tables — the piece that turns a snapshot point/range lookup from
@@ -42,10 +42,12 @@ import org.apache.spark.sql.functions.{col, lit}
   * always kept.
   *
   * Supported zone columns: integral (parquet INT32/INT64 — covers
-  * int/bigint/date), floating (FLOAT/DOUBLE), and UTF-8 strings
+  * int/bigint/date), floating (FLOAT/DOUBLE), UTF-8 strings
   * (BINARY+String annotation; min/max compared as unsigned bytes, the
-  * same total order parquet's UTF8 comparator uses). Timestamps,
-  * decimals and nested types are not harvested (conservatively kept).
+  * same total order parquet's UTF8 comparator uses), and INT64
+  * timestamps (zones normalized to epoch-µs whatever the file's
+  * physical unit — see [[TsRange]]). Decimals and nested types are not
+  * harvested (conservatively kept).
   */
 object ZoneMap {
 
@@ -77,6 +79,13 @@ object ZoneMap {
     * `isin` decides membership. */
   final case class LongIn(column: String, values: Seq[Long]) extends ZonePred
   final case class StringIn(column: String, values: Seq[String]) extends ZonePred
+  /** Inclusive instant range in epoch MICROseconds — zones for timestamp
+    * columns are normalized to µs at harvest regardless of the file's
+    * physical unit, so one predicate form covers MILLIS/MICROS/NANOS
+    * files. (Spark's TimestampType is µs; sub-µs parquet precision is
+    * floor-divided, matching Spark's own read truncation.) */
+  final case class TsRange(column: String, lo: Option[Long], hi: Option[Long])
+      extends ZonePred
 
   def longRange(column: String, lo: Long, hi: Long): ZonePred =
     LongRange(column, Some(lo), Some(hi))
@@ -90,6 +99,13 @@ object ZoneMap {
   def longIn(column: String, values: Seq[Long]): ZonePred = LongIn(column, values)
   def stringIn(column: String, values: Seq[String]): ZonePred =
     StringIn(column, values)
+  /** Instant range from epoch-µs bounds (inclusive). */
+  def tsRangeMicros(column: String, loMicros: Long, hiMicros: Long): ZonePred =
+    TsRange(column, Some(loMicros), Some(hiMicros))
+  def tsRange(column: String, lo: java.sql.Timestamp, hi: java.sql.Timestamp): ZonePred =
+    TsRange(column, Some(micros(lo)), Some(micros(hi)))
+  private def micros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
 
   private val SidecarName = "_graft_zones"
 
@@ -129,7 +145,7 @@ object ZoneMap {
     val b64 = java.util.Base64.getEncoder
     val lines = zones.map { z =>
       val (mn, mx) = z.kind match {
-        case "long"   => (z.minLong.toString, z.maxLong.toString)
+        case "long" | "ts" => (z.minLong.toString, z.maxLong.toString)
         case "double" => (z.minDouble.toString, z.maxDouble.toString)
         case "string" => (b64.encodeToString(z.minBytes), b64.encodeToString(z.maxBytes))
         case _        => ("", "")
@@ -159,20 +175,32 @@ object ZoneMap {
         if (idx < 0 || !schema.getType(idx).isPrimitive) None
         else {
           val prim = schema.getType(idx).asPrimitiveType()
+          val ann = prim.getLogicalTypeAnnotation
           val kind = prim.getPrimitiveTypeName match {
+            case PrimitiveTypeName.INT64
+                if ann.isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] =>
+              "ts" // physical long, normalized to µs in foldBlocks
             case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64
-                if prim.getLogicalTypeAnnotation == null ||
-                   prim.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] ||
-                   prim.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
+                if ann == null ||
+                   ann.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] ||
+                   ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
               "long"
             case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE => "double"
             case PrimitiveTypeName.BINARY
-                if prim.getLogicalTypeAnnotation != null &&
-                   prim.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+                if ann != null &&
+                   ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
               "string"
             case _ => "skip"
           }
-          if (kind == "skip") None else foldBlocks(fname, c, kind, blocks)
+          val toMicros: Long => Long =
+            if (kind != "ts") identity
+            else ann.asInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation].getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => Math.multiplyExact(_, 1000L)
+              case LogicalTypeAnnotation.TimeUnit.MICROS => identity
+              case LogicalTypeAnnotation.TimeUnit.NANOS  => Math.floorDiv(_, 1000L)
+            }
+          if (kind == "skip") None
+          else foldBlocks(fname, c, kind, blocks, toMicros)
         }
       }
     } catch { case _: Exception => Seq.empty // unreadable footer → no pruning
@@ -180,7 +208,8 @@ object ZoneMap {
   }
 
   private def foldBlocks(fname: String, c: String, kind: String,
-                         blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData])
+                         blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+                         toMicros: Long => Long = identity)
       : Option[Zone] = {
     var mnL = Long.MaxValue; var mxL = Long.MinValue
     var mnD = Double.PositiveInfinity; var mxD = Double.NegativeInfinity
@@ -198,9 +227,9 @@ object ZoneMap {
       if (st.hasNonNullValue) {
         sawValue = true
         kind match {
-          case "long" =>
-            val mn = st.genericGetMin.asInstanceOf[Number].longValue()
-            val mx = st.genericGetMax.asInstanceOf[Number].longValue()
+          case "long" | "ts" =>
+            val mn = toMicros(st.genericGetMin.asInstanceOf[Number].longValue())
+            val mx = toMicros(st.genericGetMax.asInstanceOf[Number].longValue())
             if (mn < mnL) mnL = mn
             if (mx > mxL) mxL = mx
           case "double" =>
@@ -250,7 +279,7 @@ object ZoneMap {
       else {
         val kind = p(2)
         try Some(kind match {
-          case "long" =>
+          case "long" | "ts" =>
             Zone(p(0), p(1), kind, p(3).toLong, p(4).toLong, 0d, 0d,
               Array.empty, Array.empty, p(5).toLong, p(6).toLong)
           case "double" =>
@@ -272,6 +301,8 @@ object ZoneMap {
   private def mayMatch(z: Zone, pred: ZonePred): Boolean = (z.kind, pred) match {
     case ("null", _) => false // all-null column never matches a range
     case ("long", LongRange(_, lo, hi)) =>
+      lo.forall(_ <= z.maxLong) && hi.forall(_ >= z.minLong)
+    case ("ts", TsRange(_, lo, hi)) =>
       lo.forall(_ <= z.maxLong) && hi.forall(_ >= z.minLong)
     case ("double", DoubleRange(_, lo, hi)) =>
       lo.forall(_ <= z.maxDouble) && hi.forall(_ >= z.minDouble)
@@ -333,6 +364,9 @@ object ZoneMap {
           hi.map(col(c) <= _).getOrElse(lit(true))
       case LongIn(c, vs)   => col(c).isin(vs: _*)
       case StringIn(c, vs) => col(c).isin(vs: _*)
+      case TsRange(c, lo, hi) =>
+        lo.map(m => col(c) >= timestamp_micros(lit(m))).getOrElse(lit(true)) &&
+          hi.map(m => col(c) <= timestamp_micros(lit(m))).getOrElse(lit(true))
     }.reduceOption(_ && _).getOrElse(lit(true))
 
   /** Zone-pruned selective read of `table`'s latest snapshot: only the

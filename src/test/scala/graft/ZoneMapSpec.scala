@@ -112,6 +112,26 @@ class ZoneMapSpec extends SparkSpec {
     assert(count.get <= 1, s"harvest should add no jobs, saw ${count.get}")
   }
 
+  test("timestamp zones: µs-normalized ranges prune a time-ordered layout") {
+    val store = freshStore()
+    val base = 1700000000000000L // epoch µs
+    val df = spark.range(0, 1000).select(col("id"),
+      timestamp_micros(lit(base) + col("id") * 60000000L).as("ts")) // 1/min
+    store.commit("t", df.repartitionByRange(10, col("ts")),
+      sortKey = Some("ts"), statsCols = Seq("ts"))
+    val pred = Seq(ZoneMap.tsRangeMicros("ts",
+      base + 100L * 60000000L, base + 199L * 60000000L))
+    val (kept, total) = ZoneMap.selectedFiles(store, "t", pred)
+    assert(total === 10)
+    assert(kept.size <= 2, s"kept ${kept.size}/$total")
+    assert(ZoneMap.prunedScan(store, "t", pred).count() === 100)
+    // the java.sql.Timestamp constructor agrees with the raw-µs form
+    val ts0 = new java.sql.Timestamp(base / 1000 + 100L * 60000L)
+    val ts1 = new java.sql.Timestamp(base / 1000 + 199L * 60000L)
+    assert(ZoneMap.prunedScan(store, "t",
+      Seq(ZoneMap.tsRange("ts", ts0, ts1))).count() === 100)
+  }
+
   test("IN predicates: membership prunes by zone, residual decides truth") {
     val store = freshStore()
     store.commit("t", table().repartitionByRange(10, col("k")),
