@@ -31,7 +31,8 @@ object Bench {
     "dedup_minhash_oracle", "dedup_simhash_oracle", "dedup_embed_oracle",
     "sim_brute_oracle", "sim_ann_oracle", "sim_ivf_oracle",
     "sim_ivfpq_oracle", "sim_pq_oracle",
-    "text_triage_oracle", "retrieve_bm25_oracle")
+    "text_triage_oracle", "retrieve_bm25_oracle",
+    "dedup_incr_fp_bloom") // probe-path twin of dedup_incr_fp_oracle
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

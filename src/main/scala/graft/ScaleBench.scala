@@ -323,6 +323,82 @@ object ScaleBench {
         resolved.unpersist(blocking = false)
         dups
       },
+      // Trickle appends: a 50-doc batch against the 5M index, scan path
+      // vs bloom-probe path. The scan pays the full 16-byte-rows index
+      // read per batch however small the batch; the bloom path collects
+      // the batch's fingerprints and reads only the files whose sketches
+      // might contain one — O(files) sketch probes, the per-batch floor
+      // a high-frequency point ingest actually pays. (50 docs is the
+      // point-lookup regime blooms are for; at backfill sizes the scan
+      // is the right plan and stays the default.) Depends on fp_incr_*
+      // — filter with "fp_".
+      timed("fp_trickle_scan_50") {
+        import spark.implicits._
+        val batch = spark.range(nDocs + 200000L, nDocs + 200050L, 1L, 4)
+          .map(id => genDoc(id.toLong)).toDF()
+        val r = graft.store.FingerprintIndex.appendBatchOnce(
+          store, "docs_fp", batch, "text", "doc_id", "bench", 1L).get
+        val n = r.count(); r.unpersist(blocking = false); n
+      },
+      timed("fp_trickle_bloom_50") {
+        import spark.implicits._
+        val batch = spark.range(nDocs + 201000L, nDocs + 201050L, 1L, 4)
+          .map(id => genDoc(id.toLong)).toDF()
+        val r = graft.store.FingerprintIndex.appendBatchOnce(
+          store, "docs_fp", batch, "text", "doc_id", "bench", 2L,
+          bloomProbeMaxKeys = 10000).get
+        val n = r.count(); r.unpersist(blocking = false); n
+      },
+      // The bloom win at the scale it exists for: a 200M-key index
+      // (3.2 GB, dozens of files — the 5M fp index above is one ~80 MB
+      // file, so there is nothing for file skipping to skip and the
+      // trickle pair measures a wash; THIS is the honest demo size). A
+      // 5-key point probe through the sketches reads ~1 file; the full
+      // path schedules a task per file. Filter with "bloom_".
+      timed("bloom_commit_200m") {
+        store.commit("fp_big",
+          spark.range(0L, 200000000L, 1L, 64)
+            .select(xxhash64(col("id")).as("fp"), col("id")),
+          sortKey = Some("fp"), bloomCols = Seq("fp"))
+        200000000L
+      },
+      timed("bloom_point_lookup") {
+        val probes = spark.range(0, 5)
+          .select(xxhash64(col("id") * 40000000L).as("fp"))
+          .collect().map(_.getLong(0))
+        val vdir = java.nio.file.Paths.get(storeDir, "fp_big",
+          f"v${store.currentVersion("fp_big")}%05d")
+        val (kept, total) = graft.store.BloomSkip.filesMaybeContaining(
+          vdir, "fp", probes)
+        System.err.println(s"[scalebench] bloom kept ${kept.size}/$total files")
+        if (kept.isEmpty) 0L
+        else spark.read.parquet(kept.map(_.toString): _*)
+          .filter(col("fp").isin(probes.toIndexedSeq: _*)).count()
+      },
+      timed("bloom_full_lookup") {
+        val probes = spark.range(0, 5)
+          .select(xxhash64(col("id") * 40000000L).as("fp"))
+          .collect().map(_.getLong(0))
+        store.load("fp_big")
+          .filter(col("fp").isin(probes.toIndexedSeq: _*)).count()
+      },
+      // Second probe against the SAME version dirs: the sketch cache
+      // turns the footer+sketch IO of the first probe into in-memory
+      // bitset checks — the steady-state floor a per-micro-batch
+      // trickle probe actually pays.
+      timed("bloom_point_lookup_warm") {
+        val probes = spark.range(0, 5)
+          .select(xxhash64(col("id") * 39999999L).as("fp"))
+          .collect().map(_.getLong(0))
+        val vdir = java.nio.file.Paths.get(storeDir, "fp_big",
+          f"v${store.currentVersion("fp_big")}%05d")
+        val (kept, total) = graft.store.BloomSkip.filesMaybeContaining(
+          vdir, "fp", probes)
+        System.err.println(s"[scalebench] bloom warm kept ${kept.size}/$total files")
+        if (kept.isEmpty) 0L
+        else spark.read.parquet(kept.map(_.toString): _*)
+          .filter(col("fp").isin(probes.toIndexedSeq: _*)).count()
+      },
       // Incremental embedding-cosine dedup (EmbedIndex) on the 1M-vector
       // corpus — the fourth persistent index's flagship pair. Bits are
       // sized for the 1M corpus (auto formula); threshold 0.999 isolates

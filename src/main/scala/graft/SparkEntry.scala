@@ -115,6 +115,7 @@ object SparkEntry {
     "dedup_minhash_oracle" -> (ExtensionQueries.dedupMinhashOracle _),
     "dedup_incr_oracle"   -> (ExtensionQueries.dedupIncrOracle _),
     "dedup_incr_fp_oracle" -> (ExtensionQueries.dedupIncrFpOracle _),
+    "dedup_incr_fp_bloom"  -> (ExtensionQueries.dedupIncrFpBloom _),
     "dedup_embed_oracle"  -> (ExtensionQueries.dedupEmbedOracle _),
     "dedup_simhash_pairs" -> (ExtensionQueries.dedupSimhashPairs _),
     "dedup_simhash_oracle" -> (ExtensionQueries.dedupSimhashOracle _),
@@ -554,6 +555,17 @@ object SparkEntry {
     // xxhash64 in the engine — hash-agnostic, groups agree iff token
     // sequences agree; same construction as dedup_fingerprint).
     "dedup_incr_fp_oracle" ->
+      ("WITH u AS (SELECT doc_id, text FROM documents WHERE doc_id < 500 UNION ALL " +
+        "SELECT doc_id + 10000 AS doc_id, replace(text, ' ', chr(9) || ' ') AS text " +
+        "FROM documents WHERE doc_id < 50), " +
+        "t AS (SELECT doc_id, md5(array_to_string(CASE WHEN length(regexp_replace(text, " +
+        "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
+        "ELSE string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+        "'[ \\t\\n\\x0B\\f\\r]+') END, ' ')) AS grp FROM u) " +
+        "SELECT doc_id, min(doc_id) OVER (PARTITION BY grp) AS keep_id FROM t"),
+    // the bloom-probe twin runs the SAME appends through the sketch-pruned
+    // collision probe — identical truth by construction
+    "dedup_incr_fp_bloom" ->
       ("WITH u AS (SELECT doc_id, text FROM documents WHERE doc_id < 500 UNION ALL " +
         "SELECT doc_id + 10000 AS doc_id, replace(text, ' ', chr(9) || ' ') AS text " +
         "FROM documents WHERE doc_id < 50), " +

@@ -409,6 +409,33 @@ object ExtensionQueries {
       .select(col("id").as("doc_id"), col("keep_id"))
   }
 
+  /** [[dedupIncrFpOracle]] through the TRICKLE bloom-probe path
+    * ([[FingerprintIndex.appendBatchOnce]] `bloomProbeMaxKeys`): the
+    * collision probe reads only index files whose parquet bloom
+    * sketches might contain a batch fingerprint, instead of streaming
+    * the whole index. Same appends, same DuckDB window-min oracle — a
+    * sketch can only skip files, never change an owner, and this row
+    * pins that end-to-end. */
+  def dedupIncrFpBloom(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).filter(col("doc_id") < 500)
+      .select(col("doc_id"), col("text"))
+    val variants = base.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        regexp_replace(col("text"), " ", "\t ").as("text"))
+    val u = base.unionByName(variants)
+    val root = java.nio.file.Files.createTempDirectory("graft-fpbloom").toString
+    val store = new SnapshotStore(root, s)
+    FingerprintIndex.build(store, "docs_fp", u.limit(0), "text", "doc_id")
+    val parts = Seq(u.filter(col("doc_id") < 250), u.filter(col("doc_id") >= 250))
+      .zipWithIndex.map { case (b, i) =>
+        FingerprintIndex.appendBatchOnce(store, "docs_fp", b.coalesce(1),
+          "text", "doc_id", streamId = "verify", batchId = i.toLong,
+          bloomProbeMaxKeys = 100000).get
+      }
+    parts.reduce(_ unionByName _)
+      .select(col("id").as("doc_id"), col("keep_id"))
+  }
+
   /** Embedding near-dup with a FULL DuckDB oracle: a copy of vec_id 0 is
     * planted as vec_id 10000 inside the query (both engines construct the
     * same union), and at threshold 0.99 the only qualifying pair is that

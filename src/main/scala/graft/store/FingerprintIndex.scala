@@ -61,13 +61,46 @@ object FingerprintIndex {
     val survivors = encode(corpus, textCol, idCol)
       .groupBy(col("fp")).agg(min(col("id")).as("id"))
     store.commit(table, survivors.select(col("fp"), col("id")),
-      sortKey = Some("fp"), meta = Map(s"${P}parts" -> ""))
+      sortKey = Some("fp"), meta = Map(s"${P}parts" -> ""),
+      bloomCols = Seq("fp"))
   }
 
   /** The live index (delta-chain union) as of the current version. */
   def load(store: SnapshotStore, table: String): DataFrame = {
     val v = store.currentVersion(table)
     chain.load(store, table, v, store.metaForVersion(table, v))
+  }
+
+  /** The live index reduced to the files that MIGHT contain one of
+    * `fps`, probed through the per-file parquet bloom sketches every
+    * index commit writes ([[BloomSkip]]) — fingerprints are
+    * hash-uniform, so this is the only file-level pruning that can work
+    * on them (zone min/max spans the whole domain). Chain members whose
+    * every file rejects every probe drop out entirely; files without
+    * sketches (pre-bloom commits) are kept. Correctness: the collision
+    * probe only cares about index rows whose fp is IN the batch, and a
+    * bloom never rejects a present value — the reduced frame contains
+    * every row the full scan's semi-join could match. */
+  private def bloomPrunedIndex(store: SnapshotStore, table: String, v: Long,
+                               meta: Map[String, String],
+                               fps: Array[Long]): DataFrame = {
+    val spark = store.session
+    val frames = chain.chainOf(meta, v).flatMap { cv =>
+      val dir = store.versionDirOf(table, cv)
+      val (kept, _) = BloomSkip.filesMaybeContaining(dir, "fp", fps)
+      if (kept.isEmpty) None
+      else Some(store.recordedSchema(table, cv) match {
+        case Some(sch) => spark.read.schema(sch).parquet(kept.map(_.toString): _*)
+        case None      => spark.read.parquet(kept.map(_.toString): _*)
+      })
+    }
+    if (frames.nonEmpty) frames.reduce(_ unionByName _)
+    else {
+      val sch = store.recordedSchema(table, v)
+        .getOrElse(store.loadVersion(table, v).schema)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+    }
   }
 
   /** READ-ONLY dedup resolution of `batch` against the live index and
@@ -85,12 +118,21 @@ object FingerprintIndex {
     * frame — persist it yourself if read more than once). */
   def resolve(store: SnapshotStore, table: String, batch: DataFrame,
               textCol: String, idCol: String,
-              broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit)
+              broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit,
+              bloomProbeMaxKeys: Int = 0)
       : DataFrame = {
+    val v = store.currentVersion(table)
+    val meta = store.metaForVersion(table, v)
     val enc = encode(batch, textCol, idCol)
     // Batch row count bounds the distinct-fingerprint count from above —
     // a NARROW count (one xxhash64 pass), no distinct() exchange.
-    resolveAgainst(load(store, table), enc, enc.count(), broadcastKeyLimit)
+    val nKeys = enc.count()
+    val idx =
+      if (bloomProbeMaxKeys > 0 && nKeys <= bloomProbeMaxKeys) {
+        val fps = enc.select(col("fp")).distinct().collect().map(_.getLong(0))
+        bloomPrunedIndex(store, table, v, meta, fps)
+      } else chain.load(store, table, v, meta)
+    resolveAgainst(idx, enc, nKeys, broadcastKeyLimit)
   }
 
   /** The shared dedup-resolution plan: batch-internal keep-min per
@@ -133,17 +175,31 @@ object FingerprintIndex {
     * pre-append snapshot dirs, so if cached blocks are evicted AFTER
     * `vacuumIndex`/compaction has dropped those dirs, recomputation
     * fails (FileNotFound). Materialize (write/collect/checkpoint) the
-    * result before vacuuming the table. */
+    * result before vacuuming the table.
+    *
+    * `bloomProbeMaxKeys` > 0 turns on the TRICKLE-append fast path for
+    * batches at or under that many rows: the batch's distinct
+    * fingerprints are collected (one extra driver action + a
+    * batch-sized distinct — the deliberate price) and the collision
+    * probe reads only the index files whose bloom sketches might
+    * contain one of them ([[bloomPrunedIndex]]) instead of streaming
+    * the whole index. O(files) sketch probes replace the O(corpus)
+    * scan — the right trade for small batches against a large index;
+    * leave 0 (default) for backfill-sized batches, where the
+    * broadcast-join scan is the better plan and the append keeps its
+    * one-blocking-action budget (AppendJobCountSpec). */
   def appendBatchOnce(store: SnapshotStore, table: String, batch: DataFrame,
                       textCol: String, idCol: String,
                       streamId: String, batchId: Long,
                       compactEvery: Int = 8,
                       broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit,
-                      batchCountHint: Option[Long] = None)
+                      batchCountHint: Option[Long] = None,
+                      bloomProbeMaxKeys: Int = 0)
       : Option[DataFrame] = {
     var result: Option[DataFrame] = None
     var enc: DataFrame = null
-    store.transactMeta[Unit](table, sortKey = Some("fp")) {
+    store.transactMeta[Unit](table, sortKey = Some("fp"),
+        bloomCols = Seq("fp")) {
       val v = store.currentVersion(table)
       if (v == 0)
         throw new IllegalStateException(
@@ -162,8 +218,14 @@ object FingerprintIndex {
         // count upper-bounds the distinct-fp count, which is the safe
         // direction for the gate.
         val nKeys = batchCountHint.getOrElse(enc.count())
+        val idx =
+          if (bloomProbeMaxKeys > 0 && nKeys <= bloomProbeMaxKeys) {
+            val fps = enc.select(col("fp")).distinct()
+              .collect().map(_.getLong(0))
+            bloomPrunedIndex(store, table, v, meta, fps)
+          } else chain.load(store, table, v, meta)
         val resolved =
-          resolveAgainst(load(store, table), enc, nKeys, broadcastKeyLimit)
+          resolveAgainst(idx, enc, nKeys, broadcastKeyLimit)
             .persist(StorageLevel.MEMORY_AND_DISK)
         resolved.count()
         result = Some(resolved)
@@ -186,7 +248,8 @@ object FingerprintIndex {
     * and the commit is the store's atomic version flip, so a crash
     * mid-compaction leaves the old chain fully live. */
   def compactIndex(store: SnapshotStore, table: String): Boolean =
-    store.transactMeta[Unit](table, sortKey = Some("fp")) {
+    store.transactMeta[Unit](table, sortKey = Some("fp"),
+        bloomCols = Seq("fp")) {
       val v = store.currentVersion(table)
       if (v == 0) Left(())
       else chain.compactNow(store, table, v, store.metaForVersion(table, v))

@@ -118,10 +118,14 @@ final class SnapshotStore(rootDir: String, spark: SparkSession) {
     * harvested from the freshly written footers (footer-only — no second
     * data pass, no Spark job at local file counts) into a `_graft_zones`
     * sidecar, written before the pointer flip so it shares the snapshot's
-    * atomicity. Empty (the default) costs nothing. */
+    * atomicity. `bloomCols` turns on the parquet writer's per-column
+    * bloom sketches ([[BloomSkip]] — for hash-uniform keys zones cannot
+    * prune; built inline by the writer, no extra pass). Empty (the
+    * defaults) cost nothing. */
   def commit(table: String, df: DataFrame, sortKey: Option[String] = None,
              meta: Map[String, String] = Map.empty,
-             statsCols: Seq[String] = Nil): Long = {
+             statsCols: Seq[String] = Nil,
+             bloomCols: Seq[String] = Nil): Long = {
     val l = lockFor(table)
     l.lock()
     try {
@@ -138,7 +142,9 @@ final class SnapshotStore(rootDir: String, spark: SparkSession) {
         case Some(k) if df.columns.contains(k) => df.sortWithinPartitions(k)
         case _ => df
       }
-      sorted.write.mode(SaveMode.ErrorIfExists).parquet(dest.toString)
+      sorted.write.mode(SaveMode.ErrorIfExists)
+        .options(BloomSkip.writeOptions(bloomCols.distinct))
+        .parquet(dest.toString)
       if (statsCols.nonEmpty) ZoneMap.writeSidecar(dest, statsCols.distinct, spark)
       // Record THIS version's schema (all-nullable, matching what parquet
       // inference would report) so loadVersion skips the footer job. Set
@@ -252,14 +258,16 @@ final class SnapshotStore(rootDir: String, spark: SparkSession) {
     * eager loadIfExists, whose schema-inference job was pure overhead —
     * one fewer driver round trip per append. */
   def transactMeta[A](table: String, sortKey: Option[String] = None,
-                      statsCols: Seq[String] = Nil)
+                      statsCols: Seq[String] = Nil,
+                      bloomCols: Seq[String] = Nil)
       (fn: => Either[A, (DataFrame, Map[String, String])])
       : Either[A, Long] = {
     val l = lockFor(table)
     l.lock()
     try fn match {
       case Left(a) => Left(a)
-      case Right((df, meta)) => Right(commit(table, df, sortKey, meta, statsCols))
+      case Right((df, meta)) =>
+        Right(commit(table, df, sortKey, meta, statsCols, bloomCols))
     } finally l.unlock()
   }
 
