@@ -95,6 +95,9 @@ object SparkEntry {
     "mix_sampled"         -> (ExtensionQueries.mixSampled _),
     "curate_filtered"     -> (ExtensionQueries.curateFiltered _),
     "curate_scored"       -> (ExtensionQueries.curateScored _),
+    "text_linededup"      -> (ExtensionQueries.textLineDedup _),
+    "pii_scrub"           -> (ExtensionQueries.piiScrub _),
+    "split_leakage_safe"  -> (ExtensionQueries.splitLeakageSafe _),
     "chunk_docs"          -> ((s, d) => ExtensionQueries.chunkDocs(s, d)),
     "vocab_topk"          -> ((s, d) => ExtensionQueries.vocabTopK(s, d)),
     "embed_docs"          -> ((s, d) => ExtensionQueries.embedDocs(s, d)),
@@ -629,6 +632,62 @@ object SparkEntry {
     "curate_lineage_oracle" -> CurateLineageSql,
     "curate_filtered" -> CurateFilteredSql,
     "curate_scored" -> CurateScoredSql,
+    // Corpus-frequency line removal: the multi-line layout is CONSTRUCTED
+    // identically on both engines (testdata docs carry no newlines), then
+    // the full rule recomputed — split on chr(10), corpus df per exact
+    // line string, keep df ≤ 2, ordered re-assembly, '' when every line
+    // dropped (string_agg over zero rows is NULL, coalesced to match the
+    // operator's empty-string contract).
+    "text_linededup" ->
+      ("WITH lined AS (SELECT doc_id, substr(text, 1, 60) || chr(10) || " +
+        "CASE doc_id % 5 WHEN 0 THEN 'subscribe to our newsletter' " +
+        "WHEN 1 THEN 'all rights reserved' " +
+        "WHEN 2 THEN 'footer ' || CAST(doc_id % 10 AS VARCHAR) " +
+        "WHEN 3 THEN 'unique line ' || CAST(doc_id AS VARCHAR) " +
+        "ELSE '' END || chr(10) || substr(text, 61, 80) AS t FROM documents), " +
+        "lines AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line, " +
+        "generate_subscripts(string_split(t, chr(10)), 1) AS pos, " +
+        "len(string_split(t, chr(10))) AS n_lines FROM lined), " +
+        "df AS (SELECT line, count(*) AS c FROM lines GROUP BY 1), " +
+        "kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l JOIN df USING (line) WHERE c <= 2), " +
+        "agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean, " +
+        "count(*) AS n_kept FROM kept GROUP BY 1), " +
+        "tot AS (SELECT doc_id, max(n_lines) AS n_lines FROM lines GROUP BY 1) " +
+        "SELECT t.doc_id, COALESCE(a.text_clean, '') AS text_clean, " +
+        "CAST(t.n_lines - COALESCE(a.n_kept, 0) AS INTEGER) AS n_dropped " +
+        "FROM tot t LEFT JOIN agg a USING (doc_id)"),
+    // PII audit + redaction: the corpus is PII-planted identically on
+    // both engines, the pattern strings are shared VERBATIM with
+    // graft.plans.PiiOps (common java.util.regex ∩ RE2 subset — no
+    // lookaround, no backreferences), counts run per-pattern on the
+    // original text, and the rewrite applies the fixed email → SSN →
+    // phone → IP chain.
+    "pii_scrub" ->
+      ("WITH p AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@mail.example.com' || " +
+        "CASE WHEN doc_id % 3 = 0 THEN ' call 5' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-123-4567' ELSE '' END || " +
+        "CASE WHEN doc_id % 4 = 0 THEN ' ssn 123-45-6789' ELSE '' END || " +
+        "' ip 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.1' AS t FROM documents) " +
+        "SELECT doc_id, " +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(t, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'), " +
+        "'\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'), " +
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS text_redacted, " +
+        "CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_email, " +
+        "CAST(len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS INTEGER) AS n_ssn, " +
+        "CAST(len(regexp_extract_all(t, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS INTEGER) AS n_phone, " +
+        "CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INTEGER) AS n_ip " +
+        "FROM p"),
+    // Leakage-safe split: split is a pure function of the exact-dup
+    // cluster owner (min doc_id over identical text — md5 keys the
+    // window on both engines), bucketed by the same two-round
+    // multiplicative hash mix_sampled pins.
+    "split_leakage_safe" ->
+      ("WITH k AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM documents), " +
+        "b AS (SELECT doc_id, keep_id, keep_id % 2147483647 * 2654435761 % 100000007 * 97003 % 100000007 % 100 AS bkt FROM k) " +
+        "SELECT doc_id, keep_id, CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' " +
+        "ELSE 'test' END AS split FROM b"),
     // Integer triage signals + argmax language label (ties resolved by the
     // lexicographically greater lang code via (score, lang) struct max —
     // the exact semantics of TextFunctions.langId's array_max).

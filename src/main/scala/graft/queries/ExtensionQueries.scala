@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1039,5 +1039,89 @@ object ExtensionQueries {
     exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("query_id"))
       .agg((count(lit(1)).cast("double") / 10.0).as("recall_at_10"))
+  }
+
+  // ---- corpus cleaning: boilerplate lines, PII, leakage-safe splits ----
+
+  /** C4/RefinedWeb-style corpus-frequency line removal
+    * ([[graft.functions.Boilerplate.dropFrequentLines]], maxDf = 2).
+    *
+    * The synthetic documents carry no newlines, so the query constructs
+    * a deterministic 3-line layout (content prefix / a planted footer
+    * line / content slice) IDENTICALLY in Spark and the DuckDB oracle —
+    * the doc_id%5 footer arms give high-df boilerplate ('subscribe…',
+    * 'all rights reserved', shared 'footer N', an EMPTY line) plus a
+    * df=1 'unique line N' arm that must survive. The oracle recomputes
+    * the full rule: split → corpus df per exact line string → keep
+    * df ≤ 2 → ordered re-assembly ('' when every line dropped). */
+  def textLineDedup(s: SparkSession, d: String): DataFrame = {
+    val lined = docs(s, d).select(col("doc_id"),
+      concat_ws("\n",
+        substring(col("text"), 1, 60),
+        when(col("doc_id") % 5 === 0, lit("subscribe to our newsletter"))
+          .when(col("doc_id") % 5 === 1, lit("all rights reserved"))
+          .when(col("doc_id") % 5 === 2,
+            concat(lit("footer "), (col("doc_id") % 10).cast("string")))
+          .when(col("doc_id") % 5 === 3,
+            concat(lit("unique line "), col("doc_id").cast("string")))
+          .otherwise(lit("")),
+        substring(col("text"), 61, 80)).as("t"))
+    graft.functions.Boilerplate
+      .dropFrequentLines(lined, "doc_id", "t", maxDf = 2)
+  }
+
+  /** PII audit + redaction over a deterministically PII-planted corpus
+    * (the raw documents are clean words, so each row appends an email,
+    * an IPv4, and — on doc_id arms — a phone / SSN, with the IDENTICAL
+    * concat in the DuckDB oracle). Counts are per-pattern matches on
+    * the planted text; text_redacted applies the fixed email → SSN →
+    * phone → IP rewrite chain ([[graft.plans.PiiOps]] — pattern strings
+    * shared verbatim with the oracle's RE2 regexp_replace). */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val planted = docs(s, d).select(col("doc_id"),
+      concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" call 5"),
+            lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+            lit("-123-4567"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit(" ssn 123-45-6789"))
+          .otherwise(lit("")),
+        lit(" ip 10."), (col("doc_id") % 200).cast("string"), lit(".0.1"))
+        .as("t"))
+    val e = GraftColumnBridge.expression(col("t"))
+    planted.select(col("doc_id"),
+      GraftColumnBridge.column(graft.plans.PiiRedact(e)).as("text_redacted"),
+      GraftColumnBridge.column(graft.plans.PiiCounts(e)).as("c"))
+      .select(col("doc_id"), col("text_redacted"),
+        col("c.n_email").as("n_email"), col("c.n_ssn").as("n_ssn"),
+        col("c.n_phone").as("n_phone"), col("c.n_ip").as("n_ip"))
+  }
+
+  /** Leakage-safe train/val/test split: the split is a pure function of
+    * the duplicate-CLUSTER owner, not the document — every member of an
+    * exact-duplicate cluster (keep_id = min doc_id over identical text,
+    * the dedup_exact_keep rule) lands in the same split, so a duplicate
+    * can never straddle the train/test boundary and leak evaluation
+    * text into training. Bucketing reuses [[mixHashBucket]] (the
+    * overflow-safe two-round multiplicative hash, identical in DuckDB),
+    * 80/10/10.
+    *
+    * Scale shape: the cluster window keys on md5(text) — the exchange
+    * carries (doc_id, 32-char digest), never document text; everything
+    * after is row-local. Production pipelines with a curation store
+    * substitute [[graft.store.CurationIngest.closeLineage]]'s owner map
+    * for the window (same keep_id contract, near-dups included). */
+  def splitLeakageSafe(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    docs(s, d).select(col("doc_id"), md5(col("text")).as("fp"))
+      .select(col("doc_id"), min(col("doc_id")).over(w).as("keep_id"))
+      .withColumn("bucket", mixHashBucket(col("keep_id")))
+      .select(col("doc_id"), col("keep_id"),
+        when(col("bucket") < 80, lit("train"))
+          .when(col("bucket") < 90, lit("val"))
+          .otherwise(lit("test")).as("split"))
   }
 }
