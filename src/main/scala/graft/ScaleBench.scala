@@ -241,6 +241,31 @@ object ScaleBench {
       timed("vocab_topk") {
         graft.queries.ExtensionQueries.vocabTopK(spark, dir).count()
       },
+      // Corpus-frequency line removal at 5M docs (15M constructed lines):
+      // df pass shuffles 8-byte hash keys, candidate recount is
+      // boilerplate-sized, the rewrite is a zero-exchange broadcast-set
+      // map — the aggregate forces every cleaned byte through.
+      timed("linededup_5m") {
+        graft.queries.ExtensionQueries.textLineDedup(spark, dir)
+          .agg(sum(col("n_dropped")), sum(length(col("text_clean"))))
+          .collect()
+        nDocs
+      },
+      // PII audit + redaction: two regex passes per doc (counts on the
+      // original, the rewrite chain), pure map stage, no exchange.
+      timed("pii_scrub_5m") {
+        graft.queries.ExtensionQueries.piiScrub(spark, dir)
+          .agg(sum(col("n_email") + col("n_ssn") + col("n_phone") + col("n_ip")),
+            sum(length(col("text_redacted")))).collect()
+        nDocs
+      },
+      // Leakage-safe split assignment: one (doc_id, md5) exchange for the
+      // cluster window, then row-local hashing.
+      timed("split_assign_5m") {
+        graft.queries.ExtensionQueries.splitLeakageSafe(spark, dir)
+          .groupBy(col("split")).agg(count(lit(1))).collect()
+        nDocs
+      },
       timed("dedup_minhash_pairs") {
         // EAGER pair generators return a persisted result the caller
         // owns — count, then release, or repeated bench runs accumulate
