@@ -98,6 +98,7 @@ object SparkEntry {
     "text_linededup"      -> (ExtensionQueries.textLineDedup _),
     "pii_scrub"           -> (ExtensionQueries.piiScrub _),
     "split_leakage_safe"  -> (ExtensionQueries.splitLeakageSafe _),
+    "cap_per_source"      -> ((s, d) => ExtensionQueries.capPerSource(s, d)),
     "chunk_docs"          -> ((s, d) => ExtensionQueries.chunkDocs(s, d)),
     "vocab_topk"          -> ((s, d) => ExtensionQueries.vocabTopK(s, d)),
     "embed_docs"          -> ((s, d) => ExtensionQueries.embedDocs(s, d)),
@@ -679,6 +680,15 @@ object SparkEntry {
         "CAST(len(regexp_extract_all(t, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS INTEGER) AS n_phone, " +
         "CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INTEGER) AS n_ip " +
         "FROM p"),
+    // Per-source cap: the k-heap aggregate's (score desc = bucket asc,
+    // id asc) order is exactly row_number over (bucket, doc_id) — the
+    // oracle recomputes it with the window the operator deliberately
+    // avoids (fine at oracle scale, a straggler at corpus scale).
+    "cap_per_source" ->
+      ("SELECT doc_id, source, CAST(rk AS INTEGER) AS rk FROM " +
+        "(SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY " +
+        "doc_id % 2147483647 * 2654435761 % 100000007 * 97003 % 100000007 % 100, doc_id) AS rk " +
+        "FROM documents) t WHERE rk <= 10"),
     // Leakage-safe split: split is a pure function of the exact-dup
     // cluster owner (min doc_id over identical text — md5 keys the
     // window on both engines), bucketed by the same two-round

@@ -1114,6 +1114,30 @@ object ExtensionQueries {
     * after is row-local. Production pipelines with a curation store
     * substitute [[graft.store.CurationIngest.closeLineage]]'s owner map
     * for the window (same keep_id contract, near-dups included). */
+  /** Per-source document cap (domain-cap curation stage): keep at most
+    * `k` docs per source, chosen by the multiplicative hash of doc_id
+    * (NOT ingest order — an id-ordered cap keeps each source's earliest
+    * crawl slice, the bias mix_sampled's scaladoc dissects), ranked
+    * (hash bucket asc, doc_id asc).
+    *
+    * Scale shape: `source` is a LOW-cardinality key, so the obvious
+    * per-source row_number window is the one-partition-per-key straggler
+    * plan — a whole source's documents sort in a single task at corpus
+    * scale. [[graft.plans.TopKAggregate.boundedTopK]] instead keeps a
+    * fixed k-heap per group through an ObjectHashAggregate: every map
+    * task reduces its slice to ≤ k rows per source BEFORE the exchange,
+    * the merge side combines heaps, and the exchange carries
+    * sources × k rows regardless of corpus size. Top-k by score desc =
+    * -bucket, id-asc tiebreak ⇒ exactly (bucket asc, doc_id asc). */
+  def capPerSource(s: SparkSession, d: String, k: Int = 10): DataFrame =
+    docs(s, d)
+      .groupBy(col("source"))
+      .agg(graft.plans.TopKAggregate.boundedTopK(col("doc_id"),
+        -mixHashBucket(col("doc_id")).cast("double"), k).as("keep"))
+      .select(col("source"), posexplode(col("keep")).as(Seq("pos", "kp")))
+      .select(col("kp.neighbor_id").as("doc_id"), col("source"),
+        (col("pos") + 1).as("rk"))
+
   def splitLeakageSafe(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
     docs(s, d).select(col("doc_id"), md5(col("text")).as("fp"))

@@ -124,6 +124,28 @@ class BoilerplateSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  // ---- per-source cap -------------------------------------------------
+
+  test("capPerSource: straggler-free plan, selection ≡ window formulation") {
+    val out = ExtensionQueries.capPerSource(spark, sfDir, k = 10)
+    // the whole point: a k-heap aggregate, NOT a per-source window sort
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "cap must not plan a per-source window (low-cardinality straggler)")
+    val rows = out.collect()
+    val perSource = rows.groupBy(_.getString(1)).view.mapValues(_.length)
+    assert(perSource.values.forall(_ <= 10), "cap of 10 per source")
+    assert(perSource.values.exists(_ == 10), "cap binds on this corpus")
+    // reference: the row_number-over-(hash, id) window it replaces
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy((col("doc_id") % 2147483647L * 2654435761L % 100000007L
+        * 97003L % 100000007L % 100L).asc, col("doc_id").asc)
+    val ref = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        row_number().over(w).as("rk")).filter(col("rk") <= 10)
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet ===
+      ref.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet)
+  }
+
   // ---- leakage-safe split --------------------------------------------
 
   test("splitLeakageSafe: exact-dup clusters never straddle splits") {
