@@ -82,6 +82,8 @@ object GraftFunctions {
     fn1("graft_lang_id")(TextFunctions.langId),
     fn1("graft_quality_score")(TextFunctions.qualityScore),
     fn1("graft_fingerprint")(TextFunctions.fingerprint),
+    fn1("graft_pii_redact")(TextFunctions.piiRedact),
+    fn1("graft_pii_counts")(TextFunctions.piiCounts),
     // fused repetition counts: struct(total, distinct, top) n-gram
     // window stats straight off the text bytes (Gopher filter inputs)
     fn1i("graft_ngram_stats", 2)(graft.plans.TextExpressions.ngramRepetition),

@@ -169,4 +169,19 @@ object TextFunctions {
     * deliberately-wrapping multiply.) */
   def fingerprint(text: Column): Column =
     xxhash64(concat_ws(" ", tokens(text)))
+
+  /** PII redaction: email/SSN/phone/IPv4 spans → typed placeholders
+    * ([[graft.plans.PiiRedact]] — fixed rewrite order, patterns in the
+    * java.util.regex ∩ RE2 subset so oracles share them verbatim). */
+  def piiRedact(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.PiiRedact(
+        org.apache.spark.sql.GraftColumnBridge.expression(text)))
+
+  /** PII audit counts on the original text:
+    * struct<n_email, n_ssn, n_phone, n_ip> ([[graft.plans.PiiCounts]]). */
+  def piiCounts(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.PiiCounts(
+        org.apache.spark.sql.GraftColumnBridge.expression(text)))
 }

@@ -46,6 +46,8 @@ class GraftFunctionsSpec extends SparkSpec {
     check("graft_lang_id(text)", TF.langId(col("text")))
     check("graft_quality_score(text)", TF.qualityScore(col("text")))
     check("graft_fingerprint(text)", TF.fingerprint(col("text")))
+    check("graft_pii_redact(text)", TF.piiRedact(col("text")))
+    check("graft_pii_counts(text)", TF.piiCounts(col("text")))
     check("graft_ngram_stats(text)",
       graft.plans.TextExpressions.ngramRepetition(col("text"), 2))
     check("graft_ngram_stats(text, 3)",
