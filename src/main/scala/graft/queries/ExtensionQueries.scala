@@ -1114,6 +1114,32 @@ object ExtensionQueries {
     * after is row-local. Production pipelines with a curation store
     * substitute [[graft.store.CurationIngest.closeLineage]]'s owner map
     * for the window (same keep_id contract, near-dups included). */
+  /** Production leakage-safe split: owners come from a CLOSED lineage
+    * frame `(id, keep_id)` — [[graft.store.CurationIngest.closeLineage]]'s
+    * contract, so exact AND near-dup chains share one owner — and any doc
+    * absent from the lineage owns itself. Split assignment is then the
+    * same pure owner-hash rule as [[splitLeakageSafe]]: no near-duplicate
+    * pair can straddle train/test, because both ends hash the same root.
+    *
+    * Scale shape: one left join of the corpus against the lineage frame
+    * on the id — the lineage is duplicate-sized (often ≪ corpus, AQE
+    * broadcasts it; worst case it shuffles on the id like any keyed
+    * join), then row-local hashing. No window, no corpus self-join. */
+  def assignSplitsByOwner(docs: DataFrame, idCol: String, owners: DataFrame,
+                          trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split percentages ($trainPct, $valPct)")
+    val own = owners.select(col("id").as(idCol), col("keep_id"))
+    docs.select(col(idCol)).join(own, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("keep_id"), col(idCol)).as("owner_id"))
+      .withColumn("bucket", mixHashBucket(col("owner_id")))
+      .select(col(idCol), col("owner_id"),
+        when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")).as("split"))
+  }
+
   /** Per-source document cap (domain-cap curation stage): keep at most
     * `k` docs per source, chosen by the multiplicative hash of doc_id
     * (NOT ingest order — an id-ordered cap keeps each source's earliest

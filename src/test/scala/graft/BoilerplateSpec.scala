@@ -148,6 +148,27 @@ class BoilerplateSpec extends SparkSpec {
 
   // ---- leakage-safe split --------------------------------------------
 
+  test("assignSplitsByOwner: lineage clusters share a split, orphans self-own") {
+    val docs = (1L to 8L).toDF("doc_id")
+    // closed lineage: 3,4 → root 1; 7 → root 5 (near-dup chains collapsed)
+    val owners = Seq((3L, 1L), (4L, 1L), (7L, 5L)).toDF("id", "keep_id")
+    val out = ExtensionQueries.assignSplitsByOwner(docs, "doc_id", owners)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out.keySet === (1L to 8L).toSet)
+    assert(out(3L)._1 === 1L && out(4L)._1 === 1L && out(7L)._1 === 5L)
+    assert(Set(out(1L), out(3L), out(4L)).map(_._2).size === 1,
+      "cluster {1,3,4} must land in one split")
+    assert(out(5L)._2 === out(7L)._2, "cluster {5,7} must land in one split")
+    assert(Seq(2L, 6L, 8L).forall(i => out(i)._1 === i), "orphans self-own")
+    // split is a pure function of the owner id — same rule as the
+    // registered exact-dup query, so the two agree on self-owned docs
+    val solo = ExtensionQueries.assignSplitsByOwner(docs, "doc_id",
+      Seq.empty[(Long, Long)].toDF("id", "keep_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(Seq(2L, 6L, 8L).map(k => k -> out(k)._2).toMap ===
+      Seq(2L, 6L, 8L).map(k => k -> solo(k)).toMap)
+  }
+
   test("splitLeakageSafe: exact-dup clusters never straddle splits") {
     val out = ExtensionQueries.splitLeakageSafe(spark, sfDir)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
