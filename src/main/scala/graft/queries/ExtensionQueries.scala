@@ -1100,20 +1100,6 @@ object ExtensionQueries {
         col("c.n_phone").as("n_phone"), col("c.n_ip").as("n_ip"))
   }
 
-  /** Leakage-safe train/val/test split: the split is a pure function of
-    * the duplicate-CLUSTER owner, not the document — every member of an
-    * exact-duplicate cluster (keep_id = min doc_id over identical text,
-    * the dedup_exact_keep rule) lands in the same split, so a duplicate
-    * can never straddle the train/test boundary and leak evaluation
-    * text into training. Bucketing reuses [[mixHashBucket]] (the
-    * overflow-safe two-round multiplicative hash, identical in DuckDB),
-    * 80/10/10.
-    *
-    * Scale shape: the cluster window keys on md5(text) — the exchange
-    * carries (doc_id, 32-char digest), never document text; everything
-    * after is row-local. Production pipelines with a curation store
-    * substitute [[graft.store.CurationIngest.closeLineage]]'s owner map
-    * for the window (same keep_id contract, near-dups included). */
   /** Production leakage-safe split: owners come from a CLOSED lineage
     * frame `(id, keep_id)` — [[graft.store.CurationIngest.closeLineage]]'s
     * contract, so exact AND near-dup chains share one owner — and any doc
@@ -1164,6 +1150,21 @@ object ExtensionQueries {
       .select(col("kp.neighbor_id").as("doc_id"), col("source"),
         (col("pos") + 1).as("rk"))
 
+  /** Leakage-safe train/val/test split: the split is a pure function of
+    * the duplicate-CLUSTER owner, not the document — every member of an
+    * exact-duplicate cluster (keep_id = min doc_id over identical text,
+    * the dedup_exact_keep rule) lands in the same split, so a duplicate
+    * can never straddle the train/test boundary and leak evaluation
+    * text into training. Bucketing reuses [[mixHashBucket]] (the
+    * overflow-safe two-round multiplicative hash, identical in DuckDB),
+    * 80/10/10.
+    *
+    * Scale shape: the cluster window keys on md5(text) — the exchange
+    * carries (doc_id, 32-char digest), never document text; everything
+    * after is row-local. Production pipelines with a curation store
+    * substitute [[graft.store.CurationIngest.closeLineage]]'s owner map
+    * for the window (same keep_id contract, near-dups included) via
+    * [[assignSplitsByOwner]]. */
   def splitLeakageSafe(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
     docs(s, d).select(col("doc_id"), md5(col("text")).as("fp"))
