@@ -106,6 +106,7 @@ object SparkEntry {
     "retrieve_bm25"       -> ((s, d) => ExtensionQueries.retrieveBm25(s, d)),
     "retrieve_bm25_oracle" -> (ExtensionQueries.retrieveBm25Oracle _),
     "retrieve_bm25_indexed" -> ((s, d) => ExtensionQueries.retrieveBm25Indexed(s, d)),
+    "retrieve_bm25_champ" -> ((s, d) => ExtensionQueries.retrieveBm25Champ(s, d)),
     "dedup_jaccard_pairs" -> (ExtensionQueries.dedupJaccardPairs _),
     "dedup_components"    -> (ExtensionQueries.dedupComponents _),
     "dedup_cluster_keep"  -> (ExtensionQueries.dedupClusterKeep _),
@@ -547,6 +548,7 @@ object SparkEntry {
     // append of the odd ids, then probe) must produce the identical
     // ranking — same truth as the scan path.
     "retrieve_bm25_indexed" -> Bm25RankSql,
+    "retrieve_bm25_champ" -> Bm25ChampRankSql,
     "dedup_minhash_oracle" -> MinhashBruteForceSql,
     // The SAME truth pins the incremental batch-vs-corpus path: three
     // appends over the identical restricted corpus must union to the
@@ -858,6 +860,41 @@ object SparkEntry {
       "ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5)) * h.tf * 2.2 / " +
       "(h.tf + (h.dl * (0.75 / s.avgdl) + 0.25) * 1.2) AS c " +
       "FROM hits h CROSS JOIN stats s JOIN dft f ON h.term = f.term), " +
+      "scored AS (SELECT q.query_id, c.neighbor_id, sum(c.c) AS score " +
+      "FROM qterm q JOIN contrib c ON q.term = c.term GROUP BY 1, 2), " +
+      "ranked AS (SELECT query_id, neighbor_id, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM scored) " +
+      "SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10"
+
+  // Champion-list BM25 (m=3): same tokenization/stats/formula as
+  // Bm25RankSql, but candidates come from each term's top-3 postings
+  // under the deterministic impact proxy (tf desc, least(dl, 2^21-1)
+  // asc, id asc) — pure integer ordering, replicated exactly — and df
+  // is the term's TRUE document frequency counted over the FULL
+  // postings (not the champion rows). dl in the contribution is the
+  // clamped value both engines store. Approximate vs plain BM25 by
+  // design; bit-identical across engines because every choice point is
+  // integer-deterministic.
+  private val Bm25ChampRankSql: String =
+    "WITH d AS (SELECT doc_id, CASE WHEN length(regexp_replace(lower(text), " +
+      "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
+      "ELSE string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+      "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM documents), " +
+      "stats AS (SELECT count(*)::DOUBLE AS n, avg(len(tk))::DOUBLE AS avgdl FROM d), " +
+      "qterm AS (SELECT doc_id AS query_id, unnest(list_distinct(tk)) AS term FROM d WHERE doc_id < 3), " +
+      "post AS (SELECT doc_id AS neighbor_id, len(tk) AS dl, unnest(tk) AS term FROM d), " +
+      "tfpost AS (SELECT term, neighbor_id, dl, count(*) AS tf FROM post GROUP BY 1, 2, 3), " +
+      "dft AS (SELECT term, count(*)::DOUBLE AS df FROM tfpost GROUP BY term), " +
+      "champ AS (SELECT term, neighbor_id, dl, tf FROM (SELECT term, neighbor_id, dl, tf, " +
+      "row_number() OVER (PARTITION BY term ORDER BY tf DESC, least(dl, 2097151) ASC, neighbor_id ASC) AS rn " +
+      "FROM tfpost) z WHERE rn <= 3), " +
+      "hits AS (SELECT c.term, c.neighbor_id, least(c.dl, 2097151) AS dl, c.tf::DOUBLE AS tf, f.df " +
+      "FROM champ c JOIN dft f USING (term) " +
+      "WHERE c.term IN (SELECT DISTINCT term FROM qterm)), " +
+      "contrib AS (SELECT h.term, h.neighbor_id, " +
+      "ln(1 + (s.n - h.df + 0.5) / (h.df + 0.5)) * h.tf * 2.2 / " +
+      "(h.tf + (h.dl * (0.75 / s.avgdl) + 0.25) * 1.2) AS c " +
+      "FROM hits h CROSS JOIN stats s), " +
       "scored AS (SELECT q.query_id, c.neighbor_id, sum(c.c) AS score " +
       "FROM qterm q JOIN contrib c ON q.term = c.term GROUP BY 1, 2), " +
       "ranked AS (SELECT query_id, neighbor_id, row_number() OVER " +

@@ -184,10 +184,29 @@ object Retrieval {
                                queryTextCol: String,
                                nDocs: Long, avgdl: Double,
                                k: Int, k1: Double, b: Double): DataFrame = {
-    import graft.functions.{TextFunctions => TF}
     val dfPerTerm = hits.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
-    val perTerm = hits.join(broadcast(dfPerTerm), Seq("term"))
+    bm25ScoreWithDf(hits.join(broadcast(dfPerTerm), Seq("term")),
+      queries, queryIdCol, queryTextCol, nDocs, avgdl, k, k1, b)
+  }
+
+  /** The scoring tail below the df attach — split out so the
+    * champion-pruned path (`TextIndex.queryChampions`), whose hit rows
+    * CARRY the true per-term df as a stored column, can reuse the exact
+    * idf/contribution/top-k pipeline. `hitsWithDf` columns:
+    * (term, neighbor_id, dl, tf, df) with df already correct for each
+    * term — for the full paths that means df counted from the complete
+    * hit rows; for the champion path the stored full-corpus df (counting
+    * the champion rows instead would cap df at m and silently inflate
+    * every common term's idf). */
+  private[graft] def bm25ScoreWithDf(hitsWithDf: DataFrame,
+                                     queries: DataFrame, queryIdCol: String,
+                                     queryTextCol: String,
+                                     nDocs: Long, avgdl: Double,
+                                     k: Int, k1: Double, b: Double): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val perTerm = hitsWithDf
+      .withColumn("df", col("df").cast("double"))
       .withColumn("idf", log(lit(1.0) +
         (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("contrib", col("idf") * col("tf").cast("double") * (k1 + 1) /

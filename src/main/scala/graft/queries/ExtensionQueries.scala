@@ -823,6 +823,27 @@ object ExtensionQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Champion-list (top-docs) BM25: build the postings index, refresh
+    * champion lists at a deliberately TINY m = 3 so the pruning (and its
+    * approximation) actually bites at oracle scale, then answer from
+    * champions only — ≤ m postings read per query term instead of the
+    * term's full list. The oracle replicates the EXACT deterministic
+    * champion rule ((tf desc, least(dl, 2^21-1) asc, id asc) top-m per
+    * term), true-df scoring, and the final ranking — approximate vs
+    * plain BM25, but bit-identical between the two engines. */
+  def retrieveBm25Champ(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val ds = docs(s, d).select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25champ").toString
+    val store = new SnapshotStore(root, s)
+    TextIndex.build(store, "docs_bm25", ds, "text", "doc_id")
+    TextIndex.refreshChampions(store, "docs_bm25", m = 3)
+    val qs = ds.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+    TextIndex.queryChampions(store, "docs_bm25", qs, "query_id", "qtext",
+      k = k, fallbackToExact = false)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** EXACT n-gram Jaccard all-pairs join at tau = 4/5 — deterministic
     * recall (prefix filter theorem), integer-rational threshold, so the
     * oracle is a FULL-corpus DuckDB brute force via the same

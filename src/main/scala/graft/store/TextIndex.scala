@@ -295,6 +295,182 @@ object TextIndex {
       nDocs, avgdl, k, k1, b)
   }
 
+  // ---- champion lists: top-docs pruning for common-term probes ----
+
+  /** Clamp bound for the packed champion ordering: dl is clamped to
+    * 2^21-1 (~2M tokens) inside the selection key AND the stored
+    * champion rows, on BOTH engines (the oracle uses
+    * `least(dl, 2097151)`) — exact for any real document, and it keeps
+    * tf*2^21 - dl integer-exact in a Double (max 2^42 < 2^53). */
+  private val DlClamp = (1 << 21) - 1
+  private val ChampC = (DlClamp + 1).toDouble // 2^21 as the pack radix
+
+  private def champTable(indexTable: String) = s"${indexTable}__champ"
+
+  /** Rebuild the champion acceleration table for the CURRENT postings
+    * version: per term, the top-`m` postings under the deterministic
+    * impact proxy (tf desc, min(dl, 2^21-1) asc, neighbor_id asc) — a
+    * monotone stand-in for the per-term BM25 contribution (score rises
+    * with tf, falls with dl) that is pure integer math, so the DuckDB
+    * oracle replicates the selection EXACTLY — plus the term's TRUE df,
+    * denormalized onto each champion row.
+    *
+    * Champions are a DERIVED, rebuildable cache, deliberately NOT
+    * maintained by appends: an append bumps the postings version, the
+    * version tag recorded here goes stale, and [[queryChampions]]
+    * detects the mismatch and falls back to the exact probe until the
+    * next refresh (the [[maintain]] policy's job). That one rule removes
+    * every crash/concurrency hazard a write-path champion merge would
+    * carry — a half-written refresh is just "stale", never wrong.
+    *
+    * Scale shape: ONE pass over the postings chain; the per-term top-m
+    * is the bounded k-heap aggregate (map-side slices reduce to ≤ m rows
+    * per term BEFORE the exchange), never a per-term window sort — the
+    * stop-word term whose postings list is 20% of the corpus would
+    * otherwise sort in a single task. df rides in the same aggregate for
+    * free. The champion table is committed term-sorted with term zones,
+    * so a query-term probe prunes files exactly like the postings probe.
+    *
+    * Returns the committed champion-table version. */
+  def refreshChampions(store: SnapshotStore, indexTable: String,
+                       m: Int = 1024): Long = {
+    require(m > 0, s"champion list size must be positive, got $m")
+    val v = store.currentVersion(indexTable)
+    requireBuilt(v, indexTable)
+    val meta = store.metaForVersion(indexTable, v)
+    requireTokenizer(meta, indexTable)
+    val postings = chain.load(store, indexTable, v, meta)
+    // packed = tf*2^21 - min(dl, 2^21-1): (score desc, id asc) in the
+    // heap ≡ (tf desc, clamped dl asc, id asc). Integer-exact double.
+    val packed = col("tf").cast("double") * ChampC -
+      least(col("dl"), lit(DlClamp)).cast("double")
+    val champs = postings
+      .groupBy(col("term"))
+      .agg(graft.plans.TopKAggregate
+             .boundedTopK(col("neighbor_id"), packed, m).as("ch"),
+           count(lit(1)).as("df"))
+      .select(col("term"), col("df"), explode(col("ch")).as("c"))
+      // unpack (exact: packed+2^21-1 < 2^53 and /2^21 only shifts the
+      // exponent): tf = floor((packed + 2^21-1)/2^21), dl = tf*2^21-packed
+      .withColumn("tf",
+        floor((col("c.score") + DlClamp.toDouble) / ChampC).cast("long"))
+      .select(col("term"), col("df"),
+        col("c.neighbor_id").as("neighbor_id"),
+        (col("tf") * ChampC.toLong - col("c.score").cast("long"))
+          .cast("int").as("dl"),
+        col("tf"))
+    store.commit(champTable(indexTable), champs,
+      sortKey = Some("term"), statsCols = Seq("term"),
+      meta = Map(
+        s"${P}champ.forVersion" -> v.toString,
+        s"${P}champ.m" -> m.toString,
+        s"${P}tokenizer" -> Tokenizer))
+  }
+
+  /** True iff the champion table exists and was refreshed against the
+    * CURRENT postings version (metadata reads only — zero jobs). */
+  def championsFresh(store: SnapshotStore, indexTable: String): Boolean = {
+    val ct = champTable(indexTable)
+    val cv = store.currentVersion(ct)
+    cv > 0 && store.metaForVersion(ct, cv).get(s"${P}champ.forVersion")
+      .contains(store.currentVersion(indexTable).toString)
+  }
+
+  /** BM25 top-k via the champion lists: probe ≤ m rows per query term
+    * instead of the term's full postings list — the common-term read
+    * cost [[query]]'s scaladoc concedes is exactly what this path
+    * removes (a near-stopword's postings list is corpus-sized; its
+    * champion list is m rows).
+    *
+    * APPROXIMATE by design, like the IVF/PQ ANN paths: a doc outside
+    * every query term's champion list cannot be returned. That makes
+    * this a SHORT-QUERY (keyword search) structure — a few-term query's
+    * best matches are high-tf on those very terms and sit inside their
+    * champion lists (flagship: ~full overlap with the exact path at
+    * m=1024 on 5M docs, 9× less read). A full-DOCUMENT query is the
+    * opposite shape: its best match (a near-duplicate) matches hundreds
+    * of terms weakly and leads on none of them — measured recall 0% at
+    * the flagship — so document-similarity lookups belong on the exact
+    * [[query]] path or the MinHash pipeline, not here. Scoring uses each
+    * term's TRUE stored df (so idf is exact) and the clamped dl (§
+    * [[DlClamp]] — identity for real documents). When m ≥ every query
+    * term's df the champion lists ARE the full postings and the result
+    * equals [[query]] score-for-score (TextIndexSpec pins it); flagship
+    * recall at production m is measured in ScaleBench.
+    *
+    * Staleness: if the champion table predates the current postings
+    * version (appends since the last refresh), falls back to the exact
+    * [[query]] when `fallbackToExact` (correct, slower — refresh via
+    * [[maintain]]), else refuses. */
+  def queryChampions(store: SnapshotStore, indexTable: String,
+                     queries: DataFrame, queryIdCol: String,
+                     queryTextCol: String, k: Int = 10,
+                     k1: Double = 1.2, b: Double = 0.75,
+                     fallbackToExact: Boolean = true): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val v = store.currentVersion(indexTable)
+    requireBuilt(v, indexTable)
+    val meta = store.metaForVersion(indexTable, v)
+    requireTokenizer(meta, indexTable)
+    val ct = champTable(indexTable)
+    val cv = store.currentVersion(ct)
+    val fresh = cv > 0 && store.metaForVersion(ct, cv)
+      .get(s"${P}champ.forVersion").contains(v.toString)
+    if (!fresh) {
+      if (fallbackToExact)
+        return query(store, indexTable, queries, queryIdCol, queryTextCol,
+          k, k1, b)
+      throw new IllegalStateException(
+        s"$indexTable champions are stale or missing (postings v$v) — " +
+          "TextIndex.refreshChampions, or query with fallbackToExact")
+    }
+    val nDocs = meta.getOrElse(s"${P}nDocs", "0").toLong
+    val sumDl = meta.getOrElse(s"${P}sumDl", "0").toLong
+    val avgdl = if (nDocs == 0) 0.0 else sumDl.toDouble / nDocs
+    val qIdType = queries.schema(queryIdCol).dataType
+    if (nDocs == 0L || avgdl <= 0.0)
+      return Retrieval.emptyRanked(queries.sparkSession, qIdType,
+        store.loadVersion(ct, cv).schema("neighbor_id").dataType)
+    val terms = queries
+      .select(explode(array_distinct(TF.tokens(lower(col(queryTextCol))))).as("term"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    if (terms.isEmpty)
+      return Retrieval.emptyRanked(queries.sparkSession, qIdType,
+        store.loadVersion(ct, cv).schema("neighbor_id").dataType)
+    val hits = ZoneMap.prunedScanAt(store, ct, cv,
+      Seq(ZoneMap.stringIn("term", terms)))
+    Retrieval.bm25ScoreWithDf(hits, queries, queryIdCol, queryTextCol,
+      nDocs, avgdl, k, k1, b)
+  }
+
+  /** Chain + champion maintenance in one idempotent call: fold the
+    * delta chain when it exceeds `maxChainLength` members, refresh the
+    * champion table when `championM` is set and the current one is
+    * stale/missing, then drop version dirs outside the live chain.
+    * Champion refresh runs AFTER compaction so it reads the folded
+    * layout. Safe to call at any time — every step is a no-op when
+    * already satisfied, and each commits through the store's atomic
+    * version flip. */
+  def maintain(store: SnapshotStore, indexTable: String,
+               maxChainLength: Int = 4,
+               championM: Option[Int] = None): Unit = {
+    val v = store.currentVersion(indexTable)
+    if (v == 0) return
+    val members = chain.chainOf(store.metaForVersion(indexTable, v), v)
+    if (members.size > maxChainLength) compactIndex(store, indexTable)
+    championM.foreach { m =>
+      if (!championsFresh(store, indexTable))
+        refreshChampions(store, indexTable, m)
+    }
+    vacuumIndex(store, indexTable)
+    // champion refreshes are full rewrites — only the current version
+    // is ever read, superseded ones are dead weight
+    val ct = champTable(indexTable)
+    val ccv = store.currentVersion(ct)
+    if (ccv > 0)
+      store.dropVersions(ct, store.versions(ct).toSet - ccv)
+  }
+
   /** On-demand chain fold into a full snapshot (maintenance-triggered;
     * appends also fold themselves every `compactEvery`). Returns true if
     * a compacting commit happened, false if already compact — IDEMPOTENT,

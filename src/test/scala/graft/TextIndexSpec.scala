@@ -157,4 +157,105 @@ class TextIndexSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("build"))
   }
+
+  // ---- champion lists ----
+
+  private def champRanked(store: SnapshotStore, k: Int = 10,
+                          fallback: Boolean = false)
+      : Seq[(Long, Long, Double, Int)] =
+    TextIndex.queryChampions(store, "idx", queriesDF, "query_id", "qtext",
+      k = k, fallbackToExact = fallback)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(r => (r._1, r._4))
+
+  test("champions at m >= max df equal the exact path score-for-score") {
+    val store = freshStore()
+    TextIndex.build(store, "idx", corpusDF, "text", "doc_id")
+    // 60 docs: no term's df can exceed 60, so m=60 champion lists ARE
+    // the full postings, the stored df matches the hit-derived df, and
+    // the shared scoring tail must produce bitwise-identical doubles.
+    TextIndex.refreshChampions(store, "idx", m = 60)
+    assert(TextIndex.championsFresh(store, "idx"))
+    assert(champRanked(store) === indexRanked(store))
+    assert(champRanked(store) === scanRanked())
+  }
+
+  test("champion table content equals the brute-force selection rule") {
+    val store = freshStore()
+    TextIndex.build(store, "idx", corpusDF, "text", "doc_id")
+    TextIndex.refreshChampions(store, "idx", m = 2)
+    // brute force in Scala: postings (term -> (doc, dl, tf)), df, then
+    // top-2 per term under (tf desc, dl asc, id asc)
+    val toks = corpus.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+    val postings = toks.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (term, occ) =>
+        (term, id, ts.length, occ.size.toLong)
+      }
+    }
+    val expected = postings.groupBy(_._1).flatMap { case (term, rows) =>
+      val df = rows.size.toLong
+      rows.sortBy { case (_, id, dl, tf) => (-tf, dl, id) }.take(2)
+        .map { case (_, id, dl, tf) => (term, df, id, dl, tf) }
+    }.toSet
+    // "__champ" suffix is the documented champion-table naming contract
+    val got = store.load("idx__champ")
+      .as[(String, Long, Long, Int, Long)].collect()
+      .map { case (t, df, id, dl, tf) => (t, df, id, dl.toLong, tf) }.toSet
+    assert(got === expected)
+  }
+
+  test("appends stale the champions: fallback answers exactly, strict refuses") {
+    val store = freshStore()
+    TextIndex.build(store, "idx", corpusDF.filter(col("doc_id") < 30),
+      "text", "doc_id")
+    TextIndex.refreshChampions(store, "idx", m = 60)
+    assert(TextIndex.championsFresh(store, "idx"))
+    TextIndex.append(store, "idx", corpusDF.filter(col("doc_id") >= 30),
+      "text", "doc_id")
+    // the postings version moved; the champion tag did not
+    assert(!TextIndex.championsFresh(store, "idx"))
+    // fallback path must equal the exact query over the FULL corpus —
+    // answering from the stale champion rows would miss every appended doc
+    assert(champRanked(store, fallback = true) === scanRanked())
+    val e = intercept[IllegalStateException] { champRanked(store) }
+    assert(e.getMessage.contains("stale"))
+    // refresh re-arms the champion path
+    TextIndex.refreshChampions(store, "idx", m = 60)
+    assert(champRanked(store) === scanRanked())
+  }
+
+  test("small-m champions only ever return some query term's champion") {
+    val store = freshStore()
+    TextIndex.build(store, "idx", corpusDF, "text", "doc_id")
+    TextIndex.refreshChampions(store, "idx", m = 1)
+    val champDocs = store.load("idx__champ")
+      .select(col("neighbor_id")).as[Long].collect().toSet
+    val got = champRanked(store).map(_._2).toSet
+    assert(got.nonEmpty && got.subsetOf(champDocs),
+      s"non-champion docs surfaced: ${got -- champDocs}")
+  }
+
+  test("maintain folds the chain, refreshes champions, vacuums both tables") {
+    val store = freshStore()
+    TextIndex.build(store, "idx", corpusDF.limit(0), "text", "doc_id")
+    (0 until 5).foreach { i =>
+      TextIndex.append(store, "idx",
+        corpusDF.filter(col("doc_id") % 5 === i), "text", "doc_id",
+        compactEvery = 100) // never self-compact: maintain must do it
+    }
+    TextIndex.refreshChampions(store, "idx", m = 60) // becomes stale below
+    TextIndex.append(store, "idx", corpusDF.limit(0), "text", "doc_id",
+      compactEvery = 100)
+    assert(!TextIndex.championsFresh(store, "idx"))
+    TextIndex.maintain(store, "idx", maxChainLength = 2, championM = Some(60))
+    assert(TextIndex.championsFresh(store, "idx"))
+    // chain folded to a single member
+    val v = store.currentVersion("idx")
+    assert(store.metaForVersion("idx", v).get("text.parts").forall(_.isEmpty))
+    // superseded champion versions dropped, only the current one lives
+    assert(store.versions("idx__champ").size === 1)
+    assert(champRanked(store) === scanRanked())
+    // idempotent
+    TextIndex.maintain(store, "idx", maxChainLength = 2, championM = Some(60))
+    assert(champRanked(store) === scanRanked())
+  }
 }
