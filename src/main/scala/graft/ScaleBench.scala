@@ -265,6 +265,15 @@ object ScaleBench {
           .agg(sum(col("total_tokens"))).collect()
         nDocs
       },
+      // In-engine perceptron training at corpus scale: 2 epochs = 2
+      // corpus scans + two 65-group aggregates (the shuffle carries
+      // O(partitions·dim) rows however large the corpus); then one
+      // scoring map pass. All-integer — same bits at any parallelism.
+      timed("quality_train_5m") {
+        graft.queries.ExtensionQueries.qualityTrain(spark, dir)
+          .agg(sum(when(col("keep"), 1L).otherwise(0L))).collect()
+        nDocs
+      },
       timed("pack_shards") {
         graft.queries.ExtensionQueries.packShards(spark, dir)
           .agg(max(col("shard_id"))).collect()

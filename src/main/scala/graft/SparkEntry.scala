@@ -95,6 +95,7 @@ object SparkEntry {
     "mix_sampled"         -> (ExtensionQueries.mixSampled _),
     "curate_filtered"     -> (ExtensionQueries.curateFiltered _),
     "curate_scored"       -> (ExtensionQueries.curateScored _),
+    "quality_train"       -> (ExtensionQueries.qualityTrain _),
     "text_linededup"      -> (ExtensionQueries.textLineDedup _),
     "pii_scrub"           -> (ExtensionQueries.piiScrub _),
     "split_leakage_safe"  -> (ExtensionQueries.splitLeakageSafe _),
@@ -635,6 +636,44 @@ object SparkEntry {
     "curate_lineage_oracle" -> CurateLineageSql,
     "curate_filtered" -> CurateFilteredSql,
     "curate_scored" -> CurateScoredSql,
+    // In-engine perceptron training replayed in SQL: labels from the
+    // fixture-weight margin, then BOTH gradient rounds as aggregates —
+    // iteration 1 under w=0 (every doc violates, so g1 is the full
+    // label-weighted feature sum), iteration 2 over the violators of
+    // the w1 margins — and the corpus scored under the learned w2.
+    // The bias trains as pseudo-bucket -1 with weight 1 on every doc
+    // (exactly the engine's featsWithBias row). Integer arithmetic
+    // throughout is what makes a TRAINING RUN oracle-able at all.
+    "quality_train" ->
+      ("WITH d AS (SELECT doc_id, CASE WHEN length(regexp_replace(text, " +
+        "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
+        "ELSE string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+        "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM documents), " +
+        "m AS (SELECT doc_id, md5(unnest(tk)) AS h FROM d WHERE len(tk) > 0), " +
+        "b AS (SELECT doc_id, CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 " +
+        "+ (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 64 AS INTEGER) AS bucket, " +
+        "CASE WHEN ((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) % 2) = 1 " +
+        "THEN 1 ELSE -1 END AS s FROM m), " +
+        "sp AS (SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS weight " +
+        "FROM b GROUP BY doc_id, bucket HAVING sum(s) != 0), " +
+        "spb AS (SELECT doc_id, bucket, weight FROM sp " +
+        "UNION ALL SELECT doc_id, -1 AS bucket, CAST(1 AS BIGINT) AS weight FROM documents), " +
+        "fw AS (SELECT CAST(r.range AS INTEGER) AS bucket, " +
+        "CAST((r.range * 37 + 11) % 21 - 10 AS BIGINT) AS w FROM range(64) r), " +
+        "lab AS (SELECT doc.doc_id, CASE WHEN COALESCE(fm.m, 0) >= 0 THEN 1 ELSE -1 END AS y " +
+        "FROM documents doc LEFT JOIN (SELECT sp.doc_id, sum(sp.weight * fw.w) AS m " +
+        "FROM sp JOIN fw USING (bucket) GROUP BY sp.doc_id) fm ON doc.doc_id = fm.doc_id), " +
+        "g1 AS (SELECT bucket, sum(y * weight) AS g FROM spb JOIN lab USING (doc_id) GROUP BY bucket), " +
+        "m2 AS (SELECT spb.doc_id, sum(spb.weight * COALESCE(g1.g, 0)) AS marg " +
+        "FROM spb LEFT JOIN g1 USING (bucket) GROUP BY spb.doc_id), " +
+        "g2 AS (SELECT bucket, sum(y * weight) AS g FROM spb JOIN lab USING (doc_id) " +
+        "JOIN m2 USING (doc_id) WHERE y * marg <= 0 GROUP BY bucket), " +
+        "w2 AS (SELECT bucket, sum(g) AS w FROM " +
+        "(SELECT bucket, g FROM g1 UNION ALL SELECT bucket, g FROM g2) u GROUP BY bucket), " +
+        "fin AS (SELECT spb.doc_id, sum(spb.weight * COALESCE(w2.w, 0)) AS margin_trained " +
+        "FROM spb LEFT JOIN w2 USING (bucket) GROUP BY spb.doc_id) " +
+        "SELECT doc_id, CAST(margin_trained AS BIGINT) AS margin_trained, " +
+        "margin_trained >= 0 AS keep FROM fin"),
     // Corpus-frequency line removal: the multi-line layout is CONSTRUCTED
     // identically on both engines (testdata docs carry no newlines), then
     // the full rule recomputed — split on chr(10), corpus df per exact

@@ -63,6 +63,63 @@ object Featurize {
   def fixtureWeights(dim: Int = 64): Seq[Long] =
     (0 until dim).map(b => ((b * 37 + 11) % 21 - 10).toLong)
 
+  /** Train the linear quality filter IN-ENGINE: batch perceptron over
+    * the hashed signed-count features, ALL-INTEGER end to end — margins
+    * are exact integers ([[qualityMargin]]), the violator rule
+    * `y·margin ≤ 0` is an integer comparison, and each iteration's
+    * gradient `Σ_violators y·x_b` is a sum of longs, so the result is
+    * bit-identical under ANY partitioning or execution order (no float
+    * summation, no transcendentals — the reason perceptron was chosen
+    * over logistic GD, whose sigmoid would put engine-specific `exp`
+    * ulps inside a quantization and break the cross-engine oracle).
+    *
+    * The bias trains as a pseudo-feature (bucket −1, weight 1 on every
+    * row), which folds the whole iteration into ONE aggregate job: scan
+    * → filter violators by the previous round's margin (a pure map —
+    * the fused LinearMargin expression with the current weights as
+    * literals) → explode features ++ bias row → 65-group sum. `iters`
+    * is a fixed count, not a convergence test — determinism again.
+    *
+    * Scale shape: per iteration one corpus scan (over the persisted
+    * tokenized frame) and a dim+1-group aggregate whose map-side
+    * partials reduce each slice to ≤ dim+1 rows — the shuffle carries
+    * O(partitions·dim) regardless of corpus size. Training is the rare
+    * operator that is driver-ITERATIVE by nature: k collect actions of
+    * dim+1 longs each.
+    *
+    * `labelCol`: integer ±1. Returns (weights, bias) ready for
+    * [[qualityMargin]]. */
+  def trainPerceptron(df: DataFrame, textCol: String, labelCol: String,
+                      dim: Int = 64, iters: Int = 3): (Seq[Long], Long) = {
+    require(dim > 0 && dim <= 4096, s"dim must be in 1..4096, got $dim")
+    require(iters > 0, s"iters must be positive, got $iters")
+    import org.apache.spark.storage.StorageLevel
+    val w = Array.fill(dim)(0L)
+    var bias = 0L
+    val feats = df.select(col(labelCol).cast("long").as("y"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val featsWithBias = concat(
+        graft.plans.TextExpressions.hashedFeatures(col("toks"), dim),
+        array(struct(lit(-1).as("bucket"), lit(1L).as("weight"))))
+      for (_ <- 0 until iters) {
+        val margin = graft.plans.TextExpressions.linearMargin(
+          col("toks"), w.toSeq, bias)
+        val grads = feats.filter(col("y") * margin <= 0L)
+          .select(col("y"), explode(featsWithBias).as("f"))
+          .groupBy(col("f.bucket").as("bucket"))
+          .agg(sum(col("y") * col("f.weight")).as("g"))
+          .collect()
+        grads.foreach { r =>
+          val b = r.getInt(0); val g = r.getLong(1)
+          if (b < 0) bias += g else w(b) += g
+        }
+      }
+      (w.toSeq, bias)
+    } finally feats.unpersist(blocking = false)
+  }
+
   /** Dense hashed embedding as an `array<double>` column: the native
     * sparse accumulation (HashedFeatures) scattered into a dense
     * array, L2-normalized so downstream cosine operators (Similarity.*)

@@ -1062,6 +1062,29 @@ object ExtensionQueries {
       .agg((count(lit(1)).cast("double") / 10.0).as("recall_at_10"))
   }
 
+  /** In-engine TRAINED quality filter: labels distilled from the
+    * fixture-weight margin rule (a planted linear separator in the
+    * hashed-feature space, so the task is learnable by construction),
+    * two batch-perceptron iterations ([[graft.functions.Featurize
+    * .trainPerceptron]] — all-integer, bit-deterministic), then the
+    * corpus scored with the LEARNED weights. The DuckDB oracle
+    * replicates the ENTIRE training run — both gradient rounds as SQL
+    * aggregates over the same features and the same violator rule —
+    * which only an integer-exact trainer makes possible. */
+  def qualityTrain(s: SparkSession, d: String): DataFrame = {
+    val fw = graft.functions.Featurize.fixtureWeights(64)
+    val labeled = docs(s, d).select(col("doc_id"), col("text"))
+      .withColumn("y",
+        when(graft.functions.Featurize.qualityMargin(col("text"), fw, 0L) >= 0,
+          1L).otherwise(-1L))
+    val (w, b) = graft.functions.Featurize.trainPerceptron(
+      labeled, "text", "y", dim = 64, iters = 2)
+    labeled.select(col("doc_id"),
+      graft.functions.Featurize.qualityMargin(col("text"), w, b)
+        .as("margin_trained"))
+      .withColumn("keep", col("margin_trained") >= 0)
+  }
+
   // ---- corpus cleaning: boilerplate lines, PII, leakage-safe splits ----
 
   /** C4/RefinedWeb-style corpus-frequency line removal
