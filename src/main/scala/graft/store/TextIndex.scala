@@ -203,21 +203,43 @@ object TextIndex {
   }
 
   /** Keep the index current from a document stream (see
-    * VectorIndex.maintainFromStream). Caller stops the query. */
+    * VectorIndex.maintainFromStream). Caller stops the query.
+    *
+    * `maintainEvery` > 0 runs [[maintain]] after every Nth applied
+    * batch (chain fold + champion refresh at `championM` + vacuum) —
+    * without it a long-lived stream grows an ever-longer delta chain
+    * and, if champions are in use, leaves them permanently stale (each
+    * append bumps the postings version). Maintenance failures are
+    * logged and swallowed: the appended data is already committed, and
+    * a derived structure left stale is the documented safe state. */
   def maintainFromStream(store: SnapshotStore, indexTable: String,
                          stream: DataFrame, textCol: String, idCol: String,
                          checkpointDir: String,
-                         streamId: String = "text-inbox")
-      : org.apache.spark.sql.streaming.StreamingQuery =
+                         streamId: String = "text-inbox",
+                         maintainEvery: Int = 0,
+                         maxChainLength: Int = 4,
+                         championM: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val applied = new java.util.concurrent.atomic.AtomicLong(0L)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          appendBatchOnce(store, indexTable, batch, textCol, idCol,
-            streamId, batchId); ()
+          val didApply = appendBatchOnce(store, indexTable, batch, textCol,
+            idCol, streamId, batchId)
+          if (didApply && maintainEvery > 0 &&
+              applied.incrementAndGet() % maintainEvery == 0) {
+            try maintain(store, indexTable, maxChainLength, championM)
+            catch { case e: Exception =>
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"$indexTable stream maintenance failed (will retry " +
+                  s"next cycle): ${e.getMessage}")
+            }
+          }
         }
       }
       .start()
+  }
 
   private def requireBuilt(v: Long, table: String): Unit =
     if (v == 0)

@@ -234,6 +234,30 @@ class TextIndexSpec extends SparkSpec {
       s"non-champion docs surfaced: ${got -- champDocs}")
   }
 
+  test("streaming ingest with periodic maintenance keeps champions fresh") {
+    val store = freshStore()
+    TextIndex.build(store, "idx", corpusDF.limit(0), "text", "doc_id")
+    val inbox = Files.createTempDirectory("graft-textidx-inbox").toString
+    (0 until 4).foreach { i =>
+      corpusDF.filter(col("doc_id") % 4 === i)
+        .coalesce(1).write.parquet(s"$inbox/b$i.parquet")
+    }
+    val stream = spark.readStream.schema(corpusDF.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$inbox/*.parquet")
+    val q = TextIndex.maintainFromStream(store, "idx", stream,
+      "text", "doc_id", s"$inbox-ckpt",
+      maintainEvery = 2, maxChainLength = 2, championM = Some(60))
+    q.processAllAvailable()
+    q.stop()
+    // 4 applied batches / maintainEvery=2 → the last maintenance cycle
+    // ran at batch 4, when all docs were in: champions must be fresh
+    // and serve the full-corpus ranking
+    assert(TextIndex.championsFresh(store, "idx"))
+    assert(champRanked(store) === scanRanked())
+    assert(indexRanked(store) === scanRanked())
+  }
+
   test("maintain folds the chain, refreshes champions, vacuums both tables") {
     val store = freshStore()
     TextIndex.build(store, "idx", corpusDF.limit(0), "text", "doc_id")
