@@ -298,6 +298,18 @@ object ScaleBench {
           .collect()
         nDocs
       },
+      // Span-level dedup at corpus scale: ~215M 8-token windows hash in
+      // the zero-allocation shingle scan, distinct-doc df over 8-byte
+      // keys, then the candidate-string verify + coverage rewrite.
+      // maxDf=1 so the planted exact/near-dup PAIRS (df=2) actually
+      // trip the filter and the rewrite path does real work.
+      timed("spandedup_5m") {
+        graft.functions.SpanDedup.dropFrequentSpans(
+          Tables.documents(spark, dir), "doc_id", "text", n = 8, maxDf = 1)
+          .agg(sum(col("n_dropped")), sum(length(col("text_clean"))))
+          .collect()
+        nDocs
+      },
       // PII audit + redaction: two regex passes per doc (counts on the
       // original, the rewrite chain), pure map stage, no exchange.
       timed("pii_scrub_5m") {

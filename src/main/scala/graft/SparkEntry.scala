@@ -97,6 +97,7 @@ object SparkEntry {
     "curate_scored"       -> (ExtensionQueries.curateScored _),
     "quality_train"       -> (ExtensionQueries.qualityTrain _),
     "text_linededup"      -> (ExtensionQueries.textLineDedup _),
+    "text_spandedup"      -> (ExtensionQueries.textSpanDedup _),
     "pii_scrub"           -> (ExtensionQueries.piiScrub _),
     "split_leakage_safe"  -> (ExtensionQueries.splitLeakageSafe _),
     "cap_per_source"      -> ((s, d) => ExtensionQueries.capPerSource(s, d)),
@@ -697,6 +698,34 @@ object SparkEntry {
         "tot AS (SELECT doc_id, max(n_lines) AS n_lines FROM lines GROUP BY 1) " +
         "SELECT t.doc_id, COALESCE(a.text_clean, '') AS text_clean, " +
         "CAST(t.n_lines - COALESCE(a.n_kept, 0) AS INTEGER) AS n_dropped " +
+        "FROM tot t LEFT JOIN agg a USING (doc_id)"),
+    // Span-level dedup: the banner-planted layout is constructed
+    // identically on both engines, then the full rule recomputed — all
+    // 8-token windows, DISTINCT-DOC df per exact gram string, coverage
+    // union over frequent windows (df > 2), ordered re-assembly of the
+    // surviving tokens ('' when everything is covered — exact-dup
+    // groups past maxDf strip their whole text, by design).
+    "text_spandedup" ->
+      ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN " +
+        "'alpha beta gamma delta epsilon zeta eta theta ' || text ELSE text END AS t FROM documents), " +
+        "d AS (SELECT doc_id, CASE WHEN length(regexp_replace(t, " +
+        "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
+        "ELSE string_split_regex(regexp_replace(t, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+        "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM p), " +
+        "g0 AS (SELECT doc_id, tk, unnest(range(greatest(len(tk) - 7, 0))) AS gpos FROM d), " +
+        "g AS (SELECT doc_id, gpos, array_to_string(tk[CAST(gpos + 1 AS INTEGER):CAST(gpos + 8 AS INTEGER)], ' ') AS gram FROM g0), " +
+        "df AS (SELECT gram, count(DISTINCT doc_id) AS c FROM g GROUP BY 1), " +
+        "fr AS (SELECT gram FROM df WHERE c > 2), " +
+        "cov0 AS (SELECT g.doc_id, g.gpos + unnest(range(8)) AS tpos FROM g JOIN fr USING (gram)), " +
+        "cov AS (SELECT DISTINCT doc_id, tpos FROM cov0), " +
+        "toks AS (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) - 1 AS tpos FROM d), " +
+        "kept AS (SELECT t.doc_id, t.tpos, t.tok FROM toks t LEFT JOIN cov c " +
+        "ON t.doc_id = c.doc_id AND t.tpos = c.tpos WHERE c.doc_id IS NULL), " +
+        "agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS text_clean, " +
+        "count(*) AS n_kept FROM kept GROUP BY 1), " +
+        "tot AS (SELECT doc_id, len(tk) AS n FROM d) " +
+        "SELECT t.doc_id, COALESCE(a.text_clean, '') AS text_clean, " +
+        "CAST(t.n - COALESCE(a.n_kept, 0) AS INTEGER) AS n_dropped " +
         "FROM tot t LEFT JOIN agg a USING (doc_id)"),
     // PII audit + redaction: the corpus is PII-planted identically on
     // both engines, the pattern strings are shared VERBATIM with

@@ -1114,6 +1114,27 @@ object ExtensionQueries {
       .dropFrequentLines(lined, "doc_id", "t", maxDf = 2)
   }
 
+  /** Span-level (repeated-substring) dedup
+    * ([[graft.functions.SpanDedup.dropFrequentSpans]], n = 8,
+    * maxDf = 2): a deterministic 8-token banner is prepended to every
+    * third document IDENTICALLY in Spark and the oracle, making one
+    * 8-gram corpus-frequent while the banner→content boundary grams
+    * stay df=1 (each document's own words) and must survive. The
+    * oracle recomputes the full rule — all 8-gram windows, distinct-doc
+    * df per exact gram string, coverage union over frequent windows,
+    * ordered re-assembly of the surviving tokens. Exact duplicate
+    * documents in the testdata make ALL their grams frequent when a
+    * duplicate group exceeds maxDf — both engines strip those texts
+    * entirely, which is exactly the Lee-et-al. semantics. */
+  def textSpanDedup(s: SparkSession, d: String): DataFrame = {
+    val banner = "alpha beta gamma delta epsilon zeta eta theta"
+    val planted = docs(s, d).select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, concat(lit(banner + " "), col("text")))
+        .otherwise(col("text")).as("t"))
+    graft.functions.SpanDedup.dropFrequentSpans(
+      planted, "doc_id", "t", n = 8, maxDf = 2)
+  }
+
   /** PII audit + redaction over a deterministically PII-planted corpus
     * (the raw documents are clean words, so each row appends an email,
     * an IPv4, and — on doc_id arms — a phone / SSN, with the IDENTICAL
