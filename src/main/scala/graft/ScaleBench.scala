@@ -310,6 +310,21 @@ object ScaleBench {
           .collect()
         nDocs
       },
+      // Bigram-LM quality filter at corpus scale: TRAIN is one
+      // occurrence-count agg over ~43M adjacent pairs (map-side combine
+      // reduces the exchange to distinct-grams-per-partition — the
+      // 30-word vocabulary makes the model tiny here; a web corpus
+      // prunes via minCount instead), SCORE is a zero-exchange
+      // broadcast-model expression scan over all 5M docs.
+      timed("lm_train_score_5m") {
+        val dd = Tables.documents(spark, dir)
+        val model = graft.functions.NgramLm.train(
+          dd.filter(col("doc_id") % 7 < 3), "text", minCount = 1)
+        graft.functions.NgramLm.scoreDocs(dd, "doc_id", "text", model)
+          .agg(sum(col("lm_score")), sum(col("n_bigrams")),
+            count(when(col("keep"), 1))).collect()
+        nDocs
+      },
       // PII audit + redaction: two regex passes per doc (counts on the
       // original, the rewrite chain), pure map stage, no exchange.
       timed("pii_scrub_5m") {

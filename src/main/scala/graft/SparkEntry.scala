@@ -98,6 +98,7 @@ object SparkEntry {
     "quality_train"       -> (ExtensionQueries.qualityTrain _),
     "text_linededup"      -> (ExtensionQueries.textLineDedup _),
     "text_spandedup"      -> (ExtensionQueries.textSpanDedup _),
+    "quality_lm"          -> (ExtensionQueries.qualityLm _),
     "pii_scrub"           -> (ExtensionQueries.piiScrub _),
     "split_leakage_safe"  -> (ExtensionQueries.splitLeakageSafe _),
     "cap_per_source"      -> ((s, d) => ExtensionQueries.capPerSource(s, d)),
@@ -727,6 +728,36 @@ object SparkEntry {
         "SELECT t.doc_id, COALESCE(a.text_clean, '') AS text_clean, " +
         "CAST(t.n - COALESCE(a.n_kept, 0) AS INTEGER) AS n_dropped " +
         "FROM tot t LEFT JOIN agg a USING (doc_id)"),
+    // Statistical LM quality filter: bigram model TRAINED IN SQL on the
+    // same doc_id%7<3 split, all integer math — flog2 via
+    // length(bin(c))-1 (both engines print binary without leading
+    // zeros), qlp = flog2(c_bigram) - flog2(c_head_unigram), unseen or
+    // minCount-pruned pairs score the -30 penalty, keep iff
+    // score >= -12 * n_bigrams (integer cross-multiplication, no
+    // division). doc_id%11=7 docs are replaced by 8 doc-unique
+    // gibberish tokens on BOTH engines — the planted high-perplexity
+    // tail.
+    "quality_lm" ->
+      ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 11 = 7 THEN " +
+        "'zq'||doc_id||'x0 zq'||doc_id||'x1 zq'||doc_id||'x2 zq'||doc_id||'x3 zq'||doc_id||'x4 zq'||doc_id||'x5 zq'||doc_id||'x6 zq'||doc_id||'x7' " +
+        "ELSE text END AS t FROM documents), " +
+        "d AS (SELECT doc_id, CASE WHEN length(regexp_replace(t, " +
+        "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
+        "ELSE string_split_regex(regexp_replace(t, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+        "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM p), " +
+        "g0 AS (SELECT doc_id, tk, unnest(range(len(tk) - 1)) AS i FROM d WHERE len(tk) >= 2), " +
+        "g AS (SELECT doc_id, tk[CAST(i + 1 AS INTEGER)] AS u, " +
+        "tk[CAST(i + 1 AS INTEGER)] || ' ' || tk[CAST(i + 2 AS INTEGER)] AS gram FROM g0), " +
+        "bc AS (SELECT u, gram, count(*) AS c FROM g WHERE doc_id % 7 < 3 GROUP BY 1, 2 HAVING count(*) > 1), " +
+        "u0 AS (SELECT unnest(tk) AS u FROM d WHERE doc_id % 7 < 3), " +
+        "uc AS (SELECT u, count(*) AS cu FROM u0 GROUP BY 1), " +
+        "model AS (SELECT gram, (length(bin(c)) - 1) - (length(bin(cu)) - 1) AS qlp FROM bc JOIN uc USING (u)), " +
+        "sc AS (SELECT g.doc_id, sum(COALESCE(m.qlp, -30)) AS s, count(*) AS n " +
+        "FROM g LEFT JOIN model m USING (gram) GROUP BY 1) " +
+        "SELECT d.doc_id, CAST(COALESCE(sc.s, 0) AS BIGINT) AS lm_score, " +
+        "CAST(COALESCE(sc.n, 0) AS INTEGER) AS n_bigrams, " +
+        "COALESCE(sc.s, 0) >= -12 * COALESCE(sc.n, 0) AS keep " +
+        "FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id"),
     // PII audit + redaction: the corpus is PII-planted identically on
     // both engines, the pattern strings are shared VERBATIM with
     // graft.plans.PiiOps (common java.util.regex ∩ RE2 subset — no

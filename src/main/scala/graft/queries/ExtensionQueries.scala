@@ -1085,6 +1085,29 @@ object ExtensionQueries {
       .withColumn("keep", col("margin_trained") >= 0)
   }
 
+  /** Statistical LM quality filter ([[graft.functions.NgramLm]], the
+    * CCNet stage): a bigram model is trained on the doc_id%7<3 train
+    * split and every document scored by quantized conditional log2
+    * probability — all integer math (flog2 via `length(bin(c))-1`), so
+    * the DuckDB oracle recomputes the identical model AND scores.
+    * Every doc_id%11=7 document is REPLACED by 8 doc-unique gibberish
+    * tokens identically on both engines: their bigrams are corpus
+    * singletons, pruned by minCount=1, so those docs score the unseen
+    * penalty per pair and fail the keep threshold — the
+    * high-perplexity tail the stage exists to drop — while normal docs
+    * (30-word vocabulary, dense bigram coverage) stay well above it. */
+  def qualityLm(s: SparkSession, d: String): DataFrame = {
+    val idS = col("doc_id").cast("string")
+    val junk = concat_ws(" ",
+      (0 until 8).map(i => concat(lit("zq"), idS, lit("x" + i))): _*)
+    val planted = docs(s, d).select(col("doc_id"),
+      when(col("doc_id") % 11 === 7, junk).otherwise(col("text")).as("t"))
+    val model = graft.functions.NgramLm.train(
+      planted.filter(col("doc_id") % 7 < 3), "t", minCount = 1)
+    graft.functions.NgramLm.scoreDocs(planted, "doc_id", "t", model,
+      penalty = -30L, threshold = -12L)
+  }
+
   // ---- corpus cleaning: boilerplate lines, PII, leakage-safe splits ----
 
   /** C4/RefinedWeb-style corpus-frequency line removal
