@@ -325,6 +325,19 @@ object ScaleBench {
             count(when(col("keep"), 1))).collect()
         nDocs
       },
+      // DSIR importance resampling: two dim-sized count aggregates
+      // (target = 1% sample, raw = full corpus; the shuffle carries
+      // O(partitions·64) rows at any size), then a zero-exchange fused
+      // md5+accumulate scoring scan over all 5M docs.
+      timed("dsir_5m") {
+        val dd = Tables.documents(spark, dir)
+        val w = graft.functions.Dsir.importanceWeights(
+          dd.filter(col("doc_id") % 100 === 1), dd, "text", dim = 64)
+        graft.functions.Dsir.scoreDocs(dd, "doc_id", "text", w,
+          thresholdNum = 0L)
+          .agg(sum(col("dsir_score")), count(when(col("keep"), 1))).collect()
+        nDocs
+      },
       // PII audit + redaction: two regex passes per doc (counts on the
       // original, the rewrite chain), pure map stage, no exchange.
       timed("pii_scrub_5m") {

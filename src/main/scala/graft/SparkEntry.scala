@@ -99,6 +99,7 @@ object SparkEntry {
     "text_linededup"      -> (ExtensionQueries.textLineDedup _),
     "text_spandedup"      -> (ExtensionQueries.textSpanDedup _),
     "quality_lm"          -> (ExtensionQueries.qualityLm _),
+    "mix_dsir"            -> (ExtensionQueries.mixDsir _),
     "pii_scrub"           -> (ExtensionQueries.piiScrub _),
     "split_leakage_safe"  -> (ExtensionQueries.splitLeakageSafe _),
     "cap_per_source"      -> ((s, d) => ExtensionQueries.capPerSource(s, d)),
@@ -757,6 +758,37 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(sc.s, 0) AS BIGINT) AS lm_score, " +
         "CAST(COALESCE(sc.n, 0) AS INTEGER) AS n_bigrams, " +
         "COALESCE(sc.s, 0) >= -12 * COALESCE(sc.n, 0) AS keep " +
+        "FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id"),
+    // DSIR importance resampling: the weight table (quantized integer
+    // log-likelihood ratio per md5 hash bucket, Laplace +1, quantized
+    // normalization constant K) and the per-doc scores are recomputed
+    // from raw text in SQL — bucket = first md5 byte mod 64, the
+    // library-wide hashing-trick recipe (see embed_docs). keep is the
+    // cross-multiplied −1/2 mean-per-token threshold.
+    "mix_dsir" ->
+      ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 4 = 1 THEN " +
+        "text || repeat(' quark lepton boson hadron meson', 8) " +
+        "ELSE text END AS t FROM documents), " +
+        "d AS (SELECT doc_id, CASE WHEN length(regexp_replace(t, " +
+        "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
+        "ELSE string_split_regex(regexp_replace(t, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+        "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM p), " +
+        "m AS (SELECT doc_id, md5(unnest(tk)) AS h FROM d WHERE len(tk) > 0), " +
+        "b AS (SELECT doc_id, CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 " +
+        "+ (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 64 AS INTEGER) AS bucket FROM m), " +
+        "ct AS (SELECT bucket, count(*) AS c FROM b WHERE doc_id % 8 = 1 GROUP BY 1), " +
+        "cr AS (SELECT bucket, count(*) AS c FROM b GROUP BY 1), " +
+        "tt AS (SELECT count(*) AS n FROM b WHERE doc_id % 8 = 1), " +
+        "tr AS (SELECT count(*) AS n FROM b), " +
+        "kk AS (SELECT (length(bin(tr.n + 1)) - 1) - (length(bin(tt.n + 1)) - 1) AS k FROM tr, tt), " +
+        "w AS (SELECT sp.bucket, (length(bin(COALESCE(ct.c, 0) + 1)) - 1) " +
+        "- (length(bin(COALESCE(cr.c, 0) + 1)) - 1) + kk.k AS w " +
+        "FROM (SELECT CAST(unnest(range(64)) AS INTEGER) AS bucket) sp " +
+        "LEFT JOIN ct USING (bucket) LEFT JOIN cr USING (bucket), kk), " +
+        "sc AS (SELECT b.doc_id, sum(w.w) AS s FROM b JOIN w USING (bucket) GROUP BY 1) " +
+        "SELECT d.doc_id, CAST(COALESCE(sc.s, 0) AS BIGINT) AS dsir_score, " +
+        "CAST(len(d.tk) AS INTEGER) AS n_tokens, " +
+        "COALESCE(sc.s, 0) * 8 >= -3 * len(d.tk) AS keep " +
         "FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id"),
     // PII audit + redaction: the corpus is PII-planted identically on
     // both engines, the pattern strings are shared VERBATIM with

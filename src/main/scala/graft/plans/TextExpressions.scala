@@ -680,6 +680,134 @@ case class LinearMargin(child: Expression, weights: Seq[Long], bias: Long)
   override def prettyName: String = "linear_margin"
 }
 
+/** UNSIGNED per-bucket token-occurrence counts over the hashing-trick
+  * bucket ([[HashedFeatures]]' md5-nibble recipe, WITHOUT the sign):
+  * array<struct<bucket int, c long>>, zero buckets dropped. The
+  * count-vector view distribution estimators need — a signed count can
+  * be negative and has no probability reading. Emitting the per-row
+  * vector (≤ dim entries) instead of per-token rows keeps the train
+  * aggregation's explode bounded by dim per document. */
+case class BucketCounts(child: Expression, dim: Int) extends UnaryExpression {
+
+  require(dim > 0 && dim <= 256, s"dim must be in 1..256, got $dim")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("bucket", IntegerType, nullable = false),
+      StructField("c", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bucket_counts needs array<string>, got ${other.simpleString}")
+    }
+
+  @transient private lazy val md =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): GenericArrayData = {
+    val counts = new Array[Long](dim)
+    val digest = md.get()
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      digest.reset()
+      val hash = digest.digest(arr.getUTF8String(i).getBytes)
+      counts((hash(0) & 0xFF) % dim) += 1L
+      i += 1
+    }
+    var nnz = 0
+    var b = 0
+    while (b < dim) { if (counts(b) != 0L) nnz += 1; b += 1 }
+    val out = new Array[Any](nnz)
+    var j = 0
+    b = 0
+    while (b < dim) {
+      if (counts(b) != 0L) {
+        out(j) = org.apache.spark.sql.catalyst.InternalRow(b, counts(b))
+        j += 1
+      }
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bucketCounts", this, classOf[BucketCounts].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "bucket_counts"
+}
+
+/** UNSIGNED hashed-bucket weight sum: Σ_token weights(bucket(token))
+  * with [[HashedFeatures]]' bucket recipe and no sign — the scoring
+  * pass of hashed-feature importance estimators ([[BucketCounts]] is
+  * the matching train pass). One fused md5 + accumulate per token,
+  * pure codegen map, exact integer result. dim = weights.length. */
+case class BucketWeightSum(child: Expression, weights: Seq[Long])
+    extends UnaryExpression {
+
+  require(weights.nonEmpty && weights.length <= 256,
+    s"weights length must be in 1..256, got ${weights.length}")
+
+  private val dim = weights.length
+  @transient private lazy val w = weights.toArray
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bucket_weight_sum needs array<string>, got ${other.simpleString}")
+    }
+
+  @transient private lazy val md =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val digest = md.get()
+    val n = arr.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      digest.reset()
+      val hash = digest.digest(arr.getUTF8String(i).getBytes)
+      s += w((hash(0) & 0xFF) % dim)
+      i += 1
+    }
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bucketWeightSum", this, classOf[BucketWeightSum].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "bucket_weight_sum"
+}
+
 /** Per-document word n-gram repetition statistics, FUSED from the raw
   * text: {{{ struct(total: int, distinct: int, top: int) }}}
   * over the `windows = max(tokenCount - n + 1, 0)` contiguous n-grams of
@@ -860,6 +988,16 @@ object TextExpressions {
   def linearMargin(tokens: Column, weights: Seq[Long], bias: Long): Column =
     GraftColumnBridge.column(
       LinearMargin(GraftColumnBridge.expression(tokens), weights, bias))
+
+  /** Unsigned hashed-bucket counts of a token array (see BucketCounts). */
+  def bucketCounts(tokens: Column, dim: Int): Column =
+    GraftColumnBridge.column(
+      BucketCounts(GraftColumnBridge.expression(tokens), dim))
+
+  /** Unsigned hashed-bucket weight sum (see BucketWeightSum). */
+  def bucketWeightSum(tokens: Column, weights: Seq[Long]): Column =
+    GraftColumnBridge.column(
+      BucketWeightSum(GraftColumnBridge.expression(tokens), weights))
 
   /** Distinct word n-gram shingles of a token array (see WordShingles). */
   def wordShingles(tokens: Column, n: Int): Column =

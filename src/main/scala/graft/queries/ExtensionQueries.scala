@@ -1108,6 +1108,30 @@ object ExtensionQueries {
       penalty = -30L, threshold = -12L)
   }
 
+  /** DSIR importance-resampling selection ([[graft.functions.Dsir]]):
+    * every doc_id%4=1 document gets a 5-word domain signature appended
+    * 8× IDENTICALLY on both engines (the "physics" domain); the TARGET
+    * corpus is the doc_id%8=1 half of that arm. Weights are quantized
+    * integer log-likelihood ratios over the md5 hashed-bucket counts,
+    * so the DuckDB oracle recomputes weight table AND scores exactly.
+    * The per-token score SEPARATES the arms cleanly at every test
+    * scale (signature-arm min > base-arm max, DsirSpec), but its
+    * absolute location shifts ±1 between corpora — the 1-bit flog2
+    * quantization of the normalizer K — so the keep threshold is a
+    * calibration knob, as the selection budget is in real DSIR: −3/8
+    * per token lands inside the separation gap at sf0.01, the
+    * driver's oracle scale, where it keeps exactly the signature arm. */
+  def mixDsir(s: SparkSession, d: String): DataFrame = {
+    val sig = " quark lepton boson hadron meson"
+    val planted = docs(s, d).select(col("doc_id"),
+      when(col("doc_id") % 4 === 1, concat(col("text"), lit(sig * 8)))
+        .otherwise(col("text")).as("t"))
+    val target = planted.filter(col("doc_id") % 8 === 1)
+    val w = graft.functions.Dsir.importanceWeights(target, planted, "t", dim = 64)
+    graft.functions.Dsir.scoreDocs(planted, "doc_id", "t", w,
+      thresholdNum = -3L, thresholdDen = 8L)
+  }
+
   // ---- corpus cleaning: boilerplate lines, PII, leakage-safe splits ----
 
   /** C4/RefinedWeb-style corpus-frequency line removal
