@@ -32,7 +32,8 @@ object Bench {
     "sim_brute_oracle", "sim_ann_oracle", "sim_ivf_oracle",
     "sim_ivfpq_oracle", "sim_pq_oracle",
     "text_triage_oracle", "retrieve_bm25_oracle",
-    "dedup_incr_fp_bloom") // probe-path twin of dedup_incr_fp_oracle
+    "dedup_incr_fp_bloom", // probe-path twin of dedup_incr_fp_oracle
+    "quality_lm_stored")   // store-roundtrip twin of quality_lm
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -311,15 +311,16 @@ object ScaleBench {
         nDocs
       },
       // Bigram-LM quality filter at corpus scale: TRAIN is one
-      // occurrence-count agg over ~43M adjacent pairs (map-side combine
-      // reduces the exchange to distinct-grams-per-partition — the
-      // 30-word vocabulary makes the model tiny here; a web corpus
-      // prunes via minCount instead), SCORE is a zero-exchange
+      // occurrence-count agg over ~120M adjacent pairs (map-side combine
+      // reduces the exchange to distinct-grams-per-partition; the
+      // 4096-word vocab yields ~16M distinct bigrams, Poisson λ≈2.6 —
+      // minCount=4 prunes to ~1.3M survivors, the aggressive tail cut
+      // real LM pipelines apply), SCORE is then the zero-exchange
       // broadcast-model expression scan over all 5M docs.
       timed("lm_train_score_5m") {
         val dd = Tables.documents(spark, dir)
         val model = graft.functions.NgramLm.train(
-          dd.filter(col("doc_id") % 7 < 3), "text", minCount = 1)
+          dd.filter(col("doc_id") % 7 < 3), "text", minCount = 4)
         graft.functions.NgramLm.scoreDocs(dd, "doc_id", "text", model)
           .agg(sum(col("lm_score")), sum(col("n_bigrams")),
             count(when(col("keep"), 1))).collect()
@@ -814,6 +815,18 @@ object ScaleBench {
         // same-cluster neighbors (cos ≈ 0.986 at this noise level)
         Similarity.embeddingNearDupPairs(embs, "vec_id", "embedding",
           dim = Dim, threshold = 0.999, nTables = 8, bitsPerTable = 16).count()
+      },
+      timed("semdedup_1m") {
+        // SemDeDup at the corpus's REAL cluster structure: 1024 k-means
+        // lists over the 1024 generated clusters (~1000 members each,
+        // well under the cap), eps = 0.999 isolates the planted
+        // near-identical copies from ordinary same-cluster neighbors
+        // (cos ≈ 0.986) — expect ~nVecs/1000 dropped survivors.
+        val out = Similarity.semDedup(embs, "vec_id", "embedding",
+          dim = Dim, nClusters = 1024, eps = 0.999, maxClusterSize = 20000)
+        val dropped = out.filter(!col("kept")).count()
+        require(dropped > 0, "planted copies must be deduplicated")
+        out.count()
       },
       timed("sim_brute_topk") {
         Similarity.bruteForceTopK(embs, "vec_id", "embedding",

@@ -99,6 +99,7 @@ object SparkEntry {
     "text_linededup"      -> (ExtensionQueries.textLineDedup _),
     "text_spandedup"      -> (ExtensionQueries.textSpanDedup _),
     "quality_lm"          -> (ExtensionQueries.qualityLm _),
+    "quality_lm_stored"   -> (ExtensionQueries.qualityLmStored _),
     "mix_dsir"            -> (ExtensionQueries.mixDsir _),
     "pii_scrub"           -> (ExtensionQueries.piiScrub _),
     "split_leakage_safe"  -> (ExtensionQueries.splitLeakageSafe _),
@@ -126,6 +127,8 @@ object SparkEntry {
     "dedup_incr_fp_oracle" -> (ExtensionQueries.dedupIncrFpOracle _),
     "dedup_incr_fp_bloom"  -> (ExtensionQueries.dedupIncrFpBloom _),
     "dedup_embed_oracle"  -> (ExtensionQueries.dedupEmbedOracle _),
+    "semdedup_oracle"     -> (ExtensionQueries.semDedupOracle _),
+    "sem_dedup"           -> (ExtensionQueries.semDedupQuery _),
     "dedup_simhash_pairs" -> (ExtensionQueries.dedupSimhashPairs _),
     "dedup_simhash_oracle" -> (ExtensionQueries.dedupSimhashOracle _),
     "dedup_simhash_incr_oracle" -> (ExtensionQueries.dedupSimhashIncrOracle _),
@@ -593,6 +596,22 @@ object SparkEntry {
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM v a JOIN v b ON a.vec_id < b.vec_id " +
         "WHERE list_inner_product(a.embedding, b.embedding) / " +
         "(sqrt(list_inner_product(a.embedding, a.embedding)) * sqrt(list_inner_product(b.embedding, b.embedding))) >= 0.99"),
+    // SemDeDup survivorship at exact settings (nClusters=1 → in-cluster
+    // pairing covers the whole sub-corpus, trainer-independent): the
+    // same planted-copy union, pairs by brute force, components closed
+    // by a recursive CTE, survivor = component min id.
+    "semdedup_oracle" ->
+      ("WITH RECURSIVE v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300 " +
+        "UNION ALL SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id = 0), " +
+        "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM v a JOIN v b ON a.vec_id < b.vec_id " +
+        "WHERE list_inner_product(a.embedding, b.embedding) / " +
+        "(sqrt(list_inner_product(a.embedding, a.embedding)) * sqrt(list_inner_product(b.embedding, b.embedding))) >= 0.99), " +
+        "edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p), " +
+        "reach AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), " +
+        "comp AS (SELECT a AS id, least(a, min(b)) AS keep FROM reach GROUP BY a) " +
+        "SELECT v.vec_id, CAST(COALESCE(c.keep, v.vec_id) AS BIGINT) AS keep_id, " +
+        "COALESCE(c.keep, v.vec_id) = v.vec_id AS kept " +
+        "FROM v LEFT JOIN comp c ON v.vec_id = c.id"),
     // Incremental embed dedup: brute-force cosine truth over corpus ∪
     // batch, restricted to pairs TOUCHING the batch (b >= 300 suffices:
     // ids are ordered a < b and every batch id sorts after the corpus).
@@ -738,33 +757,18 @@ object SparkEntry {
     // division). doc_id%11=7 docs are replaced by 8 doc-unique
     // gibberish tokens on BOTH engines — the planted high-perplexity
     // tail.
-    "quality_lm" ->
-      ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 11 = 7 THEN " +
-        "'zq'||doc_id||'x0 zq'||doc_id||'x1 zq'||doc_id||'x2 zq'||doc_id||'x3 zq'||doc_id||'x4 zq'||doc_id||'x5 zq'||doc_id||'x6 zq'||doc_id||'x7' " +
-        "ELSE text END AS t FROM documents), " +
-        "d AS (SELECT doc_id, CASE WHEN length(regexp_replace(t, " +
-        "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
-        "ELSE string_split_regex(regexp_replace(t, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
-        "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM p), " +
-        "g0 AS (SELECT doc_id, tk, unnest(range(len(tk) - 1)) AS i FROM d WHERE len(tk) >= 2), " +
-        "g AS (SELECT doc_id, tk[CAST(i + 1 AS INTEGER)] AS u, " +
-        "tk[CAST(i + 1 AS INTEGER)] || ' ' || tk[CAST(i + 2 AS INTEGER)] AS gram FROM g0), " +
-        "bc AS (SELECT u, gram, count(*) AS c FROM g WHERE doc_id % 7 < 3 GROUP BY 1, 2 HAVING count(*) > 1), " +
-        "u0 AS (SELECT unnest(tk) AS u FROM d WHERE doc_id % 7 < 3), " +
-        "uc AS (SELECT u, count(*) AS cu FROM u0 GROUP BY 1), " +
-        "model AS (SELECT gram, (length(bin(c)) - 1) - (length(bin(cu)) - 1) AS qlp FROM bc JOIN uc USING (u)), " +
-        "sc AS (SELECT g.doc_id, sum(COALESCE(m.qlp, -30)) AS s, count(*) AS n " +
-        "FROM g LEFT JOIN model m USING (gram) GROUP BY 1) " +
-        "SELECT d.doc_id, CAST(COALESCE(sc.s, 0) AS BIGINT) AS lm_score, " +
-        "CAST(COALESCE(sc.n, 0) AS INTEGER) AS n_bigrams, " +
-        "COALESCE(sc.s, 0) >= -12 * COALESCE(sc.n, 0) AS keep " +
-        "FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id"),
+    "quality_lm" -> QualityLmSql,
+    // quality_lm through the persistent model store: train -> commit ->
+    // reopen -> load -> score produces the identical integers, so it
+    // carries the identical oracle (redundant-twin, headline-excluded).
+    "quality_lm_stored" -> QualityLmSql,
     // DSIR importance resampling: the weight table (quantized integer
     // log-likelihood ratio per md5 hash bucket, Laplace +1, quantized
     // normalization constant K) and the per-doc scores are recomputed
     // from raw text in SQL — bucket = first md5 byte mod 64, the
     // library-wide hashing-trick recipe (see embed_docs). keep is the
-    // cross-multiplied −1/2 mean-per-token threshold.
+    // cross-multiplied −3/8 mean-per-token threshold (inside the arms’
+    // separation gap at this scale).
     "mix_dsir" ->
       ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 4 = 1 THEN " +
         "text || repeat(' quark lepton boson hadron meson', 8) " +
@@ -867,6 +871,28 @@ object SparkEntry {
     * gates, account per (lang, source). Every fragment reuses an
     * already-pinned oracle recipe (dedup_exact_keep, decon_docs,
     * text_repetition, curate_docs). */
+  private val QualityLmSql: String =
+    "WITH p AS (SELECT doc_id, CASE WHEN doc_id % 11 = 7 THEN " +
+      "'zq'||doc_id||'x0 zq'||doc_id||'x1 zq'||doc_id||'x2 zq'||doc_id||'x3 zq'||doc_id||'x4 zq'||doc_id||'x5 zq'||doc_id||'x6 zq'||doc_id||'x7' " +
+      "ELSE text END AS t FROM documents), " +
+      "d AS (SELECT doc_id, CASE WHEN length(regexp_replace(t, " +
+      "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
+      "ELSE string_split_regex(regexp_replace(t, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+      "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM p), " +
+      "g0 AS (SELECT doc_id, tk, unnest(range(len(tk) - 1)) AS i FROM d WHERE len(tk) >= 2), " +
+      "g AS (SELECT doc_id, tk[CAST(i + 1 AS INTEGER)] AS u, " +
+      "tk[CAST(i + 1 AS INTEGER)] || ' ' || tk[CAST(i + 2 AS INTEGER)] AS gram FROM g0), " +
+      "bc AS (SELECT u, gram, count(*) AS c FROM g WHERE doc_id % 7 < 3 GROUP BY 1, 2 HAVING count(*) > 1), " +
+      "u0 AS (SELECT unnest(tk) AS u FROM d WHERE doc_id % 7 < 3), " +
+      "uc AS (SELECT u, count(*) AS cu FROM u0 GROUP BY 1), " +
+      "model AS (SELECT gram, (length(bin(c)) - 1) - (length(bin(cu)) - 1) AS qlp FROM bc JOIN uc USING (u)), " +
+      "sc AS (SELECT g.doc_id, sum(COALESCE(m.qlp, -30)) AS s, count(*) AS n " +
+      "FROM g LEFT JOIN model m USING (gram) GROUP BY 1) " +
+      "SELECT d.doc_id, CAST(COALESCE(sc.s, 0) AS BIGINT) AS lm_score, " +
+      "CAST(COALESCE(sc.n, 0) AS INTEGER) AS n_bigrams, " +
+      "COALESCE(sc.s, 0) >= -12 * COALESCE(sc.n, 0) AS keep " +
+      "FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id"
+
   private val CurateFilteredSql: String = curateFunnelSql(withMargin = false)
 
   /** [[CurateFilteredSql]] plus the learned linear-classifier gate

@@ -73,6 +73,24 @@ object NgramLm {
       .select(col("gram"), (flog2(col("c")) - flog2(col("cu"))).as("qlp"))
   }
 
+  /** Commit a trained model to a [[graft.store.SnapshotStore]] table —
+    * the train-once/score-many amortization TextIndex gives retrieval,
+    * for the LM filter: (gram, qlp) sorted by gram (tight string zone
+    * ranges per file for future probes), training parameters riding in
+    * the version metadata with the data's atomicity. Retraining commits
+    * a new version; old versions stay readable (loadVersion), so a
+    * scoring run can pin the model version it started with. */
+  def commitModel(store: graft.store.SnapshotStore, table: String,
+                  model: DataFrame, minCount: Long): Long =
+    store.commit(table, model.select(col("gram"), col("qlp")),
+      sortKey = Some("gram"),
+      meta = Map("lm.kind" -> "bigram-qlp", "lm.minCount" -> minCount.toString),
+      statsCols = Seq("gram"))
+
+  /** The latest committed model of `table`, as [[scoreDocs]] expects. */
+  def loadModel(store: graft.store.SnapshotStore, table: String): DataFrame =
+    store.load(table).select(col("gram"), col("qlp"))
+
   /** Score every document of `df` against a trained `model` (gram,
     * qlp): returns (idCol, lm_score, n_bigrams, keep). */
   def scoreDocs(df: DataFrame, idCol: String, textCol: String,

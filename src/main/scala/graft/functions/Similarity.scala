@@ -588,4 +588,65 @@ object Similarity {
       .select(col("p.id_a"), col("p.id_b"), round(col("p.cos"), 6).as("cos"))
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    * deduplication — k-means-cluster the embedding space, find
+    * near-duplicate pairs WITHIN each cluster (pairwise cosine > eps),
+    * and keep one representative per duplicate group. The clustering is
+    * what makes web-scale feasible: candidate generation is n²/k per
+    * cluster instead of n² — the paper's own scaling argument — so
+    * `nClusters` must grow with the corpus (N / nClusters bounded by
+    * what one task can pair; the cap below guards the degenerate case).
+    *
+    * Differences from the paper, both deliberate: (a) the survivor is
+    * the MIN ID of each duplicate component (the library-wide
+    * deterministic dedup contract — the paper keeps the example
+    * farthest from the centroid, a choice it reports as low-impact);
+    * (b) groups are closed transitively (connectedComponents) rather
+    * than greedily, matching [[Dedup.dropDuplicateClusters]].
+    *
+    * Returns (idCol, keep_id, kept): every input row, its component
+    * survivor (itself when unpaired), kept = (keep_id == id).
+    *
+    * Scale shape: one trainer sample collect, one assignment scan
+    * (centroids ride in the NearestCentroids expression), ONE exchange
+    * keyed by cluster (linear, spillable), in-task CosinePairs verify
+    * emitting only true near-dup pairs, then pointer-jumping components
+    * over the PAIR GRAPH only (never the corpus). Clusters past
+    * `maxClusterSize` are dropped whole from pairing — their members
+    * are all kept — the same loud-cap semantics as
+    * [[embeddingNearDupPairs]]; size nClusters so real clusters fit. */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+               nClusters: Int = 64, eps: Double = 0.95, seed: Long = 42L,
+               maxClusterSize: Int = 100000,
+               centroidsOpt: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    import graft.plans.VectorExpressions.nearestCentroids
+    val centroids = centroidsOpt.getOrElse(
+      trainIvfCentroids(corpus, vecCol, nClusters, seed))
+    val assigned = corpus.select(col(idCol).as("id"),
+        unitVector(col(vecCol)).as("uv"))
+      .select(col("id"), col("uv"),
+        element_at(nearestCentroids(col("uv"), centroids, 1), 1)
+          .as("cluster_id"))
+    val w = Window.partitionBy(col("cluster_id")).orderBy(col("id"))
+    val members = assigned
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxClusterSize + 1)
+      .groupBy(col("cluster_id"))
+      .agg(collect_list(struct(col("id"), col("uv"))).as("members"))
+      // size == maxClusterSize+1 marks a truncated degenerate cluster:
+      // dropped whole (members kept), same semantics as the LSH caps.
+      .filter(size(col("members")).between(2, maxClusterSize))
+    val pairs = members
+      .select(explode(graft.plans.VectorExpressions
+        .cosinePairs(col("members"), eps)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    corpus.select(col(idCol))
+      .join(comps.select(col("id").as(idCol), col("component_id")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component_id"), col(idCol)).as("keep_id"))
+      .withColumn("kept", col("keep_id") === col(idCol))
+  }
 }

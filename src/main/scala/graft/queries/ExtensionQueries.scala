@@ -452,6 +452,32 @@ object ExtensionQueries {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** SemDeDup at EXACT settings, with a FULL DuckDB oracle: one cluster
+    * (nClusters = 1 — in-cluster pairing degenerates to the paper's
+    * exact per-cluster regime over the whole sub-corpus, independent of
+    * the trainer) and eps = 0.99, over base ∪ a planted copy of vec_id 0
+    * at id 10000 (both engines construct the same union — the
+    * dedup_embed_oracle fixture). The oracle recomputes pairs by brute
+    * force, closes components with a recursive CTE, and pins the full
+    * (vec_id, keep_id, kept) survivorship: the copy's component keeps
+    * vec_id 0, everything else keeps itself. */
+  def semDedupOracle(s: SparkSession, d: String): DataFrame = {
+    val base = embs(s, d).filter(col("vec_id") < 300)
+    val planted = embs(s, d).filter(col("vec_id") === 0)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+    Similarity.semDedup(base.unionByName(planted), "vec_id", "embedding",
+      dim = 64, nClusters = 1, eps = 0.99)
+  }
+
+  /** SemDeDup at production shape (k-means clusters + within-cluster
+    * pairing). eps = 0.4 is the DEMO setting for the isotropic test
+    * embeddings (same rationale as [[dedupEmbeddingPairs]]); k-means
+    * assignment is trainer-dependent, so this entry is rows-only —
+    * [[semDedupOracle]] is its exact-settings oracle twin. */
+  def semDedupQuery(s: SparkSession, d: String): DataFrame =
+    Similarity.semDedup(embs(s, d), "vec_id", "embedding",
+      dim = 64, nClusters = 16, eps = 0.4)
+
   /** Embedding-cosine near-dup pairs via multi-table hyperplane LSH.
     * Threshold 0.4 is a DEMO setting: the synthetic embeddings are
     * isotropic (max pairwise cos ≈ 0.48), so a production-style 0.95
@@ -1105,6 +1131,29 @@ object ExtensionQueries {
     val model = graft.functions.NgramLm.train(
       planted.filter(col("doc_id") % 7 < 3), "t", minCount = 1)
     graft.functions.NgramLm.scoreDocs(planted, "doc_id", "t", model,
+      penalty = -30L, threshold = -12L)
+  }
+
+  /** [[qualityLm]] through the PERSISTENT model store: train, commit
+    * the model to a snapshot table, REOPEN the store cold, load, score
+    * — the train-once/score-many production path, pinned to the same
+    * DuckDB oracle as the direct query (identical integers end to end).
+    * Temp-dir store per invocation, same rerun rationale as
+    * retrieveBm25Indexed. */
+  def qualityLmStored(s: SparkSession, d: String): DataFrame = {
+    val idS = col("doc_id").cast("string")
+    val junk = concat_ws(" ",
+      (0 until 8).map(i => concat(lit("zq"), idS, lit("x" + i))): _*)
+    val planted = docs(s, d).select(col("doc_id"),
+      when(col("doc_id") % 11 === 7, junk).otherwise(col("text")).as("t"))
+    val root = java.nio.file.Files.createTempDirectory("graft-lmstore").toString
+    val model = graft.functions.NgramLm.train(
+      planted.filter(col("doc_id") % 7 < 3), "t", minCount = 1)
+    graft.functions.NgramLm.commitModel(
+      new SnapshotStore(root, s), "lm_bigram", model, minCount = 1)
+    val reopened = new SnapshotStore(root, s)
+    graft.functions.NgramLm.scoreDocs(planted, "doc_id", "t",
+      graft.functions.NgramLm.loadModel(reopened, "lm_bigram"),
       penalty = -30L, threshold = -12L)
   }
 

@@ -62,6 +62,28 @@ class NgramLmSpec extends SparkSpec {
     assert(scoreAll(modelGate = 1000000) === scoreAll(modelGate = 0))
   }
 
+  test("persistent model: commit, cold reopen, score ≡ direct; versioned retrain") {
+    import graft.store.SnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("graft-lmspec").toString
+    val m0 = NgramLm.train(train, "text", minCount = 0)
+    val v1 = NgramLm.commitModel(new SnapshotStore(root, spark), "lm", m0, minCount = 0)
+    assert(v1 === 1L)
+    val reopened = new SnapshotStore(root, spark)
+    val direct = scoreAll(modelGate = 1000000)
+    val stored = NgramLm.scoreDocs(apply_, "doc_id", "text",
+      NgramLm.loadModel(reopened, "lm"), penalty = -10L, threshold = -4L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getBoolean(3)))).toMap
+    assert(stored === direct, "stored-model scoring ≡ in-memory model")
+    // retrain with pruning → version 2; version 1 stays readable
+    val v2 = NgramLm.commitModel(reopened, "lm",
+      NgramLm.train(train, "text", minCount = 1), minCount = 1)
+    assert(v2 === 2L)
+    assert(reopened.loadVersion("lm", 1).count() === 4L, "old model intact")
+    assert(reopened.load("lm").count() === 2L, "latest is the pruned model")
+    assert(reopened.latestMeta("lm")("lm.minCount") === "1")
+  }
+
   test("registered quality_lm: planted gibberish rejected, corpus kept") {
     val out = ExtensionQueries.qualityLm(spark, sfDir)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
