@@ -33,7 +33,8 @@ object Bench {
     "sim_ivfpq_oracle", "sim_pq_oracle",
     "text_triage_oracle", "retrieve_bm25_oracle",
     "dedup_incr_fp_bloom", // probe-path twin of dedup_incr_fp_oracle
-    "quality_lm_stored")   // store-roundtrip twin of quality_lm
+    "quality_lm_stored",   // store-roundtrip twin of quality_lm
+    "semdedup_oracle")     // exact-settings twin of sem_dedup
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

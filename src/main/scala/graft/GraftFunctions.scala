@@ -100,6 +100,15 @@ object GraftFunctions {
       val b = if (args.length > 2) litInt("graft_band_keys", "bands", args(2)) else 16
       toExpr(Dedup.lshBandKeys(toCol(args.head), k, b))
     },
+    // all-occurrence word n-grams (the term-frequency sibling of the
+    // DISTINCT graft_shingles — what LM/count estimators consume)
+    fn1i("graft_word_ngrams", 2)((text, n) => GraftColumnBridge.column(
+      graft.plans.WordNgramsAll(
+        GraftColumnBridge.resolvedExpression(TextFunctions.tokens(text)), n))),
+    // unsigned hashed-bucket token counts (the distribution-estimator
+    // view of the hashing trick; graft_hash_embedding is the signed one)
+    fn1i("graft_bucket_counts", 64)((text, dim) =>
+      graft.plans.TextExpressions.bucketCounts(TextFunctions.tokens(text), dim)),
     // vectors
     fn2("graft_dot")(Similarity.dot),
     fn1i("graft_hash_embedding", 64)(Featurize.hashEmbedding),

@@ -304,8 +304,15 @@ object ScaleBench {
       // maxDf=1 so the planted exact/near-dup PAIRS (df=2) actually
       // trip the filter and the rewrite path does real work.
       timed("spandedup_5m") {
+        // gramGate raised over the library default: this corpus's ~2.4M
+        // frequent grams (~150 MB as a task-binary string set) take the
+        // zero-exchange rewrite here — measured 2.4x over the wide
+        // explode+join fallback (168.8 s vs 412.6 s, same warm window).
+        // At the default 1M gate the same call exercises the fallback;
+        // both paths are spec-pinned equal.
         graft.functions.SpanDedup.dropFrequentSpans(
-          Tables.documents(spark, dir), "doc_id", "text", n = 8, maxDf = 1)
+          Tables.documents(spark, dir), "doc_id", "text", n = 8, maxDf = 1,
+          gramGate = 4000000)
           .agg(sum(col("n_dropped")), sum(length(col("text_clean"))))
           .collect()
         nDocs

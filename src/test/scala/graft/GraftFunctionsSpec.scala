@@ -52,6 +52,13 @@ class GraftFunctionsSpec extends SparkSpec {
       graft.plans.TextExpressions.ngramRepetition(col("text"), 2))
     check("graft_ngram_stats(text, 3)",
       graft.plans.TextExpressions.ngramRepetition(col("text"), 3))
+    check("graft_word_ngrams(text)",
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.plans.WordNgramsAll(
+          org.apache.spark.sql.GraftColumnBridge.resolvedExpression(
+            TF.tokens(col("text"))), 2)))
+    check("graft_bucket_counts(text, 16)",
+      graft.plans.TextExpressions.bucketCounts(TF.tokens(col("text")), 16))
   }
 
   test("dedup hash functions: SQL names ≡ Column API") {
