@@ -133,6 +133,7 @@ object SparkEntry {
     "dedup_simhash_oracle" -> (ExtensionQueries.dedupSimhashOracle _),
     "dedup_simhash_incr_oracle" -> (ExtensionQueries.dedupSimhashIncrOracle _),
     "dedup_embed_incr_oracle" -> (ExtensionQueries.dedupEmbedIncrOracle _),
+    "semdedup_incr_oracle" -> (ExtensionQueries.semDedupIncrOracle _),
     "curate_ingest_oracle" -> (ExtensionQueries.curateIngestOracle _),
     "curate_lineage_oracle" -> (ExtensionQueries.curateLineageOracle _),
     "text_triage_oracle"  -> (ExtensionQueries.textTriageOracle _),
@@ -615,12 +616,12 @@ object SparkEntry {
     // Incremental embed dedup: brute-force cosine truth over corpus ∪
     // batch, restricted to pairs TOUCHING the batch (b >= 300 suffices:
     // ids are ordered a < b and every batch id sorts after the corpus).
-    "dedup_embed_incr_oracle" ->
-      ("WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 350 " +
-        "UNION ALL SELECT vec_id + 10300 AS vec_id, embedding FROM embeddings WHERE vec_id = 0) " +
-        "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM v a JOIN v b ON a.vec_id < b.vec_id " +
-        "WHERE b.vec_id >= 300 AND list_inner_product(a.embedding, b.embedding) / " +
-        "(sqrt(list_inner_product(a.embedding, a.embedding)) * sqrt(list_inner_product(b.embedding, b.embedding))) >= 0.99"),
+    "dedup_embed_incr_oracle" -> EmbedIncrBruteSql,
+    // The SAME brute-force truth pins the incremental SEMANTIC index
+    // (SemIndex at nClusters=1 — one cluster makes in-cluster pairing
+    // exhaustive and trainer-independent): identical fixture, identical
+    // pairs-touching-the-batch contract.
+    "semdedup_incr_oracle" -> EmbedIncrBruteSql,
     // Full-corpus exact top-10 in double precision (embeddings widened to
     // DOUBLE like Spark's unitVector); adjacent-rank cosine gaps ~2e-4
     // make the ordering insensitive to summation order. The SAME truth
@@ -871,6 +872,13 @@ object SparkEntry {
     * gates, account per (lang, source). Every fragment reuses an
     * already-pinned oracle recipe (dedup_exact_keep, decon_docs,
     * text_repetition, curate_docs). */
+  private val EmbedIncrBruteSql: String =
+    "WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 350 " +
+      "UNION ALL SELECT vec_id + 10300 AS vec_id, embedding FROM embeddings WHERE vec_id = 0) " +
+      "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM v a JOIN v b ON a.vec_id < b.vec_id " +
+      "WHERE b.vec_id >= 300 AND list_inner_product(a.embedding, b.embedding) / " +
+      "(sqrt(list_inner_product(a.embedding, a.embedding)) * sqrt(list_inner_product(b.embedding, b.embedding))) >= 0.99"
+
   private val QualityLmSql: String =
     "WITH p AS (SELECT doc_id, CASE WHEN doc_id % 11 = 7 THEN " +
       "'zq'||doc_id||'x0 zq'||doc_id||'x1 zq'||doc_id||'x2 zq'||doc_id||'x3 zq'||doc_id||'x4 zq'||doc_id||'x5 zq'||doc_id||'x6 zq'||doc_id||'x7' " +

@@ -616,20 +616,26 @@ object Similarity {
     * `maxClusterSize` are dropped whole from pairing — their members
     * are all kept — the same loud-cap semantics as
     * [[embeddingNearDupPairs]]; size nClusters so real clusters fit. */
-  def semDedup(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
-               nClusters: Int = 64, eps: Double = 0.95, seed: Long = 42L,
-               maxClusterSize: Int = 100000,
-               centroidsOpt: Option[Seq[Seq[Double]]] = None): DataFrame = {
+  /** The cluster-assignment step of [[semDedup]], exposed for the
+    * incremental index ([[graft.store.SemIndex]] encodes batches with
+    * the index's COMMITTED centroids): (id, uv, cluster_id). */
+  private[graft] def semAssign(corpus: DataFrame, idCol: String,
+                               vecCol: String,
+                               centroids: Seq[Seq[Double]]): DataFrame = {
     import graft.plans.VectorExpressions.nearestCentroids
-    val centroids = centroidsOpt.getOrElse(
-      trainIvfCentroids(corpus, vecCol, nClusters, seed))
-    val assigned = corpus.select(col(idCol).as("id"),
-        unitVector(col(vecCol)).as("uv"))
+    corpus.select(col(idCol).as("id"), unitVector(col(vecCol)).as("uv"))
       .select(col("id"), col("uv"),
         element_at(nearestCentroids(col("uv"), centroids, 1), 1)
           .as("cluster_id"))
+  }
+
+  /** Within-cluster cosine pairs over an assigned frame — the pair
+    * stage [[semDedup]] closes into components, shared with the
+    * incremental index: (id_a, id_b, cos rounded to 6 places). */
+  private[graft] def semPairsOfAssigned(assigned: DataFrame, eps: Double,
+                                        maxClusterSize: Int): DataFrame = {
     val w = Window.partitionBy(col("cluster_id")).orderBy(col("id"))
-    val members = assigned
+    assigned
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= maxClusterSize + 1)
       .groupBy(col("cluster_id"))
@@ -637,10 +643,29 @@ object Similarity {
       // size == maxClusterSize+1 marks a truncated degenerate cluster:
       // dropped whole (members kept), same semantics as the LSH caps.
       .filter(size(col("members")).between(2, maxClusterSize))
-    val pairs = members
       .select(explode(graft.plans.VectorExpressions
         .cosinePairs(col("members"), eps)).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+      .select(col("p.id_a"), col("p.id_b"), round(col("p.cos"), 6).as("cos"))
+  }
+
+  /** [[semDedup]]'s pair graph: within-cluster cosine pairs under
+    * trained (or supplied) centroids. */
+  def semDedupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, nClusters: Int = 64, eps: Double = 0.95,
+                    seed: Long = 42L, maxClusterSize: Int = 100000,
+                    centroidsOpt: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    val centroids = centroidsOpt.getOrElse(
+      trainIvfCentroids(corpus, vecCol, nClusters, seed))
+    semPairsOfAssigned(semAssign(corpus, idCol, vecCol, centroids), eps,
+      maxClusterSize)
+  }
+
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+               nClusters: Int = 64, eps: Double = 0.95, seed: Long = 42L,
+               maxClusterSize: Int = 100000,
+               centroidsOpt: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    val pairs = semDedupPairs(corpus, idCol, vecCol, dim, nClusters, eps,
+      seed, maxClusterSize, centroidsOpt).select(col("id_a"), col("id_b"))
     val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
     corpus.select(col(idCol))
       .join(comps.select(col("id").as(idCol), col("component_id")),

@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{Dedup, Similarity, TextFunctions => TF}
 import graft.plans.{TextExpressions => TX}
-import graft.store.{DedupIndex, EmbedIndex, FingerprintIndex, SimHashIndex,
-  SnapshotStore, TextIndex, VectorIndex}
+import graft.store.{DedupIndex, EmbedIndex, FingerprintIndex, SemIndex,
+  SimHashIndex, SnapshotStore, TextIndex, VectorIndex}
 
 /** Training-data-pipeline queries over `documents` / `embeddings`
   * (builder prompt extension ops). Entries registered in SparkEntry;
@@ -583,6 +583,37 @@ object ExtensionQueries {
       expectedCorpus = 360L)
     val pairs = EmbedIndex.appendBatchOnce(store, "vecs_embed", batch,
       streamId = "verify", batchId = 0L).get
+    val out = pairs.select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    pairs.unpersist(blocking = false)
+    out
+  }
+
+  /** INCREMENTAL SemDeDup over the persistent cluster index
+    * ([[graft.store.SemIndex]]) at exact settings — nClusters = 1 makes
+    * in-cluster pairing exhaustive over the whole sub-corpus and
+    * trainer-independent — pinned to the SAME brute-force cosine truth
+    * as `dedup_embed_incr_oracle`: build on vec_id < 300, append fresh
+    * rows 300..349 plus the planted near-identical copy of 0 at 10300,
+    * and the append's pair ids must equal every brute-force pair at
+    * cos ≥ 0.99 touching the batch. The append runs the zone-probe
+    * trickle path (the batch touches 1 cluster), which the spec pins
+    * identical to the default probe. */
+  def semDedupIncrOracle(s: SparkSession, d: String): DataFrame = {
+    val base = embs(s, d).filter(col("vec_id") < 300)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val batch = embs(s, d)
+      .filter(col("vec_id") >= 300 && col("vec_id") < 350)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .unionByName(embs(s, d).filter(col("vec_id") === 0)
+        .select((col("vec_id") + 10300).as("id"), col("embedding").as("vec")))
+    val root = java.nio.file.Files.createTempDirectory("graft-semincr").toString
+    val store = new SnapshotStore(root, s)
+    SemIndex.build(store, "vecs_sem", base, dim = 64, eps = 0.99,
+      nClusters = 1)
+    val pairs = SemIndex.appendBatchOnce(store, "vecs_sem", batch,
+      streamId = "verify", batchId = 0L, zoneProbeMaxClusters = 8).get
     val out = pairs.select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()

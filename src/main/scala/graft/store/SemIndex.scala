@@ -1,0 +1,220 @@
+package graft.store
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.Similarity
+
+/** Persistent k-means-cluster index — INCREMENTAL batch-vs-corpus
+  * SemDeDup ([[graft.functions.Similarity.semDedup]]): the SEMANTIC
+  * regime joins the incremental dedup index family ([[DedupIndex]]
+  * MinHash/Jaccard, [[SimHashIndex]] Hamming, [[EmbedIndex]]
+  * hyperplane-LSH cosine). Where EmbedIndex's data-oblivious
+  * hyperplanes target near-IDENTICAL vectors, the trained clusters
+  * implement the SemDeDup paper's regime: pairing scoped to a learned
+  * partition of the embedding space, with eps low enough to catch
+  * same-meaning re-encodings.
+  *
+  * One row per vector: {{{ (cluster_id, id, uv: array<double>) }}}
+  * assigned by the centroids TRAINED AT BUILD TIME and committed in the
+  * snapshot metadata ([[VectorIndex]]'s matrix codec) — appends assign
+  * with the COMMITTED centroids, never retrain: re-clustering per
+  * append would silently re-scope past pairings, the same
+  * fixed-parameters argument as the other indexes. `nClusters` must
+  * therefore be sized for the EXPECTED final corpus (the SemDeDup
+  * scaling lever: N / nClusters bounded by one task's pairing budget).
+  *
+  * Rows commit SORTED BY cluster_id with cluster_id zone maps
+  * ([[ZoneMap]]): a batch touches ≤ batch-size clusters, and the
+  * opt-in trickle probe (`zoneProbeMaxClusters`) skips whole index
+  * files whose cluster_id zones miss every touched cluster before any
+  * footer is opened — the trained-partition twin of the term-zone
+  * skipping TextIndex postings get.
+  *
+  * Append contract (the family's): one columnar scan of the
+  * (file-pruned) index, a size-gated broadcast cluster-set semi-join —
+  * the corpus never shuffles — a capped window over touched-cluster
+  * membership, in-cluster CosinePairs verification, O(batch)
+  * [[DeltaChain]] delta under the shared exactly-once batch-id
+  * watermark. Incremental ≡ batch: assignment is a pure per-vector
+  * function of committed centroids; an append sees the union
+  * membership of every batch-touched cluster, so pairs between older
+  * vectors were emitted by the append that introduced their younger
+  * member (cap caveat as the other indexes: equality holds while final
+  * cluster sizes stay under maxClusterSize). SemIndexSpec pins
+  * pair-for-pair equality with `Similarity.semDedupPairs` across
+  * batchings. */
+object SemIndex {
+
+  private val P = "semdedup." // metadata key prefix
+  private val chain = new DeltaChain(s"${P}parts")
+
+  private def encode(vecs: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =
+    Similarity.semAssign(vecs, "id", "vec", centroids)
+      // long cluster key: the zone-map long kind reads INT64 stats
+      // directly, and every downstream join/window is width-agnostic
+      .select(col("cluster_id").cast("long").as("cluster_id"),
+        col("id"), col("uv"))
+
+  /** Train centroids on `vecs` (id, vec), assign, and commit as a fresh
+    * full snapshot with every structural parameter (including the
+    * centroids) in the metadata. Computes NO pairs (run
+    * `Similarity.semDedupPairs` for the corpus-internal ones) — or init
+    * empty with `vecs.limit(0)` plus `trainOn` for the centroid corpus. */
+  def build(store: SnapshotStore, table: String, vecs: DataFrame, dim: Int,
+            eps: Double, nClusters: Int = 64, maxClusterSize: Int = 100000,
+            seed: Long = 42L, trainOn: Option[DataFrame] = None): Long = {
+    val centroids = Similarity.trainIvfCentroids(
+      trainOn.getOrElse(vecs), "vec", nClusters, seed)
+    store.commit(table, encode(vecs, centroids),
+      sortKey = Some("cluster_id"),
+      meta = Map(
+        s"${P}dim" -> dim.toString,
+        s"${P}eps" -> eps.toString,
+        s"${P}nClusters" -> nClusters.toString,
+        s"${P}maxClusterSize" -> maxClusterSize.toString,
+        s"${P}seed" -> seed.toString,
+        s"${P}centroids" -> VectorIndex.encodeMatrix(centroids),
+        s"${P}parts" -> ""),
+      statsCols = Seq("cluster_id"))
+  }
+
+  /** The live index contents as of the current version. */
+  def load(store: SnapshotStore, table: String): DataFrame = {
+    val v = store.currentVersion(table)
+    chain.load(store, table, v, store.metaForVersion(table, v))
+  }
+
+  /** SemDeDup `batchVecs` (id, vec) against the indexed corpus AND
+    * itself under the COMMITTED centroids/eps, then append its
+    * assignments as an O(batch) delta. Returns the new pairs —
+    * (id_a, id_b, cos) with at least one member in the batch — EAGER
+    * (persisted + materialized; unpersist when done), or None for a
+    * replayed (streamId, batchId). Consume-before-vacuum contract as
+    * the other indexes. */
+  def appendBatchOnce(store: SnapshotStore, table: String,
+                      batchVecs: DataFrame,
+                      streamId: String, batchId: Long,
+                      compactEvery: Int = 8,
+                      broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit,
+                      batchCountHint: Option[Long] = None,
+                      zoneProbeMaxClusters: Int = 0)
+      : Option[DataFrame] = {
+    var result: Option[DataFrame] = None
+    var enc: DataFrame = null
+    store.transactMeta[Unit](table, sortKey = Some("cluster_id"),
+      statsCols = Seq("cluster_id")) {
+      val v = store.currentVersion(table)
+      if (v == 0)
+        throw new IllegalStateException(
+          s"$table: build the semantic index before appending " +
+            "(SemIndex.build; vecs.limit(0) + trainOn for an empty init)")
+      val meta = store.metaForVersion(table, v)
+      val key = s"stream.$streamId.lastBatchId"
+      if (batchId <= meta.get(key).map(_.toLong).getOrElse(-1L)) Left(())
+      else {
+        def req(k: String): String = meta.getOrElse(P + k,
+          throw new IllegalStateException(
+            s"$table has no committed sem-index metadata '$P$k'"))
+        val centroids = VectorIndex.decodeMatrix(req("centroids"))
+        enc = encode(batchVecs, centroids)
+          .persist(StorageLevel.MEMORY_AND_DISK) // batch-sized, read 3×
+        val nBatch = batchCountHint.getOrElse(enc.count())
+        // Opt-in trickle fast path (the FingerprintIndex
+        // bloomProbeMaxKeys trade): one extra BOUNDED action collects
+        // the batch's touched clusters; if they fit, whole chain files
+        // outside their cluster_id zones are skipped before any footer
+        // opens, and the exact isin filter replaces the semi-join. The
+        // default path keeps the one-action budget.
+        val touched: Option[Seq[Long]] =
+          if (zoneProbeMaxClusters <= 0) None
+          else {
+            val t = enc.select(col("cluster_id")).distinct()
+              .take(zoneProbeMaxClusters + 1)
+            if (t.length > zoneProbeMaxClusters) None
+            else Some(t.map(_.getLong(0)).toSeq)
+          }
+        val idxRows = touched match {
+          case Some(ids) =>
+            chain.loadPruned(store, table, v, meta,
+                Seq(ZoneMap.LongIn("cluster_id", ids)))
+              .filter(col("cluster_id").isin(ids: _*))
+          case None => chain.load(store, table, v, meta)
+        }
+        result = Some(pairsVsIndex(
+          idxRows, enc, nBatch, touched.isDefined,
+          req("eps").toDouble, req("maxClusterSize").toInt,
+          broadcastKeyLimit))
+        Right(chain.next(store, table, v, meta, enc, compactEvery,
+          Map(key -> batchId.toString)))
+      }
+    }
+    if (enc != null) enc.unpersist(blocking = false)
+    result
+  }
+
+  /** Pairs of `batchEnc` against `idx` ∪ itself: the corpus enters
+    * through a size-gated broadcast cluster-set semi-join; the unit
+    * vector rides with the rows, so verification happens in-cluster
+    * with no extra corpus scan. */
+  private def pairsVsIndex(idx: DataFrame, batchEnc: DataFrame,
+                           nBatch: Long, preFiltered: Boolean,
+                           eps: Double, maxClusterSize: Int,
+                           broadcastKeyLimit: Long): DataFrame = {
+    // nBatch bounds the touched-cluster count (one cluster per vector)
+    // — gate sized with zero driver actions. The zone-probe path has
+    // already restricted idx to the touched clusters exactly.
+    val cRows =
+      if (preFiltered) idx
+      else idx.join(
+        BroadcastGate(batchEnc.select(col("cluster_id")).distinct(),
+          nBatch, broadcastKeyLimit),
+        Seq("cluster_id"), "left_semi")
+    val allPairs = Similarity.semPairsOfAssigned(
+      cRows.unionByName(batchEnc), eps, maxClusterSize)
+      .dropDuplicates("id_a", "id_b")
+    val verified = BroadcastGate
+      .restrictToTouching(allPairs, batchEnc.select(col("id")), nBatch,
+        broadcastKeyLimit)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    verified.count()
+    verified
+  }
+
+  /** Keep the index current from a stream of (id, vec) rows — the
+    * SimHashIndex.maintainFromStream contract verbatim. */
+  def maintainFromStream(store: SnapshotStore, table: String,
+                         stream: DataFrame, checkpointDir: String,
+                         streamId: String = "sem-inbox",
+                         onPairs: (DataFrame, Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          appendBatchOnce(store, table, batch, streamId, batchId).foreach { pairs =>
+            try onPairs(pairs, batchId)
+            finally pairs.unpersist(blocking = false)
+          }
+        }
+      }
+      .start()
+
+  /** On-demand chain fold into a full snapshot — idempotent; the commit
+    * is the store's atomic version flip. */
+  def compactIndex(store: SnapshotStore, table: String): Boolean =
+    store.transactMeta[Unit](table, sortKey = Some("cluster_id"),
+      statsCols = Seq("cluster_id")) {
+      val v = store.currentVersion(table)
+      if (v == 0) Left(())
+      else chain.compactNow(store, table, v, store.metaForVersion(table, v))
+        .toRight(())
+    }.isRight
+
+  /** Drop version dirs outside the live delta chain. */
+  def vacuumIndex(store: SnapshotStore, table: String): Unit =
+    store.dropVersions(table,
+      store.versions(table).toSet -- chain.liveVersions(store, table))
+}

@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Similarity
+import graft.store.{SemIndex, SnapshotStore, VectorIndex}
+
+/** Incremental SemDeDup: the union of per-append pair sets must equal
+  * the one-shot `Similarity.semDedupPairs` result pair-for-pair under
+  * the COMMITTED centroids, across batchings; exactly-once replay; the
+  * opt-in zone-probe trickle path identical to the default probe —
+  * the semantic-regime twin of EmbedIndexSpec. */
+class SemIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Dim = 8
+  private val Eps = 0.99
+  private val NClusters = 4
+  private val MaxCluster = 200
+
+  /** Two tight direction groups plus isotropic noise; planted
+    * near-identical copies 100+i of i (cos ≈ 0.9999) CROSS the
+    * id-parity batch splits; 300 is a far blend that must never pair. */
+  private def corpus: Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(0xFEED)
+    def unit(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val base = (0 until 40).map(i =>
+      i.toLong -> unit(Array.fill(Dim)(rnd.nextGaussian())))
+    val near = (0 until 10).map { i =>
+      val p = new scala.util.Random(700 + i)
+      (100 + i).toLong -> unit(
+        base(i)._2.map(x => x.toDouble + 0.002 * p.nextGaussian()))
+    }
+    val far = {
+      val mix = base(0)._2.zip(base(1)._2).map { case (a, b) => (a + b).toDouble }
+      Seq(300L -> unit(mix))
+    }
+    base ++ near ++ far
+  }
+
+  private def vecsDf: DataFrame = corpus.toDF("id", "vec").repartition(4)
+
+  private def pairSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.select(col("id_a"), col("id_b"), col("cos"))
+      .as[(Long, Long, Double)].collect().toSet
+
+  private def buildOn(root: String): SnapshotStore = {
+    val store = new SnapshotStore(root, spark)
+    SemIndex.build(store, "t", vecsDf.limit(0), Dim, Eps, NClusters,
+      MaxCluster, seed = 42L, trainOn = Some(vecsDf))
+    store
+  }
+
+  private def committedTruth(store: SnapshotStore): Set[(Long, Long, Double)] = {
+    val centroids = VectorIndex.decodeMatrix(
+      store.latestMeta("t")("semdedup.centroids"))
+    pairSet(Similarity.semDedupPairs(
+      vecsDf.select(col("id").as("vid"), col("vec")), "vid", "vec",
+      dim = Dim, nClusters = NClusters, eps = Eps,
+      maxClusterSize = MaxCluster, centroidsOpt = Some(centroids)))
+  }
+
+  test("incremental appends equal batch semDedupPairs pair-for-pair") {
+    for (nBatches <- Seq(1, 2, 3)) {
+      val root = Files.createTempDirectory("graft-semidx").toString
+      val store = buildOn(root)
+      val want = committedTruth(store)
+      assert(want.size >= 10, "the 10 planted near-identical pairs must pair")
+      assert(!want.exists(p => p._1 == 300L || p._2 == 300L),
+        "far plant must not pair")
+      val parts = (0 until nBatches).map { i =>
+        SemIndex.appendBatchOnce(store, "t",
+          vecsDf.filter(col("id") % nBatches === i), "s", i.toLong).get
+      }
+      val got = parts.map(pairSet).reduce(_ ++ _)
+      assert(got == want, s"incremental != batch for $nBatches batches")
+      parts.foreach(_.unpersist(blocking = false))
+      assert(SemIndex.load(store, "t").count() == corpus.size)
+    }
+  }
+
+  test("zone-probe trickle path ≡ default probe; replay skipped") {
+    val rootA = Files.createTempDirectory("graft-semidxA").toString
+    val rootB = Files.createTempDirectory("graft-semidxB").toString
+    val (a, b) = (buildOn(rootA), buildOn(rootB))
+    val batch0 = vecsDf.filter(col("id") % 2 === 0)
+    val batch1 = vecsDf.filter(col("id") % 2 === 1)
+    def run(store: SnapshotStore, zp: Int): Set[(Long, Long, Double)] =
+      Seq(batch0, batch1).zipWithIndex.map { case (bt, i) =>
+        val p = SemIndex.appendBatchOnce(store, "t", bt, "s", i.toLong,
+          zoneProbeMaxClusters = zp).get
+        val ps = pairSet(p); p.unpersist(blocking = false); ps
+      }.reduce(_ ++ _)
+    assert(run(a, 0) === run(b, 64), "pruned probe must change nothing")
+    // replays are skipped exactly-once
+    assert(SemIndex.appendBatchOnce(a, "t", batch1, "s", 1L).isEmpty)
+    // a fresh stream id is independent
+    assert(SemIndex.appendBatchOnce(a, "t", vecsDf.limit(0), "s2", 0L).isDefined)
+  }
+
+  test("append before build throws; compact + vacuum keep contents") {
+    val store = new SnapshotStore(
+      Files.createTempDirectory("graft-semidx3").toString, spark)
+    intercept[IllegalStateException] {
+      SemIndex.appendBatchOnce(store, "t", vecsDf, "s", 0L)
+    }
+    val root2 = Files.createTempDirectory("graft-semidx4").toString
+    val s2 = buildOn(root2)
+    (0 until 3).foreach { i =>
+      SemIndex.appendBatchOnce(s2, "t",
+        vecsDf.filter(col("id") % 3 === i), "s", i.toLong)
+        .foreach(_.unpersist(blocking = false))
+    }
+    val n = SemIndex.load(s2, "t").count()
+    assert(SemIndex.compactIndex(s2, "t"))
+    SemIndex.vacuumIndex(s2, "t")
+    assert(SemIndex.load(s2, "t").count() === n, "fold preserves contents")
+    assert(!SemIndex.compactIndex(s2, "t") ||
+      SemIndex.load(s2, "t").count() === n, "second compact is idempotent")
+  }
+}
