@@ -549,6 +549,36 @@ object ScaleBench {
         pairs.unpersist(blocking = false)
         n
       },
+      // Incremental SemDeDup (SemIndex) — the FIFTH index's flagship
+      // pair: k-means build over the real 1024-cluster structure, then
+      // a 100k append. The zone-probe path collects the touched
+      // clusters once and swaps the gate semi-join for an exact isin +
+      // zone file pruning; a 100k batch touches ~all 1024 clusters, so
+      // the file-skip win is nil HERE (it belongs to genuinely small
+      // trickle batches) — what's measured is the probe machinery at
+      // full batch width. eps 0.999 isolates planted copies from the
+      // ~0.986 in-cluster background, as in semdedup_1m.
+      timed("sem_incr_build") {
+        graft.store.SemIndex.build(store, "vecs_sem",
+          embs.select(col("vec_id").as("id"), col("embedding").as("vec")),
+          dim = 64, eps = 0.999, nClusters = 1024, maxClusterSize = 20000)
+        nVecs
+      },
+      timed("sem_incr_append_100k") {
+        import spark.implicits._
+        val batch = spark.range(nVecs + 250000L, nVecs + 300000L, 1L, 16)
+          .map(id => genEmb(id.toLong)).toDF()
+          .unionByName(spark.range(0L, 50000L, 1L, 16)
+            .map(id => { val e = genEmb(id.toLong); e.copy(vec_id = id + 30000000L) })
+            .toDF())
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val pairs = graft.store.SemIndex.appendBatchOnce(
+          store, "vecs_sem", batch, "bench", 0L,
+          zoneProbeMaxClusters = 2048).get
+        val n = pairs.count()
+        pairs.unpersist(blocking = false)
+        n
+      },
       // COMPOSED dedup-on-ingest (CurationIngest): fingerprint gate →
       // minhash gate under one exactly-once protocol. The bootstrap is
       // the pair-free build of both indexes (fp over the corpus, band

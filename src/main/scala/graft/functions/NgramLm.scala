@@ -5,7 +5,8 @@ import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.plans.{BigramLogProbSum, WordNgramsAll}
+import graft.plans.{BigramLogProbSum, GramsInHashSetAll, WordNgramHashesAll,
+  WordNgramsAll}
 
 /** Statistical n-gram language-model quality filter — the CCNet stage
   * (Wenzek et al. 2020, arXiv:1911.00359: score each document with an
@@ -56,14 +57,43 @@ object NgramLm {
 
   /** Train a bigram model on `df(textCol)`: returns (gram, qlp) where
     * gram = "u v" (adjacent whitespace tokens) with occurrence count
-    * > minCount, and qlp = flog2(c(gram)) - flog2(c(u)). */
-  def train(df: DataFrame, textCol: String, minCount: Long = 1): DataFrame = {
+    * > minCount, and qlp = flog2(c(gram)) - flog2(c(u)).
+    *
+    * Two-phase counting (the [[SpanDedup]] protocol, occurrence
+    * flavor): phase 1 counts 8-byte window HASHES (zero string builds,
+    * zero-allocation scratch-buffer scan, map-side combined); only the
+    * candidates above minCount pull their gram STRINGS out
+    * ([[graft.plans.GramsInHashSetAll]]) for the exact occurrence
+    * recount — the string exchange carries candidate mass instead of
+    * every window in the corpus. A hash collision can only PROMOTE an
+    * innocent gram into the recount (its exact string count then
+    * decides), never drop a frequent one (a gram's hash count ≥ its
+    * true count). Above `candGate` candidates the direct string count
+    * runs instead — identical model, pinned by NgramLmSpec. */
+  def train(df: DataFrame, textCol: String, minCount: Long = 1,
+            candGate: Int = 4_000_000): DataFrame = {
     val toks = df.select(TextFunctions.tokens(col(textCol)).as("toks"))
-    val bc = toks.filter(size(col("toks")) >= 2)
+    val long = toks.filter(size(col("toks")) >= 2)
+    def stringCounted: DataFrame = long
       .select(explode(bridged(WordNgramsAll(
         GraftColumnBridge.expression(col("toks")), 2))).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("c"))
       .filter(col("c") > minCount)
+    val candRows = long
+      .select(explode(bridged(WordNgramHashesAll(
+        GraftColumnBridge.expression(col("toks")), 2))).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > minCount)
+      .select(col("h")).take(candGate + 1)
+    val bc =
+      if (candRows.length > candGate) stringCounted
+      else {
+        val set = candRows.map(_.getLong(0)).sorted
+        long.select(explode(bridged(GramsInHashSetAll(
+            GraftColumnBridge.expression(col("toks")), 2, set))).as("gram"))
+          .groupBy(col("gram")).agg(count(lit(1)).as("c"))
+          .filter(col("c") > minCount)
+      }
     // context counts: plain unigram occurrence totals (the standard
     // c(u) approximation; c("u v") <= c(u) keeps qlp <= 0)
     val uc = toks.select(explode(col("toks")).as("u"))

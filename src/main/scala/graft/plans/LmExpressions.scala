@@ -75,6 +75,105 @@ case class WordNgramsAll(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "word_ngrams_all"
 }
 
+/** ALL word n-gram window hashes, position order, WITH multiplicity —
+  * the occurrence-count sibling of [[WordShingleHashes]] (distinct,
+  * the df view), hashing with the same space-joined-bytes XXH64 recipe
+  * ([[SpanOps.hashWindow]], zero allocation per window) so values are
+  * bit-equal to hashing the [[WordNgramsAll]] strings. Fewer than n
+  * tokens → empty (occurrence counters want no short-doc shingle). */
+case class WordNgramHashesAll(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"ngram width must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_ngram_hashes_all needs array<string>, got ${other.simpleString}")
+    }
+
+  def compute(arr: ArrayData): GenericArrayData = {
+    val nTok = arr.numElements()
+    if (nTok < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nTok - n + 1)
+    var i = 0
+    while (i <= nTok - n) {
+      out(i) = SpanOps.hashWindow(arr, i, n)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordNgramHashesAll", this,
+      classOf[WordNgramHashesAll].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_ngram_hashes_all"
+}
+
+/** The n-gram STRINGS (position order, WITH multiplicity) of the
+  * windows whose hash lands in `hashes` (sorted ascending) — the
+  * occurrence-count sibling of [[GramsInHashSet]] (distinct, the df
+  * view): only candidate grams get their strings built, so the exact
+  * occurrence recount shuffles candidate-mass rows instead of the
+  * whole corpus's windows. A hash miss allocates nothing. */
+case class GramsInHashSetAll(child: Expression, n: Int, hashes: Array[Long])
+    extends UnaryExpression {
+
+  require(n >= 1, s"gram width must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"grams_in_hash_set_all needs array<string>, got ${other.simpleString}")
+    }
+
+  def compute(arr: ArrayData): GenericArrayData = {
+    val nTok = arr.numElements()
+    if (nTok < n || hashes.length == 0)
+      return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    while (i <= nTok - n) {
+      if (java.util.Arrays.binarySearch(hashes, SpanOps.hashWindow(arr, i, n)) >= 0)
+        out.add(SpanOps.gramString(arr, i, n))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramsInHashSetAll", this,
+      classOf[GramsInHashSetAll].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "grams_in_hash_set_all"
+}
+
 /** Sum of quantized bigram log-probabilities over the adjacent token
   * pairs of a token array: each pair probes the trained model —
   * `grams` sorted by UTF8String binary order, `qlp(i)` the quantized

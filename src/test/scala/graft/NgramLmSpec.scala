@@ -38,6 +38,25 @@ class NgramLmSpec extends SparkSpec {
     assert(m.keySet === Set("a b", "b c"))
   }
 
+  test("two-phase hash-candidate train ≡ direct string count") {
+    // candGate=0 forces the direct string path; default takes the
+    // hash-candidate path — same model either way, and again on the
+    // real sf corpus
+    for (mc <- Seq(0L, 1L)) {
+      val direct = NgramLm.train(train, "text", mc, candGate = 0)
+        .as[(String, Long)].collect().toMap
+      val twoPhase = NgramLm.train(train, "text", mc)
+        .as[(String, Long)].collect().toMap
+      assert(twoPhase === direct, s"minCount=$mc")
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = NgramLm.train(docs, "text", 1, candGate = 0)
+      .as[(String, Long)].collect().toMap
+    val b = NgramLm.train(docs, "text", 1)
+      .as[(String, Long)].collect().toMap
+    assert(a === b)
+  }
+
   private def scoreAll(modelGate: Int) = {
     val model = NgramLm.train(train, "text", minCount = 0)
     NgramLm.scoreDocs(apply_, "doc_id", "text", model,
