@@ -134,6 +134,7 @@ object SparkEntry {
     "dedup_simhash_incr_oracle" -> (ExtensionQueries.dedupSimhashIncrOracle _),
     "dedup_embed_incr_oracle" -> (ExtensionQueries.dedupEmbedIncrOracle _),
     "semdedup_incr_oracle" -> (ExtensionQueries.semDedupIncrOracle _),
+    "decon_fuzzy"         -> (ExtensionQueries.deconFuzzy _),
     "curate_ingest_oracle" -> (ExtensionQueries.curateIngestOracle _),
     "curate_lineage_oracle" -> (ExtensionQueries.curateLineageOracle _),
     "text_triage_oracle"  -> (ExtensionQueries.textTriageOracle _),
@@ -613,6 +614,12 @@ object SparkEntry {
         "SELECT v.vec_id, CAST(COALESCE(c.keep, v.vec_id) AS BIGINT) AS keep_id, " +
         "COALESCE(c.keep, v.vec_id) = v.vec_id AS kept " +
         "FROM v LEFT JOIN comp c ON v.vec_id = c.id"),
+    // Fuzzy decontamination: disjoint-id union (train 2k / bench 2k+1),
+    // the exact-Jaccard rule end-to-end (distinct 3-gram shingles,
+    // integer cross-multiplied threshold), cross-side pairs decoded
+    // back to (doc_id, bench_id) with the integer evidence.
+    "decon_fuzzy" ->
+      ("WITH u AS (SELECT doc_id * 2 AS jid, text AS t FROM documents UNION ALL SELECT (doc_id + 20000) * 2 AS jid, text || ' edited' AS t FROM documents WHERE doc_id % 23 = 0 UNION ALL SELECT doc_id * 2 + 1 AS jid, text AS t FROM documents WHERE doc_id % 23 = 0), d AS (SELECT jid, CASE WHEN length(regexp_replace(t, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] ELSE string_split_regex(regexp_replace(t, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM u), g AS (SELECT jid, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')] ELSE list_distinct(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS sh FROM d), s AS (SELECT jid, unnest(sh) AS sh FROM g), z AS (SELECT jid, len(sh) AS sz FROM g), p AS (SELECT a.jid AS id_a, b.jid AS id_b, count(*) AS inter FROM s a JOIN s b ON a.sh = b.sh AND a.jid < b.jid GROUP BY 1, 2), q AS (SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter_count, CAST(za.sz + zb.sz - inter AS BIGINT) AS union_count FROM p JOIN z za ON za.jid = p.id_a JOIN z zb ON zb.jid = p.id_b WHERE inter * 5 >= 4 * (za.sz + zb.sz - inter) AND (id_a % 2) != (id_b % 2)) SELECT CAST((CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END) // 2 AS BIGINT) AS doc_id, CAST((CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END) // 2 AS BIGINT) AS bench_id, inter_count, union_count FROM q"),
     // Incremental embed dedup: brute-force cosine truth over corpus ∪
     // batch, restricted to pairs TOUCHING the batch (b >= 300 suffices:
     // ids are ordered a < b and every batch id sorts after the corpus).

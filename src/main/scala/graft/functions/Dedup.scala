@@ -448,6 +448,43 @@ object Dedup {
     verified
   }
 
+  /** FUZZY benchmark decontamination: training documents whose n-gram
+    * Jaccard similarity to SOME benchmark document reaches τ — the
+    * near-verbatim leak detector. Exact-overlap counting
+    * ([[benchmarkOverlap]]) scores how many benchmark n-grams a doc
+    * contains; a lightly EDITED benchmark copy dilutes that count
+    * n-gram by n-gram, but its whole-document Jaccard decays slowly
+    * (one appended token costs ~n shingles), so the pair view catches
+    * it and names WHICH benchmark row leaked.
+    *
+    * Composition: the two sides union under disjoint ids (train id →
+    * 2·id, bench id → 2·id+1 — ids must fit 62 bits), the EXACT
+    * jaccard join runs once over the union, and only CROSS-side pairs
+    * survive. Within-side pairs are computed and discarded — the
+    * prefix-filter join cannot be told about sides without losing its
+    * theorem; in production the train-side pairs are the dedup result
+    * you want anyway, so run [[ngramJaccardPairs]] on the union and
+    * split by parity instead of paying twice.
+    *
+    * Returns (doc_id, bench_id, inter_count, union_count) — exact
+    * integers, full DuckDB oracle (`decon_fuzzy`). */
+  def benchmarkNearDups(train: DataFrame, bench: DataFrame,
+                        textCol: String, idCol: String,
+                        shingleN: Int = 3, tauNum: Int = 4, tauDen: Int = 5,
+                        maxCandidates: Long = 0L): DataFrame = {
+    val u = train.select((col(idCol) * 2).as("jid"), col(textCol))
+      .unionByName(bench.select((col(idCol) * 2 + 1).as("jid"), col(textCol)))
+    ngramJaccardPairs(u, textCol, "jid", shingleN, tauNum, tauDen,
+        maxCandidates)
+      .filter(col("id_a") % 2 =!= col("id_b") % 2)
+      .select(
+        shiftright(when(col("id_a") % 2 === 0, col("id_a"))
+          .otherwise(col("id_b")), 1).as("doc_id"),
+        shiftright(when(col("id_a") % 2 === 1, col("id_a"))
+          .otherwise(col("id_b")), 1).as("bench_id"),
+        col("inter_count"), col("union_count"))
+  }
+
   // ---- duplicate-cluster connected components -------------------------
 
   /** Connected components of an undirected pair graph — the step that

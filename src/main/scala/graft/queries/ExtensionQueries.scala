@@ -590,6 +590,25 @@ object ExtensionQueries {
     out
   }
 
+  /** FUZZY benchmark decontamination
+    * ([[graft.functions.Dedup.benchmarkNearDups]], τ = 4/5): the
+    * benchmark is the doc_id%23=0 hold-out; the training side RETAINS
+    * those rows (verbatim leaks, J = 1) and additionally plants
+    * EDITED copies at +20000 with one appended token (J = (m−2)/(m−1)
+    * for an m-token doc — high but < 1, the near-verbatim leak the
+    * exact-overlap counter under-scores). The oracle recomputes the
+    * disjoint-id union and the full exact-Jaccard rule in SQL and pins
+    * every (doc, bench, inter, union) evidence row. */
+  def deconFuzzy(s: SparkSession, d: String): DataFrame = {
+    val t = docs(s, d)
+    val bench = t.filter(col("doc_id") % 23 === 0)
+      .select(col("doc_id"), col("text"))
+    val train = t.select(col("doc_id"), col("text"))
+      .unionByName(bench.select((col("doc_id") + 20000).as("doc_id"),
+        concat(col("text"), lit(" edited")).as("text")))
+    Dedup.benchmarkNearDups(train, bench, "text", "doc_id")
+  }
+
   /** INCREMENTAL SemDeDup over the persistent cluster index
     * ([[graft.store.SemIndex]]) at exact settings — nClusters = 1 makes
     * in-cluster pairing exhaustive over the whole sub-corpus and
