@@ -135,6 +135,7 @@ object SparkEntry {
     "dedup_embed_incr_oracle" -> (ExtensionQueries.dedupEmbedIncrOracle _),
     "semdedup_incr_oracle" -> (ExtensionQueries.semDedupIncrOracle _),
     "decon_fuzzy"         -> (ExtensionQueries.deconFuzzy _),
+    "corpus_report"       -> (ExtensionQueries.corpusReport _),
     "curate_ingest_oracle" -> (ExtensionQueries.curateIngestOracle _),
     "curate_lineage_oracle" -> (ExtensionQueries.curateLineageOracle _),
     "text_triage_oracle"  -> (ExtensionQueries.textTriageOracle _),
@@ -614,6 +615,10 @@ object SparkEntry {
         "SELECT v.vec_id, CAST(COALESCE(c.keep, v.vec_id) AS BIGINT) AS keep_id, " +
         "COALESCE(c.keep, v.vec_id) = v.vec_id AS kept " +
         "FROM v LEFT JOIN comp c ON v.vec_id = c.id"),
+    // Corpus health report: same md5 exact-dup window + fused token
+    // count recomputed in SQL; every metric an exact integer.
+    "corpus_report" ->
+      ("WITH h AS (SELECT lang, source, text, len(CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] ELSE string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') END) AS ntok, count(*) OVER (PARTITION BY md5(text)) AS grp_n FROM documents) SELECT lang, source, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens, CAST(sum(length(text)) AS BIGINT) AS n_chars, CAST(sum(CASE WHEN ntok < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_short, CAST(sum(CASE WHEN grp_n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs FROM h GROUP BY 1, 2"),
     // Fuzzy decontamination: disjoint-id union (train 2k / bench 2k+1),
     // the exact-Jaccard rule end-to-end (distinct 3-gram shingles,
     // integer cross-multiplied threshold), cross-side pairs decoded

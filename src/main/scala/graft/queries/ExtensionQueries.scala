@@ -590,6 +590,27 @@ object ExtensionQueries {
     out
   }
 
+  /** Corpus health report — the per-(lang, source) accounting table a
+    * curation run starts and ends with: docs, tokens, chars, short-doc
+    * and exact-duplicate counts, all exact integers. One md5-keyed
+    * exchange (the exact-dup detection pass any dedup run pays anyway)
+    * plus one group aggregate; token/char counters are fused byte
+    * scans, so the whole report is two exchanges at any corpus size. */
+  def corpusReport(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col("text")))
+    docs(s, d)
+      .withColumn("grp_n", count(lit(1)).over(w))
+      .withColumn("ntok", TF.tokenCount(col("text")))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        sum(length(col("text"))).cast("long").as("n_chars"),
+        sum(when(col("ntok") < 5, 1L).otherwise(0L)).as("n_short"),
+        sum(when(col("grp_n") >= 2, 1L).otherwise(0L)).as("n_dup_docs"))
+  }
+
   /** FUZZY benchmark decontamination
     * ([[graft.functions.Dedup.benchmarkNearDups]], τ = 4/5): the
     * benchmark is the doc_id%23=0 hold-out; the training side RETAINS

@@ -136,11 +136,13 @@ object SemIndex {
             else Some(t.map(_.getLong(0)).toSeq)
           }
         val idxRows = touched match {
-          case Some(ids) =>
+          // empty batch → no touched clusters → no pairs either way;
+          // keep the plain load rather than hand LongIn an empty set
+          case Some(ids) if ids.nonEmpty =>
             chain.loadPruned(store, table, v, meta,
                 Seq(ZoneMap.LongIn("cluster_id", ids)))
               .filter(col("cluster_id").isin(ids: _*))
-          case None => chain.load(store, table, v, meta)
+          case _ => chain.load(store, table, v, meta)
         }
         result = Some(pairsVsIndex(
           idxRows, enc, nBatch, touched.isDefined,
