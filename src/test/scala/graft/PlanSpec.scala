@@ -267,6 +267,37 @@ class PlanSpec extends SparkSpec {
       s"vector scoring projection fell out of codegen:\n$s")
   }
 
+  test("native scoring expressions stay inside whole-stage codegen") {
+    // BigramLogProbSum / BucketWeightSum / DropSpansInSet implement
+    // doGenCode, so the per-row scoring/rewrite projections — the hot
+    // scans of the LM, DSIR, and span-dedup stages — must sit inside a
+    // codegen span, not fall back and break the scan pipeline.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.unsafe.types.UTF8String
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val g = Array(UTF8String.fromString("a b"))
+    val scored = docs.select(
+      col("doc_id"),
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.plans.BigramLogProbSum(
+          org.apache.spark.sql.GraftColumnBridge.resolvedExpression(toks),
+          g, Array(-1L), -10L)).as("lm"),
+      graft.plans.TextExpressions.bucketWeightSum(
+        toks, (0 until 16).map(_.toLong)).as("ds"),
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.plans.DropSpansInSet(
+          org.apache.spark.sql.GraftColumnBridge.resolvedExpression(toks),
+          2, g)).as("sp"))
+    scored.collect()
+    val s = executed(scored).toString
+    val projLine = s.linesIterator.find(l =>
+      l.contains("bigram_logprob_sum") || l.contains("BigramLogProbSum"))
+      .getOrElse(s.linesIterator.find(_.contains("Project")).getOrElse(""))
+    assert(projLine.trim.startsWith("*") || projLine.contains("*("),
+      s"scoring projection fell out of codegen:\n$s")
+  }
+
   test("funnel: one event-volume shuffle, chained windows share sort + partitioning") {
     val df = graft.queries.EventQueries.funnel(spark, sfDir)
     df.collect()
