@@ -467,15 +467,19 @@ object Dedup {
     * split by parity instead of paying twice.
     *
     * Returns (doc_id, bench_id, inter_count, union_count) — exact
-    * integers, full DuckDB oracle (`decon_fuzzy`). */
+    * integers, full DuckDB oracle (`decon_fuzzy`). EAGER like the
+    * other pair generators (persisted + materialized — the caller
+    * owns it; the inner jaccard cache is released here, so the
+    * derived result must not stay lazy over it). */
   def benchmarkNearDups(train: DataFrame, bench: DataFrame,
                         textCol: String, idCol: String,
                         shingleN: Int = 3, tauNum: Int = 4, tauDen: Int = 5,
                         maxCandidates: Long = 0L): DataFrame = {
     val u = train.select((col(idCol) * 2).as("jid"), col(textCol))
       .unionByName(bench.select((col(idCol) * 2 + 1).as("jid"), col(textCol)))
-    ngramJaccardPairs(u, textCol, "jid", shingleN, tauNum, tauDen,
-        maxCandidates)
+    val pairs = ngramJaccardPairs(u, textCol, "jid", shingleN, tauNum, tauDen,
+      maxCandidates)
+    val out = pairs
       .filter(col("id_a") % 2 =!= col("id_b") % 2)
       .select(
         shiftright(when(col("id_a") % 2 === 0, col("id_a"))
@@ -483,6 +487,10 @@ object Dedup {
         shiftright(when(col("id_a") % 2 === 1, col("id_a"))
           .otherwise(col("id_b")), 1).as("bench_id"),
         col("inter_count"), col("union_count"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    pairs.unpersist(blocking = false)
+    out
   }
 
   // ---- duplicate-cluster connected components -------------------------
