@@ -136,6 +136,7 @@ object SparkEntry {
     "semdedup_incr_oracle" -> (ExtensionQueries.semDedupIncrOracle _),
     "decon_fuzzy"         -> (ExtensionQueries.deconFuzzy _),
     "corpus_report"       -> (ExtensionQueries.corpusReport _),
+    "mix_epochs"          -> ((sp, dd) => ExtensionQueries.mixEpochs(sp, dd)),
     "curate_ingest_oracle" -> (ExtensionQueries.curateIngestOracle _),
     "curate_lineage_oracle" -> (ExtensionQueries.curateLineageOracle _),
     "text_triage_oracle"  -> (ExtensionQueries.textTriageOracle _),
@@ -615,6 +616,10 @@ object SparkEntry {
         "SELECT v.vec_id, CAST(COALESCE(c.keep, v.vec_id) AS BIGINT) AS keep_id, " +
         "COALESCE(c.keep, v.vec_id) = v.vec_id AS kept " +
         "FROM v LEFT JOIN comp c ON v.vec_id = c.id"),
+    // Epoch-mixing materializer: parity-capped integer epochs per lang
+    // (exact ceil-div), each doc replicated epoch 1..epochs(lang).
+    "mix_epochs" ->
+      ("WITH g AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1), m AS (SELECT max(n_docs) AS max_docs FROM g), e AS (SELECT lang, least(4, (max_docs + n_docs - 1) // n_docs) AS epochs FROM g, m) SELECT doc_id, lang, CAST(x AS BIGINT) AS epoch FROM (SELECT d.doc_id, d.lang, unnest(range(1, e.epochs + 1)) AS x FROM documents d JOIN e USING (lang))"),
     // Corpus health report: same md5 exact-dup window + fused token
     // count recomputed in SQL; every metric an exact integer.
     "corpus_report" ->

@@ -189,6 +189,24 @@ object ExtensionQueries {
           .cast("long").as("quota_100k"))
   }
 
+  /** The UPSAMPLING side of a data recipe, materialized: low-resource
+    * groups repeat for multiple training epochs while the head group
+    * runs once (the "N epochs of wiki" recipe line). Integer end to
+    * end: epochs(lang) = least(maxEpochs, ceil(max_docs / n_docs)) via
+    * the exact DIV ceil-div — no float weights anywhere — and the
+    * materialization is one broadcast join + a row-local sequence
+    * explode, so the output is produced at scan speed at any corpus
+    * size. Emits (doc_id, lang, epoch 1..epochs(lang)). */
+  def mixEpochs(s: SparkSession, d: String, maxEpochs: Int = 4): DataFrame = {
+    val g = docs(s, d).groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val e = g.crossJoin(broadcast(g.agg(max(col("n_docs")).as("max_docs"))))
+      .select(col("lang"), least(lit(maxEpochs.toLong),
+        expr("(max_docs + n_docs - 1) DIV n_docs")).as("epochs"))
+    docs(s, d).join(broadcast(e), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), col("epochs"))).as("epoch"))
+  }
+
   /** The temperature policy MATERIALIZED as an actual sample:
     * [[mixTemperature]] computes per-language quotas; this op applies
     * them as a deterministic hash sample — keep a doc iff
