@@ -260,6 +260,29 @@ object ScaleBench {
           docs.filter(col("doc_id") % 4999 === 0),
           "text", "doc_id", n = 5).count()
       },
+      // Fuzzy decon at corpus scale: exact Jaccard of 5M train docs vs
+      // a ~1k-doc benchmark under the disjoint-id union — the jaccard
+      // join's prefix filter keeps candidates duplicated-postings-sized
+      // exactly as in dedup_jaccard_pairs; the planted exact-dup groups
+      // that straddle the % split surface as cross-side leaks.
+      timed("decon_fuzzy_5m") {
+        val t = docs.select(col("doc_id"), col("text"))
+        val out = Dedup.benchmarkNearDups(
+          t.filter(col("doc_id") % 4999 =!= 0),
+          t.filter(col("doc_id") % 4999 === 0),
+          "text", "doc_id")
+        val n = out.count()
+        out.unpersist(blocking = false)
+        n
+      },
+      // Two-exchange corpus accounting at 5M docs (md5 dup window +
+      // group agg, fused token counters).
+      timed("corpus_report_5m") {
+        graft.queries.ExtensionQueries.corpusReport(spark, dir)
+          .agg(sum(col("n_docs")), sum(col("n_tokens")),
+            sum(col("n_dup_docs"))).collect()
+        nDocs
+      },
       timed("curate_docs") {
         graft.queries.ExtensionQueries.curateDocs(spark, dir)
           .agg(sum(col("total_tokens"))).collect()
