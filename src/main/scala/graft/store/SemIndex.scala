@@ -144,8 +144,12 @@ object SemIndex {
               .filter(col("cluster_id").isin(ids: _*))
           case _ => chain.load(store, table, v, meta)
         }
+        // preFiltered only when the probe actually restricted the load:
+        // an EMPTY batch yields touched=Some(Nil) but falls to the plain
+        // chain.load above — flagging that as pre-filtered would skip
+        // the gating semi-join and pair the whole index for nothing.
         result = Some(pairsVsIndex(
-          idxRows, enc, nBatch, touched.isDefined,
+          idxRows, enc, nBatch, touched.exists(_.nonEmpty),
           req("eps").toDouble, req("maxClusterSize").toInt,
           broadcastKeyLimit))
         Right(chain.next(store, table, v, meta, enc, compactEvery,
