@@ -337,7 +337,35 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleN: Int = 3,
                         tauNum: Int = 4, tauDen: Int = 5,
-                        maxCandidates: Long = 0L): DataFrame = {
+                        maxCandidates: Long = 0L): DataFrame =
+    jaccardPairsImpl(df, textCol, idCol, shingleN, tauNum, tauDen,
+      maxCandidates, anchorOddSide = false)
+
+  /** Shared prefix-filter jaccard core. `anchorOddSide = false` is the
+    * full self-join ([[ngramJaccardPairs]]); `true` is the CROSS-side
+    * variant [[benchmarkNearDups]] uses: ids carry a parity side tag
+    * (even = probe/train, odd = anchor/benchmark) and the candidate
+    * join pairs probe prefixes against ANCHOR prefixes only.
+    *
+    * Restricting the candidate sides preserves exact recall for cross
+    * pairs because the prefix-filter theorem is PER-PAIR: a pair with
+    * J ≥ τ shares an element inside both prefixes under any fixed
+    * global order, regardless of what other documents exist. The df
+    * order is still computed over the full input (one consistent total
+    * order for both sides — and a shared element of a cross pair has
+    * df ≥ 2 in the union by definition), so the anchored join sees
+    * exactly the cross-side subset of the self-join's candidates; the
+    * within-side candidates it no longer generates could only have been
+    * discarded downstream. With a small anchor side (a benchmark suite
+    * vs a training corpus) the anchor prefix frame is broadcast-sized
+    * and the candidate phase degenerates to a probe of train prefixes
+    * against benchmark prefix hashes — candidate count, verify fan-out,
+    * and the output-quadratic failure mode all scale with the CROSS
+    * structure, never with train–train duplication. */
+  private def jaccardPairsImpl(df: DataFrame, textCol: String, idCol: String,
+                               shingleN: Int, tauNum: Int, tauDen: Int,
+                               maxCandidates: Long,
+                               anchorOddSide: Boolean): DataFrame = {
     require(tauNum > 0 && tauNum <= tauDen, s"need 0 < tau <= 1, got $tauNum/$tauDen")
     import org.apache.spark.sql.expressions.Window
 
@@ -395,14 +423,27 @@ object Dedup {
       .filter(col("sz") - col("ndup") + col("rn") <= prefixLen)
       .select(col("h"), col("id"), col("sz"))
 
-    // Candidate pairs: prefix-prefix equi-join on the duplicated hashes,
-    // ordered ids, size-compatibility pruning (J ≥ τ ⇒ τ·max ≤ min).
-    val a = prefix.select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
-    val b = prefix.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b"))
-    val candidates = a.join(b, Seq("h"))
-      .filter(col("id_a") < col("id_b") &&
-        lit(tauNum) * greatest(col("sz_a"), col("sz_b")) <=
-          lit(tauDen) * least(col("sz_a"), col("sz_b")))
+    // Candidate pairs: prefix-prefix equi-join on the duplicated hashes
+    // with size-compatibility pruning (J ≥ τ ⇒ τ·max ≤ min). Self-join
+    // mode orders the ids for a canonical pair; anchored mode joins the
+    // even-id (probe) prefixes against the odd-id (anchor) prefixes —
+    // sides are disjoint, so (id_a, id_b) is already canonical and
+    // within-side pairs are never generated at all.
+    val sizeCompat = lit(tauNum) * greatest(col("sz_a"), col("sz_b")) <=
+      lit(tauDen) * least(col("sz_a"), col("sz_b"))
+    val rawCand =
+      if (anchorOddSide) {
+        val probe = prefix.filter(col("id") % 2 === 0)
+          .select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
+        val anchor = prefix.filter(col("id") % 2 === 1)
+          .select(col("h"), col("id").as("id_b"), col("sz").as("sz_b"))
+        probe.join(anchor, Seq("h")).filter(sizeCompat)
+      } else {
+        val a = prefix.select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
+        val b = prefix.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b"))
+        a.join(b, Seq("h")).filter(col("id_a") < col("id_b") && sizeCompat)
+      }
+    val candidates = rawCand
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .persist(StorageLevel.MEMORY_AND_DISK) // candidate-sized, read 3×
@@ -458,13 +499,27 @@ object Dedup {
     * it and names WHICH benchmark row leaked.
     *
     * Composition: the two sides union under disjoint ids (train id →
-    * 2·id, bench id → 2·id+1 — ids must fit 62 bits), the EXACT
-    * jaccard join runs once over the union, and only CROSS-side pairs
-    * survive. Within-side pairs are computed and discarded — the
-    * prefix-filter join cannot be told about sides without losing its
-    * theorem; in production the train-side pairs are the dedup result
-    * you want anyway, so run [[ngramJaccardPairs]] on the union and
-    * split by parity instead of paying twice.
+    * 2·id, bench id → 2·id+1 — ids must fit 62 bits) so the shingle df
+    * order is computed ONCE over both sides, and the candidate join is
+    * BENCHMARK-ANCHORED ([[jaccardPairsImpl]] `anchorOddSide`): train
+    * prefixes probe against benchmark prefixes only. The prefix-filter
+    * theorem is per-pair, so the anchored join keeps exact recall for
+    * every cross-side pair while never generating a train–train (or
+    * bench–bench) candidate — with a realistic benchmark (thousands of
+    * rows vs millions of training docs) the candidate phase is a
+    * broadcast probe of train prefixes against bench prefix hashes,
+    * and decon cost scales with the LEAK structure, not with how
+    * duplicated the training corpus happens to be.
+    *
+    * `maxCandidates` defaults to 50M — NON-zero, unlike the raw pair
+    * join: decon runs unattended on every production ingest batch, and
+    * a benchmark that turns out to be boilerplate-similar to a big
+    * slice of the corpus must abort loudly BEFORE the verify fan-out,
+    * not run an unbounded quadratic job. 50M candidate pairs is ~100×
+    * a plausible true-leak count for a 10⁴-row benchmark and a few GB
+    * of candidate cache — generous for any sane run, tiny next to the
+    * job it prevents; raise it deliberately if a legitimate corpus
+    * trips it.
     *
     * Returns (doc_id, bench_id, inter_count, union_count) — exact
     * integers, full DuckDB oracle (`decon_fuzzy`). EAGER like the
@@ -474,18 +529,17 @@ object Dedup {
   def benchmarkNearDups(train: DataFrame, bench: DataFrame,
                         textCol: String, idCol: String,
                         shingleN: Int = 3, tauNum: Int = 4, tauDen: Int = 5,
-                        maxCandidates: Long = 0L): DataFrame = {
+                        maxCandidates: Long = 50000000L): DataFrame = {
     val u = train.select((col(idCol) * 2).as("jid"), col(textCol))
       .unionByName(bench.select((col(idCol) * 2 + 1).as("jid"), col(textCol)))
-    val pairs = ngramJaccardPairs(u, textCol, "jid", shingleN, tauNum, tauDen,
-      maxCandidates)
+    val pairs = jaccardPairsImpl(u, textCol, "jid", shingleN, tauNum, tauDen,
+      maxCandidates, anchorOddSide = true)
+    // anchored sides are disjoint by construction: id_a is always the
+    // even (train) member, id_b the odd (bench) member
     val out = pairs
-      .filter(col("id_a") % 2 =!= col("id_b") % 2)
       .select(
-        shiftright(when(col("id_a") % 2 === 0, col("id_a"))
-          .otherwise(col("id_b")), 1).as("doc_id"),
-        shiftright(when(col("id_a") % 2 === 1, col("id_a"))
-          .otherwise(col("id_b")), 1).as("bench_id"),
+        shiftright(col("id_a"), 1).as("doc_id"),
+        shiftright(col("id_b"), 1).as("bench_id"),
         col("inter_count"), col("union_count"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     out.count()

@@ -135,29 +135,55 @@ object SemIndex {
             if (t.length > zoneProbeMaxClusters) None
             else Some(t.map(_.getLong(0)).toSeq)
           }
-        val idxRows = touched match {
-          // empty batch → no touched clusters → no pairs either way;
-          // keep the plain load rather than hand LongIn an empty set
-          case Some(ids) if ids.nonEmpty =>
-            chain.loadPruned(store, table, v, meta,
-                Seq(ZoneMap.LongIn("cluster_id", ids)))
-              .filter(col("cluster_id").isin(ids: _*))
-          case _ => chain.load(store, table, v, meta)
+        if (nBatch == 0L || touched.exists(_.isEmpty)) {
+          // EMPTY batch (known from the count, the hint, or a probe
+          // that returned zero touched clusters): no pair can involve
+          // it, so skip the index load and the whole pairsVsIndex
+          // persist/count pipeline — but still commit the (empty)
+          // delta so the batch-id watermark advances exactly-once.
+          // Before r12 this case mis-flagged the probe result as
+          // pre-filtered and SELF-PAIRED THE FULL INDEX (SemIndexSpec
+          // pins both the output and the no-index-scan plan shape).
+          result = Some(emptyPairs(enc))
+          Right(chain.next(store, table, v, meta, enc, compactEvery,
+            Map(key -> batchId.toString)))
+        } else {
+          val idxRows = touched match {
+            case Some(ids) if ids.nonEmpty =>
+              chain.loadPruned(store, table, v, meta,
+                  Seq(ZoneMap.LongIn("cluster_id", ids)))
+                .filter(col("cluster_id").isin(ids: _*))
+            case _ => chain.load(store, table, v, meta)
+          }
+          // preFiltered only when the probe actually restricted the
+          // load — a None probe (disabled, or too many clusters to
+          // collect) keeps the gating semi-join.
+          result = Some(pairsVsIndex(
+            idxRows, enc, nBatch, touched.exists(_.nonEmpty),
+            req("eps").toDouble, req("maxClusterSize").toInt,
+            broadcastKeyLimit))
+          Right(chain.next(store, table, v, meta, enc, compactEvery,
+            Map(key -> batchId.toString)))
         }
-        // preFiltered only when the probe actually restricted the load:
-        // an EMPTY batch yields touched=Some(Nil) but falls to the plain
-        // chain.load above — flagging that as pre-filtered would skip
-        // the gating semi-join and pair the whole index for nothing.
-        result = Some(pairsVsIndex(
-          idxRows, enc, nBatch, touched.exists(_.nonEmpty),
-          req("eps").toDouble, req("maxClusterSize").toInt,
-          broadcastKeyLimit))
-        Right(chain.next(store, table, v, meta, enc, compactEvery,
-          Map(key -> batchId.toString)))
       }
     }
     if (enc != null) enc.unpersist(blocking = false)
     result
+  }
+
+  /** The typed empty (id_a, id_b, cos) result under the EAGER contract
+    * (persisted + counted — the caller unpersists like any other pair
+    * set). Derived from the batch encoding only: its plan must never
+    * reference the index table, which is what lets the empty-batch
+    * regression spec assert the short-circuit by plan shape. */
+  private def emptyPairs(batchEnc: DataFrame): DataFrame = {
+    val e = batchEnc
+      .select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0.0d).as("cos"))
+      .limit(0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    e
   }
 
   /** Pairs of `batchEnc` against `idx` ∪ itself: the corpus enters

@@ -30,6 +30,68 @@ class DeconFuzzySpec extends SparkSpec {
     assert(out === Set((1L, 10L, 6L, 6L), (2L, 10L, 6L, 7L)))
   }
 
+  test("anchored candidates ≡ full self-join + parity split (r11 #1)") {
+    // The pre-r13 formulation: full ngramJaccardPairs over the parity
+    // union, cross-side pairs kept by an OUTPUT filter. The anchored
+    // candidate join must produce the identical evidence set on a
+    // corpus that has in-train dups, in-bench dups, AND cross leaks —
+    // the within-side pairs the old path computed and discarded.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 1500)
+    val bench = docs.filter(col("doc_id") % 23 === 0)
+      .select(col("doc_id"), col("text"))
+      // planted in-bench near-dup pair (must not surface)
+      .unionByName(bench0Planted(docs))
+    val train = docs.select(col("doc_id"), col("text"))
+      .unionByName(bench.select((col("doc_id") + 20000).as("doc_id"),
+        concat(col("text"), lit(" edited")).as("text")))
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+    val old = {
+      val u = train.select((col("doc_id") * 2).as("jid"), col("text"))
+        .unionByName(bench.select((col("doc_id") * 2 + 1).as("jid"), col("text")))
+      val pairs = Dedup.ngramJaccardPairs(u, "text", "jid")
+      val o = pairs.filter(col("id_a") % 2 =!= col("id_b") % 2)
+        .select(
+          shiftright(when(col("id_a") % 2 === 0, col("id_a"))
+            .otherwise(col("id_b")), 1).as("doc_id"),
+          shiftright(when(col("id_a") % 2 === 1, col("id_a"))
+            .otherwise(col("id_b")), 1).as("bench_id"),
+          col("inter_count"), col("union_count"))
+      val s = pairSet(o)
+      pairs.unpersist(blocking = false)
+      s
+    }
+    val anchored = Dedup.benchmarkNearDups(train, bench, "text", "doc_id")
+    try assert(pairSet(anchored) === old,
+      "anchored candidate join must be output-identical to the self-join")
+    finally anchored.unpersist(blocking = false)
+    assert(old.nonEmpty, "the corpus must actually contain cross leaks")
+  }
+
+  /** A near-dup PAIR living entirely inside the benchmark side. */
+  private def bench0Planted(docs: org.apache.spark.sql.DataFrame) = {
+    val d0 = docs.filter(col("doc_id") === 0)
+    d0.select((col("doc_id") + 31000).as("doc_id"), col("text"))
+      .unionByName(d0.select((col("doc_id") + 31001).as("doc_id"),
+        concat(col("text"), lit(" z")).as("text")))
+  }
+
+  test("maxCandidates budget aborts a dup-heavy decon before verify") {
+    // Boilerplate corpus: every train doc is a candidate for every
+    // bench doc, so the cross candidate count (10 × 5 = 50) blows a
+    // tiny budget — production decon (non-zero default) must abort
+    // loudly instead of fanning out the verify join.
+    val text = "the same boilerplate sentence repeated across the corpus"
+    val train = (1L to 10L).map(i => (i, text)).toDF("id", "text")
+    val bench = (1L to 5L).map(i => (i, text)).toDF("id", "text")
+    val e = intercept[IllegalStateException] {
+      Dedup.benchmarkNearDups(train, bench, "text", "id", maxCandidates = 10L)
+    }
+    assert(e.getMessage.contains("maxCandidates"))
+  }
+
   test("registered decon_fuzzy: every hold-out row leaks twice") {
     val out = ExtensionQueries.deconFuzzy(spark, sfDir).persist()
     try {

@@ -104,6 +104,41 @@ class SemIndexSpec extends SparkSpec {
     assert(SemIndex.appendBatchOnce(a, "t", vecsDf.limit(0), "s2", 0L).isDefined)
   }
 
+  test("empty batch + zone probe: no pairs, NO index scan, watermark advances") {
+    // r12 regression pin: an empty append batch with the zone probe
+    // enabled used to flag preFiltered=true (probe → Some(Nil)) and
+    // SELF-PAIR THE WHOLE INDEX (the r11 guard at b8a1b02 missed the
+    // Some(Nil) case). The fixed contract is stronger than "empty
+    // output": the append must short-circuit before the index is even
+    // loaded, so the returned frame's lineage may not reference the
+    // store root at all — a reintroduced full-index pairing (or a
+    // needless chain.load) fails the plan assertion below.
+    val root = Files.createTempDirectory("graft-semidx-empty").toString
+    val store = buildOn(root)
+    SemIndex.appendBatchOnce(store, "t", vecsDf, "s", 0L)
+      .foreach(_.unpersist(blocking = false)) // populate the index
+    val p = SemIndex.appendBatchOnce(store, "t", vecsDf.limit(0), "s", 1L,
+      zoneProbeMaxClusters = 64).get
+    try {
+      assert(p.count() === 0L, "an empty batch can produce no pairs")
+      val lineage = p.queryExecution.analyzed.toString
+      assert(!lineage.contains(root),
+        s"empty-batch append must not load the index:\n$lineage")
+    } finally p.unpersist(blocking = false)
+    // the empty delta still advanced the exactly-once watermark
+    assert(SemIndex.appendBatchOnce(store, "t", vecsDf.limit(0), "s", 1L,
+      zoneProbeMaxClusters = 64).isEmpty, "replay must be skipped")
+    assert(SemIndex.load(store, "t").count() === corpus.size)
+    // and the index remains fully usable: a fresh near-identical vector
+    // appended afterwards pairs against its planted original
+    val fresh = Seq((500L, corpus.toMap.apply(5L))).toDF("id", "vec")
+    val p2 = SemIndex.appendBatchOnce(store, "t", fresh, "s", 2L,
+      zoneProbeMaxClusters = 64).get
+    try assert(pairSet(p2).exists(t => t._1 == 5L && t._2 == 500L),
+      "post-empty append must still pair against the index")
+    finally p2.unpersist(blocking = false)
+  }
+
   test("append before build throws; compact + vacuum keep contents") {
     val store = new SnapshotStore(
       Files.createTempDirectory("graft-semidx3").toString, spark)
