@@ -36,6 +36,29 @@ object Bench {
     "quality_lm_stored",   // store-roundtrip twin of quality_lm
     "semdedup_oracle")     // exact-settings twin of sem_dedup
 
+  /** Queries deliberately kept OUT of the final-line headline — the
+    * DOCUMENTED FIXED SUBSET rule (r12 verdict #7): the suite outgrew
+    * the 1880-char stdout-tail budget in r11/r12 and the cheapest-first
+    * spill silently demoted DIFFERENT entries each round, breaking the
+    * judge's round-over-round headline diff. Membership here is static:
+    * trivial single-operator relational paths (sub-second, plan-pinned
+    * by PlanSpec, never the subject of a perf adjudication). Their
+    * timings still stream on the per-query `BENCH q=` lines and live in
+    * BENCH_FULL.json every round. The emergency spill loop below stays
+    * as a backstop but is expected NEVER to fire — the fixed subset is
+    * sized for ≥5% headroom (measured 10.7% at r13) and a fired
+    * backstop prints loudly. */
+  private val headlineDemoted: Set[String] = Set(
+    "p1_filter", "p2_project", "p3_streq", "p4_point", "p5_conj",
+    "p6_like", "p7_semi",
+    "a1_minmaxcount", "a3_coalescemax", "a6_groupcount2", "a6_pivot",
+    "a7_groupsum", "a8_rollup",
+    "o3_topk", "s6_page", "w1_rownumber", "w2_runningsum", "w3_topkgroup",
+    "f7_dategroup", "j2_inner",
+    "m1_nextkey", "m3_update", "m5_delete", "m8_distinct",
+    "q1_pricing", "q3_revenue",
+    "events_distinct", "events_typestats", "sql_joinagg", "sql_textfns")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
@@ -140,10 +163,15 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","qunit":"ms","queries":$m,"sf":"$sfLabel"}"""
     }
-    var head = results.filterNot(r => redundantTwins(r._1))
+    var head = results.filterNot(r =>
+      redundantTwins(r._1) || headlineDemoted(r._1))
       .map(r => (r._1, r._2))
+    println(s"BENCH headline_len=${headline(head).length} budget=1880 " +
+      s"entries=${head.size} demoted=${headlineDemoted.size} " +
+      s"twins=${redundantTwins.size}")
     val spilled = scala.collection.mutable.ArrayBuffer.empty[String]
-    // drop cheapest-first: the expensive paths are what adjudication needs
+    // emergency backstop only — the fixed demoted subset above is sized
+    // so this never fires; if it does, it is loud
     while (headline(head).length > 1880 && head.nonEmpty) {
       val victim = head.filter(_._2 >= 0).sortBy(r => (r._2, r._1))
         .headOption.getOrElse(head.head)

@@ -224,6 +224,11 @@ object ScaleBench {
     val storeDir = s"$dir/store-${System.currentTimeMillis()}"
     val store = new SnapshotStore(storeDir, spark)
 
+    // trained once by sim_ivf_train / sim_pq_train, served by the
+    // *_query split entries (r11 verdict #6)
+    var ivfCentroids: Option[Seq[Seq[Double]]] = None
+    var pqCodebooks: Option[Seq[Seq[Seq[Double]]]] = None
+
     val results = Seq(
       // aggregates FORCE the per-row expressions (a bare count() would let
       // Spark prune the projection and time only the scan)
@@ -773,6 +778,23 @@ object ScaleBench {
         graft.store.TextIndex.query(store, "docs_bm25",
           shortQueries(docs), "query_id", "qtext", k = 10).count()
       },
+      // MaxScore-bounded EXACT probe (r12 verdict #4): per-term score
+      // ceilings (harvested by the champion refresh above) + the
+      // champion top-k floor split each query's terms; only essential
+      // terms' postings are read in full, the common-term lists arrive
+      // candidate-restricted. Same answers as bm25_index_query /
+      // bm25_exact_query_short — the delta is pure pruning. Depends on
+      // bm25_champ_refresh — filter with "bm25", not "bm25_maxscore".
+      timed("bm25_maxscore_query") {
+        val qs = docs.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+        graft.store.TextIndex.queryMaxScore(store, "docs_bm25",
+          qs, "query_id", "qtext", k = 10).count()
+      },
+      timed("bm25_maxscore_query_short") {
+        graft.store.TextIndex.queryMaxScore(store, "docs_bm25",
+          shortQueries(docs), "query_id", "qtext", k = 10).count()
+      },
       // Approximation honesty: champion top-10 overlap vs the exact
       // index path on the same short queries, in percent (like
       // ann_recall_pct). m=1024 on 5M docs is the production shape.
@@ -907,6 +929,34 @@ object ScaleBench {
         Similarity.ivfPqTopK(embs, "vec_id", "embedding",
           queries, "query_id", "qvec", dim = Dim, k = 10,
           nLists = 1024, nProbe = 16, kCodes = 256, refine = 128).count()
+      },
+      // Trainer-vs-query split (r11 verdict #6): the one-shot entries
+      // above conflate k-means training with serving, so their numbers
+      // overstate the per-batch cost of an amortized deployment (the
+      // VectorIndex path already measures the persistent variant; these
+      // pin the in-memory one). Train once, stash, serve with the
+      // committed models. Depends on the vars below — filter "sim_".
+      timed("sim_ivf_train") {
+        ivfCentroids = Some(Similarity.trainIvfCentroids(
+          embs, "embedding", nLists = 1024))
+        1024L
+      },
+      timed("sim_pq_train") {
+        pqCodebooks = Some(Similarity.trainPqCodebooks(
+          embs, "embedding", dim = Dim, m = 16, k = 256,
+          residualOf = ivfCentroids))
+        256L
+      },
+      timed("sim_ivf_query") {
+        Similarity.ivfTopK(embs, "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 10, nLists = 1024, nProbe = 16,
+          centroidsOpt = ivfCentroids).count()
+      },
+      timed("sim_ivfpq_query") {
+        Similarity.ivfPqTopK(embs, "vec_id", "embedding",
+          queries, "query_id", "qvec", dim = Dim, k = 10,
+          nLists = 1024, nProbe = 16, kCodes = 256, refine = 128,
+          centroidsOpt = ivfCentroids, codebooksOpt = pqCodebooks).count()
       },
       // Recall@10 vs exact brute force at the full 1M — the accuracy half
       // of the ANN story (speed alone is meaningless if the probes miss).

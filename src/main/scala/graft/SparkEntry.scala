@@ -112,6 +112,7 @@ object SparkEntry {
     "retrieve_bm25_oracle" -> (ExtensionQueries.retrieveBm25Oracle _),
     "retrieve_bm25_indexed" -> ((s, d) => ExtensionQueries.retrieveBm25Indexed(s, d)),
     "retrieve_bm25_champ" -> ((s, d) => ExtensionQueries.retrieveBm25Champ(s, d)),
+    "retrieve_bm25_maxscore" -> ((s, d) => ExtensionQueries.retrieveBm25MaxScore(s, d)),
     "dedup_jaccard_pairs" -> (ExtensionQueries.dedupJaccardPairs _),
     "dedup_components"    -> (ExtensionQueries.dedupComponents _),
     "dedup_cluster_keep"  -> (ExtensionQueries.dedupClusterKeep _),
@@ -560,6 +561,9 @@ object SparkEntry {
     // ranking — same truth as the scan path.
     "retrieve_bm25_indexed" -> Bm25RankSql,
     "retrieve_bm25_champ" -> Bm25ChampRankSql,
+    // MaxScore pruning is EXACT (per-term ceilings + champion floor,
+    // essential-only full reads): identical ranking, identical oracle.
+    "retrieve_bm25_maxscore" -> Bm25RankSql,
     "dedup_minhash_oracle" -> MinhashBruteForceSql,
     // The SAME truth pins the incremental batch-vs-corpus path: three
     // appends over the identical restricted corpus must union to the

@@ -203,7 +203,9 @@ object Retrieval {
                                      queries: DataFrame, queryIdCol: String,
                                      queryTextCol: String,
                                      nDocs: Long, avgdl: Double,
-                                     k: Int, k1: Double, b: Double): DataFrame = {
+                                     k: Int, k1: Double, b: Double,
+                                     restrictTo: Option[DataFrame] = None)
+      : DataFrame = {
     import graft.functions.{TextFunctions => TF}
     val perTerm = hitsWithDf
       .withColumn("df", col("df").cast("double"))
@@ -216,7 +218,18 @@ object Retrieval {
     // side at these lengths)
     val qSide = queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(TF.tokens(lower(col(queryTextCol))))).as("term"))
-    val scored = perTerm.join(broadcast(qSide), Seq("term"))
+    val joined = perTerm.join(broadcast(qSide), Seq("term"))
+    // MaxScore path (TextIndex.queryMaxScore): only proven-candidate
+    // (query, doc) pairs may be scored — non-candidates carry partial
+    // hit rows there, and an understated sum must never reach the heap.
+    // Restricting BEFORE the aggregate keeps it candidate-sized.
+    val scoped = restrictTo match {
+      case Some(cand) =>
+        joined.join(cand.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+      case None => joined
+    }
+    val scored = scoped
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("contrib")).as("score"))
     scored

@@ -959,6 +959,27 @@ object ExtensionQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** MaxScore-BOUNDED BM25 over the persistent index
+    * ([[TextIndex.queryMaxScore]]): champion refresh harvests the
+    * per-term score ceilings and the top-k floor, the probe reads only
+    * essential-term postings in full and the heavy lists
+    * candidate-restricted. EXACT by construction — so it carries the
+    * SAME DuckDB rank oracle as the unbounded indexed probe
+    * (`retrieve_bm25_indexed`), the strongest external pin a pruning
+    * path can have. m = 8 keeps the floor real (k = 10 > m per-term)
+    * without handing the probe the full postings. */
+  def retrieveBm25MaxScore(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val ds = docs(s, d).select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25ms").toString
+    val store = new SnapshotStore(root, s)
+    TextIndex.build(store, "docs_bm25", ds, "text", "doc_id")
+    TextIndex.refreshChampions(store, "docs_bm25", m = 8)
+    val qs = ds.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+    TextIndex.queryMaxScore(store, "docs_bm25", qs, "query_id", "qtext", k = k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** EXACT n-gram Jaccard all-pairs join at tau = 4/5 — deterministic
     * recall (prefix filter theorem), integer-rational threshold, so the
     * oracle is a FULL-corpus DuckDB brute force via the same

@@ -67,17 +67,27 @@ object SemIndex {
             seed: Long = 42L, trainOn: Option[DataFrame] = None): Long = {
     val centroids = Similarity.trainIvfCentroids(
       trainOn.getOrElse(vecs), "vec", nClusters, seed)
-    store.commit(table, encode(vecs, centroids),
-      sortKey = Some("cluster_id"),
-      meta = Map(
-        s"${P}dim" -> dim.toString,
-        s"${P}eps" -> eps.toString,
-        s"${P}nClusters" -> nClusters.toString,
-        s"${P}maxClusterSize" -> maxClusterSize.toString,
-        s"${P}seed" -> seed.toString,
-        s"${P}centroids" -> VectorIndex.encodeMatrix(centroids),
-        s"${P}parts" -> ""),
-      statsCols = Seq("cluster_id"))
+    val enc = encode(vecs, centroids).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // drift accounting for [[retrainIfDrifted]]: rows assigned AT
+      // training time vs rows appended since — counters, not scans, so
+      // the drift decision survives chain compaction (which erases the
+      // build-vs-delta row split the chain shape used to carry)
+      val n = enc.count()
+      store.commit(table, enc,
+        sortKey = Some("cluster_id"),
+        meta = Map(
+          s"${P}dim" -> dim.toString,
+          s"${P}eps" -> eps.toString,
+          s"${P}nClusters" -> nClusters.toString,
+          s"${P}maxClusterSize" -> maxClusterSize.toString,
+          s"${P}seed" -> seed.toString,
+          s"${P}centroids" -> VectorIndex.encodeMatrix(centroids),
+          s"${P}trainedRows" -> n.toString,
+          s"${P}appendedSinceTrain" -> "0",
+          s"${P}parts" -> ""),
+        statsCols = Seq("cluster_id"))
+    } finally enc.unpersist(blocking = false)
   }
 
   /** The live index contents as of the current version. */
@@ -135,6 +145,11 @@ object SemIndex {
             if (t.length > zoneProbeMaxClusters) None
             else Some(t.map(_.getLong(0)).toSeq)
           }
+        // drift counter for retrainIfDrifted — nBatch is already known,
+        // so the accumulation costs zero extra actions
+        val drift = Map(s"${P}appendedSinceTrain" ->
+          (meta.get(s"${P}appendedSinceTrain").map(_.toLong).getOrElse(0L)
+            + nBatch).toString)
         if (nBatch == 0L || touched.exists(_.isEmpty)) {
           // EMPTY batch (known from the count, the hint, or a probe
           // that returned zero touched clusters): no pair can involve
@@ -146,7 +161,7 @@ object SemIndex {
           // pins both the output and the no-index-scan plan shape).
           result = Some(emptyPairs(enc))
           Right(chain.next(store, table, v, meta, enc, compactEvery,
-            Map(key -> batchId.toString)))
+            drift + (key -> batchId.toString)))
         } else {
           val idxRows = touched match {
             case Some(ids) if ids.nonEmpty =>
@@ -163,7 +178,7 @@ object SemIndex {
             req("eps").toDouble, req("maxClusterSize").toInt,
             broadcastKeyLimit))
           Right(chain.next(store, table, v, meta, enc, compactEvery,
-            Map(key -> batchId.toString)))
+            drift + (key -> batchId.toString)))
         }
       }
     }
@@ -244,6 +259,90 @@ object SemIndex {
       else chain.compactNow(store, table, v, store.metaForVersion(table, v))
         .toRight(())
     }.isRight
+
+  /** RETRAIN-AS-A-NEW-VERSION (r12 verdict #5): when the rows appended
+    * since the last training exceed `maxAppendFraction` of the index,
+    * re-train the centroids on the FULL current contents (committed
+    * seed and nClusters), re-assign every row, and commit as a fresh
+    * full snapshot — new centroids in the metadata, drift counters
+    * reset, stream watermarks preserved (replays still skip).
+    *
+    * This is the deliberate, versioned answer to the header's
+    * "appends never retrain" rule: per-append re-clustering would
+    * silently re-scope past pairings, but an OPERATOR-SCHEDULED retrain
+    * is an explicit epoch flip — pairs already emitted stay emitted
+    * (they were correct under the old scope), and from this version on
+    * the index is exactly what [[build]] on today's corpus would have
+    * produced, so appends stop assigning against centroids trained on
+    * a vanished distribution. Drift is tracked by exact counters
+    * (trainedRows at training time, appendedSinceTrain accumulated per
+    * append) rather than chain shape, so compaction — which folds the
+    * build/delta split away — cannot hide it.
+    *
+    * One atomic version flip; idempotent (a freshly trained index has
+    * appendedSinceTrain = 0 and returns false). Returns true iff a
+    * retrain was committed. Pre-counter tables report no drift until
+    * their first post-upgrade append seeds the counter. */
+  def retrainIfDrifted(store: SnapshotStore, table: String,
+                       maxAppendFraction: Double = 0.5): Boolean = {
+    require(maxAppendFraction > 0.0,
+      s"maxAppendFraction must be positive, got $maxAppendFraction")
+    var allCache: DataFrame = null
+    try store.transactMeta[Unit](table, sortKey = Some("cluster_id"),
+      statsCols = Seq("cluster_id")) {
+      val v = store.currentVersion(table)
+      if (v == 0) Left(())
+      else {
+        val meta = store.metaForVersion(table, v)
+        val trained = meta.get(s"${P}trainedRows").map(_.toLong).getOrElse(0L)
+        val appended =
+          meta.get(s"${P}appendedSinceTrain").map(_.toLong).getOrElse(0L)
+        val total = trained + appended
+        val nClusters = meta.get(s"${P}nClusters").map(_.toInt).getOrElse(0)
+        if (appended == 0L || total == 0L ||
+            appended.toDouble / total <= maxAppendFraction ||
+            total < nClusters) // too few rows to train nClusters lists
+          Left(())
+        else {
+          val seed = meta(s"${P}seed").toLong
+          // uv is already unit-norm, so re-encoding from it is exact:
+          // unit(uv) = uv, and assignment is a pure function of uv
+          allCache = chain.load(store, table, v, meta)
+            .select(col("id"), col("uv").as("vec"))
+            .persist(StorageLevel.MEMORY_AND_DISK) // read 2×: train + assign
+          val centroids =
+            Similarity.trainIvfCentroids(allCache, "vec", nClusters, seed)
+          Right((encode(allCache, centroids), meta ++ Map(
+            s"${P}centroids" -> VectorIndex.encodeMatrix(centroids),
+            s"${P}trainedRows" -> total.toString,
+            s"${P}appendedSinceTrain" -> "0",
+            s"${P}parts" -> "")))
+        }
+      }
+    }.isRight
+    finally if (allCache != null) allCache.unpersist(blocking = false)
+  }
+
+  /** Chain + drift maintenance in one idempotent call (the TextIndex
+    * [[TextIndex.maintain]] contract): retrain when the append fraction
+    * exceeds the policy threshold (a retrain commit IS a full snapshot,
+    * so it subsumes compaction), otherwise fold the chain when it
+    * exceeds `maxChainLength`; then drop version dirs outside the live
+    * chain. Honor consume-before-vacuum: call only after outstanding
+    * appends' pair frames are materialized. */
+  def maintain(store: SnapshotStore, table: String,
+               maxChainLength: Int = 4,
+               retrainAppendFraction: Option[Double] = Some(0.5)): Unit = {
+    val v = store.currentVersion(table)
+    if (v == 0) return
+    val retrained =
+      retrainAppendFraction.exists(f => retrainIfDrifted(store, table, f))
+    if (!retrained) {
+      val members = chain.chainOf(store.metaForVersion(table, v), v)
+      if (members.size > maxChainLength) compactIndex(store, table)
+    }
+    vacuumIndex(store, table)
+  }
 
   /** Drop version dirs outside the live delta chain. */
   def vacuumIndex(store: SnapshotStore, table: String): Unit =

@@ -46,6 +46,10 @@ import graft.functions.{Retrieval, TextFunctions}
   * postings list (BM25's idf makes them rank-irrelevant but not
   * read-free); block-max/impact-sorted pruning is the engine answer at
   * web scale and out of scope here. */
+/** Driver-built (term → value) lookup row for the MaxScore path —
+  * query-term-sized, broadcast into the scoring joins. */
+private[store] case class UbRow(term: String, value: Double)
+
 object TextIndex {
 
   private val P = "text." // metadata key prefix
@@ -370,13 +374,23 @@ object TextIndex {
       .groupBy(col("term"))
       .agg(graft.plans.TopKAggregate
              .boundedTopK(col("neighbor_id"), packed, m).as("ch"),
-           count(lit(1)).as("df"))
-      .select(col("term"), col("df"), explode(col("ch")).as("c"))
+           count(lit(1)).as("df"),
+           // per-term score-bound stats for [[queryMaxScore]]: the BM25
+           // per-posting contribution is increasing in tf and decreasing
+           // in dl, so impact(max_tf, min_dl) dominates every posting of
+           // the term under ANY (k1, b, avgdl) — harvested here because
+           // this is the one full-postings pass the maintenance cycle
+           // already pays, and staleness inherits the champion freshness
+           // rule (forVersion) for free
+           max(col("tf")).as("max_tf"),
+           min(col("dl")).as("min_dl"))
+      .select(col("term"), col("df"), col("max_tf"), col("min_dl"),
+        explode(col("ch")).as("c"))
       // unpack (exact: packed+2^21-1 < 2^53 and /2^21 only shifts the
       // exponent): tf = floor((packed + 2^21-1)/2^21), dl = tf*2^21-packed
       .withColumn("tf",
         floor((col("c.score") + DlClamp.toDouble) / ChampC).cast("long"))
-      .select(col("term"), col("df"),
+      .select(col("term"), col("df"), col("max_tf"), col("min_dl"),
         col("c.neighbor_id").as("neighbor_id"),
         (col("tf") * ChampC.toLong - col("c.score").cast("long"))
           .cast("int").as("dl"),
@@ -463,6 +477,160 @@ object TextIndex {
       Seq(ZoneMap.stringIn("term", terms)))
     Retrieval.bm25ScoreWithDf(hits, queries, queryIdCol, queryTextCol,
       nDocs, avgdl, k, k1, b)
+  }
+
+  // ---- MaxScore-bounded exact top-k -------------------------------
+
+  /** EXACT BM25 top-k with MaxScore pruning (Turtle & Flood, IPM'95;
+    * the batch re-expression of the block-max family): identical
+    * output to [[query]] — score-for-score, tie-for-tie — while
+    * reading the big common-term postings lists candidate-restricted
+    * instead of in full.
+    *
+    * The pruning rests on two bounds, both conservative:
+    *
+    *  1. A per-term score CEILING. refreshChampions harvests each
+    *     term's full-postings max(tf) and min(dl) next to its true df;
+    *     the BM25 contribution is increasing in tf and decreasing in
+    *     dl, so ub(t) = idf(t)·(k1+1)·impact(max_tf, min_dl) dominates
+    *     every posting of t (a multiplicative 1+1e-9 guard absorbs
+    *     float monotonicity noise).
+    *  2. A per-query score FLOOR θ̂. Champion rows are true postings
+    *     rows scored with true df, so a doc's champion-only score
+    *     under-states its real score, and the k-th best champion score
+    *     (minus 1e-5 slack for the 6-dp output rounding) is a valid
+    *     lower bound on the true k-th best score.
+    *
+    * Per query, terms sorted by ub ascending split at θ̂: the maximal
+    * prefix whose cumulative ub stays BELOW θ̂ is non-essential — a doc
+    * matching only those terms scores < θ̂ ≤ θ and can never reach the
+    * top k, ties included. Only essential terms' postings are read in
+    * full (chain files whose term zones hold no essential term are
+    * never opened — the file-skip the term zones already implement,
+    * now driven by the score bound); non-essential postings are read
+    * semi-joined to the candidate docs, so the heavy lists contribute
+    * candidate-sized rows to the scoring joins instead of
+    * postings-sized ones. Candidates = docs with ≥ 1 essential hit;
+    * every true top-k doc is one (its score reaches θ), its rows all
+    * survive (essential in full, non-essential via the candidate
+    * restriction), and non-candidates are excluded from the heap
+    * before their understated sums could rank — hence exactness
+    * (TextIndexSpec pins bounded ≡ unbounded on an adversarial zipf
+    * corpus; `retrieve_bm25_maxscore` carries the same DuckDB rank
+    * oracle as the unbounded probe).
+    *
+    * MaxScore is an OPTIMIZATION of the exact path, never a semantic
+    * switch: stale/missing champions (or a pre-bounds champion table)
+    * fall back to [[query]] silently — correct, just reads more. */
+  def queryMaxScore(store: SnapshotStore, indexTable: String,
+                    queries: DataFrame, queryIdCol: String,
+                    queryTextCol: String, k: Int = 10,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    import org.apache.spark.sql.expressions.Window
+    val v = store.currentVersion(indexTable)
+    requireBuilt(v, indexTable)
+    val meta = store.metaForVersion(indexTable, v)
+    requireTokenizer(meta, indexTable)
+    val ct = champTable(indexTable)
+    val cv = store.currentVersion(ct)
+    val fresh = cv > 0 && store.metaForVersion(ct, cv)
+      .get(s"${P}champ.forVersion").contains(v.toString)
+    if (!fresh || !store.loadVersion(ct, cv).columns.contains("max_tf"))
+      return query(store, indexTable, queries, queryIdCol, queryTextCol,
+        k, k1, b)
+    val nDocs = meta.getOrElse(s"${P}nDocs", "0").toLong
+    val sumDl = meta.getOrElse(s"${P}sumDl", "0").toLong
+    val avgdl = if (nDocs == 0) 0.0 else sumDl.toDouble / nDocs
+    val qIdType = queries.schema(queryIdCol).dataType
+    val postingsIdType = store.loadVersion(ct, cv).schema("neighbor_id").dataType
+    if (nDocs == 0L || avgdl <= 0.0)
+      return Retrieval.emptyRanked(queries.sparkSession, qIdType, postingsIdType)
+    val terms = queries
+      .select(explode(array_distinct(TF.tokens(lower(col(queryTextCol))))).as("term"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    if (terms.isEmpty)
+      return Retrieval.emptyRanked(queries.sparkSession, qIdType, postingsIdType)
+    val spark = queries.sparkSession
+
+    // One champion probe feeds both bounds (term zones prune its files
+    // exactly like a postings probe; champion tables are m rows/term).
+    val champHits = ZoneMap.prunedScanAt(store, ct, cv,
+        Seq(ZoneMap.stringIn("term", terms)))
+      .persist(StorageLevel.MEMORY_AND_DISK) // read 2×: stats + floor
+    try {
+      // per-term ceiling ub(t) from the stored full-postings stats
+      val stats = champHits
+        .groupBy(col("term"))
+        .agg(first(col("df")).as("df"), first(col("max_tf")).as("max_tf"),
+          first(col("min_dl")).as("min_dl"))
+        .collect() // ≤ |query terms| rows — the small-queries contract
+      val ub: Map[String, Double] = stats.map { r =>
+        val df = r.getLong(1).toDouble
+        val maxTf = r.getLong(2).toDouble
+        val minDl = r.getInt(3).toDouble
+        val idf = math.log(1.0 + (nDocs.toDouble - df + 0.5) / (df + 0.5))
+        val impact = maxTf / (maxTf + (minDl * (b / avgdl) + (1 - b)) * k1)
+        r.getString(0) -> idf * (k1 + 1) * impact * (1.0 + 1e-9)
+      }.toMap
+      // per-query floor θ̂: k-th best champion-only score, minus slack
+      val thetaDf = Retrieval.bm25ScoreWithDf(champHits, queries,
+          queryIdCol, queryTextCol, nDocs, avgdl, k, k1, b)
+        .filter(col("rank") === k)
+        .select(col("query_id"), (col("score") - 1e-5).as("theta"))
+      // essential split per (query, term): ascending-ub prefix below θ̂
+      val ubLookup = spark.createDataFrame(
+        ub.toSeq.map(t => UbRow(t._1, t._2))).toDF("term", "ub")
+      val qTerms = queries.select(col(queryIdCol).as("query_id"),
+        explode(array_distinct(TF.tokens(lower(col(queryTextCol))))).as("term"))
+      val cumWin = Window.partitionBy(col("query_id"))
+        .orderBy(col("ub").asc, col("term").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val essentialPairs = qTerms
+        .join(broadcast(ubLookup), Seq("term"), "left")
+        .withColumn("ub", coalesce(col("ub"), lit(0.0)))
+        .join(broadcast(thetaDf), Seq("query_id"), "left")
+        .withColumn("cum", sum(col("ub")).over(cumWin))
+        // no θ̂ (fewer than k champion-scored docs) → everything essential
+        .filter(col("theta").isNull || col("cum") >= col("theta"))
+        .select(col("query_id"), col("term"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // query-batch-sized, read 2×
+      val essTerms = essentialPairs.select(col("term")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      val nonEssTerms = terms.diff(essTerms)
+
+      val essHits = chain.loadPruned(store, indexTable, v, meta,
+        Seq(ZoneMap.stringIn("term", essTerms)))
+      // candidates: docs with ≥1 hit on a term essential FOR that query
+      val candidates = essHits
+        .join(broadcast(essentialPairs), Seq("term"))
+        .select(col("query_id"), col("neighbor_id"))
+        .dropDuplicates("query_id", "neighbor_id")
+        .persist(StorageLevel.MEMORY_AND_DISK) // read 2×: semi + restrict
+      val hits =
+        if (nonEssTerms.isEmpty) essHits
+        else {
+          val candIds = candidates.select(col("neighbor_id")).distinct()
+          val nonEssHits = chain.loadPruned(store, indexTable, v, meta,
+              Seq(ZoneMap.stringIn("term", nonEssTerms)))
+            .join(candIds, Seq("neighbor_id"), "left_semi")
+          essHits.unionByName(nonEssHits)
+        }
+      // TRUE df from the champion stats (candidate-restricted hit rows
+      // would under-count common terms and silently inflate their idf)
+      val dfLookup = spark.createDataFrame(
+        stats.toSeq.map(r => UbRow(r.getString(0), r.getLong(1).toDouble)))
+        .toDF("term", "df")
+      val ranked = Retrieval.bm25ScoreWithDf(
+        hits.join(broadcast(dfLookup), Seq("term")),
+        queries, queryIdCol, queryTextCol, nDocs, avgdl, k, k1, b,
+        restrictTo = Some(candidates))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      ranked.count() // EAGER: helper caches release on return
+      essentialPairs.unpersist(blocking = false)
+      candidates.unpersist(blocking = false)
+      ranked
+    } finally champHits.unpersist(blocking = false)
   }
 
   /** Chain + champion maintenance in one idempotent call: fold the

@@ -139,6 +139,82 @@ class SemIndexSpec extends SparkSpec {
     finally p2.unpersist(blocking = false)
   }
 
+  test("retrainIfDrifted: epoch flip ≡ fresh build on the union; replay-safe") {
+    // build trains on 20 of 51 vectors; the 31-row append puts the
+    // appended fraction at 31/51 ≈ 0.61 — past the default 0.5 policy
+    // but not a 0.7 one. The retrain must commit an index identical to
+    // a fresh build over today's full contents (same seed/params,
+    // deterministic trainer), reset the drift counters, and preserve
+    // the exactly-once stream watermarks.
+    val root = Files.createTempDirectory("graft-semidx-drift").toString
+    val store = new SnapshotStore(root, spark)
+    val baseDf = vecsDf.filter(col("id") < 20)
+    SemIndex.build(store, "t", baseDf, Dim, Eps, NClusters, MaxCluster,
+      seed = 42L)
+    SemIndex.appendBatchOnce(store, "t", vecsDf.filter(col("id") >= 20),
+      "s", 0L).foreach(_.unpersist(blocking = false))
+    val oldCentroids = VectorIndex.decodeMatrix(
+      store.latestMeta("t")("semdedup.centroids"))
+    assert(!SemIndex.retrainIfDrifted(store, "t", maxAppendFraction = 0.7),
+      "0.61 appended fraction must not trip a 0.7 policy")
+    assert(SemIndex.retrainIfDrifted(store, "t"), "0.5 policy must trip")
+    // the committed contents are EXACTLY what the new committed
+    // centroids assign over the full union — the index a fresh build
+    // over today's corpus would hold
+    val newCentroids = VectorIndex.decodeMatrix(
+      store.latestMeta("t")("semdedup.centroids"))
+    assert(newCentroids !== oldCentroids, "the epoch flip must be real")
+    val expect = Similarity.semAssign(vecsDf, "id", "vec", newCentroids)
+      .select(col("cluster_id").cast("long"), col("id"))
+      .as[(Long, Long)].collect().toSet
+    val got = SemIndex.load(store, "t").select(col("cluster_id"), col("id"))
+      .as[(Long, Long)].collect().toSet
+    assert(got === expect,
+      "retrained contents must be the new centroids' assignment of the union")
+    // counters reset: a second retrain is a no-op
+    assert(!SemIndex.retrainIfDrifted(store, "t"))
+    // watermark preserved across the epoch flip: replay still skips
+    assert(SemIndex.appendBatchOnce(store, "t",
+      vecsDf.filter(col("id") >= 20), "s", 0L).isEmpty)
+    // incremental ≡ batch continues under the NEW centroids: a fresh
+    // append's pairs equal the batch semDedupPairs truth over the
+    // union, restricted (as the append contract says) to the batch
+    val fresh = Seq((600L, corpus.toMap.apply(5L))).toDF("id", "vec")
+    val want600 = pairSet(Similarity.semDedupPairs(
+      vecsDf.unionByName(fresh).select(col("id").as("vid"), col("vec")),
+      "vid", "vec", dim = Dim, nClusters = NClusters, eps = Eps,
+      maxClusterSize = MaxCluster, centroidsOpt = Some(newCentroids)))
+      .filter(t => t._1 == 600L || t._2 == 600L)
+    val p = SemIndex.appendBatchOnce(store, "t", fresh, "s", 1L).get
+    try {
+      assert(pairSet(p) === want600,
+        "post-retrain append must equal batch truth under the new centroids")
+      assert(want600.exists(t => t._1 == 5L && t._2 == 600L),
+        "the planted copy must actually pair")
+    } finally p.unpersist(blocking = false)
+  }
+
+  test("maintain: retrain subsumes compaction, else fold; vacuum always") {
+    val root = Files.createTempDirectory("graft-semidx-maint").toString
+    val store = buildOn(root) // empty init, trained on the full corpus
+    (0 until 3).foreach { i =>
+      SemIndex.appendBatchOnce(store, "t",
+        vecsDf.filter(col("id") % 3 === i), "s", i.toLong,
+        compactEvery = 100)
+        .foreach(_.unpersist(blocking = false))
+    }
+    // everything is appended (trainedRows = 0) → retrain fires, which
+    // commits a full snapshot: chain folded, contents preserved
+    SemIndex.maintain(store, "t")
+    val meta = store.latestMeta("t")
+    assert(meta("semdedup.appendedSinceTrain") === "0")
+    assert(meta("semdedup.parts") === "", "retrain must fold the chain")
+    assert(SemIndex.load(store, "t").count() === corpus.size)
+    // idempotent; with retrain disabled it is pure compact+vacuum
+    SemIndex.maintain(store, "t", retrainAppendFraction = None)
+    assert(SemIndex.load(store, "t").count() === corpus.size)
+  }
+
   test("append before build throws; compact + vacuum keep contents") {
     val store = new SnapshotStore(
       Files.createTempDirectory("graft-semidx3").toString, spark)

@@ -198,9 +198,20 @@ class TextIndexSpec extends SparkSpec {
     }.toSet
     // "__champ" suffix is the documented champion-table naming contract
     val got = store.load("idx__champ")
+      .select("term", "df", "neighbor_id", "dl", "tf")
       .as[(String, Long, Long, Int, Long)].collect()
       .map { case (t, df, id, dl, tf) => (t, df, id, dl.toLong, tf) }.toSet
     assert(got === expected)
+    // the denormalized MaxScore bound stats are the true per-term
+    // full-postings max(tf) / min(dl)
+    val expectedBounds = postings.groupBy(_._1).map { case (term, rows) =>
+      (term, rows.map(_._4).max, rows.map(_._3).min)
+    }.toSet
+    val gotBounds = store.load("idx__champ")
+      .select("term", "max_tf", "min_dl").distinct()
+      .as[(String, Long, Int)].collect()
+      .map { case (t, mtf, mdl) => (t, mtf, mdl) }.toSet
+    assert(gotBounds === expectedBounds)
   }
 
   test("appends stale the champions: fallback answers exactly, strict refuses") {
@@ -256,6 +267,78 @@ class TextIndexSpec extends SparkSpec {
     assert(TextIndex.championsFresh(store, "idx"))
     assert(champRanked(store) === scanRanked())
     assert(indexRanked(store) === scanRanked())
+  }
+
+  // ---- MaxScore bounded probe (exact) ----
+
+  private def maxScoreRanked(store: SnapshotStore, k: Int = 10)
+      : Seq[(Long, Long, Double, Int)] =
+    TextIndex.queryMaxScore(store, "idx", queriesDF, "query_id", "qtext", k = k)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(r => (r._1, r._4))
+
+  test("maxscore bounded probe ≡ exact probe score-for-score, any k") {
+    val store = freshStore()
+    TextIndex.build(store, "idx", corpusDF, "text", "doc_id")
+    // tiny m: the champion floor θ̂ is real but loose, so the split
+    // actually has both essential and non-essential terms to get wrong
+    TextIndex.refreshChampions(store, "idx", m = 3)
+    assert(maxScoreRanked(store) === scanRanked())
+    assert(maxScoreRanked(store, k = 3) === scanRanked(k = 3))
+    // k beyond the match count: θ̂ is absent, everything essential
+    assert(maxScoreRanked(store, k = 100) === scanRanked(k = 100))
+  }
+
+  test("maxscore on a zipf corpus: stopword lists pruned, output exact") {
+    // Adversarial shape for a naive bound: a stopword in EVERY doc whose
+    // small contribution still decides near-tie ranks, rare terms that
+    // generate the candidates, and a query whose ONLY term is the
+    // stopword (nothing may be pruned for it). Exactness must hold with
+    // a tiny champion m (loose floor) and a tight one.
+    val rnd = new scala.util.Random(31)
+    val zipf = (0L until 120L).map { i =>
+      val stop = Seq.fill(1 + (i % 3).toInt)("the")
+      val mid = Seq(s"mid${i % 10}")
+      val rare = Seq(s"rare${i % 30}")
+      val noise = Seq.fill(rnd.nextInt(4))(s"mid${rnd.nextInt(10)}")
+      i -> (stop ++ mid ++ rare ++ noise).mkString(" ")
+    }
+    val zdf = zipf.toDF("doc_id", "text")
+    val qs = Seq(
+      (0L, "the mid3 rare7"),
+      (1L, "the rare11"),
+      (2L, "the"),             // single stopword: its one term is essential
+      (3L, "rare4 absentterm") // absent term: ub 0, contributes nothing
+    ).toDF("query_id", "qtext")
+    def exact(k: Int) = TextIndex.query(store2, "idx", qs,
+      "query_id", "qtext", k = k)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(r => (r._1, r._4))
+    lazy val store2 = freshStore()
+    TextIndex.build(store2, "idx", zdf, "text", "doc_id")
+    for (m <- Seq(2, 16)) {
+      TextIndex.refreshChampions(store2, "idx", m = m)
+      for (k <- Seq(3, 10)) {
+        val bounded = TextIndex.queryMaxScore(store2, "idx", qs,
+          "query_id", "qtext", k = k)
+          .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(r => (r._1, r._4))
+        assert(bounded === exact(k), s"m=$m k=$k diverged")
+      }
+    }
+  }
+
+  test("maxscore with stale/missing champions falls back to the exact probe") {
+    val store = freshStore()
+    TextIndex.build(store, "idx", corpusDF.filter(col("doc_id") < 30),
+      "text", "doc_id")
+    // no champion table at all → fallback
+    assert(TextIndex.queryMaxScore(store, "idx", queriesDF, "query_id",
+      "qtext").count() > 0)
+    TextIndex.refreshChampions(store, "idx", m = 60)
+    TextIndex.append(store, "idx", corpusDF.filter(col("doc_id") >= 30),
+      "text", "doc_id")
+    // stale champions (postings moved on) → fallback must equal the
+    // full-corpus exact ranking, never answer from the stale bounds
+    assert(!TextIndex.championsFresh(store, "idx"))
+    assert(maxScoreRanked(store) === scanRanked())
   }
 
   test("maintain folds the chain, refreshes champions, vacuums both tables") {
