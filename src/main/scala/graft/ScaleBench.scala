@@ -202,6 +202,17 @@ object ScaleBench {
       .select(col("doc_id").as("query_id"),
         array_join(slice(split(lower(col("text")), " "), 1, 4), " ").as("qtext"))
 
+  /** A keyword-batch of `nQ` 4-token queries drawn deterministically
+    * from the zipf generator (driver-side — the generator is a pure
+    * function of the id, no corpus scan). */
+  private def zipfShortQueries(spark: SparkSession, nQ: Int): DataFrame = {
+    import spark.implicits._
+    (0 until nQ).map { i =>
+      val id = i * 15625L
+      (id, genZipfDoc(id).text.split(" ").take(4).mkString(" "))
+    }.toDF("query_id", "qtext")
+  }
+
   private def run(spark: SparkSession, dir: String, filter: String = ""): Unit = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
@@ -832,6 +843,23 @@ object ScaleBench {
         val overlap = exact.join(champ, Seq("query_id", "neighbor_id")).count()
         val total = exact.count()
         math.round(100.0 * overlap / math.max(total, 1L))
+      },
+      // Batch keyword serving on the ZIPF corpus — MaxScore's working
+      // regime: with real token-law tf concentration every query mixes
+      // a near-stopword (corpus-sized postings list) with rarer terms
+      // whose champion floor proves the stopword non-essential, and a
+      // 64-query batch amortizes the per-batch champion probe that
+      // dominates the 3-query entries above. EXACT, unlike champ_query:
+      // identical answers to the plain probe, the delta is pure
+      // pruning. Depends on bm25_champ_recall_zipf_pct (builds
+      // docs_bm25_zipf + its champions) — filter "zipf".
+      timed("bm25_exact_zipf_batch") {
+        graft.store.TextIndex.query(store, "docs_bm25_zipf",
+          zipfShortQueries(spark, 64), "query_id", "qtext", k = 10).count()
+      },
+      timed("bm25_maxscore_zipf_batch") {
+        graft.store.TextIndex.queryMaxScore(store, "docs_bm25_zipf",
+          zipfShortQueries(spark, 64), "query_id", "qtext", k = 10).count()
       },
       // Zone-map layout: commit the corpus range-clustered on doc_id with
       // per-file min/max harvested footer-only at commit. The build price

@@ -337,35 +337,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleN: Int = 3,
                         tauNum: Int = 4, tauDen: Int = 5,
-                        maxCandidates: Long = 0L): DataFrame =
-    jaccardPairsImpl(df, textCol, idCol, shingleN, tauNum, tauDen,
-      maxCandidates, anchorOddSide = false)
-
-  /** Shared prefix-filter jaccard core. `anchorOddSide = false` is the
-    * full self-join ([[ngramJaccardPairs]]); `true` is the CROSS-side
-    * variant [[benchmarkNearDups]] uses: ids carry a parity side tag
-    * (even = probe/train, odd = anchor/benchmark) and the candidate
-    * join pairs probe prefixes against ANCHOR prefixes only.
-    *
-    * Restricting the candidate sides preserves exact recall for cross
-    * pairs because the prefix-filter theorem is PER-PAIR: a pair with
-    * J ≥ τ shares an element inside both prefixes under any fixed
-    * global order, regardless of what other documents exist. The df
-    * order is still computed over the full input (one consistent total
-    * order for both sides — and a shared element of a cross pair has
-    * df ≥ 2 in the union by definition), so the anchored join sees
-    * exactly the cross-side subset of the self-join's candidates; the
-    * within-side candidates it no longer generates could only have been
-    * discarded downstream. With a small anchor side (a benchmark suite
-    * vs a training corpus) the anchor prefix frame is broadcast-sized
-    * and the candidate phase degenerates to a probe of train prefixes
-    * against benchmark prefix hashes — candidate count, verify fan-out,
-    * and the output-quadratic failure mode all scale with the CROSS
-    * structure, never with train–train duplication. */
-  private def jaccardPairsImpl(df: DataFrame, textCol: String, idCol: String,
-                               shingleN: Int, tauNum: Int, tauDen: Int,
-                               maxCandidates: Long,
-                               anchorOddSide: Boolean): DataFrame = {
+                        maxCandidates: Long = 0L): DataFrame = {
     require(tauNum > 0 && tauNum <= tauDen, s"need 0 < tau <= 1, got $tauNum/$tauDen")
     import org.apache.spark.sql.expressions.Window
 
@@ -423,27 +395,14 @@ object Dedup {
       .filter(col("sz") - col("ndup") + col("rn") <= prefixLen)
       .select(col("h"), col("id"), col("sz"))
 
-    // Candidate pairs: prefix-prefix equi-join on the duplicated hashes
-    // with size-compatibility pruning (J ≥ τ ⇒ τ·max ≤ min). Self-join
-    // mode orders the ids for a canonical pair; anchored mode joins the
-    // even-id (probe) prefixes against the odd-id (anchor) prefixes —
-    // sides are disjoint, so (id_a, id_b) is already canonical and
-    // within-side pairs are never generated at all.
-    val sizeCompat = lit(tauNum) * greatest(col("sz_a"), col("sz_b")) <=
-      lit(tauDen) * least(col("sz_a"), col("sz_b"))
-    val rawCand =
-      if (anchorOddSide) {
-        val probe = prefix.filter(col("id") % 2 === 0)
-          .select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
-        val anchor = prefix.filter(col("id") % 2 === 1)
-          .select(col("h"), col("id").as("id_b"), col("sz").as("sz_b"))
-        probe.join(anchor, Seq("h")).filter(sizeCompat)
-      } else {
-        val a = prefix.select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
-        val b = prefix.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b"))
-        a.join(b, Seq("h")).filter(col("id_a") < col("id_b") && sizeCompat)
-      }
-    val candidates = rawCand
+    // Candidate pairs: prefix-prefix equi-join on the duplicated hashes,
+    // ordered ids, size-compatibility pruning (J ≥ τ ⇒ τ·max ≤ min).
+    val a = prefix.select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = prefix.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b"))
+    val candidates = a.join(b, Seq("h"))
+      .filter(col("id_a") < col("id_b") &&
+        lit(tauNum) * greatest(col("sz_a"), col("sz_b")) <=
+          lit(tauDen) * least(col("sz_a"), col("sz_b")))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .persist(StorageLevel.MEMORY_AND_DISK) // candidate-sized, read 3×
@@ -498,52 +457,118 @@ object Dedup {
     * (one appended token costs ~n shingles), so the pair view catches
     * it and names WHICH benchmark row leaked.
     *
-    * Composition: the two sides union under disjoint ids (train id →
-    * 2·id, bench id → 2·id+1 — ids must fit 62 bits) so the shingle df
-    * order is computed ONCE over both sides, and the candidate join is
-    * BENCHMARK-ANCHORED ([[jaccardPairsImpl]] `anchorOddSide`): train
-    * prefixes probe against benchmark prefixes only. The prefix-filter
-    * theorem is per-pair, so the anchored join keeps exact recall for
-    * every cross-side pair while never generating a train–train (or
-    * bench–bench) candidate — with a realistic benchmark (thousands of
-    * rows vs millions of training docs) the candidate phase is a
-    * broadcast probe of train prefixes against bench prefix hashes,
-    * and decon cost scales with the LEAK structure, not with how
-    * duplicated the training corpus happens to be.
+    * Composition — candidate generation is a SHUFFLE-FREE scan, not a
+    * jaccard self-join over the union (the pre-r13 shape, which paid
+    * the full-corpus df exchange for within-side candidates it
+    * discarded):
+    *
+    *  1. Rarity order from a SAMPLE. The prefix-filter theorem holds
+    *     for ANY fixed total order on the shingle universe — exact df
+    *     is only the strongest pruning heuristic — so the order here is
+    *     (df̂ asc, hash asc) with df̂ counted over the benchmark plus a
+    *     `dfSampleFraction` draw of the training side, capped to the
+    *     `dfTableMaxEntries` most frequent shingles (a dropped or
+    *     mis-sampled shingle only adds candidates; the exact verify
+    *     discards them). The table is a driver-bounded collect that
+    *     rides in the [[graft.plans.RarityPrefix]] expression.
+    *  2. Benchmark prefixes (a benchmark-suite-sized frame) BROADCAST
+    *     against one pure-map scan of the training side: each train
+    *     doc's prefix is computed in-expression under the same order
+    *     and probed against the bench prefix hashes. Recall is exact
+    *     per the theorem; no corpus-sized exchange exists anywhere —
+    *     at 100 TB, decon is a scan, not a shuffle.
+    *  3. Exact string-shingle verify over candidate docs only (the
+    *     training side re-shingles through a candidate semi-join).
     *
     * `maxCandidates` defaults to 50M — NON-zero, unlike the raw pair
     * join: decon runs unattended on every production ingest batch, and
     * a benchmark that turns out to be boilerplate-similar to a big
-    * slice of the corpus must abort loudly BEFORE the verify fan-out,
-    * not run an unbounded quadratic job. 50M candidate pairs is ~100×
-    * a plausible true-leak count for a 10⁴-row benchmark and a few GB
-    * of candidate cache — generous for any sane run, tiny next to the
-    * job it prevents; raise it deliberately if a legitimate corpus
-    * trips it.
+    * slice of the corpus must abort loudly BEFORE the verify fan-out.
+    * 50M candidate pairs is ~100× a plausible true-leak count for a
+    * 10⁴-row benchmark and a few GB of candidate cache; raise it
+    * deliberately if a legitimate corpus trips it.
     *
     * Returns (doc_id, bench_id, inter_count, union_count) — exact
-    * integers, full DuckDB oracle (`decon_fuzzy`). EAGER like the
-    * other pair generators (persisted + materialized — the caller
-    * owns it; the inner jaccard cache is released here, so the
-    * derived result must not stay lazy over it). */
+    * integers, full DuckDB oracle (`decon_fuzzy`); a doc retained in
+    * both sides surfaces as (d, d) at J = 1. EAGER like the other pair
+    * generators (persisted + materialized — the caller owns it; the
+    * candidate cache is released here). DeconFuzzySpec pins the output
+    * identical to the union-self-join + parity-split formulation. */
   def benchmarkNearDups(train: DataFrame, bench: DataFrame,
                         textCol: String, idCol: String,
                         shingleN: Int = 3, tauNum: Int = 4, tauDen: Int = 5,
-                        maxCandidates: Long = 50000000L): DataFrame = {
-    val u = train.select((col(idCol) * 2).as("jid"), col(textCol))
-      .unionByName(bench.select((col(idCol) * 2 + 1).as("jid"), col(textCol)))
-    val pairs = jaccardPairsImpl(u, textCol, "jid", shingleN, tauNum, tauDen,
-      maxCandidates, anchorOddSide = true)
-    // anchored sides are disjoint by construction: id_a is always the
-    // even (train) member, id_b the odd (bench) member
-    val out = pairs
-      .select(
-        shiftright(col("id_a"), 1).as("doc_id"),
-        shiftright(col("id_b"), 1).as("bench_id"),
+                        maxCandidates: Long = 50000000L,
+                        dfSampleFraction: Double = 0.01,
+                        dfTableMaxEntries: Int = 1 << 21): DataFrame = {
+    require(tauNum > 0 && tauNum <= tauDen, s"need 0 < tau <= 1, got $tauNum/$tauDen")
+    import graft.plans.TextExpressions.rarityPrefix
+
+    // 1. estimated-df table: bench ∪ sampled-train shingle counts, most
+    // frequent first (ties by hash), df̂ = 0 for everything else. The
+    // count aggregate is sample-sized; the collect is capped.
+    val samplePost = train.sample(withReplacement = false, dfSampleFraction,
+        seed = 42L)
+      .select(col(textCol))
+      .unionByName(bench.select(col(textCol)))
+      .select(explode(shingleHashes(col(textCol), shingleN)).as("h"))
+    val dfRows = samplePost.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2) // singletons tie with the unsampled mass anyway
+      .orderBy(col("c").desc, col("h"))
+      .limit(dfTableMaxEntries)
+      .collect()
+    val dfSorted = dfRows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val dfKeys = dfSorted.map(_._1)
+    val dfCounts = dfSorted.map(_._2)
+    def prefixed(side: DataFrame, outId: String, outSz: String): DataFrame =
+      side.select(col(idCol).as(outId),
+          shingleHashes(col(textCol), shingleN).as("h_arr"))
+        .select(col(outId), size(col("h_arr")).cast("long").as(outSz),
+          explode(rarityPrefix(col("h_arr"), dfKeys, dfCounts,
+            tauNum, tauDen)).as("h"))
+
+    // 2. broadcast bench prefixes; one map-only train scan probes them
+    val candidates = prefixed(train, "doc_id", "sz_a")
+      .join(broadcast(prefixed(bench, "bench_id", "sz_b")), Seq("h"))
+      .filter(lit(tauNum) * greatest(col("sz_a"), col("sz_b")) <=
+        lit(tauDen) * least(col("sz_a"), col("sz_b")))
+      .select(col("doc_id"), col("bench_id"))
+      .dropDuplicates("doc_id", "bench_id")
+      .persist(StorageLevel.MEMORY_AND_DISK) // candidate-sized, read 3×
+    if (maxCandidates > 0L) {
+      val nCand = candidates.count()
+      if (nCand > maxCandidates) {
+        candidates.unpersist(blocking = false)
+        throw new IllegalStateException(
+          s"benchmarkNearDups: $nCand candidate pairs exceed the " +
+            s"maxCandidates budget of $maxCandidates — the benchmark is " +
+            s"boilerplate-similar to a large slice of the corpus at " +
+            s"tau=$tauNum/$tauDen. Deduplicate the corpus first or raise " +
+            "the budget deliberately.")
+      }
+    }
+
+    // 3. exact verify: candidate train docs re-shingle via a semi-join;
+    // the bench side is benchmark-suite-sized
+    val candIds = candidates.select(col("doc_id").as("cid")).distinct()
+    val trainSh = train
+      .select(col(idCol).as("doc_id"), col(textCol).as("t"))
+      .join(candIds, col("doc_id") === col("cid"), "left_semi")
+      .select(col("doc_id"), shingles(col("t"), shingleN).as("sh_a"))
+    val benchSh = bench.select(col(idCol).as("bench_id"),
+      shingles(col(textCol), shingleN).as("sh_b"))
+    val out = candidates
+      .join(trainSh, Seq("doc_id"))
+      .join(broadcast(benchSh), Seq("bench_id"))
+      .withColumn("inter_count",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("union_count",
+        size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter_count"))
+      .filter(col("inter_count") * tauDen >= lit(tauNum) * col("union_count"))
+      .select(col("doc_id"), col("bench_id"),
         col("inter_count"), col("union_count"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
-    pairs.unpersist(blocking = false)
+    candidates.unpersist(blocking = false)
     out
   }
 

@@ -526,6 +526,83 @@ case class SortedLongSetHits(child: Expression, set: Array[Long])
   override def prettyName: String = "sorted_long_set_hits"
 }
 
+/** The prefix-filter index of a SORTED-DISTINCT shingle-hash array under
+  * an ESTIMATED document-frequency order: the |S| − ⌈τ·|S|⌉ + 1 rarest
+  * elements, rarity = (df̂ asc, hash asc) where df̂ is looked up by
+  * binary search in a fixed sorted table (absent → 0, capped at 2³¹−1).
+  *
+  * Why an estimate is sound: the prefix-filter theorem (Bayardo et al.,
+  * WWW'07) holds for ANY fixed total order on the shingle universe —
+  * two sets with J ≥ τ share an element inside both prefixes no matter
+  * how the order was chosen. Exact df is only the strongest PRUNING
+  * heuristic; a sampled estimate keeps recall exactly and trades a few
+  * more candidates (all discarded by the exact verify) for removing the
+  * full-corpus df shuffle — the dominant cost of the exact jaccard join
+  * at 5M docs. The table rides in the expression with the task binary,
+  * so the whole prefix computation is a pure map inside whole-stage
+  * codegen: candidate generation needs NO corpus-sized exchange at all.
+  *
+  * Input contract: the child array must be sorted ascending and
+  * distinct ([[WordShingleHashes]] output) — the hash tiebreak reuses
+  * the array position as the hash rank. */
+case class RarityPrefix(child: Expression, dfKeys: Array[Long],
+                        dfCounts: Array[Long], tauNum: Int, tauDen: Int)
+    extends UnaryExpression {
+
+  require(tauNum > 0 && tauNum <= tauDen, s"need 0 < tau <= 1, got $tauNum/$tauDen")
+  require(dfKeys.length == dfCounts.length, "df table arrays must align")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"rarity_prefix needs array<long>, got ${other.simpleString}")
+    }
+
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): GenericArrayData = {
+    val m = arr.numElements()
+    if (m == 0) return new GenericArrayData(Array.empty[Long])
+    // prefixLen = m − ⌈τ·m⌉ + 1, exact integer arithmetic
+    val pLen = m - ((tauNum.toLong * m + tauDen - 1) / tauDen).toInt + 1
+    // composite sort key (df̂ << 32 | position): child is h-sorted, so
+    // position IS the hash rank and one primitive sort yields the
+    // (df̂ asc, h asc) order with zero boxing
+    val keys = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val idx = java.util.Arrays.binarySearch(dfKeys, arr.getLong(i))
+      val df = if (idx >= 0) math.min(dfCounts(idx), Int.MaxValue.toLong) else 0L
+      keys(i) = (df << 32) | i
+      i += 1
+    }
+    java.util.Arrays.sort(keys)
+    val out = new Array[Long](pLen)
+    i = 0
+    while (i < pLen) {
+      out(i) = arr.getLong((keys(i) & 0xFFFFFFFFL).toInt)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rarityPrefix", this, classOf[RarityPrefix].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "rarity_prefix"
+}
+
 /** Hashing-trick featurization of a token array: signed md5-nibble
   * counts over `dim` buckets, emitted as array<struct<bucket, weight>>
   * with zero-weight buckets dropped, bucket ascending.
@@ -1022,6 +1099,14 @@ object TextExpressions {
   def sortedLongSetHits(arr: Column, set: Array[Long]): Column =
     GraftColumnBridge.column(
       SortedLongSetHits(GraftColumnBridge.expression(arr), set))
+
+  /** Prefix-filter index of a sorted-distinct shingle-hash array under
+    * an estimated-df rarity order (see RarityPrefix). */
+  def rarityPrefix(hashes: Column, dfKeys: Array[Long], dfCounts: Array[Long],
+                   tauNum: Int, tauDen: Int): Column =
+    GraftColumnBridge.column(
+      RarityPrefix(GraftColumnBridge.expression(hashes), dfKeys, dfCounts,
+        tauNum, tauDen))
 
   /** Per-row n-gram repetition counts, fused from raw text
     * (see NgramRepetition — takes the STRING, not a token array). */

@@ -21,9 +21,13 @@ import graft.functions.Similarity
   * snapshot metadata ([[VectorIndex]]'s matrix codec) — appends assign
   * with the COMMITTED centroids, never retrain: re-clustering per
   * append would silently re-scope past pairings, the same
-  * fixed-parameters argument as the other indexes. `nClusters` must
-  * therefore be sized for the EXPECTED final corpus (the SemDeDup
-  * scaling lever: N / nClusters bounded by one task's pairing budget).
+  * fixed-parameters argument as the other indexes. Centroid refresh is
+  * instead an OPERATOR-SCHEDULED epoch flip ([[retrainIfDrifted]],
+  * wired into [[maintain]]): exact drift counters trip a full
+  * re-train + re-assign committed as one new version. `nClusters` must
+  * still be sized for the EXPECTED corpus between refreshes (the
+  * SemDeDup scaling lever: N / nClusters bounded by one task's pairing
+  * budget).
   *
   * Rows commit SORTED BY cluster_id with cluster_id zone maps
   * ([[ZoneMap]]): a batch touches ≤ batch-size clusters, and the

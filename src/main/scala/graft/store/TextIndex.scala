@@ -601,16 +601,19 @@ object TextIndex {
 
       val essHits = chain.loadPruned(store, indexTable, v, meta,
         Seq(ZoneMap.stringIn("term", essTerms)))
-      // candidates: docs with ≥1 hit on a term essential FOR that query
+      // candidates: docs with ≥1 hit on a term essential FOR that query.
+      // Deliberately NOT deduplicated: both consumers are semi-joins
+      // (duplicate build rows are free there), and a dropDuplicates
+      // here would shuffle the candidate fan-out just to shrink frames
+      // the joins never materialize.
       val candidates = essHits
         .join(broadcast(essentialPairs), Seq("term"))
         .select(col("query_id"), col("neighbor_id"))
-        .dropDuplicates("query_id", "neighbor_id")
         .persist(StorageLevel.MEMORY_AND_DISK) // read 2×: semi + restrict
       val hits =
         if (nonEssTerms.isEmpty) essHits
         else {
-          val candIds = candidates.select(col("neighbor_id")).distinct()
+          val candIds = candidates.select(col("neighbor_id"))
           val nonEssHits = chain.loadPruned(store, indexTable, v, meta,
               Seq(ZoneMap.stringIn("term", nonEssTerms)))
             .join(candIds, Seq("neighbor_id"), "left_semi")

@@ -30,12 +30,15 @@ class DeconFuzzySpec extends SparkSpec {
     assert(out === Set((1L, 10L, 6L, 6L), (2L, 10L, 6L, 7L)))
   }
 
-  test("anchored candidates ≡ full self-join + parity split (r11 #1)") {
+  test("shuffle-free decon ≡ full self-join + parity split (r11 #1)") {
     // The pre-r13 formulation: full ngramJaccardPairs over the parity
-    // union, cross-side pairs kept by an OUTPUT filter. The anchored
-    // candidate join must produce the identical evidence set on a
-    // corpus that has in-train dups, in-bench dups, AND cross leaks —
-    // the within-side pairs the old path computed and discarded.
+    // union (exact union-wide df order), cross-side pairs kept by an
+    // OUTPUT filter. The rewritten path — sampled-df rarity order,
+    // broadcast bench prefixes, candidate-restricted exact verify —
+    // must produce the identical evidence set on a corpus that has
+    // in-train dups, in-bench dups, AND cross leaks; the prefix
+    // theorem guarantees it for ANY fixed shingle order, which is the
+    // load-bearing claim this spec pins cross-implementation.
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .filter(col("doc_id") < 1500)
     val bench = docs.filter(col("doc_id") % 23 === 0)
