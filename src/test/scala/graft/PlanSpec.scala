@@ -245,6 +245,62 @@ class PlanSpec extends SparkSpec {
       s"non-equi candidate join:\n$s")
   }
 
+  test("fuzzy decon plan: no corpus window, bench prefixes broadcast") {
+    // The r13 rewrite's load-bearing claims, pinned by plan shape: the
+    // union-df formulation ran corpus-postings-sized Windows (dfreq
+    // count over h, prefix row_number over doc) behind a full
+    // repartition; the sampled-rarity path must have NO Window operator
+    // anywhere (the order rides in the RarityPrefix expression), and
+    // the candidate join must probe BROADCAST benchmark prefixes —
+    // candidate generation is a pure map scan of the training side.
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def deepPlanString(p0: SparkPlan): String = {
+      val p = p0 match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      val nested = p.collect { case s: InMemoryTableScanExec => s.relation.cachedPlan }
+      (p.toString +: nested.map(deepPlanString)).mkString("\n")
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 2000)
+    val out = graft.functions.Dedup.benchmarkNearDups(
+      docs.select(col("doc_id"), col("text")),
+      docs.filter(col("doc_id") % 23 === 0).select(col("doc_id"), col("text")),
+      "text", "doc_id")
+    try {
+      val s = deepPlanString(executed(out))
+      assert(!s.contains("Window"),
+        s"corpus-sized df/prefix window crept back into decon:\n$s")
+      assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+        s"bench prefixes not broadcast:\n$s")
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+        s"non-equi candidate join:\n$s")
+      assert(s.contains("rarity_prefix") || s.contains("RarityPrefix"),
+        s"expected the in-expression prefix computation:\n$s")
+    } finally out.unpersist(blocking = false)
+  }
+
+  test("rarity-prefix scan stays inside whole-stage codegen") {
+    // RarityPrefix implements doGenCode (compiled call into its own
+    // compute), so the candidate-generation projection — a full-corpus
+    // scan at decon time — must sit inside a codegen span.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+    val hArr = graft.plans.TextExpressions.wordShingleHashesOfText(
+      org.apache.spark.sql.functions.lower(col("text")), 3)
+    val pref = docs.select(
+      col("doc_id"),
+      graft.plans.TextExpressions.rarityPrefix(
+        hArr, Array(1L, 5L, 9L), Array(3L, 2L, 7L), 4, 5).as("pref"))
+    pref.collect()
+    val s = executed(pref).toString
+    val projLine = s.linesIterator.find(l =>
+      l.contains("rarity_prefix") || l.contains("RarityPrefix")).getOrElse(
+      s.linesIterator.find(_.contains("Project")).getOrElse(""))
+    assert(projLine.trim.startsWith("*") || projLine.contains("*("),
+      s"rarity-prefix projection fell out of codegen:\n$s")
+  }
+
   test("native vector expressions stay inside whole-stage codegen") {
     // DotProduct/HyperplaneBucket implement doGenCode (a compiled call into
     // their own compute loop), so the ANN scoring projection must appear
