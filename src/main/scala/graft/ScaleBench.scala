@@ -618,6 +618,19 @@ object ScaleBench {
         pairs.unpersist(blocking = false)
         n
       },
+      // Retrain-as-a-new-version at corpus scale (r12 verdict #5): force
+      // the epoch flip regardless of the real append fraction (the 100k
+      // append above is ~9% of 1.1M) and measure the full cost — driver
+      // k-means over the bounded sample, one distributed re-assign scan,
+      // one atomic snapshot commit. This is the maintenance operator's
+      // worst case; it amortizes over every append between flips.
+      // Depends on sem_incr_append_100k — filter "sem_".
+      timed("sem_retrain_1m") {
+        val flipped = graft.store.SemIndex.retrainIfDrifted(
+          store, "vecs_sem", maxAppendFraction = 0.01)
+        require(flipped, "a 9% append fraction must trip a 1% policy")
+        graft.store.SemIndex.load(store, "vecs_sem").count()
+      },
       // COMPOSED dedup-on-ingest (CurationIngest): fingerprint gate →
       // minhash gate under one exactly-once protocol. The bootstrap is
       // the pair-free build of both indexes (fp over the corpus, band
