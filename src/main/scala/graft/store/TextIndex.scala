@@ -598,6 +598,14 @@ object TextIndex {
       val essTerms = essentialPairs.select(col("term")).distinct()
         .collect().map(_.getString(0)).toSeq
       val nonEssTerms = terms.diff(essTerms)
+      if (nonEssTerms.isEmpty) {
+        // nothing prunes (θ̂ absent, or every term essential for some
+        // query): the candidate machinery would only add joins on top
+        // of the exact probe's plan — delegate instead of paying it
+        essentialPairs.unpersist(blocking = false)
+        return query(store, indexTable, queries, queryIdCol, queryTextCol,
+          k, k1, b)
+      }
 
       val essHits = chain.loadPruned(store, indexTable, v, meta,
         Seq(ZoneMap.stringIn("term", essTerms)))
@@ -610,15 +618,11 @@ object TextIndex {
         .join(broadcast(essentialPairs), Seq("term"))
         .select(col("query_id"), col("neighbor_id"))
         .persist(StorageLevel.MEMORY_AND_DISK) // read 2×: semi + restrict
-      val hits =
-        if (nonEssTerms.isEmpty) essHits
-        else {
-          val candIds = candidates.select(col("neighbor_id"))
-          val nonEssHits = chain.loadPruned(store, indexTable, v, meta,
-              Seq(ZoneMap.stringIn("term", nonEssTerms)))
-            .join(candIds, Seq("neighbor_id"), "left_semi")
-          essHits.unionByName(nonEssHits)
-        }
+      val nonEssHits = chain.loadPruned(store, indexTable, v, meta,
+          Seq(ZoneMap.stringIn("term", nonEssTerms)))
+        .join(candidates.select(col("neighbor_id")), Seq("neighbor_id"),
+          "left_semi")
+      val hits = essHits.unionByName(nonEssHits)
       // TRUE df from the champion stats (candidate-restricted hit rows
       // would under-count common terms and silently inflate their idf)
       val dfLookup = spark.createDataFrame(
