@@ -305,6 +305,25 @@ object Dedup {
     * recall-complete; an exact intersect/union verify restricted to
     * candidate docs gives precision.
     *
+    * The rarity order itself is SAMPLED by default (`dfSampleFraction`
+    * > 0): the theorem holds for ANY fixed total order, exact df is
+    * only the strongest pruning heuristic, and computing it is the
+    * operator's dominant cost (one full repartition + sort of every
+    * posting — ~250M rows at 5M docs — plus two corpus-postings-sized
+    * windows). The sampled path counts shingles over a small seeded
+    * draw (top-`dfTableMaxEntries` kept, bounded driver collect, rides
+    * in the [[graft.plans.RarityPrefix]] expression) and computes each
+    * doc's prefix in-expression during the ONE corpus scan — candidate
+    * generation's only exchange is the prefix-postings self-join
+    * (~20 % of postings at τ = 4/5). A shingle the sample misses ranks
+    * as rarest and can only ADD candidates (the exact verify discards
+    * them); a missed df-d shingle costs ≤ d² candidate rows with
+    * probability (1−f)^d, so the expected inflation decays
+    * geometrically past df ≈ 1/f and the `maxCandidates` fail-fast
+    * still bounds the tail. `dfSampleFraction = 0` selects the exact
+    * union-df order (the pre-r13 path, kept as the optimal-pruning
+    * fallback and the spec's equivalence reference).
+    *
     * Scale design:
     *  - The threshold is a RATIONAL (tauNum/tauDen) and the verify
     *    compares `inter·tauDen ≥ tauNum·union` in integer arithmetic —
@@ -337,8 +356,104 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleN: Int = 3,
                         tauNum: Int = 4, tauDen: Int = 5,
-                        maxCandidates: Long = 0L): DataFrame = {
+                        maxCandidates: Long = 0L,
+                        dfSampleFraction: Double = 0.01,
+                        dfTableMaxEntries: Int = 1 << 21): DataFrame = {
     require(tauNum > 0 && tauNum <= tauDen, s"need 0 < tau <= 1, got $tauNum/$tauDen")
+    require(dfSampleFraction >= 0.0 && dfSampleFraction <= 1.0,
+      s"need 0 <= dfSampleFraction <= 1, got $dfSampleFraction")
+    val candidates =
+      if (dfSampleFraction > 0.0)
+        sampledOrderCandidates(df, textCol, idCol, shingleN, tauNum, tauDen,
+          dfSampleFraction, dfTableMaxEntries)
+      else
+        exactOrderCandidates(df, textCol, idCol, shingleN, tauNum, tauDen)
+
+    if (maxCandidates > 0L) {
+      // Fail-fast budget: materializes the candidate cache (which the
+      // verify joins below read anyway) and aborts before the verify
+      // fan-out if the corpus is output-quadratic for this threshold.
+      val nCand = candidates.count()
+      if (nCand > maxCandidates) {
+        candidates.unpersist(blocking = false)
+        throw new IllegalStateException(
+          s"ngramJaccardPairs: $nCand candidate pairs exceed the " +
+            s"maxCandidates budget of $maxCandidates — the corpus is " +
+            s"output-quadratic at tau=$tauNum/$tauDen (near-identical " +
+            "boilerplate). Deduplicate it with the capped probabilistic " +
+            "path (nearDuplicatePairs) or raise the budget deliberately.")
+      }
+    }
+
+    // Exact verify over candidate docs only (semi-join keeps the scan,
+    // the shingling, and this cache all candidate-sized).
+    val candIds = candidates.select(col("id_a").as("id"))
+      .union(candidates.select(col("id_b").as("id"))).distinct()
+    val candSh = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), shingles(col("text"), shingleN).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val verified = candidates
+      .join(candSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(candSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter_count",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("union_count",
+        size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter_count"))
+      .filter(col("inter_count") * tauDen >= lit(tauNum) * col("union_count"))
+      .select(col("id_a"), col("id_b"), col("inter_count"), col("union_count"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    verified.count()
+    candidates.unpersist(blocking = false)
+    candSh.unpersist(blocking = false)
+    verified
+  }
+
+  /** Candidate pairs under the SAMPLED rarity order: one pure-map scan
+    * computes each doc's prefix in-expression; the only exchange is the
+    * prefix-postings self-join. Returns the persisted canonical
+    * (id_a < id_b) candidate set. */
+  private def sampledOrderCandidates(df: DataFrame, textCol: String,
+                                     idCol: String, shingleN: Int,
+                                     tauNum: Int, tauDen: Int,
+                                     dfSampleFraction: Double,
+                                     dfTableMaxEntries: Int): DataFrame = {
+    import graft.plans.TextExpressions.rarityPrefix
+    val dfRows = df.sample(withReplacement = false, dfSampleFraction, 42L)
+      .select(explode(shingleHashes(col(textCol), shingleN)).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .orderBy(col("c").desc, col("h"))
+      .limit(dfTableMaxEntries)
+      .collect()
+    val dfSorted = dfRows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val dfKeys = dfSorted.map(_._1)
+    val dfCounts = dfSorted.map(_._2)
+    val pref = df
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("h_arr"))
+      .select(col("id"), size(col("h_arr")).cast("long").as("sz"),
+        explode(rarityPrefix(col("h_arr"), dfKeys, dfCounts,
+          tauNum, tauDen)).as("h"))
+    val a = pref.select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = pref.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b"))
+    a.join(b, Seq("h"))
+      .filter(col("id_a") < col("id_b") &&
+        lit(tauNum) * greatest(col("sz_a"), col("sz_b")) <=
+          lit(tauDen) * least(col("sz_a"), col("sz_b")))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .persist(StorageLevel.MEMORY_AND_DISK) // candidate-sized, read 3×
+  }
+
+  /** Candidate pairs under the EXACT union-df rarity order — optimal
+    * pruning at the price of a full postings repartition + sort and two
+    * postings-sized windows. The spec's equivalence reference and the
+    * fallback for corpora whose mid-frequency boilerplate defeats
+    * sampling. */
+  private def exactOrderCandidates(df: DataFrame, textCol: String,
+                                   idCol: String, shingleN: Int,
+                                   tauNum: Int, tauDen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
     // One scan: postings (id, size, shingle-HASH), exploded. The whole
@@ -399,53 +514,13 @@ object Dedup {
     // ordered ids, size-compatibility pruning (J ≥ τ ⇒ τ·max ≤ min).
     val a = prefix.select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
     val b = prefix.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b"))
-    val candidates = a.join(b, Seq("h"))
+    a.join(b, Seq("h"))
       .filter(col("id_a") < col("id_b") &&
         lit(tauNum) * greatest(col("sz_a"), col("sz_b")) <=
           lit(tauDen) * least(col("sz_a"), col("sz_b")))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .persist(StorageLevel.MEMORY_AND_DISK) // candidate-sized, read 3×
-
-    if (maxCandidates > 0L) {
-      // Fail-fast budget: materializes the candidate cache (which the
-      // verify joins below read anyway) and aborts before the verify
-      // fan-out if the corpus is output-quadratic for this threshold.
-      val nCand = candidates.count()
-      if (nCand > maxCandidates) {
-        candidates.unpersist(blocking = false)
-        throw new IllegalStateException(
-          s"ngramJaccardPairs: $nCand candidate pairs exceed the " +
-            s"maxCandidates budget of $maxCandidates — the corpus is " +
-            s"output-quadratic at tau=$tauNum/$tauDen (near-identical " +
-            "boilerplate). Deduplicate it with the capped probabilistic " +
-            "path (nearDuplicatePairs) or raise the budget deliberately.")
-      }
-    }
-
-    // Exact verify over candidate docs only (semi-join keeps the scan,
-    // the shingling, and this cache all candidate-sized).
-    val candIds = candidates.select(col("id_a").as("id"))
-      .union(candidates.select(col("id_b").as("id"))).distinct()
-    val candSh = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .join(candIds, Seq("id"), "left_semi")
-      .select(col("id"), shingles(col("text"), shingleN).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    val verified = candidates
-      .join(candSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(candSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("inter_count",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("union_count",
-        size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter_count"))
-      .filter(col("inter_count") * tauDen >= lit(tauNum) * col("union_count"))
-      .select(col("id_a"), col("id_b"), col("inter_count"), col("union_count"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    verified.count()
-    candidates.unpersist(blocking = false)
-    candSh.unpersist(blocking = false)
-    verified
   }
 
   /** FUZZY benchmark decontamination: training documents whose n-gram

@@ -104,4 +104,26 @@ class JaccardJoinSpec extends SparkSpec {
     assert(pairs.count() === 780L)
     pairs.unpersist(blocking = false)
   }
+
+  test("sampled rarity order ≡ exact union-df order, pair for pair") {
+    // The r13 candidate rewrite's load-bearing claim, pinned
+    // cross-implementation: the prefix theorem holds for ANY fixed
+    // shingle order, so the sampled-df path (default) must equal the
+    // exact union-df path on a real corpus — across sample fractions,
+    // including 0.05 (sparse table) and 1.0 (full draw, still the
+    // estimated-order code path).
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 2000).select(col("doc_id"), col("text"))
+    def pairSet(frac: Double): Set[(Long, Long, Long, Long)] = {
+      val p = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        dfSampleFraction = frac)
+      val s = p.as[(Long, Long, Long, Long)].collect().toSet
+      p.unpersist(blocking = false)
+      s
+    }
+    val exact = pairSet(0.0)
+    assert(exact.nonEmpty, "the corpus must contain near-dup pairs")
+    assert(pairSet(0.05) === exact, "sparse sampled order diverged")
+    assert(pairSet(1.0) === exact, "full-draw sampled order diverged")
+  }
 }
