@@ -227,7 +227,6 @@ object Dedup {
                          shingleN: Int = 3, k: Int = 32, bands: Int = 16,
                          threshold: Double = 0.5,
                          maxBucketSize: Int = 1000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val banded = df
       .select(col(idCol).as("id"),
         explode(lshBandKeys(
@@ -237,12 +236,18 @@ object Dedup {
           .as("bk"))
       .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"), col("id"))
 
-    val w = Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))
+    // Bucket capping as a BOUNDED-HEAP aggregate, not a window: with a
+    // constant score the heap's (score desc, id asc) tie-break keeps
+    // exactly the maxBucketSize+1 SMALLEST ids per bucket — the same
+    // member set the row_number window produced — but map-side partials
+    // bound every group BEFORE the exchange and nothing ever sorts the
+    // full banded key stream (the window sorted all ~80M rows at 5M
+    // docs just to discard everything past position m+1).
     val candidates = banded
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= maxBucketSize + 1)
       .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col("id")).as("members"))
+      .agg(graft.plans.TopKAggregate
+        .boundedTopK(col("id"), lit(0.0), maxBucketSize + 1).as("ch"))
+      .select(transform(col("ch"), c => c.getField("neighbor_id")).as("members"))
       .filter(size(col("members")).between(2, maxBucketSize))
       .select(explode(graft.plans.VectorExpressions.allPairs(col("members"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
