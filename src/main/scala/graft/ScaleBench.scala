@@ -450,7 +450,8 @@ object ScaleBench {
           .map(id => genDoc(id.toLong)).toDF()
           .select(col("doc_id").as("id"), Dedup.simhash64(col("text")).as("sh64"))
         val pairs = graft.store.SimHashIndex.appendBatchOnce(
-          store, "docs_sh", batch, "bench", 0L).get
+          store, "docs_sh", batch, "bench", 0L,
+          keyProbeMaxKeys = 4000000).get
         val n = pairs.count()
         pairs.unpersist(blocking = false)
         n

@@ -909,14 +909,16 @@ object Dedup {
     // only VERIFIED pairs, so the final distinct sees ≤ combos ×
     // true-pairs rows instead of every candidate (flagship-corpus
     // before/after in NOTES.md).
-    val w = Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))
     val members = banded
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= maxBucketSize + 1)
       .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(struct(col("id"), col("sh64"))).as("members"))
+      .agg(graft.plans.TopKAggregate
+        .boundedMembers(col("id"), col("sh64"), maxBucketSize + 1)
+        .as("members"))
       // size == maxBucketSize+1 marks a truncated degenerate bucket:
       // dropped whole, same cap semantics as the anti-join version.
+      // The bounded-heap aggregate keeps the m+1 SMALLEST ids per
+      // bucket — identical members to the old row_number window,
+      // without sorting the full banded key stream.
       .filter(size(col("members")).between(2, maxBucketSize))
 
     members

@@ -24,9 +24,20 @@ import org.apache.spark.sql.types._
   * the heap result is bit-identical to the window formulation it replaces.
   */
 final class TopKHeap(val k: Int) extends Serializable {
-  private[plans] val scores = new Array[Double](k)
-  private[plans] val ids = new Array[Long](k)
+  // Lazy capacity, as MemberHeap: per-group buffers must not cost k
+  // slots up front when most groups hold a handful of rows (LSH bucket
+  // groups are overwhelmingly singletons; query groups are few but pay
+  // nothing for the laziness either).
+  private[plans] var scores = new Array[Double](math.min(k, 4))
+  private[plans] var ids = new Array[Long](math.min(k, 4))
   private[plans] var size = 0
+
+  private def ensureRoom(): Unit =
+    if (size == ids.length && ids.length < k) {
+      val cap = math.min(k, ids.length * 4)
+      scores = java.util.Arrays.copyOf(scores, cap)
+      ids = java.util.Arrays.copyOf(ids, cap)
+    }
 
   /** true iff (s1, i1) ranks strictly WORSE than (s2, i2) under
     * (score desc, id asc): lower score, or same score and higher id. */
@@ -67,6 +78,7 @@ final class TopKHeap(val k: Int) extends Serializable {
 
   def add(score: Double, id: Long): Unit = {
     if (size < k) {
+      ensureRoom()
       scores(size) = score; ids(size) = id; size += 1
       siftUp(size - 1)
     } else if (worse(scores(0), ids(0), score, id)) {
@@ -192,7 +204,178 @@ case class BoundedTopK(left: Expression, right: Expression, k: Int,
   override def prettyName: String = "bounded_top_k"
 }
 
+/** Fixed-capacity SMALLEST-ids member collector with a long payload —
+  * the aggregate form of the id-ordered LSH bucket cap. A max-heap on
+  * id keeps the `k` smallest (root = largest kept, so a row that can't
+  * enter costs one compare); ids within a group are unique by
+  * construction (one row per (bucket, doc)), so no tie policy is
+  * needed. Output is id-ascending, matching the row_number-window
+  * formulation it replaces member-for-member — without sorting the
+  * full banded key stream. */
+final class MemberHeap(val k: Int) extends Serializable {
+  // LAZY capacity: LSH bucket groups are overwhelmingly singletons
+  // (hash-space keys), so an eager k-sized buffer per group (~16 KB at
+  // k=1000) is pure GC churn across hundreds of millions of groups —
+  // measured 3× worse than the window formulation before this. Start
+  // tiny, grow geometrically to k only for the rare big bucket.
+  private[plans] var ids = new Array[Long](math.min(k, 4))
+  private[plans] var payloads = new Array[Long](math.min(k, 4))
+  private[plans] var size = 0
+
+  private def ensureRoom(): Unit =
+    if (size == ids.length && ids.length < k) {
+      val cap = math.min(k, ids.length * 4)
+      ids = java.util.Arrays.copyOf(ids, cap)
+      payloads = java.util.Arrays.copyOf(payloads, cap)
+    }
+
+  private def siftUp(start: Int): Unit = {
+    var i = start
+    while (i > 0) {
+      val p = (i - 1) >> 1
+      if (ids(i) > ids(p)) {
+        val ti = ids(i); val tp = payloads(i)
+        ids(i) = ids(p); payloads(i) = payloads(p)
+        ids(p) = ti; payloads(p) = tp
+        i = p
+      } else return
+    }
+  }
+
+  private def siftDown(): Unit = {
+    var i = 0
+    while (true) {
+      val l = 2 * i + 1
+      if (l >= size) return
+      val r = l + 1
+      var m = l
+      if (r < size && ids(r) > ids(l)) m = r
+      if (ids(m) > ids(i)) {
+        val ti = ids(i); val tp = payloads(i)
+        ids(i) = ids(m); payloads(i) = payloads(m)
+        ids(m) = ti; payloads(m) = tp
+        i = m
+      } else return
+    }
+  }
+
+  def add(id: Long, payload: Long): Unit = {
+    if (size < k) {
+      ensureRoom()
+      ids(size) = id; payloads(size) = payload; size += 1
+      siftUp(size - 1)
+    } else if (id < ids(0)) {
+      ids(0) = id; payloads(0) = payload
+      siftDown()
+    }
+  }
+
+  def mergeFrom(other: MemberHeap): Unit = {
+    var i = 0
+    while (i < other.size) { add(other.ids(i), other.payloads(i)); i += 1 }
+  }
+
+  /** (id, payload) pairs in id-ascending order. */
+  def sortedAsc: Array[(Long, Long)] = {
+    val out = Array.tabulate(size)(i => (ids(i), payloads(i)))
+    scala.util.Sorting.stableSort(out,
+      (a: (Long, Long), b: (Long, Long)) => a._1 < b._1)
+    out
+  }
+}
+
+/** `bounded_members(id, payload, k)` → array<struct<id, payload>> of
+  * the group's k SMALLEST ids with their payloads, id-ascending — the
+  * capped-bucket member list as ONE hash aggregate: map-side partials
+  * bound every group before the exchange, and nothing sorts the full
+  * key stream (the window formulation sorted every banded row just to
+  * discard everything past position k). */
+case class BoundedMembers(left: Expression, right: Expression, k: Int,
+                          mutableAggBufferOffset: Int = 0,
+                          inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[MemberHeap] with BinaryLike[Expression] {
+
+  require(k >= 1, s"k=$k must be positive")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (idT, pT) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bounded_members needs (bigint id, bigint payload), got " +
+            s"${idT.simpleString}, ${pT.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("payload", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): MemberHeap = new MemberHeap(k)
+
+  override def update(buffer: MemberHeap, input: InternalRow): MemberHeap = {
+    val idV = left.eval(input)
+    if (idV != null) {
+      val pV = right.eval(input)
+      if (pV != null)
+        buffer.add(idV.asInstanceOf[Long], pV.asInstanceOf[Long])
+    }
+    buffer
+  }
+
+  override def merge(buffer: MemberHeap, input: MemberHeap): MemberHeap = {
+    buffer.mergeFrom(input); buffer
+  }
+
+  override def eval(buffer: MemberHeap): Any =
+    new GenericArrayData(buffer.sortedAsc.map { case (id, p) =>
+      InternalRow(id, p)
+    })
+
+  override def serialize(buffer: MemberHeap): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buffer.size)
+    bb.putInt(buffer.size)
+    var i = 0
+    while (i < buffer.size) {
+      bb.putLong(buffer.ids(i)); bb.putLong(buffer.payloads(i)); i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): MemberHeap = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val h = new MemberHeap(k)
+    var i = 0
+    while (i < n) {
+      val id = bb.getLong(); val p = bb.getLong()
+      h.add(id, p); i += 1
+    }
+    h
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedMembers =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedMembers =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BoundedMembers =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "bounded_members"
+}
+
 object TopKAggregate {
+  /** Column wrapper: capped bucket-member list (see BoundedMembers). */
+  def boundedMembers(id: Column, payload: Column, k: Int): Column =
+    GraftColumnBridge.column(BoundedMembers(
+      GraftColumnBridge.expression(id),
+      GraftColumnBridge.expression(payload), k).toAggregateExpression())
+
   /** Column wrapper: per-group bounded top-k of (id, score). */
   def boundedTopK(id: Column, score: Column, k: Int): Column =
     GraftColumnBridge.column(BoundedTopK(

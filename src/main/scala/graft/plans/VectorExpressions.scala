@@ -451,6 +451,87 @@ case class SimHashComboKeys(child: Expression, nBlocks: Int, maxHamming: Int)
     copy(child = newChild)
 }
 
+object SimHashKeyHits {
+  /** Deterministic 64-bit mix of a combo key (band, bucket) — shared by
+    * the expression's per-row probe and the driver-side batch-key
+    * collection so both sides mix identically. Collisions across
+    * distinct (band, bucket) pairs are possible and harmless: the probe
+    * is a PREFILTER (false positives survive into the exact
+    * (band, bucket) semi-join downstream; false negatives cannot happen
+    * because the mix is a pure function). */
+  @inline def mix(band: Int, bucket: Long): Long =
+    (bucket ^ (band.toLong * 0x9E3779B97F4A7C15L)) * 0xC2B2AE3D27D4EB4FL
+}
+
+/** True iff ANY of a SimHash's combo keys (the [[SimHashComboKeys]]
+  * tiling, recomputed here from the raw sh64) hits a fixed sorted
+  * MIXED-key set — the in-expression prefilter of the incremental
+  * SimHash append: instead of exploding every indexed document's
+  * C(nBlocks, nBlocks−maxHamming) stored keys through the bucket
+  * semi-join (~140M rows at 5M docs, the append's dominant cost), the
+  * index scan keeps only documents that can share a bucket with the
+  * batch — a pure map of ~28 binary searches per row inside whole-stage
+  * codegen. The batch's mixed keys ride in the expression with the task
+  * binary (callers gate the collect size — SimHashIndex falls back to
+  * the plain semi-join above the gate). */
+case class SimHashKeyHits(child: Expression, nBlocks: Int, maxHamming: Int,
+                          keys: Array[Long])
+    extends UnaryExpression {
+
+  require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming out of range")
+  require(nBlocks > maxHamming && nBlocks <= 64,
+    s"nBlocks=$nBlocks must exceed maxHamming=$maxHamming (pigeonhole)")
+
+  @transient private lazy val ranges: Array[(Int, Int)] = {
+    val base = 64 / nBlocks
+    val extra = 64 % nBlocks
+    val widths = Array.tabulate(nBlocks)(i => base + (if (i < extra) 1 else 0))
+    widths.scanLeft(0)(_ + _).init.zip(widths)
+  }
+  @transient private lazy val combos: Array[Array[Int]] =
+    (0 until nBlocks).combinations(nBlocks - maxHamming).map(_.toArray).toArray
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_key_hits needs bigint, got ${other.simpleString}")
+    }
+
+  def compute(h: Long): Boolean = {
+    var c = 0
+    while (c < combos.length) {
+      val blocks = combos(c)
+      var packed = 0L
+      var i = 0
+      while (i < blocks.length) {
+        val (shift, width) = ranges(blocks(i))
+        packed = (packed << width) | ((h >>> shift) & ((1L << width) - 1))
+        i += 1
+      }
+      if (java.util.Arrays.binarySearch(keys,
+          SimHashKeyHits.mix(c, packed)) >= 0) return true
+      c += 1
+    }
+    false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("keyHits", this, classOf[SimHashKeyHits].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Verified near-dup pairs within one LSH bucket: all (id_a, id_b,
   * hamming) with id_a < id_b and hamming ≤ maxHamming over an
   * array<struct<id:long, sh64:long>> of bucket members.
@@ -1123,6 +1204,11 @@ object VectorExpressions {
   def simhashComboKeys(sh64: Column, nBlocks: Int, maxHamming: Int): Column =
     GraftColumnBridge.column(SimHashComboKeys(
       GraftColumnBridge.expression(sh64), nBlocks, maxHamming))
+
+  def simhashKeyHits(sh64: Column, nBlocks: Int, maxHamming: Int,
+                     keys: Array[Long]): Column =
+    GraftColumnBridge.column(SimHashKeyHits(
+      GraftColumnBridge.expression(sh64), nBlocks, maxHamming, keys))
 
   def hammingPairs(members: Column, maxHamming: Int): Column =
     GraftColumnBridge.column(HammingPairs(

@@ -8,25 +8,33 @@ import org.apache.spark.storage.StorageLevel
   * near-dup dedup for the Hamming-distance regime, the simhash twin of
   * [[DedupIndex]] (which owns the MinHash/Jaccard regime).
   *
-  * One row per document:
-  * {{{ (id, sh64: long, bks: array<struct<band:int,bucket:long>>) }}}
-  * `sh64` is the caller-computed 64-bit SimHash (production:
-  * `Dedup.simhash64(text)`; oracle paths: the md5-portable variant) and
-  * `bks` its pigeonhole block-combination keys — any pair within the
-  * committed Hamming radius shares at least one key (recall 1.0 by
-  * construction, see Dedup.simhashBlockCombos). The banding parameters
-  * (nBlocks, maxHamming, maxBucketSize) are FIXED at build time and ride
-  * in the snapshot metadata atomically with the rows: combo keys are a
-  * function of those parameters, so re-keying per append would silently
-  * break the shared-bucket guarantee across generations.
+  * One row per document: {{{ (id, sh64: long) }}} — `sh64` is the
+  * caller-computed 64-bit SimHash (production: `Dedup.simhash64(text)`;
+  * oracle paths: the md5-portable variant). The pigeonhole
+  * block-combination keys are NOT stored: they are a pure function of
+  * sh64 and the banding parameters, recomputed in-expression
+  * ([[graft.plans.SimHashComboKeys]]) wherever needed — 16 bytes per
+  * indexed document instead of ~360, and every scan reads two primitive
+  * columns (r13: the stored-key layout made the 5M-doc append read and
+  * explode a ~1.7 GB key column; tables written by older versions still
+  * carry it and are read fine — the extra column is simply ignored).
+  * Any pair within the committed Hamming radius shares at least one
+  * key (recall 1.0 by construction, see Dedup.simhashBlockCombos). The
+  * banding parameters (nBlocks, maxHamming, maxBucketSize) are FIXED at
+  * build time and ride in the snapshot metadata atomically with the
+  * rows: combo keys are a function of those parameters, so re-keying
+  * per append would silently break the shared-bucket guarantee across
+  * generations.
   *
   * The verify payload is the 8-byte hash itself — riding WITH the key
   * rows — so unlike DedupIndex there is no second corpus column scan:
-  * one append costs one columnar scan of (id, sh64, bks), a broadcast
-  * bucket-set semi-join (no corpus shuffle), a capped window over the
-  * touched-bucket membership, and in-bucket popcount verification
-  * (HammingPairs). Appends are O(batch) [[DeltaChain]] versions with the
-  * shared exactly-once batch-id watermark.
+  * one append costs one columnar scan of (id, sh64), a broadcast
+  * bucket-set semi-join (no corpus shuffle, and with the opt-in
+  * `keyProbeMaxKeys` prefilter most index rows never reach it), a
+  * capped window over the touched-bucket membership, and in-bucket
+  * popcount verification (HammingPairs). Appends are O(batch)
+  * [[DeltaChain]] versions with the shared exactly-once batch-id
+  * watermark.
   *
   * Incremental ≡ batch: the same split-independence argument as
   * DedupIndex — combo keys are a pure per-doc function, the append sees
@@ -41,10 +49,8 @@ object SimHashIndex {
   private val P = "shdedup." // metadata key prefix
   private val chain = new DeltaChain(s"${P}parts")
 
-  private def encode(hashed: DataFrame, nBlocks: Int, maxHamming: Int): DataFrame =
-    hashed.select(col("id"), col("sh64"),
-      graft.plans.VectorExpressions
-        .simhashComboKeys(col("sh64"), nBlocks, maxHamming).as("bks"))
+  private def encode(hashed: DataFrame): DataFrame =
+    hashed.select(col("id"), col("sh64"))
 
   /** Encode `hashed` (id, sh64) and commit it as a fresh full snapshot
     * with the banding parameters in the metadata. Computes NO pairs (run
@@ -55,7 +61,7 @@ object SimHashIndex {
   def build(store: SnapshotStore, table: String, hashed: DataFrame,
             nBlocks: Int, maxHamming: Int,
             maxBucketSize: Int = 1000): Long =
-    store.commit(table, encode(hashed, nBlocks, maxHamming),
+    store.commit(table, encode(hashed),
       sortKey = Some("id"),
       meta = Map(
         s"${P}nBlocks" -> nBlocks.toString,
@@ -85,7 +91,8 @@ object SimHashIndex {
                       streamId: String, batchId: Long,
                       compactEvery: Int = 8,
                       broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit,
-                      batchCountHint: Option[Long] = None)
+                      batchCountHint: Option[Long] = None,
+                      keyProbeMaxKeys: Int = 0)
       : Option[DataFrame] = {
     var result: Option[DataFrame] = None
     var enc: DataFrame = null
@@ -104,14 +111,42 @@ object SimHashIndex {
             s"$table has no committed simhash-index metadata '$P$k'")).toInt
         val (nBlocks, maxHamming, maxBucketSize) =
           (req("nBlocks"), req("maxHamming"), req("maxBucketSize"))
-        enc = encode(batchHashed, nBlocks, maxHamming)
+        enc = encode(batchHashed)
           .persist(StorageLevel.MEMORY_AND_DISK) // batch-sized, read 3×
         // Gate sizing without a distinct() job: hint from the caller, or
         // a narrow count on the persisted encoding (warms the cache).
         val nBatch = batchCountHint.getOrElse(enc.count())
+        // Opt-in scan prefilter (the SemIndex zoneProbe / FingerprintIndex
+        // bloomProbe trade): one extra BOUNDED action collects the batch's
+        // mixed combo keys; the index scan then keeps only docs whose own
+        // keys can hit them — a pure in-expression map — instead of
+        // exploding every stored key array through the bucket semi-join
+        // (C(nBlocks, nBlocks−maxHamming) rows per indexed doc). The exact
+        // (band, bucket) semi-join still runs on the survivors, so bucket
+        // semantics (and mix collisions) never change the output. The
+        // default path keeps the one-action job budget.
+        val probeKeys: Option[Array[Long]] =
+          if (keyProbeMaxKeys <= 0) None
+          else {
+            val rows = keysOf(enc, nBlocks, maxHamming)
+              .select(col("band"), col("bucket")).distinct()
+              .take(keyProbeMaxKeys + 1)
+            if (rows.length > keyProbeMaxKeys) None
+            else {
+              val arr = rows.map(r =>
+                graft.plans.SimHashKeyHits.mix(r.getInt(0), r.getLong(1)))
+              java.util.Arrays.sort(arr)
+              Some(arr)
+            }
+          }
+        val idxRows = chain.load(store, table, v, meta)
+        val idxSrc = probeKeys match {
+          case Some(ks) => idxRows.filter(graft.plans.VectorExpressions
+            .simhashKeyHits(col("sh64"), nBlocks, maxHamming, ks))
+          case None => idxRows
+        }
         result = Some(pairsVsIndex(
-          chain.load(store, table, v, meta), enc, nBatch,
-          combosPerDoc(nBlocks, maxHamming), maxHamming, maxBucketSize,
+          idxSrc, enc, nBatch, nBlocks, maxHamming, maxBucketSize,
           broadcastKeyLimit))
         Right(chain.next(store, table, v, meta, enc, compactEvery,
           Map(key -> batchId.toString)))
@@ -121,8 +156,12 @@ object SimHashIndex {
     result
   }
 
-  private def keysOf(e: DataFrame): DataFrame =
-    e.select(col("id"), col("sh64"), explode(col("bks")).as("bk"))
+  /** Key rows recomputed in-expression from the stored hash — the scan
+    * reads only (id, sh64). */
+  private def keysOf(e: DataFrame, nBlocks: Int, maxHamming: Int): DataFrame =
+    e.select(col("id"), col("sh64"),
+        explode(graft.plans.VectorExpressions
+          .simhashComboKeys(col("sh64"), nBlocks, maxHamming)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
         col("id"), col("sh64"))
 
@@ -141,15 +180,16 @@ object SimHashIndex {
     * verification (HammingPairs popcount) happens in-bucket with no
     * extra corpus scan. */
   private def pairsVsIndex(idx: DataFrame, batchEnc: DataFrame,
-                           nBatch: Long, keysPerDoc: Long,
+                           nBatch: Long, nBlocks: Int,
                            maxHamming: Int, maxBucketSize: Int,
                            broadcastKeyLimit: Long): DataFrame = {
-    val bKeys = keysOf(batchEnc)
+    val bKeys = keysOf(batchEnc, nBlocks, maxHamming)
     // nBatch × keysPerDoc bounds the distinct bucket count — gate sized
     // with zero driver actions (over-estimate = safe shuffle fallback).
     val bBuckets = bKeys.select(col("band"), col("bucket")).distinct()
-    val cKeys = keysOf(idx)
-      .join(BroadcastGate(bBuckets, nBatch * keysPerDoc, broadcastKeyLimit),
+    val cKeys = keysOf(idx, nBlocks, maxHamming)
+      .join(BroadcastGate(bBuckets,
+          nBatch * combosPerDoc(nBlocks, maxHamming), broadcastKeyLimit),
         Seq("band", "bucket"), "left_semi")
     pairsAmong(cKeys.unionByName(bKeys), batchEnc.select(col("id")),
       nBatch, maxHamming, maxBucketSize, broadcastKeyLimit)
@@ -179,11 +219,11 @@ object SimHashIndex {
     val batchRows = idx.join(BroadcastGate(idRows, nIds, broadcastKeyLimit),
       Seq("id"), "left_semi")
     // nIds × combos bounds the touched-bucket count — no second action.
-    val bBuckets = keysOf(batchRows).select(col("band"), col("bucket"))
-      .distinct()
+    val bBuckets = keysOf(batchRows, nBlocks, maxHamming)
+      .select(col("band"), col("bucket")).distinct()
     // Batch rows are ALREADY in idx — touched-bucket membership comes
     // from one pass over the committed keys, no union.
-    val allKeys = keysOf(idx)
+    val allKeys = keysOf(idx, nBlocks, maxHamming)
       .join(BroadcastGate(bBuckets, nIds * combosPerDoc(nBlocks, maxHamming),
           broadcastKeyLimit),
         Seq("band", "bucket"), "left_semi")
@@ -202,13 +242,15 @@ object SimHashIndex {
   private def pairsAmong(allKeys: DataFrame, newIds: DataFrame, nIds: Long,
                          maxHamming: Int, maxBucketSize: Int,
                          broadcastKeyLimit: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))
+    // Bucket capping as ONE bounded-heap aggregate (id-ordered cap
+    // member-for-member identical to the old row_number window, which
+    // sorted the entire touched-key stream — 140M rows on a 5M-doc
+    // full-keyspace batch — just to discard everything past m+1).
     val allPairs = allKeys
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= maxBucketSize + 1)
       .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(struct(col("id"), col("sh64"))).as("members"))
+      .agg(graft.plans.TopKAggregate
+        .boundedMembers(col("id"), col("sh64"), maxBucketSize + 1)
+        .as("members"))
       .filter(size(col("members")).between(2, maxBucketSize))
       .select(explode(graft.plans.VectorExpressions
         .hammingPairs(col("members"), maxHamming)).as("p"))

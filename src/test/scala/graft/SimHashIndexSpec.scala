@@ -63,6 +63,30 @@ class SimHashIndexSpec extends SparkSpec {
     }
   }
 
+  test("key-probe prefilter path ≡ default semi-join path") {
+    // The opt-in in-expression scan prefilter (keyProbeMaxKeys) must
+    // change nothing: mixed-key collisions only add survivors to the
+    // exact (band, bucket) semi-join, never drop one. Run the same
+    // two-batch append on twin stores, one per path, and compare
+    // pair-for-pair (ids AND hamming).
+    val hashed = corpus.toDF("id", "sh64").repartition(4)
+    def run(probe: Int): Set[(Long, Long, Int)] = {
+      val store = new SnapshotStore(
+        Files.createTempDirectory("graft-shidx-probe").toString, spark)
+      SimHashIndex.build(store, "t", hashed.limit(0), NBlocks, MaxHamming)
+      (0 until 2).map { i =>
+        val p = SimHashIndex.appendBatchOnce(store, "t",
+          hashed.filter(col("id") % 2 === i), "s", i.toLong,
+          keyProbeMaxKeys = probe).get
+        val s = pairSet(p); p.unpersist(blocking = false); s
+      }.reduce(_ ++ _)
+    }
+    assert(run(0) === run(1 << 20), "prefiltered probe must change nothing")
+    // a 1-key budget can never hold the batch's combo keys: the probe
+    // must fall back to the default path, not truncate the key set
+    assert(run(1) === run(0), "over-budget probe must fall back, not drop")
+  }
+
   test("replay is skipped; append before build throws; deltas are O(batch)") {
     val hashed = corpus.toDF("id", "sh64")
     val root = Files.createTempDirectory("graft-shidx2").toString
