@@ -60,4 +60,44 @@ class TopKHeapSpec extends AnyFunSuite {
         s"trial $trial")
     }
   }
+
+  // ---- MemberHeap (the capped LSH bucket member list) ----
+
+  private def naiveMembers(entries: Seq[(Long, Long)], k: Int): Seq[(Long, Long)] =
+    // unique ids by contract (one row per (bucket, doc)); keep the k
+    // smallest, ascending
+    entries.sortBy(_._1).take(k)
+
+  test("member heap keeps the k smallest ids with payloads, any order") {
+    val rnd = new scala.util.Random(99L)
+    for (trial <- 0 until 200) {
+      val n = rnd.nextInt(300)
+      val k = 1 + rnd.nextInt(25)
+      // distinct ids (shuffled), arbitrary payloads — incl. k far above
+      // and far below n to exercise the lazy-capacity growth path
+      val ids = rnd.shuffle((0 until n).map(_.toLong * 3 + 1).toVector)
+      val entries = ids.map(id => (id, rnd.nextLong()))
+      val heap = new graft.plans.MemberHeap(k)
+      entries.foreach { case (id, p) => heap.add(id, p) }
+      assert(heap.sortedAsc.toSeq === naiveMembers(entries, k),
+        s"trial $trial: n=$n k=$k")
+    }
+  }
+
+  test("member heap merge equals single heap over the concatenation") {
+    val rnd = new scala.util.Random(3L)
+    for (trial <- 0 until 50) {
+      val k = 1 + rnd.nextInt(12)
+      val all = rnd.shuffle((0 until rnd.nextInt(200))
+        .map(i => (i.toLong, rnd.nextLong())).toVector)
+      val parts = all.grouped(math.max(1, all.size / (1 + rnd.nextInt(4)))).toSeq
+      val merged = new graft.plans.MemberHeap(k)
+      parts.foreach { p =>
+        val h = new graft.plans.MemberHeap(k)
+        p.foreach { case (id, pay) => h.add(id, pay) }
+        merged.mergeFrom(h)
+      }
+      assert(merged.sortedAsc.toSeq === naiveMembers(all, k), s"trial $trial")
+    }
+  }
 }
