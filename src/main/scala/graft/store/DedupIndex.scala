@@ -301,15 +301,16 @@ object DedupIndex {
                          newIds: DataFrame, nIds: Long,
                          threshold: Double, maxBucketSize: Int,
                          broadcastKeyLimit: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // Union membership of every touched bucket, capped in id order —
-    // bit-identical semantics to the batch path over the union corpus.
-    val w = Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))
+    // bit-identical semantics to the batch path over the union corpus
+    // (bounded-heap aggregate with a constant score: the (score desc,
+    // id asc) tie-break keeps exactly the m+1 smallest ids, without
+    // the row_number window's sort of the full touched-key stream).
     val allCand = allKeys
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= maxBucketSize + 1)
       .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col("id")).as("members"))
+      .agg(graft.plans.TopKAggregate
+        .boundedTopK(col("id"), lit(0.0), maxBucketSize + 1).as("ch"))
+      .select(transform(col("ch"), c => c.getField("neighbor_id")).as("members"))
       .filter(size(col("members")).between(2, maxBucketSize))
       .select(explode(graft.plans.VectorExpressions.allPairs(col("members"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
