@@ -24,7 +24,12 @@ final case class SimHashRegime(
     hash: Column => Column = Dedup.simhash64(_),
     maxHamming: Int = 6,
     expectedCorpus: Long = 5000000L,
-    maxBucketSize: Int = 1000) extends NearDupRegime
+    maxBucketSize: Int = 1000,
+    // opt-in append-scan prefilter (SimHashIndex.keyProbeMaxKeys): one
+    // extra bounded driver action per ingest batch buys an
+    // in-expression index-scan cut — measured 4× on the 5M-doc/100k
+    // flagship append; 0 keeps the one-action job budget
+    keyProbeMaxKeys: Int = 0) extends NearDupRegime
 
 /** Shingle-Jaccard gating over MinHash-LSH band keys ([[DedupIndex]]). */
 final case class MinHashRegime(
@@ -283,7 +288,8 @@ object CurationIngest {
           .filter(size(TextFunctions.tokens(col(textCol))) > 0)
           .select(col(idCol).as("id"), r.hash(col(textCol)).as("sh64"))
         SimHashIndex.appendBatchOnce(store, ndT, hashed, streamId, batchId,
-            compactEvery, broadcastKeyLimit, batchCountHint = Some(nSurv))
+            compactEvery, broadcastKeyLimit, batchCountHint = Some(nSurv),
+            keyProbeMaxKeys = r.keyProbeMaxKeys)
           .getOrElse(SimHashIndex.pairsForCommitted(store, ndT,
             hashed.select(col("id")), broadcastKeyLimit))
       case r: MinHashRegime =>
