@@ -881,7 +881,6 @@ object Dedup {
                              maxBucketSize: Int = 1000,
                              nBlocks: Int = 0,
                              corpusSize: Long = 0L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // nBlocks 0 → size the keyspace to the corpus (corpusSize 0 → count
     // `hashed`, which re-evaluates its plan once — callers that already
     // know the row count should pass it).
@@ -895,20 +894,20 @@ object Dedup {
       .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
         col("id"), col("sh64"))
 
-    // ONE shuffle on the bucket key. The previous shape (groupBy count →
+    // ONE shuffle on the bucket key. The r9 shape (groupBy count →
     // broadcast anti-join cap → bucket-key self-join → dropDuplicates →
     // hamming filter) passed the exploded key rows through THREE
     // shuffles, and worse, aggregated the unfiltered O(bucket²) candidate
     // set: at 5M docs / h=6 (210 combos, 1.05B key rows) one
     // dropDuplicates task burned 25 CPU-minutes on candidates the ham ≤ h
-    // test would discard. Here the single hash exchange feeds a window
-    // (row_number caps degenerate buckets at bounded memory — a bucket
-    // never materializes more than maxBucketSize+1 members), the
-    // collect_list rides the same partitioning (no second exchange;
-    // clustered input → the object agg streams), and HammingPairs emits
-    // only VERIFIED pairs, so the final distinct sees ≤ combos ×
-    // true-pairs rows instead of every candidate (flagship-corpus
-    // before/after in NOTES.md).
+    // test would discard. The r11 shape fixed that with a row_number
+    // window — which still SORTED the full key stream; the r13 shape
+    // caps in-aggregate instead: map-side-bounded heaps keep each
+    // bucket's maxBucketSize+1 smallest (id, sh64) members (lazy buffer
+    // capacity — eager k-sized buffers over singleton-dominated groups
+    // measured 3× worse than the window), and HammingPairs emits only
+    // VERIFIED pairs, so the final distinct sees ≤ combos × true-pairs
+    // rows (flagship before/after in NOTES.md: h6 24.7 → 19.6 s).
     val members = banded
       .groupBy(col("band"), col("bucket"))
       .agg(graft.plans.TopKAggregate
