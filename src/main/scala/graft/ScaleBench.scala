@@ -1018,8 +1018,14 @@ object ScaleBench {
         val rAnn = recall(Similarity.annTopK(embs, "vec_id", "embedding",
           queries, "query_id", "qvec", dim = Dim, k = 10,
           nPlanes = 16, multiprobe = 32))
+        // reuse the split entries' trained models (deterministic for
+        // (content, seed), so results are identical to inline training —
+        // and the recall of the SERVED configuration is what this entry
+        // is supposed to measure). Falls back to inline training when
+        // the split entries were filtered out of the run.
         val rIvf = recall(Similarity.ivfTopK(embs, "vec_id", "embedding",
-          queries, "query_id", "qvec", k = 10, nLists = 1024, nProbe = 16))
+          queries, "query_id", "qvec", k = 10, nLists = 1024, nProbe = 16,
+          centroidsOpt = ivfCentroids))
         // 8-bit codebooks (kCodes=256, the production PQ setting — still
         // 16-byte codes) across the refine curve: ADC noise vs the
         // ~0.005 within-cluster cosine gaps decides how deep the exact
@@ -1027,7 +1033,8 @@ object ScaleBench {
         val rPqCurve = Seq(1, 8, 32, 128).map { r =>
           r -> recall(Similarity.ivfPqTopK(embs, "vec_id", "embedding",
             queries, "query_id", "qvec", dim = Dim, k = 10,
-            nLists = 1024, nProbe = 16, kCodes = 256, refine = r))
+            nLists = 1024, nProbe = 16, kCodes = 256, refine = r,
+            centroidsOpt = ivfCentroids, codebooksOpt = pqCodebooks))
         }
         val curveStr = rPqCurve.map { case (r, v) => f"r$r=$v%.3f" }.mkString(" ")
         System.err.println(
