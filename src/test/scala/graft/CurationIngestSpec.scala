@@ -109,6 +109,11 @@ class CurationIngestSpec extends SparkSpec {
   // unrelated docs share no tokens, cos ≈ 0 — 0.8 splits them cleanly.
   private val regimes: Seq[(String, NearDupRegime)] = Seq(
     "simhash" -> SimHashRegime(maxHamming = 20, expectedCorpus = 100L),
+    // the opt-in append-scan prefilter must be lineage-invisible: same
+    // expected() truth as the plain simhash regime, pinned by the same
+    // composed-vs-manual equality below
+    "simhash+probe" -> SimHashRegime(maxHamming = 20, expectedCorpus = 100L,
+      keyProbeMaxKeys = 1 << 20),
     "minhash" -> MinHashRegime(threshold = 0.5),
     "embed" -> EmbedRegime(threshold = 0.8, expectedCorpus = 100L))
 
