@@ -410,14 +410,17 @@ object ScaleBench {
         n
       },
       // Incremental dedup, the growing-corpus production mode: build the
-      // persisted band-key index once (≈ one minhash pass + write), then
-      // dedup a 100k crawl batch against the 5M corpus in O(batch) text
-      // work — candidate keys enter through a broadcast bucket filter,
-      // nothing corpus-sized shuffles, and only the index's (id,bks) /
-      // (id,h_arr) columns are scanned. The append time vs
-      // dedup_minhash_pairs (the full recompute it replaces) is the
-      // O(batch)-not-O(corpus) evidence. The batch plants ~1k in-batch
-      // near-dup pairs (same id%100==1 structure as the corpus).
+      // persisted shingle-hash index once (≈ one tokenize pass + write),
+      // then dedup a 100k crawl batch against the 5M corpus in O(batch)
+      // text work — band keys are recomputed in-expression from the one
+      // flat (id, h_arr) column (r14 slim layout; the old stored-bks
+      // nested column was the append's dominant scan), the key-probe
+      // prefilter drops corpus rows that cannot share a bucket with the
+      // batch before anything explodes, and nothing corpus-sized
+      // shuffles. The append time vs dedup_minhash_pairs (the full
+      // recompute it replaces) is the O(batch)-not-O(corpus) evidence.
+      // The batch plants ~1k in-batch near-dup pairs (same id%100==1
+      // structure as the corpus).
       timed("dedup_incr_build") {
         DedupIndex.build(store, "docs_minhash", docs, "text", "doc_id")
         nDocs
@@ -427,15 +430,15 @@ object ScaleBench {
         val batch = spark.range(nDocs, nDocs + 100000L, 1L, 16)
           .map(id => genDoc(id.toLong)).toDF()
         val pairs = DedupIndex.appendBatch(store, "docs_minhash", batch,
-          "text", "doc_id", threshold = 0.5)
+          "text", "doc_id", threshold = 0.5, keyProbeMaxKeys = 4000000)
         val n = pairs.count()
         pairs.unpersist(blocking = false)
         n
       },
       // SimHash incremental dedup: the Hamming-regime index. The hash
-      // rides with the combo keys (no h_arr payload), so the corpus-side
-      // append cost is one (id, sh64, bks) scan; nBlocks is auto-sized
-      // once for the final corpus and committed with the table.
+      // rides with the recomputed combo keys (no h_arr payload), so the
+      // corpus-side append cost is one (id, sh64) scan; nBlocks is
+      // auto-sized once for the final corpus and committed with the table.
       timed("sh_incr_build") {
         import spark.implicits._
         val hashed = docs.select(col("doc_id").as("id"),

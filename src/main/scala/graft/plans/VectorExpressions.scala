@@ -532,6 +532,68 @@ case class SimHashKeyHits(child: Expression, nBlocks: Int, maxHamming: Int,
     copy(child = newChild)
 }
 
+/** True iff ANY of a document's MinHash-LSH band keys hits a fixed
+  * sorted MIXED-key set — the MinHash twin of [[SimHashKeyHits]], the
+  * in-expression prefilter of the incremental dedup append
+  * (DedupIndex.keyProbeMaxKeys). The band keys are recomputed from the
+  * stored shingle-hash array bit-for-bit like the Column path
+  * (`Dedup.lshBandKeys(Dedup.minhashSignature(h_arr, k), k, bands)`):
+  * the signature via an embedded [[MinHashSignature]] (same class, same
+  * seed ⇒ identical mins), the per-band bucket as
+  * `xxhash64(concat_ws(",", slice(sig, b*r+1, r)))` — a comma-joined
+  * decimal rendering of the band's slots hashed with Spark's default
+  * xxhash64 seed (42), matching Cast(long→string) + ConcatWs + XxHash64
+  * exactly. Collisions of the [[SimHashKeyHits.mix]] are harmless
+  * (prefilter: false positives survive into the exact (band, bucket)
+  * semi-join downstream; false negatives cannot happen). */
+case class MinHashKeyHits(child: Expression, k: Int, bands: Int,
+                          keys: Array[Long], seed: Long = 42L)
+    extends UnaryExpression {
+
+  require(k > 0 && bands > 0 && k % bands == 0,
+    s"k=$k must be a positive multiple of bands=$bands")
+
+  @transient private lazy val sigOf = MinHashSignature(child, k, seed)
+  @transient private lazy val r = k / bands
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    sigOf.checkInputDataTypes()
+
+  def compute(arr: ArrayData): Boolean = {
+    val sig = sigOf.compute(arr)
+    val sb = new java.lang.StringBuilder(r * 20)
+    var b = 0
+    while (b < bands) {
+      sb.setLength(0)
+      var i = 0
+      while (i < r) {
+        if (i > 0) sb.append(',')
+        sb.append(sig.getLong(b * r + i))
+        i += 1
+      }
+      val bucket = XxHash64Function.hash(
+        UTF8String.fromString(sb.toString), StringType, 42L)
+      if (java.util.Arrays.binarySearch(keys,
+          SimHashKeyHits.mix(b, bucket)) >= 0) return true
+      b += 1
+    }
+    false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mhKeyHits", this, classOf[MinHashKeyHits].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Verified near-dup pairs within one LSH bucket: all (id_a, id_b,
   * hamming) with id_a < id_b and hamming ≤ maxHamming over an
   * array<struct<id:long, sh64:long>> of bucket members.
@@ -1209,6 +1271,11 @@ object VectorExpressions {
                      keys: Array[Long]): Column =
     GraftColumnBridge.column(SimHashKeyHits(
       GraftColumnBridge.expression(sh64), nBlocks, maxHamming, keys))
+
+  def minhashKeyHits(hArr: Column, k: Int, bands: Int,
+                     keys: Array[Long]): Column =
+    GraftColumnBridge.column(MinHashKeyHits(
+      GraftColumnBridge.expression(hArr), k, bands, keys))
 
   def hammingPairs(members: Column, maxHamming: Int): Column =
     GraftColumnBridge.column(HammingPairs(

@@ -37,7 +37,13 @@ final case class MinHashRegime(
     shingleN: Int = 3,
     k: Int = 32,
     bands: Int = 16,
-    maxBucketSize: Int = 1000) extends NearDupRegime
+    maxBucketSize: Int = 1000,
+    // opt-in append-scan prefilter (DedupIndex.keyProbeMaxKeys), the
+    // MinHash twin of SimHashRegime's: one extra bounded driver action
+    // per ingest batch lets the index scan drop every corpus row that
+    // cannot share a band bucket with the batch before anything
+    // explodes; 0 keeps the one-action job budget
+    keyProbeMaxKeys: Int = 0) extends NearDupRegime
 
 /** Embedding-cosine gating over a hyperplane-LSH index ([[EmbedIndex]])
   * — the SEMANTIC near-dup regime (re-worded content token hashes
@@ -295,7 +301,8 @@ object CurationIngest {
       case r: MinHashRegime =>
         DedupIndex.appendBatchOnce(store, ndT, survivors, textCol, idCol,
             streamId, batchId, r.threshold, r.maxBucketSize, compactEvery,
-            broadcastKeyLimit, batchCountHint = Some(nSurv))
+            broadcastKeyLimit, batchCountHint = Some(nSurv),
+            keyProbeMaxKeys = r.keyProbeMaxKeys)
           .getOrElse(DedupIndex.pairsForCommitted(store, ndT,
             survivors.select(col(idCol).as("id")), r.threshold,
             r.maxBucketSize, broadcastKeyLimit))

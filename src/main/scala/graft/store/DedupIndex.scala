@@ -13,21 +13,32 @@ import graft.functions.Dedup
   * and re-bands the WHOLE corpus on every run; the production mode for a
   * growing corpus deduplicates each NEW crawl batch against everything
   * already ingested without recomputing 100 TB of text. This index
-  * persists, per document, exactly what the batch operator derives from
-  * the text — the distinct sorted shingle hashes (`h_arr`, the verify
-  * payload) and the MinHash-LSH band keys (`bks`, the candidate keys) —
-  * so an append only computes those for the BATCH and joins against the
-  * committed columns.
+  * persists, per document, the one thing the pair search cannot cheaply
+  * re-derive — the distinct sorted shingle hashes (`h_arr`: candidate
+  * keys AND verify payload both derive from it) — so an append only
+  * tokenizes the BATCH and joins against the committed column.
   *
   * Layout: one snapshot-store table, one row per document:
-  * {{{ (id, h_arr: array<long>, bks: array<struct<band:int,bucket:long>>) }}}
-  * Parquet column pruning splits the two access paths: the candidate scan
-  * reads only (id, bks); the verify scan reads only (id, h_arr). The
-  * shingle/minhash parameters ride in the snapshot metadata (atomic with
-  * the rows — appended keys can never mix parameterizations), and appends
-  * are [[DeltaChain]] versions: O(batch) parquet per append, periodic
-  * compaction, exactly-once via the same batch-id watermark the vector
-  * index and catalog ingest use.
+  * {{{ (id, h_arr: array<long>) }}}
+  * The MinHash-LSH band keys are NOT stored (r14, the SimHashIndex r13
+  * medicine): they are a pure function of `h_arr` and the committed
+  * shingle/minhash parameters, recomputed in-expression wherever needed
+  * (`Dedup.lshBandKeys(Dedup.minhashSignature(h_arr, k), k, bands)`, all
+  * codegen'd). The old layout's `bks` column — array<struct<band:int,
+  * bucket:long>>, ~bands·16 B of NESTED parquet per doc — was the
+  * append's dominant scan cost (nested struct decode; the flagship
+  * measured the (id, bks) scan at ~10 s vs ~3 s for the flat (id, h_arr)
+  * column it duplicates). Now every corpus-side path reads the one flat
+  * column the verify needs anyway, and the k multiply-add signature per
+  * row rides inside whole-stage codegen. Tables written by older code
+  * still carry `bks` and keep working: the delta chain projects every
+  * member to the canonical (id, h_arr), so mixed old-fat/new-slim chains
+  * read, append and compact cleanly, and the first compaction rewrites
+  * the table slim. The shingle/minhash parameters ride in the snapshot
+  * metadata (atomic with the rows — appended keys can never mix
+  * parameterizations), and appends are [[DeltaChain]] versions: O(batch)
+  * parquet per append, periodic compaction, exactly-once via the same
+  * batch-id watermark the vector index and catalog ingest use.
   *
   * Incremental ≡ batch (DedupIndexSpec proves it pair-for-pair): for any
   * split of a corpus into batches, the union of every append's pair set
@@ -49,23 +60,29 @@ import graft.functions.Dedup
   *
   * Scale shape of one append (batch b against corpus N):
   *  - batch side: shingle+minhash+band O(b) — the only text processing;
-  *  - candidate keys: the index (id, bks) columns stream through a
-  *    BROADCAST semi-join on the batch's bucket set — no corpus shuffle;
-  *    only members of batch-touched buckets (O(b · bucket occupancy))
-  *    reach the one bucket-key exchange, then the same capped-window +
-  *    in-bucket AllPairs as the batch path;
+  *  - candidate keys: the index (id, h_arr) columns stream through a
+  *    BROADCAST semi-join on the batch's bucket set, band keys recomputed
+  *    in-expression — no corpus shuffle, and with the opt-in
+  *    `keyProbeMaxKeys` prefilter ([[graft.plans.MinHashKeyHits]]) most
+  *    index rows never even reach the explode: a pure in-codegen map of
+  *    ≤ bands binary searches per row drops every document that cannot
+  *    share a bucket with the batch. Only members of batch-touched
+  *    buckets (O(b · bucket occupancy)) reach the one bucket-key
+  *    exchange, then the same capped-heap + in-bucket AllPairs as the
+  *    batch path;
   *  - verify: candidate-sized joins against the (id, h_arr) column,
   *    corpus side restricted by semi-join before the shingle arrays ride
   *    any join (AQE picks broadcast when the candidate set is small; no
   *    forced broadcast — a degenerate batch can have a large one, same
   *    policy as dropNearDuplicates);
-  *  - honest cost floor: the index columns are SCANNED once per append
-  *    (columnar, no corpus CPU, no corpus shuffle) — ~10-20 % of the raw
-  *    text bytes. Measured at the 5M-doc flagship for a 100k-doc append
-  *    (41.7 s end-to-end): (id,bks) scan ≈ 10 s + (id,h_arr) scan ≈ 3 s
-  *    are the only corpus-size-dependent terms; encode (~2.5 s), the
-  *    batch bucket-set distinct (~2.5 s), the capped window + pair gen
-  *    (~7 s) and the delta commit (~5 s) are all O(batch).
+  *  - honest cost floor: the one flat (id, h_arr) column is SCANNED
+  *    twice per append (candidate keys + verify; columnar, no corpus
+  *    shuffle) plus k multiply-adds per stored hash for the recomputed
+  *    signature — the pre-r14 layout instead paid a nested-struct
+  *    (id, bks) decode measured at ~10 s against ~3 s for this flat
+  *    column at the 5M-doc flagship; encode, the batch bucket-set
+  *    distinct, the capped-heap pair gen and the delta commit are all
+  *    O(batch).
   *
   *    A bucket-partitioned key layout was CONSIDERED and rejected after
   *    doing the pruning math: a 100k-doc batch probes ~1.6M distinct
@@ -88,17 +105,18 @@ import graft.functions.Dedup
 object DedupIndex {
 
   private val P = "dedup." // metadata key prefix
-  private val chain = new DeltaChain(s"${P}parts")
+  // Canonical columns: pre-r14 tables carry the stored `bks` key column;
+  // projecting every chain member keeps mixed old-fat/new-slim chains
+  // unioning cleanly, and the next compaction rewrites the table slim.
+  private val chain = new DeltaChain(s"${P}parts", Seq("id", "h_arr"))
 
-  /** Index rows for `df`: everything the pair search needs, derived once
-    * per document — text never enters the store. */
+  /** Index rows for `df`: the distinct sorted shingle hashes, from which
+    * everything else (signature, band keys) is recomputed in-expression —
+    * text never enters the store. */
   private def encode(df: DataFrame, textCol: String, idCol: String,
-                     shingleN: Int, k: Int, bands: Int): DataFrame =
+                     shingleN: Int): DataFrame =
     df.select(col(idCol).as("id"),
-        Dedup.shingleHashes(col(textCol), shingleN).as("h_arr"))
-      .select(col("id"), col("h_arr"),
-        Dedup.lshBandKeys(
-          Dedup.minhashSignature(col("h_arr"), k), k, bands).as("bks"))
+      Dedup.shingleHashes(col(textCol), shingleN).as("h_arr"))
 
   /** Encode `corpus` and commit it as a fresh full snapshot (version 1 of
     * a new table, or a chain-resetting rebuild), with the shingle/minhash
@@ -109,7 +127,7 @@ object DedupIndex {
   def build(store: SnapshotStore, table: String, corpus: DataFrame,
             textCol: String, idCol: String, shingleN: Int = 3,
             k: Int = 32, bands: Int = 16): Long =
-    store.commit(table, encode(corpus, textCol, idCol, shingleN, k, bands),
+    store.commit(table, encode(corpus, textCol, idCol, shingleN),
       sortKey = Some("id"),
       meta = Map(
         s"${P}shingleN" -> shingleN.toString,
@@ -142,11 +160,12 @@ object DedupIndex {
                   threshold: Double = 0.5, maxBucketSize: Int = 1000,
                   compactEvery: Int = 8,
                   broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit,
-                  batchCountHint: Option[Long] = None)
+                  batchCountHint: Option[Long] = None,
+                  keyProbeMaxKeys: Int = 0)
       : DataFrame =
     appendInternal(store, table, batch, textCol, idCol, threshold,
       maxBucketSize, compactEvery, None, broadcastKeyLimit,
-      batchCountHint).get
+      batchCountHint, keyProbeMaxKeys).get
 
   /** [[appendBatch]] with the exactly-once batch-id watermark discipline
     * (same as VectorIndex.appendBatchOnce / Mutations.appendBatchOnce):
@@ -159,11 +178,12 @@ object DedupIndex {
                       threshold: Double = 0.5, maxBucketSize: Int = 1000,
                       compactEvery: Int = 8,
                       broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit,
-                      batchCountHint: Option[Long] = None)
+                      batchCountHint: Option[Long] = None,
+                      keyProbeMaxKeys: Int = 0)
       : Option[DataFrame] =
     appendInternal(store, table, batch, textCol, idCol, threshold,
       maxBucketSize, compactEvery, Some((streamId, batchId)),
-      broadcastKeyLimit, batchCountHint)
+      broadcastKeyLimit, batchCountHint, keyProbeMaxKeys)
 
   private def appendInternal(store: SnapshotStore, table: String,
                              batch: DataFrame, textCol: String, idCol: String,
@@ -171,7 +191,8 @@ object DedupIndex {
                              compactEvery: Int,
                              onceKey: Option[(String, Long)],
                              broadcastKeyLimit: Long,
-                             batchCountHint: Option[Long])
+                             batchCountHint: Option[Long],
+                             keyProbeMaxKeys: Int)
       : Option[DataFrame] = {
     var result: Option[DataFrame] = None
     var enc: DataFrame = null
@@ -196,7 +217,7 @@ object DedupIndex {
       if (replay) Left(())
       else {
         val (shingleN, k, bands) = paramsFrom(meta, table)
-        enc = encode(batch, textCol, idCol, shingleN, k, bands)
+        enc = encode(batch, textCol, idCol, shingleN)
           .persist(StorageLevel.MEMORY_AND_DISK) // batch-sized, read 4×
         // One driver action at most for gate sizing: callers that already
         // know the batch size (CurationIngest counts its survivors) pass
@@ -205,8 +226,36 @@ object DedupIndex {
         // (r9 verdict: each blocking action is a separate job whose
         // latency multiplies under host degradation).
         val nBatch = batchCountHint.getOrElse(enc.count())
+        // Opt-in scan prefilter (the SimHashIndex keyProbe trade): one
+        // extra BOUNDED action collects the batch's mixed band keys; the
+        // index scan then keeps only docs whose recomputed keys can hit
+        // them — a pure in-codegen map of ≤ bands binary searches per
+        // row — before anything explodes through the bucket semi-join.
+        // The exact (band, bucket) semi-join still runs on the
+        // survivors, so mix collisions never change the output. The
+        // default path keeps the one-action job budget.
+        val probeKeys: Option[Array[Long]] =
+          if (keyProbeMaxKeys <= 0) None
+          else {
+            val rows = keysOf(enc, k, bands)
+              .select(col("band"), col("bucket")).distinct()
+              .take(keyProbeMaxKeys + 1)
+            if (rows.length > keyProbeMaxKeys) None
+            else {
+              val arr = rows.map(r =>
+                graft.plans.SimHashKeyHits.mix(r.getInt(0), r.getLong(1)))
+              java.util.Arrays.sort(arr)
+              Some(arr)
+            }
+          }
+        val idxRows = chain.load(store, table, v, meta)
+        val idxSrc = probeKeys match {
+          case Some(ks) => idxRows.filter(graft.plans.VectorExpressions
+            .minhashKeyHits(col("h_arr"), k, bands, ks))
+          case None => idxRows
+        }
         result = Some(pairsVsIndex(
-          chain.load(store, table, v, meta), enc, nBatch, bands, threshold,
+          idxSrc, enc, nBatch, k, bands, threshold,
           maxBucketSize, broadcastKeyLimit))
         Right(chain.next(store, table, v, meta, enc, compactEvery,
           watermark.map { case (key, bid) => Map(key -> bid.toString) }
@@ -220,8 +269,13 @@ object DedupIndex {
     result
   }
 
-  private def keysOf(enc: DataFrame): DataFrame =
-    enc.select(col("id"), explode(col("bks")).as("bk"))
+  /** Key rows recomputed in-expression from the stored shingle hashes —
+    * the scan reads only the flat (id, h_arr) columns; signature and
+    * band keys ride inside whole-stage codegen. */
+  private def keysOf(e: DataFrame, k: Int, bands: Int): DataFrame =
+    e.select(col("id"),
+        explode(Dedup.lshBandKeys(
+          Dedup.minhashSignature(col("h_arr"), k), k, bands)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
         col("id"))
 
@@ -230,10 +284,10 @@ object DedupIndex {
     * through a size-gated broadcast bucket filter instead of a full
     * re-band. */
   private def pairsVsIndex(idx: DataFrame, batchEnc: DataFrame,
-                           nBatch: Long, bands: Int,
+                           nBatch: Long, k: Int, bands: Int,
                            threshold: Double, maxBucketSize: Int,
                            broadcastKeyLimit: Long): DataFrame = {
-    val bKeys = keysOf(batchEnc)
+    val bKeys = keysOf(batchEnc, k, bands)
     // The batch's bucket set (batch-sized) broadcasts into the corpus
     // keys scan below the gate: index rows stream through the semi-join
     // — no shuffle — and only members of batch-touched buckets survive.
@@ -243,7 +297,7 @@ object DedupIndex {
     // side — and the byte gate in BroadcastGate caps the width too).
     val bBuckets = bKeys.select(col("band"), col("bucket")).distinct()
     pairsAmong(
-      keysOf(idx)
+      keysOf(idx, k, bands)
         .join(BroadcastGate(bBuckets, nBatch * bands, broadcastKeyLimit),
           Seq("band", "bucket"), "left_semi")
         .unionByName(bKeys),
@@ -255,9 +309,10 @@ object DedupIndex {
 
   /** READ-ONLY recovery twin of [[appendBatchOnce]]'s pair result: the
     * pairs touching `ids` recomputed from the COMMITTED index alone —
-    * for replaying a batch whose append already committed (its band keys
-    * and shingle hashes are read back from the index rather than
-    * re-derived from text). Reproduces the original append's pair set
+    * for replaying a batch whose append already committed (its shingle
+    * hashes are read back from the index — band keys recomputed from
+    * them in-expression — rather than re-derived from text). Reproduces
+    * the original append's pair set
     * exactly (same touched-bucket membership and id-ordered cap, same
     * stored-hash jaccard) PROVIDED no later batch was appended in
     * between — guaranteed under the sequential-batchId streaming
@@ -270,7 +325,7 @@ object DedupIndex {
       : DataFrame = {
     val v = store.currentVersion(table)
     val meta = store.metaForVersion(table, v)
-    val (_, _, bands) = paramsFrom(meta, table)
+    val (_, k, bands) = paramsFrom(meta, table)
     val idx = chain.load(store, table, v, meta)
     val idRows = ids.select(col("id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -278,11 +333,11 @@ object DedupIndex {
     val batchRows = idx.join(BroadcastGate(idRows, nIds, broadcastKeyLimit),
       Seq("id"), "left_semi")
     // nIds × bands bounds the touched-bucket count — no second action.
-    val bBuckets = keysOf(batchRows).select(col("band"), col("bucket"))
-      .distinct()
+    val bBuckets = keysOf(batchRows, k, bands)
+      .select(col("band"), col("bucket")).distinct()
     // Batch rows are ALREADY in idx — membership and signatures both
     // come from the committed columns, no union.
-    val allKeys = keysOf(idx)
+    val allKeys = keysOf(idx, k, bands)
       .join(BroadcastGate(bBuckets, nIds * bands, broadcastKeyLimit),
         Seq("band", "bucket"), "left_semi")
     val out = pairsAmong(allKeys, idx.select(col("id"), col("h_arr")),

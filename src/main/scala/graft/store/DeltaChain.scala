@@ -17,8 +17,24 @@ import org.apache.spark.sql.DataFrame
   * has flipped, so resolving one version number and reading both its
   * chain and its data is a consistent lock-free read. Chain WRITES
   * (`next`) must run under the table lock (SnapshotStore.transactWith) —
-  * a concurrent commit invalidates a chain read taken before locking. */
-private[store] final class DeltaChain(partsKey: String) {
+  * a concurrent commit invalidates a chain read taken before locking.
+  *
+  * `canonCols` (when non-empty) projects EVERY chain member to those
+  * columns before the union. This is how an index sheds a stored column
+  * without orphaning old tables: members written by older code carry the
+  * extra column (e.g. SimHashIndex's pre-r13 `bks`, DedupIndex's pre-r14
+  * `bks`), members written after the slimming don't, and a strict
+  * `unionByName` over the mixed chain would throw AnalysisException on
+  * the FIRST post-upgrade append (old fat base + new slim delta). The
+  * projection makes old- and new-format members union cleanly on reads,
+  * appends and compactions — and a compaction then rewrites the table in
+  * the slim canonical layout, completing the migration. */
+private[store] final class DeltaChain(partsKey: String,
+                                      canonCols: Seq[String] = Nil) {
+
+  private def canon(df: DataFrame): DataFrame =
+    if (canonCols.isEmpty) df
+    else df.select(canonCols.map(org.apache.spark.sql.functions.col): _*)
 
   /** Version dirs whose rows make up table version `v`: the recorded
     * parent deltas/base, then v itself. Empty parts ⇒ v is a full
@@ -30,7 +46,8 @@ private[store] final class DeltaChain(partsKey: String) {
   /** The live table contents (delta-chain union) as of version `v`. */
   def load(store: SnapshotStore, table: String, v: Long,
            meta: Map[String, String]): DataFrame =
-    chainOf(meta, v).map(store.loadVersion(table, _)).reduce(_ unionByName _)
+    chainOf(meta, v).map(m => canon(store.loadVersion(table, m)))
+      .reduce(_ unionByName _)
 
   /** Zone-pruned chain read: each chain member version is pruned by its
     * OWN `_graft_zones` sidecar (immutable alongside its data), so a
@@ -41,7 +58,8 @@ private[store] final class DeltaChain(partsKey: String) {
   def loadPruned(store: SnapshotStore, table: String, v: Long,
                  meta: Map[String, String],
                  preds: Seq[ZoneMap.ZonePred]): DataFrame =
-    chainOf(meta, v).map(ZoneMap.prunedScanAt(store, table, _, preds))
+    chainOf(meta, v)
+      .map(m => canon(ZoneMap.prunedScanAt(store, table, m, preds)))
       .reduce(_ unionByName _)
 
   /** Delta-or-compact decision for the next commit: below the threshold
@@ -59,10 +77,10 @@ private[store] final class DeltaChain(partsKey: String) {
       : (DataFrame, Map[String, String]) = {
     val chain = chainOf(meta, v)
     if (chain.length >= compactEvery)
-      (layout(load(store, table, v, meta).unionByName(delta)),
+      (layout(load(store, table, v, meta).unionByName(canon(delta))),
         extraMeta + (partsKey -> ""))
     else
-      (delta, extraMeta + (partsKey -> chain.mkString(",")))
+      (canon(delta), extraMeta + (partsKey -> chain.mkString(",")))
   }
 
   /** On-demand fold of the whole chain into a full snapshot — the

@@ -17,7 +17,9 @@ import org.apache.spark.storage.StorageLevel
   * indexed document instead of ~360, and every scan reads two primitive
   * columns (r13: the stored-key layout made the 5M-doc append read and
   * explode a ~1.7 GB key column; tables written by older versions still
-  * carry it and are read fine — the extra column is simply ignored).
+  * carry it and keep working — the delta chain projects every member to
+  * the canonical (id, sh64), so mixed old-fat/new-slim chains read,
+  * append and compact cleanly, and the first compaction rewrites slim).
   * Any pair within the committed Hamming radius shares at least one
   * key (recall 1.0 by construction, see Dedup.simhashBlockCombos). The
   * banding parameters (nBlocks, maxHamming, maxBucketSize) are FIXED at
@@ -47,7 +49,11 @@ import org.apache.spark.storage.StorageLevel
 object SimHashIndex {
 
   private val P = "shdedup." // metadata key prefix
-  private val chain = new DeltaChain(s"${P}parts")
+  // Canonical columns: tables written before the r13 slimming carry the
+  // stored `bks` key column; projecting every chain member keeps a mixed
+  // old-base + slim-delta chain unioning cleanly (reads AND appends), and
+  // the next compaction rewrites the table slim.
+  private val chain = new DeltaChain(s"${P}parts", Seq("id", "sh64"))
 
   private def encode(hashed: DataFrame): DataFrame =
     hashed.select(col("id"), col("sh64"))

@@ -115,6 +115,10 @@ class CurationIngestSpec extends SparkSpec {
     "simhash+probe" -> SimHashRegime(maxHamming = 20, expectedCorpus = 100L,
       keyProbeMaxKeys = 1 << 20),
     "minhash" -> MinHashRegime(threshold = 0.5),
+    // r14: the MinHash twin of the probe row above — same
+    // lineage-invisibility pin for DedupIndex.keyProbeMaxKeys
+    "minhash+probe" -> MinHashRegime(threshold = 0.5,
+      keyProbeMaxKeys = 1 << 20),
     "embed" -> EmbedRegime(threshold = 0.8, expectedCorpus = 100L))
 
   test("composed lineage ≡ manual stage composition, both regimes, any ascending batching") {

@@ -94,6 +94,85 @@ class DedupIndexSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("key-probe prefilter path ≡ default semi-join path") {
+    // The opt-in in-expression scan prefilter (keyProbeMaxKeys) must
+    // change nothing: the expression recomputes each stored document's
+    // band keys bit-for-bit like the Column path, and mixed-key
+    // collisions only add survivors to the exact (band, bucket)
+    // semi-join, never drop one. Same three-batch append on twin
+    // stores, one per path, compared pair-for-pair (ids AND jaccard) —
+    // this is also the bit-match proof for MinHashKeyHits' JVM
+    // re-derivation of xxhash64(concat_ws(",", slice(sig, …))).
+    val docs = corpus.toDF("doc_id", "text").repartition(4)
+    def run(probe: Int): Set[(Long, Long, Double)] = {
+      val store = new SnapshotStore(
+        Files.createTempDirectory("graft-dedupidx-probe").toString, spark)
+      DedupIndex.build(store, "docs", docs.limit(0), "text", "doc_id")
+      batches(docs).map { b =>
+        val p = DedupIndex.appendBatch(store, "docs", b, "text", "doc_id",
+          threshold = 0.5, keyProbeMaxKeys = probe)
+        val s = pairSet(p); p.unpersist(blocking = false); s
+      }.reduce(_ ++ _)
+    }
+    val dflt = run(0)
+    assert(dflt.nonEmpty)
+    assert(run(1 << 20) === dflt, "prefiltered probe must change nothing")
+    // a 1-key budget can never hold the batch's band keys: the probe
+    // must fall back to the default path, not truncate the key set
+    assert(run(1) === dflt, "over-budget probe must fall back, not drop")
+  }
+
+  test("pre-r14 fat-layout tables (stored bks) stay readable AND appendable") {
+    // Simulate a table written by pre-r14 code: the base snapshot
+    // carries the stored band-key column alongside (id, h_arr). The
+    // slimmed code must (a) read it, (b) append slim deltas onto it —
+    // the mixed fat-base + slim-delta chain union was exactly the
+    // AnalysisException hole the r13 advice flagged — and (c) compact
+    // the mixed chain into the slim canonical layout.
+    val docs = corpus.toDF("doc_id", "text").repartition(4)
+    val truth = Dedup.nearDuplicatePairs(docs, "text", "doc_id", threshold = 0.5)
+    val want = pairSet(truth)
+    truth.unpersist(blocking = false)
+
+    val bs = batches(docs)
+    val ids0 = bs.head.select("doc_id").as[Long].collect().toSet
+    // appends of batches 1..2 must surface every pair NOT internal to
+    // the fat base (those belong to the base's own build-time dedup)
+    val wantAppends = want.filterNot { case (a, b, _) =>
+      ids0.contains(a) && ids0.contains(b)
+    }
+    assert(wantAppends.exists { case (a, b, _) =>
+      ids0.contains(a) || ids0.contains(b) },
+      "planted structure must include fat-base-vs-new-batch pairs")
+
+    val root = Files.createTempDirectory("graft-dedupidx-fat").toString
+    val store = new SnapshotStore(root, spark)
+    val fat = bs.head
+      .select(col("doc_id").as("id"),
+        Dedup.shingleHashes(col("text"), 3).as("h_arr"))
+      .select(col("id"), col("h_arr"),
+        Dedup.lshBandKeys(
+          Dedup.minhashSignature(col("h_arr"), 32), 32, 16).as("bks"))
+    store.commit("docs", fat, sortKey = Some("id"),
+      meta = Map("dedup.shingleN" -> "3", "dedup.k" -> "32",
+        "dedup.bands" -> "16", "dedup.parts" -> ""))
+    assert(store.loadVersion("docs", 1L).schema.fieldNames.contains("bks"),
+      "test premise: the simulated old base must carry the fat column")
+
+    val got = bs.tail.map { b =>
+      val p = DedupIndex.appendBatch(store, "docs", b, "text", "doc_id",
+        threshold = 0.5, compactEvery = 2)
+      val s = pairSet(p); p.unpersist(blocking = false); s
+    }.reduce(_ ++ _)
+    assert(got === wantAppends)
+    // second append hit compactEvery=2: the fold read the mixed chain
+    // and rewrote the table in the slim canonical layout
+    val cur = DedupIndex.load(store, "docs")
+    assert(cur.schema.fieldNames.toSeq === Seq("id", "h_arr"),
+      "compaction must rewrite the table slim")
+    assert(cur.count() === docs.count())
+  }
+
   test("appends are O(batch) deltas; compaction folds; vacuum keeps the chain") {
     val docs = corpus.toDF("doc_id", "text")
     val root = Files.createTempDirectory("graft-dedupidx-delta").toString

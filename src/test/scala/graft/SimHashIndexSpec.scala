@@ -87,6 +87,42 @@ class SimHashIndexSpec extends SparkSpec {
     assert(run(1) === run(0), "over-budget probe must fall back, not drop")
   }
 
+  test("pre-r13 fat-layout tables (stored bks) stay readable AND appendable") {
+    // Simulate a table written by pre-r13 code: the base snapshot
+    // carries the stored combo-key column alongside (id, sh64). A slim
+    // delta appended onto it makes a mixed-schema chain — the strict
+    // unionByName over it threw AnalysisException before the canonical
+    // projection (r13 advice, medium). Must read, append, and compact
+    // into the slim layout.
+    val hashed = corpus.toDF("id", "sh64").repartition(4)
+    val root = Files.createTempDirectory("graft-shidx-fat").toString
+    val store = new SnapshotStore(root, spark)
+    val fat = hashed.filter(col("id") < 50)
+      .select(col("id"), col("sh64"),
+        graft.plans.VectorExpressions
+          .simhashComboKeys(col("sh64"), NBlocks, MaxHamming).as("bks"))
+    store.commit("t", fat, sortKey = Some("id"),
+      meta = Map("shdedup.nBlocks" -> NBlocks.toString,
+        "shdedup.maxHamming" -> MaxHamming.toString,
+        "shdedup.maxBucketSize" -> "1000", "shdedup.parts" -> ""))
+    assert(store.loadVersion("t", 1L).schema.fieldNames.contains("bks"),
+      "test premise: the simulated old base must carry the fat column")
+
+    val p = SimHashIndex.appendBatchOnce(store, "t",
+      hashed.filter(col("id") >= 50), "s", 0L).get
+    // cross (fat corpus vs slim batch) pairs ARE found through the index
+    assert(pairSet(p).exists { case (a, b, _) => a < 50 && b >= 100 })
+    p.unpersist(blocking = false)
+    // the mixed fat-base + slim-delta chain must union on a plain read …
+    assert(SimHashIndex.load(store, "t").count() === corpus.size.toLong)
+    // … and fold into the slim canonical layout on compaction
+    assert(SimHashIndex.compactIndex(store, "t"))
+    val cur = SimHashIndex.load(store, "t")
+    assert(cur.schema.fieldNames.toSeq === Seq("id", "sh64"),
+      "compaction must rewrite the table slim")
+    assert(cur.count() === corpus.size.toLong)
+  }
+
   test("replay is skipped; append before build throws; deltas are O(batch)") {
     val hashed = corpus.toDF("id", "sh64")
     val root = Files.createTempDirectory("graft-shidx2").toString
