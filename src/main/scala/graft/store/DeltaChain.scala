@@ -57,9 +57,11 @@ private[store] final class DeltaChain(partsKey: String,
     * ordinary filter either way, so results ≡ `load(...).filter(preds)`. */
   def loadPruned(store: SnapshotStore, table: String, v: Long,
                  meta: Map[String, String],
-                 preds: Seq[ZoneMap.ZonePred]): DataFrame =
+                 preds: Seq[ZoneMap.ZonePred],
+                 keepFile: (String, Map[String, ZoneMap.Zone]) => Boolean =
+                   ZoneMap.KeepAll): DataFrame =
     chainOf(meta, v)
-      .map(m => canon(ZoneMap.prunedScanAt(store, table, m, preds)))
+      .map(m => canon(ZoneMap.prunedScanAt(store, table, m, preds, keepFile)))
       .reduce(_ unionByName _)
 
   /** Delta-or-compact decision for the next commit: below the threshold

@@ -124,7 +124,7 @@ object TextIndex {
     try {
       val (nDocs, sumDl) = statsOf(tok)
       store.commit(indexTable, postingsOf(tok), sortKey = Some("term"),
-        statsCols = Seq("term"),
+        statsCols = Seq("term", "tf", "dl"),
         meta = Map(
           s"${P}parts" -> "",
           s"${P}tokenizer" -> Tokenizer,
@@ -165,7 +165,7 @@ object TextIndex {
     var tok: DataFrame = null
     try {
       store.transactMeta[Nothing](indexTable, sortKey = Some("term"),
-          statsCols = Seq("term")) {
+          statsCols = Seq("term", "tf", "dl")) {
         val v = store.currentVersion(indexTable)
         requireBuilt(v, indexTable)
         val meta = store.metaForVersion(indexTable, v)
@@ -189,7 +189,7 @@ object TextIndex {
     var tok: DataFrame = null
     try {
       store.transactMeta[Unit](indexTable, sortKey = Some("term"),
-          statsCols = Seq("term")) {
+          statsCols = Seq("term", "tf", "dl")) {
         val v = store.currentVersion(indexTable)
         requireBuilt(v, indexTable)
         val meta = store.metaForVersion(indexTable, v)
@@ -519,13 +519,48 @@ object TextIndex {
     * corpus; `retrieve_bm25_maxscore` carries the same DuckDB rank
     * oracle as the unbounded probe).
     *
+    * 3. A per-FILE score bound (r14, the block-max analog — Ding &
+    *    Suel SIGIR'11 re-expressed over the file-zone sidecar). Every
+    *    postings commit harvests per-file max(tf)/min(dl) zones next
+    *    to the term range; a chain file F is skipped when, for EVERY
+    *    query q, max over t ∈ q ∩ zone(F) of
+    *    [ub(t, F) + Σ_{t' ∈ q, t' ≠ t} ub(t')] < θ̂(q), where ub(t, F)
+    *    tightens the term ceiling with F's own stats
+    *    (impact(min(max_tf_t, max_tf_F), max(min_dl_t, min_dl_F))).
+    *    Soundness: a doc with ANY postings row in F scores at most
+    *    that bound for the q it matches — one witness term's row is
+    *    in F (use ub(t,F)), the rest are bounded globally — so every
+    *    doc scoring ≥ θ̂ has ALL its rows in surviving files: top-k
+    *    scores stay exact to the last tie, and docs that lose rows
+    *    were below θ̂ with or without them (understating a loser
+    *    never promotes it). Applied to BOTH the essential read (full
+    *    scan — this is where whole delta files of short-doc appends
+    *    drop out) and the candidate-restricted non-essential read.
+    *    Old sidecars without tf/dl zones keep every file (the
+    *    pre-r14 behavior, conservative).
+    *
     * MaxScore is an OPTIMIZATION of the exact path, never a semantic
     * switch: stale/missing champions (or a pre-bounds champion table)
     * fall back to [[query]] silently — correct, just reads more. */
   def queryMaxScore(store: SnapshotStore, indexTable: String,
                     queries: DataFrame, queryIdCol: String,
                     queryTextCol: String, k: Int = 10,
-                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    queryMaxScoreWithIo(store, indexTable, queries, queryIdCol,
+      queryTextCol, k, k1, b)._1
+
+  /** [[queryMaxScore]] plus its file-IO accounting — the observability
+    * hook TextIndexSpec asserts the per-file score skip on. Returns
+    * (result, Some((filesReadWithBounds, filesReadTermZonesOnly)))
+    * when the MaxScore candidate path ran, (result, None) when it
+    * delegated to the exact probe (stale champions, no pruning
+    * opportunity, empty index…). The counts re-evaluate the same pure
+    * file-selection over the driver-held sidecars — no extra job. */
+  private[graft] def queryMaxScoreWithIo(
+      store: SnapshotStore, indexTable: String,
+      queries: DataFrame, queryIdCol: String,
+      queryTextCol: String, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): (DataFrame, Option[(Int, Int)]) = {
     import graft.functions.{TextFunctions => TF}
     import org.apache.spark.sql.expressions.Window
     val v = store.currentVersion(indexTable)
@@ -537,20 +572,22 @@ object TextIndex {
     val fresh = cv > 0 && store.metaForVersion(ct, cv)
       .get(s"${P}champ.forVersion").contains(v.toString)
     if (!fresh || !store.loadVersion(ct, cv).columns.contains("max_tf"))
-      return query(store, indexTable, queries, queryIdCol, queryTextCol,
-        k, k1, b)
+      return (query(store, indexTable, queries, queryIdCol, queryTextCol,
+        k, k1, b), None)
     val nDocs = meta.getOrElse(s"${P}nDocs", "0").toLong
     val sumDl = meta.getOrElse(s"${P}sumDl", "0").toLong
     val avgdl = if (nDocs == 0) 0.0 else sumDl.toDouble / nDocs
     val qIdType = queries.schema(queryIdCol).dataType
     val postingsIdType = store.loadVersion(ct, cv).schema("neighbor_id").dataType
     if (nDocs == 0L || avgdl <= 0.0)
-      return Retrieval.emptyRanked(queries.sparkSession, qIdType, postingsIdType)
+      return (Retrieval.emptyRanked(queries.sparkSession, qIdType,
+        postingsIdType), None)
     val terms = queries
       .select(explode(array_distinct(TF.tokens(lower(col(queryTextCol))))).as("term"))
       .distinct().collect().map(_.getString(0)).toSeq
     if (terms.isEmpty)
-      return Retrieval.emptyRanked(queries.sparkSession, qIdType, postingsIdType)
+      return (Retrieval.emptyRanked(queries.sparkSession, qIdType,
+        postingsIdType), None)
     val spark = queries.sparkSession
 
     // One champion probe feeds both bounds (term zones prune its files
@@ -573,11 +610,16 @@ object TextIndex {
         val impact = maxTf / (maxTf + (minDl * (b / avgdl) + (1 - b)) * k1)
         r.getString(0) -> idf * (k1 + 1) * impact * (1.0 + 1e-9)
       }.toMap
-      // per-query floor θ̂: k-th best champion-only score, minus slack
+      // per-query floor θ̂: k-th best champion-only score, minus slack.
+      // Persisted + collected once: the frame joins into the essential
+      // split below AND drives the driver-side per-file skip rule.
       val thetaDf = Retrieval.bm25ScoreWithDf(champHits, queries,
           queryIdCol, queryTextCol, nDocs, avgdl, k, k1, b)
         .filter(col("rank") === k)
         .select(col("query_id"), (col("score") - 1e-5).as("theta"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val thetaOf: Map[Any, Double] = thetaDf.collect()
+        .map(r => r.get(0) -> r.getDouble(1)).toMap
       // essential split per (query, term): ascending-ub prefix below θ̂
       val ubLookup = spark.createDataFrame(
         ub.toSeq.map(t => UbRow(t._1, t._2))).toDF("term", "ub")
@@ -603,12 +645,66 @@ object TextIndex {
         // query): the candidate machinery would only add joins on top
         // of the exact probe's plan — delegate instead of paying it
         essentialPairs.unpersist(blocking = false)
-        return query(store, indexTable, queries, queryIdCol, queryTextCol,
-          k, k1, b)
+        thetaDf.unpersist(blocking = false)
+        return (query(store, indexTable, queries, queryIdCol, queryTextCol,
+          k, k1, b), None)
       }
 
+      // ---- per-file score skip (scaladoc §3) -----------------------
+      // Driver-held inputs: per-query term lists (the same tokenization
+      // the split used — query-batch-sized collect), θ̂, and the per-term
+      // stats; everything else comes from each file's zone sidecar.
+      val termsOf: Seq[(Any, Seq[String])] = qTerms.collect()
+        .map(r => (r.get(0), r.getString(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toSeq
+      val termStats: Map[String, (Long, Long, Int)] = stats.map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+      // ub(t) tightened by file F's zones: tf ≤ min(max_tf_t, max_tf_F),
+      // dl ≥ max(min_dl_t, min_dl_F); impact is ↑tf ↓dl, so this bounds
+      // every posting of t inside F. Terms absent from the index bound 0.
+      def ubInFile(t: String, fMaxTf: Long, fMinDl: Long): Double =
+        termStats.get(t).fold(0.0) { case (df, maxTf, minDl) =>
+          val tf = math.min(maxTf, fMaxTf).toDouble
+          val dl = math.max(minDl.toLong, fMinDl).toDouble
+          val idf = math.log(1.0 + (nDocs.toDouble - df + 0.5) / (df + 0.5))
+          val impact = tf / (tf + (dl * (b / avgdl) + (1 - b)) * k1)
+          idf * (k1 + 1) * impact * (1.0 + 1e-9)
+        }
+      val keepFile: (String, Map[String, ZoneMap.Zone]) => Boolean =
+        (_, zones) => {
+          val tz = zones.get("term")
+          val fMaxTf = zones.get("tf").filter(_.kind == "long")
+            .map(_.maxLong).getOrElse(Long.MaxValue)
+          val fMinDl = zones.get("dl").filter(_.kind == "long")
+            .map(_.minLong).getOrElse(0L)
+          if (fMaxTf == Long.MaxValue && fMinDl == 0L) true // no bounds zone
+          else termsOf.exists { case (qid, qts) =>
+            // witness terms: q's terms this file can hold rows for
+            val inZone = qts.filter(t => tz.forall(ZoneMap.stringInZone(_, t)))
+            inZone.nonEmpty && (thetaOf.get(qid) match {
+              case None => true // no floor for q → cannot skip for q
+              case Some(th) =>
+                val total = qts.iterator.map(t => ub.getOrElse(t, 0.0)).sum
+                inZone.exists(t => ubInFile(t, fMaxTf, fMinDl) +
+                  (total - ub.getOrElse(t, 0.0)) >= th)
+            })
+          }
+        }
+      val essPreds = Seq(ZoneMap.stringIn("term", essTerms))
+      val nonEssPreds = Seq(ZoneMap.stringIn("term", nonEssTerms))
+      // IO accounting for the spec: same pure selection, sidecar-only
+      val io = chain.chainOf(meta, v).map { m =>
+        val eb = ZoneMap.selectedFilesAt(store, indexTable, m, essPreds,
+          keepFile)._1.size
+        val e0 = ZoneMap.selectedFilesAt(store, indexTable, m, essPreds)._1.size
+        val nb = ZoneMap.selectedFilesAt(store, indexTable, m, nonEssPreds,
+          keepFile)._1.size
+        val n0 = ZoneMap.selectedFilesAt(store, indexTable, m, nonEssPreds)._1.size
+        (eb + nb, e0 + n0)
+      }.reduce((a, c) => (a._1 + c._1, a._2 + c._2))
+
       val essHits = chain.loadPruned(store, indexTable, v, meta,
-        Seq(ZoneMap.stringIn("term", essTerms)))
+        essPreds, keepFile)
       // candidates: docs with ≥1 hit on a term essential FOR that query.
       // Deliberately NOT deduplicated: both consumers are semi-joins
       // (duplicate build rows are free there), and a dropDuplicates
@@ -619,7 +715,7 @@ object TextIndex {
         .select(col("query_id"), col("neighbor_id"))
         .persist(StorageLevel.MEMORY_AND_DISK) // read 2×: semi + restrict
       val nonEssHits = chain.loadPruned(store, indexTable, v, meta,
-          Seq(ZoneMap.stringIn("term", nonEssTerms)))
+          nonEssPreds, keepFile)
         .join(candidates.select(col("neighbor_id")), Seq("neighbor_id"),
           "left_semi")
       val hits = essHits.unionByName(nonEssHits)
@@ -636,7 +732,8 @@ object TextIndex {
       ranked.count() // EAGER: helper caches release on return
       essentialPairs.unpersist(blocking = false)
       candidates.unpersist(blocking = false)
-      ranked
+      thetaDf.unpersist(blocking = false)
+      (ranked, Some(io))
     } finally champHits.unpersist(blocking = false)
   }
 
@@ -675,7 +772,7 @@ object TextIndex {
     * mid-compaction leaves the old chain fully live. */
   def compactIndex(store: SnapshotStore, indexTable: String): Boolean =
     store.transactMeta[Unit](indexTable, sortKey = Some("term"),
-          statsCols = Seq("term")) {
+          statsCols = Seq("term", "tf", "dl")) {
       val v = store.currentVersion(indexTable)
       if (v == 0) Left(())
       else chain.compactNow(store, indexTable, v,

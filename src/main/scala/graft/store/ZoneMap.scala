@@ -319,6 +319,23 @@ object ZoneMap {
     case _ => true // type mismatch between predicate and zone → keep
   }
 
+  /** Does `s` fall inside a STRING zone's [min,max]? (Unsigned UTF-8
+    * byte order — the comparator parquet itself uses.) Non-string zones
+    * conservatively answer true. The building block custom `keepFile`
+    * predicates use to ask "can this file hold rows for this key?". */
+  def stringInZone(z: Zone, s: String): Boolean =
+    z.kind match {
+      case "string" =>
+        val b = s.getBytes("UTF-8")
+        unsignedCompare(b, z.minBytes) >= 0 && unsignedCompare(b, z.maxBytes) <= 0
+      case "null" => false
+      case _      => true
+    }
+
+  /** A keepFile predicate that keeps everything — the default for the
+    * pruned-scan entry points. */
+  val KeepAll: (String, Map[String, Zone]) => Boolean = (_, _) => true
+
   /** The files of `table`'s latest version that survive `preds`, plus the
     * total file count — the observability hook the specs assert on.
     * Missing sidecar / unharvested column → every file survives. */
@@ -329,8 +346,18 @@ object ZoneMap {
     selectedFilesAt(store, table, v, preds)
   }
 
+  /** `keepFile` (optional) is a CUSTOM file predicate over the file's
+    * harvested zones (column → Zone), ANDed after `preds` — the hook for
+    * cross-column skip rules a per-column range can't express (e.g.
+    * TextIndex's per-file MaxScore bound over term × tf × dl). It is
+    * only consulted for files that HAVE a sidecar entry (missing sidecar
+    * → every file survives, same conservative default as `preds`), and
+    * like `preds` it must be an over-approximation: dropping a file that
+    * could matter changes results, keeping a useless one only costs IO. */
   def selectedFilesAt(store: SnapshotStore, table: String, version: Long,
-                      preds: Seq[ZonePred]): (Seq[Path], Int) = {
+                      preds: Seq[ZonePred],
+                      keepFile: (String, Map[String, Zone]) => Boolean = KeepAll)
+      : (Seq[Path], Int) = {
     val dir = store.versionDirOf(table, version)
     val files = dataFiles(dir)
     readSidecar(dir) match {
@@ -339,13 +366,15 @@ object ZoneMap {
         val byFile = zones.groupBy(_.file)
         val kept = files.filter { f =>
           val n = f.getFileName.toString
+          val fZones = byFile.getOrElse(n, Seq.empty)
           preds.forall { p =>
             if (!harvested.contains(p.column)) true
-            else byFile.getOrElse(n, Seq.empty).find(_.column == p.column) match {
+            else fZones.find(_.column == p.column) match {
               case None    => true // no stats line for this file → keep
               case Some(z) => mayMatch(z, p)
             }
-          }
+          } && (fZones.isEmpty ||
+            keepFile(n, fZones.map(z => z.column -> z).toMap))
         }
         (kept, files.size)
     }
@@ -383,11 +412,15 @@ object ZoneMap {
 
   /** [[prunedScan]] pinned to a SPECIFIC version — the form delta-chain
     * readers use (each chain member is its own immutable version dir
-    * with its own zone map; see [[DeltaChain.loadPruned]]). */
+    * with its own zone map; see [[DeltaChain.loadPruned]]). `keepFile`:
+    * see [[selectedFilesAt]] — a custom cross-column skip, residual-free
+    * by definition (it may only drop files no surviving row can need). */
   def prunedScanAt(store: SnapshotStore, table: String, version: Long,
-                   preds: Seq[ZonePred]): DataFrame = {
+                   preds: Seq[ZonePred],
+                   keepFile: (String, Map[String, Zone]) => Boolean = KeepAll)
+      : DataFrame = {
     val spark = store.session
-    val (kept, _) = selectedFilesAt(store, table, version, preds)
+    val (kept, _) = selectedFilesAt(store, table, version, preds, keepFile)
     val schema = store.recordedSchema(table, version)
     if (kept.isEmpty) {
       val s = schema.getOrElse(store.loadVersion(table, version).schema)

@@ -325,6 +325,51 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("per-file score bounds skip whole chain files; output stays exact") {
+    // Base version: 10 short docs that dominate every ranking
+    // (alpha tf=8, dl=9). Three append deltas: 30 long docs (dl=30)
+    // where alpha/beta occur once each — every delta file's harvested
+    // max(tf)=1 / min(dl)=30 zones bound any posting row it holds
+    // below θ̂ for the query, under EVERY witness term (alpha witness:
+    // tiny file-local alpha ceiling + tiny global beta ceiling; beta
+    // witness: the file-local beta ceiling loses more than θ̂'s slack
+    // vs the base docs' beta-at-dl-9 contribution). So the bounded
+    // probe must read strictly fewer files than the term zones alone
+    // admit — whole delta files skipped — and still equal the exact
+    // probe to the last tie-broken rank.
+    val base = (0L until 10L)
+      .map(i => i -> (Seq.fill(8)("alpha") :+ "beta").mkString(" "))
+    val delta = (10L until 40L).map { i =>
+      val pads = (0 until 28).map(j => s"p${i}x$j")
+      val core = if (i < 25L) Seq("alpha", "beta") else Seq("beta", s"p${i}q")
+      i -> (core ++ pads).mkString(" ")
+    }
+    val store = freshStore()
+    TextIndex.build(store, "idx", base.toDF("doc_id", "text"),
+      "text", "doc_id")
+    (0 until 3).foreach { g =>
+      TextIndex.append(store, "idx",
+        delta.filter(_._1 % 3 == g).toDF("doc_id", "text"), "text", "doc_id",
+        compactEvery = 100) // keep the chain: the skip target IS the deltas
+    }
+    TextIndex.refreshChampions(store, "idx", m = 60)
+    val qs = Seq((0L, "alpha beta")).toDF("query_id", "qtext")
+    def collect(df: DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().toSeq.sortBy(r => (r._1, r._4))
+    val (boundedDf, io) = TextIndex.queryMaxScoreWithIo(store, "idx", qs,
+      "query_id", "qtext", k = 3)
+    val bounded = collect(boundedDf)
+    val exact = collect(
+      TextIndex.query(store, "idx", qs, "query_id", "qtext", k = 3))
+    assert(bounded === exact)
+    assert(bounded.map(_._2) === Seq(0L, 1L, 2L)) // ties broken id-asc
+    val (withBounds, termOnly) = io.getOrElse(
+      fail("the MaxScore candidate path must engage, not delegate"))
+    assert(withBounds < termOnly,
+      s"per-file bounds skipped nothing ($withBounds of $termOnly)")
+    assert(withBounds >= 1, "the base file holding the top-k must survive")
+  }
+
   test("maxscore with stale/missing champions falls back to the exact probe") {
     val store = freshStore()
     TextIndex.build(store, "idx", corpusDF.filter(col("doc_id") < 30),
