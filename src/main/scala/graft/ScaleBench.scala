@@ -239,6 +239,8 @@ object ScaleBench {
     // *_query split entries (r11 verdict #6)
     var ivfCentroids: Option[Seq[Seq[Double]]] = None
     var pqCodebooks: Option[Seq[Seq[Seq[Double]]]] = None
+    // set by sem_incr_append_100k; sem_retrain_1m self-skips without it
+    var semAppended = false
 
     val results = Seq(
       // aggregates FORCE the per-row expressions (a bare count() would let
@@ -620,6 +622,7 @@ object ScaleBench {
           zoneProbeMaxClusters = 2048).get
         val n = pairs.count()
         pairs.unpersist(blocking = false)
+        semAppended = true
         n
       },
       // Retrain-as-a-new-version at corpus scale (r12 verdict #5): force
@@ -628,12 +631,18 @@ object ScaleBench {
       // k-means over the bounded sample, one distributed re-assign scan,
       // one atomic snapshot commit. This is the maintenance operator's
       // worst case; it amortizes over every append between flips.
-      // Depends on sem_incr_append_100k — filter "sem_".
+      // Depends on sem_incr_append_100k — filter "sem_". Self-skips
+      // (sentinel -1) when the append was filtered out of the run: with
+      // no appended drift the 1% policy has nothing to trip, and the
+      // old require() here would crash the whole sweep (r13 advice).
       timed("sem_retrain_1m") {
-        val flipped = graft.store.SemIndex.retrainIfDrifted(
-          store, "vecs_sem", maxAppendFraction = 0.01)
-        require(flipped, "a 9% append fraction must trip a 1% policy")
-        graft.store.SemIndex.load(store, "vecs_sem").count()
+        if (!semAppended) -1L
+        else {
+          val flipped = graft.store.SemIndex.retrainIfDrifted(
+            store, "vecs_sem", maxAppendFraction = 0.01)
+          require(flipped, "a 9% append fraction must trip a 1% policy")
+          graft.store.SemIndex.load(store, "vecs_sem").count()
+        }
       },
       // COMPOSED dedup-on-ingest (CurationIngest): fingerprint gate →
       // minhash gate under one exactly-once protocol. The bootstrap is
@@ -986,19 +995,29 @@ object ScaleBench {
           embs, "embedding", nLists = 1024))
         1024L
       },
+      // The three dependents below self-skip (sentinel -1) when their
+      // trainer was filtered out of the run: sim_pq_train would
+      // otherwise silently train NON-residual codebooks (residualOf =
+      // None) and the *_query entries would silently re-train inline —
+      // measuring a different thing under the same name (r13 advice).
       timed("sim_pq_train") {
-        pqCodebooks = Some(Similarity.trainPqCodebooks(
-          embs, "embedding", dim = Dim, m = 16, k = 256,
-          residualOf = ivfCentroids))
-        256L
+        if (ivfCentroids.isEmpty) -1L
+        else {
+          pqCodebooks = Some(Similarity.trainPqCodebooks(
+            embs, "embedding", dim = Dim, m = 16, k = 256,
+            residualOf = ivfCentroids))
+          256L
+        }
       },
       timed("sim_ivf_query") {
-        Similarity.ivfTopK(embs, "vec_id", "embedding",
+        if (ivfCentroids.isEmpty) -1L
+        else Similarity.ivfTopK(embs, "vec_id", "embedding",
           queries, "query_id", "qvec", k = 10, nLists = 1024, nProbe = 16,
           centroidsOpt = ivfCentroids).count()
       },
       timed("sim_ivfpq_query") {
-        Similarity.ivfPqTopK(embs, "vec_id", "embedding",
+        if (ivfCentroids.isEmpty || pqCodebooks.isEmpty) -1L
+        else Similarity.ivfPqTopK(embs, "vec_id", "embedding",
           queries, "query_id", "qvec", dim = Dim, k = 10,
           nLists = 1024, nProbe = 16, kCodes = 256, refine = 128,
           centroidsOpt = ivfCentroids, codebooksOpt = pqCodebooks).count()

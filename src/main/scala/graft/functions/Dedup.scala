@@ -315,8 +315,10 @@ object Dedup {
     * only the strongest pruning heuristic, and computing it is the
     * operator's dominant cost (one full repartition + sort of every
     * posting — ~250M rows at 5M docs — plus two corpus-postings-sized
-    * windows). The sampled path counts shingles over a small seeded
-    * draw (top-`dfTableMaxEntries` kept, bounded driver collect, rides
+    * windows). The sampled path counts shingles over a small
+    * content-hash draw ([[contentSample]] — deterministic under any
+    * partition layout) (top-`dfTableMaxEntries` kept, bounded driver
+    * collect, rides
     * in the [[graft.plans.RarityPrefix]] expression) and computes each
     * doc's prefix in-expression during the ONE corpus scan — candidate
     * generation's only exchange is the prefix-postings self-join
@@ -415,6 +417,21 @@ object Dedup {
     verified
   }
 
+  /** Deterministic content-addressed sample: keeps a row iff
+    * xxhash64(id) lands below the fraction's cut of the hash ring. A
+    * pure function of corpus CONTENT — unlike `DataFrame.sample`, whose
+    * draw depends on the physical partition layout even under a fixed
+    * seed, so the df̂ rarity order, the candidate volume, and whether a
+    * `maxCandidates` fail-fast trips would all change when a corpus is
+    * merely repartitioned (r13 advice). The sampled-order paths must be
+    * reproducible from content alone. */
+  private[graft] def contentSample(df: DataFrame, idCol: String,
+                                   fraction: Double): DataFrame =
+    if (fraction >= 1.0) df
+    else df.filter(
+      pmod(xxhash64(col(idCol)), lit(1L << 32)) <
+        lit(math.round(fraction * (1L << 32).toDouble)))
+
   /** Candidate pairs under the SAMPLED rarity order: one pure-map scan
     * computes each doc's prefix in-expression; the only exchange is the
     * prefix-postings self-join. Returns the persisted canonical
@@ -425,7 +442,7 @@ object Dedup {
                                      dfSampleFraction: Double,
                                      dfTableMaxEntries: Int): DataFrame = {
     import graft.plans.TextExpressions.rarityPrefix
-    val dfRows = df.sample(withReplacement = false, dfSampleFraction, 42L)
+    val dfRows = contentSample(df, idCol, dfSampleFraction)
       .select(explode(shingleHashes(col(textCol), shingleN)).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
@@ -586,8 +603,7 @@ object Dedup {
     // 1. estimated-df table: bench ∪ sampled-train shingle counts, most
     // frequent first (ties by hash), df̂ = 0 for everything else. The
     // count aggregate is sample-sized; the collect is capped.
-    val samplePost = train.sample(withReplacement = false, dfSampleFraction,
-        seed = 42L)
+    val samplePost = contentSample(train, idCol, dfSampleFraction)
       .select(col(textCol))
       .unionByName(bench.select(col(textCol)))
       .select(explode(shingleHashes(col(textCol), shingleN)).as("h"))

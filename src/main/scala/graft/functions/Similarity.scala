@@ -405,12 +405,22 @@ object Similarity {
     * corpus is assigned to lists and PQ-encoded in ONE scan; queries
     * explode to their nProbe lists carrying their ADC lookup table; the
     * bucket join scores codes only. Candidate set identical to ivfTopK;
-    * ordering is ADC-approximate like pqTopK. */
+    * ordering is ADC-approximate like pqTopK.
+    *
+    * `refine` defaults to 128, picked from the measured 1M-vector
+    * flagship curve at the production setting (nLists=1024, nProbe=16,
+    * kCodes=256): recall@10 was r1=0.04, r8=0.16, r32=0.64, r128=1.00 —
+    * within tight clusters ADC noise exceeds the neighbor gaps, so a
+    * shallow shortlist silently ships single-digit recall while the
+    * coarse quantizer looks perfect. The re-rank join is
+    * shortlist-sized (k·refine rows per query), so the deeper default
+    * costs little; lower it only with a measured recall curve for the
+    * target corpus (SimilaritySpec pins the default's floor). */
   def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
                 queries: DataFrame, queryIdCol: String, queryVecCol: String,
                 dim: Int, k: Int = 10, nLists: Int = 64, nProbe: Int = 8,
                 m: Int = 16, kCodes: Int = 16, seed: Long = 42L,
-                refine: Int = 32,
+                refine: Int = 128,
                 centroidsOpt: Option[Seq[Seq[Double]]] = None,
                 codebooksOpt: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
     val centroids = centroidsOpt.getOrElse(

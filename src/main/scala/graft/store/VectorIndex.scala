@@ -221,11 +221,16 @@ object VectorIndex {
     * missing from `corpus` is NOT silently dropped (the failure mode of a
     * plain inner re-join): it stays in the result ranked by its ADC
     * estimate (see Similarity.refineExact), so the query still returns k
-    * neighbors and degrades to ADC ordering exactly where coverage ends. */
+    * neighbors and degrades to ADC ordering exactly where coverage ends.
+    *
+    * `refine` defaults to 128 — from the measured flagship recall curve
+    * (see Similarity.ivfPqTopK: refine=32 served 64% recall@10 at the
+    * production setting, refine=128 served 100%); the served default
+    * must not silently ship a shallow shortlist. */
   def queryRefined(store: SnapshotStore, indexTable: String,
                    corpus: DataFrame, idCol: String, vecCol: String,
                    queries: DataFrame, queryIdCol: String, queryVecCol: String,
-                   k: Int = 10, nProbe: Int = 8, refine: Int = 32): DataFrame = {
+                   k: Int = 10, nProbe: Int = 8, refine: Int = 128): DataFrame = {
     val shortlist = queryInternal(store, indexTable, queries, queryIdCol,
       queryVecCol, math.max(k, k * refine), nProbe, roundScore = false)
     Similarity.refineExact(shortlist,

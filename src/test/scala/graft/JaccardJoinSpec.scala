@@ -126,4 +126,28 @@ class JaccardJoinSpec extends SparkSpec {
     assert(pairSet(0.05) === exact, "sparse sampled order diverged")
     assert(pairSet(1.0) === exact, "full-draw sampled order diverged")
   }
+
+  test("the df̂ sample is a pure function of content, not partition layout") {
+    // r13 advice: DataFrame.sample's draw depends on the physical
+    // partition layout even under a fixed seed, so the rarity order,
+    // candidate volume, and whether a maxCandidates fail-fast trips
+    // would change when a corpus is merely repartitioned. The
+    // content-hash sample must pick the IDENTICAL id set across
+    // layouts, and hit close to the asked fraction.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 5000).select(col("doc_id"), col("text"))
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Dedup.contentSample(df, "doc_id", 0.2)
+        .select(col("doc_id")).as[Long].collect().toSet
+    val base = ids(docs)
+    assert(ids(docs.repartition(3)) === base)
+    assert(ids(docs.repartition(17, col("text"))) === base)
+    assert(ids(docs.coalesce(1)) === base)
+    // a hash-ring cut at 0.2 should land near 20% (binomial tails)
+    val n = docs.count()
+    assert(base.size > 0.1 * n && base.size < 0.3 * n,
+      s"content sample badly off the asked fraction: ${base.size}/$n")
+    // fraction 1.0 keeps everything (the no-filter fast path)
+    assert(Dedup.contentSample(docs, "doc_id", 1.0).count() === docs.count())
+  }
 }

@@ -364,5 +364,17 @@ class SimilaritySpec extends SparkSpec {
       queries, "query_id", "qvec", dim, k = 10,
       nLists = nClusters, nProbe = 1, m = 8, kCodes = 16, refine = 8))
     assert(refined === truth, "refined IVFPQ differs from brute force")
+
+    // Recall floor of the SERVED DEFAULT (r13 verdict #6): this tight-
+    // cluster corpus is exactly the shape where a shallow shortlist
+    // ships single-digit recall (refine=1 measured 0.04 at the 1M
+    // flagship), so the refine default — no explicit knob — must fully
+    // recover the brute-force top-10 here. Guards against any future
+    // default regression toward the degenerate ADC-only ordering.
+    val served = topSets(Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+      queries, "query_id", "qvec", dim, k = 10,
+      nLists = nClusters, nProbe = 1, m = 8, kCodes = 16))
+    assert(served === truth,
+      "the DEFAULT refine depth must not ship degraded recall")
   }
 }
