@@ -1,0 +1,111 @@
+package graft
+
+import graft.store._
+
+/** Operator-facing entry points that span the whole store, rather than
+  * one index (reference analog: none — its single mutable table needs
+  * no maintenance; a lakehouse of delta-chained index tables does).
+  *
+  * [[maintainAll]] is the ONE call a scheduler runs: every persistent
+  * index in this library identifies itself through its committed
+  * metadata prefix, so the store can be maintained without the operator
+  * keeping a registry of which table is which index type — add an
+  * index table, and the next maintenance cycle covers it. */
+object Graft {
+
+  /** What [[maintainAll]] did to one table — returned for logs/specs. */
+  final case class MaintenanceAction(table: String, kind: String)
+
+  /** Per-type dispatch row: metadata marker key → (kind tag, handler).
+    * Ordered: champion tables carry `text.`-prefixed keys too and must
+    * match their own marker first (they are DERIVED caches owned by
+    * their postings table's maintenance — never maintained directly). */
+  private type Handler = (SnapshotStore, String, Int, Option[Double]) => Option[String]
+
+  /** Fold the chain past `maxChainLength`, then vacuum — the shared
+    * shape of every compact-only index. */
+  private def foldAndVacuum(kind: String, partsKey: String,
+                            compact: (SnapshotStore, String) => Boolean,
+                            vacuum: (SnapshotStore, String) => Unit): Handler =
+    (store, table, maxChainLength, _) => {
+      val meta = store.metaForVersion(table, store.currentVersion(table))
+      val len = meta.get(partsKey)
+        .map(p => if (p.trim.isEmpty) 1 else p.split(",").length + 1)
+        .getOrElse(1)
+      if (len > maxChainLength) compact(store, table)
+      vacuum(store, table)
+      Some(kind)
+    }
+
+  private val handlers: Seq[(String, Handler)] = Seq(
+    // derived champion cache: refreshed by its postings table's maintain
+    "text.champ.forVersion" -> ((_, _, _, _) => None),
+    "text.parts" -> { (store, table, maxChainLength, _) =>
+      // champion policy is COMMITTED on the champion table (its m):
+      // refresh at that m when stale; a postings table that never had
+      // champions built gets none forced on it.
+      val ct = s"${table}__champ"
+      val cv = store.currentVersion(ct)
+      val championM =
+        if (cv > 0) store.metaForVersion(ct, cv).get("text.champ.m").map(_.toInt)
+        else None
+      TextIndex.maintain(store, table, maxChainLength, championM)
+      Some("text")
+    },
+    "semdedup.parts" -> { (store, table, maxChainLength, retrainFraction) =>
+      SemIndex.maintain(store, table, maxChainLength, retrainFraction)
+      Some("sem")
+    },
+    "fpdedup.parts" -> foldAndVacuum("fingerprint", "fpdedup.parts",
+      FingerprintIndex.compactIndex, FingerprintIndex.vacuumIndex),
+    "dedup.parts" -> foldAndVacuum("minhash", "dedup.parts",
+      DedupIndex.compactIndex, DedupIndex.vacuumIndex),
+    "shdedup.parts" -> foldAndVacuum("simhash", "shdedup.parts",
+      SimHashIndex.compactIndex, SimHashIndex.vacuumIndex),
+    "embdedup.parts" -> foldAndVacuum("embed", "embdedup.parts",
+      EmbedIndex.compactIndex, EmbedIndex.vacuumIndex),
+    "ivfpq.parts" -> foldAndVacuum("vector", "ivfpq.parts",
+      VectorIndex.compactIndex, VectorIndex.vacuumIndex))
+
+  /** Apply every index's maintenance policy across the whole store in
+    * one idempotent call — what an operator actually schedules (cron /
+    * post-ingest hook), instead of wiring per-index maintain calls for
+    * each table they create:
+    *
+    *  - delta chains longer than `maxChainLength` members fold into a
+    *    full snapshot (every index type),
+    *  - TextIndex champion tables refresh when stale, at the m they
+    *    were COMMITTED with (a postings table without champions gets
+    *    none forced on it),
+    *  - SemIndex retrains when its committed drift counters exceed
+    *    `retrainAppendFraction` (None disables retraining),
+    *  - dead version dirs outside each live chain are vacuumed.
+    *
+    * Tables without a known index marker (plain snapshot tables,
+    * curation lineage/catalog) are left untouched. Curation ingest
+    * prefixes need no special casing: their `_fp`/`_nd` tables ARE
+    * fingerprint/minhash/simhash/embed index tables and self-identify.
+    *
+    * Crash-window contract: every step is one index-level maintenance
+    * call whose commit is the store's atomic version flip (the
+    * per-index compaction/refresh/retrain pins in DedupIndexSpec,
+    * TextIndexSpec, SemIndexSpec…), so a crash mid-`maintainAll`
+    * leaves every table either fully maintained or exactly as it was —
+    * rerunning completes the remainder and re-running a completed pass
+    * is a no-op (version numbers unchanged; GraftMaintainSpec pins
+    * both). Honor consume-before-vacuum: like the per-index calls,
+    * schedule this only when no outstanding append's pair frame is
+    * still unmaterialized.
+    *
+    * Returns one action row per maintained table (skipped tables are
+    * absent). */
+  def maintainAll(store: SnapshotStore, maxChainLength: Int = 4,
+                  retrainAppendFraction: Option[Double] = Some(0.5))
+      : Seq[MaintenanceAction] =
+    store.tables.flatMap { table =>
+      val meta = store.metaForVersion(table, store.currentVersion(table))
+      handlers.collectFirst { case (marker, h) if meta.contains(marker) => h }
+        .flatMap(h => h(store, table, maxChainLength, retrainAppendFraction))
+        .map(kind => MaintenanceAction(table, kind))
+    }
+}

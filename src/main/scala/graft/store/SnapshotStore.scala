@@ -72,6 +72,16 @@ final class SnapshotStore(rootDir: String, spark: SparkSession) {
 
   def exists(table: String): Boolean = currentVersion(table) > 0
 
+  /** Every table with a committed snapshot (a LATEST pointer) under the
+    * store root, sorted — the enumeration [[graft.Graft.maintainAll]]
+    * dispatches over. */
+  def tables: Seq[String] = {
+    if (!Files.exists(root)) return Seq.empty
+    Files.list(root).iterator().asScala
+      .filter(p => Files.isDirectory(p) && Files.exists(p.resolve("LATEST")))
+      .map(_.getFileName.toString).toSeq.sorted
+  }
+
   /** All committed versions, ascending (history stays readable). */
   def versions(table: String): Seq[Long] = {
     val d = tableDir(table)

@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.store._
+
+/** One scheduler call maintains the whole store: Graft.maintainAll must
+  * discover every index table through its committed metadata marker,
+  * apply that index's own maintenance (fold / champion refresh / drift
+  * retrain / vacuum — each already pinned by its per-index spec), leave
+  * everything else untouched, and be idempotent. The crash-window story
+  * is inherited: every step commits through the store's atomic version
+  * flip, so this spec pins dispatch + idempotence, not re-proofs. */
+class GraftMaintainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (0L until 40L)
+    .map(i => i -> s"alpha beta w$i x${i % 7} y${i % 5} z${i % 3}")
+
+  private def unitVec(rnd: scala.util.Random, dim: Int): Array[Float] = {
+    val v = Array.fill(dim)(rnd.nextGaussian())
+    val n = math.sqrt(v.map(x => x * x).sum)
+    v.map(x => (x / n).toFloat)
+  }
+
+  private def docBatch(g: Int): DataFrame =
+    docs.slice(10 * g, 10 * g + 10).toDF("doc_id", "text")
+
+  /** (table → current version) for every table in the store. */
+  private def versionMap(store: SnapshotStore): Map[String, Long] =
+    store.tables.map(t => t -> store.currentVersion(t)).toMap
+
+  private def chainParts(store: SnapshotStore, t: String, key: String): String =
+    store.metaForVersion(t, store.currentVersion(t)).getOrElse(key, "<absent>")
+
+  test("maintainAll: discovers every index type, folds+refreshes+retrains+vacuums, idempotent") {
+    val root = Files.createTempDirectory("graft-maintainall").toString
+    val store = new SnapshotStore(root, spark)
+
+    // text postings + committed champions, then 3 appends → long chain,
+    // stale champions
+    TextIndex.build(store, "tix", docBatch(0), "text", "doc_id")
+    TextIndex.refreshChampions(store, "tix", m = 16)
+    (1 to 3).foreach(g => TextIndex.append(store, "tix", docBatch(g),
+      "text", "doc_id", compactEvery = 100))
+    assert(!TextIndex.championsFresh(store, "tix"))
+
+    // a second postings table that NEVER had champions: maintainAll must
+    // not force a champion build onto it
+    TextIndex.build(store, "tix2", docBatch(0), "text", "doc_id")
+    TextIndex.append(store, "tix2", docBatch(1), "text", "doc_id",
+      compactEvery = 100)
+
+    // minhash dedup index, 3 appends
+    DedupIndex.build(store, "mix", docBatch(0), "text", "doc_id")
+    (1 to 3).foreach { g =>
+      val p = DedupIndex.appendBatch(store, "mix", docBatch(g),
+        "text", "doc_id", compactEvery = 100)
+      p.unpersist(blocking = false)
+    }
+
+    // fingerprint index, 2 exactly-once appends
+    FingerprintIndex.build(store, "fix", docBatch(0), "text", "doc_id")
+    (1 to 2).foreach { g =>
+      FingerprintIndex.appendBatchOnce(store, "fix", docBatch(g),
+        "text", "doc_id", "s", g.toLong, compactEvery = 100)
+        .foreach(_.unpersist(blocking = false))
+    }
+
+    // IVFPQ vector index, 2 appends
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 60L).map(i => i -> unitVec(rnd, 16))
+    VectorIndex.build(store, "vix", vecs.take(20).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dim = 16, nLists = 4, m = 4, kCodes = 16)
+    (1 to 2).foreach(g => VectorIndex.append(store, "vix",
+      vecs.slice(20 * g, 20 * g + 20).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", compactEvery = 100))
+
+    // semantic index with a 50% append → drifted under a 0.25 policy
+    val sems = (0L until 40L).map(i => i -> unitVec(rnd, 8))
+    SemIndex.build(store, "sem", sems.take(20).toDF("id", "vec"),
+      dim = 8, eps = 0.999, nClusters = 4, maxClusterSize = 100)
+    SemIndex.appendBatchOnce(store, "sem",
+      sems.drop(20).toDF("id", "vec"), "s", 0L, compactEvery = 100)
+      .foreach(_.unpersist(blocking = false))
+
+    // a plain snapshot table: no index marker, must be left untouched
+    store.commit("plain", docBatch(0))
+
+    // chains really are long before the call
+    assert(chainParts(store, "tix", "text.parts").nonEmpty)
+    assert(chainParts(store, "mix", "dedup.parts").nonEmpty)
+
+    val actions = Graft.maintainAll(store, maxChainLength = 1,
+      retrainAppendFraction = Some(0.25))
+    assert(actions.map(a => a.table -> a.kind).toSet === Set(
+      "tix" -> "text", "tix2" -> "text", "mix" -> "minhash",
+      "fix" -> "fingerprint", "vix" -> "vector", "sem" -> "sem"),
+      s"dispatch set wrong: $actions")
+
+    // every chain folded to a single member and vacuumed to the live set
+    for ((t, key) <- Seq("tix" -> "text.parts", "tix2" -> "text.parts",
+        "mix" -> "dedup.parts", "fix" -> "fpdedup.parts",
+        "vix" -> "ivfpq.parts", "sem" -> "semdedup.parts")) {
+      assert(chainParts(store, t, key) === "", s"$t chain not folded")
+      assert(store.versions(t).size === 1, s"$t not vacuumed")
+    }
+    // champions refreshed at their COMMITTED m, superseded versions gone
+    assert(TextIndex.championsFresh(store, "tix"))
+    assert(store.latestMeta("tix__champ")("text.champ.m") === "16")
+    assert(store.versions("tix__champ").size === 1)
+    // no champion table forced onto tix2
+    assert(!store.exists("tix2__champ"))
+    // sem drift retrain committed: counters reset, all 40 rows trained
+    val semMeta = store.latestMeta("sem")
+    assert(semMeta("semdedup.appendedSinceTrain") === "0")
+    assert(semMeta("semdedup.trainedRows") === "40")
+    // the plain table was never touched
+    assert(store.currentVersion("plain") === 1L)
+
+    // the data survived intact
+    assert(DedupIndex.load(store, "mix").count() === 40L)
+    assert(TextIndex.load(store, "tix").select("neighbor_id")
+      .distinct().count() === 40L)
+    assert(store.load("vix").count() === 60L)
+
+    // idempotence: a second pass changes NO version anywhere
+    val before = versionMap(store)
+    Graft.maintainAll(store, maxChainLength = 1,
+      retrainAppendFraction = Some(0.25))
+    assert(versionMap(store) === before,
+      "second maintainAll pass must be a version-for-version no-op")
+  }
+}
