@@ -432,7 +432,7 @@ object ScaleBench {
         val batch = spark.range(nDocs, nDocs + 100000L, 1L, 16)
           .map(id => genDoc(id.toLong)).toDF()
         val pairs = DedupIndex.appendBatch(store, "docs_minhash", batch,
-          "text", "doc_id", threshold = 0.5, keyProbeMaxKeys = 4000000)
+          "text", "doc_id", threshold = 0.5)
         val n = pairs.count()
         pairs.unpersist(blocking = false)
         n

@@ -38,12 +38,15 @@ final case class MinHashRegime(
     k: Int = 32,
     bands: Int = 16,
     maxBucketSize: Int = 1000,
-    // opt-in append-scan prefilter (DedupIndex.keyProbeMaxKeys), the
-    // MinHash twin of SimHashRegime's: one extra bounded driver action
-    // per ingest batch lets the index scan drop every corpus row that
+    // append-scan prefilter (DedupIndex.keyProbeMaxKeys), the MinHash
+    // twin of SimHashRegime's: one extra bounded driver action per
+    // ingest batch lets the index scan drop every corpus row that
     // cannot share a band bucket with the batch before anything
-    // explodes; 0 keeps the one-action job budget
-    keyProbeMaxKeys: Int = 0) extends NearDupRegime
+    // explodes. ON by default — measured 2.4× at the 5M-doc flagship
+    // (DedupIndex.DefaultKeyProbeMaxKeys); 0 restores the one-action
+    // job budget
+    keyProbeMaxKeys: Int = graft.store.DedupIndex.DefaultKeyProbeMaxKeys)
+    extends NearDupRegime
 
 /** Embedding-cosine gating over a hyperplane-LSH index ([[EmbedIndex]])
   * — the SEMANTIC near-dup regime (re-worded content token hashes

@@ -105,6 +105,19 @@ import graft.functions.Dedup
 object DedupIndex {
 
   private val P = "dedup." // metadata key prefix
+
+  /** Default key-probe budget for appends — ON by default, measured at
+    * the 5M-doc / 100k-batch flagship: probe 18-19 s vs 44 s without
+    * (the no-probe path explodes and broadcast-probes ~80M recomputed
+    * key rows; the probe drops non-candidates inside the scan with ≤
+    * `bands` binary searches per row). The probe costs one extra
+    * BOUNDED driver action per append (the batch's distinct mixed keys,
+    * ≤ nBatch·bands rows, take-capped) — a deliberate, spec'd trade
+    * (AppendJobCountSpec admits exactly this take; probe ≡ default
+    * output pinned in DedupIndexSpec). Pass 0 to restore the strict
+    * one-action job budget; a batch whose key set exceeds the budget
+    * falls back to the no-probe plan automatically. */
+  val DefaultKeyProbeMaxKeys: Int = 4000000
   // Canonical columns: pre-r14 tables carry the stored `bks` key column;
   // projecting every chain member keeps mixed old-fat/new-slim chains
   // unioning cleanly, and the next compaction rewrites the table slim.
@@ -161,7 +174,7 @@ object DedupIndex {
                   compactEvery: Int = 8,
                   broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit,
                   batchCountHint: Option[Long] = None,
-                  keyProbeMaxKeys: Int = 0)
+                  keyProbeMaxKeys: Int = DefaultKeyProbeMaxKeys)
       : DataFrame =
     appendInternal(store, table, batch, textCol, idCol, threshold,
       maxBucketSize, compactEvery, None, broadcastKeyLimit,
@@ -179,7 +192,7 @@ object DedupIndex {
                       compactEvery: Int = 8,
                       broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit,
                       batchCountHint: Option[Long] = None,
-                      keyProbeMaxKeys: Int = 0)
+                      keyProbeMaxKeys: Int = DefaultKeyProbeMaxKeys)
       : Option[DataFrame] =
     appendInternal(store, table, batch, textCol, idCol, threshold,
       maxBucketSize, compactEvery, Some((streamId, batchId)),

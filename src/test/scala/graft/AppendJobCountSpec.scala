@@ -60,12 +60,13 @@ class AppendJobCountSpec extends SparkSpec {
   private def freshStore(): SnapshotStore =
     new SnapshotStore(Files.createTempDirectory("graft-jobs").toString, spark)
 
-  test("DedupIndex append: one blocking action, no sizing/schema jobs") {
+  test("DedupIndex append (probe off): one blocking action, no sizing/schema jobs") {
     val store = freshStore()
     DedupIndex.build(store, "mh", docs.limit(0), "text", "doc_id")
     val (jobs, sites) = jobsIn {
       val pairs = DedupIndex.appendBatchOnce(store, "mh", docs, "text",
-        "doc_id", "s", 0L, batchCountHint = Some(80L)).get
+        "doc_id", "s", 0L, batchCountHint = Some(80L),
+        keyProbeMaxKeys = 0).get
       pairs.unpersist(blocking = false)
     }
     info(s"DedupIndex hinted append: $jobs jobs, action callsites=$sites")
@@ -81,6 +82,27 @@ class AppendJobCountSpec extends SparkSpec {
     // catches a regression that adds blocking actions without tripping
     // on AQE stage-count jitter.
     assert(jobs <= 32, s"append spent $jobs jobs (budget 32)")
+  }
+
+  test("DedupIndex append (default probe): exactly one extra bounded take") {
+    // The r14 default turns the key-probe prefilter ON (measured 2.4×
+    // at the flagship); its price is ONE deliberate extra action — the
+    // batch's distinct mixed-key take — and nothing else. Any further
+    // callsite is a regression against the r9 budget discipline.
+    val store = freshStore()
+    DedupIndex.build(store, "mh", docs.limit(0), "text", "doc_id")
+    val (jobs, sites) = jobsIn {
+      val pairs = DedupIndex.appendBatchOnce(store, "mh", docs, "text",
+        "doc_id", "s", 0L, batchCountHint = Some(80L)).get
+      pairs.unpersist(blocking = false)
+    }
+    info(s"DedupIndex default append: $jobs jobs, action callsites=$sites")
+    assert(sites.forall(s => s.startsWith("count at DedupIndex") ||
+        s.startsWith("take at DedupIndex")),
+      s"unexpected driver actions in the probe append path: $sites")
+    assert(sites.exists(_.startsWith("take at DedupIndex")),
+      s"the default append should spend the probe take: $sites")
+    assert(jobs <= 36, s"probe append spent $jobs jobs (budget 36)")
   }
 
   test("FingerprintIndex append: one blocking action besides the eager result") {

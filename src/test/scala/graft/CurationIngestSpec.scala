@@ -114,11 +114,12 @@ class CurationIngestSpec extends SparkSpec {
     // composed-vs-manual equality below
     "simhash+probe" -> SimHashRegime(maxHamming = 20, expectedCorpus = 100L,
       keyProbeMaxKeys = 1 << 20),
+    // the default regime probes (DedupIndex.DefaultKeyProbeMaxKeys, r14);
+    // the explicit 0 row pins the no-probe path to the same lineage —
+    // probe visibility/invisibility both covered
     "minhash" -> MinHashRegime(threshold = 0.5),
-    // r14: the MinHash twin of the probe row above — same
-    // lineage-invisibility pin for DedupIndex.keyProbeMaxKeys
-    "minhash+probe" -> MinHashRegime(threshold = 0.5,
-      keyProbeMaxKeys = 1 << 20),
+    "minhash+noprobe" -> MinHashRegime(threshold = 0.5,
+      keyProbeMaxKeys = 0),
     "embed" -> EmbedRegime(threshold = 0.8, expectedCorpus = 100L))
 
   test("composed lineage ≡ manual stage composition, both regimes, any ascending batching") {
