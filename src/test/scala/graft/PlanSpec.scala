@@ -301,6 +301,27 @@ class PlanSpec extends SparkSpec {
       s"rarity-prefix projection fell out of codegen:\n$s")
   }
 
+  test("minhash key-probe filter stays inside whole-stage codegen") {
+    // MinHashKeyHits is the DEFAULT corpus-scan prefilter of every
+    // incremental dedup append (r14): one boolean per stored doc,
+    // signature recomputed in-expression. Falling out of codegen here
+    // would put an interpreted eval on the append's hottest path.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+    val hArr = graft.plans.TextExpressions.wordShingleHashesOfText(
+      org.apache.spark.sql.functions.lower(col("text")), 3)
+    val probed = docs
+      .select(col("doc_id"), hArr.as("h_arr"))
+      .filter(graft.plans.VectorExpressions.minhashKeyHits(
+        col("h_arr"), 32, 16, Array(-9L, 3L, 77L)))
+    probed.collect()
+    val s = executed(probed).toString
+    val filterLine = s.linesIterator.find(l =>
+      l.contains("minhashkeyhits") || l.contains("MinHashKeyHits")).getOrElse(
+      s.linesIterator.find(_.contains("Filter")).getOrElse(""))
+    assert(filterLine.trim.startsWith("*") || filterLine.contains("*("),
+      s"minhash key-probe filter fell out of codegen:\n$s")
+  }
+
   test("native vector expressions stay inside whole-stage codegen") {
     // DotProduct/HyperplaneBucket implement doGenCode (a compiled call into
     // their own compute loop), so the ANN scoring projection must appear
