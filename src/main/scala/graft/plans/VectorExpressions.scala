@@ -532,9 +532,37 @@ case class SimHashKeyHits(child: Expression, nBlocks: Int, maxHamming: Int,
     copy(child = newChild)
 }
 
-/** True iff ANY of a document's MinHash-LSH band keys hits a fixed
-  * sorted MIXED-key set — the MinHash twin of [[SimHashKeyHits]], the
-  * in-expression prefilter of the incremental dedup append
+/** Key-membership tester behind [[MinHashKeyHits]]: does the batch's
+  * key set (possibly) contain (band, bucket)? Both variants may only
+  * err toward TRUE (prefilter contract — false positives survive into
+  * the exact (band, bucket) semi-join downstream; false negatives
+  * would drop pairs and are impossible by construction). */
+sealed trait MinHashKeyTester extends Serializable {
+  def hits(band: Int, bucket: Long): Boolean
+}
+
+/** Exact membership over the sorted [[SimHashKeyHits.mix]]-ed key set —
+  * the shape for batches whose distinct key count fits the driver
+  * budget. */
+final case class SortedMixedKeys(keys: Array[Long]) extends MinHashKeyTester {
+  def hits(band: Int, bucket: Long): Boolean =
+    java.util.Arrays.binarySearch(keys, SimHashKeyHits.mix(band, bucket)) >= 0
+}
+
+/** Approximate membership for batches ABOVE the exact-set budget: a
+  * Bloom filter over `bucket ^ ((band+1) << 56)` — the same key the
+  * builder column in DedupIndex produces (shiftleft + xor only: safe
+  * under ANSI arithmetic, unlike the multiplicative mix). ~1% false
+  * positives just widen the semi-join input; recall stays exact. */
+final case class BloomMixedKeys(
+    bloom: org.apache.spark.util.sketch.BloomFilter) extends MinHashKeyTester {
+  def hits(band: Int, bucket: Long): Boolean =
+    bloom.mightContainLong(bucket ^ ((band + 1L) << 56))
+}
+
+/** True iff ANY of a document's MinHash-LSH band keys hits the batch's
+  * key set — the MinHash twin of [[SimHashKeyHits]], the in-expression
+  * prefilter of the incremental dedup append
   * (DedupIndex.keyProbeMaxKeys). The band keys are recomputed from the
   * stored shingle-hash array bit-for-bit like the Column path
   * (`Dedup.lshBandKeys(Dedup.minhashSignature(h_arr, k), k, bands)`):
@@ -543,11 +571,11 @@ case class SimHashKeyHits(child: Expression, nBlocks: Int, maxHamming: Int,
   * `xxhash64(concat_ws(",", slice(sig, b*r+1, r)))` — a comma-joined
   * decimal rendering of the band's slots hashed with Spark's default
   * xxhash64 seed (42), matching Cast(long→string) + ConcatWs + XxHash64
-  * exactly. Collisions of the [[SimHashKeyHits.mix]] are harmless
-  * (prefilter: false positives survive into the exact (band, bucket)
-  * semi-join downstream; false negatives cannot happen). */
+  * exactly. Membership is delegated to a [[MinHashKeyTester]] (exact
+  * sorted set, or a Bloom for over-budget batches); either may only
+  * err toward keeping a row. */
 case class MinHashKeyHits(child: Expression, k: Int, bands: Int,
-                          keys: Array[Long], seed: Long = 42L)
+                          tester: MinHashKeyTester, seed: Long = 42L)
     extends UnaryExpression {
 
   require(k > 0 && bands > 0 && k % bands == 0,
@@ -575,8 +603,7 @@ case class MinHashKeyHits(child: Expression, k: Int, bands: Int,
       }
       val bucket = XxHash64Function.hash(
         UTF8String.fromString(sb.toString), StringType, 42L)
-      if (java.util.Arrays.binarySearch(keys,
-          SimHashKeyHits.mix(b, bucket)) >= 0) return true
+      if (tester.hits(b, bucket)) return true
       b += 1
     }
     false
@@ -1275,7 +1302,13 @@ object VectorExpressions {
   def minhashKeyHits(hArr: Column, k: Int, bands: Int,
                      keys: Array[Long]): Column =
     GraftColumnBridge.column(MinHashKeyHits(
-      GraftColumnBridge.expression(hArr), k, bands, keys))
+      GraftColumnBridge.expression(hArr), k, bands, SortedMixedKeys(keys)))
+
+  def minhashKeyHitsBloom(hArr: Column, k: Int, bands: Int,
+                          bloom: org.apache.spark.util.sketch.BloomFilter)
+      : Column =
+    GraftColumnBridge.column(MinHashKeyHits(
+      GraftColumnBridge.expression(hArr), k, bands, BloomMixedKeys(bloom)))
 
   def hammingPairs(members: Column, maxHamming: Int): Column =
     GraftColumnBridge.column(HammingPairs(

@@ -115,8 +115,12 @@ object DedupIndex {
     * ≤ nBatch·bands rows, take-capped) — a deliberate, spec'd trade
     * (AppendJobCountSpec admits exactly this take; probe ≡ default
     * output pinned in DedupIndexSpec). Pass 0 to restore the strict
-    * one-action job budget; a batch whose key set exceeds the budget
-    * falls back to the no-probe plan automatically. */
+    * one-action job budget. A batch whose key bound (nBatch·bands)
+    * exceeds the budget keeps the probe as a ~1%-fpp BLOOM filter over
+    * the same keys instead of dropping it (a backfill-sized unprobed
+    * append pays the full recomputed-key explode: curate_ungated_500k
+    * measured 92.5 s unprobed vs 43.2 s bloomed at the 5M flagship);
+    * Bloom false positives only widen the exact semi-join input. */
   val DefaultKeyProbeMaxKeys: Int = 4000000
   // Canonical columns: pre-r14 tables carry the stored `bks` key column;
   // projecting every chain member keeps mixed old-fat/new-slim chains
@@ -239,32 +243,48 @@ object DedupIndex {
         // (r9 verdict: each blocking action is a separate job whose
         // latency multiplies under host degradation).
         val nBatch = batchCountHint.getOrElse(enc.count())
-        // Opt-in scan prefilter (the SimHashIndex keyProbe trade): one
-        // extra BOUNDED action collects the batch's mixed band keys; the
+        // Scan prefilter (ON by default — see DefaultKeyProbeMaxKeys):
+        // one extra BOUNDED action collects the batch's band keys; the
         // index scan then keeps only docs whose recomputed keys can hit
-        // them — a pure in-codegen map of ≤ bands binary searches per
+        // them — a pure in-codegen map of ≤ bands membership tests per
         // row — before anything explodes through the bucket semi-join.
         // The exact (band, bucket) semi-join still runs on the
-        // survivors, so mix collisions never change the output. The
-        // default path keeps the one-action job budget.
-        val probeKeys: Option[Array[Long]] =
+        // survivors, so tester false positives never change the output.
+        // Batches whose key bound (nBatch·bands) fits the budget get
+        // the exact sorted set; bigger (backfill-sized) batches get a
+        // ~1%-fpp BLOOM over the same keys instead of losing the probe
+        // entirely (measured: an unprobed 500k-doc append pays the full
+        // ~80M-row recomputed-key explode — curate_ungated_500k 92.5 s
+        // vs ~40 s probed). keyProbeMaxKeys = 0 disables the probe and
+        // keeps the strict one-action job budget.
+        val probeFilter: Option[org.apache.spark.sql.Column] =
           if (keyProbeMaxKeys <= 0) None
-          else {
+          else if (nBatch * bands <= keyProbeMaxKeys) {
             val rows = keysOf(enc, k, bands)
               .select(col("band"), col("bucket")).distinct()
               .take(keyProbeMaxKeys + 1)
+            // nBatch·bands bounds the distinct count, but keep the guard
             if (rows.length > keyProbeMaxKeys) None
             else {
               val arr = rows.map(r =>
                 graft.plans.SimHashKeyHits.mix(r.getInt(0), r.getLong(1)))
               java.util.Arrays.sort(arr)
-              Some(arr)
+              Some(graft.plans.VectorExpressions
+                .minhashKeyHits(col("h_arr"), k, bands, arr))
             }
+          } else {
+            // builder key = bucket ^ ((band+1) << 56): shiftleft + xor
+            // only (ANSI-safe), mirrored verbatim in BloomMixedKeys
+            val bloom = keysOf(enc, k, bands)
+              .select(col("bucket").bitwiseXOR(
+                shiftleft(col("band").cast("long") + lit(1L), 56)).as("mk"))
+              .stat.bloomFilter("mk", nBatch * bands, 0.01)
+            Some(graft.plans.VectorExpressions
+              .minhashKeyHitsBloom(col("h_arr"), k, bands, bloom))
           }
         val idxRows = chain.load(store, table, v, meta)
-        val idxSrc = probeKeys match {
-          case Some(ks) => idxRows.filter(graft.plans.VectorExpressions
-            .minhashKeyHits(col("h_arr"), k, bands, ks))
+        val idxSrc = probeFilter match {
+          case Some(p) => idxRows.filter(p)
           case None => idxRows
         }
         result = Some(pairsVsIndex(

@@ -116,10 +116,11 @@ class DedupIndexSpec extends SparkSpec {
     }
     val dflt = run(0)
     assert(dflt.nonEmpty)
-    assert(run(1 << 20) === dflt, "prefiltered probe must change nothing")
+    assert(run(1 << 20) === dflt, "exact-set probe must change nothing")
     // a 1-key budget can never hold the batch's band keys: the probe
-    // must fall back to the default path, not truncate the key set
-    assert(run(1) === dflt, "over-budget probe must fall back, not drop")
+    // switches to the BLOOM tester (r14) — approximate membership may
+    // only widen the semi-join input, never drop a pair
+    assert(run(1) === dflt, "bloom probe must change nothing")
   }
 
   test("pre-r14 fat-layout tables (stored bks) stay readable AND appendable") {
