@@ -470,12 +470,12 @@ object SimHashKeyHits {
   * C(nBlocks, nBlocks−maxHamming) stored keys through the bucket
   * semi-join (~140M rows at 5M docs, the append's dominant cost), the
   * index scan keeps only documents that can share a bucket with the
-  * batch — a pure map of ~28 binary searches per row inside whole-stage
-  * codegen. The batch's mixed keys ride in the expression with the task
-  * binary (callers gate the collect size — SimHashIndex falls back to
-  * the plain semi-join above the gate). */
+  * batch — a pure map of ~28 membership tests per row inside
+  * whole-stage codegen. Membership is a [[LshKeyTester]]: the exact
+  * sorted key set when the batch fits the driver budget, a Bloom
+  * above it (r14 — callers never lose the probe to batch size). */
 case class SimHashKeyHits(child: Expression, nBlocks: Int, maxHamming: Int,
-                          keys: Array[Long])
+                          tester: LshKeyTester)
     extends UnaryExpression {
 
   require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming out of range")
@@ -513,8 +513,7 @@ case class SimHashKeyHits(child: Expression, nBlocks: Int, maxHamming: Int,
         packed = (packed << width) | ((h >>> shift) & ((1L << width) - 1))
         i += 1
       }
-      if (java.util.Arrays.binarySearch(keys,
-          SimHashKeyHits.mix(c, packed)) >= 0) return true
+      if (tester.hits(c, packed)) return true
       c += 1
     }
     false
@@ -532,30 +531,34 @@ case class SimHashKeyHits(child: Expression, nBlocks: Int, maxHamming: Int,
     copy(child = newChild)
 }
 
-/** Key-membership tester behind [[MinHashKeyHits]]: does the batch's
-  * key set (possibly) contain (band, bucket)? Both variants may only
-  * err toward TRUE (prefilter contract — false positives survive into
-  * the exact (band, bucket) semi-join downstream; false negatives
-  * would drop pairs and are impossible by construction). */
-sealed trait MinHashKeyTester extends Serializable {
+/** Key-membership tester behind [[SimHashKeyHits]] and
+  * [[MinHashKeyHits]]: does the batch's key set (possibly) contain
+  * (band, bucket)? Both variants may only err toward TRUE (prefilter
+  * contract — false positives survive into the exact (band, bucket)
+  * semi-join downstream; false negatives would drop pairs and are
+  * impossible by construction). */
+sealed trait LshKeyTester extends Serializable {
   def hits(band: Int, bucket: Long): Boolean
 }
 
 /** Exact membership over the sorted [[SimHashKeyHits.mix]]-ed key set —
   * the shape for batches whose distinct key count fits the driver
   * budget. */
-final case class SortedMixedKeys(keys: Array[Long]) extends MinHashKeyTester {
+final case class SortedMixedKeys(keys: Array[Long]) extends LshKeyTester {
   def hits(band: Int, bucket: Long): Boolean =
     java.util.Arrays.binarySearch(keys, SimHashKeyHits.mix(band, bucket)) >= 0
 }
 
 /** Approximate membership for batches ABOVE the exact-set budget: a
   * Bloom filter over `bucket ^ ((band+1) << 56)` — the same key the
-  * builder column in DedupIndex produces (shiftleft + xor only: safe
-  * under ANSI arithmetic, unlike the multiplicative mix). ~1% false
-  * positives just widen the semi-join input; recall stays exact. */
+  * builder columns in DedupIndex/SimHashIndex produce (shiftleft + xor
+  * only: safe under ANSI arithmetic, unlike the multiplicative mix;
+  * band counts past 255 wrap the top byte identically on both sides —
+  * still deterministic, collisions only add false positives). ~1%
+  * false positives just widen the semi-join input; recall stays
+  * exact. */
 final case class BloomMixedKeys(
-    bloom: org.apache.spark.util.sketch.BloomFilter) extends MinHashKeyTester {
+    bloom: org.apache.spark.util.sketch.BloomFilter) extends LshKeyTester {
   def hits(band: Int, bucket: Long): Boolean =
     bloom.mightContainLong(bucket ^ ((band + 1L) << 56))
 }
@@ -571,11 +574,11 @@ final case class BloomMixedKeys(
   * `xxhash64(concat_ws(",", slice(sig, b*r+1, r)))` — a comma-joined
   * decimal rendering of the band's slots hashed with Spark's default
   * xxhash64 seed (42), matching Cast(long→string) + ConcatWs + XxHash64
-  * exactly. Membership is delegated to a [[MinHashKeyTester]] (exact
+  * exactly. Membership is delegated to a [[LshKeyTester]] (exact
   * sorted set, or a Bloom for over-budget batches); either may only
   * err toward keeping a row. */
 case class MinHashKeyHits(child: Expression, k: Int, bands: Int,
-                          tester: MinHashKeyTester, seed: Long = 42L)
+                          tester: LshKeyTester, seed: Long = 42L)
     extends UnaryExpression {
 
   require(k > 0 && bands > 0 && k % bands == 0,
@@ -1297,7 +1300,15 @@ object VectorExpressions {
   def simhashKeyHits(sh64: Column, nBlocks: Int, maxHamming: Int,
                      keys: Array[Long]): Column =
     GraftColumnBridge.column(SimHashKeyHits(
-      GraftColumnBridge.expression(sh64), nBlocks, maxHamming, keys))
+      GraftColumnBridge.expression(sh64), nBlocks, maxHamming,
+      SortedMixedKeys(keys)))
+
+  def simhashKeyHitsBloom(sh64: Column, nBlocks: Int, maxHamming: Int,
+                          bloom: org.apache.spark.util.sketch.BloomFilter)
+      : Column =
+    GraftColumnBridge.column(SimHashKeyHits(
+      GraftColumnBridge.expression(sh64), nBlocks, maxHamming,
+      BloomMixedKeys(bloom)))
 
   def minhashKeyHits(hArr: Column, k: Int, bands: Int,
                      keys: Array[Long]): Column =

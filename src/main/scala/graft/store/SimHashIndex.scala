@@ -129,26 +129,39 @@ object SimHashIndex {
         // exploding every stored key array through the bucket semi-join
         // (C(nBlocks, nBlocks−maxHamming) rows per indexed doc). The exact
         // (band, bucket) semi-join still runs on the survivors, so bucket
-        // semantics (and mix collisions) never change the output. The
-        // default path keeps the one-action job budget.
-        val probeKeys: Option[Array[Long]] =
+        // semantics (and tester false positives) never change the output.
+        // Batches whose key bound (nBatch·combosPerDoc) exceeds the budget
+        // keep the probe as a ~1%-fpp Bloom over the same keys (r14, the
+        // DedupIndex trade) instead of losing it. keyProbeMaxKeys = 0
+        // keeps the one-action job budget.
+        val probeFilter: Option[org.apache.spark.sql.Column] =
           if (keyProbeMaxKeys <= 0) None
-          else {
+          else if (nBatch * combosPerDoc(nBlocks, maxHamming) <= keyProbeMaxKeys) {
             val rows = keysOf(enc, nBlocks, maxHamming)
               .select(col("band"), col("bucket")).distinct()
               .take(keyProbeMaxKeys + 1)
-            if (rows.length > keyProbeMaxKeys) None
+            if (rows.length > keyProbeMaxKeys) None // guard; bound holds
             else {
               val arr = rows.map(r =>
                 graft.plans.SimHashKeyHits.mix(r.getInt(0), r.getLong(1)))
               java.util.Arrays.sort(arr)
-              Some(arr)
+              Some(graft.plans.VectorExpressions
+                .simhashKeyHits(col("sh64"), nBlocks, maxHamming, arr))
             }
+          } else {
+            // builder key = bucket ^ ((band+1) << 56), mirrored verbatim
+            // in BloomMixedKeys (ANSI-safe: shiftleft + xor only)
+            val bloom = keysOf(enc, nBlocks, maxHamming)
+              .select(col("bucket").bitwiseXOR(
+                shiftleft(col("band").cast("long") + lit(1L), 56)).as("mk"))
+              .stat.bloomFilter("mk",
+                nBatch * combosPerDoc(nBlocks, maxHamming), 0.01)
+            Some(graft.plans.VectorExpressions
+              .simhashKeyHitsBloom(col("sh64"), nBlocks, maxHamming, bloom))
           }
         val idxRows = chain.load(store, table, v, meta)
-        val idxSrc = probeKeys match {
-          case Some(ks) => idxRows.filter(graft.plans.VectorExpressions
-            .simhashKeyHits(col("sh64"), nBlocks, maxHamming, ks))
+        val idxSrc = probeFilter match {
+          case Some(p) => idxRows.filter(p)
           case None => idxRows
         }
         result = Some(pairsVsIndex(

@@ -81,10 +81,11 @@ class SimHashIndexSpec extends SparkSpec {
         val s = pairSet(p); p.unpersist(blocking = false); s
       }.reduce(_ ++ _)
     }
-    assert(run(0) === run(1 << 20), "prefiltered probe must change nothing")
+    assert(run(0) === run(1 << 20), "exact-set probe must change nothing")
     // a 1-key budget can never hold the batch's combo keys: the probe
-    // must fall back to the default path, not truncate the key set
-    assert(run(1) === run(0), "over-budget probe must fall back, not drop")
+    // switches to the BLOOM tester (r14) — approximate membership may
+    // only widen the semi-join input, never drop a pair
+    assert(run(1) === run(0), "bloom probe must change nothing")
   }
 
   test("pre-r13 fat-layout tables (stored bks) stay readable AND appendable") {
