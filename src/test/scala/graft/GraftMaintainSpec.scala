@@ -134,4 +134,43 @@ class GraftMaintainSpec extends SparkSpec {
     assert(versionMap(store) === before,
       "second maintainAll pass must be a version-for-version no-op")
   }
+
+  test("crash window: a pass interrupted between tables completes on rerun") {
+    // Every maintainAll step is one per-index maintenance call whose
+    // commit is the store's atomic version flip, so a crash mid-pass
+    // leaves each table either fully maintained or untouched. Simulate
+    // the "crashed after some tables" state by maintaining ONE table
+    // directly (= the work a dying pass completed), then rerun
+    // maintainAll: the terminal state must be identical — version for
+    // version, content for content — to a clean single pass on a twin
+    // store built from the same inputs.
+    def build(root: String): SnapshotStore = {
+      val store = new SnapshotStore(root, spark)
+      TextIndex.build(store, "tix", docBatch(0), "text", "doc_id")
+      TextIndex.refreshChampions(store, "tix", m = 16)
+      (1 to 3).foreach(g => TextIndex.append(store, "tix", docBatch(g),
+        "text", "doc_id", compactEvery = 100))
+      DedupIndex.build(store, "mix", docBatch(0), "text", "doc_id")
+      (1 to 3).foreach { g =>
+        val p = DedupIndex.appendBatch(store, "mix", docBatch(g),
+          "text", "doc_id", compactEvery = 100)
+        p.unpersist(blocking = false)
+      }
+      store
+    }
+    val crashed = build(Files.createTempDirectory("graft-ma-crash").toString)
+    val clean = build(Files.createTempDirectory("graft-ma-clean").toString)
+    // the "dying pass" maintained mix, then the process died
+    DedupIndex.compactIndex(crashed, "mix")
+    DedupIndex.vacuumIndex(crashed, "mix")
+    // rerun from the top vs one clean pass
+    Graft.maintainAll(crashed, maxChainLength = 1)
+    Graft.maintainAll(clean, maxChainLength = 1)
+    assert(versionMap(crashed) === versionMap(clean),
+      "interrupted+rerun must converge to the clean pass's versions")
+    assert(TextIndex.championsFresh(crashed, "tix"))
+    def rows(s: SnapshotStore, t: String): Long = s.load(t).count()
+    for (t <- Seq("tix", "mix", "tix__champ"))
+      assert(rows(crashed, t) === rows(clean, t), s"$t diverged")
+  }
 }
