@@ -368,6 +368,20 @@ class TextIndexSpec extends SparkSpec {
     assert(withBounds < termOnly,
       s"per-file bounds skipped nothing ($withBounds of $termOnly)")
     assert(withBounds >= 1, "the base file holding the top-k must survive")
+
+    // Multi-query floors: add a query whose term ("beta") matches all
+    // 40 docs but asks k=30 — its champion floor is low, so IT must
+    // keep the delta files alive (a skip rule that only consulted the
+    // strong query's floor would drop rank-11..30 docs that live ONLY
+    // in deltas). Exactness across the batch is the proof.
+    val qs2 = Seq((0L, "alpha beta"), (1L, "beta p11x3")).toDF("query_id", "qtext")
+    val (b2, _) = TextIndex.queryMaxScoreWithIo(store, "idx", qs2,
+      "query_id", "qtext", k = 30)
+    val e2 = collect(
+      TextIndex.query(store, "idx", qs2, "query_id", "qtext", k = 30))
+    assert(collect(b2) === e2,
+      "mixed-floor query batch diverged from the exact probe")
+    assert(e2.count(_._1 == 1L) === 30, "the weak query must fill k=30")
   }
 
   test("maxscore with stale/missing champions falls back to the exact probe") {
