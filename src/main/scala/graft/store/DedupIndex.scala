@@ -122,6 +122,16 @@ object DedupIndex {
     * measured 92.5 s unprobed vs 43.2 s bloomed at the 5M flagship);
     * Bloom false positives only widen the exact semi-join input. */
   val DefaultKeyProbeMaxKeys: Int = 4000000
+
+  /** Ceiling on the BLOOM probe's key bound (nBatch·bands): above it
+    * the probe is skipped entirely. A Bloom at 1% fpp costs ~9.6 bits
+    * per expected key, and the filter rides in the scan expression's
+    * task binary — 16.7M keys ≈ 20 MB is the acceptable edge; a batch
+    * big enough to exceed it (≥ ~1M docs at 16 bands) is a backfill
+    * whose append cost is amortized by its own size, not a trickle
+    * that needs the prefilter. Guards the driver and the task binary
+    * from a multi-GB sketch on a corpus-sized "batch". */
+  val BloomProbeMaxKeys: Long = 1L << 24
   // Canonical columns: pre-r14 tables carry the stored `bks` key column;
   // projecting every chain member keeps mixed old-fat/new-slim chains
   // unioning cleanly, and the next compaction rewrites the table slim.
@@ -272,7 +282,8 @@ object DedupIndex {
               Some(graft.plans.VectorExpressions
                 .minhashKeyHits(col("h_arr"), k, bands, arr))
             }
-          } else {
+          } else if (nBatch * bands > BloomProbeMaxKeys) None // backfill-sized
+          else {
             // builder key = bucket ^ ((band+1) << 56): shiftleft + xor
             // only (ANSI-safe), mirrored verbatim in BloomMixedKeys
             val bloom = keysOf(enc, k, bands)

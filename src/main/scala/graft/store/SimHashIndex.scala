@@ -148,7 +148,9 @@ object SimHashIndex {
               Some(graft.plans.VectorExpressions
                 .simhashKeyHits(col("sh64"), nBlocks, maxHamming, arr))
             }
-          } else {
+          } else if (nBatch * combosPerDoc(nBlocks, maxHamming) >
+              DedupIndex.BloomProbeMaxKeys) None // backfill-sized: amortized
+          else {
             // builder key = bucket ^ ((band+1) << 56), mirrored verbatim
             // in BloomMixedKeys (ANSI-safe: shiftleft + xor only)
             val bloom = keysOf(enc, nBlocks, maxHamming)
