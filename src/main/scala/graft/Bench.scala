@@ -143,12 +143,18 @@ object Bench {
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","qunit":"ms","queries":$fullQs,"spread":$spread,"sf":"$sfDir"}"""
     // Complete artifact (all queries incl. twins + spread) to a file the
-    // judge can read from the working tree.
+    // judge can read from the working tree. FILTERED runs (targeted
+    // clean-window reruns) write a separate file so they can never
+    // clobber the committed full-run artifact (the r14 footgun: a
+    // targeted window overwrote BENCH_FULL.json and needed a manual
+    // git checkout in the round-end ritual).
+    val artifact =
+      if (filter.isEmpty) "BENCH_FULL.json" else "BENCH_FILTERED.json"
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
         (fullJson + "\n").getBytes("UTF-8"))
     } catch { case e: Exception =>
-      System.err.println(s"BENCH_FULL.json write failed: ${e.getMessage}") }
+      System.err.println(s"$artifact write failed: ${e.getMessage}") }
     // Final line: compact headline. Integer-ms mins, redundant twins
     // excluded (see scaladoc). The line carries a HARD 1880-char budget
     // (the driver records only the last 2000 chars of stdout — a line

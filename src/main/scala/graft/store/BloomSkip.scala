@@ -59,12 +59,15 @@ object BloomSkip {
       ("parquet.bloom.filter.fpp" -> "0.001") +
       ("parquet.block.size" -> (32 * 1024 * 1024).toString)
 
-  private def dataFiles(dir: Path): Seq[Path] =
-    Files.list(dir).iterator().asScala
+  private def dataFiles(dir: Path): Seq[Path] = {
+    val s = Files.list(dir) // close the directory fd (trickle probes repeat)
+    try s.iterator().asScala
       .filter { p =>
         val n = p.getFileName.toString
         n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
       }.toSeq.sortBy(_.getFileName.toString)
+    finally s.close()
+  }
 
   /** The files under `dir` that MIGHT contain any of `values` in long
     * column `column`, plus the total file count. A file is dropped only

@@ -267,14 +267,19 @@ object DedupIndex {
         // ~80M-row recomputed-key explode — curate_ungated_500k 92.5 s
         // vs ~40 s probed). keyProbeMaxKeys = 0 disables the probe and
         // keeps the strict one-action job budget.
+        // Effective exact-set budget, clamped to the Bloom ceiling: caps
+        // the driver-side collect for ANY caller value and keeps the
+        // take(budget + 1) below overflow-free at Int.MaxValue.
+        val probeBudget =
+          math.min(keyProbeMaxKeys.toLong, BloomProbeMaxKeys).toInt
         val probeFilter: Option[org.apache.spark.sql.Column] =
           if (keyProbeMaxKeys <= 0) None
-          else if (nBatch * bands <= keyProbeMaxKeys) {
+          else if (nBatch * bands <= probeBudget) {
             val rows = keysOf(enc, k, bands)
               .select(col("band"), col("bucket")).distinct()
-              .take(keyProbeMaxKeys + 1)
+              .take(probeBudget + 1)
             // nBatch·bands bounds the distinct count, but keep the guard
-            if (rows.length > keyProbeMaxKeys) None
+            if (rows.length > probeBudget) None
             else {
               val arr = rows.map(r =>
                 graft.plans.SimHashKeyHits.mix(r.getInt(0), r.getLong(1)))

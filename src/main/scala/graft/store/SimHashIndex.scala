@@ -136,30 +136,40 @@ object SimHashIndex {
         // keeps the one-action job budget.
         val probeFilter: Option[org.apache.spark.sql.Column] =
           if (keyProbeMaxKeys <= 0) None
-          else if (nBatch * combosPerDoc(nBlocks, maxHamming) <= keyProbeMaxKeys) {
+          else {
+            // Effective exact-set budget, clamped to the Bloom ceiling
+            // (caps the driver collect for any caller value; keeps the
+            // take(budget + 1) overflow-free at Int.MaxValue).
+            val budget =
+              math.min(keyProbeMaxKeys.toLong, DedupIndex.BloomProbeMaxKeys).toInt
+            val bound = nBatch * combosPerDoc(nBlocks, maxHamming)
+            // The a-priori bound grossly over-counts under heavy key
+            // sharing (combosPerDoc is per-DOC; near-dup-rich batches
+            // share most keys), so take-and-check is the primary test:
+            // the collect is capped at budget+1 rows regardless, and a
+            // batch whose REAL distinct key set fits keeps the exact
+            // tester even when the bound said Bloom or no-probe. Only
+            // when the take overflows does the bound pick Bloom vs none.
             val rows = keysOf(enc, nBlocks, maxHamming)
               .select(col("band"), col("bucket")).distinct()
-              .take(keyProbeMaxKeys + 1)
-            if (rows.length > keyProbeMaxKeys) None // guard; bound holds
-            else {
+              .take(budget + 1)
+            if (rows.length <= budget) {
               val arr = rows.map(r =>
                 graft.plans.SimHashKeyHits.mix(r.getInt(0), r.getLong(1)))
               java.util.Arrays.sort(arr)
               Some(graft.plans.VectorExpressions
                 .simhashKeyHits(col("sh64"), nBlocks, maxHamming, arr))
+            } else if (bound > DedupIndex.BloomProbeMaxKeys) None // backfill
+            else {
+              // builder key = bucket ^ ((band+1) << 56), mirrored verbatim
+              // in BloomMixedKeys (ANSI-safe: shiftleft + xor only)
+              val bloom = keysOf(enc, nBlocks, maxHamming)
+                .select(col("bucket").bitwiseXOR(
+                  shiftleft(col("band").cast("long") + lit(1L), 56)).as("mk"))
+                .stat.bloomFilter("mk", bound, 0.01)
+              Some(graft.plans.VectorExpressions
+                .simhashKeyHitsBloom(col("sh64"), nBlocks, maxHamming, bloom))
             }
-          } else if (nBatch * combosPerDoc(nBlocks, maxHamming) >
-              DedupIndex.BloomProbeMaxKeys) None // backfill-sized: amortized
-          else {
-            // builder key = bucket ^ ((band+1) << 56), mirrored verbatim
-            // in BloomMixedKeys (ANSI-safe: shiftleft + xor only)
-            val bloom = keysOf(enc, nBlocks, maxHamming)
-              .select(col("bucket").bitwiseXOR(
-                shiftleft(col("band").cast("long") + lit(1L), 56)).as("mk"))
-              .stat.bloomFilter("mk",
-                nBatch * combosPerDoc(nBlocks, maxHamming), 0.01)
-            Some(graft.plans.VectorExpressions
-              .simhashKeyHitsBloom(col("sh64"), nBlocks, maxHamming, bloom))
           }
         val idxRows = chain.load(store, table, v, meta)
         val idxSrc = probeFilter match {

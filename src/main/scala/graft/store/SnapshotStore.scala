@@ -77,19 +77,27 @@ final class SnapshotStore(rootDir: String, spark: SparkSession) {
     * dispatches over. */
   def tables: Seq[String] = {
     if (!Files.exists(root)) return Seq.empty
-    Files.list(root).iterator().asScala
+    // Files.list holds a directory fd until closed — maintainAll runs
+    // from schedulers, so leaked fds would accumulate until GC.
+    val s = Files.list(root)
+    try s.iterator().asScala
       .filter(p => Files.isDirectory(p) && Files.exists(p.resolve("LATEST")))
       .map(_.getFileName.toString).toSeq.sorted
+    finally s.close()
   }
 
   /** All committed versions, ascending (history stays readable). */
   def versions(table: String): Seq[Long] = {
     val d = tableDir(table)
     if (!Files.exists(d)) Seq.empty
-    else Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.startsWith("v"))
-      .map(_.drop(1).toLong).toSeq.sorted
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("v"))
+        .map(_.drop(1).toLong).toSeq.sorted
+      finally s.close()
+    }
   }
 
   /** Load the latest snapshot. */
@@ -316,8 +324,13 @@ final class SnapshotStore(rootDir: String, spark: SparkSession) {
   }
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      // materialize before deleting: mutating the directory while its
+      // stream is open is unspecified, and the stream fd must close
+      val children = try s.iterator().asScala.toList finally s.close()
+      children.foreach(deleteRecursively)
+    }
     Files.deleteIfExists(p)
   }
 }

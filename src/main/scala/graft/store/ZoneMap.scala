@@ -117,12 +117,15 @@ object ZoneMap {
 
   // ---------------------------------------------------------------- harvest
 
-  private def dataFiles(dir: Path): Seq[Path] =
-    Files.list(dir).iterator().asScala
+  private def dataFiles(dir: Path): Seq[Path] = {
+    val s = Files.list(dir) // close the directory fd (harvest runs per commit)
+    try s.iterator().asScala
       .filter { p =>
         val n = p.getFileName.toString
         n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
       }.toSeq.sortBy(_.getFileName.toString)
+    finally s.close()
+  }
 
   /** Harvest zones for `cols` from every parquet file under `dir` and
     * write the `_graft_zones` sidecar there. Footer-only: no data pages
