@@ -588,8 +588,13 @@ object ScaleBench {
             .map(id => { val e = genEmb(id.toLong); e.copy(vec_id = id + 20000000L) })
             .toDF())
           .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        // SPARK_GRAFT_EMB_PROBE_KEYS: A/B knob for the r15 slim-layout
+        // key probe (unset = the library default, probe off — the r15
+        // A/B measured the probe a net cost at this batch size)
         val pairs = graft.store.EmbedIndex.appendBatchOnce(
-          store, "vecs_embed", batch, "bench", 0L).get
+          store, "vecs_embed", batch, "bench", 0L,
+          keyProbeMaxKeys = sys.env.get("SPARK_GRAFT_EMB_PROBE_KEYS")
+            .map(_.toInt).getOrElse(0)).get
         val n = pairs.count()
         pairs.unpersist(blocking = false)
         n

@@ -369,12 +369,193 @@ case class BoundedMembers(left: Expression, right: Expression, k: Int,
   override def prettyName: String = "bounded_members"
 }
 
+/** [[MemberHeap]] with an array<double> payload — the unit-vector form
+  * for [[graft.store.EmbedIndex]]'s bucket cap. Same max-heap-on-id /
+  * lazy-geometric-capacity shape (the r13 lesson: size for the MEDIAN
+  * group, not the cap); payload arrays are swapped by reference, copied
+  * once on add. */
+final class VecMemberHeap(val k: Int) extends Serializable {
+  private[plans] var ids = new Array[Long](math.min(k, 4))
+  private[plans] var payloads = new Array[Array[Double]](math.min(k, 4))
+  private[plans] var size = 0
+
+  private def ensureRoom(): Unit =
+    if (size == ids.length && ids.length < k) {
+      val cap = math.min(k, ids.length * 4)
+      ids = java.util.Arrays.copyOf(ids, cap)
+      payloads = java.util.Arrays.copyOf(payloads, cap)
+    }
+
+  private def siftUp(start: Int): Unit = {
+    var i = start
+    while (i > 0) {
+      val p = (i - 1) >> 1
+      if (ids(i) > ids(p)) {
+        val ti = ids(i); val tp = payloads(i)
+        ids(i) = ids(p); payloads(i) = payloads(p)
+        ids(p) = ti; payloads(p) = tp
+        i = p
+      } else return
+    }
+  }
+
+  private def siftDown(): Unit = {
+    var i = 0
+    while (true) {
+      val l = 2 * i + 1
+      if (l >= size) return
+      val r = l + 1
+      var m = l
+      if (r < size && ids(r) > ids(l)) m = r
+      if (ids(m) > ids(i)) {
+        val ti = ids(i); val tp = payloads(i)
+        ids(i) = ids(m); payloads(i) = payloads(m)
+        ids(m) = ti; payloads(m) = tp
+        i = m
+      } else return
+    }
+  }
+
+  def add(id: Long, payload: Array[Double]): Unit = {
+    if (size < k) {
+      ensureRoom()
+      ids(size) = id; payloads(size) = payload; size += 1
+      siftUp(size - 1)
+    } else if (id < ids(0)) {
+      ids(0) = id; payloads(0) = payload
+      siftDown()
+    }
+  }
+
+  def mergeFrom(other: VecMemberHeap): Unit = {
+    var i = 0
+    while (i < other.size) { add(other.ids(i), other.payloads(i)); i += 1 }
+  }
+
+  /** (id, payload) pairs in id-ascending order. */
+  def sortedAsc: Array[(Long, Array[Double])] = {
+    val out = Array.tabulate(size)(i => (ids(i), payloads(i)))
+    scala.util.Sorting.stableSort(out,
+      (a: (Long, Array[Double]), b: (Long, Array[Double])) => a._1 < b._1)
+    out
+  }
+}
+
+/** `bounded_vec_members(id, uv, k)` → array<struct<id, uv>> of the
+  * group's k SMALLEST ids with their unit vectors, id-ascending — the
+  * [[BoundedMembers]] shape for the embedding index's bucket cap
+  * (member-identical to the row_number window it replaces, without
+  * sorting the full exploded key stream with its ~8·dim-byte payload
+  * riding every row). */
+case class BoundedVecMembers(left: Expression, right: Expression, k: Int,
+                             mutableAggBufferOffset: Int = 0,
+                             inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[VecMemberHeap] with BinaryLike[Expression] {
+
+  require(k >= 1, s"k=$k must be positive")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (idT, pT) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bounded_vec_members needs (bigint id, array<double> uv), got " +
+            s"${idT.simpleString}, ${pT.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("uv", ArrayType(DoubleType, containsNull = false),
+        nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): VecMemberHeap = new VecMemberHeap(k)
+
+  override def update(buffer: VecMemberHeap, input: InternalRow): VecMemberHeap = {
+    val idV = left.eval(input)
+    if (idV != null) {
+      val pV = right.eval(input)
+      if (pV != null)
+        // toDoubleArray copies out of the (reused) unsafe row buffer
+        buffer.add(idV.asInstanceOf[Long],
+          pV.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toDoubleArray())
+    }
+    buffer
+  }
+
+  override def merge(buffer: VecMemberHeap, input: VecMemberHeap): VecMemberHeap = {
+    buffer.mergeFrom(input); buffer
+  }
+
+  override def eval(buffer: VecMemberHeap): Any =
+    new GenericArrayData(buffer.sortedAsc.map { case (id, p) =>
+      InternalRow(id, new GenericArrayData(p))
+    })
+
+  override def serialize(buffer: VecMemberHeap): Array[Byte] = {
+    var bytes = 4
+    var i = 0
+    while (i < buffer.size) { bytes += 12 + 8 * buffer.payloads(i).length; i += 1 }
+    val bb = ByteBuffer.allocate(bytes)
+    bb.putInt(buffer.size)
+    i = 0
+    while (i < buffer.size) {
+      bb.putLong(buffer.ids(i))
+      val p = buffer.payloads(i)
+      bb.putInt(p.length)
+      var j = 0
+      while (j < p.length) { bb.putDouble(p(j)); j += 1 }
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): VecMemberHeap = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val h = new VecMemberHeap(k)
+    var i = 0
+    while (i < n) {
+      val id = bb.getLong()
+      val len = bb.getInt()
+      val p = new Array[Double](len)
+      var j = 0
+      while (j < len) { p(j) = bb.getDouble(); j += 1 }
+      h.add(id, p)
+      i += 1
+    }
+    h
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedVecMembers =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedVecMembers =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BoundedVecMembers =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "bounded_vec_members"
+}
+
 object TopKAggregate {
   /** Column wrapper: capped bucket-member list (see BoundedMembers). */
   def boundedMembers(id: Column, payload: Column, k: Int): Column =
     GraftColumnBridge.column(BoundedMembers(
       GraftColumnBridge.expression(id),
       GraftColumnBridge.expression(payload), k).toAggregateExpression())
+
+  /** Column wrapper: capped bucket-member list with a unit-vector
+    * payload (see BoundedVecMembers). */
+  def boundedVecMembers(id: Column, uv: Column, k: Int): Column =
+    GraftColumnBridge.column(BoundedVecMembers(
+      GraftColumnBridge.expression(id),
+      GraftColumnBridge.expression(uv), k).toAggregateExpression())
 
   /** Column wrapper: per-group bounded top-k of (id, score). */
   def boundedTopK(id: Column, score: Column, k: Int): Column =

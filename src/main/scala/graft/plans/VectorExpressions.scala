@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -617,6 +618,153 @@ case class MinHashKeyHits(child: Expression, k: Int, bands: Int,
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("mhKeyHits", this, classOf[MinHashKeyHits].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** All `nTables` hyperplane-LSH table buckets of a vector in ONE pass —
+  * array<struct<table:int, bucket:long>>, bit-identical to the
+  * per-table [[HyperplaneBucket]] builder construction (same
+  * seed + t·7919 plane draws, same ascending-index accumulation order)
+  * but with the vector extracted to a primitive array ONCE: the
+  * 8-expression builder form re-reads the ArrayData element-by-element
+  * for every one of nTables·bits plane dots (~6k accessor calls per row
+  * at 8×12×64), where this runs plain-array inner loops the JIT can
+  * vectorize. This is the key-side scan expression of the slim
+  * [[graft.store.EmbedIndex]] (r15). */
+case class HyperplaneTableKeys(child: Expression, dim: Int, nTables: Int,
+                               bits: Int, seed: Long)
+    extends UnaryExpression {
+
+  require(nTables > 0 && bits > 0 && bits <= 63,
+    s"nTables=$nTables, bits=$bits out of range")
+
+  // plane(t)(p): the SAME deterministic draws as HyperplaneBucket(seed +
+  // t·7919) — one Random stream per table, planes in emission order.
+  @transient private lazy val planes: Array[Array[Array[Double]]] =
+    Array.tabulate(nTables) { t =>
+      val rnd = new scala.util.Random(seed + t * 7919)
+      Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+    }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("table", IntegerType, nullable = false),
+      StructField("bucket", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_table_keys needs array<float|double>, got ${other.simpleString}")
+    }
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private[plans] def extract(v: ArrayData): Array[Double] = {
+    val n = math.min(v.numElements(), dim)
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      x(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      i += 1
+    }
+    x
+  }
+
+  private[plans] def bucketOf(x: Array[Double], t: Int): Long = {
+    val tp = planes(t)
+    var bucket = 0L
+    var p = 0
+    while (p < bits) {
+      val plane = tp(p)
+      var s = 0.0
+      var i = 0
+      while (i < x.length) { s += x(i) * plane(i); i += 1 }
+      if (s > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  def compute(v: ArrayData): ArrayData = {
+    val x = extract(v)
+    val out = new Array[Any](nTables)
+    var t = 0
+    while (t < nTables) {
+      out(t) = InternalRow(t, bucketOf(x, t))
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hpTableKeys", this, classOf[HyperplaneTableKeys].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** True iff ANY of a unit vector's hyperplane-LSH table buckets hits the
+  * batch's key set — the EmbedIndex twin of [[SimHashKeyHits]] /
+  * [[MinHashKeyHits]] (r15, completing the in-scan prefilter across all
+  * three near-dup indexes): table t's bucket is recomputed from the
+  * stored unit vector exactly like the builder-side key columns
+  * (an embedded [[HyperplaneBucket]] per table, seed + t·7919 — same
+  * class, same planes ⇒ identical buckets), so instead of exploding
+  * every indexed vector's nTables keys WITH its ~8·dim-byte payload
+  * through the bucket semi-join, the scan drops non-candidates with
+  * nTables·bits·dim fused multiply-adds per row inside whole-stage
+  * codegen. Membership is a [[LshKeyTester]] (exact sorted set | Bloom);
+  * either may only err toward keeping a row — the exact (table, bucket)
+  * semi-join downstream makes false positives harmless. */
+case class HyperplaneKeyHits(child: Expression, dim: Int, nTables: Int,
+                             bits: Int, seed: Long, tester: LshKeyTester)
+    extends UnaryExpression {
+
+  require(nTables > 0 && bits > 0 && bits <= 63,
+    s"nTables=$nTables, bits=$bits out of range")
+
+  @transient private lazy val keyer = HyperplaneTableKeys(child, dim, nTables, bits, seed)
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_key_hits needs array<float|double>, got ${other.simpleString}")
+    }
+
+  def compute(v: ArrayData): Boolean = {
+    val x = keyer.extract(v) // one accessor pass, then plain-array dots
+    var t = 0
+    while (t < nTables) {
+      if (tester.hits(t, keyer.bucketOf(x, t))) return true
+      t += 1
+    }
+    false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hpKeyHits", this, classOf[HyperplaneKeyHits].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
@@ -1320,6 +1468,25 @@ object VectorExpressions {
       : Column =
     GraftColumnBridge.column(MinHashKeyHits(
       GraftColumnBridge.expression(hArr), k, bands, BloomMixedKeys(bloom)))
+
+  def hyperplaneTableKeys(uv: Column, dim: Int, nTables: Int, bits: Int,
+                          seed: Long): Column =
+    GraftColumnBridge.column(HyperplaneTableKeys(
+      GraftColumnBridge.expression(uv), dim, nTables, bits, seed))
+
+  def hyperplaneKeyHits(uv: Column, dim: Int, nTables: Int, bits: Int,
+                        seed: Long, keys: Array[Long]): Column =
+    GraftColumnBridge.column(HyperplaneKeyHits(
+      GraftColumnBridge.expression(uv), dim, nTables, bits, seed,
+      SortedMixedKeys(keys)))
+
+  def hyperplaneKeyHitsBloom(uv: Column, dim: Int, nTables: Int, bits: Int,
+                             seed: Long,
+                             bloom: org.apache.spark.util.sketch.BloomFilter)
+      : Column =
+    GraftColumnBridge.column(HyperplaneKeyHits(
+      GraftColumnBridge.expression(uv), dim, nTables, bits, seed,
+      BloomMixedKeys(bloom)))
 
   def hammingPairs(members: Column, maxHamming: Int): Column =
     GraftColumnBridge.column(HammingPairs(

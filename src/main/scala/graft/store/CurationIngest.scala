@@ -65,7 +65,16 @@ final case class EmbedRegime(
     nTables: Int = 8,
     expectedCorpus: Long = 5000000L,
     maxBucketSize: Int = 2000,
-    seed: Long = 42L) extends NearDupRegime
+    seed: Long = 42L,
+    // opt-in append-scan prefilter (EmbedIndex.keyProbeMaxKeys, r15):
+    // drops corpus vectors that cannot share a bucket with the batch
+    // BEFORE their wide uv payload enters the key explode. Default 0 —
+    // hyperplane bucket spaces are coarse (2^bits per table), so any
+    // non-trivial batch touches most buckets and the probe is a
+    // measured net cost (EmbedIndex scaladoc); engage only for
+    // micro-trickle ingest (nBatch ≪ 2^bits / nTables)
+    keyProbeMaxKeys: Int = 0)
+    extends NearDupRegime
 
 /** Dedup-on-ingest: the composition of the persistent incremental
   * indexes into ONE operator a curation pipeline calls per micro-batch —
@@ -313,7 +322,8 @@ object CurationIngest {
         val vecs = survivors.select(col(idCol).as("id"),
           r.embed(col(textCol)).as("vec"))
         EmbedIndex.appendBatchOnce(store, ndT, vecs, streamId, batchId,
-            compactEvery, broadcastKeyLimit, batchCountHint = Some(nSurv))
+            compactEvery, broadcastKeyLimit, batchCountHint = Some(nSurv),
+            keyProbeMaxKeys = r.keyProbeMaxKeys)
           .getOrElse(EmbedIndex.pairsForCommitted(store, ndT,
             vecs.select(col("id")), broadcastKeyLimit))
     }

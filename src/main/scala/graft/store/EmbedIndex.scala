@@ -1,6 +1,6 @@
 package graft.store
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -14,13 +14,28 @@ import graft.functions.Similarity
   * content re-worded; the judge case for embedding-based dedup in a
   * training pipeline).
   *
-  * One row per vector:
-  * {{{ (id, uv: array<double>, bks: array<struct<table:int,bucket:long>>) }}}
-  * `uv` is the L2-normalized (double-widened) vector and `bks` its
-  * hyperplane bucket per hash table: table t's bucket is the sign
-  * pattern of `bits` random-hyperplane projections (seed + t·7919 —
-  * the same construction as `Similarity.embeddingNearDupPairs`). A
-  * cos-θ pair collides in one table with probability (1−θ/π)^bits;
+  * Layout: one row per vector: {{{ (id, uv: array<double>) }}}
+  * `uv` is the L2-normalized (double-widened) vector. The hyperplane
+  * bucket keys are NOT stored (r15 — the last index to shed its
+  * derivable key column, after SimHashIndex in r13 and DedupIndex in
+  * r14): table t's bucket is the sign pattern of `bits` random-plane
+  * projections of `uv` (seed + t·7919, the
+  * `Similarity.embeddingNearDupPairs` construction), a pure function of
+  * the stored vector and the committed (dim, nTables, bits, seed), so
+  * every path recomputes it in whole-stage codegen. The old layout's
+  * `bks` column — array<struct<table:int,bucket:long>>, ~nTables·16 B
+  * of NESTED parquet per row — was pure scan tax next to the wide `uv`
+  * payload the verify needs anyway. Normalization scales by a positive
+  * constant, so sign(plane·uv) = sign(plane·vec) and the recomputed
+  * buckets match the batch operator's vec-side keys (modulo a
+  * sign-exactly-zero rounding tie, measure-zero for real embeddings;
+  * EmbedIndexSpec pins pair-for-pair equality). Tables written by older
+  * code still carry `bks` and keep working: the delta chain projects
+  * every member to the canonical (id, uv), so mixed old-fat/new-slim
+  * chains read, append and compact cleanly, and the first compaction
+  * rewrites the table slim.
+  *
+  * A cos-θ pair collides in one table with probability (1−θ/π)^bits;
   * `nTables` OR-ed tables lift recall to 1−(1−p)^T (near-identical
   * pairs: ≈1 − 10⁻¹³ at 8×16 bits, and DETERMINISTIC for a fixed seed).
   * Unlike the pigeonhole combo keys of [[SimHashIndex]] this is
@@ -37,13 +52,34 @@ import graft.functions.Similarity
   * and recall silently collapses. Pass `expectedCorpus` accordingly.
   *
   * The verify payload (the unit vector, ~8·dim bytes) rides WITH the
-  * key rows — same trade as SimHashIndex's hash-in-key: one append
-  * costs one columnar scan of the index, a size-gated broadcast
-  * bucket-set semi-join (no corpus shuffle), a capped window over the
-  * touched-bucket membership, and in-bucket dot-product verification
-  * (CosinePairs) — no second corpus scan. Appends are O(batch)
-  * [[DeltaChain]] versions under the shared exactly-once batch-id
-  * watermark.
+  * key rows — one append costs one columnar scan of the index, a
+  * size-gated broadcast bucket-set semi-join (no corpus shuffle), a
+  * capped window over the touched-bucket membership, and in-bucket
+  * dot-product verification (CosinePairs) — no second corpus scan.
+  * DedupIndex-style deferred payload lookup was considered and
+  * rejected: clustered embeddings make bucket pair sets DENSE
+  * (C(270,2) candidates per 270-member bucket at the 1M flagship), so
+  * materializing unverified candidate pairs for a post-hoc uv join
+  * would explode where the in-expression verify emits only the true
+  * near-dups. The `keyProbeMaxKeys` in-scan prefilter
+  * ([[graft.plans.HyperplaneKeyHits]]) drops vectors that cannot share
+  * a bucket with the batch BEFORE their wide payload enters the
+  * explode — nTables·bits·dim multiply-adds per row in codegen against
+  * an exact-set | Bloom key tester (the r14 DedupIndex machinery). It
+  * is OPT-IN (default 0), unlike DedupIndex's: hyperplane banding has
+  * only 2^bits ≈ thousands of buckets per table (vs MinHash's 64-bit
+  * hash keys), so any non-trivial batch touches most of them and the
+  * probe's per-row recompute cannot pay — measured r15, same-window
+  * pairs at the 1M-vector/100k-append flagship: probe-on 16.7-18.0 s
+  * vs probe-off 16.0 s. Engage it only for micro-trickle batches
+  * (nBatch ≪ 2^bits / nTables). Appends are O(batch) [[DeltaChain]]
+  * versions under the shared exactly-once batch-id watermark.
+  *
+  * The r15 fat-vs-slim A/B (same-window, interleaved): append 16.4-16.7 s
+  * fat vs 16.0 s slim (parity within noise — the append's floor is the
+  * wide-uv bucket exchange plus in-bucket CosinePairs, not the key
+  * column), build 5.1-5.5 s fat vs 3.8-4.2 s slim, and the at-rest index
+  * sheds the ~nTables·16 B/row nested key column (~20% at dim 64).
   *
   * Incremental ≡ batch: bucket keys are a pure per-vector function of
   * committed parameters; an append sees the union membership of every
@@ -56,7 +92,10 @@ import graft.functions.Similarity
 object EmbedIndex {
 
   private val P = "embdedup." // metadata key prefix
-  private val chain = new DeltaChain(s"${P}parts")
+  // Canonical columns: pre-r15 tables carry the stored `bks` key column;
+  // projecting every chain member keeps mixed old-fat/new-slim chains
+  // unioning cleanly, and the next compaction rewrites the table slim.
+  private val chain = new DeltaChain(s"${P}parts", Seq("id", "uv"))
 
   /** The embeddingNearDupPairs corpus-sizing formula, applied to the
     * EXPECTED corpus (an index must not re-key as it grows). */
@@ -65,16 +104,21 @@ object EmbedIndex {
       math.ceil(math.log(math.max(1L, expectedCorpus) * 8.0 / maxBucketSize)
         / math.log(2)).toInt))
 
-  private def encode(vecs: DataFrame, dim: Int, nTables: Int, bits: Int,
-                     seed: Long): DataFrame = {
-    val tableKeys = array((0 until nTables).map { t =>
-      struct(lit(t).as("table"),
-        Similarity.lshBucket(col("vec"), dim, bits, seed + t * 7919)
-          .as("bucket"))
-    }: _*)
-    vecs.select(col("id"), Similarity.unitVector(col("vec")).as("uv"),
-      tableKeys.as("bks"))
-  }
+  /** Index rows for `vecs` (id, vec): id + the normalized vector, from
+    * which the table keys are recomputed in-expression. */
+  private def encode(vecs: DataFrame): DataFrame =
+    vecs.select(col("id"), Similarity.unitVector(col("vec")).as("uv"))
+
+  /** The per-table bucket keys of a unit-vector column, recomputed from
+    * the committed parameters — the one key construction every path
+    * (batch keys, corpus keys, probe) shares. The fused expression
+    * extracts the vector once and runs plain-array plane dots
+    * (bit-identical to the per-table `Similarity.lshBucket` builder
+    * form, which re-reads the ArrayData for every plane). */
+  private def tableKeys(uv: Column, dim: Int, nTables: Int, bits: Int,
+                        seed: Long): Column =
+    graft.plans.VectorExpressions
+      .hyperplaneTableKeys(uv, dim, nTables, bits, seed)
 
   /** Encode `vecs` (id, vec) and commit as a fresh full snapshot with
     * every structural parameter in the metadata. Computes NO pairs (run
@@ -84,7 +128,7 @@ object EmbedIndex {
             threshold: Double, nTables: Int = 8, expectedCorpus: Long = 5000000L,
             maxBucketSize: Int = 2000, seed: Long = 42L): Long = {
     val bits = autoBits(expectedCorpus, maxBucketSize)
-    store.commit(table, encode(vecs, dim, nTables, bits, seed),
+    store.commit(table, encode(vecs),
       sortKey = Some("id"),
       meta = Map(
         s"${P}dim" -> dim.toString,
@@ -109,13 +153,25 @@ object EmbedIndex {
     * with at least one member in the batch — EAGER (persisted +
     * materialized; unpersist when done), or None for a replayed
     * (streamId, batchId). Consume-before-vacuum contract as the other
-    * indexes. */
+    * indexes.
+    *
+    * `keyProbeMaxKeys` (OPT-IN, default 0 — see the class scaladoc's
+    * measured rationale: coarse 2^bits bucket spaces make the probe a
+    * net cost for any non-trivial batch) adds one BOUNDED driver action
+    * collecting the batch's bucket keys; the index scan then drops
+    * vectors that cannot share a bucket with the batch before their
+    * wide `uv` payload enters the explode — worth it only for
+    * micro-trickle batches (nBatch ≪ 2^bits / nTables). Batches whose
+    * key bound exceeds the budget keep the probe as a ~1%-fpp Bloom
+    * (never lost to batch size); 0 keeps the strict one-action job
+    * budget. */
   def appendBatchOnce(store: SnapshotStore, table: String,
                       batchVecs: DataFrame,
                       streamId: String, batchId: Long,
                       compactEvery: Int = 8,
                       broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit,
-                      batchCountHint: Option[Long] = None)
+                      batchCountHint: Option[Long] = None,
+                      keyProbeMaxKeys: Int = 0)
       : Option[DataFrame] = {
     var result: Option[DataFrame] = None
     var enc: DataFrame = null
@@ -132,15 +188,52 @@ object EmbedIndex {
         def req(k: String): String = meta.getOrElse(P + k,
           throw new IllegalStateException(
             s"$table has no committed embed-index metadata '$P$k'"))
-        val nTables = req("nTables").toInt
-        enc = encode(batchVecs, req("dim").toInt, nTables,
-          req("bits").toInt, req("seed").toLong)
+        val (dim, nTables, bits, seed) = (req("dim").toInt,
+          req("nTables").toInt, req("bits").toInt, req("seed").toLong)
+        enc = encode(batchVecs)
           .persist(StorageLevel.MEMORY_AND_DISK) // batch-sized, read 3×
         // Gate sizing without a distinct() job: hint from the caller, or
         // a narrow count on the persisted encoding (warms the cache).
         val nBatch = batchCountHint.getOrElse(enc.count())
+        // In-scan prefilter (see the scaladoc): exact sorted key set
+        // when nBatch·nTables fits the (clamped) budget, else a ~1%-fpp
+        // Bloom over the same keys; tester false positives only widen
+        // the exact (table, bucket) semi-join input.
+        val probeBudget =
+          math.min(keyProbeMaxKeys.toLong, DedupIndex.BloomProbeMaxKeys).toInt
+        val probeFilter: Option[Column] =
+          if (keyProbeMaxKeys <= 0) None
+          else if (nBatch * nTables <= probeBudget) {
+            val rows = keysOf(enc, dim, nTables, bits, seed)
+              .select(col("table"), col("bucket")).distinct()
+              .take(probeBudget + 1)
+            // nBatch·nTables bounds the distinct count; keep the guard
+            if (rows.length > probeBudget) None
+            else {
+              val arr = rows.map(r =>
+                graft.plans.SimHashKeyHits.mix(r.getInt(0), r.getLong(1)))
+              java.util.Arrays.sort(arr)
+              Some(graft.plans.VectorExpressions
+                .hyperplaneKeyHits(col("uv"), dim, nTables, bits, seed, arr))
+            }
+          } else if (nBatch * nTables > DedupIndex.BloomProbeMaxKeys) None
+          else {
+            // builder key = bucket ^ ((table+1) << 56), mirrored verbatim
+            // in BloomMixedKeys (ANSI-safe: shiftleft + xor only)
+            val bloom = keysOf(enc, dim, nTables, bits, seed)
+              .select(col("bucket").bitwiseXOR(
+                shiftleft(col("table").cast("long") + lit(1L), 56)).as("mk"))
+              .stat.bloomFilter("mk", nBatch * nTables, 0.01)
+            Some(graft.plans.VectorExpressions
+              .hyperplaneKeyHitsBloom(col("uv"), dim, nTables, bits, seed, bloom))
+          }
+        val idxRows = chain.load(store, table, v, meta)
+        val idxSrc = probeFilter match {
+          case Some(p) => idxRows.filter(p)
+          case None => idxRows
+        }
         result = Some(pairsVsIndex(
-          chain.load(store, table, v, meta), enc, nBatch, nTables,
+          idxSrc, enc, nBatch, dim, nTables, bits, seed,
           req("threshold").toDouble, req("maxBucketSize").toInt,
           broadcastKeyLimit))
         Right(chain.next(store, table, v, meta, enc, compactEvery,
@@ -151,8 +244,13 @@ object EmbedIndex {
     result
   }
 
-  private def keysOf(e: DataFrame): DataFrame =
-    e.select(col("id"), col("uv"), explode(col("bks")).as("bk"))
+  /** Key rows recomputed in-expression from the stored unit vector — the
+    * scan reads only the flat (id, uv) columns; the nTables·bits·dim
+    * projections ride inside whole-stage codegen. */
+  private def keysOf(e: DataFrame, dim: Int, nTables: Int, bits: Int,
+                     seed: Long): DataFrame =
+    e.select(col("id"), col("uv"),
+        explode(tableKeys(col("uv"), dim, nTables, bits, seed)).as("bk"))
       .select(col("bk.table").as("table"), col("bk.bucket").as("bucket"),
         col("id"), col("uv"))
 
@@ -161,14 +259,14 @@ object EmbedIndex {
     * with the key rows, so verification (CosinePairs dot products)
     * happens in-bucket with no extra corpus scan. */
   private def pairsVsIndex(idx: DataFrame, batchEnc: DataFrame,
-                           nBatch: Long, nTables: Int,
-                           threshold: Double, maxBucketSize: Int,
+                           nBatch: Long, dim: Int, nTables: Int, bits: Int,
+                           seed: Long, threshold: Double, maxBucketSize: Int,
                            broadcastKeyLimit: Long): DataFrame = {
-    val bKeys = keysOf(batchEnc)
+    val bKeys = keysOf(batchEnc, dim, nTables, bits, seed)
     // nBatch × nTables bounds the distinct bucket count (one key per
     // hash table per vector) — gate sized with zero driver actions.
     val bBuckets = bKeys.select(col("table"), col("bucket")).distinct()
-    val cKeys = keysOf(idx)
+    val cKeys = keysOf(idx, dim, nTables, bits, seed)
       .join(BroadcastGate(bBuckets, nBatch * nTables, broadcastKeyLimit),
         Seq("table", "bucket"), "left_semi")
     pairsAmong(cKeys.unionByName(bKeys),
@@ -186,7 +284,9 @@ object EmbedIndex {
     val meta = store.metaForVersion(table, v)
     val threshold = meta(s"${P}threshold").toDouble
     val maxBucketSize = meta(s"${P}maxBucketSize").toInt
-    val nTables = meta(s"${P}nTables").toInt
+    val (dim, nTables, bits, seed) = (meta(s"${P}dim").toInt,
+      meta(s"${P}nTables").toInt, meta(s"${P}bits").toInt,
+      meta(s"${P}seed").toLong)
     val idx = chain.load(store, table, v, meta)
     val idRows = ids.select(col("id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -194,9 +294,9 @@ object EmbedIndex {
     val batchRows = idx.join(BroadcastGate(idRows, nIds, broadcastKeyLimit),
       Seq("id"), "left_semi")
     // nIds × nTables bounds the touched-bucket count — no second action.
-    val bBuckets = keysOf(batchRows).select(col("table"), col("bucket"))
-      .distinct()
-    val allKeys = keysOf(idx)
+    val bBuckets = keysOf(batchRows, dim, nTables, bits, seed)
+      .select(col("table"), col("bucket")).distinct()
+    val allKeys = keysOf(idx, dim, nTables, bits, seed)
       .join(BroadcastGate(bBuckets, nIds * nTables, broadcastKeyLimit),
         Seq("table", "bucket"), "left_semi")
     val out = pairsAmong(allKeys, idRows, nIds, threshold, maxBucketSize,
@@ -211,13 +311,16 @@ object EmbedIndex {
   private def pairsAmong(allKeys: DataFrame, newIds: DataFrame, nIds: Long,
                          threshold: Double, maxBucketSize: Int,
                          broadcastKeyLimit: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("table"), col("bucket")).orderBy(col("id"))
+    // Bucket capping as ONE bounded-heap aggregate (r15 — the r13
+    // window→heap medicine, last applied here): member-for-member
+    // identical to the row_number window it replaces, which sorted the
+    // full touched-key stream with the ~8·dim-byte unit vector riding
+    // every row just to discard everything past m+1.
     val allPairs = allKeys
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= maxBucketSize + 1)
       .groupBy(col("table"), col("bucket"))
-      .agg(collect_list(struct(col("id"), col("uv"))).as("members"))
+      .agg(graft.plans.TopKAggregate
+        .boundedVecMembers(col("id"), col("uv"), maxBucketSize + 1)
+        .as("members"))
       // size == maxBucketSize+1 marks a truncated degenerate bucket:
       // dropped whole, the batch operator's cap semantics
       .filter(size(col("members")).between(2, maxBucketSize))

@@ -85,6 +85,75 @@ class EmbedIndexSpec extends SparkSpec {
     }
   }
 
+  test("key-probe prefilter path ≡ default semi-join path") {
+    // The in-expression scan prefilter (keyProbeMaxKeys, r15 — the
+    // HyperplaneKeyHits twin of the MinHash/SimHash probes) must change
+    // nothing: tester false positives only add survivors to the exact
+    // (table, bucket) semi-join, never drop one. Same two-batch append
+    // on twin stores per path, compared pair-for-pair (ids AND cosine).
+    def run(probe: Int): Set[(Long, Long, Double)] = {
+      val store = new SnapshotStore(
+        Files.createTempDirectory("graft-embidx-probe").toString, spark)
+      EmbedIndex.build(store, "t", vecsDf.limit(0), Dim, Threshold,
+        NTables, Expected, MaxBucket, Seed)
+      (0 until 2).map { i =>
+        val p = EmbedIndex.appendBatchOnce(store, "t",
+          vecsDf.filter(col("id") % 2 === i), "s", i.toLong,
+          keyProbeMaxKeys = probe).get
+        val s = pairSet(p); p.unpersist(blocking = false); s
+      }.reduce(_ ++ _)
+    }
+    val noProbe = run(0)
+    assert(noProbe == batchTruth, "no-probe baseline must equal the batch operator")
+    assert(run(1 << 20) == noProbe, "exact-set probe must change nothing")
+    // a 1-key budget can never hold the batch's nTables·n keys: the
+    // probe degrades to the BLOOM tester — approximate membership may
+    // only widen the semi-join input, never drop a pair
+    assert(run(1) == noProbe, "bloom probe must change nothing")
+  }
+
+  test("pre-r15 fat-layout tables (stored bks) stay readable AND appendable") {
+    // Simulate a table written by pre-r15 code: the base snapshot
+    // carries the stored hyperplane-key column alongside (id, uv). A
+    // slim delta appended onto it makes a mixed-schema chain — the
+    // canonical (id, uv) projection must read, append, and compact it
+    // into the slim layout (the SimHashIndex r13 / DedupIndex r14
+    // migration contract, completed for the last fat index).
+    val root = Files.createTempDirectory("graft-embidx-fat").toString
+    val store = new SnapshotStore(root, spark)
+    val fat = vecsDf.filter(col("id") < 50)
+      .select(col("id"), Similarity.unitVector(col("vec")).as("uv"),
+        array((0 until NTables).map { t =>
+          struct(lit(t).as("table"),
+            Similarity.lshBucket(col("vec"), Dim, Bits, Seed + t * 7919)
+              .as("bucket"))
+        }: _*).as("bks"))
+    store.commit("t", fat, sortKey = Some("id"),
+      meta = Map("embdedup.dim" -> Dim.toString,
+        "embdedup.threshold" -> Threshold.toString,
+        "embdedup.nTables" -> NTables.toString,
+        "embdedup.bits" -> Bits.toString,
+        "embdedup.seed" -> Seed.toString,
+        "embdedup.maxBucketSize" -> MaxBucket.toString,
+        "embdedup.parts" -> ""))
+    assert(store.loadVersion("t", 1L).schema.fieldNames.contains("bks"),
+      "test premise: the simulated old base must carry the fat column")
+
+    val p = EmbedIndex.appendBatchOnce(store, "t",
+      vecsDf.filter(col("id") >= 50), "s", 0L).get
+    // cross (fat corpus vs slim batch) pairs ARE found through the index
+    assert(pairSet(p).exists { case (a, b, _) => a < 50 && b >= 100 })
+    p.unpersist(blocking = false)
+    // the mixed fat-base + slim-delta chain must union on a plain read …
+    assert(EmbedIndex.load(store, "t").count() == corpus.size.toLong)
+    // … and fold into the slim canonical layout on compaction
+    assert(EmbedIndex.compactIndex(store, "t"))
+    val cur = EmbedIndex.load(store, "t")
+    assert(cur.schema.fieldNames.toSeq == Seq("id", "uv"),
+      "compaction must rewrite the table slim")
+    assert(cur.count() == corpus.size.toLong)
+  }
+
   test("replay skipped; append before build throws; recovery twin matches") {
     val root = Files.createTempDirectory("graft-embidx2").toString
     val store = new SnapshotStore(root, spark)
