@@ -852,6 +852,28 @@ object ScaleBench {
         val total = exact.count()
         math.round(100.0 * overlap / math.max(total, 1L))
       },
+      // Incremental champion maintenance (r15): a 100k crawl append
+      // stales the champions, and the refresh then MERGES only the
+      // delta's postings into the committed champion table (per-term
+      // top-m is mergeable, df additive, bounds monotone — TextIndexSpec
+      // pins merge ≡ rebuild row-for-row) instead of re-scanning the
+      // 5M-doc postings chain bm25_champ_refresh above paid for. Runs
+      // AFTER every 5M-corpus serving entry so their corpus is
+      // untouched. Depends on bm25_index_build — filter "bm25".
+      timed("bm25_append_100k") {
+        val batch = spark.range(nDocs + 400000L, nDocs + 500000L, 1L, 16)
+          .map(id => genDoc(id.toLong)).toDF()
+        graft.store.TextIndex.append(store, "docs_bm25", batch,
+          "text", "doc_id")
+      },
+      timed("bm25_champ_merge_100k") {
+        val cv = graft.store.TextIndex.refreshChampions(store, "docs_bm25",
+          m = 1024)
+        val mode = store.metaForVersion("docs_bm25__champ", cv)
+          .getOrElse("text.champ.mode", "?")
+        System.err.println(s"[scalebench] champ refresh mode=$mode")
+        cv
+      },
       // The same measurement on a 1M-doc ZIPFIAN corpus — real text's
       // token law, hence real tf concentration. The uniform-corpus
       // number above is the structure's worst case (documented in

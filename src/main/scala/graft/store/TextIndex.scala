@@ -357,6 +357,27 @@ object TextIndex {
     * free. The champion table is committed term-sorted with term zones,
     * so a query-term probe prunes files exactly like the postings probe.
     *
+    * INCREMENTAL refresh (r15): when the previous champion table is
+    * reusable — same `m`, carries the bounds columns, and the postings
+    * version it was built for is still a PREFIX of the current delta
+    * chain (no compaction in between) — only the postings appended
+    * since then are aggregated and merged into it, instead of
+    * re-scanning the full postings chain. The merge is EXACT, not
+    * approximate ([[TextIndexSpec]] pins merge ≡ rebuild row-for-row):
+    *  - per-term top-m is mergeable: postings are append-only (ids are
+    *    globally unique by the index contract), so any posting in the
+    *    union's top-m is either in the old top-m or in the delta;
+    *  - df is additive over disjoint postings; max_tf / min_dl are
+    *    monotone under union;
+    *  - the packed selection order is recomputed from the STORED
+    *    champion (tf, dl) — dl was stored clamped, and the pack clamps,
+    *    so old rows re-rank exactly as they ranked at selection time.
+    * A compaction between refreshes collapses the chain to one full
+    * snapshot, the delta is no longer recoverable, and the refresh
+    * falls back to the full rebuild — stale-safety is unchanged either
+    * way (`text.champ.mode` in the committed metadata records which
+    * path ran, for observability and the spec).
+    *
     * Returns the committed champion-table version. */
   def refreshChampions(store: SnapshotStore, indexTable: String,
                        m: Int = 1024): Long = {
@@ -365,29 +386,57 @@ object TextIndex {
     requireBuilt(v, indexTable)
     val meta = store.metaForVersion(indexTable, v)
     requireTokenizer(meta, indexTable)
-    val postings = chain.load(store, indexTable, v, meta)
-    // packed = tf*2^21 - min(dl, 2^21-1): (score desc, id asc) in the
-    // heap ≡ (tf desc, clamped dl asc, id asc). Integer-exact double.
-    val packed = col("tf").cast("double") * ChampC -
-      least(col("dl"), lit(DlClamp)).cast("double")
-    val champs = postings
+    val ct = champTable(indexTable)
+    val (champs, mode) = championMergeDelta(store, indexTable, ct, v, meta, m) match {
+      case Some(delta) =>
+        (mergeChampions(store.load(ct), delta, m), "merge")
+      case None =>
+        (unpackChamps(champSelect(
+          chain.load(store, indexTable, v, meta), m)), "rebuild")
+    }
+    store.commit(ct, champs,
+      sortKey = Some("term"), statsCols = Seq("term"),
+      meta = Map(
+        s"${P}champ.forVersion" -> v.toString,
+        s"${P}champ.m" -> m.toString,
+        s"${P}champ.mode" -> mode,
+        s"${P}tokenizer" -> Tokenizer))
+  }
+
+  /** Per-term champion aggregate over postings-shaped rows
+    * (term, neighbor_id, dl, tf): one pass, bounded k-heap per term
+    * (never a per-term window sort), df + score-bound stats riding in
+    * the same aggregate. */
+  private def champSelect(postings: DataFrame, m: Int): DataFrame =
+    postings
       .groupBy(col("term"))
       .agg(graft.plans.TopKAggregate
-             .boundedTopK(col("neighbor_id"), packed, m).as("ch"),
+             .boundedTopK(col("neighbor_id"), packedImpact, m).as("ch"),
            count(lit(1)).as("df"),
            // per-term score-bound stats for [[queryMaxScore]]: the BM25
            // per-posting contribution is increasing in tf and decreasing
            // in dl, so impact(max_tf, min_dl) dominates every posting of
            // the term under ANY (k1, b, avgdl) — harvested here because
-           // this is the one full-postings pass the maintenance cycle
-           // already pays, and staleness inherits the champion freshness
-           // rule (forVersion) for free
+           // this is the one postings pass the maintenance cycle already
+           // pays, and staleness inherits the champion freshness rule
+           // (forVersion) for free
            max(col("tf")).as("max_tf"),
            min(col("dl")).as("min_dl"))
+
+  /** packed = tf*2^21 - min(dl, 2^21-1): (score desc, id asc) in the
+    * heap ≡ (tf desc, clamped dl asc, id asc). Integer-exact double. */
+  private def packedImpact: org.apache.spark.sql.Column =
+    col("tf").cast("double") * ChampC -
+      least(col("dl"), lit(DlClamp)).cast("double")
+
+  /** Unpack a [[champSelect]]-shaped frame (term, df, max_tf, min_dl,
+    * ch) into champion-table rows. Exact: packed+2^21-1 < 2^53 and
+    * /2^21 only shifts the exponent, so tf = floor((packed+2^21-1)/2^21)
+    * and dl = tf*2^21 - packed recover the selection inputs. */
+  private def unpackChamps(agg: DataFrame): DataFrame =
+    agg
       .select(col("term"), col("df"), col("max_tf"), col("min_dl"),
         explode(col("ch")).as("c"))
-      // unpack (exact: packed+2^21-1 < 2^53 and /2^21 only shifts the
-      // exponent): tf = floor((packed + 2^21-1)/2^21), dl = tf*2^21-packed
       .withColumn("tf",
         floor((col("c.score") + DlClamp.toDouble) / ChampC).cast("long"))
       .select(col("term"), col("df"), col("max_tf"), col("min_dl"),
@@ -395,12 +444,78 @@ object TextIndex {
         (col("tf") * ChampC.toLong - col("c.score").cast("long"))
           .cast("int").as("dl"),
         col("tf"))
-    store.commit(champTable(indexTable), champs,
-      sortKey = Some("term"), statsCols = Seq("term"),
-      meta = Map(
-        s"${P}champ.forVersion" -> v.toString,
-        s"${P}champ.m" -> m.toString,
-        s"${P}tokenizer" -> Tokenizer))
+
+  /** The postings rows appended since the current champion table was
+    * refreshed, when the incremental merge is sound: Some(deltaRows)
+    * iff the champion table exists at the SAME m with the bounds
+    * columns, its recorded postings version v0 precedes v, v0's version
+    * dir is still on disk, and v0's chain members are a subset of v's
+    * (no compaction between — after one, delta rows are no longer
+    * separable). None ⇒ full rebuild. Metadata + schema reads only,
+    * zero jobs. */
+  private def championMergeDelta(store: SnapshotStore, indexTable: String,
+                                 ct: String, v: Long,
+                                 meta: Map[String, String], m: Int)
+      : Option[DataFrame] = {
+    val cv = store.currentVersion(ct)
+    if (cv == 0) return None
+    val cmeta = store.metaForVersion(ct, cv)
+    if (!cmeta.get(s"${P}champ.m").contains(m.toString)) return None
+    val v0 = cmeta.get(s"${P}champ.forVersion").map(_.toLong).getOrElse(0L)
+    if (v0 <= 0 || v0 >= v) return None
+    if (!store.versions(indexTable).contains(v0)) return None
+    val oldChain =
+      chain.chainOf(store.metaForVersion(indexTable, v0), v0).toSet
+    val newChain = chain.chainOf(meta, v)
+    if (!oldChain.subsetOf(newChain.toSet)) return None
+    // pre-bounds champion tables (no max_tf/min_dl) can't merge
+    val cCols = store.loadVersion(ct, cv).schema.fieldNames.toSet
+    if (!cCols.contains("max_tf") || !cCols.contains("min_dl")) return None
+    val deltaMembers = newChain.filterNot(oldChain)
+    if (deltaMembers.isEmpty) None
+    else Some(deltaMembers.map(store.loadVersion(indexTable, _))
+      .reduce(_ unionByName _))
+  }
+
+  /** Merge the delta's per-term champions into the previous champion
+    * table — delta-touched terms re-select top-m over (old champion
+    * rows ∪ delta top-m rows) and sum/extremize their stats; untouched
+    * terms pass through unchanged. Exactly one pass over the (≤ m per
+    * term) champion table + one bounded aggregate over the delta. */
+  private def mergeChampions(oldChamp: DataFrame, deltaPostings: DataFrame,
+                             m: Int): DataFrame = {
+    val dAgg = champSelect(deltaPostings, m)
+    val dRows = unpackChamps(dAgg)
+    val touched = dAgg.select(col("term"))
+    val oldTouched = oldChamp.join(touched, Seq("term"), "left_semi")
+    val oldUntouched = oldChamp.join(touched, Seq("term"), "left_anti")
+    // per-term stats: old side constant per term (take any row), delta
+    // side from its aggregate; sum df, extremize the bounds
+    val oldStats = oldTouched.groupBy(col("term"))
+      .agg(first(col("df")).as("o_df"), first(col("max_tf")).as("o_max_tf"),
+        first(col("min_dl")).as("o_min_dl"))
+    val stats = dAgg
+      .select(col("term"), col("df").as("d_df"), col("max_tf").as("d_max_tf"),
+        col("min_dl").as("d_min_dl"))
+      .join(oldStats, Seq("term"), "left_outer")
+      .select(col("term"),
+        (col("d_df") + coalesce(col("o_df"), lit(0L))).as("df"),
+        greatest(col("d_max_tf"), coalesce(col("o_max_tf"), col("d_max_tf")))
+          .as("max_tf"),
+        least(col("d_min_dl"), coalesce(col("o_min_dl"), col("d_min_dl")))
+          .as("min_dl"))
+    // re-select top-m per touched term over old champions ∪ delta
+    // champions (stored dl is clamped; packedImpact clamps, so old rows
+    // re-rank exactly as at their original selection)
+    val reSel = oldTouched.select(col("term"), col("neighbor_id"), col("dl"), col("tf"))
+      .unionByName(dRows.select(col("term"), col("neighbor_id"), col("dl"), col("tf")))
+      .groupBy(col("term"))
+      .agg(graft.plans.TopKAggregate
+        .boundedTopK(col("neighbor_id"), packedImpact, m).as("ch"))
+    unpackChamps(reSel.join(stats, Seq("term")))
+      .unionByName(oldUntouched
+        .select(col("term"), col("df"), col("max_tf"), col("min_dl"),
+          col("neighbor_id"), col("dl"), col("tf")))
   }
 
   /** True iff the champion table exists and was refreshed against the

@@ -234,6 +234,71 @@ class TextIndexSpec extends SparkSpec {
     assert(champRanked(store) === scanRanked())
   }
 
+  test("incremental champion merge after appends equals a full rebuild") {
+    // small m so the delta's rows genuinely COMPETE with the old
+    // champions per term (at m >= df the merge is trivially a union)
+    val m = 2
+    def mode(s: SnapshotStore): Option[String] =
+      s.metaForVersion("idx__champ", s.currentVersion("idx__champ"))
+        .get("text.champ.mode")
+    def champRows(s: SnapshotStore): Set[(String, Long, Long, Int, Long, Int, Long)] =
+      s.load("idx__champ")
+        .select("term", "df", "max_tf", "min_dl", "neighbor_id", "dl", "tf")
+        .as[(String, Long, Long, Int, Long, Int, Long)].collect().toSet
+
+    val store = freshStore()
+    TextIndex.build(store, "idx", corpusDF.filter(col("doc_id") < 30),
+      "text", "doc_id")
+    TextIndex.refreshChampions(store, "idx", m = m)
+    assert(mode(store).contains("rebuild"), "first refresh has nothing to merge")
+    // two clean delta appends, then refresh: must take the MERGE path
+    // (only the two delta versions are aggregated) and produce the
+    // champion table a from-scratch rebuild over the full corpus would —
+    // row-for-row: selection, df, and the MaxScore bounds
+    TextIndex.append(store, "idx",
+      corpusDF.filter(col("doc_id") >= 30 && col("doc_id") < 45), "text", "doc_id")
+    TextIndex.append(store, "idx",
+      corpusDF.filter(col("doc_id") >= 45), "text", "doc_id")
+    TextIndex.refreshChampions(store, "idx", m = m)
+    assert(mode(store).contains("merge"))
+    assert(TextIndex.championsFresh(store, "idx"))
+
+    val twin = freshStore()
+    TextIndex.build(twin, "idx", corpusDF, "text", "doc_id")
+    TextIndex.refreshChampions(twin, "idx", m = m)
+    assert(mode(twin).contains("rebuild"))
+    assert(champRows(store) === champRows(twin))
+
+    // a different m can't reuse the table → rebuild; a compaction folds
+    // the chain so the delta is unrecoverable → rebuild; a clean delta
+    // after that merges again
+    TextIndex.append(store, "idx",
+      corpusDF.select((col("doc_id") + 60L).as("doc_id"), col("text")),
+      "text", "doc_id")
+    TextIndex.refreshChampions(store, "idx", m = m + 1)
+    assert(mode(store).contains("rebuild"), "m change must rebuild")
+    TextIndex.append(store, "idx",
+      corpusDF.select((col("doc_id") + 120L).as("doc_id"), col("text")),
+      "text", "doc_id")
+    TextIndex.compactIndex(store, "idx")
+    TextIndex.refreshChampions(store, "idx", m = m + 1)
+    assert(mode(store).contains("rebuild"),
+      "post-compaction the delta is unrecoverable: must rebuild")
+    TextIndex.append(store, "idx",
+      corpusDF.select((col("doc_id") + 180L).as("doc_id"), col("text")),
+      "text", "doc_id")
+    TextIndex.refreshChampions(store, "idx", m = m + 1)
+    assert(mode(store).contains("merge"),
+      "a clean delta on the compacted base merges again")
+    // and the merged table still answers the champion query exactly:
+    // every returned doc is some query term's champion (the m=small
+    // contract), over the 4x corpus
+    val champDocs = store.load("idx__champ")
+      .select(col("neighbor_id")).as[Long].collect().toSet
+    val got = champRanked(store).map(_._2).toSet
+    assert(got.nonEmpty && got.subsetOf(champDocs))
+  }
+
   test("small-m champions only ever return some query term's champion") {
     val store = freshStore()
     TextIndex.build(store, "idx", corpusDF, "text", "doc_id")
