@@ -135,6 +135,63 @@ class GraftMaintainSpec extends SparkSpec {
       "second maintainAll pass must be a version-for-version no-op")
   }
 
+  test("maintainAll racing appendBatchOnce serializes on the table lock") {
+    // The r14 spec covered crash windows and idempotence; this pins the
+    // CONCURRENCY story: a maintenance pass looping over the store while
+    // a stream appends to one of its tables. Each side's commit runs
+    // under the per-table transactMeta/commit lock, maintenance never
+    // changes table CONTENT (fold + vacuum are representation-only), and
+    // the append materializes its pair frame inside the lock before any
+    // vacuum can drop the dirs it reads — so for EVERY interleaving the
+    // per-batch pair sets, the final index content, the exactly-once
+    // watermark, and the post-maintenance terminal state must all equal
+    // the sequential execution's.
+    def pairSet(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    def appendAll(store: SnapshotStore): Seq[Set[(Long, Long)]] =
+      (1 to 3).map { g =>
+        val p = DedupIndex.appendBatchOnce(store, "mix", docBatch(g),
+          "text", "doc_id", "s", g.toLong, compactEvery = 100).get
+        val s = pairSet(p); p.unpersist(blocking = false); s
+      }
+
+    val seqStore = new SnapshotStore(
+      Files.createTempDirectory("graft-ma-seq").toString, spark)
+    DedupIndex.build(seqStore, "mix", docBatch(0), "text", "doc_id")
+    val seqPairs = appendAll(seqStore)
+    Graft.maintainAll(seqStore, maxChainLength = 1)
+
+    val raceStore = new SnapshotStore(
+      Files.createTempDirectory("graft-ma-race").toString, spark)
+    DedupIndex.build(raceStore, "mix", docBatch(0), "text", "doc_id")
+    // aggressive maintenance loop: maxChainLength=1 compacts + vacuums
+    // on ~every pass, maximizing lock contention with the appends
+    val maintainer = new Thread(() =>
+      (0 until 8).foreach { _ =>
+        Graft.maintainAll(raceStore, maxChainLength = 1)
+      })
+    maintainer.start()
+    val racePairs = try appendAll(raceStore) finally maintainer.join()
+    Graft.maintainAll(raceStore, maxChainLength = 1)
+
+    assert(racePairs === seqPairs,
+      "per-batch pair sets must match the sequential execution")
+    // identical terminal content
+    def ids(s: SnapshotStore): Set[Long] =
+      DedupIndex.load(s, "mix").select(col("id")).as[Long].collect().toSet
+    assert(ids(raceStore) === ids(seqStore))
+    assert(chainParts(raceStore, "mix", "dedup.parts") === "",
+      "terminal chain must be folded")
+    // the exactly-once watermark survived every interleaved compaction
+    assert(DedupIndex.appendBatchOnce(raceStore, "mix", docBatch(3),
+      "text", "doc_id", "s", 3L).isEmpty,
+      "replayed batchId must still be skipped after racing maintenance")
+    // and the raced store is a maintenance fixed point
+    val before = versionMap(raceStore)
+    Graft.maintainAll(raceStore, maxChainLength = 1)
+    assert(versionMap(raceStore) === before)
+  }
+
   test("crash window: a pass interrupted between tables completes on rerun") {
     // Every maintainAll step is one per-index maintenance call whose
     // commit is the store's atomic version flip, so a crash mid-pass
