@@ -112,6 +112,7 @@ object SparkEntry {
     "retrieve_bm25_oracle" -> (ExtensionQueries.retrieveBm25Oracle _),
     "retrieve_bm25_indexed" -> ((s, d) => ExtensionQueries.retrieveBm25Indexed(s, d)),
     "retrieve_bm25_champ" -> ((s, d) => ExtensionQueries.retrieveBm25Champ(s, d)),
+    "retrieve_bm25_merged" -> ((s, d) => ExtensionQueries.retrieveBm25ChampMerged(s, d)),
     "retrieve_bm25_maxscore" -> ((s, d) => ExtensionQueries.retrieveBm25MaxScore(s, d)),
     "dedup_jaccard_pairs" -> (ExtensionQueries.dedupJaccardPairs _),
     "dedup_components"    -> (ExtensionQueries.dedupComponents _),
@@ -561,6 +562,10 @@ object SparkEntry {
     // ranking — same truth as the scan path.
     "retrieve_bm25_indexed" -> Bm25RankSql,
     "retrieve_bm25_champ" -> Bm25ChampRankSql,
+    // the r15 incremental champion merge is EXACT (merge ≡ rebuild), so
+    // the merged-table query carries the identical from-scratch oracle —
+    // and the query refuses to answer unless the merge path really ran
+    "retrieve_bm25_merged" -> Bm25ChampRankSql,
     // MaxScore pruning is EXACT (per-term ceilings + champion floor,
     // essential-only full reads): identical ranking, identical oracle.
     "retrieve_bm25_maxscore" -> Bm25RankSql,

@@ -959,6 +959,37 @@ object ExtensionQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Champion query served from a MERGED champion table (r15): build on
+    * the even half, refresh (full rebuild), append the odd half, refresh
+    * again — the second refresh must take the INCREMENTAL merge path
+    * (required: the query throws if the committed `text.champ.mode` is
+    * not "merge", so this row can only go green through the merge) —
+    * then answer from champions only. Merge ≡ rebuild is exact
+    * (TextIndexSpec's theorem), so this carries the SAME DuckDB oracle
+    * as `retrieve_bm25_champ`: the merged table must reproduce the
+    * oracle's from-scratch deterministic champion selection over the
+    * full corpus. */
+  def retrieveBm25ChampMerged(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val ds = docs(s, d).select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25cm").toString
+    val store = new SnapshotStore(root, s)
+    TextIndex.build(store, "docs_bm25",
+      ds.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+    TextIndex.refreshChampions(store, "docs_bm25", m = 3)
+    TextIndex.append(store, "docs_bm25",
+      ds.filter(col("doc_id") % 2 =!= 0), "text", "doc_id")
+    val cv = TextIndex.refreshChampions(store, "docs_bm25", m = 3)
+    val mode = store.metaForVersion("docs_bm25__champ", cv)
+      .getOrElse("text.champ.mode", "?")
+    require(mode == "merge",
+      s"expected the incremental champion merge path, got '$mode'")
+    val qs = ds.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+    TextIndex.queryChampions(store, "docs_bm25", qs, "query_id", "qtext",
+      k = k, fallbackToExact = false)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** MaxScore-BOUNDED BM25 over the persistent index
     * ([[TextIndex.queryMaxScore]]): champion refresh harvests the
     * per-term score ceilings and the top-k floor, the probe reads only
