@@ -599,6 +599,33 @@ object ScaleBench {
         pairs.unpersist(blocking = false)
         n
       },
+      // Micro-trickle appends — the embed key-probe's DESIGN regime
+      // (EmbedIndex scaladoc): at the committed 1M sizing (bits=12,
+      // 4096 buckets/table) a 50-vector batch touches ~1% of each
+      // table's buckets, so the opt-in probe drops ~90% of the corpus
+      // inside the scan before the wide uv payload explodes — where the
+      // 100k entry above touches ~every bucket and the probe cannot
+      // pay. Paired scan-vs-probe entries, same batch shape. Depend on
+      // emb_incr (the vecs_embed table) — filter "emb".
+      timed("emb_trickle_50_scan") {
+        import spark.implicits._
+        val batch = spark.range(nVecs + 500000L, nVecs + 500050L, 1L, 4)
+          .map(id => genEmb(id.toLong)).toDF()
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val p = graft.store.EmbedIndex.appendBatchOnce(
+          store, "vecs_embed", batch, "bench-trickle", 0L).get
+        val n = p.count(); p.unpersist(blocking = false); n
+      },
+      timed("emb_trickle_50_probe") {
+        import spark.implicits._
+        val batch = spark.range(nVecs + 600000L, nVecs + 600050L, 1L, 4)
+          .map(id => genEmb(id.toLong)).toDF()
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val p = graft.store.EmbedIndex.appendBatchOnce(
+          store, "vecs_embed", batch, "bench-trickle", 1L,
+          keyProbeMaxKeys = graft.store.DedupIndex.DefaultKeyProbeMaxKeys).get
+        val n = p.count(); p.unpersist(blocking = false); n
+      },
       // Incremental SemDeDup (SemIndex) — the FIFTH index's flagship
       // pair: k-means build over the real 1024-cluster structure, then
       // a 100k append. The zone-probe path collects the touched

@@ -573,10 +573,11 @@ object Similarity {
     // near-dups. The final distinct sees ≤ nTables × true-pair rows.
     // Cross-table duplicate verify work costs ≤ nTables× CPU on in-bucket
     // pairs — linear state, no quadratic materialization anywhere.
-    val tableKeys = array((0 until nTables).map { t =>
-      struct(lit(t).as("table"),
-        lshBucket(col(vecCol), dim, bits, seed + t * 7919).as("bucket"))
-    }: _*)
+    // fused per-table keys (r15): one vector extraction + plain-array
+    // plane dots for all nTables buckets, bit-identical to the
+    // per-table lshBucket builder array it replaces
+    val tableKeys = graft.plans.VectorExpressions
+      .hyperplaneTableKeys(col(vecCol), dim, nTables, bits, seed)
     val rows = corpus
       .select(col(idCol).as("id"), unitVector(col(vecCol)).as("uv"),
         explode(tableKeys).as("tk"))

@@ -70,9 +70,13 @@ import graft.functions.Similarity
   * only 2^bits ≈ thousands of buckets per table (vs MinHash's 64-bit
   * hash keys), so any non-trivial batch touches most of them and the
   * probe's per-row recompute cannot pay — measured r15, same-window
-  * pairs at the 1M-vector/100k-append flagship: probe-on 16.7-18.0 s
-  * vs probe-off 16.0 s. Engage it only for micro-trickle batches
-  * (nBatch ≪ 2^bits / nTables). Appends are O(batch) [[DeltaChain]]
+  * pairs at the 1M-vector flagship: 100k append probe-on 16.7-18.0 s
+  * vs probe-off 16.0 s, and even a 50-vector micro-trickle (where the
+  * probe drops ~90% of rows) measures parity (3.1 vs 2.9 s): the
+  * trickle floor is the index's columnar uv scan, which the probe
+  * filters but still reads. The machinery stays for corpora whose
+  * probe would cut real CPU (higher bits, fatter dims); both paths are
+  * spec-pinned output-identical. Appends are O(batch) [[DeltaChain]]
   * versions under the shared exactly-once batch-id watermark.
   *
   * The r15 fat-vs-slim A/B (same-window, interleaved): append 16.4-16.7 s
