@@ -369,14 +369,16 @@ case class BoundedMembers(left: Expression, right: Expression, k: Int,
   override def prettyName: String = "bounded_members"
 }
 
-/** [[MemberHeap]] with an array<double> payload — the unit-vector form
-  * for [[graft.store.EmbedIndex]]'s bucket cap. Same max-heap-on-id /
-  * lazy-geometric-capacity shape (the r13 lesson: size for the MEDIAN
-  * group, not the cap); payload arrays are swapped by reference, copied
-  * once on add. */
+/** [[MemberHeap]] with an array<double> payload and a freshness flag —
+  * the unit-vector form for [[graft.store.EmbedIndex]]'s bucket cap.
+  * Same max-heap-on-id / lazy-geometric-capacity shape (the r13 lesson:
+  * size for the MEDIAN group, not the cap); payload arrays are swapped
+  * by reference, copied once on add. The flag rides with each member so
+  * the downstream pair expression can skip corpus-corpus pairs. */
 final class VecMemberHeap(val k: Int) extends Serializable {
   private[plans] var ids = new Array[Long](math.min(k, 4))
   private[plans] var payloads = new Array[Array[Double]](math.min(k, 4))
+  private[plans] var flags = new Array[Boolean](math.min(k, 4))
   private[plans] var size = 0
 
   private def ensureRoom(): Unit =
@@ -384,18 +386,20 @@ final class VecMemberHeap(val k: Int) extends Serializable {
       val cap = math.min(k, ids.length * 4)
       ids = java.util.Arrays.copyOf(ids, cap)
       payloads = java.util.Arrays.copyOf(payloads, cap)
+      flags = java.util.Arrays.copyOf(flags, cap)
     }
+
+  @inline private def swap(i: Int, p: Int): Unit = {
+    val ti = ids(i); val tp = payloads(i); val tf = flags(i)
+    ids(i) = ids(p); payloads(i) = payloads(p); flags(i) = flags(p)
+    ids(p) = ti; payloads(p) = tp; flags(p) = tf
+  }
 
   private def siftUp(start: Int): Unit = {
     var i = start
     while (i > 0) {
       val p = (i - 1) >> 1
-      if (ids(i) > ids(p)) {
-        val ti = ids(i); val tp = payloads(i)
-        ids(i) = ids(p); payloads(i) = payloads(p)
-        ids(p) = ti; payloads(p) = tp
-        i = p
-      } else return
+      if (ids(i) > ids(p)) { swap(i, p); i = p } else return
     }
   }
 
@@ -407,68 +411,73 @@ final class VecMemberHeap(val k: Int) extends Serializable {
       val r = l + 1
       var m = l
       if (r < size && ids(r) > ids(l)) m = r
-      if (ids(m) > ids(i)) {
-        val ti = ids(i); val tp = payloads(i)
-        ids(i) = ids(m); payloads(i) = payloads(m)
-        ids(m) = ti; payloads(m) = tp
-        i = m
-      } else return
+      if (ids(m) > ids(i)) { swap(i, m); i = m } else return
     }
   }
 
-  def add(id: Long, payload: Array[Double]): Unit = {
+  def add(id: Long, payload: Array[Double], fresh: Boolean): Unit = {
     if (size < k) {
       ensureRoom()
-      ids(size) = id; payloads(size) = payload; size += 1
+      ids(size) = id; payloads(size) = payload; flags(size) = fresh
+      size += 1
       siftUp(size - 1)
     } else if (id < ids(0)) {
-      ids(0) = id; payloads(0) = payload
+      ids(0) = id; payloads(0) = payload; flags(0) = fresh
       siftDown()
     }
   }
 
   def mergeFrom(other: VecMemberHeap): Unit = {
     var i = 0
-    while (i < other.size) { add(other.ids(i), other.payloads(i)); i += 1 }
+    while (i < other.size) {
+      add(other.ids(i), other.payloads(i), other.flags(i)); i += 1
+    }
   }
 
-  /** (id, payload) pairs in id-ascending order. */
-  def sortedAsc: Array[(Long, Array[Double])] = {
-    val out = Array.tabulate(size)(i => (ids(i), payloads(i)))
+  /** (id, payload, fresh) triples in id-ascending order. */
+  def sortedAsc: Array[(Long, Array[Double], Boolean)] = {
+    val out = Array.tabulate(size)(i => (ids(i), payloads(i), flags(i)))
     scala.util.Sorting.stableSort(out,
-      (a: (Long, Array[Double]), b: (Long, Array[Double])) => a._1 < b._1)
+      (a: (Long, Array[Double], Boolean), b: (Long, Array[Double], Boolean)) =>
+        a._1 < b._1)
     out
   }
 }
 
-/** `bounded_vec_members(id, uv, k)` → array<struct<id, uv>> of the
-  * group's k SMALLEST ids with their unit vectors, id-ascending — the
-  * [[BoundedMembers]] shape for the embedding index's bucket cap
-  * (member-identical to the row_number window it replaces, without
-  * sorting the full exploded key stream with its ~8·dim-byte payload
-  * riding every row). */
-case class BoundedVecMembers(left: Expression, right: Expression, k: Int,
+/** `bounded_vec_members(id, uv, fresh, k)` → array<struct<id, uv,
+  * fresh>> of the group's k SMALLEST ids with their unit vectors and
+  * batch-membership flags, id-ascending — the [[BoundedMembers]] shape
+  * for the embedding index's bucket cap (member-identical to the
+  * row_number window it replaces, without sorting the full exploded key
+  * stream with its ~8·dim-byte payload riding every row). The flag lets
+  * [[CosinePairs]] skip corpus-corpus pairs INSIDE the expression —
+  * ~(corpus/union)² of the in-bucket dot products, the append's
+  * dominant CPU — instead of discarding them after they were computed. */
+case class BoundedVecMembers(first: Expression, second: Expression,
+                             third: Expression, k: Int,
                              mutableAggBufferOffset: Int = 0,
                              inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[VecMemberHeap] with BinaryLike[Expression] {
+    extends TypedImperativeAggregate[VecMemberHeap]
+    with org.apache.spark.sql.catalyst.trees.TernaryLike[Expression] {
 
   require(k >= 1, s"k=$k must be positive")
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (LongType, ArrayType(DoubleType, _)) =>
+    (first.dataType, second.dataType, third.dataType) match {
+      case (LongType, ArrayType(DoubleType, _), BooleanType) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case (idT, pT) =>
+      case (idT, pT, fT) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"bounded_vec_members needs (bigint id, array<double> uv), got " +
-            s"${idT.simpleString}, ${pT.simpleString}")
+          s"bounded_vec_members needs (bigint id, array<double> uv, boolean fresh), " +
+            s"got ${idT.simpleString}, ${pT.simpleString}, ${fT.simpleString}")
     }
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("uv", ArrayType(DoubleType, containsNull = false),
-        nullable = false))),
+        nullable = false),
+      StructField("fresh", BooleanType, nullable = false))),
     containsNull = false)
 
   override def nullable: Boolean = false
@@ -476,14 +485,17 @@ case class BoundedVecMembers(left: Expression, right: Expression, k: Int,
   override def createAggregationBuffer(): VecMemberHeap = new VecMemberHeap(k)
 
   override def update(buffer: VecMemberHeap, input: InternalRow): VecMemberHeap = {
-    val idV = left.eval(input)
+    val idV = first.eval(input)
     if (idV != null) {
-      val pV = right.eval(input)
-      if (pV != null)
+      val pV = second.eval(input)
+      if (pV != null) {
+        val fV = third.eval(input)
         // toDoubleArray copies out of the (reused) unsafe row buffer
         buffer.add(idV.asInstanceOf[Long],
           pV.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-            .toDoubleArray())
+            .toDoubleArray(),
+          fV != null && fV.asInstanceOf[Boolean])
+      }
     }
     buffer
   }
@@ -493,19 +505,20 @@ case class BoundedVecMembers(left: Expression, right: Expression, k: Int,
   }
 
   override def eval(buffer: VecMemberHeap): Any =
-    new GenericArrayData(buffer.sortedAsc.map { case (id, p) =>
-      InternalRow(id, new GenericArrayData(p))
+    new GenericArrayData(buffer.sortedAsc.map { case (id, p, f) =>
+      InternalRow(id, new GenericArrayData(p), f)
     })
 
   override def serialize(buffer: VecMemberHeap): Array[Byte] = {
     var bytes = 4
     var i = 0
-    while (i < buffer.size) { bytes += 12 + 8 * buffer.payloads(i).length; i += 1 }
+    while (i < buffer.size) { bytes += 13 + 8 * buffer.payloads(i).length; i += 1 }
     val bb = ByteBuffer.allocate(bytes)
     bb.putInt(buffer.size)
     i = 0
     while (i < buffer.size) {
       bb.putLong(buffer.ids(i))
+      bb.put(if (buffer.flags(i)) 1.toByte else 0.toByte)
       val p = buffer.payloads(i)
       bb.putInt(p.length)
       var j = 0
@@ -522,11 +535,12 @@ case class BoundedVecMembers(left: Expression, right: Expression, k: Int,
     var i = 0
     while (i < n) {
       val id = bb.getLong()
+      val f = bb.get() == 1.toByte
       val len = bb.getInt()
       val p = new Array[Double](len)
       var j = 0
       while (j < len) { p(j) = bb.getDouble(); j += 1 }
-      h.add(id, p)
+      h.add(id, p, f)
       i += 1
     }
     h
@@ -537,8 +551,9 @@ case class BoundedVecMembers(left: Expression, right: Expression, k: Int,
   override def withNewInputAggBufferOffset(newOffset: Int): BoundedVecMembers =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): BoundedVecMembers =
-    copy(left = newLeft, right = newRight)
+      newFirst: Expression, newSecond: Expression, newThird: Expression)
+      : BoundedVecMembers =
+    copy(first = newFirst, second = newSecond, third = newThird)
 
   override def prettyName: String = "bounded_vec_members"
 }
@@ -551,11 +566,12 @@ object TopKAggregate {
       GraftColumnBridge.expression(payload), k).toAggregateExpression())
 
   /** Column wrapper: capped bucket-member list with a unit-vector
-    * payload (see BoundedVecMembers). */
-  def boundedVecMembers(id: Column, uv: Column, k: Int): Column =
+    * payload and freshness flag (see BoundedVecMembers). */
+  def boundedVecMembers(id: Column, uv: Column, fresh: Column, k: Int): Column =
     GraftColumnBridge.column(BoundedVecMembers(
       GraftColumnBridge.expression(id),
-      GraftColumnBridge.expression(uv), k).toAggregateExpression())
+      GraftColumnBridge.expression(uv),
+      GraftColumnBridge.expression(fresh), k).toAggregateExpression())
 
   /** Column wrapper: per-group bounded top-k of (id, score). */
   def boundedTopK(id: Column, score: Column, k: Int): Column =

@@ -914,7 +914,16 @@ case class AllPairs(child: Expression) extends UnaryExpression {
   * a shuffle + dropDuplicates before the verify filter sees them
   * (measured: execution-memory OOM at 1M vectors). Verifying inside the
   * bucket keeps the quadratic part pure CPU on ≤ maxBucketSize vectors
-  * and emits only true near-dups. */
+  * and emits only true near-dups.
+  *
+  * Two input arities share the expression: the 2-field
+  * array<struct<id, uv>> form pairs EVERY member (the batch operator's
+  * shape), and the 3-field array<struct<id, uv, fresh>> form (r15, the
+  * incremental append's shape via [[BoundedVecMembers]]) SKIPS pairs
+  * where neither member is fresh — corpus-corpus pairs were emitted by
+  * the append that introduced their younger member, and on a 100k batch
+  * against a 1M corpus they are ~91% of the in-bucket dot products the
+  * old shape computed only for restrictToTouching to discard. */
 case class CosinePairs(child: Expression, threshold: Double)
     extends UnaryExpression {
 
@@ -924,6 +933,11 @@ case class CosinePairs(child: Expression, threshold: Double)
       StructField("id_b", LongType, nullable = false),
       StructField("cos", DoubleType, nullable = false))),
     containsNull = false)
+
+  private lazy val hasFresh: Boolean = child.dataType match {
+    case ArrayType(s: StructType, _) => s.length == 3
+    case _ => false
+  }
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -936,36 +950,48 @@ case class CosinePairs(child: Expression, threshold: Double)
           b.dataType.isInstanceOf[ArrayType] &&
           b.dataType.asInstanceOf[ArrayType].elementType == DoubleType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case ArrayType(StructType(Array(a, b, f)), _)
+        if a.dataType == LongType &&
+          b.dataType.isInstanceOf[ArrayType] &&
+          b.dataType.asInstanceOf[ArrayType].elementType == DoubleType &&
+          f.dataType == BooleanType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"cosine_pairs needs array<struct<bigint,array<double>>>, got ${other.simpleString}")
+          s"cosine_pairs needs array<struct<bigint,array<double>[,boolean]>>, got ${other.simpleString}")
     }
 
   def compute(members: ArrayData): ArrayData = {
     val n = members.numElements()
+    val fields = if (hasFresh) 3 else 2
     val ids = new Array[Long](n)
     val vecs = new Array[Array[Double]](n)
+    val fresh = new Array[Boolean](n)
     var i = 0
     while (i < n) {
-      val row = members.getStruct(i, 2)
+      val row = members.getStruct(i, fields)
       ids(i) = row.getLong(0)
       vecs(i) = row.getArray(1).toDoubleArray()
+      fresh(i) = if (hasFresh) row.getBoolean(2) else true
       i += 1
     }
     val out = new scala.collection.mutable.ArrayBuffer[Any]()
     i = 0
     while (i < n) {
       val vi = vecs(i)
+      val fi = fresh(i)
       var j = i + 1
       while (j < n) {
-        val vj = vecs(j)
-        val d = math.min(vi.length, vj.length)
-        var s = 0.0
-        var k = 0
-        while (k < d) { s += vi(k) * vj(k); k += 1 }
-        if (s >= threshold && ids(i) != ids(j)) {
-          val (lo, hi) = if (ids(i) < ids(j)) (ids(i), ids(j)) else (ids(j), ids(i))
-          out += org.apache.spark.sql.catalyst.InternalRow(lo, hi, s)
+        if (fi || fresh(j)) {
+          val vj = vecs(j)
+          val d = math.min(vi.length, vj.length)
+          var s = 0.0
+          var k = 0
+          while (k < d) { s += vi(k) * vj(k); k += 1 }
+          if (s >= threshold && ids(i) != ids(j)) {
+            val (lo, hi) = if (ids(i) < ids(j)) (ids(i), ids(j)) else (ids(j), ids(i))
+            out += org.apache.spark.sql.catalyst.InternalRow(lo, hi, s)
+          }
         }
         j += 1
       }

@@ -83,7 +83,10 @@ import graft.functions.Similarity
   * fat vs 16.0 s slim (parity within noise — the append's floor is the
   * wide-uv bucket exchange plus in-bucket CosinePairs, not the key
   * column), build 5.1-5.5 s fat vs 3.8-4.2 s slim, and the at-rest index
-  * sheds the ~nTables·16 B/row nested key column (~20% at dim 64).
+  * sheds the ~nTables·16 B/row nested key column (~20% at dim 64). The
+  * freshness-tagged pair generation (see [[pairsAmong]]) then cut the
+  * same-window append to 11.7-12.3 s by skipping the ~91% of in-bucket
+  * dot products whose pairs the batch restriction would discard.
   *
   * Incremental ≡ batch: bucket keys are a pure per-vector function of
   * committed parameters; an append sees the union membership of every
@@ -273,9 +276,13 @@ object EmbedIndex {
     val cKeys = keysOf(idx, dim, nTables, bits, seed)
       .join(BroadcastGate(bBuckets, nBatch * nTables, broadcastKeyLimit),
         Seq("table", "bucket"), "left_semi")
-    pairsAmong(cKeys.unionByName(bKeys),
-      batchEnc.select(col("id")), nBatch, threshold, maxBucketSize,
-      broadcastKeyLimit)
+    // the freshness tag rides into the bucket heap so CosinePairs skips
+    // corpus-corpus pairs inside the expression (they were emitted by
+    // the append that introduced their younger member)
+    pairsAmong(
+      cKeys.withColumn("fresh", lit(false))
+        .unionByName(bKeys.withColumn("fresh", lit(true))),
+      threshold, maxBucketSize)
   }
 
   /** READ-ONLY recovery twin of [[appendBatchOnce]]'s pair result (same
@@ -303,27 +310,43 @@ object EmbedIndex {
     val allKeys = keysOf(idx, dim, nTables, bits, seed)
       .join(BroadcastGate(bBuckets, nIds * nTables, broadcastKeyLimit),
         Seq("table", "bucket"), "left_semi")
-    val out = pairsAmong(allKeys, idRows, nIds, threshold, maxBucketSize,
-      broadcastKeyLimit)
+    // all rows come from the committed index here: freshness = batch
+    // membership, tagged through one gated outer join
+    val flagged = allKeys
+      .join(BroadcastGate(idRows.select(col("id"), lit(true).as("fresh_f")),
+          nIds, broadcastKeyLimit),
+        Seq("id"), "left_outer")
+      .withColumn("fresh", coalesce(col("fresh_f"), lit(false)))
+      .drop("fresh_f")
+    val out = pairsAmong(flagged, threshold, maxBucketSize)
     idRows.unpersist(blocking = false)
     out
   }
 
-  /** In-bucket pair generation over the touched-bucket membership,
-    * restricted to pairs touching `newIds` — identical skeleton to
-    * SimHashIndex.pairsAmong with CosinePairs as the verifier. */
-  private def pairsAmong(allKeys: DataFrame, newIds: DataFrame, nIds: Long,
-                         threshold: Double, maxBucketSize: Int,
-                         broadcastKeyLimit: Long): DataFrame = {
+  /** In-bucket pair generation over the touched-bucket membership
+    * `allKeys` (table, bucket, id, uv, fresh) — the SimHashIndex
+    * skeleton with CosinePairs as the verifier. The batch restriction
+    * lives INSIDE the expression (r15): the fresh flag rides through
+    * the bounded heap and CosinePairs skips corpus-corpus pairs before
+    * their 2·dim-flop dot products run — on a 100k append against 1M
+    * vectors those were ~91% of the in-bucket pair work, computed only
+    * for the old restrictToTouching pass to discard (flagship, same
+    * window: 16.0 → 11.7-12.3 s, vs 16.4-16.7 for the pre-r15 fat
+    * layout). Equivalence: fresh ⇔ id ∈ batch (ids are
+    * globally unique), so "some member fresh" ≡ "pair touches the
+    * batch" — EmbedIndexSpec pins the path pair-for-pair. */
+  private def pairsAmong(allKeys: DataFrame, threshold: Double,
+                         maxBucketSize: Int): DataFrame = {
     // Bucket capping as ONE bounded-heap aggregate (r15 — the r13
     // window→heap medicine, last applied here): member-for-member
     // identical to the row_number window it replaces, which sorted the
     // full touched-key stream with the ~8·dim-byte unit vector riding
     // every row just to discard everything past m+1.
-    val allPairs = allKeys
+    val verified = allKeys
       .groupBy(col("table"), col("bucket"))
       .agg(graft.plans.TopKAggregate
-        .boundedVecMembers(col("id"), col("uv"), maxBucketSize + 1)
+        .boundedVecMembers(col("id"), col("uv"), col("fresh"),
+          maxBucketSize + 1)
         .as("members"))
       // size == maxBucketSize+1 marks a truncated degenerate bucket:
       // dropped whole, the batch operator's cap semantics
@@ -332,12 +355,6 @@ object EmbedIndex {
         .cosinePairs(col("members"), threshold)).as("p"))
       .select(col("p.id_a"), col("p.id_b"), round(col("p.cos"), 6).as("cos"))
       .dropDuplicates("id_a", "id_b")
-
-    // ONE shared broadcast for both membership probes.
-    val verified = BroadcastGate
-      .restrictToTouching(allPairs, newIds.select(col("id")), nIds,
-        broadcastKeyLimit)
-      .select(col("id_a"), col("id_b"), col("cos"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     verified.count()
     verified
