@@ -123,13 +123,21 @@ object TextIndex {
       .persist(StorageLevel.MEMORY_AND_DISK) // read 2×: stats + postings
     try {
       val (nDocs, sumDl) = statsOf(tok)
+      // content counter: bumped past any previous build's (commit meta
+      // merges over the old version's, so a rebuild must not collide
+      // with a champion refresh of the replaced content)
+      val prevContent = if (store.exists(indexTable))
+        store.metaForVersion(indexTable, store.currentVersion(indexTable))
+          .getOrElse(s"${P}contentVersion", "0").toLong
+      else 0L
       store.commit(indexTable, postingsOf(tok), sortKey = Some("term"),
         statsCols = Seq("term", "tf", "dl"),
         meta = Map(
           s"${P}parts" -> "",
           s"${P}tokenizer" -> Tokenizer,
           s"${P}nDocs" -> nDocs.toString,
-          s"${P}sumDl" -> sumDl.toString)
+          s"${P}sumDl" -> sumDl.toString,
+          s"${P}contentVersion" -> (prevContent + 1).toString)
           ++ corpusTag.map(t => s"${P}corpusTag" -> t))
     } finally tok.unpersist(blocking = false)
   }
@@ -260,10 +268,14 @@ object TextIndex {
     val (bDocs, bDl) = statsOf(tok) // the one blocking action per append
     val nDocs = meta.getOrElse(s"${P}nDocs", "0").toLong + bDocs
     val sumDl = meta.getOrElse(s"${P}sumDl", "0").toLong + bDl
+    // appends bump the CONTENT counter; pure compaction/vacuum do not —
+    // champion freshness rides on content, not the version number
+    val content = meta.getOrElse(s"${P}contentVersion", "0").toLong + 1
     chain.next(store, table, v, meta, postingsOf(tok), compactEvery,
       extraMeta ++ Map(
         s"${P}nDocs" -> nDocs.toString,
-        s"${P}sumDl" -> sumDl.toString), layout = termLayout)
+        s"${P}sumDl" -> sumDl.toString,
+        s"${P}contentVersion" -> content.toString), layout = termLayout)
   }
 
   /** BM25 top-k over the latest committed index version: term probe +
@@ -400,8 +412,33 @@ object TextIndex {
         s"${P}champ.forVersion" -> v.toString,
         s"${P}champ.m" -> m.toString,
         s"${P}champ.mode" -> mode,
-        s"${P}tokenizer" -> Tokenizer))
+        s"${P}tokenizer" -> Tokenizer)
+        // the freshness tag (see freshAt): champions stay valid across
+        // pure compactions, which rewrite representation, never rows
+        ++ meta.get(s"${P}contentVersion")
+          .map(c => s"${P}champ.forContent" -> c))
   }
+
+  /** Champion freshness against postings version `v` — fresh iff the
+    * champion table was refreshed against the postings CONTENT now
+    * current. Content is a monotone `text.contentVersion` counter that
+    * build initializes (past any replaced build's) and every append
+    * bumps, but pure compaction/vacuum do NOT: folding the chain
+    * rewrites the representation, never the rows, so champions keep
+    * serving across maintenance folds instead of being rebuilt every
+    * cycle (r15; the tag was previously the version number, which a
+    * fold bumps). Pre-content-tag tables/champions fall back to the
+    * version-number comparison — conservative, never wrong. */
+  private def freshAt(store: SnapshotStore, indexTable: String, v: Long,
+                      ct: String, cv: Long): Boolean =
+    cv > 0 && {
+      val cmeta = store.metaForVersion(ct, cv)
+      (cmeta.get(s"${P}champ.forContent"),
+        store.metaForVersion(indexTable, v).get(s"${P}contentVersion")) match {
+        case (Some(fc), Some(pc)) => fc == pc
+        case _ => cmeta.get(s"${P}champ.forVersion").contains(v.toString)
+      }
+    }
 
   /** Per-term champion aggregate over postings-shaped rows
     * (term, neighbor_id, dl, tf): one pass, bounded k-heap per term
@@ -522,9 +559,8 @@ object TextIndex {
     * CURRENT postings version (metadata reads only — zero jobs). */
   def championsFresh(store: SnapshotStore, indexTable: String): Boolean = {
     val ct = champTable(indexTable)
-    val cv = store.currentVersion(ct)
-    cv > 0 && store.metaForVersion(ct, cv).get(s"${P}champ.forVersion")
-      .contains(store.currentVersion(indexTable).toString)
+    freshAt(store, indexTable, store.currentVersion(indexTable),
+      ct, store.currentVersion(ct))
   }
 
   /** BM25 top-k via the champion lists: probe ≤ m rows per query term
@@ -565,8 +601,7 @@ object TextIndex {
     requireTokenizer(meta, indexTable)
     val ct = champTable(indexTable)
     val cv = store.currentVersion(ct)
-    val fresh = cv > 0 && store.metaForVersion(ct, cv)
-      .get(s"${P}champ.forVersion").contains(v.toString)
+    val fresh = freshAt(store, indexTable, v, ct, cv)
     if (!fresh) {
       if (fallbackToExact)
         return query(store, indexTable, queries, queryIdCol, queryTextCol,
@@ -684,8 +719,7 @@ object TextIndex {
     requireTokenizer(meta, indexTable)
     val ct = champTable(indexTable)
     val cv = store.currentVersion(ct)
-    val fresh = cv > 0 && store.metaForVersion(ct, cv)
-      .get(s"${P}champ.forVersion").contains(v.toString)
+    val fresh = freshAt(store, indexTable, v, ct, cv)
     if (!fresh || !store.loadVersion(ct, cv).columns.contains("max_tf"))
       return (query(store, indexTable, queries, queryIdCol, queryTextCol,
         k, k1, b), None)

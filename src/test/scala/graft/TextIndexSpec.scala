@@ -234,6 +234,34 @@ class TextIndexSpec extends SparkSpec {
     assert(champRanked(store) === scanRanked())
   }
 
+  test("pure compaction does not stale the champions (content freshness)") {
+    // folding the delta chain rewrites representation, never rows — the
+    // r15 content-version tag keeps champions serving across folds
+    // instead of forcing a full rebuild every maintenance cycle
+    val store = freshStore()
+    TextIndex.build(store, "idx", corpusDF.limit(0), "text", "doc_id")
+    (0 until 3).foreach(g => TextIndex.append(store, "idx",
+      corpusDF.filter(col("doc_id") % 3 === g), "text", "doc_id",
+      compactEvery = 100))
+    TextIndex.refreshChampions(store, "idx", m = 60)
+    assert(TextIndex.championsFresh(store, "idx"))
+    val cvBefore = store.currentVersion("idx__champ")
+    assert(TextIndex.compactIndex(store, "idx"), "3-member chain must fold")
+    assert(TextIndex.championsFresh(store, "idx"),
+      "a pure fold must not stale the champions")
+    // serves strictly (no exact fallback) and still answers exactly
+    assert(champRanked(store) === scanRanked())
+    // a fold-only maintenance cycle leaves the champion table untouched
+    TextIndex.maintain(store, "idx", maxChainLength = 1, championM = Some(60))
+    assert(store.currentVersion("idx__champ") === cvBefore,
+      "fold-only maintenance must not rebuild champions")
+    // a REAL append still stales them
+    TextIndex.append(store, "idx",
+      corpusDF.select((col("doc_id") + 60L).as("doc_id"), col("text")),
+      "text", "doc_id")
+    assert(!TextIndex.championsFresh(store, "idx"))
+  }
+
   test("incremental champion merge after appends equals a full rebuild") {
     // small m so the delta's rows genuinely COMPETE with the old
     // champions per term (at m >= df the merge is trivially a union)
