@@ -659,6 +659,28 @@ object Similarity {
       .select(col("p.id_a"), col("p.id_b"), round(col("p.cos"), 6).as("cos"))
   }
 
+  /** [[semPairsOfAssigned]] with a freshness flag riding through the
+    * member cap (r15, the EmbedIndex trade): pairs where neither member
+    * is fresh are skipped INSIDE CosinePairs — the incremental append
+    * only emits batch-touching pairs, and on clustered corpora the
+    * corpus-corpus dot products the old post-hoc restrict discarded are
+    * ~(corpus/union)² of the in-cluster work. Member sets (and so the
+    * cap semantics) are identical to the window form: the bounded heap
+    * keeps the maxClusterSize+1 smallest ids. */
+  private[graft] def semPairsTouching(tagged: DataFrame, eps: Double,
+                                      maxClusterSize: Int): DataFrame =
+    tagged
+      .groupBy(col("cluster_id"))
+      .agg(graft.plans.TopKAggregate
+        .boundedVecMembers(col("id"), col("uv"), col("fresh"),
+          maxClusterSize + 1).as("members"))
+      // size == maxClusterSize+1 marks a truncated degenerate cluster:
+      // dropped whole (members kept), same semantics as the LSH caps.
+      .filter(size(col("members")).between(2, maxClusterSize))
+      .select(explode(graft.plans.VectorExpressions
+        .cosinePairs(col("members"), eps)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), round(col("p.cos"), 6).as("cos"))
+
   /** [[semDedup]]'s pair graph: within-cluster cosine pairs under
     * trained (or supplied) centroids. */
   def semDedupPairs(corpus: DataFrame, idCol: String, vecCol: String,

@@ -222,13 +222,19 @@ object SemIndex {
         BroadcastGate(batchEnc.select(col("cluster_id")).distinct(),
           nBatch, broadcastKeyLimit),
         Seq("cluster_id"), "left_semi")
-    val allPairs = Similarity.semPairsOfAssigned(
-      cRows.unionByName(batchEnc), eps, maxClusterSize)
+    // the batch restriction lives INSIDE the pair expression (r15, the
+    // EmbedIndex trade): a freshness flag rides through the member cap
+    // and CosinePairs skips corpus-corpus pairs before their dot
+    // products run — on dense semantic clusters those were ~(corpus/
+    // union)² of the in-cluster work, computed only for the old
+    // restrictToTouching pass to discard. fresh ⇔ id ∈ batch under the
+    // unique-id contract, so output is identical (SemIndexSpec pins
+    // incremental ≡ batch pair-for-pair).
+    val verified = Similarity.semPairsTouching(
+      cRows.withColumn("fresh", lit(false))
+        .unionByName(batchEnc.withColumn("fresh", lit(true))),
+      eps, maxClusterSize)
       .dropDuplicates("id_a", "id_b")
-    val verified = BroadcastGate
-      .restrictToTouching(allPairs, batchEnc.select(col("id")), nBatch,
-        broadcastKeyLimit)
-      .select(col("id_a"), col("id_b"), col("cos"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     verified.count()
     verified
