@@ -322,6 +322,49 @@ class PlanSpec extends SparkSpec {
       s"minhash key-probe filter fell out of codegen:\n$s")
   }
 
+  test("hyperplane key-probe and fused table keys stay inside codegen") {
+    // HyperplaneTableKeys is the key-side scan expression of the slim
+    // EmbedIndex (r15) and HyperplaneKeyHits its opt-in prefilter —
+    // both on the append's corpus-scan path, both must sit inside a
+    // whole-stage span like their MinHash/SimHash twins.
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(200)
+    val keyed = emb.select(col("vec_id"),
+        graft.plans.VectorExpressions
+          .hyperplaneTableKeys(col("embedding"), 64, 4, 8, 42L).as("bks"))
+      .filter(graft.plans.VectorExpressions
+        .hyperplaneKeyHits(col("embedding"), 64, 4, 8, 42L, Array(-9L, 3L)))
+    keyed.collect()
+    val s = executed(keyed).toString
+    val line = s.linesIterator.find(l =>
+      l.contains("hyperplanekeyhits") || l.contains("HyperplaneKeyHits")).getOrElse(
+      s.linesIterator.find(_.contains("Filter")).getOrElse(""))
+    assert(line.trim.startsWith("*") || line.contains("*("),
+      s"hyperplane key expressions fell out of codegen:\n$s")
+  }
+
+  test("fused table keys equal the per-table bucket builder bit-for-bit") {
+    // HyperplaneTableKeys (one extraction, plain-array dots) must
+    // reproduce the HyperplaneBucket-per-table builder construction
+    // exactly — same seed derivation, same accumulation order — or the
+    // slim index would silently re-key relative to fat-era tables and
+    // the batch operator.
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(500)
+    val perTable = array((0 until 4).map { t =>
+      struct(lit(t).as("table"),
+        graft.plans.VectorExpressions
+          .hyperplaneBucket(col("embedding"), 64, 12, 42L + t * 7919)
+          .as("bucket"))
+    }: _*)
+    val mismatches = emb.select(
+        graft.plans.VectorExpressions
+          .hyperplaneTableKeys(col("embedding"), 64, 4, 12, 42L).as("fused"),
+        perTable.as("builder"))
+      .filter(col("fused") =!= col("builder")).count()
+    assert(mismatches === 0L)
+  }
+
   test("native vector expressions stay inside whole-stage codegen") {
     // DotProduct/HyperplaneBucket implement doGenCode (a compiled call into
     // their own compute loop), so the ANN scoring projection must appear
