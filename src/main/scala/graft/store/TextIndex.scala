@@ -390,6 +390,17 @@ object TextIndex {
     * way (`text.champ.mode` in the committed metadata records which
     * path ran, for observability and the spec).
     *
+    * Honest scale note: what the merge saves is the full-POSTINGS scan
+    * (corpus-sized); the champion table itself (≤ vocab·m rows) is
+    * still read once and rewritten whole by the commit, so the merge
+    * floor is O(vocab·m) per refresh regardless of delta size. At the
+    * 5M-doc flagship that floor is ~5 s against the 13-28 s rebuild; if
+    * a corpus ever grows vocab·m past its postings delta rate, the next
+    * step is delta-chaining the champion table itself (the same
+    * DeltaChain machinery — recorded as a decision, not built, because
+    * it adds read fan-in to every serving probe for a maintenance-side
+    * win no current scale needs).
+    *
     * Returns the committed champion-table version. */
   def refreshChampions(store: SnapshotStore, indexTable: String,
                        m: Int = 1024): Long = {
