@@ -911,11 +911,17 @@ object TextIndex {
     val v = store.currentVersion(indexTable)
     if (v == 0) return
     val members = chain.chainOf(store.metaForVersion(indexTable, v), v)
-    if (members.size > maxChainLength) compactIndex(store, indexTable)
+    // Champion refresh FIRST (r15): the incremental merge needs the
+    // delta chain intact (a fold collapses it and forces the full
+    // rebuild), and under content-version freshness the fold below no
+    // longer stales what the refresh just committed — so the steady
+    // maintenance cycle is merge + fold + vacuum, with a full champion
+    // rebuild only on m changes or pre-content-tag tables.
     championM.foreach { m =>
       if (!championsFresh(store, indexTable))
         refreshChampions(store, indexTable, m)
     }
+    if (members.size > maxChainLength) compactIndex(store, indexTable)
     vacuumIndex(store, indexTable)
     // champion refreshes are full rewrites — only the current version
     // is ever read, superseded ones are dead weight

@@ -327,6 +327,32 @@ class TextIndexSpec extends SparkSpec {
     assert(got.nonEmpty && got.subsetOf(champDocs))
   }
 
+  test("maintain merges champions BEFORE folding the chain") {
+    // stale champions + an over-length chain in ONE maintain call: the
+    // refresh must run while the delta chain is intact (merge path),
+    // the fold after it must not re-stale the champions
+    // (content-version freshness), and the folded index must serve the
+    // exact ranking through the merged champion table.
+    val store = freshStore()
+    TextIndex.build(store, "idx", corpusDF.filter(col("doc_id") < 30),
+      "text", "doc_id")
+    TextIndex.refreshChampions(store, "idx", m = 60)
+    (0 until 2).foreach(g => TextIndex.append(store, "idx",
+      corpusDF.filter(col("doc_id") >= 30 && col("doc_id") % 2 === g),
+      "text", "doc_id", compactEvery = 100))
+    assert(!TextIndex.championsFresh(store, "idx"))
+    TextIndex.maintain(store, "idx", maxChainLength = 1, championM = Some(60))
+    val cmeta = store.metaForVersion("idx__champ",
+      store.currentVersion("idx__champ"))
+    assert(cmeta.get("text.champ.mode").contains("merge"),
+      "maintain must refresh via the merge path, not fold-then-rebuild")
+    assert(TextIndex.championsFresh(store, "idx"),
+      "the fold after the refresh must not stale the champions")
+    val meta = store.metaForVersion("idx", store.currentVersion("idx"))
+    assert(meta.getOrElse("text.parts", "x") === "", "chain must be folded")
+    assert(champRanked(store) === scanRanked())
+  }
+
   test("small-m champions only ever return some query term's champion") {
     val store = freshStore()
     TextIndex.build(store, "idx", corpusDF, "text", "doc_id")
