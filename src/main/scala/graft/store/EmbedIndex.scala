@@ -79,6 +79,16 @@ import graft.functions.Similarity
   * spec-pinned output-identical. Appends are O(batch) [[DeltaChain]]
   * versions under the shared exactly-once batch-id watermark.
   *
+  * Deferred (considered, not built): halving the bucket exchange by
+  * shipping a FLOAT copy of `uv` and re-verifying survivors exactly
+  * against the stored doubles (margin 1e-4 ≫ the ~4e-6 float-dot error
+  * bound, so no pair can be lost). At this corpus's dim 64 the saved
+  * exchange bytes ≈ the added candidate re-join — unmeasurable here —
+  * while at production dims (768+) the 8·dim-byte payload × nTables
+  * duplication dominates the append and the trade flips; recorded so
+  * the dim-768 operator reaches for a designed answer, not a
+  * rediscovery.
+  *
   * The r15 fat-vs-slim A/B (same-window, interleaved): append 16.4-16.7 s
   * fat vs 16.0 s slim (parity within noise — the append's floor is the
   * wide-uv bucket exchange plus in-bucket CosinePairs, not the key
