@@ -267,37 +267,20 @@ object DedupIndex {
         // ~80M-row recomputed-key explode — curate_ungated_500k 92.5 s
         // vs ~40 s probed). keyProbeMaxKeys = 0 disables the probe and
         // keeps the strict one-action job budget.
-        // Effective exact-set budget, clamped to the Bloom ceiling: caps
-        // the driver-side collect for ANY caller value and keeps the
-        // take(budget + 1) below overflow-free at Int.MaxValue.
-        val probeBudget =
-          math.min(keyProbeMaxKeys.toLong, BloomProbeMaxKeys).toInt
+        // Shared decision ladder (LshKeyProbe): exact sorted set within
+        // the clamped budget, ~1%-fpp Bloom up to the ceiling, nothing
+        // past it. MinHash band keys are near-unique (64-bit buckets),
+        // so the a-priori bound is tight and no rescue take is run.
         val probeFilter: Option[org.apache.spark.sql.Column] =
-          if (keyProbeMaxKeys <= 0) None
-          else if (nBatch * bands <= probeBudget) {
-            val rows = keysOf(enc, k, bands)
-              .select(col("band"), col("bucket")).distinct()
-              .take(probeBudget + 1)
-            // nBatch·bands bounds the distinct count, but keep the guard
-            if (rows.length > probeBudget) None
-            else {
-              val arr = rows.map(r =>
-                graft.plans.SimHashKeyHits.mix(r.getInt(0), r.getLong(1)))
-              java.util.Arrays.sort(arr)
-              Some(graft.plans.VectorExpressions
-                .minhashKeyHits(col("h_arr"), k, bands, arr))
-            }
-          } else if (nBatch * bands > BloomProbeMaxKeys) None // backfill-sized
-          else {
-            // builder key = bucket ^ ((band+1) << 56): shiftleft + xor
-            // only (ANSI-safe), mirrored verbatim in BloomMixedKeys
-            val bloom = keysOf(enc, k, bands)
-              .select(col("bucket").bitwiseXOR(
-                shiftleft(col("band").cast("long") + lit(1L), 56)).as("mk"))
-              .stat.bloomFilter("mk", nBatch * bands, 0.01)
-            Some(graft.plans.VectorExpressions
-              .minhashKeyHitsBloom(col("h_arr"), k, bands, bloom))
-          }
+          LshKeyProbe(
+            keysOf(enc, k, bands).select(col("band").as("part"), col("bucket")),
+            bound = nBatch * bands,
+            keyProbeMaxKeys = keyProbeMaxKeys,
+            rescueTakeCeiling = 0L,
+            exact = arr => graft.plans.VectorExpressions
+              .minhashKeyHits(col("h_arr"), k, bands, arr),
+            bloom = bf => graft.plans.VectorExpressions
+              .minhashKeyHitsBloom(col("h_arr"), k, bands, bf))
         val idxRows = chain.load(store, table, v, meta)
         val idxSrc = probeFilter match {
           case Some(p) => idxRows.filter(p)

@@ -212,38 +212,23 @@ object EmbedIndex {
         // Gate sizing without a distinct() job: hint from the caller, or
         // a narrow count on the persisted encoding (warms the cache).
         val nBatch = batchCountHint.getOrElse(enc.count())
-        // In-scan prefilter (see the scaladoc): exact sorted key set
-        // when nBatch·nTables fits the (clamped) budget, else a ~1%-fpp
-        // Bloom over the same keys; tester false positives only widen
-        // the exact (table, bucket) semi-join input.
-        val probeBudget =
-          math.min(keyProbeMaxKeys.toLong, DedupIndex.BloomProbeMaxKeys).toInt
+        // In-scan prefilter via the shared decision ladder
+        // (LshKeyProbe): exact sorted key set when nBatch·nTables fits
+        // the clamped budget, ~1%-fpp Bloom up to the ceiling; tester
+        // false positives only widen the exact (table, bucket)
+        // semi-join input. One key per table per vector — the bound is
+        // tight, no rescue take.
         val probeFilter: Option[Column] =
-          if (keyProbeMaxKeys <= 0) None
-          else if (nBatch * nTables <= probeBudget) {
-            val rows = keysOf(enc, dim, nTables, bits, seed)
-              .select(col("table"), col("bucket")).distinct()
-              .take(probeBudget + 1)
-            // nBatch·nTables bounds the distinct count; keep the guard
-            if (rows.length > probeBudget) None
-            else {
-              val arr = rows.map(r =>
-                graft.plans.SimHashKeyHits.mix(r.getInt(0), r.getLong(1)))
-              java.util.Arrays.sort(arr)
-              Some(graft.plans.VectorExpressions
-                .hyperplaneKeyHits(col("uv"), dim, nTables, bits, seed, arr))
-            }
-          } else if (nBatch * nTables > DedupIndex.BloomProbeMaxKeys) None
-          else {
-            // builder key = bucket ^ ((table+1) << 56), mirrored verbatim
-            // in BloomMixedKeys (ANSI-safe: shiftleft + xor only)
-            val bloom = keysOf(enc, dim, nTables, bits, seed)
-              .select(col("bucket").bitwiseXOR(
-                shiftleft(col("table").cast("long") + lit(1L), 56)).as("mk"))
-              .stat.bloomFilter("mk", nBatch * nTables, 0.01)
-            Some(graft.plans.VectorExpressions
-              .hyperplaneKeyHitsBloom(col("uv"), dim, nTables, bits, seed, bloom))
-          }
+          LshKeyProbe(
+            keysOf(enc, dim, nTables, bits, seed)
+              .select(col("table").as("part"), col("bucket")),
+            bound = nBatch * nTables,
+            keyProbeMaxKeys = keyProbeMaxKeys,
+            rescueTakeCeiling = 0L,
+            exact = arr => graft.plans.VectorExpressions
+              .hyperplaneKeyHits(col("uv"), dim, nTables, bits, seed, arr),
+            bloom = bf => graft.plans.VectorExpressions
+              .hyperplaneKeyHitsBloom(col("uv"), dim, nTables, bits, seed, bf))
         val idxRows = chain.load(store, table, v, meta)
         val idxSrc = probeFilter match {
           case Some(p) => idxRows.filter(p)

@@ -134,43 +134,25 @@ object SimHashIndex {
         // keep the probe as a ~1%-fpp Bloom over the same keys (r14, the
         // DedupIndex trade) instead of losing it. keyProbeMaxKeys = 0
         // keeps the one-action job budget.
+        // Shared decision ladder (LshKeyProbe). combosPerDoc is a
+        // per-DOC over-count — near-dup-rich batches share most keys —
+        // so a bounded take-and-check past the budget can RESCUE the
+        // exact tester the bound alone would demote (r14 ADVICE). The
+        // rescue is itself ceilinged at 4× the Bloom bound: past that,
+        // even heavy sharing can't plausibly fit, and a true backfill
+        // must not pay a wasted cluster-side distinct just to learn it
+        // (the zero-job skip the a-priori bound buys).
         val probeFilter: Option[org.apache.spark.sql.Column] =
-          if (keyProbeMaxKeys <= 0) None
-          else {
-            // Effective exact-set budget, clamped to the Bloom ceiling
-            // (caps the driver collect for any caller value; keeps the
-            // take(budget + 1) overflow-free at Int.MaxValue).
-            val budget =
-              math.min(keyProbeMaxKeys.toLong, DedupIndex.BloomProbeMaxKeys).toInt
-            val bound = nBatch * combosPerDoc(nBlocks, maxHamming)
-            // The a-priori bound grossly over-counts under heavy key
-            // sharing (combosPerDoc is per-DOC; near-dup-rich batches
-            // share most keys), so take-and-check is the primary test:
-            // the collect is capped at budget+1 rows regardless, and a
-            // batch whose REAL distinct key set fits keeps the exact
-            // tester even when the bound said Bloom or no-probe. Only
-            // when the take overflows does the bound pick Bloom vs none.
-            val rows = keysOf(enc, nBlocks, maxHamming)
-              .select(col("band"), col("bucket")).distinct()
-              .take(budget + 1)
-            if (rows.length <= budget) {
-              val arr = rows.map(r =>
-                graft.plans.SimHashKeyHits.mix(r.getInt(0), r.getLong(1)))
-              java.util.Arrays.sort(arr)
-              Some(graft.plans.VectorExpressions
-                .simhashKeyHits(col("sh64"), nBlocks, maxHamming, arr))
-            } else if (bound > DedupIndex.BloomProbeMaxKeys) None // backfill
-            else {
-              // builder key = bucket ^ ((band+1) << 56), mirrored verbatim
-              // in BloomMixedKeys (ANSI-safe: shiftleft + xor only)
-              val bloom = keysOf(enc, nBlocks, maxHamming)
-                .select(col("bucket").bitwiseXOR(
-                  shiftleft(col("band").cast("long") + lit(1L), 56)).as("mk"))
-                .stat.bloomFilter("mk", bound, 0.01)
-              Some(graft.plans.VectorExpressions
-                .simhashKeyHitsBloom(col("sh64"), nBlocks, maxHamming, bloom))
-            }
-          }
+          LshKeyProbe(
+            keysOf(enc, nBlocks, maxHamming)
+              .select(col("band").as("part"), col("bucket")),
+            bound = nBatch * combosPerDoc(nBlocks, maxHamming),
+            keyProbeMaxKeys = keyProbeMaxKeys,
+            rescueTakeCeiling = DedupIndex.BloomProbeMaxKeys * 4,
+            exact = arr => graft.plans.VectorExpressions
+              .simhashKeyHits(col("sh64"), nBlocks, maxHamming, arr),
+            bloom = bf => graft.plans.VectorExpressions
+              .simhashKeyHitsBloom(col("sh64"), nBlocks, maxHamming, bf))
         val idxRows = chain.load(store, table, v, meta)
         val idxSrc = probeFilter match {
           case Some(p) => idxRows.filter(p)

@@ -496,11 +496,21 @@ object TextIndex {
   /** The postings rows appended since the current champion table was
     * refreshed, when the incremental merge is sound: Some(deltaRows)
     * iff the champion table exists at the SAME m with the bounds
-    * columns, its recorded postings version v0 precedes v, v0's version
-    * dir is still on disk, and v0's chain members are a subset of v's
-    * (no compaction between — after one, delta rows are no longer
-    * separable). None ⇒ full rebuild. Metadata + schema reads only,
-    * zero jobs. */
+    * columns and some live chain member ANCHORS the refreshed content —
+    * its rows (chain union) equal what the champions were built on and
+    * the rest of the current chain is exactly the appended delta.
+    *
+    * The anchor is found by CONTENT, not version number: equal
+    * `text.contentVersion` ⇒ equal rows (appends bump the counter,
+    * folds preserve rows AND counter), so a chain member carrying the
+    * champion's `forContent` anchors the merge even after fold+vacuum
+    * cycles replaced the version the refresh actually read — without
+    * this, the first refresh after every maintain fold fell back to
+    * the full rebuild and the steady merge+fold+vacuum cycle never
+    * materialized (r15 review). At most one chain member can match
+    * (content is strictly increasing across a chain's members).
+    * Pre-content champions fall back to the recorded forVersion.
+    * None ⇒ full rebuild. Metadata + schema reads only, zero jobs. */
   private def championMergeDelta(store: SnapshotStore, indexTable: String,
                                  ct: String, v: Long,
                                  meta: Map[String, String], m: Int)
@@ -509,20 +519,34 @@ object TextIndex {
     if (cv == 0) return None
     val cmeta = store.metaForVersion(ct, cv)
     if (!cmeta.get(s"${P}champ.m").contains(m.toString)) return None
-    val v0 = cmeta.get(s"${P}champ.forVersion").map(_.toLong).getOrElse(0L)
-    if (v0 <= 0 || v0 >= v) return None
-    if (!store.versions(indexTable).contains(v0)) return None
-    val oldChain =
-      chain.chainOf(store.metaForVersion(indexTable, v0), v0).toSet
-    val newChain = chain.chainOf(meta, v)
-    if (!oldChain.subsetOf(newChain.toSet)) return None
     // pre-bounds champion tables (no max_tf/min_dl) can't merge
     val cCols = store.loadVersion(ct, cv).schema.fieldNames.toSet
     if (!cCols.contains("max_tf") || !cCols.contains("min_dl")) return None
-    val deltaMembers = newChain.filterNot(oldChain)
-    if (deltaMembers.isEmpty) None
-    else Some(deltaMembers.map(store.loadVersion(indexTable, _))
-      .reduce(_ unionByName _))
+    val newChain = chain.chainOf(meta, v)
+    val newSet = newChain.toSet
+    def anchors(v0: Long): Boolean = v0 < v &&
+      store.versions(indexTable).contains(v0) &&
+      chain.chainOf(store.metaForVersion(indexTable, v0), v0).toSet
+        .subsetOf(newSet)
+    val anchor: Option[Long] = cmeta.get(s"${P}champ.forContent") match {
+      case Some(fc) =>
+        // every live chain member is on disk; an on-disk anchor whose
+        // chain is inside the current one is necessarily a member, so
+        // scanning the members covers the forVersion case too
+        newChain.find(m0 => store.metaForVersion(indexTable, m0)
+          .get(s"${P}contentVersion").contains(fc) && anchors(m0))
+      case None =>
+        cmeta.get(s"${P}champ.forVersion").map(_.toLong)
+          .filter(v0 => v0 > 0 && anchors(v0))
+    }
+    anchor.flatMap { v0 =>
+      val oldChain =
+        chain.chainOf(store.metaForVersion(indexTable, v0), v0).toSet
+      val deltaMembers = newChain.filterNot(oldChain)
+      if (deltaMembers.isEmpty) None
+      else Some(deltaMembers.map(store.loadVersion(indexTable, _))
+        .reduce(_ unionByName _))
+    }
   }
 
   /** Merge the delta's per-term champions into the previous champion
@@ -897,14 +921,15 @@ object TextIndex {
     } finally champHits.unpersist(blocking = false)
   }
 
-  /** Chain + champion maintenance in one idempotent call: fold the
-    * delta chain when it exceeds `maxChainLength` members, refresh the
+  /** Chain + champion maintenance in one idempotent call: refresh the
     * champion table when `championM` is set and the current one is
-    * stale/missing, then drop version dirs outside the live chain.
-    * Champion refresh runs AFTER compaction so it reads the folded
-    * layout. Safe to call at any time — every step is a no-op when
-    * already satisfied, and each commits through the store's atomic
-    * version flip. */
+    * stale/missing (BEFORE any fold — the incremental merge reads the
+    * delta chain, and content-version freshness keeps the refreshed
+    * champions valid across the fold), then fold the delta chain when
+    * it exceeds `maxChainLength` members, then drop version dirs
+    * outside the live chain. Safe to call at any time — every step is
+    * a no-op when already satisfied, and each commits through the
+    * store's atomic version flip. */
   def maintain(store: SnapshotStore, indexTable: String,
                maxChainLength: Int = 4,
                championM: Option[Int] = None): Unit = {

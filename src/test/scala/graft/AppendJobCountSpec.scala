@@ -97,10 +97,12 @@ class AppendJobCountSpec extends SparkSpec {
       pairs.unpersist(blocking = false)
     }
     info(s"DedupIndex default append: $jobs jobs, action callsites=$sites")
+    // the probe's one bounded take lives in the shared LshKeyProbe
+    // helper since r15 (one decision ladder for all three indexes)
     assert(sites.forall(s => s.startsWith("count at DedupIndex") ||
-        s.startsWith("take at DedupIndex")),
+        s.startsWith("take at LshKeyProbe")),
       s"unexpected driver actions in the probe append path: $sites")
-    assert(sites.exists(_.startsWith("take at DedupIndex")),
+    assert(sites.exists(_.startsWith("take at LshKeyProbe")),
       s"the default append should spend the probe take: $sites")
     assert(jobs <= 36, s"probe append spent $jobs jobs (budget 36)")
   }

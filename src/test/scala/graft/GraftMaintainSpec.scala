@@ -165,13 +165,21 @@ class GraftMaintainSpec extends SparkSpec {
       Files.createTempDirectory("graft-ma-race").toString, spark)
     DedupIndex.build(raceStore, "mix", docBatch(0), "text", "doc_id")
     // aggressive maintenance loop: maxChainLength=1 compacts + vacuums
-    // on ~every pass, maximizing lock contention with the appends
+    // on ~every pass, maximizing lock contention with the appends. A
+    // crash on this thread must FAIL the test (a silently-dead
+    // maintainer would leave the appends running unopposed and the
+    // assertions trivially green), so the throwable is captured and
+    // re-asserted after the join.
+    val maintainerError =
+      new java.util.concurrent.atomic.AtomicReference[Throwable](null)
     val maintainer = new Thread(() =>
-      (0 until 8).foreach { _ =>
+      try (0 until 8).foreach { _ =>
         Graft.maintainAll(raceStore, maxChainLength = 1)
-      })
+      } catch { case t: Throwable => maintainerError.set(t) })
     maintainer.start()
     val racePairs = try appendAll(raceStore) finally maintainer.join()
+    assert(maintainerError.get() == null,
+      s"maintainAll crashed while racing the appends: ${maintainerError.get()}")
     Graft.maintainAll(raceStore, maxChainLength = 1)
 
     assert(racePairs === seqPairs,

@@ -351,6 +351,20 @@ class TextIndexSpec extends SparkSpec {
     val meta = store.metaForVersion("idx", store.currentVersion("idx"))
     assert(meta.getOrElse("text.parts", "x") === "", "chain must be folded")
     assert(champRanked(store) === scanRanked())
+    // and the NEXT cycle merges too: the fold+vacuum above replaced the
+    // version the refresh anchored on, but the fold preserved the
+    // content counter, so the champion's forContent anchors on the
+    // folded member — without the content anchor the first refresh
+    // after every maintain cycle silently fell back to the full
+    // rebuild (r15 review)
+    TextIndex.append(store, "idx",
+      corpusDF.select((col("doc_id") + 60L).as("doc_id"), col("text")),
+      "text", "doc_id")
+    TextIndex.maintain(store, "idx", maxChainLength = 1, championM = Some(60))
+    assert(store.metaForVersion("idx__champ", store.currentVersion("idx__champ"))
+      .get("text.champ.mode").contains("merge"),
+      "post-fold+vacuum cycles must keep merging (content anchor)")
+    assert(TextIndex.championsFresh(store, "idx"))
   }
 
   test("small-m champions only ever return some query term's champion") {
