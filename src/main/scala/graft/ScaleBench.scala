@@ -121,6 +121,26 @@ object ScaleBench {
     Emb(id, v.map(_ / nrm), cluster % 16)
   }
 
+  /** genEmb at PRODUCTION embedding width (dim 768) — the float-exchange
+    * A/B corpus (emb_hidim_*): same 1024-cluster structure and planted
+    * id%1000==7 near-identical copies, generated on the fly (no corpus
+    * file — the entries are self-contained). */
+  private val DimHi = 768
+  private[graft] def genEmbHi(id: Long): Emb = {
+    val baseId = if (id % 1000 == 7) id - 7 else id
+    val cluster = (baseId % NClusters).toInt
+    val c = new java.util.Random(cluster * 104729L + 13)
+    val center = Array.fill(DimHi)(c.nextGaussian().toFloat)
+    val p = new java.util.Random(baseId * 0x9E3779B97F4A7C15L + 31)
+    var v = center.map(x => x + 0.12f * p.nextGaussian().toFloat)
+    if (id % 1000 == 7) {
+      val t = new java.util.Random(id)
+      v = v.map(x => x + 0.002f * t.nextGaussian().toFloat)
+    }
+    val nrm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+    Emb(id, v.map(_ / nrm), cluster % 16)
+  }
+
   private val EvTypes = Array("view", "click", "purchase", "signup", "error")
   private val EvBase = 1704067200000L // 2024-01-01 UTC
   private val EvUsers = 150000
@@ -624,6 +644,82 @@ object ScaleBench {
         val p = graft.store.EmbedIndex.appendBatchOnce(
           store, "vecs_embed", batch, "bench-trickle", 1L,
           keyProbeMaxKeys = graft.store.DedupIndex.DefaultKeyProbeMaxKeys).get
+        val n = p.count(); p.unpersist(blocking = false); n
+      },
+      // Float-exchange A/B at PRODUCTION embedding width (r15,
+      // EmbedIndex scaladoc): dim 768, where the 8·dim-byte uv payload
+      // × nTables through the bucket exchange dominates the append —
+      // the regime the float path was designed for (dim 64 above is
+      // gated OFF by default). One 200k-vector corpus (generated on the
+      // fly — self-contained under filter "emb_hidim"), built into TWO
+      // identical tables so both paths append the IDENTICAL 20k batch
+      // against the identical corpus: _dbl forces the classic path,
+      // _flt runs the dim-gated default (768 ≥ 256 ⇒ float). Equal
+      // rows= is the in-bench sanity; EmbedIndexSpec pins set equality.
+      timed("emb_hidim_build_200k_x2") {
+        import spark.implicits._
+        val corpus = spark.range(0L, 200000L, 1L, 64)
+          .map(id => genEmbHi(id.toLong)).toDF()
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.store.EmbedIndex.build(store, "vecs_embed_hd_a", corpus,
+          dim = DimHi, threshold = 0.999, expectedCorpus = 200000L)
+        graft.store.EmbedIndex.build(store, "vecs_embed_hd_b", corpus,
+          dim = DimHi, threshold = 0.999, expectedCorpus = 200000L)
+        corpus.unpersist(blocking = false)
+        400000L
+      },
+      timed("emb_hidim_append_20k_dbl") {
+        import spark.implicits._
+        val batch = spark.range(250007L, 260007L, 1L, 16)
+          .map(id => genEmbHi(id.toLong)).toDF()
+          .unionByName(spark.range(0L, 10000L, 1L, 16)
+            .map(id => { val e = genEmbHi(id.toLong); e.copy(vec_id = id + 20000000L) })
+            .toDF())
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val p = graft.store.EmbedIndex.appendBatchOnce(
+          store, "vecs_embed_hd_a", batch, "bench-hd", 0L,
+          floatExchangeMinDim = Int.MaxValue).get
+        val n = p.count(); p.unpersist(blocking = false); n
+      },
+      timed("emb_hidim_append_20k_flt") {
+        import spark.implicits._
+        val batch = spark.range(250007L, 260007L, 1L, 16)
+          .map(id => genEmbHi(id.toLong)).toDF()
+          .unionByName(spark.range(0L, 10000L, 1L, 16)
+            .map(id => { val e = genEmbHi(id.toLong); e.copy(vec_id = id + 20000000L) })
+            .toDF())
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val p = graft.store.EmbedIndex.appendBatchOnce(
+          store, "vecs_embed_hd_b", batch, "bench-hd", 0L).get
+        val n = p.count(); p.unpersist(blocking = false); n
+      },
+      // order-reversed, table-swapped second pair (controls for entry
+      // position and build order): a fresh 20k batch onto the now-220k
+      // tables — flt first, and on the table that just took the dbl path
+      timed("emb_hidim_append2_20k_flt") {
+        import spark.implicits._
+        val batch = spark.range(300007L, 310007L, 1L, 16)
+          .map(id => genEmbHi(id.toLong)).toDF()
+          .unionByName(spark.range(10000L, 20000L, 1L, 16)
+            .map(id => { val e = genEmbHi(id.toLong); e.copy(vec_id = id + 21000000L) })
+            .toDF())
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val p = graft.store.EmbedIndex.appendBatchOnce(
+          store, "vecs_embed_hd_a", batch, "bench-hd", 1L).get
+        val n = p.count(); p.unpersist(blocking = false); n
+      },
+      timed("emb_hidim_append2_20k_dbl") {
+        import spark.implicits._
+        val batch = spark.range(300007L, 310007L, 1L, 16)
+          .map(id => genEmbHi(id.toLong)).toDF()
+          .unionByName(spark.range(10000L, 20000L, 1L, 16)
+            .map(id => { val e = genEmbHi(id.toLong); e.copy(vec_id = id + 21000000L) })
+            .toDF())
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val p = graft.store.EmbedIndex.appendBatchOnce(
+          store, "vecs_embed_hd_b", batch, "bench-hd", 1L,
+          floatExchangeMinDim = Int.MaxValue).get
         val n = p.count(); p.unpersist(blocking = false); n
       },
       // Incremental SemDeDup (SemIndex) — the FIFTH index's flagship

@@ -666,7 +666,15 @@ object Similarity {
     * corpus-corpus dot products the old post-hoc restrict discarded are
     * ~(corpus/union)² of the in-cluster work. Member sets (and so the
     * cap semantics) are identical to the window form: the bounded heap
-    * keeps the maxClusterSize+1 smallest ids. */
+    * keeps the maxClusterSize+1 smallest ids.
+    *
+    * EmbedIndex's dim-gated FLOAT exchange is deliberately NOT applied
+    * here: SemDeDup assigns each vector to ONE cluster, so the exchange
+    * carries the payload once — the float saving is half of a number
+    * nTables times smaller than EmbedIndex's, while the exact re-verify
+    * re-scan would cost the same; and the flagship measured SemIndex
+    * appends dominated by assign+commit, not this exchange. Revisit
+    * with a measured A/B if a production-dim corpus says otherwise. */
   private[graft] def semPairsTouching(tagged: DataFrame, eps: Double,
                                       maxClusterSize: Int): DataFrame =
     tagged

@@ -558,6 +558,195 @@ case class BoundedVecMembers(first: Expression, second: Expression,
   override def prettyName: String = "bounded_vec_members"
 }
 
+/** [[VecMemberHeap]] with a FLOAT payload — the float-exchange append's
+  * bucket heap ([[graft.store.EmbedIndex]]): the partial-aggregate
+  * shuffle ships serialized heaps, so a float payload halves the
+  * dominant exchange bytes (4·dim vs 8·dim per member per table) at
+  * production embedding dims. Candidate pairs found over the floats are
+  * re-verified against the stored doubles, so the precision loss here
+  * can only widen the candidate set (see CosineCandidatesF's margin
+  * argument), never the output. */
+final class VecMemberHeapF(val k: Int) extends Serializable {
+  private[plans] var ids = new Array[Long](math.min(k, 4))
+  private[plans] var payloads = new Array[Array[Float]](math.min(k, 4))
+  private[plans] var flags = new Array[Boolean](math.min(k, 4))
+  private[plans] var size = 0
+
+  private def ensureRoom(): Unit =
+    if (size == ids.length && ids.length < k) {
+      val cap = math.min(k, ids.length * 4)
+      ids = java.util.Arrays.copyOf(ids, cap)
+      payloads = java.util.Arrays.copyOf(payloads, cap)
+      flags = java.util.Arrays.copyOf(flags, cap)
+    }
+
+  @inline private def swap(i: Int, p: Int): Unit = {
+    val ti = ids(i); val tp = payloads(i); val tf = flags(i)
+    ids(i) = ids(p); payloads(i) = payloads(p); flags(i) = flags(p)
+    ids(p) = ti; payloads(p) = tp; flags(p) = tf
+  }
+
+  private def siftUp(start: Int): Unit = {
+    var i = start
+    while (i > 0) {
+      val p = (i - 1) >> 1
+      if (ids(i) > ids(p)) { swap(i, p); i = p } else return
+    }
+  }
+
+  private def siftDown(): Unit = {
+    var i = 0
+    while (true) {
+      val l = 2 * i + 1
+      if (l >= size) return
+      val r = l + 1
+      var m = l
+      if (r < size && ids(r) > ids(l)) m = r
+      if (ids(m) > ids(i)) { swap(i, m); i = m } else return
+    }
+  }
+
+  def add(id: Long, payload: Array[Float], fresh: Boolean): Unit = {
+    if (size < k) {
+      ensureRoom()
+      ids(size) = id; payloads(size) = payload; flags(size) = fresh
+      size += 1
+      siftUp(size - 1)
+    } else if (id < ids(0)) {
+      ids(0) = id; payloads(0) = payload; flags(0) = fresh
+      siftDown()
+    }
+  }
+
+  def mergeFrom(other: VecMemberHeapF): Unit = {
+    var i = 0
+    while (i < other.size) {
+      add(other.ids(i), other.payloads(i), other.flags(i)); i += 1
+    }
+  }
+
+  /** (id, payload, fresh) triples in id-ascending order. */
+  def sortedAsc: Array[(Long, Array[Float], Boolean)] = {
+    val out = new Array[(Long, Array[Float], Boolean)](size)
+    var i = 0
+    while (i < size) { out(i) = (ids(i), payloads(i), flags(i)); i += 1 }
+    scala.util.Sorting.stableSort(out,
+      (a: (Long, Array[Float], Boolean), b: (Long, Array[Float], Boolean)) =>
+        a._1 < b._1)
+    out
+  }
+}
+
+/** `bounded_vec_members_f(id, uvf, fresh, k)` — [[BoundedVecMembers]]
+  * with an array<float> payload (see [[VecMemberHeapF]]): member
+  * selection (k smallest ids) is payload-independent, so the kept set is
+  * identical to the double heap's; only the shipped vector width
+  * changes. */
+case class BoundedVecMembersF(first: Expression, second: Expression,
+                              third: Expression, k: Int,
+                              mutableAggBufferOffset: Int = 0,
+                              inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[VecMemberHeapF]
+    with org.apache.spark.sql.catalyst.trees.TernaryLike[Expression] {
+
+  require(k >= 1, s"k=$k must be positive")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (LongType, ArrayType(FloatType, _), BooleanType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (idT, pT, fT) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bounded_vec_members_f needs (bigint id, array<float> uvf, boolean fresh), " +
+            s"got ${idT.simpleString}, ${pT.simpleString}, ${fT.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("uvf", ArrayType(FloatType, containsNull = false),
+        nullable = false),
+      StructField("fresh", BooleanType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): VecMemberHeapF = new VecMemberHeapF(k)
+
+  override def update(buffer: VecMemberHeapF, input: InternalRow): VecMemberHeapF = {
+    val idV = first.eval(input)
+    if (idV != null) {
+      val pV = second.eval(input)
+      if (pV != null) {
+        val fV = third.eval(input)
+        // toFloatArray copies out of the (reused) unsafe row buffer
+        buffer.add(idV.asInstanceOf[Long],
+          pV.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toFloatArray(),
+          fV != null && fV.asInstanceOf[Boolean])
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: VecMemberHeapF, input: VecMemberHeapF): VecMemberHeapF = {
+    buffer.mergeFrom(input); buffer
+  }
+
+  override def eval(buffer: VecMemberHeapF): Any =
+    new GenericArrayData(buffer.sortedAsc.map { case (id, p, f) =>
+      InternalRow(id, new GenericArrayData(p), f)
+    })
+
+  override def serialize(buffer: VecMemberHeapF): Array[Byte] = {
+    var bytes = 4
+    var i = 0
+    while (i < buffer.size) { bytes += 13 + 4 * buffer.payloads(i).length; i += 1 }
+    val bb = ByteBuffer.allocate(bytes)
+    bb.putInt(buffer.size)
+    i = 0
+    while (i < buffer.size) {
+      bb.putLong(buffer.ids(i))
+      bb.put(if (buffer.flags(i)) 1.toByte else 0.toByte)
+      val p = buffer.payloads(i)
+      bb.putInt(p.length)
+      var j = 0
+      while (j < p.length) { bb.putFloat(p(j)); j += 1 }
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): VecMemberHeapF = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val h = new VecMemberHeapF(k)
+    var i = 0
+    while (i < n) {
+      val id = bb.getLong()
+      val f = bb.get() == 1.toByte
+      val len = bb.getInt()
+      val p = new Array[Float](len)
+      var j = 0
+      while (j < len) { p(j) = bb.getFloat(); j += 1 }
+      h.add(id, p, f)
+      i += 1
+    }
+    h
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedVecMembersF =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedVecMembersF =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression)
+      : BoundedVecMembersF =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def prettyName: String = "bounded_vec_members_f"
+}
+
 object TopKAggregate {
   /** Column wrapper: capped bucket-member list (see BoundedMembers). */
   def boundedMembers(id: Column, payload: Column, k: Int): Column =
@@ -571,6 +760,13 @@ object TopKAggregate {
     GraftColumnBridge.column(BoundedVecMembers(
       GraftColumnBridge.expression(id),
       GraftColumnBridge.expression(uv),
+      GraftColumnBridge.expression(fresh), k).toAggregateExpression())
+
+  /** Column wrapper: the float-payload twin (see BoundedVecMembersF). */
+  def boundedVecMembersF(id: Column, uvf: Column, fresh: Column, k: Int): Column =
+    GraftColumnBridge.column(BoundedVecMembersF(
+      GraftColumnBridge.expression(id),
+      GraftColumnBridge.expression(uvf),
       GraftColumnBridge.expression(fresh), k).toAggregateExpression())
 
   /** Column wrapper: per-group bounded top-k of (id, score). */

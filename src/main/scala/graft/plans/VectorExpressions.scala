@@ -1012,6 +1012,108 @@ case class CosinePairs(child: Expression, threshold: Double)
     copy(child = newChild)
 }
 
+/** CANDIDATE pair generation over FLOAT bucket members — the in-bucket
+  * half of [[graft.store.EmbedIndex]]'s float-exchange append path: the
+  * bucket heap ships a float copy of the unit vector (4·dim vs 8·dim
+  * bytes per member per table through the partial-aggregate exchange,
+  * the append's dominant cost at production embedding dims), this
+  * expression emits (id_a, id_b) whenever the float dot clears
+  * `cutoff` = threshold − margin, and survivors are re-verified EXACTLY
+  * against the stored doubles outside.
+  *
+  * Soundness of the margin (why no true pair can be lost): each float
+  * member is the correctly-rounded conversion of a unit double vector,
+  * so component i carries relative error ≤ 2⁻²⁴; products of two floats
+  * are EXACT in double, and the loop below accumulates those products
+  * in a double. Hence |float_dot − exact_dot| ≤ 2·2⁻²⁴·Σ|a_i·b_i| +
+  * dim·2⁻⁵³ ≤ 2·2⁻²⁴ + dim·2⁻⁵³ ≲ 1.3e-7 on unit vectors
+  * (Cauchy–Schwarz bounds Σ|a_i·b_i| by 1). EmbedIndex passes
+  * cutoff = threshold − 1e-4, ~800× that bound: a pair with exact
+  * cos ≥ threshold always floats above the cutoff, and the ≤1e-4-wide
+  * candidate band below threshold is dropped by the exact re-verify —
+  * the float path's output is IDENTICAL to [[CosinePairs]]'s.
+  *
+  * Input is always the 3-field array<struct<id, uvf:array<float>,
+  * fresh>> shape ([[graft.plans.BoundedVecMembersF]]): corpus-corpus
+  * pairs are skipped exactly as in CosinePairs' fresh-tagged form. No
+  * cos rides out — the float value is only a candidate gate; the exact
+  * re-verify recomputes it from the stored doubles. */
+case class CosineCandidatesF(child: Expression, cutoff: Double)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id_a", LongType, nullable = false),
+      StructField("id_b", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StructType(Array(a, b, f)), _)
+        if a.dataType == LongType &&
+          b.dataType.isInstanceOf[ArrayType] &&
+          b.dataType.asInstanceOf[ArrayType].elementType == FloatType &&
+          f.dataType == BooleanType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cosine_candidates_f needs array<struct<bigint,array<float>,boolean>>, " +
+            s"got ${other.simpleString}")
+    }
+
+  def compute(members: ArrayData): ArrayData = {
+    val n = members.numElements()
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Float]](n)
+    val fresh = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      val row = members.getStruct(i, 3)
+      ids(i) = row.getLong(0)
+      vecs(i) = row.getArray(1).toFloatArray()
+      fresh(i) = row.getBoolean(2)
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    i = 0
+    while (i < n) {
+      val vi = vecs(i)
+      val fi = fresh(i)
+      var j = i + 1
+      while (j < n) {
+        if (fi || fresh(j)) {
+          val vj = vecs(j)
+          val d = math.min(vi.length, vj.length)
+          var s = 0.0
+          var k = 0
+          // double promotion BEFORE the multiply: float×float products
+          // are exact in double, which is what the margin bound assumes
+          while (k < d) { s += vi(k).toDouble * vj(k); k += 1 }
+          if (s >= cutoff && ids(i) != ids(j)) {
+            val (lo, hi) = if (ids(i) < ids(j)) (ids(i), ids(j)) else (ids(j), ids(i))
+            out += org.apache.spark.sql.catalyst.InternalRow(lo, hi)
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cosineCandidatesF", this,
+      classOf[CosineCandidatesF].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** IVF coarse-quantizer probe: the `nProbe` nearest centroid ids for a
   * vector, by dot product (= cosine when both sides are unit-normalized) →
   * array<int>, nearest first.
@@ -1521,6 +1623,10 @@ object VectorExpressions {
   def cosinePairs(members: Column, threshold: Double): Column =
     GraftColumnBridge.column(CosinePairs(
       GraftColumnBridge.expression(members), threshold))
+
+  def cosineCandidatesF(members: Column, cutoff: Double): Column =
+    GraftColumnBridge.column(CosineCandidatesF(
+      GraftColumnBridge.expression(members), cutoff))
 
   def allPairs(members: Column): Column =
     GraftColumnBridge.column(AllPairs(GraftColumnBridge.expression(members)))

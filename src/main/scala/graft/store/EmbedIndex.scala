@@ -79,15 +79,31 @@ import graft.functions.Similarity
   * spec-pinned output-identical. Appends are O(batch) [[DeltaChain]]
   * versions under the shared exactly-once batch-id watermark.
   *
-  * Deferred (considered, not built): halving the bucket exchange by
-  * shipping a FLOAT copy of `uv` and re-verifying survivors exactly
-  * against the stored doubles (margin 1e-4 ≫ the ~4e-6 float-dot error
-  * bound, so no pair can be lost). At this corpus's dim 64 the saved
-  * exchange bytes ≈ the added candidate re-join — unmeasurable here —
-  * while at production dims (768+) the 8·dim-byte payload × nTables
-  * duplication dominates the append and the trade flips; recorded so
-  * the dim-768 operator reaches for a designed answer, not a
-  * rediscovery.
+  * FLOAT EXCHANGE (r15, dim-gated): at production embedding dims the
+  * append's dominant cost is the 8·dim-byte `uv` payload riding the
+  * bucket exchange nTables times per row. When the committed dim ≥
+  * `floatExchangeMinDim` (default [[DefaultFloatExchangeMinDim]]; pass
+  * 0 to force, Int.MaxValue to disable) the heap ships a FLOAT copy
+  * instead — half the exchange bytes — and emits CANDIDATES at
+  * threshold − [[FloatVerifyMargin]] ([[graft.plans.CosineCandidatesF]],
+  * whose scaladoc carries the soundness bound: the margin is ~800× the
+  * worst-case float-dot error, so no true pair can sink below the
+  * cutoff). Survivors are re-verified EXACTLY against the stored
+  * doubles through one candidate-restricted (id, uv) lookup — a
+  * broadcast-semi-joined columnar re-scan, no shuffle — so the output
+  * is pair-for-pair identical to the double path (EmbedIndexSpec pins
+  * both forced paths, including cos values and pairs planted INSIDE
+  * the margin band). At this corpus's dim 64 the saved bytes ≈ the
+  * added re-scan, so the default gate keeps the single-pass double
+  * path there. Measured at dim 768 (the design regime — ScaleBench
+  * emb_hidim_*, 200k corpus / 20k append, order-reversed table-swapped
+  * pairs): stable-window float 15.4-17.0 s vs double 19.9-38.2 s —
+  * the float path won every one of 4 paired windows (0.40-0.79×) AND
+  * cut the spread 10× (1.6 s vs 18.3), because halving the
+  * shuffle-spill volume halves the disk-weather exposure; identical
+  * 10,039-pair output throughout. The 256 gate is the reasoned
+  * midpoint between the measured dim-64 parity and the measured
+  * dim-768 win, not itself a measured point.
   *
   * The r15 fat-vs-slim A/B (same-window, interleaved): append 16.4-16.7 s
   * fat vs 16.0 s slim (parity within noise — the append's floor is the
@@ -107,6 +123,23 @@ import graft.functions.Similarity
   * EmbedIndexSpec pins pair-for-pair equality with
   * `Similarity.embeddingNearDupPairs` across batchings. */
 object EmbedIndex {
+
+  /** Committed dims at/above which appends ship the float exchange by
+    * default (class scaladoc): below it the 4·dim-byte saving cannot
+    * beat the candidate re-scan; at 768+ the wide-payload exchange
+    * dominates and the float path wins. 0 forces the float path,
+    * Int.MaxValue forces the classic double path. */
+  val DefaultFloatExchangeMinDim: Int = 256
+
+  /** Candidate cutoff slack under the committed threshold for the float
+    * exchange — ~800× the proven worst-case float-dot error (soundness
+    * argument in [[graft.plans.CosineCandidatesF]]), so a true pair can
+    * never be lost; the band's false candidates are dropped by the
+    * exact double re-verify. */
+  val FloatVerifyMargin: Double = 1e-4
+
+  private[store] def floatExchangeActive(dim: Int, minDim: Int): Boolean =
+    dim >= minDim
 
   private val P = "embdedup." // metadata key prefix
   // Canonical columns: pre-r15 tables carry the stored `bks` key column;
@@ -181,14 +214,20 @@ object EmbedIndex {
     * micro-trickle batches (nBatch ≪ 2^bits / nTables). Batches whose
     * key bound exceeds the budget keep the probe as a ~1%-fpp Bloom
     * (never lost to batch size); 0 keeps the strict one-action job
-    * budget. */
+    * budget.
+    *
+    * `floatExchangeMinDim`: committed dims at/above this ship the
+    * float-exchange pair path (class scaladoc — half the bucket-exchange
+    * bytes, exact double re-verify, output identical); 0 forces it,
+    * Int.MaxValue forces the classic double path. */
   def appendBatchOnce(store: SnapshotStore, table: String,
                       batchVecs: DataFrame,
                       streamId: String, batchId: Long,
                       compactEvery: Int = 8,
                       broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit,
                       batchCountHint: Option[Long] = None,
-                      keyProbeMaxKeys: Int = 0)
+                      keyProbeMaxKeys: Int = 0,
+                      floatExchangeMinDim: Int = DefaultFloatExchangeMinDim)
       : Option[DataFrame] = {
     var result: Option[DataFrame] = None
     var enc: DataFrame = null
@@ -237,7 +276,8 @@ object EmbedIndex {
         result = Some(pairsVsIndex(
           idxSrc, enc, nBatch, dim, nTables, bits, seed,
           req("threshold").toDouble, req("maxBucketSize").toInt,
-          broadcastKeyLimit))
+          broadcastKeyLimit,
+          useFloat = floatExchangeActive(dim, floatExchangeMinDim)))
         Right(chain.next(store, table, v, meta, enc, compactEvery,
           Map(key -> batchId.toString)))
       }
@@ -263,7 +303,8 @@ object EmbedIndex {
   private def pairsVsIndex(idx: DataFrame, batchEnc: DataFrame,
                            nBatch: Long, dim: Int, nTables: Int, bits: Int,
                            seed: Long, threshold: Double, maxBucketSize: Int,
-                           broadcastKeyLimit: Long): DataFrame = {
+                           broadcastKeyLimit: Long,
+                           useFloat: Boolean = false): DataFrame = {
     val bKeys = keysOf(batchEnc, dim, nTables, bits, seed)
     // nBatch × nTables bounds the distinct bucket count (one key per
     // hash table per vector) — gate sized with zero driver actions.
@@ -274,17 +315,22 @@ object EmbedIndex {
     // the freshness tag rides into the bucket heap so CosinePairs skips
     // corpus-corpus pairs inside the expression (they were emitted by
     // the append that introduced their younger member)
-    pairsAmong(
-      cKeys.withColumn("fresh", lit(false))
-        .unionByName(bKeys.withColumn("fresh", lit(true))),
-      threshold, maxBucketSize)
+    val flagged = cKeys.withColumn("fresh", lit(false))
+      .unionByName(bKeys.withColumn("fresh", lit(true)))
+    if (useFloat)
+      pairsAmongF(flagged,
+        idx.select(col("id"), col("uv"))
+          .unionByName(batchEnc.select(col("id"), col("uv"))),
+        threshold, maxBucketSize, broadcastKeyLimit)
+    else pairsAmong(flagged, threshold, maxBucketSize)
   }
 
   /** READ-ONLY recovery twin of [[appendBatchOnce]]'s pair result (same
     * contract as SimHashIndex.pairsForCommitted: valid until a LATER
     * batch lands, which sequential-batchId streaming guarantees). */
   def pairsForCommitted(store: SnapshotStore, table: String, ids: DataFrame,
-                        broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit)
+                        broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit,
+                        floatExchangeMinDim: Int = DefaultFloatExchangeMinDim)
       : DataFrame = {
     val v = store.currentVersion(table)
     val meta = store.metaForVersion(table, v)
@@ -313,7 +359,11 @@ object EmbedIndex {
         Seq("id"), "left_outer")
       .withColumn("fresh", coalesce(col("fresh_f"), lit(false)))
       .drop("fresh_f")
-    val out = pairsAmong(flagged, threshold, maxBucketSize)
+    val out =
+      if (floatExchangeActive(dim, floatExchangeMinDim))
+        pairsAmongF(flagged, idx.select(col("id"), col("uv")),
+          threshold, maxBucketSize, broadcastKeyLimit)
+      else pairsAmong(flagged, threshold, maxBucketSize)
     idRows.unpersist(blocking = false)
     out
   }
@@ -352,6 +402,59 @@ object EmbedIndex {
       .dropDuplicates("id_a", "id_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
     verified.count()
+    verified
+  }
+
+  /** The float-exchange twin of [[pairsAmong]] (class scaladoc): the
+    * bucket heap ships a FLOAT copy of the unit vector (member selection
+    * is by id, so the kept set is identical to the double heap's),
+    * [[graft.plans.CosineCandidatesF]] emits candidates at
+    * threshold − [[FloatVerifyMargin]], and survivors re-verify EXACTLY
+    * against the stored doubles via `uvSource` (id, uv — must cover
+    * every id in `allKeys`): one candidate-restricted broadcast-semi
+    * columnar re-scan, no corpus shuffle, then two broadcast joins of
+    * the candidate-sized uv lookup. Output — ids, exact cos, rounding,
+    * dedup, persistence contract — is pair-for-pair [[pairsAmong]]'s;
+    * the margin-band false candidates die on the exact filter. */
+  private def pairsAmongF(allKeys: DataFrame, uvSource: DataFrame,
+                          threshold: Double, maxBucketSize: Int,
+                          broadcastKeyLimit: Long): DataFrame = {
+    val cand = allKeys
+      .groupBy(col("table"), col("bucket"))
+      .agg(graft.plans.TopKAggregate
+        .boundedVecMembersF(col("id"),
+          col("uv").cast("array<float>"), col("fresh"),
+          maxBucketSize + 1)
+        .as("members"))
+      .filter(size(col("members")).between(2, maxBucketSize))
+      .select(explode(graft.plans.VectorExpressions
+        .cosineCandidatesF(col("members"), threshold - FloatVerifyMargin))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nCand = cand.count()
+    val needIds = cand.select(col("id_a").as("id"))
+      .unionByName(cand.select(col("id_b").as("id"))).distinct()
+    // candidate-restricted exact lookup: 2·nCand bounds the id count;
+    // dropDuplicates AFTER the semi-join keeps the dedup candidate-sized
+    val uvNeeded = uvSource
+      .join(BroadcastGate(needIds, 2L * nCand, broadcastKeyLimit),
+        Seq("id"), "left_semi")
+      .dropDuplicates("id")
+    val verified = cand
+      .join(BroadcastGate(uvNeeded.select(col("id").as("id_a"),
+          col("uv").as("uv_a")), 2L * nCand, broadcastKeyLimit),
+        Seq("id_a"))
+      .join(BroadcastGate(uvNeeded.select(col("id").as("id_b"),
+          col("uv").as("uv_b")), 2L * nCand, broadcastKeyLimit),
+        Seq("id_b"))
+      .withColumn("cos", Similarity.dot(col("uv_a"), col("uv_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    verified.count()
+    cand.unpersist(blocking = false)
     verified
   }
 

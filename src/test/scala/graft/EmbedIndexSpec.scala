@@ -112,6 +112,81 @@ class EmbedIndexSpec extends SparkSpec {
     assert(run(1) == noProbe, "bloom probe must change nothing")
   }
 
+  test("float-exchange path ≡ double path pair-for-pair") {
+    // The dim-gated float exchange (EmbedIndex scaladoc) must change
+    // nothing: the float heap keeps the identical member set (selection
+    // is by id), CosineCandidatesF's cutoff sits a proven-safe margin
+    // under the threshold, and survivors re-verify against the stored
+    // doubles — so ids AND rounded cosines must match the classic path
+    // exactly, across multi-batch appends AND the read-only recovery
+    // twin.
+    def run(minDim: Int): Set[(Long, Long, Double)] = {
+      val store = new SnapshotStore(
+        Files.createTempDirectory("graft-embidx-flt").toString, spark)
+      EmbedIndex.build(store, "t", vecsDf.limit(0), Dim, Threshold,
+        NTables, Expected, MaxBucket, Seed)
+      val perBatch = (0 until 2).map { i =>
+        val p = EmbedIndex.appendBatchOnce(store, "t",
+          vecsDf.filter(col("id") % 2 === i), "s", i.toLong,
+          floatExchangeMinDim = minDim).get
+        val s = pairSet(p); p.unpersist(blocking = false); s
+      }
+      // the recovery twin must take the same gate
+      val rec = EmbedIndex.pairsForCommitted(store, "t",
+        vecsDf.filter(col("id") % 2 === 1).select(col("id")),
+        floatExchangeMinDim = minDim)
+      val recSet = pairSet(rec); rec.unpersist(blocking = false)
+      assert(recSet == perBatch(1), s"recovery twin diverged at minDim=$minDim")
+      perBatch.reduce(_ ++ _)
+    }
+    val classic = run(Int.MaxValue)
+    assert(classic == batchTruth, "double-path baseline must equal the batch operator")
+    assert(run(0) == classic, "forced float exchange must change nothing")
+  }
+
+  test("float-exchange margin band: exact re-verify decides, not the float dot") {
+    // Pairs whose exact cosine sits INSIDE the candidate band
+    // (threshold − margin, threshold) are emitted as float candidates
+    // and must die on the exact double filter; pairs just ABOVE the
+    // threshold must survive with their exact cosine. Threshold 0.9999
+    // keeps the planted angles ~0.8° so LSH co-buckets them with
+    // near-certainty under the fixed seed (verified by the low-threshold
+    // control below — the band pair IS reachable through the buckets).
+    val T = 0.9999
+    def planted(idA: Long, idB: Long, cos: Double): Seq[(Long, Array[Float])] = {
+      val a = Array.tabulate(Dim)(i => if (i == 0) 1.0f else 0.0f)
+      val s = math.sqrt(1.0 - cos * cos)
+      val b = Array.tabulate(Dim)(i =>
+        if (i == 0) cos.toFloat else if (i == 1) s.toFloat else 0.0f)
+      Seq(idA -> a, idB -> b)
+    }
+    val above = planted(1000L, 1001L, T + 5e-5)  // keep, via exact re-verify
+    val inBand = planted(2000L, 2001L, T - 5e-5) // float candidate, exact-dropped
+    // orthogonal id-spacer so the two plants never co-bucket each other
+    val df = (above ++ inBand).toDF("id", "vec")
+
+    def run(threshold: Double, minDim: Int): Set[(Long, Long, Double)] = {
+      val store = new SnapshotStore(
+        Files.createTempDirectory("graft-embidx-band").toString, spark)
+      EmbedIndex.build(store, "t", df.limit(0), Dim, threshold,
+        NTables, Expected, MaxBucket, Seed)
+      val p = EmbedIndex.appendBatchOnce(store, "t", df, "s", 0L,
+        floatExchangeMinDim = minDim).get
+      val s = pairSet(p); p.unpersist(blocking = false); s
+    }
+    val float = run(T, 0)
+    assert(float == run(T, Int.MaxValue),
+      "band corpus: float path must equal the double path")
+    assert(float.exists { case (a, b, c) => a == 1000L && b == 1001L && c >= T },
+      s"above-threshold plant must survive the exact re-verify: $float")
+    assert(!float.exists { case (a, b, _) => a == 2000L },
+      s"in-band plant must be dropped by the exact re-verify: $float")
+    // control: at a threshold below the band the same pair IS found —
+    // the buckets reach it, so its absence above was the exact filter
+    assert(run(T - 3e-4, 0).exists { case (a, b, _) => a == 2000L && b == 2001L },
+      "control: the in-band pair must be reachable through the buckets")
+  }
+
   test("pre-r15 fat-layout tables (stored bks) stay readable AND appendable") {
     // Simulate a table written by pre-r15 code: the base snapshot
     // carries the stored hyperplane-key column alongside (id, uv). A
