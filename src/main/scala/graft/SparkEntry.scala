@@ -135,6 +135,7 @@ object SparkEntry {
     "dedup_simhash_oracle" -> (ExtensionQueries.dedupSimhashOracle _),
     "dedup_simhash_incr_oracle" -> (ExtensionQueries.dedupSimhashIncrOracle _),
     "dedup_embed_incr_oracle" -> (ExtensionQueries.dedupEmbedIncrOracle _),
+    "dedup_embed_float_oracle" -> (ExtensionQueries.dedupEmbedFloatOracle _),
     "semdedup_incr_oracle" -> (ExtensionQueries.semDedupIncrOracle _),
     "decon_fuzzy"         -> (ExtensionQueries.deconFuzzy _),
     "corpus_report"       -> (ExtensionQueries.corpusReport _),
@@ -643,6 +644,10 @@ object SparkEntry {
     // batch, restricted to pairs TOUCHING the batch (b >= 300 suffices:
     // ids are ordered a < b and every batch id sorts after the corpus).
     "dedup_embed_incr_oracle" -> EmbedIncrBruteSql,
+    // The float-exchange path FORCED on the same fixture (dim 64 sits
+    // below the default gate): float heap + candidate margin + exact
+    // double re-verify against the identical brute-force truth.
+    "dedup_embed_float_oracle" -> EmbedIncrBruteSql,
     // The SAME brute-force truth pins the incremental SEMANTIC index
     // (SemIndex at nClusters=1 — one cluster makes in-cluster pairing
     // exhaustive and trainer-independent): identical fixture, identical

@@ -587,7 +587,19 @@ object ExtensionQueries {
     * below). Pair ids only (cosine VALUES are float-order-sensitive
     * across engines; EmbedIndexSpec checks them in-JVM). Per-invocation
     * temp root — a durable root would double-append on rerun. */
-  def dedupEmbedIncrOracle(s: SparkSession, d: String): DataFrame = {
+  def dedupEmbedIncrOracle(s: SparkSession, d: String): DataFrame =
+    embedIncrWith(s, d, EmbedIndex.DefaultFloatExchangeMinDim)
+
+  /** The same fixture with the FLOAT-EXCHANGE path FORCED (dim 64 is
+    * below the default gate): pins the float heap + candidate margin +
+    * exact double re-verify to the identical external brute-force truth
+    * — the spec proves float ≡ double internally; this row proves both
+    * against DuckDB. */
+  def dedupEmbedFloatOracle(s: SparkSession, d: String): DataFrame =
+    embedIncrWith(s, d, 0)
+
+  private def embedIncrWith(s: SparkSession, d: String,
+                            floatMinDim: Int): DataFrame = {
     val base = embs(s, d).filter(col("vec_id") < 300)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val batch = embs(s, d)
@@ -600,7 +612,8 @@ object ExtensionQueries {
     EmbedIndex.build(store, "vecs_embed", base, dim = 64, threshold = 0.99,
       expectedCorpus = 360L)
     val pairs = EmbedIndex.appendBatchOnce(store, "vecs_embed", batch,
-      streamId = "verify", batchId = 0L).get
+      streamId = "verify", batchId = 0L,
+      floatExchangeMinDim = floatMinDim).get
     val out = pairs.select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
