@@ -117,6 +117,8 @@ object SparkEntry {
     "dedup_jaccard_pairs" -> (ExtensionQueries.dedupJaccardPairs _),
     "dedup_components"    -> (ExtensionQueries.dedupComponents _),
     "dedup_cluster_keep"  -> (ExtensionQueries.dedupClusterKeep _),
+    "dedup_cluster_keepbest" -> (ExtensionQueries.dedupClusterKeepBest _),
+    "dedup_exact_keepbest"   -> (ExtensionQueries.dedupExactKeepBest _),
     "curate_docs"         -> (ExtensionQueries.curateDocs _),
     "sample_stratified"   -> (ExtensionQueries.sampleStratified _),
     "pack_shards"         -> ((s, d) => ExtensionQueries.packShards(s, d)),
@@ -528,6 +530,48 @@ object SparkEntry {
         "FROM reach GROUP BY a) " +
         "SELECT doc_id FROM documents WHERE doc_id NOT IN " +
         "(SELECT doc_id FROM comp WHERE doc_id != component_id)"),
+    // Quality-aware cluster dedup: same recursive closure, survivor =
+    // argmax(n_chars, tie min doc_id) per component instead of min id.
+    "dedup_cluster_keepbest" ->
+      ("WITH RECURSIVE d AS (SELECT doc_id, CASE WHEN length(regexp_replace(text, " +
+        "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
+        "ELSE string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+        "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM documents), " +
+        "g AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')] " +
+        "ELSE list_distinct(list_transform(range(1, len(tk) - 1), " +
+        "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS sh FROM d), " +
+        "s AS (SELECT doc_id, unnest(sh) AS sh FROM g), " +
+        "z AS (SELECT doc_id, len(sh) AS sz FROM g), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter " +
+        "FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "jac AS (SELECT id_a, id_b FROM p JOIN z za ON za.doc_id = p.id_a " +
+        "JOIN z zb ON zb.doc_id = p.id_b " +
+        "WHERE inter * 5 >= 4 * (za.sz + zb.sz - inter)), " +
+        "edges AS (SELECT id_a AS a, id_b AS b FROM jac UNION SELECT id_b, id_a FROM jac), " +
+        "reach AS (SELECT a, b FROM edges " +
+        "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), " +
+        "comp AS (SELECT a AS doc_id, least(a, min(b)) AS component_id " +
+        "FROM reach GROUP BY a), " +
+        "best AS (SELECT component_id, keep_id FROM (" +
+        "SELECT c.component_id, c.doc_id AS keep_id, " +
+        "row_number() OVER (PARTITION BY c.component_id " +
+        "ORDER BY dd.n_chars DESC, c.doc_id ASC) AS rn " +
+        "FROM comp c JOIN documents dd ON dd.doc_id = c.doc_id) WHERE rn = 1) " +
+        "SELECT doc_id FROM documents WHERE doc_id NOT IN " +
+        "(SELECT c.doc_id FROM comp c JOIN best b ON c.component_id = b.component_id " +
+        "AND c.doc_id != b.keep_id)"),
+    // Exact dedup with quality-aware survivor selection: keep the
+    // argmax by (doc_id % 7) per identical text, tie → min id; dup
+    // groups planted by re-keying every doc_id % 5 == 0 text at +100000.
+    "dedup_exact_keepbest" ->
+      ("WITH u AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents " +
+        "WHERE doc_id % 5 = 0) " +
+        "SELECT keep_id, CAST(cnt AS BIGINT) AS dup_count FROM (" +
+        "SELECT doc_id AS keep_id, count(*) OVER (PARTITION BY text) AS cnt, " +
+        "row_number() OVER (PARTITION BY text " +
+        "ORDER BY (doc_id % 7) DESC, doc_id ASC) AS rn FROM u) " +
+        "WHERE rn = 1 AND cnt >= 2"),
     "events_asof" ->
       "WITH e AS (SELECT user_id, event_id, event_type, value, epoch_ns(ts) // 1000 AS ts_us FROM events), c AS (SELECT user_id, ts_us, event_id FROM e WHERE event_type = 'click'), p AS (SELECT user_id, ts_us, max(CAST(round(value * 100) AS BIGINT)) AS purchase_cents FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts_us) SELECT c.event_id, c.user_id, c.ts_us, p.purchase_cents AS asof_purchase_cents FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.ts_us",
     "events_rangejoin" ->

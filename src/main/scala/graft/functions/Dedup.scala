@@ -47,6 +47,43 @@ object Dedup {
       .drop("graft_text_hash")
   }
 
+  /** [[exactGroups]] with QUALITY-AWARE survivor selection: the surviving
+    * id per distinct text is the member with the highest `scoreCol`
+    * (ties → smaller id, so the result stays deterministic and
+    * oracle-comparable). Production corpora carry rows whose TEXT is
+    * identical but whose provenance is not — crawl snapshot recency, a
+    * source-preference rank, a metadata completeness score — and the
+    * standard contract keeps the best one, not the accidental min id.
+    *
+    * The argmax is ONE struct-max aggregate (score, negated id) — the
+    * struct ordering tie-breaks id-ascending, no per-group window/sort —
+    * so the plan is [[exactGroups]]'s single hash-partitioned aggregate
+    * with a two-field buffer. Null scores compare LOWEST (Spark's
+    * null-first struct field ordering): a null-score member survives
+    * only if its whole group scored null, in which case min id wins. */
+  def exactGroupsBy(df: DataFrame, textCol: String, idCol: String,
+                    scoreCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(
+        max(struct(col(scoreCol).as("s"), (lit(0L) - col(idCol)).as("negid")))
+          .as("w"),
+        count(lit(1)).as("dup_count"))
+      .select(col("text_hash"), (lit(0L) - col("w.negid")).as("keep_id"),
+        col("dup_count"))
+
+  /** [[dropExactDuplicates]] keeping the best-scoring member per distinct
+    * text (see [[exactGroupsBy]]). */
+  def dropExactDuplicatesBy(df: DataFrame, textCol: String, idCol: String,
+                            scoreCol: String): DataFrame = {
+    val keep = exactGroupsBy(df, textCol, idCol, scoreCol)
+      .select(col("text_hash").as("keep_hash"), col("keep_id"))
+    df.withColumn("graft_text_hash", md5(col(textCol)))
+      .join(keep,
+        col("graft_text_hash") === col("keep_hash") && col(idCol) === col("keep_id"),
+        "left_semi")
+      .drop("graft_text_hash")
+  }
+
   /** Whitespace-insensitive exact dedup key (rolling token hash) — catches
     * reformatting-only duplicates. See TextFunctions.fingerprint. */
   def fingerprintGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
@@ -773,6 +810,55 @@ object Dedup {
       .filter(col("id") =!= col("component_id"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** QUALITY-AWARE survivor selection over component labels: keep the
+    * member with the highest `scoreCol` per connected component (ties →
+    * smaller id — deterministic, oracle-comparable), everything outside
+    * the pair graph untouched. This is the production cluster-dedup
+    * contract: a near-dup cluster's survivor should be its best
+    * representative (longest, highest quality score, preferred source),
+    * not the accidental minimum id.
+    *
+    * `labels` is [[connectedComponents]]' (id, component_id) output —
+    * exposed separately from [[dropDuplicateClustersBy]] so pipelines
+    * whose pairs come from elsewhere (the incremental
+    * [[graft.store.DedupIndex]] / SimHash / Embed indexes, a
+    * [[graft.functions.Similarity.semDedupPairs]] graph) reuse the same
+    * selection.
+    *
+    * Scale shape: `labels` holds only pair-graph nodes (a small fraction
+    * of any sane corpus), so the score join, the per-component struct-max
+    * argmax (score, negated id — tie-breaks id-ASC, no per-group sort),
+    * and the loser anti-join are all candidate-sized; the corpus is
+    * scanned once and never shuffled. Null scores compare LOWEST: a
+    * null-score member survives only if its whole component scored null
+    * (then min id wins). */
+  def keepBestByComponents(df: DataFrame, idCol: String, scoreCol: String,
+                           labels: DataFrame): DataFrame = {
+    val scored = labels.join(
+      df.select(col(idCol).as("id"), col(scoreCol).as("graft_score")),
+      Seq("id"))
+    val winners = scored
+      .groupBy(col("component_id"))
+      .agg(max(struct(col("graft_score").as("s"),
+        (lit(0L) - col("id")).as("negid"))).as("w"))
+      .select(col("component_id"), (lit(0L) - col("w.negid")).as("keep_id"))
+    val losers = scored.join(winners, Seq("component_id"))
+      .filter(col("id") =!= col("keep_id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** [[dropDuplicateClusters]] keeping the BEST-scoring member per
+    * component instead of the min id (see [[keepBestByComponents]]). */
+  def dropDuplicateClustersBy(df: DataFrame, textCol: String, idCol: String,
+                              scoreCol: String, shingleN: Int = 3,
+                              tauNum: Int = 4, tauDen: Int = 5): DataFrame = {
+    val pairs = ngramJaccardPairs(df, textCol, idCol, shingleN, tauNum, tauDen)
+    val labels = connectedComponents(pairs, "id_a", "id_b")
+    pairs.unpersist(blocking = false)
+    keepBestByComponents(df, idCol, scoreCol, labels)
   }
 
   // ---- SimHash ---------------------------------------------------------

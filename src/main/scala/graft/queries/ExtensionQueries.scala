@@ -1053,6 +1053,35 @@ object ExtensionQueries {
       shingleN = 3, tauNum = 4, tauDen = 5)
       .select(col("doc_id"))
 
+  /** QUALITY-AWARE transitive cluster dedup: the survivor per duplicate
+    * component is the argmax by `n_chars` (ties → min doc_id) — the
+    * production keep-best contract (Dedup.dropDuplicateClustersBy),
+    * pinned to the same recursive-CTE closure with a per-component
+    * ranking window in DuckDB. */
+  def dedupClusterKeepBest(s: SparkSession, d: String): DataFrame =
+    Dedup.dropDuplicateClustersBy(docs(s, d), "text", "doc_id", "n_chars",
+      shingleN = 3, tauNum = 4, tauDen = 5)
+      .select(col("doc_id"))
+
+  /** Exact dedup with quality-aware survivor selection: identical TEXT,
+    * different provenance — the kept id is the argmax by a per-row
+    * preference (doc_id % 7 here: deterministic and VARIES inside an
+    * exact-dup group, unlike any text-derived score), ties → min id.
+    * The corpus has no exact-dup texts at verify scale, so the fixture
+    * plants them: every doc_id % 5 == 0 text re-enters at id + 100000
+    * (100000 % 7 ≠ 0, so the re-keyed copy's preference differs and the
+    * argmax is non-trivial). */
+  def dedupExactKeepBest(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val rekeyed = docs(s, d).filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    Dedup.exactGroupsBy(
+        base.unionByName(rekeyed).withColumn("pref", col("doc_id") % 7),
+        "text", "doc_id", "pref")
+      .filter(col("dup_count") >= 2)
+      .select(col("keep_id"), col("dup_count"))
+  }
+
   def vocabTopK(s: SparkSession, d: String, k: Int = 100): DataFrame =
     docs(s, d)
       .select(explode(TF.tokens(lower(col("text")))).as("token"))

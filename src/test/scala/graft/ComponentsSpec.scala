@@ -75,4 +75,59 @@ class ComponentsSpec extends SparkSpec {
     assert(got.values.toSet === Set(1L))
     assert(got.keySet === Set(1L, 2L, 3L, 10L, 11L, 12L))
   }
+
+  test("keepBestByComponents: argmax by score, id-asc ties, nulls lose") {
+    // component {1,2,3} via the chain (1,3),(2,3); component {10,11};
+    // 99 untouched by any pair
+    val labels = Dedup.connectedComponents(
+      Seq((1L, 3L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b"),
+      "id_a", "id_b")
+    def kept(rows: Seq[(Long, java.lang.Double)]): Set[Long] =
+      Dedup.keepBestByComponents(
+        rows.toDF("doc_id", "q"), "doc_id", "q", labels)
+        .select("doc_id").as[Long].collect().toSet
+
+    // 2 outscores the min id 1 — the keep-min contract would keep 1
+    assert(kept(Seq(1L -> 0.5, 2L -> 0.9, 3L -> 0.1,
+      10L -> 0.2, 11L -> 0.7, 99L -> 0.0)) === Set(2L, 11L, 99L))
+    // exact tie → smaller id (degrades to the keep-min answer)
+    assert(kept(Seq(1L -> 0.5, 2L -> 0.5, 3L -> 0.5,
+      10L -> 0.3, 11L -> 0.3, 99L -> 0.0)) === Set(1L, 10L, 99L))
+    // null scores lose to any non-null; all-null component → min id
+    assert(kept(Seq(1L -> null, 2L -> 0.1, 3L -> null,
+      10L -> null, 11L -> null, 99L -> null)) === Set(2L, 10L, 99L))
+  }
+
+  test("dropDuplicateClustersBy keeps the best-quality cluster member") {
+    // the chain topology from the transitive test: 1~3, 2~3 (never 1~2);
+    // quality says 2 is the best of component {1,2,3}
+    val base = (0 until 12).map(i => s"tok$i")
+    val d3 = base.mkString(" ")
+    val d1 = (base.take(11) :+ "x1").mkString(" ")
+    val d2 = ("x2" +: base.drop(1)).mkString(" ")
+    val docs = Seq((1L, d1, 0.2), (2L, d2, 0.9), (3L, d3, 0.5),
+      (9L, "totally different words here", 0.0))
+      .toDF("doc_id", "text", "q")
+    val kept = Dedup.dropDuplicateClustersBy(
+      docs, "text", "doc_id", "q", tauNum = 4, tauDen = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 9L),
+      "the component survivor must be the argmax, not the min id")
+  }
+
+  test("exactGroupsBy / dropExactDuplicatesBy: best provenance survives") {
+    // identical TEXT, different provenance score — the production case
+    // keep-min cannot express
+    val rows = Seq(
+      (1L, "same text", 1L), (2L, "same text", 5L), (3L, "same text", 5L),
+      (7L, "other", 2L))
+      .toDF("doc_id", "text", "pref")
+    val groups = Dedup.exactGroupsBy(rows, "text", "doc_id", "pref")
+      .select("keep_id", "dup_count").as[(Long, Long)].collect().toSet
+    // score 5 beats 1; tie between ids 2 and 3 → 2
+    assert(groups === Set((2L, 3L), (7L, 1L)))
+    val kept = Dedup.dropExactDuplicatesBy(rows, "text", "doc_id", "pref")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 7L))
+  }
 }
