@@ -827,13 +827,15 @@ object Dedup {
     * [[graft.functions.Similarity.semDedupPairs]] graph) reuse the same
     * selection.
     *
-    * Scale shape: `labels` holds only pair-graph nodes (a small fraction
-    * of any sane corpus), so the score join, the per-component struct-max
-    * argmax (score, negated id — tie-breaks id-ASC, no per-group sort),
-    * and the loser anti-join are all candidate-sized; the corpus is
-    * scanned once and never shuffled. Null scores compare LOWEST: a
-    * null-score member survives only if its whole component scored null
-    * (then min id wins). */
+    * Scale shape: identical to [[dropDuplicateClusters]]' keep-min
+    * (score join + final anti-join broadcast when the pair graph fits,
+    * narrow-column shuffles otherwise — AQE decides) plus one
+    * pair-graph-sized struct-max aggregate for the argmax (score,
+    * negated id — tie-breaks id-ASC, no per-group window/sort); only
+    * the (id, score) projection of the corpus enters the selection,
+    * never the text payload. Null scores compare LOWEST: a null-score
+    * member survives only if its whole component scored null (then min
+    * id wins). */
   def keepBestByComponents(df: DataFrame, idCol: String, scoreCol: String,
                            labels: DataFrame): DataFrame = {
     val scored = labels.join(

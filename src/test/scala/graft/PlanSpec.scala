@@ -343,6 +343,43 @@ class PlanSpec extends SparkSpec {
       s"hyperplane key expressions fell out of codegen:\n$s")
   }
 
+  test("float-exchange candidate stage: two-phase heap agg, no window") {
+    // The float path's candidate stage (EmbedIndex.pairsAmongF) must keep
+    // the exact plan shape of the double path: BoundedVecMembersF plans
+    // as a two-phase ObjectHashAggregate (map-side heaps — only capped
+    // FLOAT members cross the one bucket exchange), CosineCandidatesF
+    // explodes in the same stage, and the only other exchange is the
+    // final candidate-sized distinct. A Window or a third exchange means
+    // the corpus-sorting shape the heap replaced has crept back.
+    import org.apache.spark.sql.functions._
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val keys = embs.select(col("vec_id").as("id"),
+        graft.functions.Similarity.unitVector(col("embedding")).as("uv"))
+      .select(col("id"), col("uv"),
+        explode(graft.plans.VectorExpressions
+          .hyperplaneTableKeys(col("uv"), 64, 4, 8, 42L)).as("bk"))
+      .select(col("bk.table").as("table"), col("bk.bucket").as("bucket"),
+        col("id"), col("uv").cast("array<float>").as("uvf"),
+        (col("id") % 2 === 0).as("fresh"))
+    val cand = keys.groupBy(col("table"), col("bucket"))
+      .agg(graft.plans.TopKAggregate
+        .boundedVecMembersF(col("id"), col("uvf"), col("fresh"), 100).as("m"))
+      .filter(size(col("m")).between(2, 99))
+      // cutoff −1 keeps every in-bucket pair: the result must be
+      // NON-EMPTY or AQE replaces the whole subtree with EmptyRelation
+      // and there is no plan left to assert on
+      .select(explode(graft.plans.VectorExpressions
+        .cosineCandidatesF(col("m"), -1.0)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val s = planString(cand)
+    assert("ObjectHashAggregate".r.findAllIn(s).size >= 2,
+      s"two-phase bounded float heap missing (partial + final):\n$s")
+    assert(!s.contains("Window"), s"window sort crept into the float path:\n$s")
+    assert(countExchanges(cand) <= 2,
+      s"float candidate stage grew a third exchange:\n$s")
+  }
+
   test("fused table keys equal the per-table bucket builder bit-for-bit") {
     // HyperplaneTableKeys (one extraction, plain-array dots) must
     // reproduce the HyperplaneBucket-per-table builder construction
