@@ -65,7 +65,9 @@ object Graft {
     "embdedup.parts" -> foldAndVacuum("embed", "embdedup.parts",
       EmbedIndex.compactIndex, EmbedIndex.vacuumIndex),
     "ivfpq.parts" -> foldAndVacuum("vector", "ivfpq.parts",
-      VectorIndex.compactIndex, VectorIndex.vacuumIndex))
+      VectorIndex.compactIndex, VectorIndex.vacuumIndex),
+    "phrase.parts" -> foldAndVacuum("phrase", "phrase.parts",
+      PhraseIndex.compactIndex, PhraseIndex.vacuumIndex))
 
   /** Apply every index's maintenance policy across the whole store in
     * one idempotent call — what an operator actually schedules (cron /

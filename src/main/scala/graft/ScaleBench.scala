@@ -905,6 +905,20 @@ object ScaleBench {
       timed("bm25_index_build") {
         graft.store.TextIndex.build(store, "docs_bm25", docs, "text", "doc_id")
       },
+      // Positional phrase index at 5M docs: the build is one
+      // posexplode + (term, doc) group (positions ~double the postings
+      // at rest); a phrase batch then reads only its own terms' rows
+      // (term-sorted row groups + pushed IN filter) and verifies
+      // adjacency in-expression. Filter "phrase" runs both.
+      timed("phrase_index_build") {
+        graft.store.PhraseIndex.build(store, "docs_pos", docs, "text", "doc_id")
+      },
+      timed("phrase_query_batch") {
+        val qs = shortQueries(docs).select(col("query_id"),
+          col("qtext").as("phrase"))
+        graft.store.PhraseIndex.phraseQuery(store, "docs_pos",
+          qs, "query_id", "phrase").count()
+      },
       // ...and a query batch then reads ONLY its own terms' postings
       // rows (term-sorted row groups + pushed IN filter): the floor of
       // serving retrieval from a maintained index vs re-tokenizing 5M

@@ -111,6 +111,8 @@ object SparkEntry {
     "retrieve_bm25"       -> ((s, d) => ExtensionQueries.retrieveBm25(s, d)),
     "retrieve_bm25_oracle" -> (ExtensionQueries.retrieveBm25Oracle _),
     "retrieve_bm25_indexed" -> ((s, d) => ExtensionQueries.retrieveBm25Indexed(s, d)),
+    "retrieve_phrase"       -> (ExtensionQueries.retrievePhrase _),
+    "retrieve_phrase_incr"  -> (ExtensionQueries.retrievePhraseIncr _),
     "retrieve_bm25_champ" -> ((s, d) => ExtensionQueries.retrieveBm25Champ(s, d)),
     "retrieve_bm25_merged" -> ((s, d) => ExtensionQueries.retrieveBm25ChampMerged(s, d)),
     "retrieve_bm25_maxscore" -> ((s, d) => ExtensionQueries.retrieveBm25MaxScore(s, d)),
@@ -606,6 +608,13 @@ object SparkEntry {
     // append of the odd ids, then probe) must produce the identical
     // ranking — same truth as the scan path.
     "retrieve_bm25_indexed" -> Bm25RankSql,
+    // Exact-phrase retrieval (positional index): phrase_tf for a 3-token
+    // phrase equals its count in the document's trigram list — the same
+    // tokenization CTE as every text oracle, adjacency via the trigram
+    // construction instead of positions. The _incr row runs the
+    // identical truth against a built+appended index chain.
+    "retrieve_phrase" -> PhraseSql,
+    "retrieve_phrase_incr" -> PhraseSql,
     "retrieve_bm25_champ" -> Bm25ChampRankSql,
     // the r15 incremental champion merge is EXACT (merge ≡ rebuild), so
     // the merged-table query carries the identical from-scratch oracle —
@@ -1085,6 +1094,25 @@ object SparkEntry {
   // ORDERING is engine-stable even though the ln-sum score values are
   // not hashable — same double-precision argument as ExactTopKSql.
   // Ties (exact duplicate docs) order by neighbor_id on both engines.
+  // Phrase occurrences via the trigram list (phrases are exactly 3
+  // tokens in the fixture): tk[1:3] of docs 0/10/42 are the phrases,
+  // and a 3-token phrase's tf in a doc = the count of equal entries in
+  // the doc's (non-distinct) trigram list — overlap-counting, like the
+  // index's position adjacency.
+  private val PhraseSql: String =
+    "WITH d AS (SELECT doc_id, CASE WHEN length(regexp_replace(lower(text), " +
+      "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
+      "ELSE string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+      "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM documents), " +
+      "g AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN []::VARCHAR[] " +
+      "ELSE list_transform(range(1, len(tk) - 1), " +
+      "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS gr FROM d), " +
+      "q AS (SELECT doc_id AS query_id, array_to_string(tk[1:3], ' ') AS ph " +
+      "FROM d WHERE doc_id IN (0, 10, 42)), " +
+      "m AS (SELECT q.query_id, g.doc_id, " +
+      "len(list_filter(g.gr, x -> x = q.ph)) AS tf FROM q CROSS JOIN g) " +
+      "SELECT query_id, doc_id, CAST(tf AS BIGINT) AS phrase_tf FROM m WHERE tf >= 1"
+
   private val Bm25RankSql: String =
     "WITH d AS (SELECT doc_id, CASE WHEN length(regexp_replace(lower(text), " +
       "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +

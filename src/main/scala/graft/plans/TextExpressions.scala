@@ -1035,6 +1035,86 @@ case class NgramRepetition(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "ngram_repetition"
 }
 
+/** Phrase term-frequency from per-term position lists — the verify core
+  * of [[graft.store.PhraseIndex]]'s positional retrieval: given one
+  * (idx, posns) member per phrase slot (idx 0..k−1 = the phrase's token
+  * order; posns = the token positions of that slot's TERM in one
+  * document), returns how many start positions p satisfy
+  * `posns(i) ∋ p+i` for every slot i — i.e. the phrase's occurrence
+  * count in the document. 0 when any slot is missing (the doc lacks a
+  * phrase term) or duplicated-input is malformed.
+  *
+  * Runs in-expression after a (query, doc) group: k is phrase length
+  * (tiny), position lists are per-doc term frequencies (tens). The
+  * lists are defensively sorted here — the index writes them sorted,
+  * but the binary-search probe must not silently miscount if a future
+  * writer forgets. Repeated-term phrases work: each slot carries its
+  * own idx, two slots may hold the same term's positions. */
+case class PhraseTf(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StructType(Array(a, b)), _), IntegerType)
+        if a.dataType == IntegerType &&
+          b.dataType.isInstanceOf[ArrayType] &&
+          b.dataType.asInstanceOf[ArrayType].elementType == IntegerType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (m, kk) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"phrase_tf needs (array<struct<int,array<int>>>, int), " +
+            s"got ${m.simpleString}, ${kk.simpleString}")
+    }
+
+  def compute(members: org.apache.spark.sql.catalyst.util.ArrayData, k: Int): Int = {
+    if (k < 1) return 0
+    val n = members.numElements()
+    val slots = new Array[Array[Int]](k)
+    var i = 0
+    while (i < n) {
+      val row = members.getStruct(i, 2)
+      val idx = row.getInt(0)
+      if (idx < 0 || idx >= k || slots(idx) != null) return 0
+      val p = row.getArray(1).toIntArray()
+      java.util.Arrays.sort(p)
+      slots(idx) = p
+      i += 1
+    }
+    i = 0
+    while (i < k) { if (slots(i) == null) return 0; i += 1 }
+    var count = 0
+    val starts = slots(0)
+    var s = 0
+    while (s < starts.length) {
+      val p = starts(s)
+      var ok = true
+      var j = 1
+      while (ok && j < k) {
+        if (java.util.Arrays.binarySearch(slots(j), p + j) < 0) ok = false
+        j += 1
+      }
+      if (ok) count += 1
+      s += 1
+    }
+    count
+  }
+
+  override def nullSafeEval(members: Any, k: Any): Any =
+    compute(members.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      k.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("phraseTf", this, classOf[PhraseTf].getName)
+    nullSafeCodeGen(ctx, ev, (m, k) => s"${ev.value} = $ref.compute($m, $k);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextExpressions {
   /** Whitespace tokens (explicit 6-char ASCII class), empty-safe. */
   def wsTokens(text: Column): Column =
@@ -1113,4 +1193,11 @@ object TextExpressions {
   def ngramRepetition(text: Column, n: Int): Column =
     GraftColumnBridge.column(
       NgramRepetition(GraftColumnBridge.expression(text), n))
+
+  /** Phrase occurrence count from per-slot position lists
+    * (see PhraseTf; k = the row's phrase length). */
+  def phraseTf(members: Column, k: Column): Column =
+    GraftColumnBridge.column(
+      PhraseTf(GraftColumnBridge.expression(members),
+        GraftColumnBridge.expression(k)))
 }

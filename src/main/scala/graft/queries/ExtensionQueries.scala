@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{Dedup, Similarity, TextFunctions => TF}
 import graft.plans.{TextExpressions => TX}
-import graft.store.{DedupIndex, EmbedIndex, FingerprintIndex, SemIndex,
-  SimHashIndex, SnapshotStore, TextIndex, VectorIndex}
+import graft.store.{DedupIndex, EmbedIndex, FingerprintIndex, PhraseIndex,
+  SemIndex, SimHashIndex, SnapshotStore, TextIndex, VectorIndex}
 
 /** Training-data-pipeline queries over `documents` / `embeddings`
   * (builder prompt extension ops). Entries registered in SparkEntry;
@@ -926,6 +926,38 @@ object ExtensionQueries {
     * JVM-formula contract. */
   def retrieveBm25Oracle(s: SparkSession, d: String): DataFrame =
     retrieveBm25(s, d).select(col("query_id"), col("neighbor_id"), col("rank"))
+
+  /** Exact-phrase retrieval through the POSITIONAL index
+    * ([[graft.store.PhraseIndex]]): the query batch is the first three
+    * tokens of docs 0/10/42 (the shortQueries recipe), the result is
+    * every (query, doc, occurrence-count) match — pinned to a DuckDB
+    * trigram-list count over the same tokenization. `incremental` runs
+    * the corpus through build(<250) + append(≥250) against the SAME
+    * truth, pinning the delta chain externally. */
+  private def phraseFixture(s: SparkSession, d: String,
+                            incremental: Boolean): DataFrame = {
+    val ds = docs(s, d).select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-phraseidx").toString
+    val store = new SnapshotStore(root, s)
+    if (incremental) {
+      PhraseIndex.build(store, "docs_pos",
+        ds.filter(col("doc_id") < 250), "text", "doc_id")
+      PhraseIndex.appendBatchOnce(store, "docs_pos",
+        ds.filter(col("doc_id") >= 250), "text", "doc_id", "verify", 0L)
+    } else PhraseIndex.build(store, "docs_pos", ds, "text", "doc_id")
+    val qs = ds.filter(col("doc_id").isin(0L, 10L, 42L))
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(TF.tokens(lower(col("text"))), 1, 3), " ").as("phrase"))
+    PhraseIndex.phraseQuery(store, "docs_pos", qs, "query_id", "phrase")
+      .select(col("query_id"), col("doc_id"),
+        col("phrase_tf").cast("long").as("phrase_tf"))
+  }
+
+  def retrievePhrase(s: SparkSession, d: String): DataFrame =
+    phraseFixture(s, d, incremental = false)
+
+  def retrievePhraseIncr(s: SparkSession, d: String): DataFrame =
+    phraseFixture(s, d, incremental = true)
 
   /** BM25 through the PERSISTENT postings index (TextIndex), pinned to
     * the SAME DuckDB rank oracle as the scan path: the corpus arrives as
