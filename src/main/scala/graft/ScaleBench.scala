@@ -106,12 +106,21 @@ object ScaleBench {
   private val Dim = 64
   private val NClusters = 1024
 
-  private[graft] def genEmb(id: Long): Emb = {
+  /** The shared cluster-corpus recipe: 1024 gaussian clusters on the
+    * unit sphere, 0.12-σ members, planted id%1000==7 near-identical
+    * copies (0.002-σ jitter, cos ≈ 0.9999). `cMul`/`cAdd`/`pAdd` are
+    * the seed constants — they differ per corpus so the dim-64 and
+    * dim-768 corpora are independent draws of the SAME shape (one
+    * recipe to change, both benches move together). genEmb's constants
+    * are LOAD-BEARING: the generated /tmp/flagship corpus and every
+    * planted-structure expectation depend on them bit-for-bit. */
+  private def genEmbAt(id: Long, dim: Int, cMul: Long, cAdd: Long,
+                       pAdd: Long): Emb = {
     val baseId = if (id % 1000 == 7) id - 7 else id
     val cluster = (baseId % NClusters).toInt
-    val c = new java.util.Random(cluster * 7919L + 3)
-    val center = Array.fill(Dim)(c.nextGaussian().toFloat)
-    val p = new java.util.Random(baseId * 0x9E3779B97F4A7C15L + 29)
+    val c = new java.util.Random(cluster * cMul + cAdd)
+    val center = Array.fill(dim)(c.nextGaussian().toFloat)
+    val p = new java.util.Random(baseId * 0x9E3779B97F4A7C15L + pAdd)
     var v = center.map(x => x + 0.12f * p.nextGaussian().toFloat)
     if (id % 1000 == 7) { // near-identical copy of baseId (cos ≈ 0.9999)
       val t = new java.util.Random(id)
@@ -121,25 +130,15 @@ object ScaleBench {
     Emb(id, v.map(_ / nrm), cluster % 16)
   }
 
+  private[graft] def genEmb(id: Long): Emb =
+    genEmbAt(id, Dim, 7919L, 3L, 29L)
+
   /** genEmb at PRODUCTION embedding width (dim 768) — the float-exchange
-    * A/B corpus (emb_hidim_*): same 1024-cluster structure and planted
-    * id%1000==7 near-identical copies, generated on the fly (no corpus
-    * file — the entries are self-contained). */
+    * A/B corpus (emb_hidim_*), generated on the fly (no corpus file —
+    * the entries are self-contained). */
   private val DimHi = 768
-  private[graft] def genEmbHi(id: Long): Emb = {
-    val baseId = if (id % 1000 == 7) id - 7 else id
-    val cluster = (baseId % NClusters).toInt
-    val c = new java.util.Random(cluster * 104729L + 13)
-    val center = Array.fill(DimHi)(c.nextGaussian().toFloat)
-    val p = new java.util.Random(baseId * 0x9E3779B97F4A7C15L + 31)
-    var v = center.map(x => x + 0.12f * p.nextGaussian().toFloat)
-    if (id % 1000 == 7) {
-      val t = new java.util.Random(id)
-      v = v.map(x => x + 0.002f * t.nextGaussian().toFloat)
-    }
-    val nrm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
-    Emb(id, v.map(_ / nrm), cluster % 16)
-  }
+  private[graft] def genEmbHi(id: Long): Emb =
+    genEmbAt(id, DimHi, 104729L, 13L, 31L)
 
   private val EvTypes = Array("view", "click", "purchase", "signup", "error")
   private val EvBase = 1704067200000L // 2024-01-01 UTC

@@ -1108,7 +1108,7 @@ object SparkEntry {
       "ELSE list_transform(range(1, len(tk) - 1), " +
       "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS gr FROM d), " +
       "q AS (SELECT doc_id AS query_id, array_to_string(tk[1:3], ' ') AS ph " +
-      "FROM d WHERE doc_id IN (0, 10, 42)), " +
+      "FROM d WHERE doc_id IN (0, 10, 42) AND len(tk) >= 3), " +
       "m AS (SELECT q.query_id, g.doc_id, " +
       "len(list_filter(g.gr, x -> x = q.ph)) AS tf FROM q CROSS JOIN g) " +
       "SELECT query_id, doc_id, CAST(tf AS BIGINT) AS phrase_tf FROM m WHERE tf >= 1"

@@ -369,15 +369,22 @@ case class BoundedMembers(left: Expression, right: Expression, k: Int,
   override def prettyName: String = "bounded_members"
 }
 
-/** [[MemberHeap]] with an array<double> payload and a freshness flag —
-  * the unit-vector form for [[graft.store.EmbedIndex]]'s bucket cap.
-  * Same max-heap-on-id / lazy-geometric-capacity shape (the r13 lesson:
-  * size for the MEDIAN group, not the cap); payload arrays are swapped
-  * by reference, copied once on add. The flag rides with each member so
-  * the downstream pair expression can skip corpus-corpus pairs. */
-final class VecMemberHeap(val k: Int) extends Serializable {
+/** [[MemberHeap]] with an ARRAY payload and a freshness flag — the
+  * unit-vector form for [[graft.store.EmbedIndex]]'s bucket cap, generic
+  * over the payload element width so the classic array<double> heap and
+  * the float-exchange array<float> twin share ONE copy of the heap
+  * invariants (the review lesson: two verbatim copies of
+  * siftUp/siftDown/serialize framing silently diverge). Same
+  * max-heap-on-id / lazy-geometric-capacity shape as MemberHeap (the
+  * r13 lesson: size for the MEDIAN group, not the cap); payload arrays
+  * are swapped by reference, copied once on add. The flag rides with
+  * each member so the downstream pair expression can skip corpus-corpus
+  * pairs. Serialization framing lives once in [[VecMemberHeap.write]] /
+  * [[VecMemberHeap.read]], parameterized by a [[VecPayloadCodec]]. */
+final class VecMemberHeap[P >: Null <: AnyRef](val k: Int)(
+    implicit ct: scala.reflect.ClassTag[P]) extends Serializable {
   private[plans] var ids = new Array[Long](math.min(k, 4))
-  private[plans] var payloads = new Array[Array[Double]](math.min(k, 4))
+  private[plans] var payloads = new Array[P](math.min(k, 4))
   private[plans] var flags = new Array[Boolean](math.min(k, 4))
   private[plans] var size = 0
 
@@ -385,7 +392,9 @@ final class VecMemberHeap(val k: Int) extends Serializable {
     if (size == ids.length && ids.length < k) {
       val cap = math.min(k, ids.length * 4)
       ids = java.util.Arrays.copyOf(ids, cap)
-      payloads = java.util.Arrays.copyOf(payloads, cap)
+      val np = new Array[P](cap)
+      System.arraycopy(payloads, 0, np, 0, size)
+      payloads = np
       flags = java.util.Arrays.copyOf(flags, cap)
     }
 
@@ -415,7 +424,7 @@ final class VecMemberHeap(val k: Int) extends Serializable {
     }
   }
 
-  def add(id: Long, payload: Array[Double], fresh: Boolean): Unit = {
+  def add(id: Long, payload: P, fresh: Boolean): Unit = {
     if (size < k) {
       ensureRoom()
       ids(size) = id; payloads(size) = payload; flags(size) = fresh
@@ -427,7 +436,7 @@ final class VecMemberHeap(val k: Int) extends Serializable {
     }
   }
 
-  def mergeFrom(other: VecMemberHeap): Unit = {
+  def mergeFrom(other: VecMemberHeap[P]): Unit = {
     var i = 0
     while (i < other.size) {
       add(other.ids(i), other.payloads(i), other.flags(i)); i += 1
@@ -435,12 +444,85 @@ final class VecMemberHeap(val k: Int) extends Serializable {
   }
 
   /** (id, payload, fresh) triples in id-ascending order. */
-  def sortedAsc: Array[(Long, Array[Double], Boolean)] = {
+  def sortedAsc: Array[(Long, P, Boolean)] = {
     val out = Array.tabulate(size)(i => (ids(i), payloads(i), flags(i)))
     scala.util.Sorting.stableSort(out,
-      (a: (Long, Array[Double], Boolean), b: (Long, Array[Double], Boolean)) =>
-        a._1 < b._1)
+      (a: (Long, P, Boolean), b: (Long, P, Boolean)) => a._1 < b._1)
     out
+  }
+}
+
+/** Element codec for [[VecMemberHeap]] serialization — the payload's
+  * width and element reads/writes; the member framing (size, id, flag,
+  * length) lives once in [[VecMemberHeap.write]]/[[VecMemberHeap.read]]. */
+private[plans] sealed trait VecPayloadCodec[P] extends Serializable {
+  def elemBytes: Int
+  def length(p: P): Int
+  def putElems(bb: ByteBuffer, p: P): Unit
+  def readElems(bb: ByteBuffer, len: Int): P
+}
+
+private[plans] object DoubleVecCodec extends VecPayloadCodec[Array[Double]] {
+  val elemBytes = 8
+  def length(p: Array[Double]): Int = p.length
+  def putElems(bb: ByteBuffer, p: Array[Double]): Unit = {
+    var j = 0; while (j < p.length) { bb.putDouble(p(j)); j += 1 }
+  }
+  def readElems(bb: ByteBuffer, len: Int): Array[Double] = {
+    val p = new Array[Double](len)
+    var j = 0; while (j < len) { p(j) = bb.getDouble(); j += 1 }
+    p
+  }
+}
+
+private[plans] object FloatVecCodec extends VecPayloadCodec[Array[Float]] {
+  val elemBytes = 4
+  def length(p: Array[Float]): Int = p.length
+  def putElems(bb: ByteBuffer, p: Array[Float]): Unit = {
+    var j = 0; while (j < p.length) { bb.putFloat(p(j)); j += 1 }
+  }
+  def readElems(bb: ByteBuffer, len: Int): Array[Float] = {
+    val p = new Array[Float](len)
+    var j = 0; while (j < len) { p(j) = bb.getFloat(); j += 1 }
+    p
+  }
+}
+
+private[plans] object VecMemberHeap {
+  /** Shared member framing: size, then per member (id:8, flag:1,
+    * len:4, elems). */
+  def write[P >: Null <: AnyRef](h: VecMemberHeap[P],
+                                 c: VecPayloadCodec[P]): Array[Byte] = {
+    var bytes = 4
+    var i = 0
+    while (i < h.size) { bytes += 13 + c.elemBytes * c.length(h.payloads(i)); i += 1 }
+    val bb = ByteBuffer.allocate(bytes)
+    bb.putInt(h.size)
+    i = 0
+    while (i < h.size) {
+      bb.putLong(h.ids(i))
+      bb.put(if (h.flags(i)) 1.toByte else 0.toByte)
+      bb.putInt(c.length(h.payloads(i)))
+      c.putElems(bb, h.payloads(i))
+      i += 1
+    }
+    bb.array()
+  }
+
+  def read[P >: Null <: AnyRef : scala.reflect.ClassTag](
+      bytes: Array[Byte], k: Int, c: VecPayloadCodec[P]): VecMemberHeap[P] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val h = new VecMemberHeap[P](k)
+    var i = 0
+    while (i < n) {
+      val id = bb.getLong()
+      val f = bb.get() == 1.toByte
+      val len = bb.getInt()
+      h.add(id, c.readElems(bb, len), f)
+      i += 1
+    }
+    h
   }
 }
 
@@ -457,7 +539,7 @@ case class BoundedVecMembers(first: Expression, second: Expression,
                              third: Expression, k: Int,
                              mutableAggBufferOffset: Int = 0,
                              inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[VecMemberHeap]
+    extends TypedImperativeAggregate[VecMemberHeap[Array[Double]]]
     with org.apache.spark.sql.catalyst.trees.TernaryLike[Expression] {
 
   require(k >= 1, s"k=$k must be positive")
@@ -482,9 +564,11 @@ case class BoundedVecMembers(first: Expression, second: Expression,
 
   override def nullable: Boolean = false
 
-  override def createAggregationBuffer(): VecMemberHeap = new VecMemberHeap(k)
+  override def createAggregationBuffer(): VecMemberHeap[Array[Double]] =
+    new VecMemberHeap[Array[Double]](k)
 
-  override def update(buffer: VecMemberHeap, input: InternalRow): VecMemberHeap = {
+  override def update(buffer: VecMemberHeap[Array[Double]],
+                      input: InternalRow): VecMemberHeap[Array[Double]] = {
     val idV = first.eval(input)
     if (idV != null) {
       val pV = second.eval(input)
@@ -500,51 +584,21 @@ case class BoundedVecMembers(first: Expression, second: Expression,
     buffer
   }
 
-  override def merge(buffer: VecMemberHeap, input: VecMemberHeap): VecMemberHeap = {
+  override def merge(buffer: VecMemberHeap[Array[Double]],
+                     input: VecMemberHeap[Array[Double]]): VecMemberHeap[Array[Double]] = {
     buffer.mergeFrom(input); buffer
   }
 
-  override def eval(buffer: VecMemberHeap): Any =
+  override def eval(buffer: VecMemberHeap[Array[Double]]): Any =
     new GenericArrayData(buffer.sortedAsc.map { case (id, p, f) =>
       InternalRow(id, new GenericArrayData(p), f)
     })
 
-  override def serialize(buffer: VecMemberHeap): Array[Byte] = {
-    var bytes = 4
-    var i = 0
-    while (i < buffer.size) { bytes += 13 + 8 * buffer.payloads(i).length; i += 1 }
-    val bb = ByteBuffer.allocate(bytes)
-    bb.putInt(buffer.size)
-    i = 0
-    while (i < buffer.size) {
-      bb.putLong(buffer.ids(i))
-      bb.put(if (buffer.flags(i)) 1.toByte else 0.toByte)
-      val p = buffer.payloads(i)
-      bb.putInt(p.length)
-      var j = 0
-      while (j < p.length) { bb.putDouble(p(j)); j += 1 }
-      i += 1
-    }
-    bb.array()
-  }
+  override def serialize(buffer: VecMemberHeap[Array[Double]]): Array[Byte] =
+    VecMemberHeap.write(buffer, DoubleVecCodec)
 
-  override def deserialize(bytes: Array[Byte]): VecMemberHeap = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt()
-    val h = new VecMemberHeap(k)
-    var i = 0
-    while (i < n) {
-      val id = bb.getLong()
-      val f = bb.get() == 1.toByte
-      val len = bb.getInt()
-      val p = new Array[Double](len)
-      var j = 0
-      while (j < len) { p(j) = bb.getDouble(); j += 1 }
-      h.add(id, p, f)
-      i += 1
-    }
-    h
-  }
+  override def deserialize(bytes: Array[Byte]): VecMemberHeap[Array[Double]] =
+    VecMemberHeap.read(bytes, k, DoubleVecCodec)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): BoundedVecMembers =
     copy(mutableAggBufferOffset = newOffset)
@@ -558,95 +612,21 @@ case class BoundedVecMembers(first: Expression, second: Expression,
   override def prettyName: String = "bounded_vec_members"
 }
 
-/** [[VecMemberHeap]] with a FLOAT payload — the float-exchange append's
-  * bucket heap ([[graft.store.EmbedIndex]]): the partial-aggregate
-  * shuffle ships serialized heaps, so a float payload halves the
-  * dominant exchange bytes (4·dim vs 8·dim per member per table) at
-  * production embedding dims. Candidate pairs found over the floats are
-  * re-verified against the stored doubles, so the precision loss here
-  * can only widen the candidate set (see CosineCandidatesF's margin
-  * argument), never the output. */
-final class VecMemberHeapF(val k: Int) extends Serializable {
-  private[plans] var ids = new Array[Long](math.min(k, 4))
-  private[plans] var payloads = new Array[Array[Float]](math.min(k, 4))
-  private[plans] var flags = new Array[Boolean](math.min(k, 4))
-  private[plans] var size = 0
-
-  private def ensureRoom(): Unit =
-    if (size == ids.length && ids.length < k) {
-      val cap = math.min(k, ids.length * 4)
-      ids = java.util.Arrays.copyOf(ids, cap)
-      payloads = java.util.Arrays.copyOf(payloads, cap)
-      flags = java.util.Arrays.copyOf(flags, cap)
-    }
-
-  @inline private def swap(i: Int, p: Int): Unit = {
-    val ti = ids(i); val tp = payloads(i); val tf = flags(i)
-    ids(i) = ids(p); payloads(i) = payloads(p); flags(i) = flags(p)
-    ids(p) = ti; payloads(p) = tp; flags(p) = tf
-  }
-
-  private def siftUp(start: Int): Unit = {
-    var i = start
-    while (i > 0) {
-      val p = (i - 1) >> 1
-      if (ids(i) > ids(p)) { swap(i, p); i = p } else return
-    }
-  }
-
-  private def siftDown(): Unit = {
-    var i = 0
-    while (true) {
-      val l = 2 * i + 1
-      if (l >= size) return
-      val r = l + 1
-      var m = l
-      if (r < size && ids(r) > ids(l)) m = r
-      if (ids(m) > ids(i)) { swap(i, m); i = m } else return
-    }
-  }
-
-  def add(id: Long, payload: Array[Float], fresh: Boolean): Unit = {
-    if (size < k) {
-      ensureRoom()
-      ids(size) = id; payloads(size) = payload; flags(size) = fresh
-      size += 1
-      siftUp(size - 1)
-    } else if (id < ids(0)) {
-      ids(0) = id; payloads(0) = payload; flags(0) = fresh
-      siftDown()
-    }
-  }
-
-  def mergeFrom(other: VecMemberHeapF): Unit = {
-    var i = 0
-    while (i < other.size) {
-      add(other.ids(i), other.payloads(i), other.flags(i)); i += 1
-    }
-  }
-
-  /** (id, payload, fresh) triples in id-ascending order. */
-  def sortedAsc: Array[(Long, Array[Float], Boolean)] = {
-    val out = new Array[(Long, Array[Float], Boolean)](size)
-    var i = 0
-    while (i < size) { out(i) = (ids(i), payloads(i), flags(i)); i += 1 }
-    scala.util.Sorting.stableSort(out,
-      (a: (Long, Array[Float], Boolean), b: (Long, Array[Float], Boolean)) =>
-        a._1 < b._1)
-    out
-  }
-}
-
 /** `bounded_vec_members_f(id, uvf, fresh, k)` — [[BoundedVecMembers]]
-  * with an array<float> payload (see [[VecMemberHeapF]]): member
-  * selection (k smallest ids) is payload-independent, so the kept set is
-  * identical to the double heap's; only the shipped vector width
-  * changes. */
+  * with an array<float> payload (the same [[VecMemberHeap]], float
+  * codec): member selection (k smallest ids) is payload-independent, so
+  * the kept set is identical to the double heap's; only the shipped
+  * vector width changes — the partial-aggregate shuffle carries
+  * serialized heaps, so the float payload halves the dominant exchange
+  * bytes (4·dim vs 8·dim per member per table) at production embedding
+  * dims. Candidate pairs found over the floats are re-verified against
+  * the stored doubles (CosineCandidatesF's margin argument), so the
+  * precision loss can only widen the candidate set, never the output. */
 case class BoundedVecMembersF(first: Expression, second: Expression,
                               third: Expression, k: Int,
                               mutableAggBufferOffset: Int = 0,
                               inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[VecMemberHeapF]
+    extends TypedImperativeAggregate[VecMemberHeap[Array[Float]]]
     with org.apache.spark.sql.catalyst.trees.TernaryLike[Expression] {
 
   require(k >= 1, s"k=$k must be positive")
@@ -671,9 +651,11 @@ case class BoundedVecMembersF(first: Expression, second: Expression,
 
   override def nullable: Boolean = false
 
-  override def createAggregationBuffer(): VecMemberHeapF = new VecMemberHeapF(k)
+  override def createAggregationBuffer(): VecMemberHeap[Array[Float]] =
+    new VecMemberHeap[Array[Float]](k)
 
-  override def update(buffer: VecMemberHeapF, input: InternalRow): VecMemberHeapF = {
+  override def update(buffer: VecMemberHeap[Array[Float]],
+                      input: InternalRow): VecMemberHeap[Array[Float]] = {
     val idV = first.eval(input)
     if (idV != null) {
       val pV = second.eval(input)
@@ -689,51 +671,21 @@ case class BoundedVecMembersF(first: Expression, second: Expression,
     buffer
   }
 
-  override def merge(buffer: VecMemberHeapF, input: VecMemberHeapF): VecMemberHeapF = {
+  override def merge(buffer: VecMemberHeap[Array[Float]],
+                     input: VecMemberHeap[Array[Float]]): VecMemberHeap[Array[Float]] = {
     buffer.mergeFrom(input); buffer
   }
 
-  override def eval(buffer: VecMemberHeapF): Any =
+  override def eval(buffer: VecMemberHeap[Array[Float]]): Any =
     new GenericArrayData(buffer.sortedAsc.map { case (id, p, f) =>
       InternalRow(id, new GenericArrayData(p), f)
     })
 
-  override def serialize(buffer: VecMemberHeapF): Array[Byte] = {
-    var bytes = 4
-    var i = 0
-    while (i < buffer.size) { bytes += 13 + 4 * buffer.payloads(i).length; i += 1 }
-    val bb = ByteBuffer.allocate(bytes)
-    bb.putInt(buffer.size)
-    i = 0
-    while (i < buffer.size) {
-      bb.putLong(buffer.ids(i))
-      bb.put(if (buffer.flags(i)) 1.toByte else 0.toByte)
-      val p = buffer.payloads(i)
-      bb.putInt(p.length)
-      var j = 0
-      while (j < p.length) { bb.putFloat(p(j)); j += 1 }
-      i += 1
-    }
-    bb.array()
-  }
+  override def serialize(buffer: VecMemberHeap[Array[Float]]): Array[Byte] =
+    VecMemberHeap.write(buffer, FloatVecCodec)
 
-  override def deserialize(bytes: Array[Byte]): VecMemberHeapF = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt()
-    val h = new VecMemberHeapF(k)
-    var i = 0
-    while (i < n) {
-      val id = bb.getLong()
-      val f = bb.get() == 1.toByte
-      val len = bb.getInt()
-      val p = new Array[Float](len)
-      var j = 0
-      while (j < len) { p(j) = bb.getFloat(); j += 1 }
-      h.add(id, p, f)
-      i += 1
-    }
-    h
-  }
+  override def deserialize(bytes: Array[Byte]): VecMemberHeap[Array[Float]] =
+    VecMemberHeap.read(bytes, k, FloatVecCodec)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): BoundedVecMembersF =
     copy(mutableAggBufferOffset = newOffset)

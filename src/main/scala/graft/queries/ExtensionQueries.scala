@@ -945,7 +945,12 @@ object ExtensionQueries {
       PhraseIndex.appendBatchOnce(store, "docs_pos",
         ds.filter(col("doc_id") >= 250), "text", "doc_id", "verify", 0L)
     } else PhraseIndex.build(store, "docs_pos", ds, "text", "doc_id")
+    // the ≥3-token guard keeps the fixture honest with the trigram
+    // oracle: a shorter doc would yield a 1-2-token phrase the index
+    // matches positionally but the trigram SQL cannot see (both sides
+    // apply the same guard, so a short doc drops its QUERY, not truth)
     val qs = ds.filter(col("doc_id").isin(0L, 10L, 42L))
+      .filter(size(TF.tokens(lower(col("text")))) >= 3)
       .select(col("doc_id").as("query_id"),
         array_join(slice(TF.tokens(lower(col("text"))), 1, 3), " ").as("phrase"))
     PhraseIndex.phraseQuery(store, "docs_pos", qs, "query_id", "phrase")

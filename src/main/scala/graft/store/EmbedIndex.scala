@@ -437,11 +437,16 @@ object EmbedIndex {
     val needIds = cand.select(col("id_a").as("id"))
       .unionByName(cand.select(col("id_b").as("id"))).distinct()
     // candidate-restricted exact lookup: 2·nCand bounds the id count;
-    // dropDuplicates AFTER the semi-join keeps the dedup candidate-sized
+    // dropDuplicates AFTER the semi-join keeps the dedup candidate-sized.
+    // PERSISTED before the two aliased joins below — without it the
+    // "one re-scan" claim depends on the planner's exchange reuse
+    // recognizing the differently-aliased subplans, and a miss would
+    // run the chain scan twice per append.
     val uvNeeded = uvSource
       .join(BroadcastGate(needIds, 2L * nCand, broadcastKeyLimit),
         Seq("id"), "left_semi")
       .dropDuplicates("id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val verified = cand
       .join(BroadcastGate(uvNeeded.select(col("id").as("id_a"),
           col("uv").as("uv_a")), 2L * nCand, broadcastKeyLimit),
@@ -455,6 +460,7 @@ object EmbedIndex {
       .persist(StorageLevel.MEMORY_AND_DISK)
     verified.count()
     cand.unpersist(blocking = false)
+    uvNeeded.unpersist(blocking = false)
     verified
   }
 

@@ -133,12 +133,13 @@ object PhraseIndex {
     // pruning); small-batch contract as TextIndex.queryMaxScore
     val terms = slots.select(col("term")).distinct()
       .collect().map(_.getString(0)).toIndexedSeq
-    if (terms.isEmpty)
-      return phrases.sparkSession.emptyDataFrame
-        .select(lit(0L).as("query_id"), lit(0L).as("doc_id"),
-          lit(0).as("phrase_tf")).limit(0)
+    // an all-whitespace batch has no terms: lit(false) keeps the NORMAL
+    // plan (and so the caller-derived column types) instead of a
+    // hand-built empty frame whose schema could diverge from it
+    val termFilter =
+      if (terms.isEmpty) lit(false) else col("term").isin(terms: _*)
     val rows = load(store, table)
-      .filter(col("term").isin(terms: _*))
+      .filter(termFilter)
       .join(broadcast(slots), Seq("term"))
     rows
       .groupBy(col("query_id"), col("doc_id"))

@@ -153,16 +153,19 @@ class EmbedIndexSpec extends SparkSpec {
     // near-certainty under the fixed seed (verified by the low-threshold
     // control below — the band pair IS reachable through the buckets).
     val T = 0.9999
-    def planted(idA: Long, idB: Long, cos: Double): Seq[(Long, Array[Float])] = {
-      val a = Array.tabulate(Dim)(i => if (i == 0) 1.0f else 0.0f)
+    // each plant lives on its own basis plane (axis, axis+1), so the
+    // two plants are mutually orthogonal: cross-plant cosines are 0 and
+    // can never contaminate the per-plant assertions below
+    def planted(idA: Long, idB: Long, cos: Double,
+                axis: Int): Seq[(Long, Array[Float])] = {
+      val a = Array.tabulate(Dim)(i => if (i == axis) 1.0f else 0.0f)
       val s = math.sqrt(1.0 - cos * cos)
       val b = Array.tabulate(Dim)(i =>
-        if (i == 0) cos.toFloat else if (i == 1) s.toFloat else 0.0f)
+        if (i == axis) cos.toFloat else if (i == axis + 1) s.toFloat else 0.0f)
       Seq(idA -> a, idB -> b)
     }
-    val above = planted(1000L, 1001L, T + 5e-5)  // keep, via exact re-verify
-    val inBand = planted(2000L, 2001L, T - 5e-5) // float candidate, exact-dropped
-    // orthogonal id-spacer so the two plants never co-bucket each other
+    val above = planted(1000L, 1001L, T + 5e-5, 0)  // keep, via exact re-verify
+    val inBand = planted(2000L, 2001L, T - 5e-5, 2) // float candidate, exact-dropped
     val df = (above ++ inBand).toDF("id", "vec")
 
     def run(threshold: Double, minDim: Int): Set[(Long, Long, Double)] = {
