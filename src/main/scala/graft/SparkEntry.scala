@@ -113,6 +113,7 @@ object SparkEntry {
     "retrieve_bm25_indexed" -> ((s, d) => ExtensionQueries.retrieveBm25Indexed(s, d)),
     "retrieve_phrase"       -> (ExtensionQueries.retrievePhrase _),
     "retrieve_phrase_incr"  -> (ExtensionQueries.retrievePhraseIncr _),
+    "retrieve_proximity"    -> (ExtensionQueries.retrieveProximity _),
     "retrieve_bm25_champ" -> ((s, d) => ExtensionQueries.retrieveBm25Champ(s, d)),
     "retrieve_bm25_merged" -> ((s, d) => ExtensionQueries.retrieveBm25ChampMerged(s, d)),
     "retrieve_bm25_maxscore" -> ((s, d) => ExtensionQueries.retrieveBm25MaxScore(s, d)),
@@ -615,6 +616,24 @@ object SparkEntry {
     // identical truth against a built+appended index chain.
     "retrieve_phrase" -> PhraseSql,
     "retrieve_phrase_incr" -> PhraseSql,
+    // Ordered proximity (slop 2, 2-term): count positions of term A
+    // with a B-position in (p, p+3] — nested position-list lambdas.
+    "retrieve_proximity" ->
+      ("WITH d AS (SELECT doc_id, CASE WHEN length(regexp_replace(lower(text), " +
+        "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
+        "ELSE string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+        "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM documents), " +
+        "q AS (SELECT doc_id AS query_id, tk[1] AS ta, tk[3] AS tb " +
+        "FROM d WHERE doc_id IN (0, 10, 42) AND len(tk) >= 3), " +
+        "m AS (SELECT q.query_id, d.doc_id, " +
+        "len(list_filter(" +
+        "list_filter(range(1, len(d.tk) + 1), i -> d.tk[i] = q.ta), " +
+        "p -> len(list_filter(" +
+        "list_filter(range(1, len(d.tk) + 1), j -> d.tk[j] = q.tb), " +
+        "qq -> qq > p AND qq <= p + 3)) > 0)) AS tf " +
+        "FROM q CROSS JOIN d) " +
+        "SELECT query_id, doc_id, CAST(tf AS BIGINT) AS phrase_tf " +
+        "FROM m WHERE tf >= 1"),
     "retrieve_bm25_champ" -> Bm25ChampRankSql,
     // the r15 incremental champion merge is EXACT (merge ≡ rebuild), so
     // the merged-table query carries the identical from-scratch oracle —

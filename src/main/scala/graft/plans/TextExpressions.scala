@@ -1039,19 +1039,32 @@ case class NgramRepetition(child: Expression, n: Int) extends UnaryExpression {
   * of [[graft.store.PhraseIndex]]'s positional retrieval: given one
   * (idx, posns) member per phrase slot (idx 0..k−1 = the phrase's token
   * order; posns = the token positions of that slot's TERM in one
-  * document), returns how many start positions p satisfy
-  * `posns(i) ∋ p+i` for every slot i — i.e. the phrase's occurrence
-  * count in the document. 0 when any slot is missing (the doc lacks a
-  * phrase term) or duplicated-input is malformed.
+  * document), returns how many start positions open an in-order chain
+  * p₀ < p₁ < … < p₍k−1₎ with every step within the slop window:
+  * `p_i ∈ (p_{i−1}, p_{i−1} + 1 + slop]`. slop = 0 is the EXACT phrase
+  * (each step lands on the adjacent token); slop = s is ordered
+  * proximity with up to s interleaving tokens per step (the
+  * sloppy-phrase contract). 0 when any slot is missing (the doc lacks
+  * a phrase term) or duplicated input is malformed.
+  *
+  * The chain search is a BACKWARD reachability pass, not greedy
+  * matching: ok₍k−1₎ = slots(k−1); ok_i = positions of slots(i) with a
+  * successor in ok_{i+1} inside their window; count = |ok₀|. Greedy
+  * earliest-successor is WRONG under slop — with slots₁ = {5,6},
+  * slots₂ = {8}, slop 1, greedy takes 5 and dies in (5,7] though the
+  * chain through 6 exists — and PhraseIndexSpec pins exactly that
+  * topology. O(k·m log m) via binary-searched window checks per level.
   *
   * Runs in-expression after a (query, doc) group: k is phrase length
   * (tiny), position lists are per-doc term frequencies (tens). The
   * lists are defensively sorted here — the index writes them sorted,
-  * but the binary-search probe must not silently miscount if a future
-  * writer forgets. Repeated-term phrases work: each slot carries its
-  * own idx, two slots may hold the same term's positions. */
-case class PhraseTf(left: Expression, right: Expression)
+  * but the probes must not silently miscount if a future writer
+  * forgets. Repeated-term phrases work: each slot carries its own idx,
+  * two slots may hold the same term's positions. */
+case class PhraseTf(left: Expression, right: Expression, slop: Int = 0)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(slop >= 0, s"slop=$slop must be non-negative")
 
   override def dataType: DataType = IntegerType
 
@@ -1084,21 +1097,29 @@ case class PhraseTf(left: Expression, right: Expression)
     }
     i = 0
     while (i < k) { if (slots(i) == null) return 0; i += 1 }
-    var count = 0
-    val starts = slots(0)
-    var s = 0
-    while (s < starts.length) {
-      val p = starts(s)
-      var ok = true
-      var j = 1
-      while (ok && j < k) {
-        if (java.util.Arrays.binarySearch(slots(j), p + j) < 0) ok = false
-        j += 1
+    // backward reachability: ok holds the level-(j+1) positions from
+    // which the chain completes; a level-j position survives iff its
+    // window (p, p+1+slop] contains one of them
+    var ok = slots(k - 1)
+    var j = k - 2
+    while (j >= 0) {
+      val level = slots(j)
+      val kept = new Array[Int](level.length)
+      var m = 0
+      var s = 0
+      while (s < level.length) {
+        val p = level(s)
+        // smallest ok-position strictly greater than p
+        var lo = java.util.Arrays.binarySearch(ok, p + 1)
+        if (lo < 0) lo = -lo - 1
+        if (lo < ok.length && ok(lo) <= p + 1 + slop) { kept(m) = p; m += 1 }
+        s += 1
       }
-      if (ok) count += 1
-      s += 1
+      ok = java.util.Arrays.copyOf(kept, m)
+      if (ok.length == 0) return 0
+      j -= 1
     }
-    count
+    ok.length
   }
 
   override def nullSafeEval(members: Any, k: Any): Any =
@@ -1195,9 +1216,11 @@ object TextExpressions {
       NgramRepetition(GraftColumnBridge.expression(text), n))
 
   /** Phrase occurrence count from per-slot position lists
-    * (see PhraseTf; k = the row's phrase length). */
-  def phraseTf(members: Column, k: Column): Column =
+    * (see PhraseTf; k = the row's phrase length; slop 0 = exact
+    * adjacency, slop s = ordered proximity within s extra tokens per
+    * step). */
+  def phraseTf(members: Column, k: Column, slop: Int = 0): Column =
     GraftColumnBridge.column(
       PhraseTf(GraftColumnBridge.expression(members),
-        GraftColumnBridge.expression(k)))
+        GraftColumnBridge.expression(k), slop))
 }

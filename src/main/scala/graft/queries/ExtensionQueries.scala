@@ -964,6 +964,27 @@ object ExtensionQueries {
   def retrievePhraseIncr(s: SparkSession, d: String): DataFrame =
     phraseFixture(s, d, incremental = true)
 
+  /** ORDERED-PROXIMITY retrieval (sloppy phrase, slop 2): the query is
+    * tokens 1 and 3 of docs 0/10/42 — a gapped pair whose source doc
+    * only matches because the slop window spans the skipped token.
+    * DuckDB truth: nested position-list lambdas counting starts with an
+    * in-window successor. */
+  def retrieveProximity(s: SparkSession, d: String): DataFrame = {
+    val ds = docs(s, d).select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-proxidx").toString
+    val store = new SnapshotStore(root, s)
+    PhraseIndex.build(store, "docs_pos", ds, "text", "doc_id")
+    val tk = TF.tokens(lower(col("text")))
+    val qs = ds.filter(col("doc_id").isin(0L, 10L, 42L))
+      .filter(size(tk) >= 3)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", element_at(tk, 1), element_at(tk, 3)).as("phrase"))
+    PhraseIndex.phraseQuery(store, "docs_pos", qs, "query_id", "phrase",
+        slop = 2)
+      .select(col("query_id"), col("doc_id"),
+        col("phrase_tf").cast("long").as("phrase_tf"))
+  }
+
   /** BM25 through the PERSISTENT postings index (TextIndex), pinned to
     * the SAME DuckDB rank oracle as the scan path: the corpus arrives as
     * a build (even ids) plus one append (odd ids) — exercising the delta

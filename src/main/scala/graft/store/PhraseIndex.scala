@@ -102,17 +102,21 @@ object PhraseIndex {
         Map(key -> batchId.toString)))
     }.isRight
 
-  /** Exact-phrase matches of a query batch against the indexed corpus:
+  /** Phrase matches of a query batch against the indexed corpus:
     * one row per (query, matching document) —
     * {{{ (query_id, doc_id, phrase_tf) }}}
     * with phrase_tf ≥ 1 the number of occurrences (overlapping
     * occurrences count — "a b a" occurs twice in "a b a b a").
-    * Phrases tokenize under the committed contract; an empty phrase
-    * (whitespace-only) matches nothing. Plan shape in the class
-    * scaladoc; `phrases` is a SMALL batch (the bounded driver action
-    * collects its distinct terms). */
+    * `slop` = 0 (default) is the EXACT phrase; slop s is ordered
+    * proximity — each phrase term within s extra tokens after the
+    * previous match ("new york" slop 1 matches "new in york"), the
+    * [[graft.plans.PhraseTf]] chain contract. Phrases tokenize under
+    * the committed contract; an empty phrase (whitespace-only) matches
+    * nothing. Plan shape in the class scaladoc; `phrases` is a SMALL
+    * batch (the bounded driver action collects its distinct terms). */
   def phraseQuery(store: SnapshotStore, table: String, phrases: DataFrame,
-                  queryIdCol: String, phraseCol: String): DataFrame = {
+                  queryIdCol: String, phraseCol: String,
+                  slop: Int = 0): DataFrame = {
     val v = store.currentVersion(table)
     require(v > 0, s"$table: no committed phrase index")
     val meta = store.metaForVersion(table, v)
@@ -147,7 +151,7 @@ object PhraseIndex {
       .join(broadcast(ks), Seq("query_id"))
       .select(col("query_id"), col("doc_id"),
         graft.plans.TextExpressions
-          .phraseTf(col("members"), col("k")).as("phrase_tf"))
+          .phraseTf(col("members"), col("k"), slop).as("phrase_tf"))
       .filter(col("phrase_tf") >= 1)
   }
 

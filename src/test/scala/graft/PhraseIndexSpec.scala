@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
 import graft.store.{PhraseIndex, SnapshotStore}
 
 /** Positional phrase retrieval: index-backed phrase_tf must equal a JVM
-  * naive count (sliding token-window comparison) on every (query, doc),
-  * across build-vs-append batchings, repeated-term and overlapping
-  * phrases, k=1 degeneration, and exactly-once replay. */
+  * naive count (exhaustive backtracking chain search) on every
+  * (query, doc) at every slop, across build-vs-append batchings,
+  * repeated-term and overlapping phrases, the greedy-matcher trap,
+  * k=1 degeneration, and exactly-once replay. */
 class PhraseIndexSpec extends SparkSpec {
   import spark.implicits._
 
@@ -25,7 +26,11 @@ class PhraseIndexSpec extends SparkSpec {
     } ++ Seq(
       60L -> "a b a b a",     // "a b a" occurs at 0 AND 2 (overlap)
       61L -> "  A  \t B\na ", // case folding + messy whitespace
-      62L -> "")              // empty doc: never matches
+      62L -> "",              // empty doc: never matches
+      // the greedy trap (PhraseTf scaladoc): "pa pb pc" at slop 1 has
+      // ONE occurrence, reachable only through the SECOND pb — a greedy
+      // earliest-successor matcher dies in (5,7] and returns 0
+      63L -> "x0 x1 x2 x3 pa pb pb x7 pc")
   }
 
   private def phrases: Seq[(Long, String)] = Seq(
@@ -35,13 +40,19 @@ class PhraseIndexSpec extends SparkSpec {
     (3L, "a b"),
     (4L, "ee dd c"),
     (5L, "zz a"),     // term absent from the corpus
-    (6L, "   "))      // whitespace-only: matches nothing
+    (6L, "   "),      // whitespace-only: matches nothing
+    (7L, "pa pb pc")) // the greedy-trap phrase (doc 63)
 
   /** Naive truth: tokenize like the library (lowercase, ws-split) and
-    * count sliding-window matches. */
-  private def naive: Set[(Long, Long, Int)] = {
+    * count chain starts by exhaustive backtracking — correct for any
+    * slop, unlike greedy matching. */
+  private def naive(slop: Int): Set[(Long, Long, Int)] = {
     def toks(s: String): Array[String] =
       s.toLowerCase.trim.split("[ \\t\\n\\u000B\\f\\r]+").filter(_.nonEmpty)
+    def chain(t: Array[String], p: Array[String], level: Int, prev: Int): Boolean =
+      level == p.length ||
+        ((prev + 1) to math.min(prev + 1 + slop, t.length - 1)).exists(pos =>
+          t(pos) == p(level) && chain(t, p, level + 1, pos))
     (for {
       (qid, ph) <- phrases
       p = toks(ph)
@@ -50,8 +61,7 @@ class PhraseIndexSpec extends SparkSpec {
       t = toks(text)
       if t.length >= p.length
     } yield {
-      val tf = (0 to t.length - p.length)
-        .count(s => p.indices.forall(i => t(s + i) == p(i)))
+      val tf = t.indices.count(s => t(s) == p(0) && chain(t, p, 1, s))
       (qid, did, tf)
     }).filter(_._3 >= 1).toSet
   }
@@ -60,16 +70,23 @@ class PhraseIndexSpec extends SparkSpec {
     df.select(col("query_id"), col("doc_id"), col("phrase_tf"))
       .as[(Long, Long, Int)].collect().toSet
 
-  test("index phrase_tf equals the naive sliding-window count") {
+  test("index phrase_tf equals the naive backtracking count (slop 0, 1, 2)") {
     val store = new SnapshotStore(
       Files.createTempDirectory("graft-phrase").toString, spark)
     PhraseIndex.build(store, "pos", corpus.toDF("doc_id", "text"),
       "text", "doc_id")
-    val out = got(PhraseIndex.phraseQuery(store, "pos",
-      phrases.toDF("query_id", "phrase"), "query_id", "phrase"))
-    assert(naive.nonEmpty && naive.exists { case (q, d, tf) =>
-      q == 0L && d == 60L && tf == 2 }, s"fixture lost its overlap case: $naive")
-    assert(out == naive)
+    val exact = naive(0)
+    assert(exact.nonEmpty && exact.exists { case (q, d, tf) =>
+      q == 0L && d == 60L && tf == 2 }, s"fixture lost its overlap case: $exact")
+    // the greedy trap is invisible at slop 0 and MUST appear at slop 1
+    assert(!exact.exists { case (q, d, _) => q == 7L && d == 63L })
+    assert(naive(1).exists { case (q, d, tf) => q == 7L && d == 63L && tf == 1 },
+      "fixture lost its greedy-trap case")
+    for (slop <- Seq(0, 1, 2)) {
+      val out = got(PhraseIndex.phraseQuery(store, "pos",
+        phrases.toDF("query_id", "phrase"), "query_id", "phrase", slop = slop))
+      assert(out == naive(slop), s"slop=$slop diverged from naive truth")
+    }
   }
 
   test("multi-batch appends equal the one-shot build; replay skipped") {
@@ -87,12 +104,12 @@ class PhraseIndexSpec extends SparkSpec {
         "s", (nBatches - 1).toLong), "replayed batchId must be skipped")
       val out = got(PhraseIndex.phraseQuery(store, "pos",
         phrases.toDF("query_id", "phrase"), "query_id", "phrase"))
-      assert(out == naive, s"append path diverged at $nBatches batches")
+      assert(out == naive(0), s"append path diverged at $nBatches batches")
       // chain folds to the slim canonical layout and keeps answering
       assert(PhraseIndex.compactIndex(store, "pos"))
       PhraseIndex.vacuumIndex(store, "pos")
       assert(got(PhraseIndex.phraseQuery(store, "pos",
-        phrases.toDF("query_id", "phrase"), "query_id", "phrase")) == naive)
+        phrases.toDF("query_id", "phrase"), "query_id", "phrase")) == naive(0))
     }
   }
 
@@ -109,6 +126,6 @@ class PhraseIndexSpec extends SparkSpec {
     val actions = Graft.maintainAll(store, maxChainLength = 2)
     assert(actions.contains(Graft.MaintenanceAction("pos", "phrase")))
     assert(got(PhraseIndex.phraseQuery(store, "pos",
-      phrases.toDF("query_id", "phrase"), "query_id", "phrase")) == naive)
+      phrases.toDF("query_id", "phrase"), "query_id", "phrase")) == naive(0))
   }
 }
