@@ -343,6 +343,35 @@ class PlanSpec extends SparkSpec {
       s"hyperplane key expressions fell out of codegen:\n$s")
   }
 
+  test("phrase query: pushed term filter, broadcast slots, one group exchange") {
+    // The positional index's query plan must keep its scale shape: the
+    // phrase-term IN filter reaches the parquet scan (term-sorted row
+    // groups prune on it), the (query, slot, term) and per-query-k
+    // frames join as broadcasts, and the only exchange is the
+    // (query, doc) grouping — a sort-merge join or a second exchange
+    // means the corpus started moving for a 3-phrase batch.
+    import org.apache.spark.sql.functions._
+    val store = new graft.store.SnapshotStore(
+      java.nio.file.Files.createTempDirectory("graft-phraseplan").toString, spark)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    graft.store.PhraseIndex.build(store, "pos", docs, "text", "doc_id")
+    val qs = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(graft.functions.TextFunctions.tokens(lower(col("text"))), 1, 3), " ")
+          .as("phrase"))
+    val out = graft.store.PhraseIndex.phraseQuery(store, "pos", qs,
+      "query_id", "phrase")
+    val s = planString(out)
+    assert(s.contains("PushedFilters: [In(term"),
+      s"phrase term filter not pushed to the scan:\n$s")
+    assert(s.contains("BroadcastHashJoin"), s"slot joins not broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"corpus-moving join crept in:\n$s")
+    assert(!s.contains("Window"), s"window crept into the phrase plan:\n$s")
+    assert(countExchanges(out) <= 2,
+      s"phrase query grew extra exchanges:\n$s")
+  }
+
   test("float-exchange candidate stage: two-phase heap agg, no window") {
     // The float path's candidate stage (EmbedIndex.pairsAmongF) must keep
     // the exact plan shape of the double path: BoundedVecMembersF plans
