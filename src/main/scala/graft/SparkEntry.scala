@@ -114,6 +114,7 @@ object SparkEntry {
     "retrieve_phrase"       -> (ExtensionQueries.retrievePhrase _),
     "retrieve_phrase_incr"  -> (ExtensionQueries.retrievePhraseIncr _),
     "retrieve_proximity"    -> (ExtensionQueries.retrieveProximity _),
+    "retrieve_phrase_ranked" -> (ExtensionQueries.retrievePhraseRanked _),
     "retrieve_bm25_champ" -> ((s, d) => ExtensionQueries.retrieveBm25Champ(s, d)),
     "retrieve_bm25_merged" -> ((s, d) => ExtensionQueries.retrieveBm25ChampMerged(s, d)),
     "retrieve_bm25_maxscore" -> ((s, d) => ExtensionQueries.retrieveBm25MaxScore(s, d)),
@@ -616,6 +617,33 @@ object SparkEntry {
     // identical truth against a built+appended index chain.
     "retrieve_phrase" -> PhraseSql,
     "retrieve_phrase_incr" -> PhraseSql,
+    // BM25-ranked phrase retrieval: the phrase scored as ONE term
+    // (ptf = trigram count, df = matching-doc count per query, corpus
+    // stats over all docs) — rank projection; same engine-stability
+    // argument as Bm25RankSql (identical arithmetic shape, integer
+    // tie-break by doc_id).
+    "retrieve_phrase_ranked" ->
+      ("WITH d AS (SELECT doc_id, CASE WHEN length(regexp_replace(lower(text), " +
+        "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
+        "ELSE string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+        "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM documents), " +
+        "stats AS (SELECT count(*)::DOUBLE AS n, avg(len(tk))::DOUBLE AS avgdl FROM d), " +
+        "g AS (SELECT doc_id, len(tk) AS dl, CASE WHEN len(tk) < 3 THEN []::VARCHAR[] " +
+        "ELSE list_transform(range(1, len(tk) - 1), " +
+        "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS gr FROM d), " +
+        "q AS (SELECT doc_id AS query_id, array_to_string(tk[1:3], ' ') AS ph " +
+        "FROM d WHERE doc_id IN (0, 10, 42) AND len(tk) >= 3), " +
+        "mh AS (SELECT * FROM (SELECT q.query_id, g.doc_id, " +
+        "len(list_filter(g.gr, x -> x = q.ph)) AS ptf, g.dl " +
+        "FROM q CROSS JOIN g) WHERE ptf >= 1), " +
+        "dfq AS (SELECT query_id, count(*)::DOUBLE AS df FROM mh GROUP BY query_id), " +
+        "scored AS (SELECT h.query_id, h.doc_id, " +
+        "ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5)) * h.ptf * 2.2 / " +
+        "(h.ptf + (h.dl * (0.75 / s.avgdl) + 0.25) * 1.2) AS score " +
+        "FROM mh h CROSS JOIN stats s JOIN dfq f ON h.query_id = f.query_id), " +
+        "ranked AS (SELECT query_id, doc_id, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM scored) " +
+        "SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 10"),
     // Ordered proximity (slop 2, 2-term): count positions of term A
     // with a B-position in (p, p+3] — nested position-list lambdas.
     "retrieve_proximity" ->

@@ -964,6 +964,25 @@ object ExtensionQueries {
   def retrievePhraseIncr(s: SparkSession, d: String): DataFrame =
     phraseFixture(s, d, incremental = true)
 
+  /** BM25-RANKED phrase retrieval: the phrase-filter fixture's matches
+    * scored as a single term (PhraseIndex.phraseQueryRanked) — rank
+    * projection against the DuckDB recompute, the Bm25RankSql
+    * engine-stability argument. */
+  def retrievePhraseRanked(s: SparkSession, d: String): DataFrame = {
+    val ds = docs(s, d).select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-phraserk").toString
+    val store = new SnapshotStore(root, s)
+    PhraseIndex.build(store, "docs_pos", ds, "text", "doc_id")
+    val tk = TF.tokens(lower(col("text")))
+    val qs = ds.filter(col("doc_id").isin(0L, 10L, 42L))
+      .filter(size(tk) >= 3)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(tk, 1, 3), " ").as("phrase"))
+    PhraseIndex.phraseQueryRanked(store, "docs_pos", qs, "query_id", "phrase",
+        k = 10)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+  }
+
   /** ORDERED-PROXIMITY retrieval (sloppy phrase, slop 2): the query is
     * tokens 1 and 3 of docs 0/10/42 — a gapped pair whose source doc
     * only matches because the slop window spans the skipped token.

@@ -50,25 +50,47 @@ object PhraseIndex {
 
   private val P = "phrase." // metadata key prefix
   private val Tokenizer = "ws-lower-v1" // TextIndex's contract tag
-  private val chain = new DeltaChain(s"${P}parts", Seq("term", "doc_id", "posns"))
+  private val chain = new DeltaChain(s"${P}parts",
+    Seq("term", "doc_id", "posns", "dl"))
 
   /** Positional rows of a document frame: term → sorted 0-based token
-    * positions, one row per (term, doc). */
+    * positions, one row per (term, doc), with the document length
+    * (total token count — constant per doc, carried per row exactly
+    * like TextIndex's postings) so ranked queries score without a
+    * corpus join. */
   private def encode(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        posexplode(TextFunctions.tokens(lower(col(textCol)))).as(Seq("pos", "term")))
+        TextFunctions.tokens(lower(col(textCol))).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        posexplode(col("toks")).as(Seq("pos", "term")))
       .groupBy(col("term"), col("doc_id"))
-      .agg(sort_array(collect_list(col("pos"))).as("posns"))
+      .agg(sort_array(collect_list(col("pos"))).as("posns"),
+        max(col("dl")).as("dl"))
+
+  /** (nDocs, sumDl) of a document frame — ONE aggregate action, the
+    * TextIndex stats recipe (avgdl's exact numerator rides in the
+    * metadata and ACCUMULATES across appends). */
+  private def statsOf(docs: DataFrame, textCol: String): (Long, Long) = {
+    val r = docs.select(
+        TextFunctions.tokenCount(lower(col(textCol))).as("dl"))
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
 
   /** Encode `docs` and commit as a fresh full snapshot (or a
     * chain-resetting rebuild); `docs.limit(0)` for an empty init. */
   def build(store: SnapshotStore, table: String, docs: DataFrame,
-            textCol: String, idCol: String): Long =
+            textCol: String, idCol: String): Long = {
+    val (nDocs, sumDl) = statsOf(docs, textCol)
     store.commit(table, encode(docs, textCol, idCol),
       sortKey = Some("term"),
       meta = Map(
         s"${P}tokenizer" -> Tokenizer,
+        s"${P}nDocs" -> nDocs.toString,
+        s"${P}sumDl" -> sumDl.toString,
         s"${P}parts" -> ""))
+  }
 
   /** The live index contents (delta-chain union) as of the current
     * version. */
@@ -97,9 +119,14 @@ object PhraseIndex {
             s"'$Tokenizer' — rebuild the index")
       val key = s"stream.$streamId.lastBatchId"
       if (batchId <= meta.get(key).map(_.toLong).getOrElse(-1L)) Left(())
-      else Right(chain.next(store, table, v, meta,
-        encode(docs, textCol, idCol), compactEvery,
-        Map(key -> batchId.toString)))
+      else {
+        val (bDocs, bDl) = statsOf(docs, textCol)
+        Right(chain.next(store, table, v, meta,
+          encode(docs, textCol, idCol), compactEvery,
+          Map(key -> batchId.toString,
+            s"${P}nDocs" -> (meta.getOrElse(s"${P}nDocs", "0").toLong + bDocs).toString,
+            s"${P}sumDl" -> (meta.getOrElse(s"${P}sumDl", "0").toLong + bDl).toString)))
+      }
     }.isRight
 
   /** Phrase matches of a query batch against the indexed corpus:
@@ -147,12 +174,60 @@ object PhraseIndex {
       .join(broadcast(slots), Seq("term"))
     rows
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(collect_list(struct(col("idx"), col("posns"))).as("members"))
+      .agg(collect_list(struct(col("idx"), col("posns"))).as("members"),
+        max(col("dl")).as("dl"))
       .join(broadcast(ks), Seq("query_id"))
       .select(col("query_id"), col("doc_id"),
         graft.plans.TextExpressions
-          .phraseTf(col("members"), col("k"), slop).as("phrase_tf"))
+          .phraseTf(col("members"), col("k"), slop).as("phrase_tf"),
+        col("dl"))
       .filter(col("phrase_tf") >= 1)
+  }
+
+  /** BM25-RANKED phrase retrieval (Lucene's sloppy-phrase scoring
+    * shape): every [[phraseQuery]] match scored as if the phrase were a
+    * single term —
+    * {{{ idf(df_phrase) · ptf·(k1+1) / (ptf + k1·(1−b + b·dl/avgdl)) }}}
+    * with ptf the phrase occurrence count, df_phrase the number of
+    * matching documents (exact, counted from the match set), and
+    * (nDocs, avgdl) the committed corpus stats that accumulate across
+    * appends. The arithmetic mirrors
+    * [[graft.functions.Retrieval]]'s BM25 contribution term-for-term,
+    * so the rank projection carries an engine-stable DuckDB oracle
+    * (`retrieve_phrase_ranked`) by the same double-precision argument.
+    * Per-query ranking is the shared bounded top-k heap — no window —
+    * and everything after the match set is match-set-sized. Returns
+    * (query_id, doc_id, score, rank), rank 1..k, score rounded for
+    * display (compare RANKS across engines, not raw doubles). */
+  def phraseQueryRanked(store: SnapshotStore, table: String,
+                        phrases: DataFrame, queryIdCol: String,
+                        phraseCol: String, k: Int = 10, slop: Int = 0,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val v = store.currentVersion(table)
+    require(v > 0, s"$table: no committed phrase index")
+    val meta = store.metaForVersion(table, v)
+    val nDocs = meta.getOrElse(s"${P}nDocs", "0").toLong
+    val avgdl =
+      if (nDocs > 0) meta.getOrElse(s"${P}sumDl", "0").toDouble / nDocs
+      else 1.0 // empty index: no matches exist, the value is never used
+    val m = phraseQuery(store, table, phrases, queryIdCol, phraseCol, slop)
+    val dfPerQuery = m.groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    m.join(broadcast(dfPerQuery), Seq("query_id"))
+      .withColumn("idf", log(lit(1.0) +
+        (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("score",
+        col("idf") * col("phrase_tf").cast("double") * (k1 + 1) /
+          (col("phrase_tf").cast("double") +
+            (col("dl") * (b / avgdl) + (1 - b)) * k1))
+      .groupBy(col("query_id"))
+      .agg(graft.plans.TopKAggregate
+        .boundedTopK(col("doc_id"), col("score"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"),
+        col("col.neighbor_id").as("doc_id"),
+        round(col("col.score"), 6).as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** On-demand chain fold (maintenance; appends also self-fold every

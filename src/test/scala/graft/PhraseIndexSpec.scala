@@ -113,6 +113,36 @@ class PhraseIndexSpec extends SparkSpec {
     }
   }
 
+  test("ranked phrase retrieval matches a JVM BM25 recompute (ties by id)") {
+    val store = new SnapshotStore(
+      Files.createTempDirectory("graft-phrase-rank").toString, spark)
+    PhraseIndex.build(store, "pos", corpus.toDF("doc_id", "text"),
+      "text", "doc_id")
+    def toks(s: String): Array[String] =
+      s.toLowerCase.trim.split("[ \\t\\n\\u000B\\f\\r]+").filter(_.nonEmpty)
+    val n = corpus.size.toLong
+    val avgdl = corpus.map(c => toks(c._2).length.toLong).sum.toDouble / n
+    val want: Map[Long, Seq[Long]] = naive(0)
+      .groupBy(_._1).map { case (qid, rows) =>
+        val df = rows.size.toDouble
+        val idf = math.log(1.0 + (n.toDouble - df + 0.5) / (df + 0.5))
+        val dlOf = corpus.map(c => c._1 -> toks(c._2).length).toMap
+        qid -> rows.toSeq.map { case (_, did, tf) =>
+          val score = idf * tf * 2.2 /
+            (tf + (dlOf(did) * (0.75 / avgdl) + 0.25) * 1.2)
+          (did, score)
+        }.sortBy { case (did, s) => (-s, did) }.take(5).map(_._1)
+      }
+    assert(want.values.exists(_.size >= 2), "fixture needs multi-match queries")
+    val got = PhraseIndex.phraseQueryRanked(store, "pos",
+        phrases.toDF("query_id", "phrase"), "query_id", "phrase", k = 5)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (q, rs) =>
+        q -> rs.sortBy(_._3).map(_._2).toSeq }
+    assert(got == want, s"ranked output diverged:\ngot  $got\nwant $want")
+  }
+
   test("maintainAll folds an over-length phrase chain via its marker") {
     val store = new SnapshotStore(
       Files.createTempDirectory("graft-phrase-maint").toString, spark)
