@@ -918,6 +918,12 @@ object ScaleBench {
         graft.store.PhraseIndex.phraseQuery(store, "docs_pos",
           qs, "query_id", "phrase").count()
       },
+      timed("phrase_query_ranked") {
+        val qs = shortQueries(docs).select(col("query_id"),
+          col("qtext").as("phrase"))
+        graft.store.PhraseIndex.phraseQueryRanked(store, "docs_pos",
+          qs, "query_id", "phrase", k = 10).count()
+      },
       // ...and a query batch then reads ONLY its own terms' postings
       // rows (term-sorted row groups + pushed IN filter): the floor of
       // serving retrieval from a maintained index vs re-tokenizing 5M
