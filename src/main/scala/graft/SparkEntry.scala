@@ -115,6 +115,7 @@ object SparkEntry {
     "retrieve_phrase_incr"  -> (ExtensionQueries.retrievePhraseIncr _),
     "retrieve_proximity"    -> (ExtensionQueries.retrieveProximity _),
     "retrieve_phrase_ranked" -> (ExtensionQueries.retrievePhraseRanked _),
+    "retrieve_phrase_scan"   -> (ExtensionQueries.retrievePhraseScan _),
     "retrieve_bm25_champ" -> ((s, d) => ExtensionQueries.retrieveBm25Champ(s, d)),
     "retrieve_bm25_merged" -> ((s, d) => ExtensionQueries.retrieveBm25ChampMerged(s, d)),
     "retrieve_bm25_maxscore" -> ((s, d) => ExtensionQueries.retrieveBm25MaxScore(s, d)),
@@ -617,6 +618,7 @@ object SparkEntry {
     // identical truth against a built+appended index chain.
     "retrieve_phrase" -> PhraseSql,
     "retrieve_phrase_incr" -> PhraseSql,
+    "retrieve_phrase_scan" -> PhraseSql,
     // BM25-ranked phrase retrieval: the phrase scored as ONE term
     // (ptf = trigram count, df = matching-doc count per query, corpus
     // stats over all docs) — rank projection; same engine-stability

@@ -934,6 +934,22 @@ object ExtensionQueries {
     * trigram-list count over the same tokenization. `incremental` runs
     * the corpus through build(<250) + append(≥250) against the SAME
     * truth, pinning the delta chain externally. */
+  /** The shared phrase-query batch of every phrase fixture: the first
+    * THREE tokens of docs 0/10/42. The ≥3-token guard keeps the
+    * fixtures honest with the trigram oracles: a shorter doc would
+    * yield a 1-2-token phrase the index matches positionally but the
+    * trigram SQL cannot see — both sides apply the same guard (the
+    * oracles' `len(tk) >= 3`), so a short doc drops its QUERY, not
+    * truth. ONE derivation for all four fixtures, kept in lockstep
+    * with the SQL `q` CTEs. */
+  private def phraseQueryBatch(ds: DataFrame): DataFrame = {
+    val tk = TF.tokens(lower(col("text")))
+    ds.filter(col("doc_id").isin(0L, 10L, 42L))
+      .filter(size(tk) >= 3)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(tk, 1, 3), " ").as("phrase"))
+  }
+
   private def phraseFixture(s: SparkSession, d: String,
                             incremental: Boolean): DataFrame = {
     val ds = docs(s, d).select(col("doc_id"), col("text"))
@@ -945,15 +961,8 @@ object ExtensionQueries {
       PhraseIndex.appendBatchOnce(store, "docs_pos",
         ds.filter(col("doc_id") >= 250), "text", "doc_id", "verify", 0L)
     } else PhraseIndex.build(store, "docs_pos", ds, "text", "doc_id")
-    // the ≥3-token guard keeps the fixture honest with the trigram
-    // oracle: a shorter doc would yield a 1-2-token phrase the index
-    // matches positionally but the trigram SQL cannot see (both sides
-    // apply the same guard, so a short doc drops its QUERY, not truth)
-    val qs = ds.filter(col("doc_id").isin(0L, 10L, 42L))
-      .filter(size(TF.tokens(lower(col("text")))) >= 3)
-      .select(col("doc_id").as("query_id"),
-        array_join(slice(TF.tokens(lower(col("text"))), 1, 3), " ").as("phrase"))
-    PhraseIndex.phraseQuery(store, "docs_pos", qs, "query_id", "phrase")
+    PhraseIndex.phraseQuery(store, "docs_pos", phraseQueryBatch(ds),
+        "query_id", "phrase")
       .select(col("query_id"), col("doc_id"),
         col("phrase_tf").cast("long").as("phrase_tf"))
   }
@@ -964,6 +973,17 @@ object ExtensionQueries {
   def retrievePhraseIncr(s: SparkSession, d: String): DataFrame =
     phraseFixture(s, d, incremental = true)
 
+  /** The SCAN path (no index) of the same phrase fixture — the
+    * retrieve_bm25-vs-indexed convention, pinned to the identical
+    * trigram truth. */
+  def retrievePhraseScan(s: SparkSession, d: String): DataFrame = {
+    val ds = docs(s, d).select(col("doc_id"), col("text"))
+    PhraseIndex.phraseScan(ds, "text", "doc_id", phraseQueryBatch(ds),
+        "query_id", "phrase")
+      .select(col("query_id"), col("doc_id"),
+        col("phrase_tf").cast("long").as("phrase_tf"))
+  }
+
   /** BM25-RANKED phrase retrieval: the phrase-filter fixture's matches
     * scored as a single term (PhraseIndex.phraseQueryRanked) — rank
     * projection against the DuckDB recompute, the Bm25RankSql
@@ -973,13 +993,8 @@ object ExtensionQueries {
     val root = java.nio.file.Files.createTempDirectory("graft-phraserk").toString
     val store = new SnapshotStore(root, s)
     PhraseIndex.build(store, "docs_pos", ds, "text", "doc_id")
-    val tk = TF.tokens(lower(col("text")))
-    val qs = ds.filter(col("doc_id").isin(0L, 10L, 42L))
-      .filter(size(tk) >= 3)
-      .select(col("doc_id").as("query_id"),
-        array_join(slice(tk, 1, 3), " ").as("phrase"))
-    PhraseIndex.phraseQueryRanked(store, "docs_pos", qs, "query_id", "phrase",
-        k = 10)
+    PhraseIndex.phraseQueryRanked(store, "docs_pos", phraseQueryBatch(ds),
+        "query_id", "phrase", k = 10)
       .select(col("query_id"), col("doc_id"), col("rank"))
   }
 

@@ -50,29 +50,58 @@ object PhraseIndex {
 
   private val P = "phrase." // metadata key prefix
   private val Tokenizer = "ws-lower-v1" // TextIndex's contract tag
+  /** Row-layout tag: positions + per-row dl + corpus stats in metadata.
+    * A table missing it predates the ranked-retrieval layout and must
+    * be rebuilt — the guard turns what would be an opaque
+    * unresolved-column failure (or a NaN idf from absent stats) into
+    * the same "rebuild the index" contract the tokenizer check gives. */
+  private val Layout = "pos-dl-v1"
   private val chain = new DeltaChain(s"${P}parts",
     Seq("term", "doc_id", "posns", "dl"))
 
-  /** Positional rows of a document frame: term → sorted 0-based token
+  private def requireCompatible(meta: Map[String, String], table: String): Unit = {
+    val tok = meta.getOrElse(s"${P}tokenizer", "unknown")
+    if (tok != Tokenizer)
+      throw new IllegalStateException(
+        s"$table was tokenized with scheme '$tok', this library uses " +
+          s"'$Tokenizer' — rebuild the index (PhraseIndex.build)")
+    val lay = meta.getOrElse(s"${P}layout", "pre-dl")
+    if (lay != Layout)
+      throw new IllegalStateException(
+        s"$table carries row layout '$lay', this library reads/writes " +
+          s"'$Layout' — rebuild the index (PhraseIndex.build)")
+  }
+
+  /** The tokenized frame both the stats action and the positional
+    * encode read — persist it (read 2×), the TextIndex.build recipe. */
+  private def tokenized(docs: DataFrame, textCol: String,
+                        idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(lower(col(textCol))).as("toks"))
+
+  /** Positional rows of a tokenized frame: term → sorted 0-based token
     * positions, one row per (term, doc), with the document length
     * (total token count — constant per doc, carried per row exactly
     * like TextIndex's postings) so ranked queries score without a
-    * corpus join. */
-  private def encode(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        TextFunctions.tokens(lower(col(textCol))).as("toks"))
+    * corpus join. `preGroupFilter` lets the scan path drop non-query
+    * terms BEFORE the group — one pipeline for both paths, so they
+    * cannot drift apart. */
+  private def posRowsOf(tok: DataFrame,
+                        preGroupFilter: Option[Column] = None): DataFrame = {
+    val exploded = tok
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         posexplode(col("toks")).as(Seq("pos", "term")))
+    preGroupFilter.fold(exploded)(exploded.filter)
       .groupBy(col("term"), col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("posns"),
         max(col("dl")).as("dl"))
+  }
 
-  /** (nDocs, sumDl) of a document frame — ONE aggregate action, the
+  /** (nDocs, sumDl) of a tokenized frame — ONE aggregate action, the
     * TextIndex stats recipe (avgdl's exact numerator rides in the
     * metadata and ACCUMULATES across appends). */
-  private def statsOf(docs: DataFrame, textCol: String): (Long, Long) = {
-    val r = docs.select(
-        TextFunctions.tokenCount(lower(col(textCol))).as("dl"))
+  private def statsOf(tok: DataFrame): (Long, Long) = {
+    val r = tok.select(size(col("toks")).cast("long").as("dl"))
       .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
       .head()
     (r.getLong(0), r.getLong(1))
@@ -82,14 +111,19 @@ object PhraseIndex {
     * chain-resetting rebuild); `docs.limit(0)` for an empty init. */
   def build(store: SnapshotStore, table: String, docs: DataFrame,
             textCol: String, idCol: String): Long = {
-    val (nDocs, sumDl) = statsOf(docs, textCol)
-    store.commit(table, encode(docs, textCol, idCol),
-      sortKey = Some("term"),
-      meta = Map(
-        s"${P}tokenizer" -> Tokenizer,
-        s"${P}nDocs" -> nDocs.toString,
-        s"${P}sumDl" -> sumDl.toString,
-        s"${P}parts" -> ""))
+    val tok = tokenized(docs, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (nDocs, sumDl) = statsOf(tok)
+      store.commit(table, posRowsOf(tok),
+        sortKey = Some("term"),
+        meta = Map(
+          s"${P}tokenizer" -> Tokenizer,
+          s"${P}layout" -> Layout,
+          s"${P}nDocs" -> nDocs.toString,
+          s"${P}sumDl" -> sumDl.toString,
+          s"${P}parts" -> ""))
+    } finally tok.unpersist(blocking = false)
   }
 
   /** The live index contents (delta-chain union) as of the current
@@ -112,31 +146,53 @@ object PhraseIndex {
           s"$table: build the phrase index before appending " +
             "(PhraseIndex.build; docs.limit(0) for an empty init)")
       val meta = store.metaForVersion(table, v)
-      val found = meta.getOrElse(s"${P}tokenizer", "unknown")
-      if (found != Tokenizer)
-        throw new IllegalStateException(
-          s"$table was tokenized with scheme '$found', this library writes " +
-            s"'$Tokenizer' — rebuild the index")
+      requireCompatible(meta, table)
       val key = s"stream.$streamId.lastBatchId"
       if (batchId <= meta.get(key).map(_.toLong).getOrElse(-1L)) Left(())
       else {
-        val (bDocs, bDl) = statsOf(docs, textCol)
-        Right(chain.next(store, table, v, meta,
-          encode(docs, textCol, idCol), compactEvery,
-          Map(key -> batchId.toString,
-            s"${P}nDocs" -> (meta.getOrElse(s"${P}nDocs", "0").toLong + bDocs).toString,
-            s"${P}sumDl" -> (meta.getOrElse(s"${P}sumDl", "0").toLong + bDl).toString)))
+        val tok = tokenized(docs, textCol, idCol)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val (bDocs, bDl) = statsOf(tok)
+          Right(chain.next(store, table, v, meta,
+            posRowsOf(tok), compactEvery,
+            Map(key -> batchId.toString,
+              s"${P}nDocs" -> (meta.getOrElse(s"${P}nDocs", "0").toLong + bDocs).toString,
+              s"${P}sumDl" -> (meta.getOrElse(s"${P}sumDl", "0").toLong + bDl).toString)))
+        } finally tok.unpersist(blocking = false)
       }
     }.isRight
 
+  /** Keep the index current from a stream of document rows — the
+    * index family's maintainFromStream contract verbatim: file inbox →
+    * foreachBatch → [[appendBatchOnce]] under the exactly-once
+    * (streamId, batchId) watermark, so a replayed micro-batch is a
+    * no-op. */
+  def maintainFromStream(store: SnapshotStore, table: String,
+                         stream: DataFrame, textCol: String, idCol: String,
+                         checkpointDir: String,
+                         streamId: String = "phrase-inbox")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          appendBatchOnce(store, table, batch, textCol, idCol,
+            streamId, batchId)
+          ()
+        }
+      }
+      .start()
+
   /** Phrase matches of a query batch against the indexed corpus:
     * one row per (query, matching document) —
-    * {{{ (query_id, doc_id, phrase_tf) }}}
+    * {{{ (query_id, doc_id, phrase_tf, dl) }}}
     * with phrase_tf ≥ 1 the number of occurrences (overlapping
-    * occurrences count — "a b a" occurs twice in "a b a b a").
-    * `slop` = 0 (default) is the EXACT phrase; slop s is ordered
-    * proximity — each phrase term within s extra tokens after the
-    * previous match ("new york" slop 1 matches "new in york"), the
+    * occurrences count — "a b a" occurs twice in "a b a b a") and dl
+    * the matched document's token count (what [[phraseQueryRanked]]
+    * scores with). `slop` = 0 (default) is the EXACT phrase; slop s is
+    * ordered proximity — each phrase term within s extra tokens after
+    * the previous match ("new york" slop 1 matches "new in york"), the
     * [[graft.plans.PhraseTf]] chain contract. Phrases tokenize under
     * the committed contract; an empty phrase (whitespace-only) matches
     * nothing. Plan shape in the class scaladoc; `phrases` is a SMALL
@@ -146,33 +202,59 @@ object PhraseIndex {
                   slop: Int = 0): DataFrame = {
     val v = store.currentVersion(table)
     require(v > 0, s"$table: no committed phrase index")
-    val meta = store.metaForVersion(table, v)
-    val found = meta.getOrElse(s"${P}tokenizer", "unknown")
-    require(found == Tokenizer,
-      s"$table carries tokenizer '$found', queries use '$Tokenizer'")
-    // (query, slot, term) rows — one per phrase token, slot = position
-    // IN THE PHRASE; duplicate phrase terms keep distinct slots, which
-    // is what makes repeated-term phrases verify correctly
+    requireCompatible(store.metaForVersion(table, v), table)
+    val (slots, termFilter) = slotsOf(phrases, queryIdCol, phraseCol)
+    matchTail(load(store, table).filter(termFilter), slots, slop)
+  }
+
+  /** One-shot phrase/proximity matching WITHOUT an index — the
+    * scan-path twin of [[phraseQuery]] (the retrieve_bm25 vs
+    * bm25_index convention): positional rows are derived from `docs`
+    * per invocation through the SAME [[posRowsOf]] pipeline the index
+    * build uses, with the query-term filter applied between the
+    * position explode and the (term, doc) group so only the phrases'
+    * terms ever aggregate. Same output, same truth
+    * (`retrieve_phrase_scan` carries the identical DuckDB oracle);
+    * use the index when the corpus outlives the query batch. */
+  def phraseScan(docs: DataFrame, textCol: String, idCol: String,
+                 phrases: DataFrame, queryIdCol: String, phraseCol: String,
+                 slop: Int = 0): DataFrame = {
+    val (slots, termFilter) = slotsOf(phrases, queryIdCol, phraseCol)
+    matchTail(posRowsOf(tokenized(docs, textCol, idCol), Some(termFilter)),
+      slots, slop)
+  }
+
+  /** (query, slot, term) rows — one per phrase token, slot = position
+    * IN THE PHRASE (duplicate phrase terms keep distinct slots, which
+    * is what makes repeated-term phrases verify correctly) — plus the
+    * term filter for the positional source. The term collect is the
+    * ONE bounded driver action (small-query-batch contract shared with
+    * TextIndex.queryMaxScore); an all-whitespace batch has no terms,
+    * and lit(false) keeps the NORMAL plan (and so the caller-derived
+    * column types) instead of a hand-built empty frame whose schema
+    * could diverge from it. */
+  private def slotsOf(phrases: DataFrame, queryIdCol: String,
+                      phraseCol: String): (DataFrame, Column) = {
     val slots = phrases.select(col(queryIdCol).as("query_id"),
         posexplode(TextFunctions.tokens(lower(col(phraseCol))))
           .as(Seq("idx", "term")))
       .select(col("query_id"), col("idx").cast("int").as("idx"), col("term"))
-    val ks = slots.groupBy(col("query_id"))
-      .agg(count(lit(1)).cast("int").as("k"))
-    // the ONE bounded driver action: the query batch's distinct terms,
-    // pushed into the term-sorted scan as an isin filter (row-group
-    // pruning); small-batch contract as TextIndex.queryMaxScore
     val terms = slots.select(col("term")).distinct()
       .collect().map(_.getString(0)).toIndexedSeq
-    // an all-whitespace batch has no terms: lit(false) keeps the NORMAL
-    // plan (and so the caller-derived column types) instead of a
-    // hand-built empty frame whose schema could diverge from it
     val termFilter =
       if (terms.isEmpty) lit(false) else col("term").isin(terms: _*)
-    val rows = load(store, table)
-      .filter(termFilter)
+    (slots, termFilter)
+  }
+
+  /** The shared match pipeline over positional (term, doc_id, posns,
+    * dl) rows: broadcast the slots in, group per (query, doc), verify
+    * the position chain in-expression. */
+  private def matchTail(posRows: DataFrame, slots: DataFrame,
+                        slop: Int): DataFrame = {
+    val ks = slots.groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("int").as("k"))
+    posRows
       .join(broadcast(slots), Seq("term"))
-    rows
       .groupBy(col("query_id"), col("doc_id"))
       .agg(collect_list(struct(col("idx"), col("posns"))).as("members"),
         max(col("dl")).as("dl"))
@@ -196,9 +278,12 @@ object PhraseIndex {
     * so the rank projection carries an engine-stable DuckDB oracle
     * (`retrieve_phrase_ranked`) by the same double-precision argument.
     * Per-query ranking is the shared bounded top-k heap — no window —
-    * and everything after the match set is match-set-sized. Returns
-    * (query_id, doc_id, score, rank), rank 1..k, score rounded for
-    * display (compare RANKS across engines, not raw doubles). */
+    * and everything after the match set is match-set-sized. The match
+    * set is read twice (the df aggregate and the scoring join), so it
+    * is persisted and the result materialized EAGERLY — the returned
+    * (query_id, doc_id, score, rank) frame (rank 1..k, score rounded
+    * for display; compare RANKS across engines, not raw doubles) is
+    * persisted: unpersist when done, the index family convention. */
   def phraseQueryRanked(store: SnapshotStore, table: String,
                         phrases: DataFrame, queryIdCol: String,
                         phraseCol: String, k: Int = 10, slop: Int = 0,
@@ -206,14 +291,16 @@ object PhraseIndex {
     val v = store.currentVersion(table)
     require(v > 0, s"$table: no committed phrase index")
     val meta = store.metaForVersion(table, v)
+    requireCompatible(meta, table)
     val nDocs = meta.getOrElse(s"${P}nDocs", "0").toLong
     val avgdl =
       if (nDocs > 0) meta.getOrElse(s"${P}sumDl", "0").toDouble / nDocs
       else 1.0 // empty index: no matches exist, the value is never used
     val m = phraseQuery(store, table, phrases, queryIdCol, phraseCol, slop)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfPerQuery = m.groupBy(col("query_id"))
       .agg(count(lit(1)).cast("double").as("df"))
-    m.join(broadcast(dfPerQuery), Seq("query_id"))
+    val out = m.join(broadcast(dfPerQuery), Seq("query_id"))
       .withColumn("idf", log(lit(1.0) +
         (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("score",
@@ -228,6 +315,10 @@ object PhraseIndex {
         col("col.neighbor_id").as("doc_id"),
         round(col("col.score"), 6).as("score"),
         (col("pos") + 1).cast("int").as("rank"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    m.unpersist(blocking = false)
+    out
   }
 
   /** On-demand chain fold (maintenance; appends also self-fold every

@@ -143,6 +143,55 @@ class PhraseIndexSpec extends SparkSpec {
     assert(got == want, s"ranked output diverged:\ngot  $got\nwant $want")
   }
 
+  test("scan path (no index) equals the indexed path at every slop") {
+    val store = new SnapshotStore(
+      Files.createTempDirectory("graft-phrase-scan").toString, spark)
+    val df = corpus.toDF("doc_id", "text")
+    PhraseIndex.build(store, "pos", df, "text", "doc_id")
+    for (slop <- Seq(0, 1)) {
+      val scan = got(PhraseIndex.phraseScan(df, "text", "doc_id",
+        phrases.toDF("query_id", "phrase"), "query_id", "phrase", slop))
+      assert(scan == naive(slop), s"scan path diverged at slop=$slop")
+      assert(scan == got(PhraseIndex.phraseQuery(store, "pos",
+        phrases.toDF("query_id", "phrase"), "query_id", "phrase", slop)),
+        s"scan and indexed paths diverged at slop=$slop")
+    }
+  }
+
+  test("streaming maintenance: micro-batches land exactly once") {
+    val inbox = Files.createTempDirectory("graft-phrase-inbox").toString
+    val df = corpus.toDF("doc_id", "text")
+    (0 until 3).foreach { i =>
+      df.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.parquet(s"$inbox/b$i.parquet")
+    }
+    val store = new SnapshotStore(
+      Files.createTempDirectory("graft-phrase-stream").toString, spark)
+    PhraseIndex.build(store, "pos", df.limit(0), "text", "doc_id")
+    val stream = spark.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$inbox/*.parquet")
+    val q = PhraseIndex.maintainFromStream(store, "pos", stream,
+      "text", "doc_id", s"$inbox-ckpt")
+    q.processAllAvailable()
+    q.stop()
+    assert(got(PhraseIndex.phraseQuery(store, "pos",
+      phrases.toDF("query_id", "phrase"), "query_id", "phrase")) == naive(0))
+    // the stats accumulated across micro-batches must reproduce a
+    // one-shot build's RANKED output exactly (scores depend on
+    // nDocs/sumDl, so a drifted accumulator would reorder or rescore)
+    val oneShot = new SnapshotStore(
+      Files.createTempDirectory("graft-phrase-oneshot").toString, spark)
+    PhraseIndex.build(oneShot, "pos", df, "text", "doc_id")
+    def ranked(s: SnapshotStore): Set[(Long, Long, Double, Int)] =
+      PhraseIndex.phraseQueryRanked(s, "pos",
+          phrases.toDF("query_id", "phrase"), "query_id", "phrase", k = 5)
+        .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val streamed = ranked(store)
+    assert(streamed.nonEmpty && streamed == ranked(oneShot),
+      "streamed stats must reproduce the one-shot ranked output")
+  }
+
   test("maintainAll folds an over-length phrase chain via its marker") {
     val store = new SnapshotStore(
       Files.createTempDirectory("graft-phrase-maint").toString, spark)
