@@ -455,14 +455,14 @@ final class VecMemberHeap[P >: Null <: AnyRef](val k: Int)(
 /** Element codec for [[VecMemberHeap]] serialization — the payload's
   * width and element reads/writes; the member framing (size, id, flag,
   * length) lives once in [[VecMemberHeap.write]]/[[VecMemberHeap.read]]. */
-private[plans] sealed trait VecPayloadCodec[P] extends Serializable {
+private[graft] sealed trait VecPayloadCodec[P] extends Serializable {
   def elemBytes: Int
   def length(p: P): Int
   def putElems(bb: ByteBuffer, p: P): Unit
   def readElems(bb: ByteBuffer, len: Int): P
 }
 
-private[plans] object DoubleVecCodec extends VecPayloadCodec[Array[Double]] {
+private[graft] object DoubleVecCodec extends VecPayloadCodec[Array[Double]] {
   val elemBytes = 8
   def length(p: Array[Double]): Int = p.length
   def putElems(bb: ByteBuffer, p: Array[Double]): Unit = {
@@ -475,7 +475,7 @@ private[plans] object DoubleVecCodec extends VecPayloadCodec[Array[Double]] {
   }
 }
 
-private[plans] object FloatVecCodec extends VecPayloadCodec[Array[Float]] {
+private[graft] object FloatVecCodec extends VecPayloadCodec[Array[Float]] {
   val elemBytes = 4
   def length(p: Array[Float]): Int = p.length
   def putElems(bb: ByteBuffer, p: Array[Float]): Unit = {
@@ -488,7 +488,7 @@ private[plans] object FloatVecCodec extends VecPayloadCodec[Array[Float]] {
   }
 }
 
-private[plans] object VecMemberHeap {
+private[graft] object VecMemberHeap {
   /** Shared member framing: size, then per member (id:8, flag:1,
     * len:4, elems). */
   def write[P >: Null <: AnyRef](h: VecMemberHeap[P],
