@@ -26,6 +26,28 @@ import graft.functions.ExprUtils.let
   */
 object Dedup {
 
+  /** Total-order id inversion for the keep-best argmax tie-breaks:
+    * bitwise NOT is a monotone DECREASING bijection on longs
+    * (a < b ⇔ ~a > ~b) with no overflow case, so
+    * max(struct(score, ~id)) tie-breaks id-ASCENDING for EVERY long —
+    * the previous `0L - id` encoding overflowed at Long.MinValue and a
+    * non-integral id column coerced to null, silently degrading the
+    * tie-break to nondeterminism (r15 ADVICE). Ids must be integral;
+    * anything else refuses loudly instead. */
+  private def invId(c: Column): Column = bitwise_not(c.cast("long"))
+
+  private def requireIntegralId(dt: org.apache.spark.sql.types.DataType,
+                                what: String): Unit = dt match {
+    case org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType => ()
+    case other => throw new IllegalArgumentException(
+      s"$what needs an integral id column for its deterministic " +
+        s"(score desc, id asc) tie-break, got ${other.simpleString} — " +
+        "the keep-min variants accept any orderable id")
+  }
+
   // ---- exact -----------------------------------------------------------
 
   /** Exact dedup groups: one row per distinct text, with the surviving id
@@ -62,14 +84,16 @@ object Dedup {
     * null-first struct field ordering): a null-score member survives
     * only if its whole group scored null, in which case min id wins. */
   def exactGroupsBy(df: DataFrame, textCol: String, idCol: String,
-                    scoreCol: String): DataFrame =
+                    scoreCol: String): DataFrame = {
+    requireIntegralId(df.schema(idCol).dataType, "exactGroupsBy")
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(
-        max(struct(col(scoreCol).as("s"), (lit(0L) - col(idCol)).as("negid")))
+        max(struct(col(scoreCol).as("s"), invId(col(idCol)).as("negid")))
           .as("w"),
         count(lit(1)).as("dup_count"))
-      .select(col("text_hash"), (lit(0L) - col("w.negid")).as("keep_id"),
+      .select(col("text_hash"), bitwise_not(col("w.negid")).as("keep_id"),
         col("dup_count"))
+  }
 
   /** [[dropExactDuplicates]] keeping the best-scoring member per distinct
     * text (see [[exactGroupsBy]]). */
@@ -838,14 +862,15 @@ object Dedup {
     * id wins). */
   def keepBestByComponents(df: DataFrame, idCol: String, scoreCol: String,
                            labels: DataFrame): DataFrame = {
+    requireIntegralId(df.schema(idCol).dataType, "keepBestByComponents")
     val scored = labels.join(
       df.select(col(idCol).as("id"), col(scoreCol).as("graft_score")),
       Seq("id"))
     val winners = scored
       .groupBy(col("component_id"))
       .agg(max(struct(col("graft_score").as("s"),
-        (lit(0L) - col("id")).as("negid"))).as("w"))
-      .select(col("component_id"), (lit(0L) - col("w.negid")).as("keep_id"))
+        invId(col("id")).as("negid"))).as("w"))
+      .select(col("component_id"), bitwise_not(col("w.negid")).as("keep_id"))
     val losers = scored.join(winners, Seq("component_id"))
       .filter(col("id") =!= col("keep_id"))
       .select(col("id").as(idCol))

@@ -437,7 +437,15 @@ object EmbedIndex {
     val needIds = cand.select(col("id_a").as("id"))
       .unionByName(cand.select(col("id_b").as("id"))).distinct()
     // candidate-restricted exact lookup: 2·nCand bounds the id count;
-    // dropDuplicates AFTER the semi-join keeps the dedup candidate-sized.
+    // the per-id resolve AFTER the semi-join keeps it candidate-sized.
+    // max(uv) instead of dropDuplicates: under the unique-doc-id
+    // contract both are one-row identities, but if the contract is
+    // violated (same id, different vectors across index and batch)
+    // dropDuplicates picks an ARBITRARY vector and the float path's
+    // pair set could drift run-to-run — the lexicographic array max is
+    // deterministic (r15 ADVICE). The double path still compares each
+    // occurrence's own in-bucket vector, so under violation the two
+    // paths may legitimately differ; only the determinism is owed.
     // PERSISTED before the two aliased joins below — without it the
     // "one re-scan" claim depends on the planner's exchange reuse
     // recognizing the differently-aliased subplans, and a miss would
@@ -445,7 +453,7 @@ object EmbedIndex {
     val uvNeeded = uvSource
       .join(BroadcastGate(needIds, 2L * nCand, broadcastKeyLimit),
         Seq("id"), "left_semi")
-      .dropDuplicates("id")
+      .groupBy(col("id")).agg(max(col("uv")).as("uv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val verified = cand
       .join(BroadcastGate(uvNeeded.select(col("id").as("id_a"),

@@ -235,6 +235,19 @@ object PhraseIndex {
     * could diverge from it. */
   private def slotsOf(phrases: DataFrame, queryIdCol: String,
                       phraseCol: String): (DataFrame, Column) = {
+    // Duplicate query ids would merge two phrases' (idx, term) slots
+    // under one query; PhraseTf then sees duplicate idx values and
+    // returns 0, so every match for that query would vanish SILENTLY.
+    // Fail loudly instead — the batch is Q rows (small-query-batch
+    // contract), so this check is one tiny driver action (r15 ADVICE).
+    val dupIds = phrases.groupBy(col(queryIdCol))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .select(col(queryIdCol)).limit(3).collect()
+    if (dupIds.nonEmpty)
+      throw new IllegalArgumentException(
+        s"phrase batch carries duplicate $queryIdCol values " +
+          s"(e.g. ${dupIds.map(_.get(0)).mkString(", ")}) — one phrase " +
+          "per query id; duplicates would silently match nothing")
     val slots = phrases.select(col(queryIdCol).as("query_id"),
         posexplode(TextFunctions.tokens(lower(col(phraseCol))))
           .as(Seq("idx", "term")))
