@@ -390,44 +390,154 @@ object TextIndex {
     * way (`text.champ.mode` in the committed metadata records which
     * path ran, for observability and the spec).
     *
-    * Honest scale note: what the merge saves is the full-POSTINGS scan
-    * (corpus-sized); the champion table itself (≤ vocab·m rows) is
-    * still read once and rewritten whole by the commit, so the merge
-    * floor is O(vocab·m) per refresh regardless of delta size. At the
-    * 5M-doc flagship that floor is ~5 s against the 13-28 s rebuild; if
-    * a corpus ever grows vocab·m past its postings delta rate, the next
-    * step is delta-chaining the champion table itself (the same
-    * DeltaChain machinery — recorded as a decision, not built, because
-    * it adds read fan-in to every serving probe for a maintenance-side
-    * win no current scale needs).
+    * DELTA-CHAINED champion commits (r16 — closing r15's recorded
+    * "honest scale note"): a merge-mode refresh no longer rewrites the
+    * full O(vocab·m) champion table; it commits ONLY the merged rows of
+    * the delta-TOUCHED terms as a new champion chain member
+    * (`text.champ.parts`, committed oldest → newest). Chain semantics
+    * are LAST-WRITER-WINS PER TERM, not union: every member carries the
+    * COMPLETE merged top-m + stats for each term it holds, so the
+    * newest member holding a term owns it and untouched terms resolve
+    * from older members ([[resolveChamps]]). Refresh write cost is now
+    * O(touched-vocab·m) — proportional to the delta, not the
+    * vocabulary. What chaining costs is serve-side read fan-in: every
+    * champion probe reads ≤ chainLen members (term-zone-pruned, so
+    * probe rows stay ≤ |query terms|·m·chainLen) plus one
+    * candidate-sized resolve exchange; [[maintain]] bounds chainLen by
+    * folding the champion chain ([[compactChampions]]) and a refresh
+    * self-folds past `champCompactEvery` members, the postings chain's
+    * own discipline. Rebuild-mode refreshes commit a full snapshot
+    * (empty parts), resetting the chain.
     *
     * Returns the committed champion-table version. */
   def refreshChampions(store: SnapshotStore, indexTable: String,
-                       m: Int = 1024): Long = {
+                       m: Int = 1024, champCompactEvery: Int = 8): Long = {
     require(m > 0, s"champion list size must be positive, got $m")
     val v = store.currentVersion(indexTable)
     requireBuilt(v, indexTable)
     val meta = store.metaForVersion(indexTable, v)
     requireTokenizer(meta, indexTable)
     val ct = champTable(indexTable)
-    val (champs, mode) = championMergeDelta(store, indexTable, ct, v, meta, m) match {
-      case Some(delta) =>
-        (mergeChampions(store.load(ct), delta, m), "merge")
-      case None =>
-        (unpackChamps(champSelect(
-          chain.load(store, indexTable, v, meta), m)), "rebuild")
+    // The champion chain parts are read and committed under the champion
+    // table's lock (the DeltaChain discipline: a chain read taken before
+    // locking is invalidated by a concurrent commit).
+    var dAgg: DataFrame = null // persisted delta aggregate (read 3×)
+    try {
+      store.transactMeta[Nothing](ct, sortKey = Some("term"),
+          statsCols = Seq("term")) {
+        val cv = store.currentVersion(ct)
+        val cmeta = store.metaForVersion(ct, cv)
+        val freshMeta = Map(
+          s"${P}champ.forVersion" -> v.toString,
+          s"${P}champ.m" -> m.toString,
+          s"${P}tokenizer" -> Tokenizer)
+          // the freshness tag (see freshAt): champions stay valid across
+          // pure compactions, which rewrite representation, never rows
+          .++(meta.get(s"${P}contentVersion")
+            .map(c => s"${P}champ.forContent" -> c))
+        Right(championMergeDelta(store, indexTable, ct, v, meta, m) match {
+          case Some(delta) =>
+            dAgg = champSelect(delta, m)
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            val (touchedRows, touchedTerms) =
+              mergeChampions(store, ct, cv, dAgg, m)
+            val chainNow = champChainOf(cmeta, cv)
+            if (chainNow.length >= champCompactEvery) {
+              // self-fold: merged touched terms ∪ resolved untouched
+              // rest, committed as a fresh full snapshot (empty parts)
+              val untouched = resolveChamps(champMembers(store, ct, cv, Nil))
+                .join(touchedTerms, Seq("term"), "left_anti")
+              (champLayout(touchedRows.unionByName(untouched)),
+                freshMeta ++ Map(s"${P}champ.mode" -> "merge",
+                  ChampParts -> ""))
+            } else
+              (touchedRows, freshMeta ++ Map(s"${P}champ.mode" -> "merge",
+                ChampParts -> chainNow.mkString(",")))
+          case None =>
+            (champLayout(unpackChamps(champSelect(
+              chain.load(store, indexTable, v, meta), m))),
+              freshMeta ++ Map(s"${P}champ.mode" -> "rebuild",
+                ChampParts -> ""))
+        })
+      }.merge
+    } finally if (dAgg != null) dAgg.unpersist(blocking = false)
+  }
+
+  // ---- champion delta chain (last-writer-wins per term) -----------
+
+  private val ChampParts = s"${P}champ.parts"
+
+  /** Champion chain members of champion-table version `cv`, committed
+    * oldest → newest (the DeltaChain parts convention; pre-chain
+    * tables — no parts key — resolve to the single member `cv`). */
+  private def champChainOf(cmeta: Map[String, String], cv: Long): Seq[Long] =
+    cmeta.get(ChampParts).filter(_.nonEmpty)
+      .map(_.split(",").toSeq.map(_.toLong)).getOrElse(Seq.empty) :+ cv
+
+  /** Term-zone-pruned scans of every chain member, oldest → newest. */
+  private def champMembers(store: SnapshotStore, ct: String, cv: Long,
+                           preds: Seq[ZoneMap.ZonePred]): Seq[DataFrame] =
+    champChainOf(store.metaForVersion(ct, cv), cv)
+      .map(mv => ZoneMap.prunedScanAt(store, ct, mv, preds))
+
+  /** Resolve champion chain members under last-writer-wins-per-term: a
+    * member carries the complete merged rows for every term it holds,
+    * so the term's owner is the NEWEST member holding it. One unordered
+    * per-term max-ordinal window — no sort; probe-side inputs are
+    * query-term-sized, fold-side inputs are the vocab·m·chainLen rows a
+    * fold must read anyway. */
+  private def resolveChamps(members: Seq[DataFrame]): DataFrame =
+    if (members.lengthCompare(1) == 0) members.head
+    else {
+      val tagged = members.zipWithIndex
+        .map { case (df, i) => df.withColumn("_ord", lit(i)) }
+        .reduce(_ unionByName _)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+      tagged.withColumn("_mx", max(col("_ord")).over(w))
+        .filter(col("_ord") === col("_mx")).drop("_ord", "_mx")
     }
-    store.commit(ct, champs,
-      sortKey = Some("term"), statsCols = Seq("term"),
-      meta = Map(
-        s"${P}champ.forVersion" -> v.toString,
-        s"${P}champ.m" -> m.toString,
-        s"${P}champ.mode" -> mode,
-        s"${P}tokenizer" -> Tokenizer)
-        // the freshness tag (see freshAt): champions stay valid across
-        // pure compactions, which rewrite representation, never rows
-        ++ meta.get(s"${P}contentVersion")
-          .map(c => s"${P}champ.forContent" -> c))
+
+  /** The resolved champion rows serving version `cv`, optionally
+    * term-pruned (each member pruned by its own zone sidecar). */
+  private def champRowsAt(store: SnapshotStore, ct: String, cv: Long,
+                          preds: Seq[ZoneMap.ZonePred] = Nil): DataFrame =
+    resolveChamps(champMembers(store, ct, cv, preds))
+
+  /** The CURRENT resolved champion table — the external read surface
+    * (specs, diagnostics): chain members resolved last-writer-wins per
+    * term. Requires a committed champion table. */
+  def loadChampions(store: SnapshotStore, indexTable: String): DataFrame = {
+    val ct = champTable(indexTable)
+    val cv = store.currentVersion(ct)
+    require(cv > 0, s"$ct: no committed champion table " +
+      "(TextIndex.refreshChampions)")
+    champRowsAt(store, ct, cv)
+  }
+
+  /** Term-range layout for champion folds/rebuilds (chain unions and
+    * resolve exchanges lose it; deltas inherit the aggregate's hash
+    * layout — their per-file term zones are weaker until the next fold,
+    * which is the same trade the postings deltas make). */
+  private val champLayout: DataFrame => DataFrame =
+    _.repartitionByRange(col("term"))
+
+  /** Fold the champion delta chain into one full snapshot (resolved
+    * rows, empty parts, term-range layout) — representation only, never
+    * rows, so freshness metadata is carried forward untouched by the
+    * commit merge. Idempotent: false when already a single member. */
+  def compactChampions(store: SnapshotStore, indexTable: String): Boolean = {
+    val ct = champTable(indexTable)
+    store.transactMeta[Unit](ct, sortKey = Some("term"),
+        statsCols = Seq("term")) {
+      val cv = store.currentVersion(ct)
+      if (cv == 0) Left(())
+      else {
+        val cmeta = store.metaForVersion(ct, cv)
+        if (champChainOf(cmeta, cv).length <= 1) Left(())
+        else Right((champLayout(champRowsAt(store, ct, cv)),
+          Map(ChampParts -> "")))
+      }
+    }.isRight
   }
 
   /** Champion freshness against postings version `v` — fresh iff the
@@ -550,17 +660,22 @@ object TextIndex {
   }
 
   /** Merge the delta's per-term champions into the previous champion
-    * table — delta-touched terms re-select top-m over (old champion
-    * rows ∪ delta top-m rows) and sum/extremize their stats; untouched
-    * terms pass through unchanged. Exactly one pass over the (≤ m per
-    * term) champion table + one bounded aggregate over the delta. */
-  private def mergeChampions(oldChamp: DataFrame, deltaPostings: DataFrame,
-                             m: Int): DataFrame = {
-    val dAgg = champSelect(deltaPostings, m)
+    * chain: delta-touched terms re-select top-m over (resolved old
+    * champion rows ∪ delta top-m rows) and sum/extremize their stats.
+    * Returns (the merged rows for the TOUCHED terms — the champion
+    * chain delta member, complete per touched term — and the touched
+    * term frame). `dAgg` is the [[champSelect]] of the delta postings,
+    * persisted by the caller (read ≥ 3×: rows, stats, touched). The
+    * touched-term semi-join sits BELOW the resolve window — sound
+    * (the per-term resolve never looks across terms) and it keeps the
+    * window input touched-sized instead of vocab-sized. */
+  private def mergeChampions(store: SnapshotStore, ct: String, cv: Long,
+                             dAgg: DataFrame, m: Int)
+      : (DataFrame, DataFrame) = {
     val dRows = unpackChamps(dAgg)
     val touched = dAgg.select(col("term"))
-    val oldTouched = oldChamp.join(touched, Seq("term"), "left_semi")
-    val oldUntouched = oldChamp.join(touched, Seq("term"), "left_anti")
+    val oldTouched = resolveChamps(champMembers(store, ct, cv, Nil)
+      .map(_.join(touched, Seq("term"), "left_semi")))
     // per-term stats: old side constant per term (take any row), delta
     // side from its aggregate; sum df, extremize the bounds
     val oldStats = oldTouched.groupBy(col("term"))
@@ -584,10 +699,7 @@ object TextIndex {
       .groupBy(col("term"))
       .agg(graft.plans.TopKAggregate
         .boundedTopK(col("neighbor_id"), packedImpact, m).as("ch"))
-    unpackChamps(reSel.join(stats, Seq("term")))
-      .unionByName(oldUntouched
-        .select(col("term"), col("df"), col("max_tf"), col("min_dl"),
-          col("neighbor_id"), col("dl"), col("tf")))
+    (unpackChamps(reSel.join(stats, Seq("term"))), touched)
   }
 
   /** True iff the champion table exists and was refreshed against the
@@ -658,7 +770,7 @@ object TextIndex {
     if (terms.isEmpty)
       return Retrieval.emptyRanked(queries.sparkSession, qIdType,
         store.loadVersion(ct, cv).schema("neighbor_id").dataType)
-    val hits = ZoneMap.prunedScanAt(store, ct, cv,
+    val hits = champRowsAt(store, ct, cv,
       Seq(ZoneMap.stringIn("term", terms)))
     Retrieval.bm25ScoreWithDf(hits, queries, queryIdCol, queryTextCol,
       nDocs, avgdl, k, k1, b)
@@ -774,9 +886,10 @@ object TextIndex {
         postingsIdType), None)
     val spark = queries.sparkSession
 
-    // One champion probe feeds both bounds (term zones prune its files
-    // exactly like a postings probe; champion tables are m rows/term).
-    val champHits = ZoneMap.prunedScanAt(store, ct, cv,
+    // One champion probe feeds both bounds (term zones prune each chain
+    // member's files exactly like a postings probe; resolved champion
+    // rows are ≤ m per term).
+    val champHits = champRowsAt(store, ct, cv,
         Seq(ZoneMap.stringIn("term", terms)))
       .persist(StorageLevel.MEMORY_AND_DISK) // read 2×: stats + floor
     try {
@@ -948,12 +1061,19 @@ object TextIndex {
     }
     if (members.size > maxChainLength) compactIndex(store, indexTable)
     vacuumIndex(store, indexTable)
-    // champion refreshes are full rewrites — only the current version
-    // is ever read, superseded ones are dead weight
+    // champion chain fold + chain-aware vacuum: merge-mode refreshes
+    // are touched-term delta commits (r16), so the champion table has
+    // its own chain to bound and its live members to keep
     val ct = champTable(indexTable)
     val ccv = store.currentVersion(ct)
-    if (ccv > 0)
-      store.dropVersions(ct, store.versions(ct).toSet - ccv)
+    if (ccv > 0) {
+      if (champChainOf(store.metaForVersion(ct, ccv), ccv)
+            .length > maxChainLength)
+        compactChampions(store, indexTable)
+      val cvNow = store.currentVersion(ct)
+      store.dropVersions(ct, store.versions(ct).toSet --
+        champChainOf(store.metaForVersion(ct, cvNow), cvNow).toSet)
+    }
   }
 
   /** On-demand chain fold into a full snapshot (maintenance-triggered;

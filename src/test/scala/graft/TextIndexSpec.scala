@@ -270,7 +270,7 @@ class TextIndexSpec extends SparkSpec {
       s.metaForVersion("idx__champ", s.currentVersion("idx__champ"))
         .get("text.champ.mode")
     def champRows(s: SnapshotStore): Set[(String, Long, Long, Int, Long, Int, Long)] =
-      s.load("idx__champ")
+      TextIndex.loadChampions(s, "idx") // resolved chain read (r16)
         .select("term", "df", "max_tf", "min_dl", "neighbor_id", "dl", "tf")
         .as[(String, Long, Long, Int, Long, Int, Long)].collect().toSet
 
@@ -321,7 +321,7 @@ class TextIndexSpec extends SparkSpec {
     // and the merged table still answers the champion query exactly:
     // every returned doc is some query term's champion (the m=small
     // contract), over the 4x corpus
-    val champDocs = store.load("idx__champ")
+    val champDocs = TextIndex.loadChampions(store, "idx")
       .select(col("neighbor_id")).as[Long].collect().toSet
     val got = champRanked(store).map(_._2).toSet
     assert(got.nonEmpty && got.subsetOf(champDocs))
@@ -365,6 +365,135 @@ class TextIndexSpec extends SparkSpec {
       .get("text.champ.mode").contains("merge"),
       "post-fold+vacuum cycles must keep merging (content anchor)")
     assert(TextIndex.championsFresh(store, "idx"))
+  }
+
+  private def champMode(s: SnapshotStore): Option[String] =
+    s.metaForVersion("idx__champ", s.currentVersion("idx__champ"))
+      .get("text.champ.mode")
+  private def champParts(s: SnapshotStore): String =
+    s.metaForVersion("idx__champ", s.currentVersion("idx__champ"))
+      .getOrElse("text.champ.parts", "")
+  private def resolvedChampRows(s: SnapshotStore)
+      : Set[(String, Long, Long, Int, Long, Int, Long)] =
+    TextIndex.loadChampions(s, "idx")
+      .select("term", "df", "max_tf", "min_dl", "neighbor_id", "dl", "tf")
+      .as[(String, Long, Long, Int, Long, Int, Long)].collect().toSet
+
+  test("merge-mode refresh commits a touched-term delta, not a vocab rewrite") {
+    val m = 2
+    val store = freshStore()
+    TextIndex.build(store, "idx", corpusDF, "text", "doc_id")
+    TextIndex.refreshChampions(store, "idx", m = m)
+    assert(champParts(store) === "", "a rebuild is a full snapshot")
+    val fullVocab = TextIndex.loadChampions(store, "idx")
+      .select("term").distinct().count()
+    // a 2-term append: the champion delta member must hold EXACTLY the
+    // touched terms' merged rows — refresh write cost is
+    // O(touched-vocab·m), the r16 contract
+    TextIndex.append(store, "idx",
+      Seq((999L, "sun moon")).toDF("doc_id", "text"), "text", "doc_id")
+    TextIndex.refreshChampions(store, "idx", m = m)
+    assert(champMode(store).contains("merge"))
+    assert(champParts(store).nonEmpty,
+      "a merge refresh must chain a delta member, not rewrite the table")
+    val cv = store.currentVersion("idx__champ")
+    val deltaTerms = store.loadVersion("idx__champ", cv)
+      .select("term").distinct().as[String].collect().toSet
+    assert(deltaTerms === Set("sun", "moon"))
+    assert(deltaTerms.size < fullVocab)
+    // the RESOLVED table equals a from-scratch rebuild over the same
+    // corpus — row-for-row: selection, df, and the MaxScore bounds
+    val twin = freshStore()
+    TextIndex.build(twin, "idx",
+      corpusDF.unionByName(Seq((999L, "sun moon")).toDF("doc_id", "text")),
+      "text", "doc_id")
+    TextIndex.refreshChampions(twin, "idx", m = m)
+    assert(resolvedChampRows(store) === resolvedChampRows(twin))
+    assert(champRanked(store) === TextIndex.queryChampions(twin, "idx",
+      queriesDF, "query_id", "qtext", fallbackToExact = false)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(r => (r._1, r._4)))
+  }
+
+  test("champion chain: a fold between refreshes preserves rows and keeps merging") {
+    val m = 2
+    val store = freshStore()
+    TextIndex.build(store, "idx", corpusDF.filter(col("doc_id") < 30),
+      "text", "doc_id")
+    TextIndex.refreshChampions(store, "idx", m = m)
+    TextIndex.append(store, "idx",
+      corpusDF.filter(col("doc_id") >= 30 && col("doc_id") < 45),
+      "text", "doc_id")
+    TextIndex.refreshChampions(store, "idx", m = m)
+    assert(champMode(store).contains("merge") && champParts(store).nonEmpty)
+    val rowsBefore = resolvedChampRows(store)
+    // the fold is representation only: rows identical, freshness kept
+    assert(TextIndex.compactChampions(store, "idx"), "2-member chain must fold")
+    assert(champParts(store) === "", "fold must empty the champion parts")
+    assert(resolvedChampRows(store) === rowsBefore)
+    assert(TextIndex.championsFresh(store, "idx"),
+      "a champion fold must not stale the champions")
+    assert(!TextIndex.compactChampions(store, "idx"), "fold is idempotent")
+    // and the next append still merges, on top of the folded base
+    TextIndex.append(store, "idx", corpusDF.filter(col("doc_id") >= 45),
+      "text", "doc_id")
+    TextIndex.refreshChampions(store, "idx", m = m)
+    assert(champMode(store).contains("merge") && champParts(store).nonEmpty)
+    val twin = freshStore()
+    TextIndex.build(twin, "idx", corpusDF, "text", "doc_id")
+    TextIndex.refreshChampions(twin, "idx", m = m)
+    assert(resolvedChampRows(store) === resolvedChampRows(twin))
+    // equal rows ⇒ equal champion ranking (m=2 is approximate vs the
+    // scan by DESIGN — the comparison target is the rebuild twin)
+    assert(champRanked(store) === twinChampRanked(twin))
+  }
+
+  private def twinChampRanked(twin: SnapshotStore)
+      : Seq[(Long, Long, Double, Int)] =
+    TextIndex.queryChampions(twin, "idx", queriesDF, "query_id", "qtext",
+      fallbackToExact = false)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(r => (r._1, r._4))
+
+  test("refresh self-folds the champion chain at champCompactEvery") {
+    val m = 2
+    val store = freshStore()
+    TextIndex.build(store, "idx", corpusDF.filter(col("doc_id") < 30),
+      "text", "doc_id")
+    TextIndex.refreshChampions(store, "idx", m = m)
+    TextIndex.append(store, "idx", corpusDF.filter(col("doc_id") >= 30),
+      "text", "doc_id")
+    // champCompactEvery=1: the merge must fold into a full snapshot
+    // (merged touched ∪ resolved untouched) in the same commit
+    TextIndex.refreshChampions(store, "idx", m = m, champCompactEvery = 1)
+    assert(champMode(store).contains("merge"),
+      "self-fold is still the merge aggregation path")
+    assert(champParts(store) === "", "self-fold must commit a full snapshot")
+    val twin = freshStore()
+    TextIndex.build(twin, "idx", corpusDF, "text", "doc_id")
+    TextIndex.refreshChampions(twin, "idx", m = m)
+    assert(resolvedChampRows(store) === resolvedChampRows(twin))
+    assert(champRanked(store) === twinChampRanked(twin))
+  }
+
+  test("maintain bounds the champion chain and vacuums dead members") {
+    val store = freshStore()
+    TextIndex.build(store, "idx", corpusDF.filter(col("doc_id") < 15),
+      "text", "doc_id")
+    TextIndex.refreshChampions(store, "idx", m = 60)
+    (1 to 3).foreach { g =>
+      TextIndex.append(store, "idx",
+        corpusDF.filter(col("doc_id") >= 15 * g && col("doc_id") < 15 * (g + 1)),
+        "text", "doc_id", compactEvery = 100)
+      TextIndex.refreshChampions(store, "idx", m = 60)
+    }
+    assert(champParts(store).split(",").length === 3,
+      s"3 merges must chain 3 parents, got '${champParts(store)}'")
+    TextIndex.maintain(store, "idx", maxChainLength = 2, championM = Some(60))
+    assert(champParts(store) === "",
+      "maintain must fold an over-length champion chain")
+    assert(store.versions("idx__champ").size === 1,
+      "vacuum must drop the dead champion members")
+    assert(TextIndex.championsFresh(store, "idx"))
+    assert(champRanked(store) === scanRanked())
   }
 
   test("small-m champions only ever return some query term's champion") {
@@ -550,8 +679,13 @@ class TextIndexSpec extends SparkSpec {
     // chain folded to a single member
     val v = store.currentVersion("idx")
     assert(store.metaForVersion("idx", v).get("text.parts").forall(_.isEmpty))
-    // superseded champion versions dropped, only the current one lives
-    assert(store.versions("idx__champ").size === 1)
+    // superseded champion versions dropped — exactly the live champion
+    // chain remains (merge refreshes are delta commits since r16)
+    val ccv = store.currentVersion("idx__champ")
+    val liveChamps = store.metaForVersion("idx__champ", ccv)
+      .get("text.champ.parts").filter(_.nonEmpty)
+      .map(_.split(",").length).getOrElse(0) + 1
+    assert(store.versions("idx__champ").size === liveChamps)
     assert(champRanked(store) === scanRanked())
     // idempotent
     TextIndex.maintain(store, "idx", maxChainLength = 2, championM = Some(60))
