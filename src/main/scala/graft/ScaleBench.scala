@@ -924,6 +924,30 @@ object ScaleBench {
         graft.store.PhraseIndex.phraseQueryRanked(store, "docs_pos",
           qs, "query_id", "phrase", k = 10).count()
       },
+      // Containment-prefilter A/B twin (r16): same batch, prefilter
+      // off — every slot term's FULL positional rows (VocabSize=4096 ⇒
+      // df ≈ 79k docs/term here) cross the (query, doc) exchange,
+      // where the default path ships only the all-slots candidates'
+      // rows. Identical output by construction (PhraseIndexSpec pins
+      // it); the delta is pure exchange volume.
+      timed("phrase_query_nopre") {
+        val qs = shortQueries(docs).select(col("query_id"),
+          col("qtext").as("phrase"))
+        graft.store.PhraseIndex.phraseQuery(store, "docs_pos",
+          qs, "query_id", "phrase", prefilter = false).count()
+      },
+      // At-rest footprint of the positional table (rows = BYTES on
+      // disk, wall time is directory walking): the r16 delta-varint
+      // layout vs r15's plain array<int> positions — the "positions
+      // roughly double a postings index at rest" note this layout
+      // exists to retire. Depends on phrase_index_build.
+      timed("phrase_size_bytes") {
+        val dir = java.nio.file.Paths.get(storeDir, "docs_pos")
+        val walk = java.nio.file.Files.walk(dir)
+        try walk.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally walk.close()
+      },
       // ...and a query batch then reads ONLY its own terms' postings
       // rows (term-sorted row groups + pushed IN filter): the floor of
       // serving retrieval from a maintained index vs re-tokenizing 5M
@@ -1015,6 +1039,31 @@ object ScaleBench {
           .getOrElse("text.champ.mode", "?")
         System.err.println(s"[scalebench] champ refresh mode=$mode")
         cv
+      },
+      // r16 evidence for the delta-chained champion commit: the merge
+      // above wrote ONLY the delta-touched terms' rows as a chain
+      // member (text.champ.parts anchors the previous table). rows =
+      // the member's row count — proportional to the 100k batch's
+      // touched vocabulary, where r15 rewrote the full vocab·m table
+      // every refresh. Depends on bm25_champ_merge_100k — filter
+      // "bm25_champ", not "chain_stats".
+      timed("bm25_champ_chain_stats") {
+        val ct = "docs_bm25__champ"
+        val cv = store.currentVersion(ct)
+        val parts = store.metaForVersion(ct, cv)
+          .getOrElse("text.champ.parts", "")
+        System.err.println(s"[scalebench] champ chain parts='$parts' v=$cv")
+        store.loadVersion(ct, cv).count()
+      },
+      // ...and serving through the 2-member champion chain: the probe
+      // reads every member term-zone-pruned plus one candidate-sized
+      // resolve exchange — the read-fan-in price the chain trades for
+      // its O(touched) refresh writes. Compare bm25_champ_query (run
+      // on the single-member chain before the append).
+      timed("bm25_champ_query_chained") {
+        graft.store.TextIndex.queryChampions(store, "docs_bm25",
+          shortQueries(docs), "query_id", "qtext", k = 10,
+          fallbackToExact = false).count()
       },
       // The same measurement on a 1M-doc ZIPFIAN corpus — real text's
       // token law, hence real tf concentration. The uniform-corpus

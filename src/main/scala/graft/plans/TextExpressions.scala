@@ -1035,11 +1035,73 @@ case class NgramRepetition(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "ngram_repetition"
 }
 
+/** Delta-varint position-list codec — the at-rest compression of
+  * [[graft.store.PhraseIndex]] (r16): a sorted distinct int position
+  * list is stored as LEB128 unsigned varints of its GAPS (first value,
+  * then successive differences). Token positions are dense and gaps
+  * are small, so most gaps fit one byte where the plain `array<int>`
+  * layout paid four plus parquet's per-element repetition overhead —
+  * the standard postings-compression move (Manning et al., IIR §5.3,
+  * re-expressed columnar: the whole list is ONE binary cell, so parquet
+  * stores byte runs instead of int elements). Input is defensively
+  * sorted (the index writes sorted lists; a future writer that forgets
+  * must not corrupt the decode); gaps are therefore always ≥ 0.
+  * [[PhraseTf]] decodes in-expression — the compact form is what
+  * crosses the (query, doc) exchange. */
+case class DeltaVarintPositions(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"delta_varint_positions needs array<int>, got ${other.simpleString}")
+    }
+
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): Array[Byte] = {
+    val p = arr.toIntArray()
+    java.util.Arrays.sort(p)
+    val out = new Array[Byte](p.length * 5) // 5 bytes bounds any uint32
+    var o = 0
+    var prev = 0
+    var i = 0
+    while (i < p.length) {
+      var g = p(i) - prev
+      prev = p(i)
+      while ((g & ~0x7F) != 0) {
+        out(o) = ((g & 0x7F) | 0x80).toByte; o += 1; g >>>= 7
+      }
+      out(o) = g.toByte; o += 1
+      i += 1
+    }
+    if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("deltaVarint", this,
+      classOf[DeltaVarintPositions].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "delta_varint_positions"
+}
+
 /** Phrase term-frequency from per-term position lists — the verify core
   * of [[graft.store.PhraseIndex]]'s positional retrieval: given one
   * (idx, posns) member per phrase slot (idx 0..k−1 = the phrase's token
-  * order; posns = the token positions of that slot's TERM in one
-  * document), returns how many start positions open an in-order chain
+  * order; posns = that slot's TERM's positions in one document,
+  * delta-varint encoded per [[DeltaVarintPositions]] and decoded here,
+  * inside the expression, after the compact form crossed the exchange),
+  * returns how many start positions open an in-order chain
   * p₀ < p₁ < … < p₍k−1₎ with every step within the slop window:
   * `p_i ∈ (p_{i−1}, p_{i−1} + 1 + slop]`. slop = 0 is the EXACT phrase
   * (each step lands on the adjacent token); slop = s is ordered
@@ -1057,10 +1119,10 @@ case class NgramRepetition(child: Expression, n: Int) extends UnaryExpression {
   *
   * Runs in-expression after a (query, doc) group: k is phrase length
   * (tiny), position lists are per-doc term frequencies (tens). The
-  * lists are defensively sorted here — the index writes them sorted,
-  * but the probes must not silently miscount if a future writer
-  * forgets. Repeated-term phrases work: each slot carries its own idx,
-  * two slots may hold the same term's positions. */
+  * decoded lists are sorted by construction (delta gaps are ≥ 0 — the
+  * ENCODER sorts defensively, so a future writer that forgets cannot
+  * miscount here). Repeated-term phrases work: each slot carries its
+  * own idx, two slots may hold the same term's positions. */
 case class PhraseTf(left: Expression, right: Expression, slop: Int = 0)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
@@ -1071,15 +1133,38 @@ case class PhraseTf(left: Expression, right: Expression, slop: Int = 0)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(StructType(Array(a, b)), _), IntegerType)
-        if a.dataType == IntegerType &&
-          b.dataType.isInstanceOf[ArrayType] &&
-          b.dataType.asInstanceOf[ArrayType].elementType == IntegerType =>
+        if a.dataType == IntegerType && b.dataType == BinaryType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case (m, kk) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"phrase_tf needs (array<struct<int,array<int>>>, int), " +
-            s"got ${m.simpleString}, ${kk.simpleString}")
+          s"phrase_tf needs (array<struct<int,binary>>, int) — binary = " +
+            s"delta-varint positions — got ${m.simpleString}, ${kk.simpleString}")
     }
+
+  /** Decode a [[DeltaVarintPositions]] payload back to the sorted
+    * absolute position array. */
+  private def decode(bytes: Array[Byte]): Array[Int] = {
+    var cnt = 0
+    var i = 0
+    while (i < bytes.length) { if ((bytes(i) & 0x80) == 0) cnt += 1; i += 1 }
+    val p = new Array[Int](cnt)
+    var o = 0
+    var prev = 0
+    var t = 0
+    while (o < bytes.length) {
+      var v = 0
+      var shift = 0
+      var b = bytes(o); o += 1
+      while ((b & 0x80) != 0) {
+        v |= (b & 0x7F) << shift; shift += 7
+        b = bytes(o); o += 1
+      }
+      v |= (b & 0x7F) << shift
+      prev += v
+      p(t) = prev; t += 1
+    }
+    p
+  }
 
   def compute(members: org.apache.spark.sql.catalyst.util.ArrayData, k: Int): Int = {
     if (k < 1) return 0
@@ -1090,9 +1175,7 @@ case class PhraseTf(left: Expression, right: Expression, slop: Int = 0)
       val row = members.getStruct(i, 2)
       val idx = row.getInt(0)
       if (idx < 0 || idx >= k || slots(idx) != null) return 0
-      val p = row.getArray(1).toIntArray()
-      java.util.Arrays.sort(p)
-      slots(idx) = p
+      slots(idx) = decode(row.getBinary(1))
       i += 1
     }
     i = 0
@@ -1215,7 +1298,13 @@ object TextExpressions {
     GraftColumnBridge.column(
       NgramRepetition(GraftColumnBridge.expression(text), n))
 
-  /** Phrase occurrence count from per-slot position lists
+  /** Delta-varint compression of an int position list
+    * (see DeltaVarintPositions — sorts defensively, gaps ≥ 0). */
+  def deltaVarintPositions(posns: Column): Column =
+    GraftColumnBridge.column(
+      DeltaVarintPositions(GraftColumnBridge.expression(posns)))
+
+  /** Phrase occurrence count from per-slot delta-varint position lists
     * (see PhraseTf; k = the row's phrase length; slop 0 = exact
     * adjacency, slop s = ordered proximity within s extra tokens per
     * step). */

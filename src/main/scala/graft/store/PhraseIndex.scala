@@ -16,16 +16,41 @@ import graft.functions.TextFunctions
   * none — this is extension surface; construction follows the standard
   * positional inverted index, e.g. Manning et al., IIR §2.4).
   *
-  * Layout: one row per (term, document):
-  * {{{ (term: string, doc_id: long, posns: array<int>) }}}
+  * Layout (pos-vb-v2, r16): one row per (term, document):
+  * {{{ (term: string, doc_id: long, posns: binary, tf: int, dl: long) }}}
   * `posns` = the 0-based token positions of `term` in the document,
-  * sorted ascending, under the library-wide tokenization contract
+  * DELTA-VARINT encoded ([[graft.plans.DeltaVarintPositions]] — sorted
+  * gaps as LEB128 varints; token gaps are small, so most cost one byte
+  * where the v1 `array<int>` paid four plus parquet's per-element
+  * repetition overhead — this is what pulls the index back from
+  * "double a postings index at rest"), decoded inside
+  * [[graft.plans.PhraseTf]] so the compact form is also what crosses
+  * the (query, doc) exchange. `tf` (the position count) is denormalized
+  * next to it: consumers and file-zone stats read the count without
+  * touching the payload. Tokenization is the library-wide contract
   * (`TextFunctions.tokens(lower(text))` — recorded in the metadata like
   * TextIndex's tag, and queries tokenize their phrases with the same
   * expression, so index and query can never disagree on boundaries).
   * Rows are committed sorted by `term`: a query's pushed `term IN (…)`
   * filter prunes row groups exactly like TextIndex's term-sorted
   * postings.
+  *
+  * Why there is no MaxScore/θ̂ per-file skip here (the honest negative,
+  * examined r16): for BM25 postings, dropping a sub-θ̂ doc's rows only
+  * UNDERSTATES that doc's score — sound. For a phrase, dropping ANY
+  * (term, doc) row zeroes the doc's phrase_tf (a missing slot is "no
+  * match"), and worse, the ranked path's idf uses df_phrase COUNTED
+  * FROM THE MATCH SET — skipping files would change df and shift every
+  * surviving score, so no file-level skip can keep the output exact.
+  * The sound large-corpus lever is CONTAINMENT pre-filtering
+  * ([[matchTail]]): a slim (term, doc_id) pass — parquet column
+  * pruning never touches the position payload — finds the docs holding
+  * ALL phrase slots, and only those docs' full positional rows cross
+  * the verify exchange. Matches require every slot present, so
+  * candidates ⊇ matches and the match set (hence df, hence every
+  * score) is EXACTLY preserved; what it saves is shipping the fat
+  * position lists of a common term's non-candidate docs ("the" in
+  * "the matrix": the conjunction is rare even when one term is not).
   *
   * One query batch (Q phrases, k terms each) costs: one phrase
   * tokenization of the Q-row frame, ONE bounded driver action
@@ -50,14 +75,15 @@ object PhraseIndex {
 
   private val P = "phrase." // metadata key prefix
   private val Tokenizer = "ws-lower-v1" // TextIndex's contract tag
-  /** Row-layout tag: positions + per-row dl + corpus stats in metadata.
-    * A table missing it predates the ranked-retrieval layout and must
-    * be rebuilt — the guard turns what would be an opaque
-    * unresolved-column failure (or a NaN idf from absent stats) into
-    * the same "rebuild the index" contract the tokenizer check gives. */
-  private val Layout = "pos-dl-v1"
+  /** Row-layout tag: delta-varint positions + denormalized tf + per-row
+    * dl + corpus stats in metadata. A table carrying another tag (the
+    * pre-dl original, the r15 `pos-dl-v1` int-array layout) must be
+    * rebuilt — the guard turns what would be an opaque type/column
+    * failure (or a silent mis-decode) into the same "rebuild the
+    * index" contract the tokenizer check gives. */
+  private val Layout = "pos-vb-v2"
   private val chain = new DeltaChain(s"${P}parts",
-    Seq("term", "doc_id", "posns", "dl"))
+    Seq("term", "doc_id", "posns", "tf", "dl"))
 
   private def requireCompatible(meta: Map[String, String], table: String): Unit = {
     val tok = meta.getOrElse(s"${P}tokenizer", "unknown")
@@ -93,8 +119,12 @@ object PhraseIndex {
         posexplode(col("toks")).as(Seq("pos", "term")))
     preGroupFilter.fold(exploded)(exploded.filter)
       .groupBy(col("term"), col("doc_id"))
-      .agg(sort_array(collect_list(col("pos"))).as("posns"),
+      .agg(sort_array(collect_list(col("pos"))).as("plist"),
         max(col("dl")).as("dl"))
+      .select(col("term"), col("doc_id"),
+        graft.plans.TextExpressions.deltaVarintPositions(col("plist"))
+          .as("posns"),
+        size(col("plist")).as("tf"), col("dl"))
   }
 
   /** (nDocs, sumDl) of a tokenized frame — ONE aggregate action, the
@@ -116,7 +146,7 @@ object PhraseIndex {
     try {
       val (nDocs, sumDl) = statsOf(tok)
       store.commit(table, posRowsOf(tok),
-        sortKey = Some("term"),
+        sortKey = Some("term"), statsCols = Seq("term", "tf", "dl"),
         meta = Map(
           s"${P}tokenizer" -> Tokenizer,
           s"${P}layout" -> Layout,
@@ -139,7 +169,8 @@ object PhraseIndex {
                       textCol: String, idCol: String,
                       streamId: String, batchId: Long,
                       compactEvery: Int = 8): Boolean =
-    store.transactMeta[Unit](table, sortKey = Some("term")) {
+    store.transactMeta[Unit](table, sortKey = Some("term"),
+        statsCols = Seq("term", "tf", "dl")) {
       val v = store.currentVersion(table)
       if (v == 0)
         throw new IllegalStateException(
@@ -199,12 +230,12 @@ object PhraseIndex {
     * batch (the bounded driver action collects its distinct terms). */
   def phraseQuery(store: SnapshotStore, table: String, phrases: DataFrame,
                   queryIdCol: String, phraseCol: String,
-                  slop: Int = 0): DataFrame = {
+                  slop: Int = 0, prefilter: Boolean = true): DataFrame = {
     val v = store.currentVersion(table)
     require(v > 0, s"$table: no committed phrase index")
     requireCompatible(store.metaForVersion(table, v), table)
     val (slots, termFilter) = slotsOf(phrases, queryIdCol, phraseCol)
-    matchTail(load(store, table).filter(termFilter), slots, slop)
+    matchTail(load(store, table).filter(termFilter), slots, slop, prefilter)
   }
 
   /** One-shot phrase/proximity matching WITHOUT an index — the
@@ -220,8 +251,12 @@ object PhraseIndex {
                  phrases: DataFrame, queryIdCol: String, phraseCol: String,
                  slop: Int = 0): DataFrame = {
     val (slots, termFilter) = slotsOf(phrases, queryIdCol, phraseCol)
+    // no containment prefilter on the scan path: the positional rows
+    // are derived per-invocation (not a columnar table), so the slim
+    // pass could not column-prune anything — it would just run the
+    // derive pipeline twice
     matchTail(posRowsOf(tokenized(docs, textCol, idCol), Some(termFilter)),
-      slots, slop)
+      slots, slop, prefilter = false)
   }
 
   /** (query, slot, term) rows — one per phrase token, slot = position
@@ -259,15 +294,56 @@ object PhraseIndex {
     (slots, termFilter)
   }
 
+  /** Containment candidates of a phrase batch: the (query_id, doc_id)
+    * pairs whose document holds EVERY slot of that query's phrase — a
+    * NECESSARY condition for a match (PhraseTf returns 0 on any missing
+    * slot), so candidates ⊇ matches and restricting the fat positional
+    * rows to them preserves the match set (hence df, hence every
+    * ranked score) exactly. Computed from the (term, doc_id) projection
+    * only: parquet column pruning keeps the position payload out of
+    * this pass entirely. */
+  private[graft] def containmentCandidates(posRows: DataFrame,
+                                           slots: DataFrame,
+                                           ks: DataFrame): DataFrame =
+    posRows.select(col("term"), col("doc_id"))
+      .join(broadcast(slots.select(col("term"), col("query_id"), col("idx"))),
+        Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count_distinct(col("idx")).as("ns"))
+      .join(broadcast(ks), Seq("query_id"))
+      .filter(col("ns") === col("k"))
+      .select(col("query_id"), col("doc_id"))
+
   /** The shared match pipeline over positional (term, doc_id, posns,
-    * dl) rows: broadcast the slots in, group per (query, doc), verify
-    * the position chain in-expression. */
+    * tf, dl) rows: broadcast the slots in, group per (query, doc),
+    * verify the position chain in-expression.
+    *
+    * `prefilter` (default on) adds the containment pre-pass (class
+    * scaladoc): a slim (term, doc_id) aggregate finds the all-slots
+    * candidates, which broadcast back (size-gated — a degenerate
+    * all-stopword batch falls back to the planner's join) as a
+    * semi-join on the fat rows, so only candidate docs' position
+    * payloads cross the (query, doc) group exchange. Cost: the slim
+    * pass runs twice (once counted for the gate, once as the broadcast
+    * build side) — both runs are column-pruned and never read the
+    * payload. Results are IDENTICAL with it off; it exists purely to
+    * keep a common term's fat rows off the exchange. */
   private def matchTail(posRows: DataFrame, slots: DataFrame,
-                        slop: Int): DataFrame = {
+                        slop: Int, prefilter: Boolean): DataFrame = {
     val ks = slots.groupBy(col("query_id"))
       .agg(count(lit(1)).cast("int").as("k"))
-    posRows
-      .join(broadcast(slots), Seq("term"))
+    val fat = posRows.join(broadcast(slots), Seq("term"))
+    val src =
+      if (!prefilter) fat
+      else {
+        val cand = containmentCandidates(posRows, slots, ks)
+        val nCand = cand.count() // the gate's sizing action (bounded:
+        // one skinny aggregate over the term-restricted projection)
+        fat.join(
+          BroadcastGate(cand, nCand, BroadcastGate.DefaultKeyLimit),
+          Seq("query_id", "doc_id"), "left_semi")
+      }
+    src
       .groupBy(col("query_id"), col("doc_id"))
       .agg(collect_list(struct(col("idx"), col("posns"))).as("members"),
         max(col("dl")).as("dl"))
@@ -300,7 +376,8 @@ object PhraseIndex {
   def phraseQueryRanked(store: SnapshotStore, table: String,
                         phrases: DataFrame, queryIdCol: String,
                         phraseCol: String, k: Int = 10, slop: Int = 0,
-                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                        k1: Double = 1.2, b: Double = 0.75,
+                        prefilter: Boolean = true): DataFrame = {
     val v = store.currentVersion(table)
     require(v > 0, s"$table: no committed phrase index")
     val meta = store.metaForVersion(table, v)
@@ -309,7 +386,8 @@ object PhraseIndex {
     val avgdl =
       if (nDocs > 0) meta.getOrElse(s"${P}sumDl", "0").toDouble / nDocs
       else 1.0 // empty index: no matches exist, the value is never used
-    val m = phraseQuery(store, table, phrases, queryIdCol, phraseCol, slop)
+    val m = phraseQuery(store, table, phrases, queryIdCol, phraseCol, slop,
+        prefilter)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfPerQuery = m.groupBy(col("query_id"))
       .agg(count(lit(1)).cast("double").as("df"))
@@ -337,7 +415,8 @@ object PhraseIndex {
   /** On-demand chain fold (maintenance; appends also self-fold every
     * `compactEvery`) — idempotent, atomic version flip. */
   def compactIndex(store: SnapshotStore, table: String): Boolean =
-    store.transactMeta[Unit](table, sortKey = Some("term")) {
+    store.transactMeta[Unit](table, sortKey = Some("term"),
+        statsCols = Seq("term", "tf", "dl")) {
       val v = store.currentVersion(table)
       if (v == 0) Left(())
       else chain.compactNow(store, table, v, store.metaForVersion(table, v))

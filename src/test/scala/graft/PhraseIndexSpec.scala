@@ -158,6 +158,90 @@ class PhraseIndexSpec extends SparkSpec {
     }
   }
 
+  test("containment prefilter on/off: identical matches and ranking") {
+    // contrast corpus: a term in EVERY doc ("the") + a rare one — the
+    // shape the prefilter exists for (the common term's fat rows are
+    // non-candidates almost everywhere). Output must be identical with
+    // the prefilter off, filtered and ranked, at slop 0 and 1.
+    val contrast = (0L until 100L).map(i => i -> s"the w$i x$i y$i") ++
+      Seq(100L -> "the needle one", 101L -> "the shiny needle")
+    val ph = Seq((0L, "the needle"), (1L, "the w7"), (2L, "absent the"))
+      .toDF("query_id", "phrase")
+    val store = new SnapshotStore(
+      Files.createTempDirectory("graft-phrase-pre").toString, spark)
+    PhraseIndex.build(store, "pos", contrast.toDF("doc_id", "text"),
+      "text", "doc_id")
+    for (slop <- Seq(0, 1)) {
+      val on = got(PhraseIndex.phraseQuery(store, "pos", ph,
+        "query_id", "phrase", slop, prefilter = true))
+      val off = got(PhraseIndex.phraseQuery(store, "pos", ph,
+        "query_id", "phrase", slop, prefilter = false))
+      assert(on === off, s"prefilter changed the match set at slop=$slop")
+      if (slop == 0)
+        assert(on.map(r => (r._1, r._2)) === Set((0L, 100L), (1L, 7L)))
+    }
+    def ranked(pre: Boolean): Seq[(Long, Long, Double, Int)] =
+      PhraseIndex.phraseQueryRanked(store, "pos", ph,
+          "query_id", "phrase", k = 5, prefilter = pre)
+        .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+        .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(r => (r._1, r._4))
+    // EXACT score equality: candidates ⊇ matches, so df (counted from
+    // the match set) and every downstream double are unchanged
+    assert(ranked(pre = true) === ranked(pre = false))
+  }
+
+  test("containmentCandidates = exactly the docs holding every slot") {
+    val posRows = Seq(("the", 1L), ("the", 2L), ("the", 3L),
+        ("needle", 2L), ("needle", 4L))
+      .toDF("term", "doc_id")
+    val slots = Seq((10L, 0, "the"), (10L, 1, "needle"),
+        (11L, 0, "the"), (11L, 1, "the")) // repeated-term phrase
+      .toDF("query_id", "idx", "term")
+    val ks = Seq((10L, 2), (11L, 2)).toDF("query_id", "k")
+    val cand = PhraseIndex.containmentCandidates(posRows, slots, ks)
+      .as[(Long, Long)].collect().toSet
+    // q10 needs the ∧ needle → only doc 2 (doc 4 lacks "the");
+    // q11's two slots both hold "the" → any doc with "the" covers both
+    assert(cand === Set((10L, 2L), (11L, 1L), (11L, 2L), (11L, 3L)))
+  }
+
+  test("duplicate query ids in a phrase batch refuse loudly") {
+    val store = new SnapshotStore(
+      Files.createTempDirectory("graft-phrase-dup").toString, spark)
+    PhraseIndex.build(store, "pos", corpus.toDF("doc_id", "text"),
+      "text", "doc_id")
+    val dup = Seq((1L, "a b"), (1L, "b c"), (2L, "dd"))
+      .toDF("query_id", "phrase")
+    val e = intercept[IllegalArgumentException] {
+      PhraseIndex.phraseQuery(store, "pos", dup, "query_id", "phrase")
+    }
+    assert(e.getMessage.contains("duplicate"))
+    intercept[IllegalArgumentException] {
+      PhraseIndex.phraseScan(corpus.toDF("doc_id", "text"), "text", "doc_id",
+        dup, "query_id", "phrase")
+    }
+  }
+
+  test("delta-varint positions round-trip multi-byte gaps (long document)") {
+    // 200 fillers, alpha, 20000 fillers, beta gamma, 5 fillers: absolute
+    // positions up to ~20k force 1-, 2- and 3-byte varints through the
+    // store → exchange → PhraseTf decode path, where the fixture corpus
+    // (≤ 23 tokens) only ever exercises single-byte gaps
+    val text = (Seq.fill(200)("filler") ++ Seq("alpha") ++
+      Seq.fill(20000)("filler") ++ Seq("beta", "gamma") ++
+      Seq.fill(5)("filler")).mkString(" ")
+    val store = new SnapshotStore(
+      Files.createTempDirectory("graft-phrase-vb").toString, spark)
+    PhraseIndex.build(store, "pos", Seq((0L, text)).toDF("doc_id", "text"),
+      "text", "doc_id")
+    val ph = Seq((0L, "beta gamma"), (1L, "filler filler"),
+      (2L, "alpha beta")).toDF("query_id", "phrase")
+    val out = got(PhraseIndex.phraseQuery(store, "pos", ph,
+      "query_id", "phrase"))
+    // adjacent filler pairs: 199 + 19999 + 4 (runs of 200, 20000, 5)
+    assert(out === Set((0L, 0L, 1), (1L, 0L, 20202)))
+  }
+
   test("streaming maintenance: micro-batches land exactly once") {
     val inbox = Files.createTempDirectory("graft-phrase-inbox").toString
     val df = corpus.toDF("doc_id", "text")

@@ -6,25 +6,30 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.plans.PhraseTf
+import graft.plans.{DeltaVarintPositions, PhraseTf}
 
 /** Randomized pin of the PhraseTf backward-reachability DP against an
   * exhaustive backtracking reference over arbitrary position lists —
   * the fixture corpus in PhraseIndexSpec covers realistic text; this
   * covers the adversarial combinatorics directly (dense repeats, wide
-  * slops, missing and duplicated slots, unsorted input). Pure
+  * slops, missing and duplicated slots, unsorted input). Inputs pass
+  * through the delta-varint ENCODER (r16 layout), so every trial also
+  * round-trips the codec against the plain-int-list truth. Pure
   * expression test via compute(), no Spark session. */
 class PhraseTfPropertySpec extends AnyFunSuite {
 
   private val inputType = ArrayType(StructType(Seq(
     StructField("idx", IntegerType, nullable = false),
-    StructField("posns", ArrayType(IntegerType, containsNull = false),
-      nullable = false))), containsNull = false)
+    StructField("posns", BinaryType, nullable = false))),
+    containsNull = false)
+
+  private val enc =
+    DeltaVarintPositions(Literal.create(null, ArrayType(IntegerType)))
 
   private def eval(slots: Seq[(Int, Array[Int])], k: Int, slop: Int): Int =
     PhraseTf(Literal.create(null, inputType), Literal(k), slop)
       .compute(new GenericArrayData(slots.map { case (i, p) =>
-        InternalRow(i, new GenericArrayData(p)) }.toArray[Any]), k)
+        InternalRow(i, enc.compute(new GenericArrayData(p))) }.toArray[Any]), k)
 
   /** Exhaustive truth: count start positions with SOME chain
     * p₀<p₁<…, each step in (prev, prev+1+slop]. */
@@ -45,9 +50,14 @@ class PhraseTfPropertySpec extends AnyFunSuite {
       val span = 4 + rnd.nextInt(20)
       // dense random position lists in a narrow span maximize chain
       // interaction; lists are DISTINCT positions per slot (a term
-      // occurs once per token position) fed UNSORTED
+      // occurs once per token position) fed UNSORTED. Every third trial
+      // shifts the span by a random large base so the first varint
+      // needs 2-4 bytes — the codec's multi-byte paths ride the same
+      // truth pin as the DP.
+      val base = if (trial % 3 == 0) rnd.nextInt(1 << 24) else 0
       val slots = Array.fill(k)(
-        rnd.shuffle((0 until span).toList).take(1 + rnd.nextInt(8)).toArray)
+        rnd.shuffle((0 until span).toList).take(1 + rnd.nextInt(8))
+          .map(_ + base).toArray)
       val want = naive(slots.map(_.sorted), slop)
       val got = eval(slots.zipWithIndex.map { case (p, i) => (i, p) }.toSeq,
         k, slop)
