@@ -721,6 +721,99 @@ object ScaleBench {
           floatExchangeMinDim = Int.MaxValue).get
         val n = p.count(); p.unpersist(blocking = false); n
       },
+      // r16: the BATCH operator's float exchange at the same dim-768
+      // design point — one whole-corpus near-dup pass per mode over the
+      // identical 200k generated vectors (embeddingNearDupPairs pays
+      // the uv payload nTables× through its bucket exchange, the same
+      // bytes the index append halves). _dbl forces classic; _flt runs
+      // the dim-gated default. Equal rows= in-bench; SimilaritySpec
+      // pins set equality incl. cos. Self-contained (no table deps),
+      // filter "embdedup_hidim".
+      timed("embdedup_hidim_batch_dbl") {
+        import spark.implicits._
+        val corpus = spark.range(0L, 200000L, 1L, 64)
+          .map(id => genEmbHi(id.toLong)).toDF()
+        graft.functions.Similarity.embeddingNearDupPairs(corpus,
+          "vec_id", "embedding", dim = DimHi, threshold = 0.999,
+          floatExchangeMinDim = Int.MaxValue).count()
+      },
+      timed("embdedup_hidim_batch_flt") {
+        import spark.implicits._
+        val corpus = spark.range(0L, 200000L, 1L, 64)
+          .map(id => genEmbHi(id.toLong)).toDF()
+        val p = graft.functions.Similarity.embeddingNearDupPairs(corpus,
+          "vec_id", "embedding", dim = DimHi, threshold = 0.999)
+        val n = p.count(); p.unpersist(blocking = false); n
+      },
+      // r16: SemIndex appends at dim 768 — the r15 scaladoc's reasoned
+      // negative (one cluster per vector ⇒ the payload rides the
+      // exchange ONCE, so the float saving is structurally smaller
+      // than EmbedIndex's nTables×), now measured instead of assumed.
+      // Two identical indexes, paired 20k appends, order-reversed
+      // second pair — the emb_hidim discipline. Filter "sem_hidim".
+      timed("sem_hidim_build_200k_x2") {
+        import spark.implicits._
+        val corpus = spark.range(0L, 200000L, 1L, 64)
+          .map(id => genEmbHi(id.toLong)).toDF()
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.store.SemIndex.build(store, "vecs_sem_hd_a", corpus,
+          DimHi, 0.999, 64, 200000, seed = 42L, trainOn = Some(corpus))
+        graft.store.SemIndex.build(store, "vecs_sem_hd_b", corpus,
+          DimHi, 0.999, 64, 200000, seed = 42L, trainOn = Some(corpus))
+        corpus.unpersist(blocking = false)
+        400000L
+      },
+      timed("sem_hidim_append_20k_dbl") {
+        import spark.implicits._
+        val batch = spark.range(250007L, 260007L, 1L, 16)
+          .map(id => genEmbHi(id.toLong)).toDF()
+          .unionByName(spark.range(0L, 10000L, 1L, 16)
+            .map(id => { val e = genEmbHi(id.toLong); e.copy(vec_id = id + 20000000L) })
+            .toDF())
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val p = graft.store.SemIndex.appendBatchOnce(
+          store, "vecs_sem_hd_a", batch, "bench-shd", 0L,
+          floatExchangeMinDim = Int.MaxValue).get
+        val n = p.count(); p.unpersist(blocking = false); n
+      },
+      timed("sem_hidim_append_20k_flt") {
+        import spark.implicits._
+        val batch = spark.range(250007L, 260007L, 1L, 16)
+          .map(id => genEmbHi(id.toLong)).toDF()
+          .unionByName(spark.range(0L, 10000L, 1L, 16)
+            .map(id => { val e = genEmbHi(id.toLong); e.copy(vec_id = id + 20000000L) })
+            .toDF())
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val p = graft.store.SemIndex.appendBatchOnce(
+          store, "vecs_sem_hd_b", batch, "bench-shd", 0L).get
+        val n = p.count(); p.unpersist(blocking = false); n
+      },
+      timed("sem_hidim_append2_20k_flt") {
+        import spark.implicits._
+        val batch = spark.range(300007L, 310007L, 1L, 16)
+          .map(id => genEmbHi(id.toLong)).toDF()
+          .unionByName(spark.range(10000L, 20000L, 1L, 16)
+            .map(id => { val e = genEmbHi(id.toLong); e.copy(vec_id = id + 21000000L) })
+            .toDF())
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val p = graft.store.SemIndex.appendBatchOnce(
+          store, "vecs_sem_hd_a", batch, "bench-shd", 1L).get
+        val n = p.count(); p.unpersist(blocking = false); n
+      },
+      timed("sem_hidim_append2_20k_dbl") {
+        import spark.implicits._
+        val batch = spark.range(300007L, 310007L, 1L, 16)
+          .map(id => genEmbHi(id.toLong)).toDF()
+          .unionByName(spark.range(10000L, 20000L, 1L, 16)
+            .map(id => { val e = genEmbHi(id.toLong); e.copy(vec_id = id + 21000000L) })
+            .toDF())
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val p = graft.store.SemIndex.appendBatchOnce(
+          store, "vecs_sem_hd_b", batch, "bench-shd", 1L,
+          floatExchangeMinDim = Int.MaxValue).get
+        val n = p.count(); p.unpersist(blocking = false); n
+      },
       // Incremental SemDeDup (SemIndex) — the FIFTH index's flagship
       // pair: k-means build over the real 1024-cluster structure, then
       // a 100k append. The zone-probe path collects the touched

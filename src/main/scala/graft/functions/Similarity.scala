@@ -545,12 +545,59 @@ object Similarity {
     * LAZY contract (matches Dedup.simhashPairsFromHashes): returns an
     * unexecuted plan, persists nothing — multi-action consumers should
     * cache the result themselves. (The auto-sizing corpus count() is a
-    * metadata-scale action, not a materialization of this plan.) */
+    * metadata-scale action, not a materialization of this plan.)
+    * EXCEPTION: at dim ≥ `floatExchangeMinDim` the float-exchange path
+    * engages (inline note below) and the result comes back persisted +
+    * materialized — its candidate count sizes the broadcast gates. */
+  /** Shared EXACT re-verify tail of every float-exchange path
+    * ([[graft.store.EmbedIndex]] appends, [[graft.store.SemIndex]]
+    * appends, the batch operators here — one implementation, the
+    * LshKeyProbe consolidation rule): candidates (id_a, id_b) from the
+    * float band are resolved to their stored DOUBLE unit vectors
+    * through one candidate-restricted broadcast-semi lookup against
+    * `uvSource` (id, uv — must cover every candidate id; duplicate ids
+    * resolve to the deterministic lexicographic max, see the EmbedIndex
+    * duplicate-id note) and re-filtered at the true threshold, so the
+    * output is pair-for-pair the double path's — ids AND rounded cos.
+    * `cand` must be persisted by the caller (read 3×: two id columns +
+    * the join spine); `nCand` its counted size, which sizes the
+    * broadcast gates with zero extra actions here. Returns a PERSISTED,
+    * materialized (id_a, id_b, cos) frame — callers unpersist. */
+  private[graft] def exactReverify(cand: DataFrame, nCand: Long,
+                                   uvSource: DataFrame, threshold: Double,
+                                   broadcastKeyLimit: Long): DataFrame = {
+    import graft.store.BroadcastGate
+    val needIds = cand.select(col("id_a").as("id"))
+      .unionByName(cand.select(col("id_b").as("id"))).distinct()
+    val uvNeeded = uvSource
+      .join(BroadcastGate(needIds, 2L * nCand, broadcastKeyLimit),
+        Seq("id"), "left_semi")
+      .groupBy(col("id")).agg(max(col("uv")).as("uv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verified = cand
+      .join(BroadcastGate(uvNeeded.select(col("id").as("id_a"),
+          col("uv").as("uv_a")), 2L * nCand, broadcastKeyLimit),
+        Seq("id_a"))
+      .join(BroadcastGate(uvNeeded.select(col("id").as("id_b"),
+          col("uv").as("uv_b")), 2L * nCand, broadcastKeyLimit),
+        Seq("id_b"))
+      .withColumn("cos", dot(col("uv_a"), col("uv_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verified.count()
+    uvNeeded.unpersist(blocking = false)
+    verified
+  }
+
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                             dim: Int, threshold: Double = 0.95,
                             nTables: Int = 8, bitsPerTable: Int = 0,
                             seed: Long = 42L,
-                            maxBucketSize: Int = 2000): DataFrame = {
+                            maxBucketSize: Int = 2000,
+                            floatExchangeMinDim: Int =
+                              graft.store.EmbedIndex.DefaultFloatExchangeMinDim)
+      : DataFrame = {
     val bits =
       if (bitsPerTable > 0) bitsPerTable
       else {
@@ -583,6 +630,37 @@ object Similarity {
         explode(tableKeys).as("tk"))
       .select(col("tk.table").as("table"), col("tk.bucket").as("bucket"),
         col("id"), col("uv"))
+    if (graft.store.EmbedIndex.floatExchangeActive(dim, floatExchangeMinDim)) {
+      // FLOAT exchange (r16, extending the r15 index-append mechanism
+      // to the batch shape): the bucket exchange — here paid nTables
+      // times per row — ships a float copy of the unit vector (the
+      // bounded heap keeps the same smallest-id member set as the
+      // row_number cap below), CosineCandidatesF emits candidates at
+      // threshold − margin, and the shared exactReverify resolves them
+      // against the double vectors re-derived from the corpus (one
+      // candidate-restricted columnar scan). Output is pair-for-pair
+      // the double path's. DEVIATION from the lazy contract above:
+      // this path is persisted + materialized (the candidate count
+      // sizes the broadcast gates) — callers unpersist when done.
+      val cand = rows
+        .groupBy(col("table"), col("bucket"))
+        .agg(TopKAggregate.boundedVecMembersF(col("id"),
+          col("uv").cast("array<float>"), lit(true), maxBucketSize + 1)
+          .as("members"))
+        .filter(size(col("members")).between(2, maxBucketSize))
+        .select(explode(graft.plans.VectorExpressions
+          .cosineCandidatesF(col("members"),
+            threshold - graft.store.EmbedIndex.FloatVerifyMargin)).as("p"))
+        .select(col("p.id_a"), col("p.id_b"))
+        .dropDuplicates("id_a", "id_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nCand = cand.count()
+      val verified = exactReverify(cand, nCand,
+        corpus.select(col(idCol).as("id"), unitVector(col(vecCol)).as("uv")),
+        threshold, graft.store.BroadcastGate.DefaultKeyLimit)
+      cand.unpersist(blocking = false)
+      return verified
+    }
     val w = Window.partitionBy(col("table"), col("bucket")).orderBy(col("id"))
     val members = rows
       .withColumn("rn", row_number().over(w))
@@ -668,13 +746,13 @@ object Similarity {
     * cap semantics) are identical to the window form: the bounded heap
     * keeps the maxClusterSize+1 smallest ids.
     *
-    * EmbedIndex's dim-gated FLOAT exchange is deliberately NOT applied
-    * here: SemDeDup assigns each vector to ONE cluster, so the exchange
-    * carries the payload once — the float saving is half of a number
-    * nTables times smaller than EmbedIndex's, while the exact re-verify
-    * re-scan would cost the same; and the flagship measured SemIndex
-    * appends dominated by assign+commit, not this exchange. Revisit
-    * with a measured A/B if a production-dim corpus says otherwise. */
+    * r15 recorded a reasoned negative on applying EmbedIndex's FLOAT
+    * exchange here (one cluster per vector ⇒ the payload rides the
+    * exchange once, not nTables times, so the saving is smaller while
+    * the re-verify costs the same); r16 built the gated twin anyway
+    * ([[semPairsTouchingF]], wired through SemIndex.appendBatchOnce at
+    * committed dim ≥ the shared gate) so the trade is measured, not
+    * assumed — the dim-768 A/B lives in ScaleBench `sem_hidim_*`. */
   private[graft] def semPairsTouching(tagged: DataFrame, eps: Double,
                                       maxClusterSize: Int): DataFrame =
     tagged
@@ -688,6 +766,38 @@ object Similarity {
       .select(explode(graft.plans.VectorExpressions
         .cosinePairs(col("members"), eps)).as("p"))
       .select(col("p.id_a"), col("p.id_b"), round(col("p.cos"), 6).as("cos"))
+
+  /** The FLOAT-exchange twin of [[semPairsTouching]] (r16): the cluster
+    * exchange ships float unit vectors (the bounded heap keeps the
+    * identical smallest-id member set), [[graft.plans.CosineCandidatesF]]
+    * emits batch-touching candidates at eps − margin, and the shared
+    * [[exactReverify]] resolves them against `uvSource` (id, uv — the
+    * same tagged union, so one candidate-restricted recompute) at the
+    * true eps. Output is pair-for-pair [[semPairsTouching]]'s — ids AND
+    * rounded cos (SemIndexSpec pins both forced paths). EAGER like
+    * every float path: returns a persisted, materialized frame. */
+  private[graft] def semPairsTouchingF(tagged: DataFrame, eps: Double,
+                                       maxClusterSize: Int,
+                                       uvSource: DataFrame,
+                                       broadcastKeyLimit: Long): DataFrame = {
+    val cand = tagged
+      .groupBy(col("cluster_id"))
+      .agg(graft.plans.TopKAggregate
+        .boundedVecMembersF(col("id"), col("uv").cast("array<float>"),
+          col("fresh"), maxClusterSize + 1).as("members"))
+      .filter(size(col("members")).between(2, maxClusterSize))
+      .select(explode(graft.plans.VectorExpressions
+        .cosineCandidatesF(col("members"),
+          eps - graft.store.EmbedIndex.FloatVerifyMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nCand = cand.count()
+    val verified = exactReverify(cand, nCand, uvSource, eps,
+      broadcastKeyLimit)
+    cand.unpersist(blocking = false)
+    verified
+  }
 
   /** [[semDedup]]'s pair graph: within-cluster cosine pairs under
     * trained (or supplied) centroids. */

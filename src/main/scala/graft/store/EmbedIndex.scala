@@ -138,7 +138,7 @@ object EmbedIndex {
     * exact double re-verify. */
   val FloatVerifyMargin: Double = 1e-4
 
-  private[store] def floatExchangeActive(dim: Int, minDim: Int): Boolean =
+  private[graft] def floatExchangeActive(dim: Int, minDim: Int): Boolean =
     dim >= minDim
 
   private val P = "embdedup." // metadata key prefix
@@ -434,41 +434,18 @@ object EmbedIndex {
       .dropDuplicates("id_a", "id_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nCand = cand.count()
-    val needIds = cand.select(col("id_a").as("id"))
-      .unionByName(cand.select(col("id_b").as("id"))).distinct()
-    // candidate-restricted exact lookup: 2·nCand bounds the id count;
-    // the per-id resolve AFTER the semi-join keeps it candidate-sized.
-    // max(uv) instead of dropDuplicates: under the unique-doc-id
-    // contract both are one-row identities, but if the contract is
-    // violated (same id, different vectors across index and batch)
-    // dropDuplicates picks an ARBITRARY vector and the float path's
-    // pair set could drift run-to-run — the lexicographic array max is
-    // deterministic (r15 ADVICE). The double path still compares each
-    // occurrence's own in-bucket vector, so under violation the two
-    // paths may legitimately differ; only the determinism is owed.
-    // PERSISTED before the two aliased joins below — without it the
+    // Shared exact tail (r16, one implementation across EmbedIndex /
+    // SemIndex / batch operators): candidate-restricted (id, uv)
+    // lookup, deterministic per-id resolve (lexicographic max — under
+    // the unique-doc-id contract an identity; under violation the
+    // double path compares per-occurrence vectors, so only determinism
+    // is owed, r15 ADVICE), exact double re-filter at the committed
+    // threshold. Both intermediates persist inside — without that the
     // "one re-scan" claim depends on the planner's exchange reuse
-    // recognizing the differently-aliased subplans, and a miss would
-    // run the chain scan twice per append.
-    val uvNeeded = uvSource
-      .join(BroadcastGate(needIds, 2L * nCand, broadcastKeyLimit),
-        Seq("id"), "left_semi")
-      .groupBy(col("id")).agg(max(col("uv")).as("uv"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val verified = cand
-      .join(BroadcastGate(uvNeeded.select(col("id").as("id_a"),
-          col("uv").as("uv_a")), 2L * nCand, broadcastKeyLimit),
-        Seq("id_a"))
-      .join(BroadcastGate(uvNeeded.select(col("id").as("id_b"),
-          col("uv").as("uv_b")), 2L * nCand, broadcastKeyLimit),
-        Seq("id_b"))
-      .withColumn("cos", Similarity.dot(col("uv_a"), col("uv_b")))
-      .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    verified.count()
+    // recognizing differently-aliased subplans.
+    val verified = Similarity.exactReverify(cand, nCand, uvSource,
+      threshold, broadcastKeyLimit)
     cand.unpersist(blocking = false)
-    uvNeeded.unpersist(blocking = false)
     verified
   }
 

@@ -113,7 +113,9 @@ object SemIndex {
                       compactEvery: Int = 8,
                       broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit,
                       batchCountHint: Option[Long] = None,
-                      zoneProbeMaxClusters: Int = 0)
+                      zoneProbeMaxClusters: Int = 0,
+                      floatExchangeMinDim: Int =
+                        EmbedIndex.DefaultFloatExchangeMinDim)
       : Option[DataFrame] = {
     var result: Option[DataFrame] = None
     var enc: DataFrame = null
@@ -180,7 +182,9 @@ object SemIndex {
           result = Some(pairsVsIndex(
             idxRows, enc, nBatch, touched.exists(_.nonEmpty),
             req("eps").toDouble, req("maxClusterSize").toInt,
-            broadcastKeyLimit))
+            broadcastKeyLimit,
+            useFloat = EmbedIndex.floatExchangeActive(
+              req("dim").toInt, floatExchangeMinDim)))
           Right(chain.next(store, table, v, meta, enc, compactEvery,
             drift + (key -> batchId.toString)))
         }
@@ -212,7 +216,8 @@ object SemIndex {
   private def pairsVsIndex(idx: DataFrame, batchEnc: DataFrame,
                            nBatch: Long, preFiltered: Boolean,
                            eps: Double, maxClusterSize: Int,
-                           broadcastKeyLimit: Long): DataFrame = {
+                           broadcastKeyLimit: Long,
+                           useFloat: Boolean = false): DataFrame = {
     // nBatch bounds the touched-cluster count (one cluster per vector)
     // — gate sized with zero driver actions. The zone-probe path has
     // already restricted idx to the touched clusters exactly.
@@ -230,10 +235,18 @@ object SemIndex {
     // restrictToTouching pass to discard. fresh ⇔ id ∈ batch under the
     // unique-id contract, so output is identical (SemIndexSpec pins
     // incremental ≡ batch pair-for-pair).
-    val verified = Similarity.semPairsTouching(
-      cRows.withColumn("fresh", lit(false))
-        .unionByName(batchEnc.withColumn("fresh", lit(true))),
-      eps, maxClusterSize)
+    val tagged = cRows.withColumn("fresh", lit(false))
+      .unionByName(batchEnc.withColumn("fresh", lit(true)))
+    if (useFloat) {
+      // dim-gated FLOAT exchange (r16): the cluster exchange ships
+      // float unit vectors; candidates re-verify exactly against the
+      // same touched-cluster union (a candidate-restricted recompute —
+      // the cluster-pruned columnar scan plus the persisted batch).
+      // semPairsTouchingF's frame comes back persisted + distinct.
+      return Similarity.semPairsTouchingF(tagged, eps, maxClusterSize,
+        tagged.select(col("id"), col("uv")), broadcastKeyLimit)
+    }
+    val verified = Similarity.semPairsTouching(tagged, eps, maxClusterSize)
       .dropDuplicates("id_a", "id_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
     verified.count()

@@ -85,6 +85,30 @@ class SemIndexSpec extends SparkSpec {
     }
   }
 
+  test("forced-float appends ≡ forced-double appends ≡ committed batch truth") {
+    // the r16 gated float exchange on the SemIndex append path: both
+    // forced modes must produce the identical pair sets — ids AND
+    // rounded cos — and their union must equal the one-shot batch
+    // truth under the committed centroids (the incremental ≡ batch
+    // contract is mode-independent)
+    val rootF = Files.createTempDirectory("graft-semidxF").toString
+    val rootD = Files.createTempDirectory("graft-semidxD").toString
+    val (f, d) = (buildOn(rootF), buildOn(rootD))
+    def run(store: SnapshotStore, minDim: Int): Set[(Long, Long, Double)] =
+      (0 until 2).map { i =>
+        val p = SemIndex.appendBatchOnce(store, "t",
+          vecsDf.filter(col("id") % 2 === i), "s", i.toLong,
+          floatExchangeMinDim = minDim).get
+        val ps = pairSet(p); p.unpersist(blocking = false); ps
+      }.reduce(_ ++ _)
+    val forcedFloat = run(f, 0)
+    val forcedDouble = run(d, Int.MaxValue)
+    assert(forcedFloat === forcedDouble,
+      "float exchange changed the SemIndex pair set")
+    assert(forcedFloat === committedTruth(f))
+    assert(forcedFloat.size >= 10)
+  }
+
   test("zone-probe trickle path ≡ default probe; replay skipped") {
     val rootA = Files.createTempDirectory("graft-semidxA").toString
     val rootB = Files.createTempDirectory("graft-semidxB").toString

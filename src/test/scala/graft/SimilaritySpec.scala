@@ -229,6 +229,30 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty) // 8 tables × 4 bits on dim-8: some collisions certain
   }
 
+  test("embeddingNearDupPairs: forced float exchange ≡ classic path, cos included") {
+    // the r16 batch-shape float exchange: force it on (minDim 0) and
+    // off (minDim MaxValue) over the random corpus — the candidate
+    // band + exact re-verify must reproduce the double path's pairs
+    // AND rounded cos values exactly (the EmbedIndex append-path
+    // guarantee, now shared via Similarity.exactReverify)
+    val rnd = new scala.util.Random(11)
+    val vecs = (1L to 120L).map { i =>
+      val v = Array.fill(8)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (i, v.map(_ / n))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    def run(minDim: Int): Set[(Long, Long, Double)] =
+      Similarity.embeddingNearDupPairs(df, "vec_id", "embedding",
+        dim = 8, threshold = 0.6, nTables = 8, bitsPerTable = 4,
+        floatExchangeMinDim = minDim)
+        .select(col("id_a"), col("id_b"), col("cos"))
+        .as[(Long, Long, Double)].collect().toSet
+    val forcedFloat = run(0)
+    val classic = run(Int.MaxValue)
+    assert(forcedFloat.nonEmpty && forcedFloat === classic)
+  }
+
   test("PQ: ADC equals the exact dot when vectors quantize losslessly") {
     // codebooks whose centroids ARE the corpus subvectors → zero
     // quantization error → adc must equal dot(q, v) exactly.
