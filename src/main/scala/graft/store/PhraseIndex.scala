@@ -85,6 +85,12 @@ object PhraseIndex {
   private val chain = new DeltaChain(s"${P}parts",
     Seq("term", "doc_id", "posns", "tf", "dl"))
 
+  /** Containment-candidate sets at/below this collect to the driver
+    * (one slim pass, local-relation broadcast — see [[matchTail]]);
+    * larger sets stay plan-side behind the byte-gated broadcast.
+    * 200k (query_id, doc_id) rows ≈ a few MB. */
+  private val LocalCandCap = 200000
+
   private def requireCompatible(meta: Map[String, String], table: String): Unit = {
     val tok = meta.getOrElse(s"${P}tokenizer", "unknown")
     if (tok != Tokenizer)
@@ -262,33 +268,49 @@ object PhraseIndex {
   /** (query, slot, term) rows — one per phrase token, slot = position
     * IN THE PHRASE (duplicate phrase terms keep distinct slots, which
     * is what makes repeated-term phrases verify correctly) — plus the
-    * term filter for the positional source. The term collect is the
-    * ONE bounded driver action (small-query-batch contract shared with
-    * TextIndex.queryMaxScore); an all-whitespace batch has no terms,
-    * and lit(false) keeps the NORMAL plan (and so the caller-derived
+    * term filter for the positional source. ONE bounded driver action
+    * (the small-query-batch contract shared with
+    * TextIndex.queryMaxScore) collects the ≤ Q·k slot triples, and
+    * everything downstream — the pushed term filter, the duplicate-id
+    * guard, the broadcast slot frame, the per-query k counts, the
+    * prefilter's probe — derives from the collected rows as LOCAL
+    * relations: the phrase-batch subtree (often a filtered corpus
+    * read) is evaluated once, not once per broadcast build, and the
+    * guard costs no extra job. An all-whitespace batch has no slot
+    * rows; lit(false) keeps the NORMAL plan (and so the caller-derived
     * column types) instead of a hand-built empty frame whose schema
     * could diverge from it. */
   private def slotsOf(phrases: DataFrame, queryIdCol: String,
                       phraseCol: String): (DataFrame, Column) = {
-    // Duplicate query ids would merge two phrases' (idx, term) slots
-    // under one query; PhraseTf then sees duplicate idx values and
-    // returns 0, so every match for that query would vanish SILENTLY.
-    // Fail loudly instead — the batch is Q rows (small-query-batch
-    // contract), so this check is one tiny driver action (r15 ADVICE).
-    val dupIds = phrases.groupBy(col(queryIdCol))
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-      .select(col(queryIdCol)).limit(3).collect()
-    if (dupIds.nonEmpty)
-      throw new IllegalArgumentException(
-        s"phrase batch carries duplicate $queryIdCol values " +
-          s"(e.g. ${dupIds.map(_.get(0)).mkString(", ")}) — one phrase " +
-          "per query id; duplicates would silently match nothing")
-    val slots = phrases.select(col(queryIdCol).as("query_id"),
+    val spark = phrases.sparkSession
+    val qidType = phrases.schema(queryIdCol).dataType
+    val slotRows = phrases.select(col(queryIdCol).as("query_id"),
         posexplode(TextFunctions.tokens(lower(col(phraseCol))))
           .as(Seq("idx", "term")))
       .select(col("query_id"), col("idx").cast("int").as("idx"), col("term"))
-    val terms = slots.select(col("term")).distinct()
-      .collect().map(_.getString(0)).toIndexedSeq
+      .collect()
+    // Duplicate query ids would merge two phrases' (idx, term) slots
+    // under one query; PhraseTf then sees duplicate idx values and
+    // returns 0, so every match for that query would vanish SILENTLY.
+    // Fail loudly instead (r15 ADVICE) — detected on the collected
+    // rows: a repeated (query_id, idx) pair can only come from two
+    // phrases sharing an id.
+    val dupIds = slotRows.groupBy(r => (r.get(0), r.getInt(1)))
+      .collect { case (k, rs) if rs.length > 1 => k._1 }.toSeq.distinct
+    if (dupIds.nonEmpty)
+      throw new IllegalArgumentException(
+        s"phrase batch carries duplicate $queryIdCol values " +
+          s"(e.g. ${dupIds.take(3).mkString(", ")}) — one phrase per " +
+          "query id; duplicates would silently match nothing")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id", qidType),
+      org.apache.spark.sql.types.StructField("idx",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("term",
+        org.apache.spark.sql.types.StringType)))
+    val slots = spark.createDataFrame(
+      java.util.Arrays.asList(slotRows: _*), schema)
+    val terms = slotRows.map(_.getString(2)).distinct.toIndexedSeq
     val termFilter =
       if (terms.isEmpty) lit(false) else col("term").isin(terms: _*)
     (slots, termFilter)
@@ -320,14 +342,17 @@ object PhraseIndex {
     *
     * `prefilter` (default on) adds the containment pre-pass (class
     * scaladoc): a slim (term, doc_id) aggregate finds the all-slots
-    * candidates, which broadcast back (size-gated — a degenerate
-    * all-stopword batch falls back to the planner's join) as a
-    * semi-join on the fat rows, so only candidate docs' position
-    * payloads cross the (query, doc) group exchange. Cost: the slim
-    * pass runs twice (once counted for the gate, once as the broadcast
-    * build side) — both runs are column-pruned and never read the
-    * payload. Results are IDENTICAL with it off; it exists purely to
-    * keep a common term's fat rows off the exchange. */
+    * candidates, which broadcast back as a semi-join on the fat rows,
+    * so only candidate docs' position payloads cross the (query, doc)
+    * group exchange. The candidate set is COLLECTED when it fits
+    * [[LocalCandCap]] (the overwhelmingly common case — it is the
+    * conjunction of all phrase terms) so the slim pass runs exactly
+    * once and the broadcast builds from a local relation; a degenerate
+    * all-stopword batch overflows the cap and falls back to the
+    * size-gated plan-side broadcast (one extra counted pass, both
+    * column-pruned — the payload is never read). Results are IDENTICAL
+    * with the prefilter off; it exists purely to keep a common term's
+    * fat rows off the exchange. */
   private def matchTail(posRows: DataFrame, slots: DataFrame,
                         slop: Int, prefilter: Boolean): DataFrame = {
     val ks = slots.groupBy(col("query_id"))
@@ -337,11 +362,14 @@ object PhraseIndex {
       if (!prefilter) fat
       else {
         val cand = containmentCandidates(posRows, slots, ks)
-        val nCand = cand.count() // the gate's sizing action (bounded:
-        // one skinny aggregate over the term-restricted projection)
-        fat.join(
-          BroadcastGate(cand, nCand, BroadcastGate.DefaultKeyLimit),
-          Seq("query_id", "doc_id"), "left_semi")
+        val local = cand.limit(LocalCandCap + 1).collect()
+        val gated =
+          if (local.length <= LocalCandCap)
+            broadcast(posRows.sparkSession.createDataFrame(
+              java.util.Arrays.asList(local: _*), cand.schema))
+          else BroadcastGate(cand, cand.count(),
+            BroadcastGate.DefaultKeyLimit)
+        fat.join(gated, Seq("query_id", "doc_id"), "left_semi")
       }
     src
       .groupBy(col("query_id"), col("doc_id"))
