@@ -140,6 +140,17 @@ object ScaleBench {
   private[graft] def genEmbHi(id: Long): Emb =
     genEmbAt(id, DimHi, 104729L, 13L, 31L)
 
+  /** Large-vocabulary corpus row for the bm25_bigvocab entries: ~35
+    * tokens over a 200k-term vocabulary (`sub` restricts to the first
+    * 2k terms — the append's touched subvocab). */
+  private[graft] def genBigVocabDoc(id: Long, sub: Boolean = false): Doc = {
+    val rnd = new java.util.Random(id * 0x9E3779B97F4A7C15L + 29)
+    val n = 30 + rnd.nextInt(10)
+    val lim = if (sub) 2000 else 500000
+    val text = Array.fill(n)("bw" + rnd.nextInt(lim)).mkString(" ")
+    Doc(id, text, "en", s"src${id % 16}", text.length.toLong)
+  }
+
   private val EvTypes = Array("view", "click", "purchase", "signup", "error")
   private val EvBase = 1704067200000L // 2024-01-01 UTC
   private val EvUsers = 150000
@@ -1017,17 +1028,42 @@ object ScaleBench {
         graft.store.PhraseIndex.phraseQueryRanked(store, "docs_pos",
           qs, "query_id", "phrase", k = 10).count()
       },
-      // Containment-prefilter A/B twin (r16): same batch, prefilter
-      // off — every slot term's FULL positional rows (VocabSize=4096 ⇒
-      // df ≈ 79k docs/term here) cross the (query, doc) exchange,
-      // where the default path ships only the all-slots candidates'
-      // rows. Identical output by construction (PhraseIndexSpec pins
-      // it); the delta is pure exchange volume.
-      timed("phrase_query_nopre") {
+      // Containment-prefilter A/B twin (r16): same batch with the
+      // OPT-IN prefilter forced on. On this uniform corpus (tf ≈ 1)
+      // the slim candidate pass just re-reads the same bytes, which is
+      // why the measured loss here (and on the zipf twin below) made
+      // the prefilter opt-in — the PhraseIndex scaladoc's honest
+      // negative. Identical output by construction.
+      timed("phrase_query_prefilter") {
         val qs = shortQueries(docs).select(col("query_id"),
           col("qtext").as("phrase"))
         graft.store.PhraseIndex.phraseQuery(store, "docs_pos",
-          qs, "query_id", "phrase", prefilter = false).count()
+          qs, "query_id", "phrase", prefilter = true).count()
+      },
+      // ...and the same A/B on a 1M-doc ZIPFIAN corpus — real text's
+      // token law. The uniform corpus above is the prefilter's WORST
+      // case (tf ≈ 1 ⇒ the position payload is one int and the slim
+      // pass just re-reads the same bytes); zipf head terms carry long
+      // position lists, the payload the containment semi-join exists
+      // to keep off the exchange. Filter "phrase_zipf".
+      timed("phrase_zipf_build_1m") {
+        import spark.implicits._
+        val zdocs = spark.range(0L, 1000000L, 1L, 64)
+          .map(id => genZipfDoc(id.toLong)).toDF()
+        graft.store.PhraseIndex.build(store, "docs_pos_zipf", zdocs,
+          "text", "doc_id")
+      },
+      timed("phrase_zipf_query") {
+        val qs = zipfShortQueries(spark, 16)
+          .select(col("query_id"), col("qtext").as("phrase"))
+        graft.store.PhraseIndex.phraseQuery(store, "docs_pos_zipf",
+          qs, "query_id", "phrase").count()
+      },
+      timed("phrase_zipf_query_prefilter") {
+        val qs = zipfShortQueries(spark, 16)
+          .select(col("query_id"), col("qtext").as("phrase"))
+        graft.store.PhraseIndex.phraseQuery(store, "docs_pos_zipf",
+          qs, "query_id", "phrase", prefilter = true).count()
       },
       // At-rest footprint of the positional table (rows = BYTES on
       // disk, wall time is directory walking): the r16 delta-varint
@@ -1157,6 +1193,85 @@ object ScaleBench {
         graft.store.TextIndex.queryChampions(store, "docs_bm25",
           shortQueries(docs), "query_id", "qtext", k = 10,
           fallbackToExact = false).count()
+      },
+      // r16: the chained-champion WRITE saving at a realistic
+      // vocabulary. The 4096-term flagship vocab makes every append
+      // touch every term, so the docs_bm25 merge entries above cannot
+      // show it — here 1M docs span a 500k-term vocabulary (df ≈ 70
+      // per term, m = 8 ⇒ champions keep ~1/9 of the 35M postings: the
+      // production ratio, where common-term df dwarfs m) and a 5k-doc
+      // append draws from a 2k-term SUBVOCAB. Table A refreshes
+      // through the chained
+      // merge (delta member ≈ touched·m rows); table B folds its chain
+      // first, forcing the full-rebuild path (full postings scan +
+      // full-vocab champion write) — the paired wall-clock plus the
+      // rows= member counts are the evidence. Self-contained; filter
+      // "bigvocab" runs the whole family in order.
+      timed("bm25_bigvocab_build_x2") {
+        import spark.implicits._
+        val bdocs = spark.range(0L, 1000000L, 1L, 64)
+          .map(id => genBigVocabDoc(id.toLong)).toDF()
+        graft.store.TextIndex.build(store, "docs_bm25_bv_a", bdocs,
+          "text", "doc_id")
+        graft.store.TextIndex.build(store, "docs_bm25_bv_b", bdocs,
+          "text", "doc_id")
+        2000000L
+      },
+      timed("bm25_bigvocab_champ_x2") {
+        graft.store.TextIndex.refreshChampions(store, "docs_bm25_bv_a", m = 8)
+        graft.store.TextIndex.refreshChampions(store, "docs_bm25_bv_b", m = 8)
+        2L
+      },
+      timed("bm25_bigvocab_append_x2") {
+        import spark.implicits._
+        val batch = spark.range(1000000L, 1005000L, 1L, 16)
+          .map(id => genBigVocabDoc(id.toLong, sub = true)).toDF()
+        graft.store.TextIndex.append(store, "docs_bm25_bv_a", batch,
+          "text", "doc_id", compactEvery = 100)
+        graft.store.TextIndex.append(store, "docs_bm25_bv_b", batch,
+          "text", "doc_id", compactEvery = 100)
+        10000L
+      },
+      timed("bm25_bigvocab_refresh_merge") {
+        val cv = graft.store.TextIndex.refreshChampions(store,
+          "docs_bm25_bv_a", m = 8)
+        val cmeta = store.metaForVersion("docs_bm25_bv_a__champ", cv)
+        System.err.println(s"[scalebench] bigvocab A mode=" +
+          s"${cmeta.getOrElse("text.champ.mode", "?")} parts='" +
+          s"${cmeta.getOrElse("text.champ.parts", "")}'")
+        store.loadVersion("docs_bm25_bv_a__champ", cv).count()
+      },
+      timed("bm25_bigvocab_fold_b") {
+        // fold B's postings chain: the delta becomes unrecoverable and
+        // the next refresh MUST take the full-rebuild path
+        graft.store.TextIndex.compactIndex(store, "docs_bm25_bv_b")
+        1L
+      },
+      timed("bm25_bigvocab_refresh_rebuild") {
+        val cv = graft.store.TextIndex.refreshChampions(store,
+          "docs_bm25_bv_b", m = 8)
+        val cmeta = store.metaForVersion("docs_bm25_bv_b__champ", cv)
+        System.err.println(s"[scalebench] bigvocab B mode=" +
+          s"${cmeta.getOrElse("text.champ.mode", "?")}")
+        store.loadVersion("docs_bm25_bv_b__champ", cv).count()
+      },
+      // and the serving check: both tables answer the same query batch
+      // exactly (A through its 2-member champion chain, B through the
+      // folded rebuild) — equal rows= is the in-bench sanity.
+      timed("bm25_bigvocab_serve_x2") {
+        import spark.implicits._
+        val qs = (0 until 8).map { i =>
+          val d = genBigVocabDoc(i * 31000L)
+          (i.toLong, d.text.split(" ").take(4).mkString(" "))
+        }.toDF("query_id", "qtext")
+        val a = graft.store.TextIndex.queryChampions(store, "docs_bm25_bv_a",
+          qs, "query_id", "qtext", k = 10, fallbackToExact = false)
+          .select(col("query_id"), col("neighbor_id")).collect().toSet
+        val b = graft.store.TextIndex.queryChampions(store, "docs_bm25_bv_b",
+          qs, "query_id", "qtext", k = 10, fallbackToExact = false)
+          .select(col("query_id"), col("neighbor_id")).collect().toSet
+        require(a == b, "chained and rebuilt champions diverged")
+        a.size.toLong
       },
       // The same measurement on a 1M-doc ZIPFIAN corpus — real text's
       // token law, hence real tf concentration. The uniform-corpus

@@ -42,15 +42,24 @@ import graft.functions.TextFunctions
   * match"), and worse, the ranked path's idf uses df_phrase COUNTED
   * FROM THE MATCH SET — skipping files would change df and shift every
   * surviving score, so no file-level skip can keep the output exact.
-  * The sound large-corpus lever is CONTAINMENT pre-filtering
-  * ([[matchTail]]): a slim (term, doc_id) pass — parquet column
-  * pruning never touches the position payload — finds the docs holding
-  * ALL phrase slots, and only those docs' full positional rows cross
-  * the verify exchange. Matches require every slot present, so
+  * The only sound pruning lever is CONTAINMENT pre-filtering
+  * ([[matchTail]], OPT-IN): a slim (term, doc_id) pass — parquet
+  * column pruning never touches the position payload — finds the docs
+  * holding ALL phrase slots, and only those docs' full positional rows
+  * cross the verify exchange. Matches require every slot present, so
   * candidates ⊇ matches and the match set (hence df, hence every
-  * score) is EXACTLY preserved; what it saves is shipping the fat
-  * position lists of a common term's non-candidate docs ("the" in
-  * "the matrix": the conjunction is rare even when one term is not).
+  * score) is EXACTLY preserved. Measured r16 at the flagship, it is
+  * OFF by default — the honest negative, the EmbedIndex key-probe
+  * precedent: on the uniform 5M corpus (tf ≈ 1, payload = one varint
+  * byte) the slim pass just re-reads the same bytes (4.9 s vs 2.2 s
+  * direct), and even on the 1M zipf corpus (head-term tf 5-10, the
+  * payload case it targets) finding the candidates costs a df-sized
+  * slim exchange that the direct path pays only once anyway (23.6 s
+  * vs 7.0 s with the original distinct-count formulation; the bitmask
+  * aggregate now halves the slim exchanges, but the structural
+  * objection stands). It can pay only where per-row payloads dwarf
+  * the 16-byte slim row — tf ≫ 10 with long documents — so the
+  * machinery stays, spec-pinned output-identical, for that opt-in.
   *
   * One query batch (Q phrases, k terms each) costs: one phrase
   * tokenization of the Q-row frame, ONE bounded driver action
@@ -236,12 +245,13 @@ object PhraseIndex {
     * batch (the bounded driver action collects its distinct terms). */
   def phraseQuery(store: SnapshotStore, table: String, phrases: DataFrame,
                   queryIdCol: String, phraseCol: String,
-                  slop: Int = 0, prefilter: Boolean = true): DataFrame = {
+                  slop: Int = 0, prefilter: Boolean = false): DataFrame = {
     val v = store.currentVersion(table)
     require(v > 0, s"$table: no committed phrase index")
     requireCompatible(store.metaForVersion(table, v), table)
-    val (slots, termFilter) = slotsOf(phrases, queryIdCol, phraseCol)
-    matchTail(load(store, table).filter(termFilter), slots, slop, prefilter)
+    val (slots, termFilter, maxK) = slotsOf(phrases, queryIdCol, phraseCol)
+    matchTail(load(store, table).filter(termFilter), slots, slop, prefilter,
+      maxK)
   }
 
   /** One-shot phrase/proximity matching WITHOUT an index — the
@@ -256,13 +266,13 @@ object PhraseIndex {
   def phraseScan(docs: DataFrame, textCol: String, idCol: String,
                  phrases: DataFrame, queryIdCol: String, phraseCol: String,
                  slop: Int = 0): DataFrame = {
-    val (slots, termFilter) = slotsOf(phrases, queryIdCol, phraseCol)
+    val (slots, termFilter, maxK) = slotsOf(phrases, queryIdCol, phraseCol)
     // no containment prefilter on the scan path: the positional rows
     // are derived per-invocation (not a columnar table), so the slim
     // pass could not column-prune anything — it would just run the
     // derive pipeline twice
     matchTail(posRowsOf(tokenized(docs, textCol, idCol), Some(termFilter)),
-      slots, slop, prefilter = false)
+      slots, slop, prefilter = false, maxK)
   }
 
   /** (query, slot, term) rows — one per phrase token, slot = position
@@ -281,7 +291,7 @@ object PhraseIndex {
     * column types) instead of a hand-built empty frame whose schema
     * could diverge from it. */
   private def slotsOf(phrases: DataFrame, queryIdCol: String,
-                      phraseCol: String): (DataFrame, Column) = {
+                      phraseCol: String): (DataFrame, Column, Int) = {
     val spark = phrases.sparkSession
     val qidType = phrases.schema(queryIdCol).dataType
     val slotRows = phrases.select(col(queryIdCol).as("query_id"),
@@ -313,7 +323,9 @@ object PhraseIndex {
     val terms = slotRows.map(_.getString(2)).distinct.toIndexedSeq
     val termFilter =
       if (terms.isEmpty) lit(false) else col("term").isin(terms: _*)
-    (slots, termFilter)
+    val maxK = if (slotRows.isEmpty) 0
+      else slotRows.groupBy(_.get(0)).valuesIterator.map(_.length).max
+    (slots, termFilter, maxK)
   }
 
   /** Containment candidates of a phrase batch: the (query_id, doc_id)
@@ -323,7 +335,12 @@ object PhraseIndex {
     * rows to them preserves the match set (hence df, hence every
     * ranked score) exactly. Computed from the (term, doc_id) projection
     * only: parquet column pruning keeps the position payload out of
-    * this pass entirely. */
+    * this pass entirely. Coverage is a slot BITMASK folded with one
+    * single-phase bit_or aggregate (a count-distinct plans as a
+    * two-exchange distinct aggregate — double the slim shuffle for
+    * nothing); caller guarantees every slot idx < 63 ([[matchTail]]
+    * skips the prefilter for longer phrases — it is an optimization,
+    * never a semantic switch). */
   private[graft] def containmentCandidates(posRows: DataFrame,
                                            slots: DataFrame,
                                            ks: DataFrame): DataFrame =
@@ -331,35 +348,37 @@ object PhraseIndex {
       .join(broadcast(slots.select(col("term"), col("query_id"), col("idx"))),
         Seq("term"))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(count_distinct(col("idx")).as("ns"))
+      .agg(bit_or(expr("shiftleft(1L, idx)")).as("mask"))
       .join(broadcast(ks), Seq("query_id"))
-      .filter(col("ns") === col("k"))
+      .filter(col("mask") === expr("shiftleft(1L, k) - 1L"))
       .select(col("query_id"), col("doc_id"))
 
   /** The shared match pipeline over positional (term, doc_id, posns,
     * tf, dl) rows: broadcast the slots in, group per (query, doc),
     * verify the position chain in-expression.
     *
-    * `prefilter` (default on) adds the containment pre-pass (class
-    * scaladoc): a slim (term, doc_id) aggregate finds the all-slots
-    * candidates, which broadcast back as a semi-join on the fat rows,
-    * so only candidate docs' position payloads cross the (query, doc)
-    * group exchange. The candidate set is COLLECTED when it fits
+    * `prefilter` (OPT-IN — measured net-negative on both flagship
+    * corpus shapes, class scaladoc) adds the containment pre-pass: a
+    * slim (term, doc_id) aggregate finds the all-slots candidates,
+    * which broadcast back as a semi-join on the fat rows, so only
+    * candidate docs' position payloads cross the (query, doc) group
+    * exchange. The candidate set is COLLECTED when it fits
     * [[LocalCandCap]] (the overwhelmingly common case — it is the
     * conjunction of all phrase terms) so the slim pass runs exactly
     * once and the broadcast builds from a local relation; a degenerate
     * all-stopword batch overflows the cap and falls back to the
     * size-gated plan-side broadcast (one extra counted pass, both
     * column-pruned — the payload is never read). Results are IDENTICAL
-    * with the prefilter off; it exists purely to keep a common term's
-    * fat rows off the exchange. */
+    * with the prefilter off (a >63-slot phrase skips it silently —
+    * the coverage bitmask is a long). */
   private def matchTail(posRows: DataFrame, slots: DataFrame,
-                        slop: Int, prefilter: Boolean): DataFrame = {
+                        slop: Int, prefilter: Boolean,
+                        maxK: Int): DataFrame = {
     val ks = slots.groupBy(col("query_id"))
       .agg(count(lit(1)).cast("int").as("k"))
     val fat = posRows.join(broadcast(slots), Seq("term"))
     val src =
-      if (!prefilter) fat
+      if (!prefilter || maxK > 63) fat
       else {
         val cand = containmentCandidates(posRows, slots, ks)
         val local = cand.limit(LocalCandCap + 1).collect()
@@ -405,7 +424,7 @@ object PhraseIndex {
                         phrases: DataFrame, queryIdCol: String,
                         phraseCol: String, k: Int = 10, slop: Int = 0,
                         k1: Double = 1.2, b: Double = 0.75,
-                        prefilter: Boolean = true): DataFrame = {
+                        prefilter: Boolean = false): DataFrame = {
     val v = store.currentVersion(table)
     require(v > 0, s"$table: no committed phrase index")
     val meta = store.metaForVersion(table, v)

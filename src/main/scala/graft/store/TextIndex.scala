@@ -422,6 +422,7 @@ object TextIndex {
     // table's lock (the DeltaChain discipline: a chain read taken before
     // locking is invalidated by a concurrent commit).
     var dAgg: DataFrame = null // persisted delta aggregate (read 3×)
+    var oldTouched: DataFrame = null // persisted old-champion slice
     try {
       store.transactMeta[Nothing](ct, sortKey = Some("term"),
           statsCols = Seq("term")) {
@@ -439,8 +440,9 @@ object TextIndex {
           case Some(delta) =>
             dAgg = champSelect(delta, m)
               .persist(StorageLevel.MEMORY_AND_DISK)
-            val (touchedRows, touchedTerms) =
+            val (touchedRows, touchedTerms, oldT) =
               mergeChampions(store, ct, cv, dAgg, m)
+            oldTouched = oldT
             val chainNow = champChainOf(cmeta, cv)
             if (chainNow.length >= champCompactEvery) {
               // self-fold: merged touched terms ∪ resolved untouched
@@ -460,7 +462,10 @@ object TextIndex {
                 ChampParts -> ""))
         })
       }.merge
-    } finally if (dAgg != null) dAgg.unpersist(blocking = false)
+    } finally {
+      if (dAgg != null) dAgg.unpersist(blocking = false)
+      if (oldTouched != null) oldTouched.unpersist(blocking = false)
+    }
   }
 
   // ---- champion delta chain (last-writer-wins per term) -----------
@@ -671,11 +676,16 @@ object TextIndex {
     * window input touched-sized instead of vocab-sized. */
   private def mergeChampions(store: SnapshotStore, ct: String, cv: Long,
                              dAgg: DataFrame, m: Int)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     val dRows = unpackChamps(dAgg)
     val touched = dAgg.select(col("term"))
+    // PERSISTED (caller releases): touched-sized (≤ touched·m·chainLen
+    // rows) but derived from a full champion-chain scan — it feeds both
+    // the stats aggregate and the re-selection, and without the persist
+    // that vocab·m scan ran twice per refresh (r16 bigvocab window).
     val oldTouched = resolveChamps(champMembers(store, ct, cv, Nil)
       .map(_.join(touched, Seq("term"), "left_semi")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // per-term stats: old side constant per term (take any row), delta
     // side from its aggregate; sum df, extremize the bounds
     val oldStats = oldTouched.groupBy(col("term"))
@@ -699,7 +709,7 @@ object TextIndex {
       .groupBy(col("term"))
       .agg(graft.plans.TopKAggregate
         .boundedTopK(col("neighbor_id"), packedImpact, m).as("ch"))
-    (unpackChamps(reSel.join(stats, Seq("term"))), touched)
+    (unpackChamps(reSel.join(stats, Seq("term"))), touched, oldTouched)
   }
 
   /** True iff the champion table exists and was refreshed against the
