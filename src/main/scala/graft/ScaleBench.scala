@@ -759,9 +759,12 @@ object ScaleBench {
       // r16: SemIndex appends at dim 768 — the r15 scaladoc's reasoned
       // negative (one cluster per vector ⇒ the payload rides the
       // exchange ONCE, so the float saving is structurally smaller
-      // than EmbedIndex's nTables×), now measured instead of assumed.
-      // Two identical indexes, paired 20k appends, order-reversed
-      // second pair — the emb_hidim discipline. Filter "sem_hidim".
+      // than EmbedIndex's nTables×), measured instead of assumed — and
+      // CONFIRMED: float lost both order-reversed pairs (14.0/18.5 s
+      // vs 10.9/8.3 s, identical pairs), so SemIndex's gate defaults
+      // OFF and these entries force each mode explicitly. Two
+      // identical indexes, paired 20k appends — the emb_hidim
+      // discipline. Filter "sem_hidim".
       timed("sem_hidim_build_200k_x2") {
         import spark.implicits._
         val corpus = spark.range(0L, 200000L, 1L, 64)
@@ -797,7 +800,8 @@ object ScaleBench {
             .toDF())
           .select(col("vec_id").as("id"), col("embedding").as("vec"))
         val p = graft.store.SemIndex.appendBatchOnce(
-          store, "vecs_sem_hd_b", batch, "bench-shd", 0L).get
+          store, "vecs_sem_hd_b", batch, "bench-shd", 0L,
+          floatExchangeMinDim = 0).get
         val n = p.count(); p.unpersist(blocking = false); n
       },
       timed("sem_hidim_append2_20k_flt") {
@@ -809,7 +813,8 @@ object ScaleBench {
             .toDF())
           .select(col("vec_id").as("id"), col("embedding").as("vec"))
         val p = graft.store.SemIndex.appendBatchOnce(
-          store, "vecs_sem_hd_a", batch, "bench-shd", 1L).get
+          store, "vecs_sem_hd_a", batch, "bench-shd", 1L,
+          floatExchangeMinDim = 0).get
         val n = p.count(); p.unpersist(blocking = false); n
       },
       timed("sem_hidim_append2_20k_dbl") {

@@ -170,12 +170,25 @@ object Similarity {
     * Vectors are unit-normalized on the driver; zero/non-finite vectors
     * are dropped (dirty rows must not steer the quantizers). */
   private[functions] def sampleUnitVectors(corpus: DataFrame, vecCol: String,
-                                           sampleSize: Int): Array[Array[Double]] =
-    corpus
+                                           sampleSize: Int): Array[Array[Double]] = {
+    val hashed = corpus
       .select(col(vecCol).cast("array<double>").as("v"))
       .where(col("v").isNotNull)
-      .orderBy(xxhash64(col("v")))
-      .limit(sampleSize)
+      .select(xxhash64(col("v")).as("h"), col("v"))
+    // Two-phase draw (r16): the single-phase TakeOrdered on (h, v)
+    // returned sampleSize WIDE rows from EVERY task — ~25 MB/task at
+    // dim 768, which tripped spark.driver.maxResultSize on the hidim
+    // corpus. Phase 1 finds the sampleSize-th smallest hash over
+    // 8-byte rows (per-task results are KBs at any dim); phase 2
+    // fetches just the ≤ sampleSize matching vectors. Selected set and
+    // order are identical to the single-phase form.
+    val cutRows = hashed.select(col("h"))
+      .orderBy(col("h")).limit(sampleSize).collect()
+    if (cutRows.isEmpty) return Array.empty
+    val cut = cutRows.last.getLong(0)
+    hashed.filter(col("h") <= cut)
+      .orderBy(col("h")).limit(sampleSize)
+      .select(col("v"))
       .collect()
       .map(_.getSeq[Double](0).toArray)
       .filter(v => v.forall(java.lang.Double.isFinite) && v.exists(_ != 0.0))
@@ -183,6 +196,7 @@ object Similarity {
         val n = math.sqrt(v.map(x => x * x).sum)
         v.map(_ / n)
       }
+  }
 
   /** Train the IVF coarse quantizer: spherical k-means (Lloyd on the unit
     * sphere) over a BOUNDED sample of the corpus, on the driver.
@@ -749,10 +763,13 @@ object Similarity {
     * r15 recorded a reasoned negative on applying EmbedIndex's FLOAT
     * exchange here (one cluster per vector ⇒ the payload rides the
     * exchange once, not nTables times, so the saving is smaller while
-    * the re-verify costs the same); r16 built the gated twin anyway
-    * ([[semPairsTouchingF]], wired through SemIndex.appendBatchOnce at
-    * committed dim ≥ the shared gate) so the trade is measured, not
-    * assumed — the dim-768 A/B lives in ScaleBench `sem_hidim_*`. */
+    * the re-verify costs the same); r16 built the gated twin
+    * ([[semPairsTouchingF]]) and MEASURED it at dim 768 (ScaleBench
+    * sem_hidim_*, order-reversed pairs): float lost both windows
+    * (14.0/18.5 s vs 10.9/8.3 s) — the negative confirmed, so the
+    * SemIndex gate defaults OFF. The batch LSH operator is the
+    * opposite verdict: its payload ships nTables times and the float
+    * path won 0.57× there (embdedup_hidim_batch_*). */
   private[graft] def semPairsTouching(tagged: DataFrame, eps: Double,
                                       maxClusterSize: Int): DataFrame =
     tagged

@@ -106,7 +106,18 @@ object SemIndex {
     * (id_a, id_b, cos) with at least one member in the batch — EAGER
     * (persisted + materialized; unpersist when done), or None for a
     * replayed (streamId, batchId). Consume-before-vacuum contract as
-    * the other indexes. */
+    * the other indexes.
+    *
+    * `floatExchangeMinDim` is OPT-IN here (default disabled), the
+    * opposite of EmbedIndex's gate — measured, not assumed (r16
+    * ScaleBench sem_hidim_*, dim 768, order-reversed pairs): the float
+    * path lost BOTH paired windows (14.0/18.5 s vs double's
+    * 10.9/8.3 s, identical 10,039-pair output). SemDeDup ships the
+    * payload ONCE per row (one cluster per vector, not nTables
+    * copies), so the halved exchange cannot pay for the candidate
+    * re-verify — exactly the structural argument r15 recorded; the
+    * machinery stays spec-pinned output-identical for corpora whose
+    * measured A/B disagrees. */
   def appendBatchOnce(store: SnapshotStore, table: String,
                       batchVecs: DataFrame,
                       streamId: String, batchId: Long,
@@ -114,8 +125,7 @@ object SemIndex {
                       broadcastKeyLimit: Long = BroadcastGate.DefaultKeyLimit,
                       batchCountHint: Option[Long] = None,
                       zoneProbeMaxClusters: Int = 0,
-                      floatExchangeMinDim: Int =
-                        EmbedIndex.DefaultFloatExchangeMinDim)
+                      floatExchangeMinDim: Int = Int.MaxValue)
       : Option[DataFrame] = {
     var result: Option[DataFrame] = None
     var enc: DataFrame = null
