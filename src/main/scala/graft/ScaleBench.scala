@@ -141,7 +141,7 @@ object ScaleBench {
     genEmbAt(id, DimHi, 104729L, 13L, 31L)
 
   /** Large-vocabulary corpus row for the bm25_bigvocab entries: ~35
-    * tokens over a 200k-term vocabulary (`sub` restricts to the first
+    * tokens over a 500k-term vocabulary (`sub` restricts to the first
     * 2k terms — the append's touched subvocab). */
   private[graft] def genBigVocabDoc(id: Long, sub: Boolean = false): Doc = {
     val rnd = new java.util.Random(id * 0x9E3779B97F4A7C15L + 29)
@@ -736,8 +736,9 @@ object ScaleBench {
       // design point — one whole-corpus near-dup pass per mode over the
       // identical 200k generated vectors (embeddingNearDupPairs pays
       // the uv payload nTables× through its bucket exchange, the same
-      // bytes the index append halves). _dbl forces classic; _flt runs
-      // the dim-gated default. Equal rows= in-bench; SimilaritySpec
+      // bytes the index append halves). _dbl runs the lazy default
+      // (classic); _flt forces the opt-in float path. Equal rows=
+      // in-bench; SimilaritySpec
       // pins set equality incl. cos. Self-contained (no table deps),
       // filter "embdedup_hidim".
       timed("embdedup_hidim_batch_dbl") {
@@ -753,7 +754,8 @@ object ScaleBench {
         val corpus = spark.range(0L, 200000L, 1L, 64)
           .map(id => genEmbHi(id.toLong)).toDF()
         val p = graft.functions.Similarity.embeddingNearDupPairs(corpus,
-          "vec_id", "embedding", dim = DimHi, threshold = 0.999)
+          "vec_id", "embedding", dim = DimHi, threshold = 0.999,
+          floatExchangeMinDim = 0)
         val n = p.count(); p.unpersist(blocking = false); n
       },
       // r16: SemIndex appends at dim 768 — the r15 scaladoc's reasoned

@@ -560,9 +560,17 @@ object Similarity {
     * unexecuted plan, persists nothing — multi-action consumers should
     * cache the result themselves. (The auto-sizing corpus count() is a
     * metadata-scale action, not a materialization of this plan.)
-    * EXCEPTION: at dim ≥ `floatExchangeMinDim` the float-exchange path
-    * engages (inline note below) and the result comes back persisted +
-    * materialized — its candidate count sizes the broadcast gates. */
+    *
+    * `floatExchangeMinDim` is OPT-IN (default disabled — r16 review: a
+    * silently-engaging gate would flip this public operator's lazy
+    * contract to an eager persisted result at high dims, a cache leak
+    * for contract-following callers). Opting in (e.g. pass
+    * [[graft.store.EmbedIndex.DefaultFloatExchangeMinDim]]) is worth
+    * it at production dims — the dim-768 flagship A/B measured the
+    * float path 0.57× the classic one (embdedup_hidim_batch_*: 25.9 s
+    * vs 45.1 s, identical pairs) — but the result then comes back
+    * PERSISTED + materialized (the candidate count sizes the broadcast
+    * gates): unpersist it when done. */
   /** Shared EXACT re-verify tail of every float-exchange path
     * ([[graft.store.EmbedIndex]] appends, [[graft.store.SemIndex]]
     * appends, the batch operators here — one implementation, the
@@ -609,8 +617,7 @@ object Similarity {
                             nTables: Int = 8, bitsPerTable: Int = 0,
                             seed: Long = 42L,
                             maxBucketSize: Int = 2000,
-                            floatExchangeMinDim: Int =
-                              graft.store.EmbedIndex.DefaultFloatExchangeMinDim)
+                            floatExchangeMinDim: Int = Int.MaxValue)
       : DataFrame = {
     val bits =
       if (bitsPerTable > 0) bitsPerTable
@@ -653,9 +660,8 @@ object Similarity {
       // threshold − margin, and the shared exactReverify resolves them
       // against the double vectors re-derived from the corpus (one
       // candidate-restricted columnar scan). Output is pair-for-pair
-      // the double path's. DEVIATION from the lazy contract above:
-      // this path is persisted + materialized (the candidate count
-      // sizes the broadcast gates) — callers unpersist when done.
+      // the double path's; eager-persisted per the opt-in contract in
+      // the scaladoc above — callers unpersist when done.
       val cand = rows
         .groupBy(col("table"), col("bucket"))
         .agg(TopKAggregate.boundedVecMembersF(col("id"),

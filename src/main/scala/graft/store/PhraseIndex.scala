@@ -172,10 +172,14 @@ object PhraseIndex {
   }
 
   /** The live index contents (delta-chain union) as of the current
-    * version. */
+    * version. Refuses foreign tokenizer/layout tags (the canonical
+    * column projection would otherwise die on a missing `tf` column
+    * with an opaque AnalysisException — r16 review). */
   def load(store: SnapshotStore, table: String): DataFrame = {
     val v = store.currentVersion(table)
-    chain.load(store, table, v, store.metaForVersion(table, v))
+    val meta = store.metaForVersion(table, v)
+    if (v > 0) requireCompatible(meta, table)
+    chain.load(store, table, v, meta)
   }
 
   /** Append `docs` as an O(batch) delta — exactly-once via
@@ -350,7 +354,9 @@ object PhraseIndex {
       .groupBy(col("query_id"), col("doc_id"))
       .agg(bit_or(expr("shiftleft(1L, idx)")).as("mask"))
       .join(broadcast(ks), Seq("query_id"))
-      .filter(col("mask") === expr("shiftleft(1L, k) - 1L"))
+      // full-coverage mask as ~(-1 << k): overflow-free for every
+      // k ≤ 63, where the naive (1 << k) - 1 throws under ANSI at 63
+      .filter(col("mask") === expr("~ shiftleft(-1L, k)"))
       .select(col("query_id"), col("doc_id"))
 
   /** The shared match pipeline over positional (term, doc_id, posns,
@@ -365,12 +371,12 @@ object PhraseIndex {
     * exchange. The candidate set is COLLECTED when it fits
     * [[LocalCandCap]] (the overwhelmingly common case — it is the
     * conjunction of all phrase terms) so the slim pass runs exactly
-    * once and the broadcast builds from a local relation; a degenerate
-    * all-stopword batch overflows the cap and falls back to the
-    * size-gated plan-side broadcast (one extra counted pass, both
-    * column-pruned — the payload is never read). Results are IDENTICAL
-    * with the prefilter off (a >63-slot phrase skips it silently —
-    * the coverage bitmask is a long). */
+    * once and the broadcast builds from a local relation; a candidate
+    * set PAST the cap drops the prefilter outright — poor selectivity
+    * means the semi-join would keep most fat rows anyway, so the
+    * pre-pass cannot pay, and matching proceeds on the direct plan.
+    * Results are IDENTICAL with the prefilter off (a >63-slot phrase
+    * also skips it silently — the coverage bitmask is a long). */
   private def matchTail(posRows: DataFrame, slots: DataFrame,
                         slop: Int, prefilter: Boolean,
                         maxK: Int): DataFrame = {
@@ -381,14 +387,14 @@ object PhraseIndex {
       if (!prefilter || maxK > 63) fat
       else {
         val cand = containmentCandidates(posRows, slots, ks)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val local = cand.limit(LocalCandCap + 1).collect()
-        val gated =
-          if (local.length <= LocalCandCap)
-            broadcast(posRows.sparkSession.createDataFrame(
-              java.util.Arrays.asList(local: _*), cand.schema))
-          else BroadcastGate(cand, cand.count(),
-            BroadcastGate.DefaultKeyLimit)
-        fat.join(gated, Seq("query_id", "doc_id"), "left_semi")
+        cand.unpersist(blocking = false)
+        if (local.length > LocalCandCap) fat
+        else fat.join(
+          broadcast(posRows.sparkSession.createDataFrame(
+            java.util.Arrays.asList(local: _*), cand.schema)),
+          Seq("query_id", "doc_id"), "left_semi")
       }
     src
       .groupBy(col("query_id"), col("doc_id"))
@@ -466,8 +472,13 @@ object PhraseIndex {
         statsCols = Seq("term", "tf", "dl")) {
       val v = store.currentVersion(table)
       if (v == 0) Left(())
-      else chain.compactNow(store, table, v, store.metaForVersion(table, v))
-        .toRight(())
+      else {
+        val meta = store.metaForVersion(table, v)
+        // a pre-v2 table must surface the rebuild contract here too —
+        // maintenance runs before any query on upgrade (r16 review)
+        requireCompatible(meta, table)
+        chain.compactNow(store, table, v, meta).toRight(())
+      }
     }.isRight
 
   /** Drop version dirs outside the live delta chain. */

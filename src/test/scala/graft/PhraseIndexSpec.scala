@@ -242,6 +242,40 @@ class PhraseIndexSpec extends SparkSpec {
     assert(out === Set((0L, 0L, 1), (1L, 0L, 20202)))
   }
 
+  test("long phrases: the 63-slot prefilter mask is overflow-free; 64+ skips it") {
+    // ~(-1L << 63) must evaluate (the naive (1 << 63) - 1 throws under
+    // ANSI); a 64-slot phrase exceeds the long bitmask and must skip
+    // the prefilter silently — it is an optimization, never semantics
+    val toks = (0 until 64).map(i => s"t$i")
+    val store = new SnapshotStore(
+      Files.createTempDirectory("graft-phrase-long").toString, spark)
+    PhraseIndex.build(store, "pos",
+      Seq((0L, toks.mkString(" "))).toDF("doc_id", "text"), "text", "doc_id")
+    val ph = Seq((0L, toks.take(63).mkString(" ")),
+      (1L, toks.mkString(" "))).toDF("query_id", "phrase")
+    val out = got(PhraseIndex.phraseQuery(store, "pos", ph,
+      "query_id", "phrase", prefilter = true))
+    assert(out === Set((0L, 0L, 1), (1L, 0L, 1)))
+  }
+
+  test("pre-v2 layout tables refuse load and compaction with the rebuild contract") {
+    val store = new SnapshotStore(
+      Files.createTempDirectory("graft-phrase-v1").toString, spark)
+    // an r15-shaped table: array<int> posns, no tf, tagged pos-dl-v1
+    store.commit("pos",
+      Seq(("a", 0L, Seq(0, 2), 3L)).toDF("term", "doc_id", "posns", "dl"),
+      meta = Map("phrase.tokenizer" -> "ws-lower-v1",
+        "phrase.layout" -> "pos-dl-v1", "phrase.parts" -> "",
+        "phrase.nDocs" -> "1", "phrase.sumDl" -> "3"))
+    val e = intercept[IllegalStateException] { PhraseIndex.load(store, "pos") }
+    assert(e.getMessage.contains("rebuild"))
+    intercept[IllegalStateException] { PhraseIndex.compactIndex(store, "pos") }
+    intercept[IllegalStateException] {
+      PhraseIndex.phraseQuery(store, "pos",
+        Seq((0L, "a")).toDF("query_id", "phrase"), "query_id", "phrase")
+    }
+  }
+
   test("streaming maintenance: micro-batches land exactly once") {
     val inbox = Files.createTempDirectory("graft-phrase-inbox").toString
     val df = corpus.toDF("doc_id", "text")
