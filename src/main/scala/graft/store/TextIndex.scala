@@ -421,8 +421,7 @@ object TextIndex {
     // The champion chain parts are read and committed under the champion
     // table's lock (the DeltaChain discipline: a chain read taken before
     // locking is invalidated by a concurrent commit).
-    var dAgg: DataFrame = null // persisted delta aggregate (read 3×)
-    var oldTouched: DataFrame = null // persisted old-champion slice
+    var dAgg: DataFrame = null // persisted delta aggregate (read 2×)
     try {
       store.transactMeta[Nothing](ct, sortKey = Some("term"),
           statsCols = Seq("term")) {
@@ -440,9 +439,8 @@ object TextIndex {
           case Some(delta) =>
             dAgg = champSelect(delta, m)
               .persist(StorageLevel.MEMORY_AND_DISK)
-            val (touchedRows, touchedTerms, oldT) =
+            val (touchedRows, touchedTerms) =
               mergeChampions(store, ct, cv, dAgg, m)
-            oldTouched = oldT
             val chainNow = champChainOf(cmeta, cv)
             if (chainNow.length >= champCompactEvery) {
               // self-fold: merged touched terms ∪ resolved untouched
@@ -462,10 +460,7 @@ object TextIndex {
                 ChampParts -> ""))
         })
       }.merge
-    } finally {
-      if (dAgg != null) dAgg.unpersist(blocking = false)
-      if (oldTouched != null) oldTouched.unpersist(blocking = false)
-    }
+    } finally if (dAgg != null) dAgg.unpersist(blocking = false)
   }
 
   // ---- champion delta chain (last-writer-wins per term) -----------
@@ -670,46 +665,46 @@ object TextIndex {
     * Returns (the merged rows for the TOUCHED terms — the champion
     * chain delta member, complete per touched term — and the touched
     * term frame). `dAgg` is the [[champSelect]] of the delta postings,
-    * persisted by the caller (read ≥ 3×: rows, stats, touched). The
+    * persisted by the caller (read 2×: rows + touched terms). The
     * touched-term semi-join sits BELOW the resolve window — sound
     * (the per-term resolve never looks across terms) and it keeps the
-    * window input touched-sized instead of vocab-sized. */
+    * window input touched-sized instead of vocab-sized.
+    *
+    * Selection and stats ride ONE aggregate over the tagged union
+    * (r16, second pass): every union row carries its side's
+    * denormalized (df, max_tf, min_dl), old rows constant per term and
+    * delta rows from dAgg, so df splits on the source tag (additive
+    * over disjoint postings) while the bounds are plain max/min
+    * (monotone under union — no tag needed). The earlier shape
+    * (separate stats aggregate + two joins) read the old slice twice
+    * and cost three extra stages per refresh — visible at sf0.1 where
+    * the merge is job-count-bound. */
   private def mergeChampions(store: SnapshotStore, ct: String, cv: Long,
                              dAgg: DataFrame, m: Int)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame) = {
     val dRows = unpackChamps(dAgg)
     val touched = dAgg.select(col("term"))
-    // PERSISTED (caller releases): touched-sized (≤ touched·m·chainLen
-    // rows) but derived from a full champion-chain scan — it feeds both
-    // the stats aggregate and the re-selection, and without the persist
-    // that vocab·m scan ran twice per refresh (r16 bigvocab window).
     val oldTouched = resolveChamps(champMembers(store, ct, cv, Nil)
       .map(_.join(touched, Seq("term"), "left_semi")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // per-term stats: old side constant per term (take any row), delta
-    // side from its aggregate; sum df, extremize the bounds
-    val oldStats = oldTouched.groupBy(col("term"))
-      .agg(first(col("df")).as("o_df"), first(col("max_tf")).as("o_max_tf"),
-        first(col("min_dl")).as("o_min_dl"))
-    val stats = dAgg
-      .select(col("term"), col("df").as("d_df"), col("max_tf").as("d_max_tf"),
-        col("min_dl").as("d_min_dl"))
-      .join(oldStats, Seq("term"), "left_outer")
+    // stored dl is clamped and packedImpact clamps, so old rows re-rank
+    // exactly as at their original selection
+    val union = oldTouched.withColumn("_src", lit("o"))
+      .unionByName(dRows.withColumn("_src", lit("d")))
+    val merged = union
+      .groupBy(col("term"))
+      .agg(
+        graft.plans.TopKAggregate
+          .boundedTopK(col("neighbor_id"), packedImpact, m).as("ch"),
+        max(when(col("_src") === "o", col("df"))).as("o_df"),
+        max(when(col("_src") === "d", col("df"))).as("d_df"),
+        max(col("max_tf")).as("max_tf"),
+        min(col("min_dl")).as("min_dl"))
+      // every touched term has delta rows (touched = dAgg's terms), so
+      // d_df is never null; a term new to the index has no old rows
       .select(col("term"),
         (col("d_df") + coalesce(col("o_df"), lit(0L))).as("df"),
-        greatest(col("d_max_tf"), coalesce(col("o_max_tf"), col("d_max_tf")))
-          .as("max_tf"),
-        least(col("d_min_dl"), coalesce(col("o_min_dl"), col("d_min_dl")))
-          .as("min_dl"))
-    // re-select top-m per touched term over old champions ∪ delta
-    // champions (stored dl is clamped; packedImpact clamps, so old rows
-    // re-rank exactly as at their original selection)
-    val reSel = oldTouched.select(col("term"), col("neighbor_id"), col("dl"), col("tf"))
-      .unionByName(dRows.select(col("term"), col("neighbor_id"), col("dl"), col("tf")))
-      .groupBy(col("term"))
-      .agg(graft.plans.TopKAggregate
-        .boundedTopK(col("neighbor_id"), packedImpact, m).as("ch"))
-    (unpackChamps(reSel.join(stats, Seq("term"))), touched, oldTouched)
+        col("max_tf"), col("min_dl"), col("ch"))
+    (unpackChamps(merged), touched)
   }
 
   /** True iff the champion table exists and was refreshed against the
