@@ -26,24 +26,38 @@ import graft.functions.ExprUtils.let
   */
 object Dedup {
 
-  /** Total-order id inversion for the keep-best argmax tie-breaks:
-    * bitwise NOT is a monotone DECREASING bijection on longs
-    * (a < b ⇔ ~a > ~b) with no overflow case, so
-    * max(struct(score, ~id)) tie-breaks id-ASCENDING for EVERY long —
-    * the previous `0L - id` encoding overflowed at Long.MinValue and a
-    * non-integral id column coerced to null, silently degrading the
-    * tie-break to nondeterminism (r15 ADVICE). Ids must be integral;
-    * anything else refuses loudly instead. */
-  private def invId(c: Column): Column = bitwise_not(c.cast("long"))
+  /** Total-order id inversion for the keep-best argmax tie-breaks, so
+    * max(struct(score, invId(id))) tie-breaks id-ASCENDING. Integral ids
+    * use bitwise NOT — a monotone decreasing bijection on longs with no
+    * overflow case (the previous `0L - id` overflowed at Long.MinValue,
+    * r15 ADVICE). Fractional/decimal ids use plain negation, which is
+    * monotone decreasing and overflow-free there (float/double negate
+    * exactly; decimal ranges are sign-symmetric) — the r16 integral-only
+    * tightening rejected ids the old encoding handled correctly (r16
+    * ADVICE). Non-numeric ids refuse loudly: a string id would coerce to
+    * null and silently degrade the tie-break to nondeterminism. */
+  private def invId(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+    if (isIntegral(dt)) bitwise_not(c.cast("long")) else negate(c)
 
-  private def requireIntegralId(dt: org.apache.spark.sql.types.DataType,
-                                what: String): Unit = dt match {
-    case org.apache.spark.sql.types.ByteType |
-         org.apache.spark.sql.types.ShortType |
-         org.apache.spark.sql.types.IntegerType |
-         org.apache.spark.sql.types.LongType => ()
+  /** Inverse of [[invId]] — recovers the surviving id from the argmax
+    * struct field (same type split). */
+  private def unInvId(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+    if (isIntegral(dt)) bitwise_not(c) else negate(c)
+
+  private def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
+  private def requireNumericId(dt: org.apache.spark.sql.types.DataType,
+                               what: String): Unit = dt match {
+    case _: org.apache.spark.sql.types.NumericType => ()
     case other => throw new IllegalArgumentException(
-      s"$what needs an integral id column for its deterministic " +
+      s"$what needs a numeric id column for its deterministic " +
         s"(score desc, id asc) tie-break, got ${other.simpleString} — " +
         "the keep-min variants accept any orderable id")
   }
@@ -85,13 +99,14 @@ object Dedup {
     * only if its whole group scored null, in which case min id wins. */
   def exactGroupsBy(df: DataFrame, textCol: String, idCol: String,
                     scoreCol: String): DataFrame = {
-    requireIntegralId(df.schema(idCol).dataType, "exactGroupsBy")
+    val idDt = df.schema(idCol).dataType
+    requireNumericId(idDt, "exactGroupsBy")
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(
-        max(struct(col(scoreCol).as("s"), invId(col(idCol)).as("negid")))
+        max(struct(col(scoreCol).as("s"), invId(col(idCol), idDt).as("negid")))
           .as("w"),
         count(lit(1)).as("dup_count"))
-      .select(col("text_hash"), bitwise_not(col("w.negid")).as("keep_id"),
+      .select(col("text_hash"), unInvId(col("w.negid"), idDt).as("keep_id"),
         col("dup_count"))
   }
 
@@ -862,15 +877,16 @@ object Dedup {
     * id wins). */
   def keepBestByComponents(df: DataFrame, idCol: String, scoreCol: String,
                            labels: DataFrame): DataFrame = {
-    requireIntegralId(df.schema(idCol).dataType, "keepBestByComponents")
+    val idDt = df.schema(idCol).dataType
+    requireNumericId(idDt, "keepBestByComponents")
     val scored = labels.join(
       df.select(col(idCol).as("id"), col(scoreCol).as("graft_score")),
       Seq("id"))
     val winners = scored
       .groupBy(col("component_id"))
       .agg(max(struct(col("graft_score").as("s"),
-        invId(col("id")).as("negid"))).as("w"))
-      .select(col("component_id"), bitwise_not(col("w.negid")).as("keep_id"))
+        invId(col("id"), idDt).as("negid"))).as("w"))
+      .select(col("component_id"), unInvId(col("w.negid"), idDt).as("keep_id"))
     val losers = scored.join(winners, Seq("component_id"))
       .filter(col("id") =!= col("keep_id"))
       .select(col("id").as(idCol))

@@ -96,7 +96,9 @@ object PhraseIndex {
 
   /** Containment-candidate sets at/below this collect to the driver
     * (one slim pass, local-relation broadcast — see [[matchTail]]);
-    * larger sets stay plan-side behind the byte-gated broadcast.
+    * a set PAST the cap drops the prefilter outright and matching
+    * proceeds on the direct plan ([[matchTail]]'s rationale: poor
+    * selectivity means the semi-join could not pay anyway).
     * 200k (query_id, doc_id) rows ≈ a few MB. */
   private val LocalCandCap = 200000
 
@@ -386,10 +388,11 @@ object PhraseIndex {
     val src =
       if (!prefilter || maxK > 63) fat
       else {
+        // one bounded action (limit+collect) — no persist: nothing
+        // reuses the frame's blocks (the semi-join builds from the
+        // collected local rows; the over-cap path discards it)
         val cand = containmentCandidates(posRows, slots, ks)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val local = cand.limit(LocalCandCap + 1).collect()
-        cand.unpersist(blocking = false)
         if (local.length > LocalCandCap) fat
         else fat.join(
           broadcast(posRows.sparkSession.createDataFrame(

@@ -115,6 +115,38 @@ class ComponentsSpec extends SparkSpec {
       "the component survivor must be the argmax, not the min id")
   }
 
+  test("keep-best selection accepts fractional ids, refuses non-numeric") {
+    // double ids: the pre-r16 `0L - id` encoding handled these and the
+    // r16 integral-only guard over-tightened (r16 ADVICE) — negation is
+    // the monotone decreasing inversion on fractional/decimal ids
+    val labels = Dedup.connectedComponents(
+      Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b"), "id_a", "id_b")
+      .select(col("id").cast("double").as("id"),
+        col("component_id").cast("double").as("component_id"))
+    val rows = Seq((1.0, 0.5), (2.0, 0.9), (3.0, 0.1), (9.5, 0.0))
+      .toDF("doc_id", "q")
+    val kept = Dedup.keepBestByComponents(rows, "doc_id", "q", labels)
+      .select("doc_id").as[Double].collect().toSet
+    assert(kept === Set(2.0, 9.5))
+    // tie → smaller double id
+    val tied = Seq((1.5, 0.5), (2.5, 0.5), (3.5, 0.5))
+    val g = Dedup.exactGroupsBy(
+      tied.map { case (i, _) => (i, "same") }.toDF("doc_id", "text"),
+      "text", "doc_id", "doc_id") // score = id: max id wins, no tie here
+    assert(g.select("keep_id").as[Double].collect().toSeq === Seq(3.5))
+    val tiedScores = Seq((1.5, "s", 7.0), (2.5, "s", 7.0))
+      .toDF("doc_id", "text", "pref")
+    assert(Dedup.exactGroupsBy(tiedScores, "text", "doc_id", "pref")
+      .select("keep_id").as[Double].collect().toSeq === Seq(1.5))
+    // non-numeric ids still refuse loudly (they would coerce to null
+    // and silently degrade the tie-break)
+    val strIds = Seq(("a", "t", 1.0)).toDF("doc_id", "text", "pref")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.exactGroupsBy(strIds, "text", "doc_id", "pref")
+    }
+    assert(e.getMessage.contains("numeric id column"))
+  }
+
   test("exactGroupsBy / dropExactDuplicatesBy: best provenance survives") {
     // identical TEXT, different provenance score — the production case
     // keep-min cannot express
