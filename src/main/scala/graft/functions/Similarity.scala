@@ -169,8 +169,8 @@ object Similarity {
     * driver merge of n rows): one scan, fixed driver cost, no shuffle.
     * Vectors are unit-normalized on the driver; zero/non-finite vectors
     * are dropped (dirty rows must not steer the quantizers). */
-  private[functions] def sampleUnitVectors(corpus: DataFrame, vecCol: String,
-                                           sampleSize: Int): Array[Array[Double]] = {
+  private[graft] def sampleUnitVectors(corpus: DataFrame, vecCol: String,
+                                       sampleSize: Int): Array[Array[Double]] = {
     val hashed = corpus
       .select(col(vecCol).cast("array<double>").as("v"))
       .where(col("v").isNotNull)
@@ -180,17 +180,29 @@ object Similarity {
     // dim 768, which tripped spark.driver.maxResultSize on the hidim
     // corpus. Phase 1 finds the sampleSize-th smallest hash over
     // 8-byte rows (per-task results are KBs at any dim); phase 2
-    // fetches just the ≤ sampleSize matching vectors. Selected set and
-    // order are identical to the single-phase form.
+    // fetches just the matching vectors. Hash ties at the cut are
+    // fetched SEPARATELY (r16 ADVICE): a corpus with massive exact-dup
+    // vectors puts arbitrarily many rows AT the cut hash, and a
+    // `h <= cut` TakeOrdered would re-trip the wide-row trap. Strictly-
+    // below rows number < sampleSize globally (definition of the cut),
+    // so a plain collect ships only each task's own survivors; at-cut
+    // rows share a hash — equal vector bytes, collisions aside — so
+    // CollectLimit's arbitrary-but-bounded pick of exactly the missing
+    // count is value-deterministic. The returned vector MULTISET equals
+    // the single-phase form's (|below| = sampleSize − nTied exactly).
     val cutRows = hashed.select(col("h"))
       .orderBy(col("h")).limit(sampleSize).collect()
     if (cutRows.isEmpty) return Array.empty
     val cut = cutRows.last.getLong(0)
-    hashed.filter(col("h") <= cut)
-      .orderBy(col("h")).limit(sampleSize)
-      .select(col("v"))
-      .collect()
+    val nTied = cutRows.count(_.getLong(0) == cut)
+    val below = hashed.filter(col("h") < cut)
+      .select(col("h"), col("v")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    val tied = hashed.filter(col("h") === cut)
+      .select(col("v")).limit(nTied).collect()
       .map(_.getSeq[Double](0).toArray)
+    (below ++ tied)
       .filter(v => v.forall(java.lang.Double.isFinite) && v.exists(_ != 0.0))
       .map { v =>
         val n = math.sqrt(v.map(x => x * x).sum)

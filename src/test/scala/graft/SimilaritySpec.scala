@@ -182,6 +182,32 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b, "hash-ordered sample must not depend on partitioning")
   }
 
+  test("quantizer sample: exact-duplicate floods keep the draw bounded and exact") {
+    // r16 ADVICE: thousands of identical vectors all hash to the SAME
+    // cut value — the tie fetch must stay bounded (CollectLimit of
+    // exactly the missing count, never a wide TakeOrdered of every
+    // tied row) and the returned multiset must match the single-phase
+    // semantics: |below-cut| + nTied = sampleSize.
+    val dup = Seq.fill(5000)(Array(3.0, 4.0))  // one normalized value
+    val distinct = (0 until 7).map(i => Array(1.0 + i, 2.0))
+    val corpus = (dup ++ distinct).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v").repartition(13)
+    val got = Similarity.sampleUnitVectors(corpus, "v", sampleSize = 100)
+    assert(got.length === 100)
+    // every returned vector is one of the 8 planted values, normalized
+    val legal = (dup.take(1) ++ distinct)
+      .map(v => { val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n).toSeq })
+      .toSet
+    assert(got.forall(v => legal.contains(v.toSeq)))
+    // and the draw is still partition-independent as a multiset
+    val again = Similarity.sampleUnitVectors(
+      (dup ++ distinct).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v").repartition(3), "v", sampleSize = 100)
+    assert(got.map(_.toSeq).sorted(Ordering.by((s: Seq[Double]) => s.mkString(","))) ===
+      again.map(_.toSeq).sorted(Ordering.by((s: Seq[Double]) => s.mkString(","))))
+  }
+
   test("NearestCentroids: NaN vector is routed to a list, not a crash") {
     import graft.plans.VectorExpressions.nearestCentroids
     val dirty = Seq((1L, Array(Float.NaN, 1f)), (2L, Array(1f, 0f)))
