@@ -66,8 +66,19 @@ object Graft {
       EmbedIndex.compactIndex, EmbedIndex.vacuumIndex),
     "ivfpq.parts" -> foldAndVacuum("vector", "ivfpq.parts",
       VectorIndex.compactIndex, VectorIndex.vacuumIndex),
-    "phrase.parts" -> foldAndVacuum("phrase", "phrase.parts",
-      PhraseIndex.compactIndex, PhraseIndex.vacuumIndex))
+    "phrase.parts" -> { (store, table, maxChainLength, _) =>
+      // the unified positional store (r17): TextIndex.maintain is
+      // layout-aware — it refreshes a stale champion cache at its
+      // committed m (when one exists), folds the chain through
+      // PhraseIndex (positions preserved), and vacuums both tables
+      val ct = s"${table}__champ"
+      val cv = store.currentVersion(ct)
+      val championM =
+        if (cv > 0) store.metaForVersion(ct, cv).get("text.champ.m").map(_.toInt)
+        else None
+      TextIndex.maintain(store, table, maxChainLength, championM)
+      Some("phrase")
+    })
 
   /** Apply every index's maintenance policy across the whole store in
     * one idempotent call — what an operator actually schedules (cron /

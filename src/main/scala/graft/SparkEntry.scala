@@ -111,6 +111,7 @@ object SparkEntry {
     "retrieve_bm25"       -> ((s, d) => ExtensionQueries.retrieveBm25(s, d)),
     "retrieve_bm25_oracle" -> (ExtensionQueries.retrieveBm25Oracle _),
     "retrieve_bm25_indexed" -> ((s, d) => ExtensionQueries.retrieveBm25Indexed(s, d)),
+    "retrieve_bm25_postings" -> ((s, d) => ExtensionQueries.retrieveBm25Postings(s, d)),
     "retrieve_phrase"       -> (ExtensionQueries.retrievePhrase _),
     "retrieve_phrase_incr"  -> (ExtensionQueries.retrievePhraseIncr _),
     "retrieve_proximity"    -> (ExtensionQueries.retrieveProximity _),
@@ -607,10 +608,14 @@ object SparkEntry {
         "SELECT min(doc_id) AS keep_id, count(*) AS dup_count FROM t " +
         "GROUP BY md5(array_to_string(tk, ' '))"),
     "retrieve_bm25_oracle" -> Bm25RankSql,
-    // The persistent-postings path (TextIndex: build on even ids + one
-    // append of the odd ids, then probe) must produce the identical
-    // ranking — same truth as the scan path.
+    // The persistent-index path (build on even ids + one append of the
+    // odd ids, then probe) must produce the identical ranking — same
+    // truth as the scan path. _indexed serves from the UNIFIED
+    // positional store (r17: PhraseIndex build + delegated append);
+    // _postings keeps the standalone postings layout pinned to the
+    // same oracle.
     "retrieve_bm25_indexed" -> Bm25RankSql,
+    "retrieve_bm25_postings" -> Bm25RankSql,
     // Exact-phrase retrieval (positional index): phrase_tf for a 3-token
     // phrase equals its count in the document's trigram list — the same
     // tokenization CTE as every text oracle, adjacency via the trigram

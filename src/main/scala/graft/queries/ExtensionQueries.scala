@@ -1030,8 +1030,34 @@ object ExtensionQueries {
     * a per-invocation temp dir: a durable root would double-append on a
     * rerun (same rationale as dedup_incr_oracle). */
   def retrieveBm25Indexed(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    // Served from the UNIFIED positional store (r17): one PhraseIndex
+    // build + one TextIndex.append (which delegates to the positional
+    // writer — positions encoded, phrase.contentVersion bumped), then
+    // the standard BM25 probe reads the slim (term, doc, tf, dl)
+    // projection. Same DuckDB rank oracle as the scan path — the
+    // unified read must be score-identical to the postings layout
+    // (retrieve_bm25_postings keeps that layout's own oracle pin).
     val ds = docs(s, d).select(col("doc_id"), col("text"))
     val root = java.nio.file.Files.createTempDirectory("graft-bm25idx").toString
+    val store = new SnapshotStore(root, s)
+    PhraseIndex.build(store, "docs_text",
+      ds.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+    TextIndex.append(store, "docs_text",
+      ds.filter(col("doc_id") % 2 =!= 0), "text", "doc_id")
+    val qs = ds.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+    TextIndex.query(store, "docs_text", qs, "query_id", "qtext", k = k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** The STANDALONE postings layout through the same build+append+query
+    * shape and the same oracle — pos-vb-v2 is the unified default
+    * (retrieve_bm25_indexed), but the slimmer postings-only layout
+    * remains a first-class, externally-pinned citizen for corpora that
+    * never pay for positions at rest. */
+  def retrieveBm25Postings(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val ds = docs(s, d).select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25pst").toString
     val store = new SnapshotStore(root, s)
     TextIndex.build(store, "docs_bm25",
       ds.filter(col("doc_id") % 2 === 0), "text", "doc_id")
@@ -1055,11 +1081,14 @@ object ExtensionQueries {
     val ds = docs(s, d).select(col("doc_id"), col("text"))
     val root = java.nio.file.Files.createTempDirectory("graft-bm25champ").toString
     val store = new SnapshotStore(root, s)
-    TextIndex.build(store, "docs_bm25", ds, "text", "doc_id")
-    TextIndex.refreshChampions(store, "docs_bm25", m = 3)
+    // champions over the UNIFIED positional store (r17) — the refresh
+    // aggregates the slim projection; the committed champion table and
+    // its oracle are layout-independent
+    PhraseIndex.build(store, "docs_text", ds, "text", "doc_id")
+    TextIndex.refreshChampions(store, "docs_text", m = 3)
     val qs = ds.filter(col("doc_id") < 3)
       .select(col("doc_id").as("query_id"), col("text").as("qtext"))
-    TextIndex.queryChampions(store, "docs_bm25", qs, "query_id", "qtext",
+    TextIndex.queryChampions(store, "docs_text", qs, "query_id", "qtext",
       k = k, fallbackToExact = false)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
@@ -1078,19 +1107,22 @@ object ExtensionQueries {
     val ds = docs(s, d).select(col("doc_id"), col("text"))
     val root = java.nio.file.Files.createTempDirectory("graft-bm25cm").toString
     val store = new SnapshotStore(root, s)
-    TextIndex.build(store, "docs_bm25",
+    // unified store (r17): the second refresh must anchor the merge on
+    // the POSITIONAL table's content counter across the delegated
+    // append — the require below can only pass through that path
+    PhraseIndex.build(store, "docs_text",
       ds.filter(col("doc_id") % 2 === 0), "text", "doc_id")
-    TextIndex.refreshChampions(store, "docs_bm25", m = 3)
-    TextIndex.append(store, "docs_bm25",
+    TextIndex.refreshChampions(store, "docs_text", m = 3)
+    TextIndex.append(store, "docs_text",
       ds.filter(col("doc_id") % 2 =!= 0), "text", "doc_id")
-    val cv = TextIndex.refreshChampions(store, "docs_bm25", m = 3)
-    val mode = store.metaForVersion("docs_bm25__champ", cv)
+    val cv = TextIndex.refreshChampions(store, "docs_text", m = 3)
+    val mode = store.metaForVersion("docs_text__champ", cv)
       .getOrElse("text.champ.mode", "?")
     require(mode == "merge",
       s"expected the incremental champion merge path, got '$mode'")
     val qs = ds.filter(col("doc_id") < 3)
       .select(col("doc_id").as("query_id"), col("text").as("qtext"))
-    TextIndex.queryChampions(store, "docs_bm25", qs, "query_id", "qtext",
+    TextIndex.queryChampions(store, "docs_text", qs, "query_id", "qtext",
       k = k, fallbackToExact = false)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
@@ -1108,11 +1140,13 @@ object ExtensionQueries {
     val ds = docs(s, d).select(col("doc_id"), col("text"))
     val root = java.nio.file.Files.createTempDirectory("graft-bm25ms").toString
     val store = new SnapshotStore(root, s)
-    TextIndex.build(store, "docs_bm25", ds, "text", "doc_id")
-    TextIndex.refreshChampions(store, "docs_bm25", m = 8)
+    // unified store (r17): the bounded probe's zone skips read the
+    // positional table's term/tf/dl sidecars through the slim chain
+    PhraseIndex.build(store, "docs_text", ds, "text", "doc_id")
+    TextIndex.refreshChampions(store, "docs_text", m = 8)
     val qs = ds.filter(col("doc_id") < 3)
       .select(col("doc_id").as("query_id"), col("text").as("qtext"))
-    TextIndex.queryMaxScore(store, "docs_bm25", qs, "query_id", "qtext", k = k)
+    TextIndex.queryMaxScore(store, "docs_text", qs, "query_id", "qtext", k = k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 

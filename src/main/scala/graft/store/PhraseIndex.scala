@@ -7,14 +7,22 @@ import graft.functions.TextFunctions
 
 /** Persistent POSITIONAL postings index — exact phrase (and, by
   * extension, proximity) retrieval over the corpus, the capability a
-  * term-frequency index ([[TextIndex]]) cannot express: BM25 ranks
-  * "machine learning" and "learning machine(s)" identically, a phrase
-  * query must not. Kept deliberately SEPARATE from the BM25 postings
-  * table: positions roughly double a postings index at rest, most
-  * corpora never pay for them, and isolating the layout means zero
-  * churn in TextIndex's champion/MaxScore machinery (reference analog:
-  * none — this is extension surface; construction follows the standard
-  * positional inverted index, e.g. Manning et al., IIR §2.4).
+  * term-frequency index cannot express: BM25 ranks "machine learning"
+  * and "learning machine(s)" identically, a phrase query must not.
+  *
+  * Since r17 this is also THE unified text store: a pos-vb-v2 table
+  * carries (term, doc_id, tf, dl) — a strict superset of the BM25
+  * postings layout — so [[TextIndex]]'s every serving path (exact
+  * probe, champions, MaxScore, block-max) reads it through a slim
+  * column projection in which parquet column pruning never touches the
+  * position payload. One build, one append path, one champion/
+  * maintenance cycle serves BOTH phrase and ranked retrieval, where
+  * r16 maintained two term-sorted stores (the standalone postings
+  * layout remains fully readable/servable — TextIndex.build still
+  * writes it for corpora that will never run a phrase query and don't
+  * want positions at rest). (Reference analog: none — this is
+  * extension surface; construction follows the standard positional
+  * inverted index, e.g. Manning et al., IIR §2.4.)
   *
   * Layout (pos-vb-v2, r16): one row per (term, document):
   * {{{ (term: string, doc_id: long, posns: binary, tf: int, dl: long) }}}
@@ -102,7 +110,11 @@ object PhraseIndex {
     * 200k (query_id, doc_id) rows ≈ a few MB. */
   private val LocalCandCap = 200000
 
-  private def requireCompatible(meta: Map[String, String], table: String): Unit = {
+  /** Shared with [[TextIndex]] (r17 unification): a pos-vb-v2 table is
+    * a strict superset of the BM25 postings layout, so TextIndex serves
+    * postings/champions/MaxScore from it through a slim projection and
+    * must enforce the same layout/tokenizer contract on load. */
+  private[store] def requireCompatible(meta: Map[String, String], table: String): Unit = {
     val tok = meta.getOrElse(s"${P}tokenizer", "unknown")
     if (tok != Tokenizer)
       throw new IllegalStateException(
@@ -134,7 +146,16 @@ object PhraseIndex {
     val exploded = tok
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         posexplode(col("toks")).as(Seq("pos", "term")))
+    // RANGE-partition on a prefix of the grouping keys before the
+    // aggregate (the TextIndex.postingsOf recipe): the range exchange
+    // satisfies the group's clustering requirement (ONE shuffle either
+    // way) and the committed files own disjoint term ranges — which is
+    // what makes the per-file term zones harvested at commit selective
+    // for phrase probes AND for the unified BM25 serving paths
+    // (TextIndex zone-prunes chain files by query term; hash-layout
+    // files would each span the whole vocabulary).
     preGroupFilter.fold(exploded)(exploded.filter)
+      .repartitionByRange(col("term"), col("doc_id"))
       .groupBy(col("term"), col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("plist"),
         max(col("dl")).as("dl"))
@@ -143,6 +164,13 @@ object PhraseIndex {
           .as("posns"),
         size(col("plist")).as("tf"), col("dl"))
   }
+
+  /** Term-range layout for compaction folds — chain unions interleave
+    * the members' file layouts, so a fold is where the term clustering
+    * (and with it the file-zone selectivity) must be re-established
+    * (the TextIndex.termLayout convention). */
+  private val termLayout: DataFrame => DataFrame =
+    _.repartitionByRange(col("term"), col("doc_id"))
 
   /** (nDocs, sumDl) of a tokenized frame — ONE aggregate action, the
     * TextIndex stats recipe (avgdl's exact numerator rides in the
@@ -162,6 +190,13 @@ object PhraseIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val (nDocs, sumDl) = statsOf(tok)
+      // content counter (r17, the TextIndex.build convention): bumped
+      // past any replaced build's so a champion cache refreshed against
+      // the old content can never read as fresh for the new
+      val prevContent = if (store.exists(table))
+        store.metaForVersion(table, store.currentVersion(table))
+          .getOrElse(s"${P}contentVersion", "0").toLong
+      else 0L
       store.commit(table, posRowsOf(tok),
         sortKey = Some("term"), statsCols = Seq("term", "tf", "dl"),
         meta = Map(
@@ -169,6 +204,7 @@ object PhraseIndex {
           s"${P}layout" -> Layout,
           s"${P}nDocs" -> nDocs.toString,
           s"${P}sumDl" -> sumDl.toString,
+          s"${P}contentVersion" -> (prevContent + 1).toString,
           s"${P}parts" -> ""))
     } finally tok.unpersist(blocking = false)
   }
@@ -184,6 +220,50 @@ object PhraseIndex {
     chain.load(store, table, v, meta)
   }
 
+  /** Delta rows + accumulated stats for one append — runs inside the
+    * table transaction (shared by [[append]] and [[appendBatchOnce]]).
+    * Appends bump the content counter; folds/vacuums never do, so a
+    * champion cache built over this table survives maintenance. */
+  private def deltaFor(store: SnapshotStore, table: String, v: Long,
+                       meta: Map[String, String], docs: DataFrame,
+                       textCol: String, idCol: String, compactEvery: Int,
+                       extraMeta: Map[String, String])
+      : (DataFrame, Map[String, String]) = {
+    val tok = tokenized(docs, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (bDocs, bDl) = statsOf(tok)
+      chain.next(store, table, v, meta, posRowsOf(tok), compactEvery,
+        extraMeta ++ Map(
+          s"${P}nDocs" -> (meta.getOrElse(s"${P}nDocs", "0").toLong + bDocs).toString,
+          s"${P}sumDl" -> (meta.getOrElse(s"${P}sumDl", "0").toLong + bDl).toString,
+          s"${P}contentVersion" ->
+            (meta.getOrElse(s"${P}contentVersion", "0").toLong + 1).toString),
+        layout = termLayout)
+    } finally tok.unpersist(blocking = false)
+  }
+
+  private def requireBuilt(v: Long, table: String): Unit =
+    if (v == 0)
+      throw new IllegalStateException(
+        s"$table: build the phrase index before appending " +
+          "(PhraseIndex.build; docs.limit(0) for an empty init)")
+
+  /** Append new documents as an O(batch) delta (the plain,
+    * non-watermarked form — TextIndex.append parity; streaming ingest
+    * uses [[appendBatchOnce]]). Returns the committed version. */
+  def append(store: SnapshotStore, table: String, docs: DataFrame,
+             textCol: String, idCol: String, compactEvery: Int = 8): Long =
+    store.transactMeta[Nothing](table, sortKey = Some("term"),
+        statsCols = Seq("term", "tf", "dl")) {
+      val v = store.currentVersion(table)
+      requireBuilt(v, table)
+      val meta = store.metaForVersion(table, v)
+      requireCompatible(meta, table)
+      Right(deltaFor(store, table, v, meta, docs, textCol, idCol,
+        compactEvery, Map.empty))
+    }.merge
+
   /** Append `docs` as an O(batch) delta — exactly-once via
     * (streamId, batchId); a replayed batch returns false. */
   def appendBatchOnce(store: SnapshotStore, table: String, docs: DataFrame,
@@ -193,26 +273,13 @@ object PhraseIndex {
     store.transactMeta[Unit](table, sortKey = Some("term"),
         statsCols = Seq("term", "tf", "dl")) {
       val v = store.currentVersion(table)
-      if (v == 0)
-        throw new IllegalStateException(
-          s"$table: build the phrase index before appending " +
-            "(PhraseIndex.build; docs.limit(0) for an empty init)")
+      requireBuilt(v, table)
       val meta = store.metaForVersion(table, v)
       requireCompatible(meta, table)
       val key = s"stream.$streamId.lastBatchId"
       if (batchId <= meta.get(key).map(_.toLong).getOrElse(-1L)) Left(())
-      else {
-        val tok = tokenized(docs, textCol, idCol)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val (bDocs, bDl) = statsOf(tok)
-          Right(chain.next(store, table, v, meta,
-            posRowsOf(tok), compactEvery,
-            Map(key -> batchId.toString,
-              s"${P}nDocs" -> (meta.getOrElse(s"${P}nDocs", "0").toLong + bDocs).toString,
-              s"${P}sumDl" -> (meta.getOrElse(s"${P}sumDl", "0").toLong + bDl).toString)))
-        } finally tok.unpersist(blocking = false)
-      }
+      else Right(deltaFor(store, table, v, meta, docs, textCol, idCol,
+        compactEvery, Map(key -> batchId.toString)))
     }.isRight
 
   /** Keep the index current from a stream of document rows — the
@@ -480,7 +547,8 @@ object PhraseIndex {
         // a pre-v2 table must surface the rebuild contract here too —
         // maintenance runs before any query on upgrade (r16 review)
         requireCompatible(meta, table)
-        chain.compactNow(store, table, v, meta).toRight(())
+        chain.compactNow(store, table, v, meta, layout = termLayout)
+          .toRight(())
       }
     }.isRight
 

@@ -11,6 +11,20 @@ import graft.functions.{Retrieval, TextFunctions}
   * [[VectorIndex]] (reference analog: none — its text columns stop at
   * SQL LIKE filters, `lambda/lambda_function.py:520-700`).
   *
+  * UNIFIED SOURCE (r17): every serving path here also accepts a
+  * [[PhraseIndex]] pos-vb-v2 positional table — its rows are a strict
+  * superset of the postings layout — read through a slim projection
+  * whose chain never names the position column, so parquet column
+  * pruning keeps the payload out of BM25 scans structurally. A corpus
+  * that wants both phrase and ranked retrieval builds ONE store
+  * (PhraseIndex.build) and maintains one append path and one champion
+  * cycle; TextIndex.build remains the slimmer postings-only layout for
+  * corpora that will never pay for positions at rest. Writes split by
+  * layout: positional tables delegate append/fold/vacuum to
+  * PhraseIndex (the owner of the fat rows), postings tables use this
+  * object's own chain. TextIndexSpec pins unified ≡ standalone
+  * score-for-score across the exact, champion, and MaxScore paths.
+  *
   * `Retrieval.bm25TopK` re-tokenizes the corpus on every invocation; at
   * corpus scale that tokenize+explode scan IS the cost (172 s of 177 s
   * in the 5M-doc flagship sweep), while a query batch only needs the
@@ -52,8 +66,74 @@ private[store] case class UbRow(term: String, value: Double)
 
 object TextIndex {
 
-  private val P = "text." // metadata key prefix
+  private val P = "text." // metadata key prefix (standalone postings)
   private val chain = new DeltaChain(s"${P}parts")
+
+  // ---- unified positional source (r17) ----------------------------
+  //
+  // A [[PhraseIndex]] pos-vb-v2 table carries (term, doc_id, tf, dl)
+  // beside its position payload — a strict superset of the postings
+  // layout — so every TextIndex SERVING path also accepts such a table
+  // and reads it through the slim projection below. The read chain's
+  // canonical columns EXCLUDE `posns`, so parquet column pruning keeps
+  // the position bytes out of every BM25 scan structurally (the
+  // projection sits under the chain union, not above it). Writes are
+  // the split: postings-layout tables append/fold through this
+  // object's own chain; positional tables DELEGATE append/fold/vacuum
+  // to PhraseIndex (folding through the slim chain would silently drop
+  // the positions from the store). The champion cache is TextIndex's
+  // own derived table either way — same layout, same text.champ.* keys.
+
+  private val PosP = "phrase." // the positional table's key prefix
+  private val posChain = new DeltaChain(s"${PosP}parts",
+    Seq("term", "doc_id", "tf", "dl")) // READ-ONLY: never fold through it
+
+  /** Is this table a unified positional store? (Its layout/tokenizer
+    * contract is then enforced by PhraseIndex.requireCompatible —
+    * pre-v2 positional tables refuse with the rebuild contract.) */
+  private def isPositional(meta: Map[String, String]): Boolean =
+    meta.contains(s"${PosP}tokenizer")
+
+  /** Key prefix of the SOURCE table's stats/content metadata. */
+  private def srcP(meta: Map[String, String]): String =
+    if (isPositional(meta)) PosP else P
+
+  /** The source's content counter, whichever layout wrote it. */
+  private def contentOf(meta: Map[String, String]): Option[String] =
+    meta.get(s"${P}contentVersion").orElse(meta.get(s"${PosP}contentVersion"))
+
+  private def srcChain(meta: Map[String, String]): DeltaChain =
+    if (isPositional(meta)) posChain else chain
+
+  /** Postings-shaped view of positional rows (column rename + the
+    * postings layout's types; cheap casts, exact: dl is a token count,
+    * tf a position count). */
+  private def asPostings(df: DataFrame): DataFrame =
+    df.select(col("term"), col("doc_id").as("neighbor_id"),
+      col("dl").cast("int").as("dl"), col("tf").cast("long").as("tf"))
+
+  /** Mode-aware layout/tokenizer gate for every read/serve path. */
+  private def requireReadable(meta: Map[String, String], table: String): Unit =
+    if (isPositional(meta)) PhraseIndex.requireCompatible(meta, table)
+    else requireTokenizer(meta, table)
+
+  /** The live postings-shaped rows of version `v` — chain union,
+    * projected when the source is positional. */
+  private def srcLoad(store: SnapshotStore, table: String, v: Long,
+                      meta: Map[String, String]): DataFrame =
+    if (isPositional(meta)) asPostings(posChain.load(store, table, v, meta))
+    else chain.load(store, table, v, meta)
+
+  /** Zone-pruned postings-shaped chain read (each member pruned by its
+    * own sidecar — both layouts commit term/tf/dl zones). */
+  private def srcLoadPruned(store: SnapshotStore, table: String, v: Long,
+                            meta: Map[String, String],
+                            preds: Seq[ZoneMap.ZonePred],
+                            keepFile: (String, Map[String, ZoneMap.Zone]) => Boolean =
+                              ZoneMap.KeepAll): DataFrame =
+    if (isPositional(meta))
+      asPostings(posChain.loadPruned(store, table, v, meta, preds, keepFile))
+    else chain.loadPruned(store, table, v, meta, preds, keepFile)
 
   /** Tokenization contract tag: case-folded whitespace tokens
     * (`TextFunctions.tokens(lower(text))` — the exact recipe
@@ -147,18 +227,23 @@ object TextIndex {
     store.metaForVersion(indexTable, store.currentVersion(indexTable))
       .get(s"${P}corpusTag")
 
-  /** The live postings (delta-chain union) as of the current version. */
+  /** The live postings-SHAPED rows (delta-chain union) as of the
+    * current version — for a unified positional table, the slim
+    * (term, neighbor_id, dl, tf) projection of it. */
   def load(store: SnapshotStore, indexTable: String): DataFrame = {
     val v = store.currentVersion(indexTable)
-    chain.load(store, indexTable, v, store.metaForVersion(indexTable, v))
+    val meta = store.metaForVersion(indexTable, v)
+    if (v > 0) requireReadable(meta, indexTable)
+    srcLoad(store, indexTable, v, meta)
   }
 
   /** Corpus-level BM25 statistics of the current version:
     * (nDocs, avgdl). Metadata reads only — zero jobs. */
   def stats(store: SnapshotStore, indexTable: String): (Long, Double) = {
     val meta = store.metaForVersion(indexTable, store.currentVersion(indexTable))
-    val n = meta.getOrElse(s"${P}nDocs", "0").toLong
-    val sdl = meta.getOrElse(s"${P}sumDl", "0").toLong
+    val pfx = srcP(meta)
+    val n = meta.getOrElse(s"${pfx}nDocs", "0").toLong
+    val sdl = meta.getOrElse(s"${pfx}sumDl", "0").toLong
     (n, if (n == 0) 0.0 else sdl.toDouble / n)
   }
 
@@ -170,6 +255,13 @@ object TextIndex {
     * append folds the chain into a full snapshot instead. */
   def append(store: SnapshotStore, indexTable: String, newDocs: DataFrame,
              textCol: String, idCol: String, compactEvery: Int = 8): Long = {
+    // unified positional table: the append must encode positions or the
+    // store would silently degrade — delegate to the one writer that
+    // owns the layout (same tokenizer contract, same O(batch) shape)
+    if (isPositional(store.metaForVersion(indexTable,
+        store.currentVersion(indexTable))))
+      return PhraseIndex.append(store, indexTable, newDocs, textCol, idCol,
+        compactEvery)
     var tok: DataFrame = null
     try {
       store.transactMeta[Nothing](indexTable, sortKey = Some("term"),
@@ -193,6 +285,10 @@ object TextIndex {
                       batch: DataFrame, textCol: String, idCol: String,
                       streamId: String, batchId: Long,
                       compactEvery: Int = 8): Boolean = {
+    if (isPositional(store.metaForVersion(indexTable,
+        store.currentVersion(indexTable))))
+      return PhraseIndex.appendBatchOnce(store, indexTable, batch, textCol,
+        idCol, streamId, batchId, compactEvery)
     val metaKey = s"stream.$streamId.lastBatchId"
     var tok: DataFrame = null
     try {
@@ -305,12 +401,13 @@ object TextIndex {
     val v = store.currentVersion(indexTable)
     requireBuilt(v, indexTable)
     val meta = store.metaForVersion(indexTable, v)
-    requireTokenizer(meta, indexTable)
-    val nDocs = meta.getOrElse(s"${P}nDocs", "0").toLong
-    val sumDl = meta.getOrElse(s"${P}sumDl", "0").toLong
+    requireReadable(meta, indexTable)
+    val pfx = srcP(meta)
+    val nDocs = meta.getOrElse(s"${pfx}nDocs", "0").toLong
+    val sumDl = meta.getOrElse(s"${pfx}sumDl", "0").toLong
     val avgdl = if (nDocs == 0) 0.0 else sumDl.toDouble / nDocs
     val qIdType = queries.schema(queryIdCol).dataType
-    val postings = chain.load(store, indexTable, v, meta)
+    val postings = srcLoad(store, indexTable, v, meta)
     if (nDocs == 0L || avgdl <= 0.0)
       // empty index (or all-empty docs): nothing can match
       return Retrieval.emptyRanked(queries.sparkSession, qIdType,
@@ -327,7 +424,7 @@ object TextIndex {
     // the residual isin prunes row groups inside the survivors. Results
     // ≡ the plain isin over the full chain (DeltaChain.loadPruned
     // contract); RetrievalSpec pins indexed ≡ scan score-for-score.
-    val hits = chain.loadPruned(store, indexTable, v, meta,
+    val hits = srcLoadPruned(store, indexTable, v, meta,
       Seq(ZoneMap.stringIn("term", terms)))
     Retrieval.bm25Score(hits, queries, queryIdCol, queryTextCol,
       nDocs, avgdl, k, k1, b)
@@ -416,7 +513,7 @@ object TextIndex {
     val v = store.currentVersion(indexTable)
     requireBuilt(v, indexTable)
     val meta = store.metaForVersion(indexTable, v)
-    requireTokenizer(meta, indexTable)
+    requireReadable(meta, indexTable)
     val ct = champTable(indexTable)
     // The champion chain parts are read and committed under the champion
     // table's lock (the DeltaChain discipline: a chain read taken before
@@ -432,9 +529,11 @@ object TextIndex {
           s"${P}champ.m" -> m.toString,
           s"${P}tokenizer" -> Tokenizer)
           // the freshness tag (see freshAt): champions stay valid across
-          // pure compactions, which rewrite representation, never rows
-          .++(meta.get(s"${P}contentVersion")
-            .map(c => s"${P}champ.forContent" -> c))
+          // pure compactions, which rewrite representation, never rows.
+          // The champion table's own keys are text.champ.* whatever the
+          // source layout; the content value comes from whichever
+          // counter the source maintains.
+          .++(contentOf(meta).map(c => s"${P}champ.forContent" -> c))
         Right(championMergeDelta(store, indexTable, ct, v, meta, m) match {
           case Some(delta) =>
             dAgg = champSelect(delta, m)
@@ -455,7 +554,7 @@ object TextIndex {
                 ChampParts -> chainNow.mkString(",")))
           case None =>
             (champLayout(unpackChamps(champSelect(
-              chain.load(store, indexTable, v, meta), m))),
+              srcLoad(store, indexTable, v, meta), m))),
               freshMeta ++ Map(s"${P}champ.mode" -> "rebuild",
                 ChampParts -> ""))
         })
@@ -555,7 +654,7 @@ object TextIndex {
     cv > 0 && {
       val cmeta = store.metaForVersion(ct, cv)
       (cmeta.get(s"${P}champ.forContent"),
-        store.metaForVersion(indexTable, v).get(s"${P}contentVersion")) match {
+        contentOf(store.metaForVersion(indexTable, v))) match {
         case (Some(fc), Some(pc)) => fc == pc
         case _ => cmeta.get(s"${P}champ.forVersion").contains(v.toString)
       }
@@ -632,30 +731,35 @@ object TextIndex {
     // pre-bounds champion tables (no max_tf/min_dl) can't merge
     val cCols = store.loadVersion(ct, cv).schema.fieldNames.toSet
     if (!cCols.contains("max_tf") || !cCols.contains("min_dl")) return None
-    val newChain = chain.chainOf(meta, v)
+    val sc = srcChain(meta)
+    val positional = isPositional(meta)
+    val newChain = sc.chainOf(meta, v)
     val newSet = newChain.toSet
     def anchors(v0: Long): Boolean = v0 < v &&
       store.versions(indexTable).contains(v0) &&
-      chain.chainOf(store.metaForVersion(indexTable, v0), v0).toSet
+      sc.chainOf(store.metaForVersion(indexTable, v0), v0).toSet
         .subsetOf(newSet)
     val anchor: Option[Long] = cmeta.get(s"${P}champ.forContent") match {
       case Some(fc) =>
         // every live chain member is on disk; an on-disk anchor whose
         // chain is inside the current one is necessarily a member, so
         // scanning the members covers the forVersion case too
-        newChain.find(m0 => store.metaForVersion(indexTable, m0)
-          .get(s"${P}contentVersion").contains(fc) && anchors(m0))
+        newChain.find(m0 => contentOf(store.metaForVersion(indexTable, m0))
+          .contains(fc) && anchors(m0))
       case None =>
         cmeta.get(s"${P}champ.forVersion").map(_.toLong)
           .filter(v0 => v0 > 0 && anchors(v0))
     }
     anchor.flatMap { v0 =>
       val oldChain =
-        chain.chainOf(store.metaForVersion(indexTable, v0), v0).toSet
+        sc.chainOf(store.metaForVersion(indexTable, v0), v0).toSet
       val deltaMembers = newChain.filterNot(oldChain)
       if (deltaMembers.isEmpty) None
-      else Some(deltaMembers.map(store.loadVersion(indexTable, _))
-        .reduce(_ unionByName _))
+      else {
+        val union = deltaMembers.map(store.loadVersion(indexTable, _))
+          .reduce(_ unionByName _)
+        Some(if (positional) asPostings(union) else union)
+      }
     }
   }
 
@@ -750,7 +854,7 @@ object TextIndex {
     val v = store.currentVersion(indexTable)
     requireBuilt(v, indexTable)
     val meta = store.metaForVersion(indexTable, v)
-    requireTokenizer(meta, indexTable)
+    requireReadable(meta, indexTable)
     val ct = champTable(indexTable)
     val cv = store.currentVersion(ct)
     val fresh = freshAt(store, indexTable, v, ct, cv)
@@ -762,8 +866,9 @@ object TextIndex {
         s"$indexTable champions are stale or missing (postings v$v) — " +
           "TextIndex.refreshChampions, or query with fallbackToExact")
     }
-    val nDocs = meta.getOrElse(s"${P}nDocs", "0").toLong
-    val sumDl = meta.getOrElse(s"${P}sumDl", "0").toLong
+    val pfx = srcP(meta)
+    val nDocs = meta.getOrElse(s"${pfx}nDocs", "0").toLong
+    val sumDl = meta.getOrElse(s"${pfx}sumDl", "0").toLong
     val avgdl = if (nDocs == 0) 0.0 else sumDl.toDouble / nDocs
     val qIdType = queries.schema(queryIdCol).dataType
     if (nDocs == 0L || avgdl <= 0.0)
@@ -868,15 +973,16 @@ object TextIndex {
     val v = store.currentVersion(indexTable)
     requireBuilt(v, indexTable)
     val meta = store.metaForVersion(indexTable, v)
-    requireTokenizer(meta, indexTable)
+    requireReadable(meta, indexTable)
     val ct = champTable(indexTable)
     val cv = store.currentVersion(ct)
     val fresh = freshAt(store, indexTable, v, ct, cv)
     if (!fresh || !store.loadVersion(ct, cv).columns.contains("max_tf"))
       return (query(store, indexTable, queries, queryIdCol, queryTextCol,
         k, k1, b), None)
-    val nDocs = meta.getOrElse(s"${P}nDocs", "0").toLong
-    val sumDl = meta.getOrElse(s"${P}sumDl", "0").toLong
+    val pfx = srcP(meta)
+    val nDocs = meta.getOrElse(s"${pfx}nDocs", "0").toLong
+    val sumDl = meta.getOrElse(s"${pfx}sumDl", "0").toLong
     val avgdl = if (nDocs == 0) 0.0 else sumDl.toDouble / nDocs
     val qIdType = queries.schema(queryIdCol).dataType
     val postingsIdType = store.loadVersion(ct, cv).schema("neighbor_id").dataType
@@ -995,7 +1101,7 @@ object TextIndex {
       val essPreds = Seq(ZoneMap.stringIn("term", essTerms))
       val nonEssPreds = Seq(ZoneMap.stringIn("term", nonEssTerms))
       // IO accounting for the spec: same pure selection, sidecar-only
-      val io = chain.chainOf(meta, v).map { m =>
+      val io = srcChain(meta).chainOf(meta, v).map { m =>
         val eb = ZoneMap.selectedFilesAt(store, indexTable, m, essPreds,
           keepFile)._1.size
         val e0 = ZoneMap.selectedFilesAt(store, indexTable, m, essPreds)._1.size
@@ -1005,7 +1111,7 @@ object TextIndex {
         (eb + nb, e0 + n0)
       }.reduce((a, c) => (a._1 + c._1, a._2 + c._2))
 
-      val essHits = chain.loadPruned(store, indexTable, v, meta,
+      val essHits = srcLoadPruned(store, indexTable, v, meta,
         essPreds, keepFile)
       // candidates: docs with ≥1 hit on a term essential FOR that query.
       // Deliberately NOT deduplicated: both consumers are semi-joins
@@ -1016,7 +1122,7 @@ object TextIndex {
         .join(broadcast(essentialPairs), Seq("term"))
         .select(col("query_id"), col("neighbor_id"))
         .persist(StorageLevel.MEMORY_AND_DISK) // read 2×: semi + restrict
-      val nonEssHits = chain.loadPruned(store, indexTable, v, meta,
+      val nonEssHits = srcLoadPruned(store, indexTable, v, meta,
           nonEssPreds, keepFile)
         .join(candidates.select(col("neighbor_id")), Seq("neighbor_id"),
           "left_semi")
@@ -1053,7 +1159,8 @@ object TextIndex {
                championM: Option[Int] = None): Unit = {
     val v = store.currentVersion(indexTable)
     if (v == 0) return
-    val members = chain.chainOf(store.metaForVersion(indexTable, v), v)
+    val meta0 = store.metaForVersion(indexTable, v)
+    val members = srcChain(meta0).chainOf(meta0, v)
     // Champion refresh FIRST (r15): the incremental merge needs the
     // delta chain intact (a fold collapses it and forces the full
     // rebuild), and under content-version freshness the fold below no
@@ -1086,7 +1193,12 @@ object TextIndex {
     * a compacting commit happened, false if already compact — IDEMPOTENT,
     * and the commit is the store's atomic version flip, so a crash
     * mid-compaction leaves the old chain fully live. */
-  def compactIndex(store: SnapshotStore, indexTable: String): Boolean =
+  def compactIndex(store: SnapshotStore, indexTable: String): Boolean = {
+    // a unified positional table folds through PhraseIndex — folding
+    // through this object's slim read chain would drop the positions
+    if (isPositional(store.metaForVersion(indexTable,
+        store.currentVersion(indexTable))))
+      return PhraseIndex.compactIndex(store, indexTable)
     store.transactMeta[Unit](indexTable, sortKey = Some("term"),
           statsCols = Seq("term", "tf", "dl")) {
       val v = store.currentVersion(indexTable)
@@ -1094,10 +1206,15 @@ object TextIndex {
       else chain.compactNow(store, indexTable, v,
         store.metaForVersion(indexTable, v), layout = termLayout).toRight(())
     }.isRight
+  }
 
   /** Drop version dirs outside the live delta chain (see
     * VectorIndex.vacuumIndex). */
-  def vacuumIndex(store: SnapshotStore, indexTable: String): Unit =
+  def vacuumIndex(store: SnapshotStore, indexTable: String): Unit = {
+    if (isPositional(store.metaForVersion(indexTable,
+        store.currentVersion(indexTable))))
+      return PhraseIndex.vacuumIndex(store, indexTable)
     store.dropVersions(indexTable,
       store.versions(indexTable).toSet -- chain.liveVersions(store, indexTable))
+  }
 }

@@ -691,4 +691,114 @@ class TextIndexSpec extends SparkSpec {
     TextIndex.maintain(store, "idx", maxChainLength = 2, championM = Some(60))
     assert(champRanked(store) === scanRanked())
   }
+
+  // ---- unified positional source (r17) -----------------------------
+  // One pos-vb-v2 store serves BOTH phrase and BM25: every TextIndex
+  // serving path must be score-identical over it, appends/folds must
+  // preserve the position payload, and the slim projection must keep
+  // `posns` out of the BM25 scan schema.
+
+  import graft.store.PhraseIndex
+
+  /** Build even ids positionally, append odd ids through TextIndex's
+    * DELEGATED append — the unified write path. */
+  private def unifiedStore(): SnapshotStore = {
+    val store = freshStore()
+    PhraseIndex.build(store, "idx",
+      corpusDF.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+    TextIndex.append(store, "idx",
+      corpusDF.filter(col("doc_id") % 2 =!= 0), "text", "doc_id")
+    store
+  }
+
+  private def phraseHits(store: SnapshotStore, docId: Long)
+      : Seq[(Long, Long, Int)] = {
+    val qs = corpusDF.filter(col("doc_id") === docId)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(graft.functions.TextFunctions.tokens(
+          lower(col("text"))), 1, 3), " ").as("phrase"))
+    PhraseIndex.phraseQuery(store, "idx", qs, "query_id", "phrase")
+      .select("query_id", "doc_id", "phrase_tf")
+      .as[(Long, Long, Int)].collect().toSeq
+  }
+
+  test("unified store: BM25 probe over the positional table ≡ scan, posns pruned") {
+    val store = unifiedStore()
+    assert(indexRanked(store) === scanRanked())
+    // metadata stats accumulated across the DELEGATED append
+    val (n, avgdl) = TextIndex.stats(store, "idx")
+    val toks = corpus.map(_._2.trim.split("\\s+").count(_.nonEmpty))
+    assert(n === 60L)
+    assert(avgdl === toks.sum.toDouble / toks.length)
+    // the position payload never enters the BM25 plan: the slim chain
+    // projection keeps `posns` out of the scan's required schema
+    val plan = TextIndex.query(store, "idx", queriesDF, "query_id", "qtext")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("posns"), "BM25 probe must column-prune the positions")
+    // and the delegated append really encoded positions: a phrase from
+    // an ODD (appended) doc matches positionally
+    assert(phraseHits(store, 1L).exists(h => h._1 === 1L && h._2 === 1L && h._3 >= 1))
+  }
+
+  test("unified store: champion merge across the delegated append ≡ rebuild") {
+    val store = freshStore()
+    PhraseIndex.build(store, "idx",
+      corpusDF.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+    TextIndex.refreshChampions(store, "idx", m = 60)
+    TextIndex.append(store, "idx",
+      corpusDF.filter(col("doc_id") % 2 =!= 0), "text", "doc_id")
+    TextIndex.refreshChampions(store, "idx", m = 60)
+    // the merge must anchor on phrase.contentVersion across the append
+    assert(champMode(store) === Some("merge"))
+    val twin = freshStore()
+    PhraseIndex.build(twin, "idx", corpusDF, "text", "doc_id")
+    TextIndex.refreshChampions(twin, "idx", m = 60)
+    assert(champMode(twin) === Some("rebuild"))
+    assert(resolvedChampRows(store) === resolvedChampRows(twin))
+    assert(champRanked(store) === scanRanked())
+  }
+
+  test("unified store: maxscore bounded probe ≡ exact, positional source") {
+    val store = unifiedStore()
+    TextIndex.refreshChampions(store, "idx", m = 4)
+    (1 to 12 by 4).foreach { k =>
+      assert(maxScoreRanked(store, k) === indexRanked(store, k), s"k=$k")
+      assert(maxScoreRanked(store, k) === scanRanked(k), s"k=$k")
+    }
+  }
+
+  test("unified store: maintain folds through PhraseIndex — positions survive") {
+    val store = freshStore()
+    PhraseIndex.build(store, "idx", corpusDF.limit(0), "text", "doc_id")
+    (0 until 5).foreach { i =>
+      TextIndex.append(store, "idx",
+        corpusDF.filter(col("doc_id") % 5 === i), "text", "doc_id",
+        compactEvery = 100)
+    }
+    TextIndex.refreshChampions(store, "idx", m = 60)
+    TextIndex.append(store, "idx",
+      corpusDF.limit(0), "text", "doc_id", compactEvery = 100)
+    assert(!TextIndex.championsFresh(store, "idx"))
+    TextIndex.maintain(store, "idx", maxChainLength = 2, championM = Some(60))
+    assert(TextIndex.championsFresh(store, "idx"))
+    val v = store.currentVersion("idx")
+    assert(store.metaForVersion("idx", v).get("phrase.parts").forall(_.isEmpty),
+      "maintain must fold the positional chain")
+    assert(champRanked(store) === scanRanked())
+    // the fold went through PhraseIndex, so phrase serving still works
+    // over the folded snapshot — a slim-chain fold would have dropped
+    // the position payload here
+    assert(phraseHits(store, 0L).exists(h => h._1 === 0L && h._2 === 0L && h._3 >= 1))
+    assert(phraseHits(store, 3L).exists(h => h._1 === 3L && h._2 === 3L && h._3 >= 1))
+  }
+
+  test("unified store: a pre-v2 positional layout refuses with the rebuild contract") {
+    val store = freshStore()
+    store.commit("idx", corpusDF.limit(1),
+      meta = Map("phrase.tokenizer" -> "ws-lower-v1"))
+    val e = intercept[IllegalStateException] {
+      TextIndex.query(store, "idx", queriesDF, "query_id", "qtext")
+    }
+    assert(e.getMessage.contains("rebuild"))
+  }
 }
