@@ -1009,30 +1009,28 @@ object ScaleBench {
         graft.functions.Retrieval.bm25TopK(docs, "doc_id", "text",
           qs, "query_id", "qtext", k = 10).count()
       },
-      // The amortization case for the persistent postings index: build
-      // pays the tokenize+explode scan ONCE (the dominant cost of every
-      // retrieve_bm25 invocation above)...
-      timed("bm25_index_build") {
-        graft.store.TextIndex.build(store, "docs_bm25", docs, "text", "doc_id")
-      },
-      // Positional phrase index at 5M docs: the build is one
-      // posexplode + (term, doc) group (positions ~double the postings
-      // at rest); a phrase batch then reads only its own terms' rows
-      // (term-sorted row groups + pushed IN filter) and verifies
-      // adjacency in-expression. Filter "phrase" runs both.
-      timed("phrase_index_build") {
-        graft.store.PhraseIndex.build(store, "docs_pos", docs, "text", "doc_id")
+      // THE unified text store (r17): ONE positional build replaces the
+      // r16 pair (bm25_index_build 80.9 s + phrase_index_build 109.3 s
+      // — two term-sorted stores over the same corpus). The pos-vb-v2
+      // table's (term, doc_id, tf, dl) is a strict superset of the
+      // postings layout, so every BM25 entry below serves from it
+      // through TextIndex's slim projection (positions column-pruned
+      // out of those scans), and the phrase entries read the payload.
+      // One build, one append path, one champion cycle — and
+      // ~the postings table's 1.665 GB less at rest.
+      timed("text_index_build") {
+        graft.store.PhraseIndex.build(store, "docs_text", docs, "text", "doc_id")
       },
       timed("phrase_query_batch") {
         val qs = shortQueries(docs).select(col("query_id"),
           col("qtext").as("phrase"))
-        graft.store.PhraseIndex.phraseQuery(store, "docs_pos",
+        graft.store.PhraseIndex.phraseQuery(store, "docs_text",
           qs, "query_id", "phrase").count()
       },
       timed("phrase_query_ranked") {
         val qs = shortQueries(docs).select(col("query_id"),
           col("qtext").as("phrase"))
-        graft.store.PhraseIndex.phraseQueryRanked(store, "docs_pos",
+        graft.store.PhraseIndex.phraseQueryRanked(store, "docs_text",
           qs, "query_id", "phrase", k = 10).count()
       },
       // Containment-prefilter A/B twin (r16): same batch with the
@@ -1044,7 +1042,7 @@ object ScaleBench {
       timed("phrase_query_prefilter") {
         val qs = shortQueries(docs).select(col("query_id"),
           col("qtext").as("phrase"))
-        graft.store.PhraseIndex.phraseQuery(store, "docs_pos",
+        graft.store.PhraseIndex.phraseQuery(store, "docs_text",
           qs, "query_id", "phrase", prefilter = true).count()
       },
       // ...and the same A/B on a 1M-doc ZIPFIAN corpus — real text's
@@ -1072,13 +1070,12 @@ object ScaleBench {
         graft.store.PhraseIndex.phraseQuery(store, "docs_pos_zipf",
           qs, "query_id", "phrase", prefilter = true).count()
       },
-      // At-rest footprint of the positional table (rows = BYTES on
-      // disk, wall time is directory walking): the r16 delta-varint
-      // layout vs r15's plain array<int> positions — the "positions
-      // roughly double a postings index at rest" note this layout
-      // exists to retire. Depends on phrase_index_build.
+      // At-rest footprint of the UNIFIED store (rows = BYTES on disk,
+      // wall time is directory walking): since r17 this is the WHOLE
+      // text footprint — r16 kept this table AND a 1.665 GB postings
+      // table beside it. Depends on text_index_build.
       timed("phrase_size_bytes") {
-        val dir = java.nio.file.Paths.get(storeDir, "docs_pos")
+        val dir = java.nio.file.Paths.get(storeDir, "docs_text")
         val walk = java.nio.file.Files.walk(dir)
         try walk.filter(java.nio.file.Files.isRegularFile(_))
           .mapToLong(java.nio.file.Files.size(_)).sum()
@@ -1087,12 +1084,12 @@ object ScaleBench {
       // ...and a query batch then reads ONLY its own terms' postings
       // rows (term-sorted row groups + pushed IN filter): the floor of
       // serving retrieval from a maintained index vs re-tokenizing 5M
-      // docs per query batch. Depends on bm25_index_build's table —
-      // filter with "bm25_index", not "bm25_index_query".
+      // docs per query batch. Depends on text_index_build's table —
+      // filter with "text_index,bm25_index".
       timed("bm25_index_query") {
         val qs = docs.filter(col("doc_id") < 3)
           .select(col("doc_id").as("query_id"), col("text").as("qtext"))
-        graft.store.TextIndex.query(store, "docs_bm25",
+        graft.store.TextIndex.query(store, "docs_text",
           qs, "query_id", "qtext", k = 10).count()
       },
       // Champion lists: one maintenance-time pass over the postings
@@ -1100,10 +1097,10 @@ object ScaleBench {
       // near-stopword term with a corpus-sized postings list is exactly
       // the skew case) buys every later query batch ≤ m postings rows
       // per term instead of the full common-term lists that dominate
-      // bm25_index_query. Depends on bm25_index_build — filter with
-      // "bm25", not "bm25_champ".
+      // bm25_index_query. Depends on text_index_build — filter with
+      // "text_index,bm25".
       timed("bm25_champ_refresh") {
-        graft.store.TextIndex.refreshChampions(store, "docs_bm25", m = 1024)
+        graft.store.TextIndex.refreshChampions(store, "docs_text", m = 1024)
       },
       // Champion serving is a SHORT-QUERY structure (keyword search):
       // candidates are per-term impact leaders, so a query that names a
@@ -1114,12 +1111,12 @@ object ScaleBench {
       // document-similarity queries stay on the exact path / MinHash,
       // and these entries measure the keyword shape both ways.
       timed("bm25_champ_query") {
-        graft.store.TextIndex.queryChampions(store, "docs_bm25",
+        graft.store.TextIndex.queryChampions(store, "docs_text",
           shortQueries(docs), "query_id", "qtext", k = 10,
           fallbackToExact = false).count()
       },
       timed("bm25_exact_query_short") {
-        graft.store.TextIndex.query(store, "docs_bm25",
+        graft.store.TextIndex.query(store, "docs_text",
           shortQueries(docs), "query_id", "qtext", k = 10).count()
       },
       // MaxScore-bounded EXACT probe (r12 verdict #4): per-term score
@@ -1128,25 +1125,25 @@ object ScaleBench {
       // terms' postings are read in full, the common-term lists arrive
       // candidate-restricted. Same answers as bm25_index_query /
       // bm25_exact_query_short — the delta is pure pruning. Depends on
-      // bm25_champ_refresh — filter with "bm25", not "bm25_maxscore".
+      // bm25_champ_refresh — filter with "text_index,bm25".
       timed("bm25_maxscore_query") {
         val qs = docs.filter(col("doc_id") < 3)
           .select(col("doc_id").as("query_id"), col("text").as("qtext"))
-        graft.store.TextIndex.queryMaxScore(store, "docs_bm25",
+        graft.store.TextIndex.queryMaxScore(store, "docs_text",
           qs, "query_id", "qtext", k = 10).count()
       },
       timed("bm25_maxscore_query_short") {
-        graft.store.TextIndex.queryMaxScore(store, "docs_bm25",
+        graft.store.TextIndex.queryMaxScore(store, "docs_text",
           shortQueries(docs), "query_id", "qtext", k = 10).count()
       },
       // Approximation honesty: champion top-10 overlap vs the exact
       // index path on the same short queries, in percent (like
       // ann_recall_pct). m=1024 on 5M docs is the production shape.
       timed("bm25_champ_recall_pct") {
-        val exact = graft.store.TextIndex.query(store, "docs_bm25",
+        val exact = graft.store.TextIndex.query(store, "docs_text",
           shortQueries(docs), "query_id", "qtext", k = 10)
           .select(col("query_id"), col("neighbor_id"))
-        val champ = graft.store.TextIndex.queryChampions(store, "docs_bm25",
+        val champ = graft.store.TextIndex.queryChampions(store, "docs_text",
           shortQueries(docs), "query_id", "qtext", k = 10,
           fallbackToExact = false)
           .select(col("query_id"), col("neighbor_id"))
@@ -1161,17 +1158,20 @@ object ScaleBench {
       // pins merge ≡ rebuild row-for-row) instead of re-scanning the
       // 5M-doc postings chain bm25_champ_refresh above paid for. Runs
       // AFTER every 5M-corpus serving entry so their corpus is
-      // untouched. Depends on bm25_index_build — filter "bm25".
+      // untouched. Depends on text_index_build — filter "text_index,bm25".
+      // Since r17 this append DELEGATES to the positional writer: the
+      // 100k batch pays position encoding too — the honest cost of the
+      // one unified append path.
       timed("bm25_append_100k") {
         val batch = spark.range(nDocs + 400000L, nDocs + 500000L, 1L, 16)
           .map(id => genDoc(id.toLong)).toDF()
-        graft.store.TextIndex.append(store, "docs_bm25", batch,
+        graft.store.TextIndex.append(store, "docs_text", batch,
           "text", "doc_id")
       },
       timed("bm25_champ_merge_100k") {
-        val cv = graft.store.TextIndex.refreshChampions(store, "docs_bm25",
+        val cv = graft.store.TextIndex.refreshChampions(store, "docs_text",
           m = 1024)
-        val mode = store.metaForVersion("docs_bm25__champ", cv)
+        val mode = store.metaForVersion("docs_text__champ", cv)
           .getOrElse("text.champ.mode", "?")
         System.err.println(s"[scalebench] champ refresh mode=$mode")
         cv
@@ -1184,7 +1184,7 @@ object ScaleBench {
       // every refresh. Depends on bm25_champ_merge_100k — filter
       // "bm25_champ", not "chain_stats".
       timed("bm25_champ_chain_stats") {
-        val ct = "docs_bm25__champ"
+        val ct = "docs_text__champ"
         val cv = store.currentVersion(ct)
         val parts = store.metaForVersion(ct, cv)
           .getOrElse("text.champ.parts", "")
@@ -1197,7 +1197,7 @@ object ScaleBench {
       // its O(touched) refresh writes. Compare bm25_champ_query (run
       // on the single-member chain before the append).
       timed("bm25_champ_query_chained") {
-        graft.store.TextIndex.queryChampions(store, "docs_bm25",
+        graft.store.TextIndex.queryChampions(store, "docs_text",
           shortQueries(docs), "query_id", "qtext", k = 10,
           fallbackToExact = false).count()
       },
@@ -1285,18 +1285,20 @@ object ScaleBench {
       // number above is the structure's worst case (documented in
       // TextIndex.queryChampions); this is its working regime.
       timed("bm25_champ_recall_zipf_pct") {
+        // r17: served from the UNIFIED zipf store phrase_zipf_build_1m
+        // committed (no second 1M-doc build of the same corpus) —
+        // champions refresh over the slim projection. Depends on
+        // phrase_zipf_build_1m; filter "zipf" runs the family in order.
         val zdocs = spark.range(0L, 1000000L, 1L, 64)
           .map(id => genZipfDoc(id.toLong)).toDF()
-        graft.store.TextIndex.build(store, "docs_bm25_zipf",
-          zdocs, "text", "doc_id")
-        graft.store.TextIndex.refreshChampions(store, "docs_bm25_zipf",
+        graft.store.TextIndex.refreshChampions(store, "docs_pos_zipf",
           m = 1024)
         val qs = shortQueries(zdocs, ids = Seq(0L, 400000L, 800000L))
-        val exact = graft.store.TextIndex.query(store, "docs_bm25_zipf",
+        val exact = graft.store.TextIndex.query(store, "docs_pos_zipf",
           qs, "query_id", "qtext", k = 10)
           .select(col("query_id"), col("neighbor_id"))
         val champ = graft.store.TextIndex.queryChampions(store,
-          "docs_bm25_zipf", qs, "query_id", "qtext", k = 10,
+          "docs_pos_zipf", qs, "query_id", "qtext", k = 10,
           fallbackToExact = false)
           .select(col("query_id"), col("neighbor_id"))
         val overlap = exact.join(champ, Seq("query_id", "neighbor_id")).count()
@@ -1313,11 +1315,11 @@ object ScaleBench {
       // pruning. Depends on bm25_champ_recall_zipf_pct (builds
       // docs_bm25_zipf + its champions) — filter "zipf".
       timed("bm25_exact_zipf_batch") {
-        graft.store.TextIndex.query(store, "docs_bm25_zipf",
+        graft.store.TextIndex.query(store, "docs_pos_zipf",
           zipfShortQueries(spark, 64), "query_id", "qtext", k = 10).count()
       },
       timed("bm25_maxscore_zipf_batch") {
-        graft.store.TextIndex.queryMaxScore(store, "docs_bm25_zipf",
+        graft.store.TextIndex.queryMaxScore(store, "docs_pos_zipf",
           zipfShortQueries(spark, 64), "query_id", "qtext", k = 10).count()
       },
       // Zone-map layout: commit the corpus range-clustered on doc_id with

@@ -146,16 +146,22 @@ object PhraseIndex {
     val exploded = tok
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         posexplode(col("toks")).as(Seq("pos", "term")))
-    // RANGE-partition on a prefix of the grouping keys before the
-    // aggregate (the TextIndex.postingsOf recipe): the range exchange
-    // satisfies the group's clustering requirement (ONE shuffle either
-    // way) and the committed files own disjoint term ranges — which is
-    // what makes the per-file term zones harvested at commit selective
-    // for phrase probes AND for the unified BM25 serving paths
-    // (TextIndex zone-prunes chain files by query term; hash-layout
-    // files would each span the whole vocabulary).
+    // Deliberately HASH-partitioned (the groupBy's own exchange), NOT
+    // repartitionByRange like TextIndex.postingsOf — a range layout
+    // here was built and MEASURED AGAINST at the r17 flagship, paired
+    // windows, fresh stores: the RangePartitioner's sampling job
+    // re-evaluates this explode pipeline (build 168.0 s vs 109.2 s at
+    // 5M docs; 39.1 vs 9.7 s on the 1M zipf corpus), and clustering a
+    // zipf corpus's head terms into few files CONCENTRATES the heavy
+    // position payloads — phrase serving lost parallelism
+    // (phrase_zipf_query 16.9 s vs 4.9 s; bm25_exact_zipf_batch 20.0
+    // vs 9.8 s). The trade-away: file-level term zones stay weak (each
+    // file spans the vocabulary) and range's at-rest size win was 10%
+    // (2.18 vs 2.42 GB); term row-group pruning via the commit-time
+    // sortWithinPartitions carries the probes either way — every BM25
+    // serving twin stayed in band on the hash layout (bm25_index_query
+    // 4.9 s vs range's 6.2 s).
     preGroupFilter.fold(exploded)(exploded.filter)
-      .repartitionByRange(col("term"), col("doc_id"))
       .groupBy(col("term"), col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("plist"),
         max(col("dl")).as("dl"))
@@ -165,12 +171,6 @@ object PhraseIndex {
         size(col("plist")).as("tf"), col("dl"))
   }
 
-  /** Term-range layout for compaction folds — chain unions interleave
-    * the members' file layouts, so a fold is where the term clustering
-    * (and with it the file-zone selectivity) must be re-established
-    * (the TextIndex.termLayout convention). */
-  private val termLayout: DataFrame => DataFrame =
-    _.repartitionByRange(col("term"), col("doc_id"))
 
   /** (nDocs, sumDl) of a tokenized frame — ONE aggregate action, the
     * TextIndex stats recipe (avgdl's exact numerator rides in the
@@ -238,8 +238,7 @@ object PhraseIndex {
           s"${P}nDocs" -> (meta.getOrElse(s"${P}nDocs", "0").toLong + bDocs).toString,
           s"${P}sumDl" -> (meta.getOrElse(s"${P}sumDl", "0").toLong + bDl).toString,
           s"${P}contentVersion" ->
-            (meta.getOrElse(s"${P}contentVersion", "0").toLong + 1).toString),
-        layout = termLayout)
+            (meta.getOrElse(s"${P}contentVersion", "0").toLong + 1).toString))
     } finally tok.unpersist(blocking = false)
   }
 
@@ -547,8 +546,7 @@ object PhraseIndex {
         // a pre-v2 table must surface the rebuild contract here too —
         // maintenance runs before any query on upgrade (r16 review)
         requireCompatible(meta, table)
-        chain.compactNow(store, table, v, meta, layout = termLayout)
-          .toRight(())
+        chain.compactNow(store, table, v, meta).toRight(())
       }
     }.isRight
 
