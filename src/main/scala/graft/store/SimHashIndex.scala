@@ -91,7 +91,25 @@ object SimHashIndex {
     * Consume-before-vacuum: the pair frame's lineage reads the
     * pre-append snapshot dirs; cache eviction after a vacuum/compaction
     * that dropped them makes recomputation fail. Materialize the result
-    * before vacuuming (same contract as FingerprintIndex). */
+    * before vacuuming (same contract as FingerprintIndex).
+    *
+    * Cost envelope (r17 adjudication — profiled and A/B'd, all quiet
+    * targeted windows at the 5M-doc flagship, 100k batch, nBlocks=8/
+    * h=6): the ~32 s append is CANDIDATE-VOLUME-BOUND by the committed
+    * regime, not by execution strategy. A 100k batch occupies ~82% of
+    * the 1.83M-slot combo keyspace, so ~every corpus doc survives any
+    * doc-level prefilter and ~120M candidate key rows cross the bucket
+    * exchange regardless. Measured: baseline (probe on) 31.9 s; probe
+    * OFF 32.3 s (the prefilter neither pays nor costs here — it stays
+    * for sparse-batch regimes where buckets are rare); raising the
+    * ObjectHashAggregate sort-fallback threshold to 256k keys 39.5 s
+    * (the map-side object map builds 256k heap buffers and then falls
+    * back anyway); pre-partitioning on the bucket key so the heap
+    * aggregate runs post-exchange (both external sorts gone) 32.1 s —
+    * the unreduced exchange ate exactly what the sorts cost. The lever
+    * that would actually move this is the REGIME (wider bucket keys ⇒
+    * more combos/doc — simhashAutoBlocks' documented trade), not the
+    * plan. */
   def appendBatchOnce(store: SnapshotStore, table: String,
                       batchHashed: DataFrame,
                       streamId: String, batchId: Long,
