@@ -185,7 +185,8 @@ object PhraseIndex {
   /** Encode `docs` and commit as a fresh full snapshot (or a
     * chain-resetting rebuild); `docs.limit(0)` for an empty init. */
   def build(store: SnapshotStore, table: String, docs: DataFrame,
-            textCol: String, idCol: String): Long = {
+            textCol: String, idCol: String,
+            corpusTag: Option[String] = None): Long = {
     val tok = tokenized(docs, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -205,7 +206,10 @@ object PhraseIndex {
           s"${P}nDocs" -> nDocs.toString,
           s"${P}sumDl" -> sumDl.toString,
           s"${P}contentVersion" -> (prevContent + 1).toString,
-          s"${P}parts" -> ""))
+          s"${P}parts" -> "")
+          // content-version identifier of the build corpus — the same
+          // drift-detection contract as TextIndex/VectorIndex.build
+          ++ corpusTag.map(t => s"${P}corpusTag" -> t))
     } finally tok.unpersist(blocking = false)
   }
 

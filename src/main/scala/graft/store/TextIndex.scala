@@ -222,10 +222,12 @@ object TextIndex {
     } finally tok.unpersist(blocking = false)
   }
 
-  /** The corpus content tag recorded at build (None if none given). */
-  def corpusTagOf(store: SnapshotStore, indexTable: String): Option[String] =
-    store.metaForVersion(indexTable, store.currentVersion(indexTable))
-      .get(s"${P}corpusTag")
+  /** The corpus content tag recorded at build (None if none given) —
+    * whichever layout wrote it. */
+  def corpusTagOf(store: SnapshotStore, indexTable: String): Option[String] = {
+    val meta = store.metaForVersion(indexTable, store.currentVersion(indexTable))
+    meta.get(s"${P}corpusTag").orElse(meta.get(s"${PosP}corpusTag"))
+  }
 
   /** The live postings-SHAPED rows (delta-chain union) as of the
     * current version — for a unified positional table, the slim

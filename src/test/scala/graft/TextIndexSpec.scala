@@ -792,6 +792,13 @@ class TextIndexSpec extends SparkSpec {
     assert(phraseHits(store, 3L).exists(h => h._1 === 3L && h._2 === 3L && h._3 >= 1))
   }
 
+  test("unified store: corpusTag rides the positional build") {
+    val store = freshStore()
+    PhraseIndex.build(store, "idx", corpusDF, "text", "doc_id",
+      corpusTag = Some("crawl-7"))
+    assert(TextIndex.corpusTagOf(store, "idx") === Some("crawl-7"))
+  }
+
   test("unified store: a pre-v2 positional layout refuses with the rebuild contract") {
     val store = freshStore()
     store.commit("idx", corpusDF.limit(1),
