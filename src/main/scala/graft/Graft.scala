@@ -37,21 +37,26 @@ object Graft {
       Some(kind)
     }
 
-  private val handlers: Seq[(String, Handler)] = Seq(
-    // derived champion cache: refreshed by its postings table's maintain
-    "text.champ.forVersion" -> ((_, _, _, _) => None),
-    "text.parts" -> { (store, table, maxChainLength, _) =>
-      // champion policy is COMMITTED on the champion table (its m):
-      // refresh at that m when stale; a postings table that never had
-      // champions built gets none forced on it.
+  /** Text-index maintenance (both layouts): champion policy is
+    * COMMITTED on the champion table (its m) — refresh at that m when
+    * stale; a table that never had champions built gets none forced on
+    * it. TextIndex.maintain is layout-aware (positional tables fold
+    * through PhraseIndex, positions preserved). */
+  private def textMaintain(kind: String): Handler =
+    (store, table, maxChainLength, _) => {
       val ct = s"${table}__champ"
       val cv = store.currentVersion(ct)
       val championM =
         if (cv > 0) store.metaForVersion(ct, cv).get("text.champ.m").map(_.toInt)
         else None
       TextIndex.maintain(store, table, maxChainLength, championM)
-      Some("text")
-    },
+      Some(kind)
+    }
+
+  private val handlers: Seq[(String, Handler)] = Seq(
+    // derived champion cache: refreshed by its postings table's maintain
+    "text.champ.forVersion" -> ((_, _, _, _) => None),
+    "text.parts" -> textMaintain("text"),
     "semdedup.parts" -> { (store, table, maxChainLength, retrainFraction) =>
       SemIndex.maintain(store, table, maxChainLength, retrainFraction)
       Some("sem")
@@ -66,19 +71,8 @@ object Graft {
       EmbedIndex.compactIndex, EmbedIndex.vacuumIndex),
     "ivfpq.parts" -> foldAndVacuum("vector", "ivfpq.parts",
       VectorIndex.compactIndex, VectorIndex.vacuumIndex),
-    "phrase.parts" -> { (store, table, maxChainLength, _) =>
-      // the unified positional store (r17): TextIndex.maintain is
-      // layout-aware — it refreshes a stale champion cache at its
-      // committed m (when one exists), folds the chain through
-      // PhraseIndex (positions preserved), and vacuums both tables
-      val ct = s"${table}__champ"
-      val cv = store.currentVersion(ct)
-      val championM =
-        if (cv > 0) store.metaForVersion(ct, cv).get("text.champ.m").map(_.toInt)
-        else None
-      TextIndex.maintain(store, table, maxChainLength, championM)
-      Some("phrase")
-    })
+    // the unified positional store (r17) shares the text handler
+    "phrase.parts" -> textMaintain("phrase"))
 
   /** Apply every index's maintenance policy across the whole store in
     * one idempotent call — what an operator actually schedules (cron /

@@ -1312,8 +1312,9 @@ object ScaleBench {
       // 64-query batch amortizes the per-batch champion probe that
       // dominates the 3-query entries above. EXACT, unlike champ_query:
       // identical answers to the plain probe, the delta is pure
-      // pruning. Depends on bm25_champ_recall_zipf_pct (builds
-      // docs_bm25_zipf + its champions) — filter "zipf".
+      // pruning. Depends on phrase_zipf_build_1m (builds docs_pos_zipf)
+      // and bm25_champ_recall_zipf_pct (refreshes its champions) —
+      // filter "zipf" runs the whole family in order.
       timed("bm25_exact_zipf_batch") {
         graft.store.TextIndex.query(store, "docs_pos_zipf",
           zipfShortQueries(spark, 64), "query_id", "qtext", k = 10).count()

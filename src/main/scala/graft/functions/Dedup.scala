@@ -35,7 +35,12 @@ object Dedup {
     * exactly; decimal ranges are sign-symmetric) — the r16 integral-only
     * tightening rejected ids the old encoding handled correctly (r16
     * ADVICE). Non-numeric ids refuse loudly: a string id would coerce to
-    * null and silently degrade the tie-break to nondeterminism. */
+    * null and silently degrade the tie-break to nondeterminism.
+    * Caller contract (unchanged): ids are distinct under Spark value
+    * equality — fractional 0.0 and -0.0 compare EQUAL, so a corpus
+    * carrying both as "different" ids is a duplicate-id violation
+    * (the loser filter `id =!= keep_id` would drop neither), exactly
+    * as two rows sharing an integral id would be. */
   private def invId(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
     if (isIntegral(dt)) bitwise_not(c.cast("long")) else negate(c)
 

@@ -115,6 +115,17 @@ object PhraseIndex {
     * postings/champions/MaxScore from it through a slim projection and
     * must enforce the same layout/tokenizer contract on load. */
   private[store] def requireCompatible(meta: Map[String, String], table: String): Unit = {
+    // the authoritative layout key wins over any carried-forward
+    // phrase.* metadata: after an in-place TextIndex.build over a
+    // former positional table, the latest rows are postings-shaped and
+    // phrase serving must refuse, not mis-read (r17 review)
+    meta.get(TextIndex.LayoutKey).filter(_ != TextIndex.LayoutPositional)
+      .foreach { l =>
+        throw new IllegalStateException(
+          s"$table's latest build is '$l'-layout — it carries no " +
+            "positions; rebuild the index (PhraseIndex.build) for " +
+            "phrase serving")
+      }
     val tok = meta.getOrElse(s"${P}tokenizer", "unknown")
     if (tok != Tokenizer)
       throw new IllegalStateException(
@@ -192,15 +203,18 @@ object PhraseIndex {
     try {
       val (nDocs, sumDl) = statsOf(tok)
       // content counter (r17, the TextIndex.build convention): bumped
-      // past any replaced build's so a champion cache refreshed against
-      // the old content can never read as fresh for the new
+      // past any replaced build's — under EITHER layout prefix, so a
+      // champion cache refreshed against the old content can never
+      // read as fresh for the new, including across an in-place
+      // migration from the postings layout
       val prevContent = if (store.exists(table))
-        store.metaForVersion(table, store.currentVersion(table))
-          .getOrElse(s"${P}contentVersion", "0").toLong
+        TextIndex.crossLayoutContent(
+          store.metaForVersion(table, store.currentVersion(table)))
       else 0L
       store.commit(table, posRowsOf(tok),
         sortKey = Some("term"), statsCols = Seq("term", "tf", "dl"),
         meta = Map(
+          TextIndex.LayoutKey -> TextIndex.LayoutPositional,
           s"${P}tokenizer" -> Tokenizer,
           s"${P}layout" -> Layout,
           s"${P}nDocs" -> nDocs.toString,

@@ -88,19 +88,48 @@ object TextIndex {
   private val posChain = new DeltaChain(s"${PosP}parts",
     Seq("term", "doc_id", "tf", "dl")) // READ-ONLY: never fold through it
 
-  /** Is this table a unified positional store? (Its layout/tokenizer
-    * contract is then enforced by PhraseIndex.requireCompatible —
-    * pre-v2 positional tables refuse with the rebuild contract.) */
+  /** Authoritative layout tag, written by EVERY build (both layouts).
+    * Load-bearing across IN-PLACE layout migrations: SnapshotStore
+    * commits merge metadata over the previous version's, so after
+    * "PhraseIndex.build over a former postings table" (or the reverse)
+    * BOTH prefixes' keys coexist — sniffing either one would misread
+    * the table (r17 review). The current build always overwrites this
+    * one key, so it alone says which layout the LATEST rows carry. */
+  private[store] val LayoutKey = "graft.text.layout"
+  private[store] val LayoutPostings = "postings"
+  private[store] val LayoutPositional = "pos-vb-v2"
+
+  /** Is this table a unified positional store? Decided by the
+    * authoritative layout key; pre-r17 tables (no key, necessarily
+    * single-layout) fall back to the phrase-tokenizer sniff. The
+    * layout/tokenizer contract is then enforced by
+    * PhraseIndex.requireCompatible — pre-v2 positional tables refuse
+    * with the rebuild contract. */
   private def isPositional(meta: Map[String, String]): Boolean =
-    meta.contains(s"${PosP}tokenizer")
+    meta.get(LayoutKey) match {
+      case Some(l) => l == LayoutPositional
+      case None    => meta.contains(s"${PosP}tokenizer")
+    }
 
   /** Key prefix of the SOURCE table's stats/content metadata. */
   private def srcP(meta: Map[String, String]): String =
     if (isPositional(meta)) PosP else P
 
-  /** The source's content counter, whichever layout wrote it. */
+  /** The source's content counter under the CURRENT layout's prefix —
+    * never the other prefix's carried-forward leftover (a migration
+    * build bumps its counter past BOTH prefixes' values, see
+    * [[crossLayoutContent]], so stale champion caches can never read
+    * as fresh across a layout change). */
   private def contentOf(meta: Map[String, String]): Option[String] =
-    meta.get(s"${P}contentVersion").orElse(meta.get(s"${PosP}contentVersion"))
+    meta.get(s"${srcP(meta)}contentVersion")
+
+  /** The max content counter across BOTH layout prefixes — what a
+    * (re)build must bump past so its counter strictly exceeds anything
+    * a champion cache could have been refreshed against, including
+    * across an in-place layout migration. */
+  private[store] def crossLayoutContent(meta: Map[String, String]): Long =
+    math.max(meta.getOrElse(s"${P}contentVersion", "0").toLong,
+      meta.getOrElse(s"${PosP}contentVersion", "0").toLong)
 
   private def srcChain(meta: Map[String, String]): DeltaChain =
     if (isPositional(meta)) posChain else chain
@@ -203,16 +232,19 @@ object TextIndex {
       .persist(StorageLevel.MEMORY_AND_DISK) // read 2×: stats + postings
     try {
       val (nDocs, sumDl) = statsOf(tok)
-      // content counter: bumped past any previous build's (commit meta
-      // merges over the old version's, so a rebuild must not collide
-      // with a champion refresh of the replaced content)
+      // content counter: bumped past any previous build's — under
+      // EITHER layout prefix (commit meta merges over the old
+      // version's, so a rebuild, including an in-place migration from
+      // the positional layout, must not collide with a champion
+      // refresh of the replaced content)
       val prevContent = if (store.exists(indexTable))
-        store.metaForVersion(indexTable, store.currentVersion(indexTable))
-          .getOrElse(s"${P}contentVersion", "0").toLong
+        crossLayoutContent(
+          store.metaForVersion(indexTable, store.currentVersion(indexTable)))
       else 0L
       store.commit(indexTable, postingsOf(tok), sortKey = Some("term"),
         statsCols = Seq("term", "tf", "dl"),
         meta = Map(
+          LayoutKey -> LayoutPostings,
           s"${P}parts" -> "",
           s"${P}tokenizer" -> Tokenizer,
           s"${P}nDocs" -> nDocs.toString,
@@ -223,10 +255,12 @@ object TextIndex {
   }
 
   /** The corpus content tag recorded at build (None if none given) —
-    * whichever layout wrote it. */
+    * read under the CURRENT layout's prefix, so a tag carried forward
+    * from a build in the OTHER layout never masks drift after an
+    * in-place migration (r17 review). */
   def corpusTagOf(store: SnapshotStore, indexTable: String): Option[String] = {
     val meta = store.metaForVersion(indexTable, store.currentVersion(indexTable))
-    meta.get(s"${P}corpusTag").orElse(meta.get(s"${PosP}corpusTag"))
+    meta.get(s"${srcP(meta)}corpusTag")
   }
 
   /** The live postings-SHAPED rows (delta-chain union) as of the

@@ -799,6 +799,52 @@ class TextIndexSpec extends SparkSpec {
     assert(TextIndex.corpusTagOf(store, "idx") === Some("crawl-7"))
   }
 
+  test("in-place migration postings→positional: champions stale, serving correct") {
+    // SnapshotStore commits MERGE metadata over the old version's, so
+    // after a layout migration both prefixes' keys coexist — the
+    // authoritative layout key and the cross-layout content bump must
+    // keep detection and champion freshness honest (r17 review).
+    val store = freshStore()
+    TextIndex.build(store, "idx",
+      corpusDF.filter(col("doc_id") < 30), "text", "doc_id",
+      corpusTag = Some("crawl-1"))
+    TextIndex.refreshChampions(store, "idx", m = 60)
+    assert(TextIndex.championsFresh(store, "idx"))
+    // migrate in place to the unified layout, DIFFERENT corpus
+    PhraseIndex.build(store, "idx", corpusDF, "text", "doc_id",
+      corpusTag = Some("crawl-2"))
+    // the old-corpus champion cache must NOT read as fresh for the new
+    assert(!TextIndex.championsFresh(store, "idx"))
+    // drift tag comes from the current layout's build, not the leftover
+    assert(TextIndex.corpusTagOf(store, "idx") === Some("crawl-2"))
+    // exact serving over the migrated table equals the scan truth, and
+    // stale champions fall back to it
+    assert(indexRanked(store) === scanRanked())
+    assert(champRanked(store, fallback = true) === scanRanked())
+    // a refresh over the migrated table restores champion freshness
+    TextIndex.refreshChampions(store, "idx", m = 60)
+    assert(TextIndex.championsFresh(store, "idx"))
+    assert(champRanked(store) === scanRanked())
+  }
+
+  test("in-place migration positional→postings: BM25 correct, phrase refuses") {
+    val store = freshStore()
+    PhraseIndex.build(store, "idx",
+      corpusDF.filter(col("doc_id") < 30), "text", "doc_id")
+    assert(phraseHits(store, 0L).nonEmpty)
+    // shed the positions: rebuild the same table postings-only
+    TextIndex.build(store, "idx", corpusDF, "text", "doc_id")
+    // reads/appends go through the postings machinery despite the
+    // carried-forward phrase.* metadata
+    assert(indexRanked(store) === scanRanked())
+    TextIndex.append(store, "idx", corpusDF.limit(0), "text", "doc_id")
+    assert(indexRanked(store) === scanRanked())
+    // phrase serving must refuse loudly — the latest rows carry no
+    // positions, and the stale phrase.layout tag must not mis-read them
+    val e = intercept[IllegalStateException] { phraseHits(store, 0L) }
+    assert(e.getMessage.contains("postings"))
+  }
+
   test("unified store: a pre-v2 positional layout refuses with the rebuild contract") {
     val store = freshStore()
     store.commit("idx", corpusDF.limit(1),
