@@ -119,6 +119,7 @@ object SparkEntry {
     "retrieve_phrase_scan"   -> (ExtensionQueries.retrievePhraseScan _),
     "retrieve_bm25_champ" -> ((s, d) => ExtensionQueries.retrieveBm25Champ(s, d)),
     "retrieve_bm25_merged" -> ((s, d) => ExtensionQueries.retrieveBm25ChampMerged(s, d)),
+    "retrieve_bm25_maintained" -> ((s, d) => ExtensionQueries.retrieveBm25Maintained(s, d)),
     "retrieve_bm25_maxscore" -> ((s, d) => ExtensionQueries.retrieveBm25MaxScore(s, d)),
     "dedup_jaccard_pairs" -> (ExtensionQueries.dedupJaccardPairs _),
     "dedup_components"    -> (ExtensionQueries.dedupComponents _),
@@ -674,6 +675,12 @@ object SparkEntry {
     // the merged-table query carries the identical from-scratch oracle —
     // and the query refuses to answer unless the merge path really ran
     "retrieve_bm25_merged" -> Bm25ChampRankSql,
+    // the full unified-store maintenance cycle (r17: delegated append →
+    // maintainAll's champion merge + PhraseIndex fold + vacuum →
+    // STRICT champion serve) must land on the same from-scratch
+    // selection — the fixture refuses unless the merge and the fold
+    // really ran
+    "retrieve_bm25_maintained" -> Bm25ChampRankSql,
     // MaxScore pruning is EXACT (per-term ceilings + champion floor,
     // essential-only full reads): identical ranking, identical oracle.
     "retrieve_bm25_maxscore" -> Bm25RankSql,

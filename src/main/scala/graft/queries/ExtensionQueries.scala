@@ -1127,6 +1127,50 @@ object ExtensionQueries {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** The full unified-store MAINTENANCE CYCLE under one external
+    * oracle (r17): build the positional store on the even half,
+    * refresh champions, append the odd half through TextIndex's
+    * DELEGATED append (positions encoded, phrase.contentVersion
+    * bumped), then run the operator-facing Graft.maintainAll with a
+    * chain bound that forces a fold — the champion refresh must take
+    * the incremental merge (required below), the fold must go through
+    * PhraseIndex (required below: the chain collapses to one member
+    * and positions survive for a phrase probe), and content-version
+    * freshness must carry the champions across the fold so the STRICT
+    * champion query serves. The answers must equal DuckDB's
+    * from-scratch full-corpus champion selection — one green row pins
+    * delegation, merge anchoring, fold, vacuum, and freshness
+    * together. */
+  def retrieveBm25Maintained(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val ds = docs(s, d).select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25mnt").toString
+    val store = new SnapshotStore(root, s)
+    PhraseIndex.build(store, "docs_text",
+      ds.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+    TextIndex.refreshChampions(store, "docs_text", m = 3)
+    TextIndex.append(store, "docs_text",
+      ds.filter(col("doc_id") % 2 =!= 0), "text", "doc_id",
+      compactEvery = 100)
+    graft.Graft.maintainAll(store, maxChainLength = 1)
+    val cv = store.currentVersion("docs_text__champ")
+    val mode = store.metaForVersion("docs_text__champ", cv)
+      .getOrElse("text.champ.mode", "?")
+    require(mode == "merge",
+      s"maintainAll's champion refresh must take the merge path, got '$mode'")
+    val v = store.currentVersion("docs_text")
+    require(store.metaForVersion("docs_text", v)
+        .get("phrase.parts").forall(_.isEmpty),
+      "maintainAll must fold the positional chain")
+    require(!PhraseIndex.phraseQuery(store, "docs_text",
+        phraseQueryBatch(ds), "query_id", "phrase").isEmpty,
+      "positions must survive the maintenance fold")
+    val qs = ds.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+    TextIndex.queryChampions(store, "docs_text", qs, "query_id", "qtext",
+      k = k, fallbackToExact = false)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** MaxScore-BOUNDED BM25 over the persistent index
     * ([[TextIndex.queryMaxScore]]): champion refresh harvests the
     * per-term score ceilings and the top-k floor, the probe reads only
