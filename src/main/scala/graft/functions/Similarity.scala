@@ -169,6 +169,11 @@ object Similarity {
     * driver merge of n rows): one scan, fixed driver cost, no shuffle.
     * Vectors are unit-normalized on the driver; zero/non-finite vectors
     * are dropped (dirty rows must not steer the quantizers). */
+  /** At-cut multiplicities up to this ride the single-job union fetch
+    * (per-task shipping ≤ this many wide rows — ~400 KB at dim 768);
+    * genuine duplicate floods take the two-job split. */
+  private val TieFetchUnionCap = 64
+
   private[graft] def sampleUnitVectors(corpus: DataFrame, vecCol: String,
                                        sampleSize: Int): Array[Array[Double]] = {
     val hashed = corpus
@@ -181,28 +186,43 @@ object Similarity {
     // corpus. Phase 1 finds the sampleSize-th smallest hash over
     // 8-byte rows (per-task results are KBs at any dim); phase 2
     // fetches just the matching vectors. Hash ties at the cut are
-    // fetched SEPARATELY (r16 ADVICE): a corpus with massive exact-dup
-    // vectors puts arbitrarily many rows AT the cut hash, and a
-    // `h <= cut` TakeOrdered would re-trip the wide-row trap. Strictly-
-    // below rows number < sampleSize globally (definition of the cut),
-    // so a plain collect ships only each task's own survivors; at-cut
-    // rows share a hash — equal vector bytes, collisions aside — so
-    // CollectLimit's arbitrary-but-bounded pick of exactly the missing
-    // count is value-deterministic. The returned vector MULTISET equals
-    // the single-phase form's (|below| = sampleSize − nTied exactly).
+    // fetched through a BOUNDED limit (r16 ADVICE): a corpus with
+    // massive exact-dup vectors puts arbitrarily many rows AT the cut
+    // hash, and a `h <= cut` TakeOrdered would re-trip the wide-row
+    // trap. Strictly-below rows number < sampleSize globally
+    // (definition of the cut); at-cut rows share a hash — equal vector
+    // bytes, collisions aside — so an arbitrary-but-bounded pick of
+    // exactly the missing count is value-deterministic. The returned
+    // vector MULTISET equals the single-phase form's
+    // (|below| = sampleSize − nTied exactly).
     val cutRows = hashed.select(col("h"))
       .orderBy(col("h")).limit(sampleSize).collect()
     if (cutRows.isEmpty) return Array.empty
     val cut = cutRows.last.getLong(0)
     val nTied = cutRows.count(_.getLong(0) == cut)
-    val below = hashed.filter(col("h") < cut)
-      .select(col("h"), col("v")).collect()
-      .sortBy(_.getLong(0))
+    val fetched: Array[org.apache.spark.sql.Row] =
+      if (nTied <= TieFetchUnionCap) {
+        // common case (few at-cut rows in the budget): ONE phase-2 job —
+        // the strictly-below rows union an nTied-limited at-cut branch,
+        // whose LocalLimit caps every task at nTied wide rows (trap-free
+        // at any duplication of the cut vector). A separate CollectLimit
+        // job here cost sem_dedup ~+50% at sf0.1 (r17 bench window): its
+        // incremental partition rounds re-scanned the corpus hunting for
+        // the one at-cut row.
+        hashed.filter(col("h") < cut).select(col("h"), col("v"))
+          .unionByName(hashed.filter(col("h") === cut)
+            .select(col("h"), col("v")).limit(nTied))
+          .collect()
+      } else {
+        // tie flood: below-rows (< sampleSize globally) via a plain
+        // collect; at-cut rows via CollectLimit of exactly the missing
+        // count — bounded, and floods make the rows cheap to find
+        hashed.filter(col("h") < cut).select(col("h"), col("v")).collect() ++
+          hashed.filter(col("h") === cut)
+            .select(col("h"), col("v")).limit(nTied).collect()
+      }
+    fetched.sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).toArray)
-    val tied = hashed.filter(col("h") === cut)
-      .select(col("v")).limit(nTied).collect()
-      .map(_.getSeq[Double](0).toArray)
-    (below ++ tied)
       .filter(v => v.forall(java.lang.Double.isFinite) && v.exists(_ != 0.0))
       .map { v =>
         val n = math.sqrt(v.map(x => x * x).sum)
