@@ -159,6 +159,11 @@ object Similarity {
 
   // ---- IVF (inverted-file) ANN ----------------------------------------
 
+  /** At-cut multiplicities up to this ride the single-job union fetch
+    * (per-task shipping ≤ this many wide rows — ~400 KB at dim 768);
+    * genuine duplicate floods take the two-job split. */
+  private val TieFetchUnionCap = 64
+
   /** Representative bounded training sample: the `sampleSize` rows with the
     * SMALLEST xxhash64 of the vector bytes — a deterministic uniform draw
     * over the whole corpus, independent of file layout, partitioning, and
@@ -169,11 +174,6 @@ object Similarity {
     * driver merge of n rows): one scan, fixed driver cost, no shuffle.
     * Vectors are unit-normalized on the driver; zero/non-finite vectors
     * are dropped (dirty rows must not steer the quantizers). */
-  /** At-cut multiplicities up to this ride the single-job union fetch
-    * (per-task shipping ≤ this many wide rows — ~400 KB at dim 768);
-    * genuine duplicate floods take the two-job split. */
-  private val TieFetchUnionCap = 64
-
   private[graft] def sampleUnitVectors(corpus: DataFrame, vecCol: String,
                                        sampleSize: Int): Array[Array[Double]] = {
     val hashed = corpus

@@ -1159,7 +1159,7 @@ object ExtensionQueries {
       s"maintainAll's champion refresh must take the merge path, got '$mode'")
     val v = store.currentVersion("docs_text")
     require(store.metaForVersion("docs_text", v)
-        .get("phrase.parts").forall(_.isEmpty),
+        .get("phrase.parts").contains(""),
       "maintainAll must fold the positional chain")
     require(!PhraseIndex.phraseQuery(store, "docs_text",
         phraseQueryBatch(ds), "query_id", "phrase").isEmpty,

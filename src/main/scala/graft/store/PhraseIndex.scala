@@ -568,8 +568,16 @@ object PhraseIndex {
       }
     }.isRight
 
-  /** Drop version dirs outside the live delta chain. */
-  def vacuumIndex(store: SnapshotStore, table: String): Unit =
+  /** Drop version dirs outside the live delta chain. Layout-gated like
+    * every other entry point (r17 review): on a table whose LATEST
+    * build is postings-layout, the carried-forward `phrase.parts`
+    * chain is STALE — computing "live" from it would vacuum the
+    * postings chain's own members (data loss), so refuse instead. */
+  def vacuumIndex(store: SnapshotStore, table: String): Unit = {
+    val v = store.currentVersion(table)
+    if (v == 0) return
+    requireCompatible(store.metaForVersion(table, v), table)
     store.dropVersions(table,
       store.versions(table).toSet -- chain.liveVersions(store, table))
+  }
 }

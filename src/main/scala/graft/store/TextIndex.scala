@@ -108,7 +108,19 @@ object TextIndex {
   private def isPositional(meta: Map[String, String]): Boolean =
     meta.get(LayoutKey) match {
       case Some(l) => l == LayoutPositional
-      case None    => meta.contains(s"${PosP}tokenizer")
+      case None =>
+        val phrase = meta.contains(s"${PosP}tokenizer")
+        // a pre-key table carrying BOTH prefixes' tokenizer tags is an
+        // in-place migration committed by code without the layout key —
+        // which of the two chains holds the latest rows is UNKNOWABLE
+        // from metadata, and guessing wrong serves a stale corpus
+        // silently. Refuse; one rebuild stamps the key (r17 review).
+        if (phrase && meta.contains(s"${P}tokenizer"))
+          throw new IllegalStateException(
+            "table carries both postings and positional metadata with " +
+              "no authoritative layout key — rebuild the index " +
+              "(TextIndex.build or PhraseIndex.build) to stamp one")
+        phrase
     }
 
   /** Key prefix of the SOURCE table's stats/content metadata. */

@@ -843,6 +843,30 @@ class TextIndexSpec extends SparkSpec {
     // positions, and the stale phrase.layout tag must not mis-read them
     val e = intercept[IllegalStateException] { phraseHits(store, 0L) }
     assert(e.getMessage.contains("postings"))
+    // ...and so must a direct PhraseIndex VACUUM: computing "live" from
+    // the stale phrase.parts chain would delete postings chain members
+    // (r17 review — data loss, not just a wrong answer)
+    val ev = intercept[IllegalStateException] {
+      PhraseIndex.vacuumIndex(store, "idx")
+    }
+    assert(ev.getMessage.contains("postings"))
+    // the postings-side vacuum keeps every live chain member serving
+    TextIndex.vacuumIndex(store, "idx")
+    assert(indexRanked(store) === scanRanked())
+  }
+
+  test("dual-prefix metadata without the layout key refuses instead of guessing") {
+    // a pre-layout-key in-place migration is metadata-ambiguous: which
+    // chain holds the latest rows is unknowable, and guessing serves a
+    // stale corpus silently — refuse until a rebuild stamps the key
+    val store = freshStore()
+    store.commit("idx", corpusDF.limit(1),
+      meta = Map("phrase.tokenizer" -> "ws-lower-v1",
+        "text.tokenizer" -> "ws-lower"))
+    val e = intercept[IllegalStateException] {
+      TextIndex.query(store, "idx", queriesDF, "query_id", "qtext")
+    }
+    assert(e.getMessage.contains("rebuild"))
   }
 
   test("unified store: a pre-v2 positional layout refuses with the rebuild contract") {
