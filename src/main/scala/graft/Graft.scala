@@ -23,16 +23,19 @@ object Graft {
   private type Handler = (SnapshotStore, String, Int, Option[Double]) => Option[String]
 
   /** Fold the chain past `maxChainLength`, then vacuum — the shared
-    * shape of every compact-only index. */
+    * shape of every compact-only index. Pending TOMBSTONES fold
+    * unconditionally: a takedown's physical removal must not wait out
+    * the chain-length policy (DeltaChain's takedown contract). */
   private def foldAndVacuum(kind: String, partsKey: String,
                             compact: (SnapshotStore, String) => Boolean,
                             vacuum: (SnapshotStore, String) => Unit): Handler =
     (store, table, maxChainLength, _) => {
       val meta = store.metaForVersion(table, store.currentVersion(table))
+      val tombs = meta.get(s"$partsKey.tombs").exists(_.trim.nonEmpty)
       val len = meta.get(partsKey)
         .map(p => if (p.trim.isEmpty) 1 else p.split(",").length + 1)
         .getOrElse(1)
-      if (len > maxChainLength) compact(store, table)
+      if (len > maxChainLength || tombs) compact(store, table)
       vacuum(store, table)
       Some(kind)
     }
@@ -115,4 +118,42 @@ object Graft {
         .flatMap(h => h(store, table, maxChainLength, retrainAppendFraction))
         .map(kind => MaintenanceAction(table, kind))
     }
+
+  /** Per-type TAKEDOWN dispatch: marker key → deleteDocs entry point.
+    * Champion tables are derived caches — a delete on the postings
+    * table stales them; deleting ON one is a caller error. The unified
+    * positional store routes through TextIndex.deleteDocs, which is
+    * layout-aware like its other entry points. */
+  private val deleters
+      : Seq[(String, (SnapshotStore, String, org.apache.spark.sql.DataFrame) => Long)] = Seq(
+    "text.champ.forVersion" -> ((_, table, _) =>
+      throw new IllegalArgumentException(
+        s"$table is a derived champion cache — delete on its postings " +
+          "table; the staleness rule propagates")),
+    "text.parts" -> (TextIndex.deleteDocs _),
+    "phrase.parts" -> (TextIndex.deleteDocs _),
+    "fpdedup.parts" -> (FingerprintIndex.deleteDocs _),
+    "dedup.parts" -> (DedupIndex.deleteDocs _),
+    "shdedup.parts" -> (SimHashIndex.deleteDocs _),
+    "embdedup.parts" -> (EmbedIndex.deleteDocs _),
+    "semdedup.parts" -> (SemIndex.deleteDocs _),
+    "ivfpq.parts" -> (VectorIndex.deleteDocs _))
+
+  /** TAKEDOWN across the store: delete `ids` (a single-column frame of
+    * document/vector ids) from the named index table, dispatched by the
+    * committed metadata marker exactly like [[maintainAll]] — the one
+    * call an operator wires a takedown queue to, per affected table.
+    * O(ids) tombstone commit; serving reflects the delete immediately,
+    * the next [[maintainAll]] cycle folds the bytes off disk. Throws on
+    * tables that are not a known index (plain snapshot tables delete
+    * through [[graft.operators.Mutations]] M4/M5). */
+  def deleteDocs(store: SnapshotStore, table: String,
+                 ids: org.apache.spark.sql.DataFrame): Long = {
+    val meta = store.metaForVersion(table, store.currentVersion(table))
+    deleters.collectFirst { case (marker, d) if meta.contains(marker) => d }
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table carries no known index marker — takedown applies to the " +
+          "persistent index family; mutate plain tables via Mutations"))
+      .apply(store, table, ids)
+  }
 }

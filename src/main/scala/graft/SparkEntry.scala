@@ -165,6 +165,15 @@ object SparkEntry {
     "sim_ivfpq_topk"      -> (ExtensionQueries.simIvfPqTopK _),
     "sim_index_topk"      -> (ExtensionQueries.simIndexTopK _),
     "sim_ann_recall"      -> (ExtensionQueries.simAnnRecall _),
+    // takedown (r18): delete -> serve == rebuild-without-docs, per family
+    "retrieve_bm25_deleted" -> ((s, d) => ExtensionQueries.retrieveBm25Deleted(s, d)),
+    "retrieve_phrase_deleted" -> (ExtensionQueries.retrievePhraseDeleted _),
+    "dedup_incr_fp_deleted" -> (ExtensionQueries.dedupIncrFpDeleted _),
+    "dedup_minhash_deleted" -> (ExtensionQueries.dedupMinhashDeleted _),
+    "dedup_simhash_deleted" -> (ExtensionQueries.dedupSimhashDeleted _),
+    "dedup_embed_deleted" -> (ExtensionQueries.dedupEmbedDeleted _),
+    "semdedup_deleted"    -> (ExtensionQueries.semDedupDeleted _),
+    "sim_index_deleted"   -> (ExtensionQueries.simIndexDeleted _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -617,6 +626,18 @@ object SparkEntry {
     // same oracle.
     "retrieve_bm25_indexed" -> Bm25RankSql,
     "retrieve_bm25_postings" -> Bm25RankSql,
+    // Takedown rows (r18): the oracle recomputes the query over the
+    // corpus WITHOUT the tombstone-deleted docs — literal
+    // rebuild-without-docs truth for the served post-delete state
+    // (corpus stats, df, and ranking must all shift exactly).
+    "retrieve_bm25_deleted" -> Bm25DeletedSql,
+    "retrieve_phrase_deleted" -> PhraseDeletedSql,
+    "dedup_incr_fp_deleted" -> FpDeletedSql,
+    "dedup_minhash_deleted" -> MinhashDeletedSql,
+    "dedup_simhash_deleted" -> SimhashDeletedSql,
+    "dedup_embed_deleted" -> EmbedDeletedSql,
+    "semdedup_deleted" -> EmbedDeletedSql,
+    "sim_index_deleted" -> SimIndexDeletedSql,
     // Exact-phrase retrieval (positional index): phrase_tf for a 3-token
     // phrase equals its count in the document's trigram list — the same
     // tokenization CTE as every text oracle, adjacency via the trigram
@@ -1173,6 +1194,113 @@ object SparkEntry {
       "m AS (SELECT q.query_id, g.doc_id, " +
       "len(list_filter(g.gr, x -> x = q.ph)) AS tf FROM q CROSS JOIN g) " +
       "SELECT query_id, doc_id, CAST(tf AS BIGINT) AS phrase_tf FROM m WHERE tf >= 1"
+
+  // ---- takedown oracles (r18): rebuild-without-docs truth ----------
+  // The deleted sets mirror the engine sides exactly:
+  //   text rows:   doc_id % 7 = 3 AND len(tk) > 0 (non-empty guard —
+  //                the deleteDocs stats caveat)
+  //   fp row:      unique-fingerprint docs with doc_id % 31 = 5
+  //   minhash/simhash rows: doc_id % 17 = 2
+  //   embed/sem rows:       the planted second copy (id 10301)
+  //   vector row:  vec_id % 13 = 4 (queries keep reading the FULL
+  //                table — query text/vectors are corpus-independent)
+
+  private val Bm25DeletedSql: String =
+    "WITH d0 AS (SELECT doc_id, CASE WHEN length(regexp_replace(lower(text), " +
+      "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
+      "ELSE string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+      "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM documents), " +
+      "d AS (SELECT * FROM d0 WHERE NOT (doc_id % 7 = 3 AND len(tk) > 0)), " +
+      "stats AS (SELECT count(*)::DOUBLE AS n, avg(len(tk))::DOUBLE AS avgdl FROM d), " +
+      "qterm AS (SELECT doc_id AS query_id, unnest(list_distinct(tk)) AS term FROM d0 WHERE doc_id < 3), " +
+      "post AS (SELECT doc_id AS neighbor_id, len(tk) AS dl, unnest(tk) AS term FROM d), " +
+      "hits AS (SELECT term, neighbor_id, dl, count(*)::DOUBLE AS tf FROM post " +
+      "WHERE term IN (SELECT DISTINCT term FROM qterm) GROUP BY 1, 2, 3), " +
+      "dft AS (SELECT term, count(*)::DOUBLE AS df FROM hits GROUP BY term), " +
+      "contrib AS (SELECT h.term, h.neighbor_id, " +
+      "ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5)) * h.tf * 2.2 / " +
+      "(h.tf + (h.dl * (0.75 / s.avgdl) + 0.25) * 1.2) AS c " +
+      "FROM hits h CROSS JOIN stats s JOIN dft f ON h.term = f.term), " +
+      "scored AS (SELECT q.query_id, c.neighbor_id, sum(c.c) AS score " +
+      "FROM qterm q JOIN contrib c ON q.term = c.term GROUP BY 1, 2), " +
+      "ranked AS (SELECT query_id, neighbor_id, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM scored) " +
+      "SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10"
+
+  private val PhraseDeletedSql: String =
+    "WITH d0 AS (SELECT doc_id, CASE WHEN length(regexp_replace(lower(text), " +
+      "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
+      "ELSE string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+      "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM documents), " +
+      "d AS (SELECT * FROM d0 WHERE NOT (doc_id % 7 = 3 AND len(tk) > 0)), " +
+      "g AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN []::VARCHAR[] " +
+      "ELSE list_transform(range(1, len(tk) - 1), " +
+      "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS gr FROM d), " +
+      "q AS (SELECT doc_id AS query_id, array_to_string(tk[1:3], ' ') AS ph " +
+      "FROM d0 WHERE doc_id IN (0, 10, 42) AND len(tk) >= 3), " +
+      "m AS (SELECT q.query_id, g.doc_id, " +
+      "len(list_filter(g.gr, x -> x = q.ph)) AS tf FROM q CROSS JOIN g) " +
+      "SELECT query_id, doc_id, CAST(tf AS BIGINT) AS phrase_tf FROM m WHERE tf >= 1"
+
+  private val FpDeletedSql: String =
+    "WITH d0 AS (SELECT doc_id, CASE WHEN length(regexp_replace(text, " +
+      "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
+      "ELSE string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+      "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM documents WHERE doc_id < 500), " +
+      "g AS (SELECT doc_id, " +
+      "min(doc_id) OVER (PARTITION BY md5(array_to_string(tk, ' '))) AS keep0, " +
+      "count(*) OVER (PARTITION BY md5(array_to_string(tk, ' '))) AS gsz FROM d0) " +
+      "SELECT doc_id + 20000 AS id, " +
+      "CASE WHEN gsz = 1 AND doc_id % 31 = 5 THEN doc_id + 20000 ELSE keep0 END AS keep_id " +
+      "FROM g"
+
+  private val MinhashDeletedSql: String =
+    "WITH docs AS (SELECT doc_id, CASE WHEN length(regexp_replace(text, " +
+      "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
+      "ELSE string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+      "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM documents WHERE doc_id < 300 AND doc_id % 17 != 2), " +
+      "sh AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')] " +
+      "ELSE list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))) END AS sh FROM docs) " +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+      "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.5"
+
+  private val SimhashDeletedSql: String =
+    "WITH d AS (SELECT doc_id, CASE WHEN length(regexp_replace(text, " +
+      "'^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')) = 0 THEN []::VARCHAR[] " +
+      "ELSE string_split_regex(regexp_replace(text, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), " +
+      "'[ \\t\\n\\x0B\\f\\r]+') END AS tk FROM documents WHERE doc_id < 300 AND doc_id % 17 != 2), " +
+      "d2 AS (SELECT doc_id, tk FROM d WHERE len(tk) > 0), " +
+      "tok AS (SELECT doc_id, unnest(tk) AS t FROM d2), " +
+      "bits AS (SELECT doc_id, r.range AS j, CASE WHEN ((strpos('0123456789abcdef', " +
+      "substr(md5(t), CAST(r.range // 4 AS INTEGER) + 1, 1)) - 1) " +
+      "& (1 << CAST(3 - (r.range % 4) AS INTEGER))) != 0 THEN 1 ELSE -1 END AS v " +
+      "FROM tok, range(64) r), " +
+      "votes AS (SELECT doc_id, j, sum(v) AS s FROM bits GROUP BY doc_id, j), " +
+      "sh AS (SELECT doc_id, CAST(sum(CASE WHEN s >= 0 THEN (CASE WHEN j = 0 " +
+      "THEN -9223372036854775807 - 1 ELSE (1::BIGINT << CAST(63 - j AS INTEGER)) END) " +
+      "ELSE 0 END) AS BIGINT) AS sh64 FROM votes GROUP BY doc_id) " +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.sh64, b.sh64)) <= 6"
+
+  // survivors (vec_id<300) ∪ the appended copy 10300; the deleted copy
+  // 10301 appears on neither side. Pairs touching the batch = b is 10300.
+  private val EmbedDeletedSql: String =
+    "WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300 " +
+      "UNION ALL SELECT vec_id + 10300 AS vec_id, embedding FROM embeddings WHERE vec_id = 0) " +
+      "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM v a JOIN v b ON a.vec_id < b.vec_id " +
+      "WHERE b.vec_id = 10300 AND list_inner_product(a.embedding, b.embedding) / " +
+      "(sqrt(list_inner_product(a.embedding, a.embedding)) * sqrt(list_inner_product(b.embedding, b.embedding))) >= 0.99"
+
+  private val SimIndexDeletedSql: String =
+    "WITH u0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), " +
+      "u AS (SELECT * FROM u0 WHERE vec_id % 13 != 4), " +
+      "q AS (SELECT vec_id AS query_id, e AS qe FROM u0 WHERE vec_id < 5), " +
+      "scored AS (SELECT q.query_id, u.vec_id AS neighbor_id, " +
+      "CASE WHEN sqrt(list_inner_product(u.e, u.e)) = 0 OR sqrt(list_inner_product(q.qe, q.qe)) = 0 THEN 0.0 " +
+      "ELSE list_inner_product(u.e, q.qe) / (sqrt(list_inner_product(u.e, u.e)) * sqrt(list_inner_product(q.qe, q.qe))) END AS sim " +
+      "FROM u CROSS JOIN q), " +
+      "ranked AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM scored) " +
+      "SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10"
 
   private val Bm25RankSql: String =
     "WITH d AS (SELECT doc_id, CASE WHEN length(regexp_replace(lower(text), " +

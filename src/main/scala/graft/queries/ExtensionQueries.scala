@@ -1689,4 +1689,201 @@ object ExtensionQueries {
           .when(col("bucket") < 90, lit("val"))
           .otherwise(lit("test")).as("split"))
   }
+
+  // ---- takedown (r18): delete -> serve == rebuild-without-docs --------
+  //
+  // Each row builds a fresh index, DELETES a deterministic id set via
+  // the index family's tombstone path (graft.store.DeltaChain — O(ids)
+  // commit, no rebuild), then SERVES — and the DuckDB oracle computes
+  // the same query over the corpus WITH THE DELETED DOCS EXCLUDED, i.e.
+  // literal rebuild-without-docs truth. Per-invocation temp roots (a
+  // delete mutates; a durable root would double-delete on rerun).
+
+  /** The deleted-doc set for the text rows: doc_id % 7 = 3 AND the text
+    * tokenizes to ≥ 1 token. The non-empty guard mirrors the documented
+    * deleteDocs stats caveat (a zero-token doc has no postings row to
+    * witness its nDocs slot) — takedowns target real content. */
+  private def textDeleteIds(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .filter(col("doc_id") % 7 === 3 &&
+        size(TF.tokens(lower(col("text")))) > 0)
+      .select(col("doc_id"))
+
+  /** BM25 over the unified positional store AFTER a takedown: build on
+    * the full corpus, tombstone-delete the doc_id%7=3 docs (layout-aware
+    * TextIndex.deleteDocs delegation), serve the standard probe. The
+    * oracle is Bm25RankSql recomputed over the SURVIVING corpus — nDocs,
+    * avgdl, df and every score must equal a fresh build without the
+    * deleted docs (the tombstone visibility filter + the in-transaction
+    * stats adjustment, both pinned externally here). */
+  def retrieveBm25Deleted(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val ds = docs(s, d).select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25del").toString
+    val store = new SnapshotStore(root, s)
+    PhraseIndex.build(store, "docs_text", ds, "text", "doc_id")
+    TextIndex.deleteDocs(store, "docs_text", textDeleteIds(s, d))
+    val qs = ds.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+    TextIndex.query(store, "docs_text", qs, "query_id", "qtext", k = k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Exact-phrase matching AFTER a takedown on the same store: the
+    * query phrases come from the ORIGINAL corpus (query text is
+    * independent of corpus membership — doc 10, one of the three query
+    * sources, is itself deleted under %7=3), matches come from the
+    * survivors only. Same trigram construction as `retrieve_phrase`;
+    * the oracle filters the match side by the delete predicate. */
+  def retrievePhraseDeleted(s: SparkSession, d: String): DataFrame = {
+    val ds = docs(s, d).select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-phdel").toString
+    val store = new SnapshotStore(root, s)
+    PhraseIndex.build(store, "docs_text", ds, "text", "doc_id")
+    TextIndex.deleteDocs(store, "docs_text", textDeleteIds(s, d))
+    val qs = ds.filter(col("doc_id").isin(0L, 10L, 42L))
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(TF.tokens(lower(col("text"))), 1, 3), " ").as("ph"))
+      .filter(size(TF.tokens(col("ph"))) === 3)
+    PhraseIndex.phraseQuery(store, "docs_text", qs, "query_id", "ph")
+      .select(col("query_id"), col("doc_id"),
+        col("phrase_tf").cast("long").as("phrase_tf"))
+  }
+
+  /** Fingerprint-index takedown: delete every UNIQUE-text doc with
+    * doc_id%31=5 (group-of-one owners — deleting a multi-member group's
+    * owner is the documented owner-only contract, not oracle-comparable
+    * truth), then RESOLVE the whole corpus re-keyed at +20000 against
+    * the index. Non-deleted content resolves to its indexed owner;
+    * deleted content is NEW again (keep = its probe id) — the takedown
+    * semantics: the content left the corpus. */
+  def dedupIncrFpDeleted(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).filter(col("doc_id") < 500)
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-fpdel").toString
+    val store = new SnapshotStore(root, s)
+    FingerprintIndex.build(store, "docs_fp", base, "text", "doc_id")
+    // unique-text ids under the fingerprint key (the index's own notion
+    // of content): group size 1 AND doc_id % 31 = 5
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(TF.fingerprint(col("text")))
+    val delIds = base
+      .withColumn("gsz", count(lit(1)).over(w))
+      .filter(col("gsz") === 1 && col("doc_id") % 31 === 5)
+      .select(col("doc_id").as("id"))
+    FingerprintIndex.deleteDocs(store, "docs_fp", delIds)
+    FingerprintIndex.resolve(store, "docs_fp",
+      base.select((col("doc_id") + 20000).as("doc_id"), col("text")),
+      "text", "doc_id")
+      .select(col("id"), col("keep_id"))
+  }
+
+  /** MinHash-index takedown: build on doc_id<300, tombstone-delete the
+    * %17=2 docs, then ask for every committed pair — deleted docs must
+    * appear in none, and the survivors' pair set must equal the
+    * brute-force Jaccard truth over the corpus WITHOUT them (removing
+    * docs can only remove pairs, so the banding-recall argument of
+    * `dedup_minhash_oracle` carries over unchanged). */
+  def dedupMinhashDeleted(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-mhdel").toString
+    val store = new SnapshotStore(root, s)
+    DedupIndex.build(store, "docs_minhash", base, "text", "doc_id")
+    DedupIndex.deleteDocs(store, "docs_minhash",
+      base.filter(col("doc_id") % 17 === 2).select(col("doc_id").as("id")))
+    DedupIndex.pairsForCommitted(store, "docs_minhash",
+      base.select(col("doc_id").as("id")), threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash-index takedown — the md5-portable twin of
+    * `dedup_simhash_incr_oracle` with a delete in the middle: build on
+    * the doc_id<300 corpus, delete the %17=2 docs, serve the committed
+    * pair set; oracle = brute-force Hamming ≤ 6 over the survivors. */
+  def dedupSimhashDeleted(s: SparkSession, d: String): DataFrame = {
+    val hashed = docs(s, d)
+      .filter(col("doc_id") < 300 && size(TF.tokens(col("text"))) > 0)
+      .select(col("doc_id").as("id"), Dedup.simhash64Md5(col("text")).as("sh64"))
+    val root = java.nio.file.Files.createTempDirectory("graft-shdel").toString
+    val store = new SnapshotStore(root, s)
+    SimHashIndex.build(store, "docs_simhash", hashed,
+      nBlocks = Dedup.simhashAutoBlocks(300L, 6), maxHamming = 6)
+    SimHashIndex.deleteDocs(store, "docs_simhash",
+      hashed.filter(col("id") % 17 === 2).select(col("id")))
+    SimHashIndex.pairsForCommitted(store, "docs_simhash",
+      hashed.select(col("id")))
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Embedding-LSH takedown: base vec_id<300 plus TWO planted copies of
+    * vector 0 (ids 10300, 10301). Deleting 10301 must drop exactly its
+    * pairs: the append of 10300 afterwards pairs with 0 alone — the
+    * brute-force truth over the corpus without 10301. */
+  def dedupEmbedDeleted(s: SparkSession, d: String): DataFrame = {
+    val base = embs(s, d).filter(col("vec_id") < 300)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val planted = embs(s, d).filter(col("vec_id") === 0)
+    val p1 = planted.select((col("vec_id") + 10300).as("id"),
+      col("embedding").as("vec"))
+    val p2 = planted.select((col("vec_id") + 10301).as("id"),
+      col("embedding").as("vec"))
+    val root = java.nio.file.Files.createTempDirectory("graft-embdel").toString
+    val store = new SnapshotStore(root, s)
+    EmbedIndex.build(store, "vecs_embed", base.unionByName(p2), dim = 64,
+      threshold = 0.99, expectedCorpus = 360L)
+    EmbedIndex.deleteDocs(store, "vecs_embed",
+      p2.select(col("id")))
+    val pairs = EmbedIndex.appendBatchOnce(store, "vecs_embed", p1,
+      streamId = "verify", batchId = 0L).get
+    val out = pairs.select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    pairs.unpersist(blocking = false)
+    out
+  }
+
+  /** SemDeDup-index takedown under the exact one-cluster regime: same
+    * two-planted-copies fixture as [[dedupEmbedDeleted]]; after deleting
+    * 10301 the appended 10300 pairs with vector 0 alone. */
+  def semDedupDeleted(s: SparkSession, d: String): DataFrame = {
+    val base = embs(s, d).filter(col("vec_id") < 300)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val planted = embs(s, d).filter(col("vec_id") === 0)
+    val p1 = planted.select((col("vec_id") + 10300).as("id"),
+      col("embedding").as("vec"))
+    val p2 = planted.select((col("vec_id") + 10301).as("id"),
+      col("embedding").as("vec"))
+    val root = java.nio.file.Files.createTempDirectory("graft-semdel").toString
+    val store = new SnapshotStore(root, s)
+    SemIndex.build(store, "vecs_sem", base.unionByName(p2), dim = 64,
+      eps = 0.99, nClusters = 1)
+    SemIndex.deleteDocs(store, "vecs_sem", p2.select(col("id")))
+    val pairs = SemIndex.appendBatchOnce(store, "vecs_sem", p1,
+      streamId = "verify", batchId = 0L).get
+    val out = pairs.select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    pairs.unpersist(blocking = false)
+    out
+  }
+
+  /** Vector-index (IVFPQ) takedown at exhaustive settings: delete the
+    * vec_id%13=4 vectors, probe every list with a corpus-sized refine —
+    * the served top-10 must equal brute-force cosine over the SURVIVING
+    * vectors exactly (the oracle excludes the deleted ids). Fresh
+    * per-invocation store: a delete mutates, so the shared cached
+    * index of `sim_index_topk` must not be reused. */
+  def simIndexDeleted(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-videl").toString
+    val store = new SnapshotStore(root, s)
+    VectorIndex.build(store, "emb_ivfpq", embs(s, d), "vec_id", "embedding",
+      dim = 64, nLists = 16, m = 16, kCodes = 16)
+    VectorIndex.deleteDocs(store, "emb_ivfpq",
+      embs(s, d).filter(col("vec_id") % 13 === 4)
+        .select(col("vec_id").as("neighbor_id")))
+    VectorIndex.queryRefined(store, "emb_ivfpq", embs(s, d), "vec_id",
+      "embedding", queryVectors(s, d), "query_id", "qvec",
+      k = 10, nProbe = 16, refine = 1000)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
 }

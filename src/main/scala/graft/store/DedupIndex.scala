@@ -156,11 +156,10 @@ object DedupIndex {
             k: Int = 32, bands: Int = 16): Long =
     store.commit(table, encode(corpus, textCol, idCol, shingleN),
       sortKey = Some("id"),
-      meta = Map(
+      meta = chain.resetMeta ++ Map(
         s"${P}shingleN" -> shingleN.toString,
         s"${P}k" -> k.toString,
-        s"${P}bands" -> bands.toString,
-        s"${P}parts" -> ""))
+        s"${P}bands" -> bands.toString))
 
   /** The live index contents (delta-chain union) as of the current
     * version. */
@@ -466,6 +465,24 @@ object DedupIndex {
     * a compacting commit happened, false if already compact — IDEMPOTENT,
     * and the commit is the store's atomic version flip, so a crash
     * mid-compaction leaves the old chain fully live. */
+  /** TAKEDOWN: delete documents from the minhash index — an O(ids)
+    * tombstone commit ([[DeltaChain]] epoch rule). A deleted id's
+    * signature goes invisible immediately (it stops pairing against
+    * future batches — `dedup_minhash_deleted_oracle` pins serve ≡
+    * rebuild-without-docs), and its bytes leave disk at the next fold.
+    * Pairs already emitted naturally stand (they were correct when
+    * computed — the incremental family's history contract). A
+    * re-appended id pairs again from its new rows. Idempotent. */
+  def deleteDocs(store: SnapshotStore, table: String, ids: DataFrame): Long =
+    store.transactMeta[Nothing](table, sortKey = Some("id"),
+        statsCols = Seq("id")) {
+      val v = store.currentVersion(table)
+      if (v == 0)
+        throw new IllegalStateException(
+          s"$table: build the dedup index before deleting (DedupIndex.build)")
+      Right(chain.tombNext(v, store.metaForVersion(table, v), ids.toDF("id")))
+    }.merge
+
   def compactIndex(store: SnapshotStore, table: String): Boolean =
     store.transactMeta[Unit](table, sortKey = Some("id")) {
       val v = store.currentVersion(table)

@@ -180,14 +180,13 @@ object EmbedIndex {
     val bits = autoBits(expectedCorpus, maxBucketSize)
     store.commit(table, encode(vecs),
       sortKey = Some("id"),
-      meta = Map(
+      meta = chain.resetMeta ++ Map(
         s"${P}dim" -> dim.toString,
         s"${P}threshold" -> threshold.toString,
         s"${P}nTables" -> nTables.toString,
         s"${P}bits" -> bits.toString,
         s"${P}seed" -> seed.toString,
-        s"${P}maxBucketSize" -> maxBucketSize.toString,
-        s"${P}parts" -> ""))
+        s"${P}maxBucketSize" -> maxBucketSize.toString))
   }
 
   /** The live index contents as of the current version. */
@@ -473,6 +472,21 @@ object EmbedIndex {
     * a compacting commit happened, false if already compact — IDEMPOTENT,
     * and the commit is the store's atomic version flip, so a crash
     * mid-compaction leaves the old chain fully live. */
+  /** TAKEDOWN: delete vectors from the embedding-LSH index — the
+    * [[DedupIndex.deleteDocs]] contract verbatim (O(ids) tombstone,
+    * immediate invisibility on every candidate path, physical removal
+    * at the next fold, reinsert serves from new rows). Idempotent. */
+  def deleteDocs(store: SnapshotStore, table: String, ids: DataFrame): Long =
+    store.transactMeta[Nothing](table, sortKey = Some("id"),
+        statsCols = Seq("id")) {
+      val v = store.currentVersion(table)
+      if (v == 0)
+        throw new IllegalStateException(
+          s"$table: build the embedding index before deleting " +
+            "(EmbedIndex.build)")
+      Right(chain.tombNext(v, store.metaForVersion(table, v), ids.toDF("id")))
+    }.merge
+
   def compactIndex(store: SnapshotStore, table: String): Boolean =
     store.transactMeta[Unit](table, sortKey = Some("id")) {
       val v = store.currentVersion(table)

@@ -61,7 +61,7 @@ object FingerprintIndex {
     val survivors = encode(corpus, textCol, idCol)
       .groupBy(col("fp")).agg(min(col("id")).as("id"))
     store.commit(table, survivors.select(col("fp"), col("id")),
-      sortKey = Some("fp"), meta = Map(s"${P}parts" -> ""),
+      sortKey = Some("fp"), meta = chain.resetMeta,
       bloomCols = Seq("fp"))
   }
 
@@ -89,12 +89,15 @@ object FingerprintIndex {
       val dir = store.versionDirOf(table, cv)
       val (kept, _) = BloomSkip.filesMaybeContaining(dir, "fp", fps)
       if (kept.isEmpty) None
-      else Some(store.recordedSchema(table, cv) match {
+      else Some(cv -> (store.recordedSchema(table, cv) match {
         case Some(sch) => spark.read.schema(sch).parquet(kept.map(_.toString): _*)
         case None      => spark.read.parquet(kept.map(_.toString): _*)
-      })
+      }))
     }
-    if (frames.nonEmpty) frames.reduce(_ unionByName _)
+    // the surviving member frames keep their version pairing so the
+    // tombstone visibility rule (DeltaChain.assemble) applies exactly
+    // as on the unpruned chain read — a sketch can only skip files
+    if (frames.nonEmpty) chain.assemble(store, table, meta, frames)
     else {
       val sch = store.recordedSchema(table, v)
         .getOrElse(store.loadVersion(table, v).schema)
@@ -241,6 +244,28 @@ object FingerprintIndex {
     if (enc != null) enc.unpersist(blocking = false)
     result
   }
+
+  /** TAKEDOWN: delete documents from the fingerprint index — an O(ids)
+    * tombstone commit ([[DeltaChain]] epoch rule). A deleted id's
+    * fingerprint row goes invisible immediately: the content stops
+    * blocking future ingest (a re-ingest of the same text becomes a
+    * fresh survivor under its new id — the takedown semantics: the
+    * CONTENT left the corpus), and the bytes leave disk at the next
+    * fold. Contract note: ids that were resolved as DUPLICATES were
+    * never stored here (the index keeps owners only), so deleting an
+    * owner removes the fingerprint outright rather than promoting a
+    * dropped duplicate — lineage of past resolutions is the caller's
+    * record (CurationIngest keeps one). Idempotent. */
+  def deleteDocs(store: SnapshotStore, table: String, ids: DataFrame): Long =
+    store.transactMeta[Nothing](table, sortKey = Some("id"),
+        statsCols = Seq("id")) {
+      val v = store.currentVersion(table)
+      if (v == 0)
+        throw new IllegalStateException(
+          s"$table: build the fingerprint index before deleting " +
+            "(FingerprintIndex.build)")
+      Right(chain.tombNext(v, store.metaForVersion(table, v), ids.toDF("id")))
+    }.merge
 
   /** On-demand chain fold into a full snapshot (maintenance-triggered;
     * appends also fold themselves every `compactEvery`). Returns true if

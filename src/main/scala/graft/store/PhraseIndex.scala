@@ -100,7 +100,7 @@ object PhraseIndex {
     * index" contract the tokenizer check gives. */
   private val Layout = "pos-vb-v2"
   private val chain = new DeltaChain(s"${P}parts",
-    Seq("term", "doc_id", "posns", "tf", "dl"))
+    Seq("term", "doc_id", "posns", "tf", "dl"), tombIdCol = "doc_id")
 
   /** Containment-candidate sets at/below this collect to the driver
     * (one slim pass, local-relation broadcast — see [[matchTail]]);
@@ -213,14 +213,13 @@ object PhraseIndex {
       else 0L
       store.commit(table, posRowsOf(tok),
         sortKey = Some("term"), statsCols = Seq("term", "tf", "dl"),
-        meta = Map(
+        meta = chain.resetMeta ++ Map(
           TextIndex.LayoutKey -> TextIndex.LayoutPositional,
           s"${P}tokenizer" -> Tokenizer,
           s"${P}layout" -> Layout,
           s"${P}nDocs" -> nDocs.toString,
           s"${P}sumDl" -> sumDl.toString,
-          s"${P}contentVersion" -> (prevContent + 1).toString,
-          s"${P}parts" -> "")
+          s"${P}contentVersion" -> (prevContent + 1).toString)
           // content-version identifier of the build corpus — the same
           // drift-detection contract as TextIndex/VectorIndex.build
           ++ corpusTag.map(t => s"${P}corpusTag" -> t))
@@ -298,6 +297,41 @@ object PhraseIndex {
       else Right(deltaFor(store, table, v, meta, docs, textCol, idCol,
         compactEvery, Map(key -> batchId.toString)))
     }.isRight
+
+  /** TAKEDOWN: delete documents from the positional store — the
+    * [[TextIndex.deleteDocs]] contract verbatim (that method delegates
+    * here for unified positional tables): O(ids) tombstone commit,
+    * every phrase AND ranked/BM25 serving path stops returning the
+    * deleted docs immediately (the visibility filter sits under the
+    * chain union both layouts read through), corpus stats adjusted
+    * exactly (phrase_tf's df and BM25's idf equal a fresh build over
+    * the survivors), content bumped so champion caches refuse
+    * staleness, physical removal at the next fold. Same empty-token
+    * caveat and idempotence as the TextIndex form. */
+  def deleteDocs(store: SnapshotStore, table: String,
+                 ids: DataFrame): Long = {
+    val tombs = ids.toDF("doc_id")
+    store.transactMeta[Nothing](table, sortKey = Some("doc_id"),
+        statsCols = Seq("doc_id")) {
+      val v = store.currentVersion(table)
+      requireBuilt(v, table)
+      val meta = store.metaForVersion(table, v)
+      requireCompatible(meta, table)
+      val r = chain.load(store, table, v, meta)
+        .join(tombs, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)), coalesce(sum(col("dl").cast("long")), lit(0L)))
+        .head()
+      val (dDocs, dDl) = (r.getLong(0), r.getLong(1))
+      Right(chain.tombNext(v, meta, tombs, Map(
+        s"${P}nDocs" ->
+          (meta.getOrElse(s"${P}nDocs", "0").toLong - dDocs).toString,
+        s"${P}sumDl" ->
+          (meta.getOrElse(s"${P}sumDl", "0").toLong - dDl).toString,
+        s"${P}contentVersion" ->
+          (meta.getOrElse(s"${P}contentVersion", "0").toLong + 1).toString)))
+    }.merge
+  }
 
   /** Keep the index current from a stream of document rows — the
     * index family's maintainFromStream contract verbatim: file inbox →

@@ -80,7 +80,7 @@ object SemIndex {
       val n = enc.count()
       store.commit(table, enc,
         sortKey = Some("cluster_id"),
-        meta = Map(
+        meta = chain.resetMeta ++ Map(
           s"${P}dim" -> dim.toString,
           s"${P}eps" -> eps.toString,
           s"${P}nClusters" -> nClusters.toString,
@@ -88,8 +88,7 @@ object SemIndex {
           s"${P}seed" -> seed.toString,
           s"${P}centroids" -> VectorIndex.encodeMatrix(centroids),
           s"${P}trainedRows" -> n.toString,
-          s"${P}appendedSinceTrain" -> "0",
-          s"${P}parts" -> ""),
+          s"${P}appendedSinceTrain" -> "0"),
         statsCols = Seq("cluster_id"))
     } finally enc.unpersist(blocking = false)
   }
@@ -282,6 +281,24 @@ object SemIndex {
       }
       .start()
 
+  /** TAKEDOWN: delete vectors from the semantic index — the
+    * [[DedupIndex.deleteDocs]] contract verbatim (O(ids) tombstone,
+    * immediate invisibility on every in-cluster pairing path, physical
+    * removal at the next fold/retrain, reinsert serves from new rows).
+    * The drift counters are deliberately untouched: they gate RETRAIN
+    * urgency, and a deletion only makes the trained centroids slightly
+    * conservative — the retrain itself reads the visible rows, so the
+    * next epoch flip reflects the deletions exactly. Idempotent. */
+  def deleteDocs(store: SnapshotStore, table: String, ids: DataFrame): Long =
+    store.transactMeta[Nothing](table, sortKey = Some("id"),
+        statsCols = Seq("id")) {
+      val v = store.currentVersion(table)
+      if (v == 0)
+        throw new IllegalStateException(
+          s"$table: build the semantic index before deleting (SemIndex.build)")
+      Right(chain.tombNext(v, store.metaForVersion(table, v), ids.toDF("id")))
+    }.merge
+
   /** On-demand chain fold into a full snapshot — idempotent; the commit
     * is the store's atomic version flip. */
   def compactIndex(store: SnapshotStore, table: String): Boolean =
@@ -345,11 +362,13 @@ object SemIndex {
             .persist(StorageLevel.MEMORY_AND_DISK) // read 2×: train + assign
           val centroids =
             Similarity.trainIvfCentroids(allCache, "vec", nClusters, seed)
-          Right((encode(allCache, centroids), meta ++ Map(
+          // full-snapshot rewrite from the VISIBLE rows: resets both
+          // chain keys — pending tombstones are physically applied here
+          // (the retrain-as-fold form of the takedown contract)
+          Right((encode(allCache, centroids), meta ++ chain.resetMeta ++ Map(
             s"${P}centroids" -> VectorIndex.encodeMatrix(centroids),
             s"${P}trainedRows" -> total.toString,
-            s"${P}appendedSinceTrain" -> "0",
-            s"${P}parts" -> "")))
+            s"${P}appendedSinceTrain" -> "0")))
         }
       }
     }.isRight
@@ -371,8 +390,11 @@ object SemIndex {
     val retrained =
       retrainAppendFraction.exists(f => retrainIfDrifted(store, table, f))
     if (!retrained) {
-      val members = chain.chainOf(store.metaForVersion(table, v), v)
-      if (members.size > maxChainLength) compactIndex(store, table)
+      val meta = store.metaForVersion(table, v)
+      // pending tombstones fold unconditionally (takedown removal must
+      // not wait out maxChainLength; a retrain commit already folded)
+      if (chain.chainOf(meta, v).size > maxChainLength ||
+          chain.tombsPending(meta)) compactIndex(store, table)
     }
     vacuumIndex(store, table)
   }

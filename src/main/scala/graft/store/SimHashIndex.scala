@@ -69,11 +69,10 @@ object SimHashIndex {
             maxBucketSize: Int = 1000): Long =
     store.commit(table, encode(hashed),
       sortKey = Some("id"),
-      meta = Map(
+      meta = chain.resetMeta ++ Map(
         s"${P}nBlocks" -> nBlocks.toString,
         s"${P}maxHamming" -> maxHamming.toString,
-        s"${P}maxBucketSize" -> maxBucketSize.toString,
-        s"${P}parts" -> ""))
+        s"${P}maxBucketSize" -> maxBucketSize.toString))
 
   /** The live index contents as of the current version. */
   def load(store: SnapshotStore, table: String): DataFrame = {
@@ -327,6 +326,21 @@ object SimHashIndex {
     * a compacting commit happened, false if already compact — IDEMPOTENT,
     * and the commit is the store's atomic version flip, so a crash
     * mid-compaction leaves the old chain fully live. */
+  /** TAKEDOWN: delete documents from the simhash index — the
+    * [[DedupIndex.deleteDocs]] contract verbatim (O(ids) tombstone,
+    * immediate invisibility on every candidate path, physical removal
+    * at the next fold, reinsert serves from new rows). Idempotent. */
+  def deleteDocs(store: SnapshotStore, table: String, ids: DataFrame): Long =
+    store.transactMeta[Nothing](table, sortKey = Some("id"),
+        statsCols = Seq("id")) {
+      val v = store.currentVersion(table)
+      if (v == 0)
+        throw new IllegalStateException(
+          s"$table: build the simhash index before deleting " +
+            "(SimHashIndex.build)")
+      Right(chain.tombNext(v, store.metaForVersion(table, v), ids.toDF("id")))
+    }.merge
+
   def compactIndex(store: SnapshotStore, table: String): Boolean =
     store.transactMeta[Unit](table, sortKey = Some("id")) {
       val v = store.currentVersion(table)

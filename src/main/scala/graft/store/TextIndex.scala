@@ -67,7 +67,7 @@ private[store] case class UbRow(term: String, value: Double)
 object TextIndex {
 
   private val P = "text." // metadata key prefix (standalone postings)
-  private val chain = new DeltaChain(s"${P}parts")
+  private val chain = new DeltaChain(s"${P}parts", tombIdCol = "neighbor_id")
 
   // ---- unified positional source (r17) ----------------------------
   //
@@ -86,7 +86,8 @@ object TextIndex {
 
   private val PosP = "phrase." // the positional table's key prefix
   private val posChain = new DeltaChain(s"${PosP}parts",
-    Seq("term", "doc_id", "tf", "dl")) // READ-ONLY: never fold through it
+    Seq("term", "doc_id", "tf", "dl"), // READ-ONLY: never fold through it
+    tombIdCol = "doc_id")
 
   /** Authoritative layout tag, written by EVERY build (both layouts).
     * Load-bearing across IN-PLACE layout migrations: SnapshotStore
@@ -255,9 +256,8 @@ object TextIndex {
       else 0L
       store.commit(indexTable, postingsOf(tok), sortKey = Some("term"),
         statsCols = Seq("term", "tf", "dl"),
-        meta = Map(
+        meta = chain.resetMeta ++ Map(
           LayoutKey -> LayoutPostings,
-          s"${P}parts" -> "",
           s"${P}tokenizer" -> Tokenizer,
           s"${P}nDocs" -> nDocs.toString,
           s"${P}sumDl" -> sumDl.toString,
@@ -356,6 +356,67 @@ object TextIndex {
         }
       }.isRight
     } finally if (tok != null) tok.unpersist(blocking = false)
+  }
+
+  /** TAKEDOWN: delete documents from the index without a rebuild — an
+    * O(ids) tombstone commit under the [[DeltaChain]] epoch rule (class
+    * scaladoc there): every serving path (exact probe, champions via
+    * the staleness fallback, MaxScore, block-max file-skip) stops
+    * returning the deleted docs immediately, and the bytes physically
+    * leave disk at the next fold ([[maintain]] folds a chain with
+    * pending tombstones unconditionally). The index-family analog of
+    * the base table's M5 hard delete (reference: `DELETE FROM … WHERE
+    * s_no`, sql/ddl_create_tables.sql:61-66) — previously the only
+    * correct response to a takedown was a full rebuild of every index.
+    *
+    * `ids` is a single-column frame of document ids (the id type the
+    * index was built with). Semantics = rebuild-without-docs: the
+    * corpus stats (nDocs, sumDl — every BM25 idf and dl normalization)
+    * are adjusted EXACTLY by one visible-row scan inside the
+    * transaction, counting each deleted doc once from its postings —
+    * so scores after the delete equal a fresh build over the surviving
+    * corpus (`retrieve_bm25_deleted` pins it to DuckDB truth).
+    * Idempotent: re-deleting an id (or deleting an unknown one) finds
+    * no visible rows and adjusts nothing. Deleting a doc whose text
+    * tokenized to ZERO tokens leaves nDocs counting it (it has no
+    * postings row to witness it) — such a doc can never match a query,
+    * and its nDocs slot is reclaimed at the next rebuild.
+    *
+    * The content counter bumps, so champion/MaxScore caches go STALE
+    * and fall back to the exact (tombstone-filtered) probe until the
+    * next [[refreshChampions]] — which rebuilds from the visible rows
+    * (the incremental merge refuses an anchor older than a pending
+    * tombstone, see [[championMergeDelta]]). A reinserted id serves
+    * again from its new rows (epoch rule). Returns the committed
+    * tombstone version. */
+  def deleteDocs(store: SnapshotStore, indexTable: String,
+                 ids: DataFrame): Long = {
+    if (isPositional(store.metaForVersion(indexTable,
+        store.currentVersion(indexTable))))
+      return PhraseIndex.deleteDocs(store, indexTable, ids)
+    val tombs = ids.toDF("neighbor_id")
+    store.transactMeta[Nothing](indexTable, sortKey = Some("neighbor_id"),
+        statsCols = Seq("neighbor_id")) {
+      val v = store.currentVersion(indexTable)
+      requireBuilt(v, indexTable)
+      val meta = store.metaForVersion(indexTable, v)
+      requireTokenizer(meta, indexTable)
+      // exact stats delta: one visible-row scan, each deleted doc
+      // witnessed once via its (id, dl) — the one blocking action
+      val r = chain.load(store, indexTable, v, meta)
+        .join(tombs, Seq("neighbor_id"), "left_semi")
+        .select(col("neighbor_id"), col("dl")).distinct()
+        .agg(count(lit(1)), coalesce(sum(col("dl").cast("long")), lit(0L)))
+        .head()
+      val (dDocs, dDl) = (r.getLong(0), r.getLong(1))
+      Right(chain.tombNext(v, meta, tombs, Map(
+        s"${P}nDocs" ->
+          (meta.getOrElse(s"${P}nDocs", "0").toLong - dDocs).toString,
+        s"${P}sumDl" ->
+          (meta.getOrElse(s"${P}sumDl", "0").toLong - dDl).toString,
+        s"${P}contentVersion" ->
+          (meta.getOrElse(s"${P}contentVersion", "0").toLong + 1).toString)))
+    }.merge
   }
 
   /** Keep the index current from a document stream (see
@@ -783,16 +844,31 @@ object TextIndex {
     val positional = isPositional(meta)
     val newChain = sc.chainOf(meta, v)
     val newSet = newChain.toSet
+    val tombsNow = sc.tombVersionsOf(meta)
+    // Tombstone guard (r18): the merge's soundness argument — "any
+    // posting in the union's top-m is in the old top-m or the delta" —
+    // requires the postings between anchor and now to be APPEND-ONLY.
+    // A tombstone committed after the anchor hides rows the old top-m
+    // may hold (and invalidates the stored df), so a valid anchor must
+    // postdate every pending tombstone; otherwise rebuild. Tombstones
+    // at or before the anchor were already applied to the rows the
+    // champions were refreshed against (content equality ⇒ equal
+    // VISIBLE rows — deletes bump the counter like appends).
     def anchors(v0: Long): Boolean = v0 < v &&
       store.versions(indexTable).contains(v0) &&
       sc.chainOf(store.metaForVersion(indexTable, v0), v0).toSet
-        .subsetOf(newSet)
+        .subsetOf(newSet) &&
+      tombsNow.forall(_ <= v0)
+    // anchor candidates include the pending tombstone members: a
+    // refresh run after a delete recorded the DELETE's content value,
+    // which no data member carries — the tombstone member does.
+    val anchorCands = newChain ++ tombsNow
     val anchor: Option[Long] = cmeta.get(s"${P}champ.forContent") match {
       case Some(fc) =>
         // every live chain member is on disk; an on-disk anchor whose
         // chain is inside the current one is necessarily a member, so
         // scanning the members covers the forVersion case too
-        newChain.find(m0 => contentOf(store.metaForVersion(indexTable, m0))
+        anchorCands.find(m0 => contentOf(store.metaForVersion(indexTable, m0))
           .contains(fc) && anchors(m0))
       case None =>
         cmeta.get(s"${P}champ.forVersion").map(_.toLong)
@@ -1219,7 +1295,10 @@ object TextIndex {
       if (!championsFresh(store, indexTable))
         refreshChampions(store, indexTable, m)
     }
-    if (members.size > maxChainLength) compactIndex(store, indexTable)
+    // pending tombstones fold unconditionally — physical removal of
+    // taken-down documents must not wait out maxChainLength
+    if (members.size > maxChainLength || srcChain(meta0).tombsPending(meta0))
+      compactIndex(store, indexTable)
     vacuumIndex(store, indexTable)
     // champion chain fold + chain-aware vacuum: merge-mode refreshes
     // are touched-term delta commits (r16), so the champion table has

@@ -34,7 +34,7 @@ import graft.functions.Similarity
 object VectorIndex {
 
   private val P = "ivfpq." // metadata key prefix
-  private val chain = new DeltaChain(s"${P}parts")
+  private val chain = new DeltaChain(s"${P}parts", tombIdCol = "neighbor_id")
 
   /** Encoding scheme tag. "residual" = IVFADC (codes quantize v − list
     * centroid; scores are cdot + ADC). Indexes built before the residual
@@ -72,13 +72,12 @@ object VectorIndex {
       seed, residualOf = Some(centroids))
     val encoded = Similarity.ivfPqEncode(corpus, idCol, vecCol, centroids, codebooks)
     store.commit(indexTable, encoded, sortKey = Some("list_id"),
-      meta = Map(
+      meta = chain.resetMeta ++ Map(
         s"${P}dim" -> dim.toString,
         s"${P}nLists" -> nLists.toString,
         s"${P}m" -> m.toString,
         s"${P}kCodes" -> kCodes.toString,
         s"${P}scheme" -> Scheme,
-        s"${P}parts" -> "",
         s"${P}centroids" -> encodeMatrix(centroids),
         s"${P}codebooks" -> encodeCube(codebooks))
         ++ corpusTag.map(t => s"${P}corpusTag" -> t))
@@ -152,6 +151,29 @@ object VectorIndex {
       }
     }.isRight
   }
+
+  /** TAKEDOWN: delete vectors from the index — an O(ids) tombstone
+    * commit ([[DeltaChain]] epoch rule; `ids` is a single-column frame
+    * of the ids the index was built with). Deleted vectors stop
+    * appearing in every query/queryRefined result immediately (the
+    * visibility filter sits under the chain union the probe reads),
+    * the trained centroids/codebooks stay — they describe the space,
+    * not the rows, the same argument as appends — and the codes leave
+    * disk at the next fold. `sim_index_deleted` pins delete → serve ≡
+    * brute-force over the surviving corpus. Idempotent. */
+  def deleteDocs(store: SnapshotStore, indexTable: String,
+                 ids: DataFrame): Long =
+    store.transactMeta[Nothing](indexTable, sortKey = Some("neighbor_id"),
+        statsCols = Seq("neighbor_id")) {
+      val v = store.currentVersion(indexTable)
+      if (v == 0)
+        throw new IllegalStateException(
+          s"$indexTable: build the vector index before deleting " +
+            "(VectorIndex.build)")
+      val meta = store.metaForVersion(indexTable, v)
+      requireScheme(meta, indexTable)
+      Right(chain.tombNext(v, meta, ids.toDF("neighbor_id")))
+    }.merge
 
   /** Keep an index current from a stream of vectors: each micro-batch
     * encodes with the live parameters and appends exactly once. Caller
