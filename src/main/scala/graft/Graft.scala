@@ -119,6 +119,29 @@ object Graft {
         .map(kind => MaintenanceAction(table, kind))
     }
 
+  /** Build THE text index for a corpus — the default path (r18,
+    * closing the r17 layout decision): the unified POSITIONAL
+    * (pos-vb-v2) layout, which serves BOTH ranked retrieval (the
+    * TextIndex exact/champion/MaxScore paths read it through a slim
+    * projection in which parquet column pruning never touches the
+    * position payload) AND exact-phrase/proximity queries — one build,
+    * one append path, one champion/maintenance cycle, one takedown
+    * path. At rest it measured 2.417 GB vs the postings-only layout's
+    * 1.665 GB at the 5M-doc flagship: ~45% more bytes for the whole
+    * phrase capability, and no second store (r16 kept BOTH tables —
+    * 3.1 GB and two maintenance cycles).
+    *
+    * A corpus that will NEVER run a phrase query and wants the slimmer
+    * at-rest footprint remains first-class: build it with
+    * [[graft.store.TextIndex.build]] (standalone postings layout —
+    * servable by every BM25 path, oracle-pinned by
+    * `retrieve_bm25_postings`). */
+  def buildTextIndex(store: SnapshotStore, table: String,
+                     corpus: org.apache.spark.sql.DataFrame,
+                     textCol: String, idCol: String,
+                     corpusTag: Option[String] = None): Long =
+    PhraseIndex.build(store, table, corpus, textCol, idCol, corpusTag)
+
   /** Per-type TAKEDOWN dispatch: marker key → deleteDocs entry point.
     * Champion tables are derived caches — a delete on the postings
     * table stales them; deleting ON one is a caller error. The unified

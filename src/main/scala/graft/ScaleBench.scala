@@ -491,6 +491,37 @@ object ScaleBench {
         pairs.unpersist(blocking = false)
         n
       },
+      // REGIME A/B (r18, closing the r17 adjudication's open lever):
+      // the ~32 s append floor above is candidate-volume-bound by the
+      // committed nBlocks=8 regime (28 combos of 16-bit keys — a 100k
+      // batch occupies ~82% of the 1.83M-slot keyspace, so nearly every
+      // corpus doc survives any doc-level prefilter). The ONLY
+      // alternative the radius contract allows is MORE blocks ⇒ wider
+      // combo keys (sparser buckets) bought with combinatorially more
+      // key rows: nBlocks=10 ⇒ C(10,4)=210 combos of ~25-bit keys —
+      // 7.5× the key-row volume for ~780× sparser slots. Same batch,
+      // same corpus, same pair set (SimHashIndexSpec pins all regimes
+      // to brute-force truth). Filter "sh_b10" (self-contained pair).
+      timed("sh_b10_build") {
+        import spark.implicits._
+        val hashed = docs.select(col("doc_id").as("id"),
+          Dedup.simhash64(col("text")).as("sh64"))
+        graft.store.SimHashIndex.build(store, "docs_sh_b10", hashed,
+          nBlocks = 10, maxHamming = 6)
+        nDocs
+      },
+      timed("sh_b10_append_100k") {
+        import spark.implicits._
+        val batch = spark.range(nDocs + 150000L, nDocs + 250000L, 1L, 16)
+          .map(id => genDoc(id.toLong)).toDF()
+          .select(col("doc_id").as("id"), Dedup.simhash64(col("text")).as("sh64"))
+        val pairs = graft.store.SimHashIndex.appendBatchOnce(
+          store, "docs_sh_b10", batch, "bench", 0L,
+          keyProbeMaxKeys = 4000000).get
+        val n = pairs.count()
+        pairs.unpersist(blocking = false)
+        n
+      },
       // Fingerprint (exact/reformatting) incremental dedup on the same
       // corpus: the 16-byte-per-doc index should make both the build and
       // the append far cheaper than the band-key path above — this pair
@@ -543,6 +574,25 @@ object ScaleBench {
           store, "docs_fp", batch, "text", "doc_id", "bench", 2L,
           bloomProbeMaxKeys = 10000).get
         val n = r.count(); r.unpersist(blocking = false); n
+      },
+      // TAKEDOWN on the fingerprint index (r18): 50k ids tombstoned in
+      // one O(ids) commit against the ~5.1M-row index — no rebuild —
+      // then 1k of the deleted docs' texts re-ingested under fresh ids
+      // resolve through the tombstoned chain (rows = how many came back
+      // NEW, i.e. whose content the takedown actually freed; dup-group
+      // contents still owned by a surviving id stay deduplicated).
+      // Depends on fp_incr_* — filter with "fp_".
+      timed("fp_delete_50k") {
+        graft.store.FingerprintIndex.deleteDocs(store, "docs_fp",
+          spark.range(2000000L, 2050000L).select(col("id")))
+      },
+      timed("fp_resolve_after_delete") {
+        import spark.implicits._
+        val re = spark.range(2000000L, 2001000L, 1L, 4)
+          .map(id => genDoc(id.toLong)).toDF()
+          .select((col("doc_id") + 90000000L).as("doc_id"), col("text"))
+        graft.store.FingerprintIndex.resolve(store, "docs_fp", re,
+          "text", "doc_id").filter(col("is_new")).count()
       },
       // The bloom win at the scale it exists for: a 200M-key index
       // (3.2 GB, dozens of files — the 5M fp index above is one ~80 MB
@@ -1200,6 +1250,32 @@ object ScaleBench {
         graft.store.TextIndex.queryChampions(store, "docs_text",
           shortQueries(docs), "query_id", "qtext", k = 10,
           fallbackToExact = false).count()
+      },
+      // TAKEDOWN at the flagship (r18): tombstone-delete 50k of the
+      // ~5.1M indexed docs — an O(ids) commit against the 5M-doc store,
+      // NO rebuild (compare text_index_build's ~100+ s) — then serve
+      // from the tombstoned chain (the anti-join visibility filter is
+      // the only delta vs bm25_exact_query_short), fold via maintain
+      // (physical removal + champion rebuild from the survivors), and
+      // serve once more from the folded snapshot (the filter is gone —
+      // back to the exact pre-delete plan). Depends on
+      // text_index_build/bm25_append_100k — filter "text_index,bm25".
+      timed("bm25_delete_50k") {
+        graft.store.TextIndex.deleteDocs(store, "docs_text",
+          spark.range(1000000L, 1050000L).select(col("id").as("doc_id")))
+      },
+      timed("bm25_serve_tombstoned") {
+        graft.store.TextIndex.query(store, "docs_text",
+          shortQueries(docs), "query_id", "qtext", k = 10).count()
+      },
+      timed("bm25_fold_tombstones") {
+        graft.store.TextIndex.maintain(store, "docs_text",
+          maxChainLength = 4, championM = Some(1024))
+        store.currentVersion("docs_text")
+      },
+      timed("bm25_serve_after_fold") {
+        graft.store.TextIndex.query(store, "docs_text",
+          shortQueries(docs), "query_id", "qtext", k = 10).count()
       },
       // r16: the chained-champion WRITE saving at a realistic
       // vocabulary. The 4096-term flagship vocab makes every append

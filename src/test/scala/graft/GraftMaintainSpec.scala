@@ -36,6 +36,29 @@ class GraftMaintainSpec extends SparkSpec {
   private def chainParts(store: SnapshotStore, t: String, key: String): String =
     store.metaForVersion(t, store.currentVersion(t)).getOrElse(key, "<absent>")
 
+  test("buildTextIndex: the documented default is the unified positional layout") {
+    val root = Files.createTempDirectory("graft-deftext").toString
+    val store = new SnapshotStore(root, spark)
+    val d = docs.toDF("doc_id", "text")
+    Graft.buildTextIndex(store, "t", d, "text", "doc_id")
+    // the default build stamps the authoritative positional layout key…
+    val meta = store.metaForVersion("t", store.currentVersion("t"))
+    assert(meta.get("graft.text.layout").contains("pos-vb-v2"),
+      "the default text build must be the unified positional layout")
+    // …and ONE store serves both retrieval families
+    val qs = d.filter(col("doc_id") < 2)
+      .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+    assert(TextIndex.query(store, "t", qs, "query_id", "qtext").count() > 0)
+    val ph = Seq((0L, "alpha beta w0")).toDF("query_id", "phrase")
+    assert(PhraseIndex.phraseQuery(store, "t", ph, "query_id", "phrase")
+      .count() > 0)
+    // the slim standalone layout stays first-class for BM25-only corpora
+    TextIndex.build(store, "t2", d, "text", "doc_id")
+    assert(store.metaForVersion("t2", store.currentVersion("t2"))
+      .get("graft.text.layout").contains("postings"))
+    assert(TextIndex.query(store, "t2", qs, "query_id", "qtext").count() > 0)
+  }
+
   test("maintainAll: discovers every index type, folds+refreshes+retrains+vacuums, idempotent") {
     val root = Files.createTempDirectory("graft-maintainall").toString
     val store = new SnapshotStore(root, spark)

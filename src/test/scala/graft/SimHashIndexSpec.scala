@@ -63,6 +63,34 @@ class SimHashIndexSpec extends SparkSpec {
     }
   }
 
+  test("regime independence: every valid nBlocks serves the brute-force pair set") {
+    // The Hamming-radius recall contract, pinned to BRUTE FORCE truth
+    // computed in plain Scala — and pinned across REGIMES: nBlocks only
+    // trades key-row volume against in-bucket checks (simhashAutoBlocks'
+    // documented lever, the r17 candidate-volume adjudication), never
+    // the result set. This is what makes a flagship regime A/B
+    // (sh_incr_append_100k vs _b10) a pure performance comparison.
+    val rows = corpus
+    val want = (for {
+      (ia, ha) <- rows; (ib, hb) <- rows if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= MaxHamming
+    } yield (ia, ib, d)).toSet
+    assert(want.nonEmpty && want.exists(_._3 == MaxHamming))
+    val hashed = corpus.toDF("id", "sh64").repartition(4)
+    for (nb <- Seq(MaxHamming + 1, NBlocks, 10)) {
+      val root = Files.createTempDirectory(s"graft-shreg$nb").toString
+      val store = new SnapshotStore(root, spark)
+      SimHashIndex.build(store, "t", hashed.limit(0), nb, MaxHamming)
+      val parts = (0 until 2).map { i =>
+        SimHashIndex.appendBatchOnce(store, "t",
+          hashed.filter(col("id") % 2 === i), "s", i.toLong).get
+      }
+      val got = parts.map(pairSet).reduce(_ ++ _)
+      assert(got == want, s"nBlocks=$nb diverged from brute force")
+      parts.foreach(_.unpersist(blocking = false))
+    }
+  }
+
   test("key-probe prefilter path ≡ default semi-join path") {
     // The opt-in in-expression scan prefilter (keyProbeMaxKeys) must
     // change nothing: mixed-key collisions only add survivors to the
