@@ -1363,10 +1363,15 @@ object ScaleBench {
       timed("bm25_champ_recall_zipf_pct") {
         // r17: served from the UNIFIED zipf store phrase_zipf_build_1m
         // committed (no second 1M-doc build of the same corpus) —
-        // champions refresh over the slim projection. Depends on
-        // phrase_zipf_build_1m; filter "zipf" runs the family in order.
+        // champions refresh over the slim projection. Usually built by
+        // phrase_zipf_build_1m (filter "zipf" runs the family in
+        // order); a narrower filter that skips that entry builds the
+        // store on demand here instead of aborting (r17 review).
         val zdocs = spark.range(0L, 1000000L, 1L, 64)
           .map(id => genZipfDoc(id.toLong)).toDF()
+        if (!store.exists("docs_pos_zipf"))
+          graft.store.PhraseIndex.build(store, "docs_pos_zipf", zdocs,
+            "text", "doc_id")
         graft.store.TextIndex.refreshChampions(store, "docs_pos_zipf",
           m = 1024)
         val qs = shortQueries(zdocs, ids = Seq(0L, 400000L, 800000L))
@@ -1392,10 +1397,18 @@ object ScaleBench {
       // and bm25_champ_recall_zipf_pct (refreshes its champions) —
       // filter "zipf" runs the whole family in order.
       timed("bm25_exact_zipf_batch") {
+        if (!store.exists("docs_pos_zipf")) // narrower-filter on-demand build
+          graft.store.PhraseIndex.build(store, "docs_pos_zipf",
+            spark.range(0L, 1000000L, 1L, 64)
+              .map(id => genZipfDoc(id.toLong)).toDF(), "text", "doc_id")
         graft.store.TextIndex.query(store, "docs_pos_zipf",
           zipfShortQueries(spark, 64), "query_id", "qtext", k = 10).count()
       },
       timed("bm25_maxscore_zipf_batch") {
+        if (!store.exists("docs_pos_zipf")) // narrower-filter on-demand build
+          graft.store.PhraseIndex.build(store, "docs_pos_zipf",
+            spark.range(0L, 1000000L, 1L, 64)
+              .map(id => genZipfDoc(id.toLong)).toDF(), "text", "doc_id")
         graft.store.TextIndex.queryMaxScore(store, "docs_pos_zipf",
           zipfShortQueries(spark, 64), "query_id", "qtext", k = 10).count()
       },

@@ -40,7 +40,13 @@ object Dedup {
     * equality — fractional 0.0 and -0.0 compare EQUAL, so a corpus
     * carrying both as "different" ids is a duplicate-id violation
     * (the loser filter `id =!= keep_id` would drop neither), exactly
-    * as two rows sharing an integral id would be. */
+    * as two rows sharing an integral id would be. A NaN id is likewise
+    * a contract violation, not a supported value (r17 review): negate
+    * is not monotone at NaN (negate(NaN) = NaN, and Spark orders NaN
+    * greatest), so a NaN id would WIN score ties instead of losing
+    * them under the documented id-ascending rule — deterministic, but
+    * semantically inverted. Real id columns are never NaN; a pipeline
+    * that manufactures one has a bug upstream of the dedup. */
   private def invId(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
     if (isIntegral(dt)) bitwise_not(c.cast("long")) else negate(c)
 
@@ -953,7 +959,23 @@ object Dedup {
     * shuffle volume for the identical result set); a spec-sized corpus →
     * h+1 blocks = h+1 single-block keys; ~10B docs → the old default.
     * Recall stays 1.0 by pigeonhole for EVERY valid nBlocks — this knob
-    * only trades shuffle rows against in-bucket checks. */
+    * only trades shuffle rows against in-bucket checks.
+    *
+    * REGIME QUESTION CLOSED (r18, the r17 adjudication's one open
+    * lever): the flagship append floor is candidate-volume-bound by
+    * nBlocks=8 at h=6 (a 100k batch occupies ~82% of the 1.83M-slot
+    * combo keyspace), and the only alternative the radius contract
+    * admits — more blocks ⇒ sparser slots bought with C(nBlocks,
+    * nBlocks−h) more key rows — was A/B'd at the flagship shape
+    * (ScaleBench sh_incr_append_100k vs sh_b10_append_100k, 5M corpus
+    * / 100k batch, SimHashIndexSpec pinning both regimes pair-for-pair
+    * to brute force): nBlocks=10 (210 combos of ~25-bit keys) LOST all
+    * three order-fixed paired runs — 243 vs 84 s, 164 vs 153 s, 178 vs
+    * 119 s — the 7.5× key-row explode outweighs the ~780× sparser
+    * buckets at any realistic batch size, consistent with the original
+    * shuffle-volume measurement above. The committed auto-size stands;
+    * the ~32 s clean-window floor is what the Hamming-radius contract
+    * costs at this shape. */
   private[graft] def simhashAutoBlocks(corpusSize: Long, maxHamming: Int,
                                        maxBucketSize: Int = 1000): Int = {
     if (corpusSize <= 0) return simhashDefaultBlocks(maxHamming)

@@ -437,6 +437,63 @@ object CurationIngest {
     closed
   }
 
+  /** TAKEDOWN over accumulated lineage — the contract for "a deleted
+    * keep-target must not orphan its group" (r18, the lineage half of
+    * the index family's tombstone story):
+    *
+    *  - rows whose `id` is deleted are REMOVED — the document left the
+    *    corpus, and a lineage row re-identifying purged content would
+    *    defeat the takedown;
+    *  - a group whose ROOT survives is untouched;
+    *  - a group whose ROOT was deleted PROMOTES its smallest surviving
+    *    member: the promoted row becomes its own root with
+    *    `regime = "promoted"`, the other survivors re-point to it —
+    *    no dangling keep_id remains;
+    *  - a group with no survivors disappears entirely.
+    *
+    * The "promoted" regime is the caller's work list: a promoted doc
+    * was DROPPED at its original ingest (only owners' text enters the
+    * corpus), so its content must be re-fetched and re-ingested — and
+    * the index side cooperates by construction: deleting the old owner
+    * freed its fingerprint ([[FingerprintIndex.deleteDocs]]), so the
+    * re-ingest resolves NEW under exactly the id the lineage now names
+    * as root. Chains are closed first ([[closeLineage]]) so promotion
+    * acts on canonical groups; input may be one-hop or already closed.
+    *
+    * Scale shape: the pointer-jump closure (⌈log₂ depth⌉ lineage-sized
+    * joins) + two joins against the DELETE-sized id set + one
+    * orphaned-group-sized min aggregate — the corpus never shuffles.
+    * Output is EAGER like closeLineage's (persisted + counted;
+    * unpersist when done). */
+  def takedownLineage(lineage: DataFrame,
+                      deletedIds: DataFrame): DataFrame = {
+    val del = deletedIds.toDF("id").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val closed = closeLineage(lineage)
+    // survivors only (deleted members' rows removed)
+    val live = closed.join(del, Seq("id"), "left_anti")
+    // orphaned groups: root deleted → promote min surviving id
+    val promos = live
+      .join(del.withColumnRenamed("id", "keep_id"), Seq("keep_id"),
+        "left_semi")
+      .groupBy(col("keep_id"))
+      .agg(min(col("id")).as("_new_root"))
+    val out = live
+      .join(promos, Seq("keep_id"), "left")
+      .withColumn("_promoted", col("_new_root").isNotNull)
+      .withColumn("keep_id",
+        coalesce(col("_new_root"), col("keep_id")))
+      .withColumn("regime",
+        when(col("_promoted") && col("id") === col("keep_id"),
+          lit("promoted")).otherwise(col("regime")))
+      .drop("_new_root", "_promoted")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    del.unpersist(blocking = false)
+    closed.unpersist(blocking = false)
+    out
+  }
+
   /** One index table's operational state: committed version, delta-chain
     * fan-in (1 = freshly compacted), live row count, and the last applied
     * batchId per stream (the exactly-once watermarks). */

@@ -192,6 +192,26 @@ object TextIndex {
           s"queries '$Tokenizer' postings — rebuild the index (TextIndex.build)")
   }
 
+  /** IN-TRANSACTION guard for the postings-layout write paths: the
+    * layout-delegation decision (append/appendBatchOnce/deleteDocs →
+    * PhraseIndex) reads metadata OUTSIDE the table lock, and the
+    * tokenizer check alone would still pass after a concurrent
+    * in-place postings→positional migration (`text.tokenizer` is
+    * carried forward by the commit's meta merge) — a racing writer
+    * could then commit slim postings rows onto the stale text.parts
+    * chain of a now-positional table, invisible to all serving (r17
+    * review). Re-checking the authoritative layout key under the lock
+    * turns that silent loss into a retryable refusal; single-writer
+    * deployments never hit it. */
+  private def requireStillPostings(meta: Map[String, String],
+                                   table: String): Unit = {
+    if (isPositional(meta))
+      throw new IllegalStateException(
+        s"$table migrated to the positional layout concurrently — retry " +
+          "(the operation will delegate to the positional writer)")
+    requireTokenizer(meta, table)
+  }
+
   /** (id, toks) — the shared tokenization. */
   private def tokenized(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol).as("neighbor_id"),
@@ -317,7 +337,7 @@ object TextIndex {
         val v = store.currentVersion(indexTable)
         requireBuilt(v, indexTable)
         val meta = store.metaForVersion(indexTable, v)
-        requireTokenizer(meta, indexTable)
+        requireStillPostings(meta, indexTable)
         tok = tokenized(newDocs, textCol, idCol)
           .persist(StorageLevel.MEMORY_AND_DISK)
         Right(deltaFor(store, indexTable, v, meta, tok, compactEvery, Map.empty))
@@ -348,7 +368,7 @@ object TextIndex {
         val last = meta.get(metaKey).map(_.toLong).getOrElse(-1L)
         if (batchId <= last) Left(())
         else {
-          requireTokenizer(meta, indexTable)
+          requireStillPostings(meta, indexTable)
           tok = tokenized(batch, textCol, idCol)
             .persist(StorageLevel.MEMORY_AND_DISK)
           Right(deltaFor(store, indexTable, v, meta, tok, compactEvery,
@@ -400,7 +420,7 @@ object TextIndex {
       val v = store.currentVersion(indexTable)
       requireBuilt(v, indexTable)
       val meta = store.metaForVersion(indexTable, v)
-      requireTokenizer(meta, indexTable)
+      requireStillPostings(meta, indexTable)
       // exact stats delta: one visible-row scan, each deleted doc
       // witnessed once via its (id, dl) — the one blocking action
       val r = chain.load(store, indexTable, v, meta)

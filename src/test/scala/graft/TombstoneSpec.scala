@@ -440,6 +440,33 @@ class TombstoneSpec extends SparkSpec {
       .filter(col("neighbor_id") === 3L).count() == 0)
   }
 
+  // ---- lineage under takedown -----------------------------------------
+
+  test("takedownLineage: deleted keep-targets promote, members re-point, no orphans") {
+    // groups: {1 <- 2 <- 3 (chain), 1 <- 7}, {4 <- 5}, singleton 6,
+    // untouched {8 <- 9}. Delete 1 (root with survivors), 4 AND 5
+    // (whole group), 6 (singleton), and 9 (non-root member).
+    val lineage = Seq(
+      (1L, 1L, "new"), (2L, 1L, "near"), (3L, 2L, "near"), (7L, 1L, "exact"),
+      (4L, 4L, "new"), (5L, 4L, "near"),
+      (6L, 6L, "new"),
+      (8L, 8L, "new"), (9L, 8L, "near")).toDF("id", "keep_id", "regime")
+    val out = CurationIngest.takedownLineage(lineage,
+      Seq(1L, 4L, 5L, 6L, 9L).toDF("id"))
+    val rows = out.select(col("id"), col("keep_id"), col("regime"))
+      .as[(Long, Long, String)].collect().toSet
+    out.unpersist(blocking = false)
+    assert(rows == Set(
+      (2L, 2L, "promoted"), // smallest survivor of 1's group becomes root
+      (3L, 2L, "near"),     // chain member re-points to the NEW root
+      (7L, 2L, "exact"),    // regime preserved on re-pointed members
+      (8L, 8L, "new")       // untouched group intact, member 9 removed
+    ), s"got $rows")
+    // invariant: no keep_id names a deleted or absent doc
+    val ids = rows.map(_._1)
+    assert(rows.forall(r => ids.contains(r._2)), "orphaned keep_id")
+  }
+
   // ---- store-wide dispatch / maintenance routing ----------------------
 
   test("Graft.deleteDocs dispatches by marker; maintainAll folds tombstones") {
