@@ -179,4 +179,38 @@ object Graft {
           "persistent index family; mutate plain tables via Mutations"))
       .apply(store, table, ids)
   }
+
+  private val onceDeleters: Seq[(String,
+      (SnapshotStore, String, org.apache.spark.sql.DataFrame, String, Long) => Boolean)] = Seq(
+    "text.champ.forVersion" -> ((_, table, _, _, _) =>
+      throw new IllegalArgumentException(
+        s"$table is a derived champion cache — delete on its postings table")),
+    "text.parts" -> (TextIndex.deleteDocsOnce _),
+    "phrase.parts" -> (TextIndex.deleteDocsOnce _),
+    "fpdedup.parts" -> (FingerprintIndex.deleteDocsOnce _),
+    "dedup.parts" -> (DedupIndex.deleteDocsOnce _),
+    "shdedup.parts" -> (SimHashIndex.deleteDocsOnce _),
+    "embdedup.parts" -> (EmbedIndex.deleteDocsOnce _),
+    "semdedup.parts" -> (SemIndex.deleteDocsOnce _),
+    "ivfpq.parts" -> (VectorIndex.deleteDocsOnce _))
+
+  /** [[deleteDocs]] under the shared exactly-once (streamId, batchId)
+    * watermark — what a TAKEDOWN QUEUE consumer (foreachBatch over a
+    * stream of deletion requests) calls per micro-batch and per
+    * affected table. Replay protection here is a CORRECTNESS matter,
+    * not frugality: tombstones hide rows by member-version epoch, so
+    * an at-least-once redelivery of an old delete batch would land at
+    * a higher epoch and silently hide documents legitimately
+    * RE-INGESTED since the original delete ([[store.DeltaChain
+    * .tombNextOnce]]). Returns true if applied, false on replay. */
+  def deleteDocsOnce(store: SnapshotStore, table: String,
+                     ids: org.apache.spark.sql.DataFrame,
+                     streamId: String, batchId: Long): Boolean = {
+    val meta = store.metaForVersion(table, store.currentVersion(table))
+    onceDeleters.collectFirst { case (marker, d) if meta.contains(marker) => d }
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table carries no known index marker — takedown applies to the " +
+          "persistent index family; mutate plain tables via Mutations"))
+      .apply(store, table, ids, streamId, batchId)
+  }
 }

@@ -208,6 +208,24 @@ private[store] final class DeltaChain(partsKey: String,
       tombsKey -> (tombVersionsOf(meta) :+ (v + 1)).mkString(",")))
   }
 
+  /** [[tombNext]] under the shared exactly-once (streamId, batchId)
+    * watermark — the takedown-QUEUE form. Replay protection is a
+    * CORRECTNESS matter for deletes, not just frugality: a tombstone
+    * commits at the next version number, so an at-least-once redelivery
+    * of an old delete batch would land at a HIGHER epoch and hide rows
+    * re-ingested since (the one case the epoch rule cannot distinguish
+    * from a genuine re-delete). Left(()) = replay, skip. Watermarks
+    * share the per-stream `stream.<id>.lastBatchId` namespace with the
+    * append paths: one monotone batch sequence per streamId. */
+  def tombNextOnce(v: Long, meta: Map[String, String], ids: DataFrame,
+                   streamId: String, batchId: Long,
+                   extraMeta: Map[String, String] = Map.empty)
+      : Either[Unit, (DataFrame, Map[String, String])] = {
+    val key = s"stream.$streamId.lastBatchId"
+    if (batchId <= meta.get(key).map(_.toLong).getOrElse(-1L)) Left(())
+    else Right(tombNext(v, meta, ids, extraMeta + (key -> batchId.toString)))
+  }
+
   /** On-demand fold of the whole chain into a full snapshot — the
     * maintenance-triggered form of the compactEvery path in [[next]]:
     * (rows, metadata) for the compacting commit, or None when version

@@ -267,6 +267,23 @@ object FingerprintIndex {
       Right(chain.tombNext(v, store.metaForVersion(table, v), ids.toDF("id")))
     }.merge
 
+  /** [[deleteDocs]] under the exactly-once (streamId, batchId)
+    * watermark ([[DeltaChain.tombNextOnce]]'s correctness rationale:
+    * a redelivered delete batch would out-epoch rows re-ingested
+    * since). Returns true if applied, false on replay. */
+  def deleteDocsOnce(store: SnapshotStore, table: String, ids: DataFrame,
+                     streamId: String, batchId: Long): Boolean =
+    store.transactMeta[Unit](table, sortKey = Some("id"),
+        statsCols = Seq("id")) {
+      val v = store.currentVersion(table)
+      if (v == 0)
+        throw new IllegalStateException(
+          s"$table: build the fingerprint index before deleting " +
+            "(FingerprintIndex.build)")
+      chain.tombNextOnce(v, store.metaForVersion(table, v), ids.toDF("id"),
+        streamId, batchId)
+    }.isRight
+
   /** On-demand chain fold into a full snapshot (maintenance-triggered;
     * appends also fold themselves every `compactEvery`). Returns true if
     * a compacting commit happened, false if already compact — IDEMPOTENT,

@@ -310,27 +310,51 @@ object PhraseIndex {
     * caveat and idempotence as the TextIndex form. */
   def deleteDocs(store: SnapshotStore, table: String,
                  ids: DataFrame): Long = {
+    deleteInternal(store, table, ids, None)
+    store.currentVersion(table)
+  }
+
+  /** [[deleteDocs]] under the exactly-once (streamId, batchId)
+    * watermark ([[DeltaChain.tombNextOnce]]'s correctness rationale).
+    * Returns true if applied, false if skipped as a replay. */
+  def deleteDocsOnce(store: SnapshotStore, table: String, ids: DataFrame,
+                     streamId: String, batchId: Long): Boolean =
+    deleteInternal(store, table, ids, Some((streamId, batchId)))
+
+  private def deleteInternal(store: SnapshotStore, table: String,
+                             ids: DataFrame,
+                             once: Option[(String, Long)]): Boolean = {
     val tombs = ids.toDF("doc_id")
-    store.transactMeta[Nothing](table, sortKey = Some("doc_id"),
+    store.transactMeta[Unit](table, sortKey = Some("doc_id"),
         statsCols = Seq("doc_id")) {
       val v = store.currentVersion(table)
       requireBuilt(v, table)
       val meta = store.metaForVersion(table, v)
-      requireCompatible(meta, table)
-      val r = chain.load(store, table, v, meta)
-        .join(tombs, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("dl")).distinct()
-        .agg(count(lit(1)), coalesce(sum(col("dl").cast("long")), lit(0L)))
-        .head()
-      val (dDocs, dDl) = (r.getLong(0), r.getLong(1))
-      Right(chain.tombNext(v, meta, tombs, Map(
-        s"${P}nDocs" ->
-          (meta.getOrElse(s"${P}nDocs", "0").toLong - dDocs).toString,
-        s"${P}sumDl" ->
-          (meta.getOrElse(s"${P}sumDl", "0").toLong - dDl).toString,
-        s"${P}contentVersion" ->
-          (meta.getOrElse(s"${P}contentVersion", "0").toLong + 1).toString)))
-    }.merge
+      val replay = once.exists { case (sid, bid) =>
+        bid <= meta.get(s"stream.$sid.lastBatchId")
+          .map(_.toLong).getOrElse(-1L)
+      }
+      if (replay) Left(())
+      else {
+        requireCompatible(meta, table)
+        val r = chain.load(store, table, v, meta)
+          .join(tombs, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("dl")).distinct()
+          .agg(count(lit(1)), coalesce(sum(col("dl").cast("long")), lit(0L)))
+          .head()
+        val (dDocs, dDl) = (r.getLong(0), r.getLong(1))
+        Right(chain.tombNext(v, meta, tombs,
+          once.map { case (sid, bid) =>
+            Map(s"stream.$sid.lastBatchId" -> bid.toString)
+          }.getOrElse(Map.empty) ++ Map(
+          s"${P}nDocs" ->
+            (meta.getOrElse(s"${P}nDocs", "0").toLong - dDocs).toString,
+          s"${P}sumDl" ->
+            (meta.getOrElse(s"${P}sumDl", "0").toLong - dDl).toString,
+          s"${P}contentVersion" ->
+            (meta.getOrElse(s"${P}contentVersion", "0").toLong + 1).toString)))
+      }
+    }.isRight
   }
 
   /** Keep the index current from a stream of document rows — the

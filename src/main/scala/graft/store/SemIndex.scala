@@ -299,6 +299,20 @@ object SemIndex {
       Right(chain.tombNext(v, store.metaForVersion(table, v), ids.toDF("id")))
     }.merge
 
+  /** [[deleteDocs]] under the exactly-once (streamId, batchId)
+    * watermark ([[DeltaChain.tombNextOnce]]). True if applied. */
+  def deleteDocsOnce(store: SnapshotStore, table: String, ids: DataFrame,
+                     streamId: String, batchId: Long): Boolean =
+    store.transactMeta[Unit](table, sortKey = Some("id"),
+        statsCols = Seq("id")) {
+      val v = store.currentVersion(table)
+      if (v == 0)
+        throw new IllegalStateException(
+          s"$table: build the semantic index before deleting (SemIndex.build)")
+      chain.tombNextOnce(v, store.metaForVersion(table, v), ids.toDF("id"),
+        streamId, batchId)
+    }.isRight
+
   /** On-demand chain fold into a full snapshot — idempotent; the commit
     * is the store's atomic version flip. */
   def compactIndex(store: SnapshotStore, table: String): Boolean =

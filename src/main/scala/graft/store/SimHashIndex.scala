@@ -341,6 +341,21 @@ object SimHashIndex {
       Right(chain.tombNext(v, store.metaForVersion(table, v), ids.toDF("id")))
     }.merge
 
+  /** [[deleteDocs]] under the exactly-once (streamId, batchId)
+    * watermark ([[DeltaChain.tombNextOnce]]). True if applied. */
+  def deleteDocsOnce(store: SnapshotStore, table: String, ids: DataFrame,
+                     streamId: String, batchId: Long): Boolean =
+    store.transactMeta[Unit](table, sortKey = Some("id"),
+        statsCols = Seq("id")) {
+      val v = store.currentVersion(table)
+      if (v == 0)
+        throw new IllegalStateException(
+          s"$table: build the simhash index before deleting " +
+            "(SimHashIndex.build)")
+      chain.tombNextOnce(v, store.metaForVersion(table, v), ids.toDF("id"),
+        streamId, batchId)
+    }.isRight
+
   def compactIndex(store: SnapshotStore, table: String): Boolean =
     store.transactMeta[Unit](table, sortKey = Some("id")) {
       val v = store.currentVersion(table)

@@ -414,29 +414,62 @@ object TextIndex {
     if (isPositional(store.metaForVersion(indexTable,
         store.currentVersion(indexTable))))
       return PhraseIndex.deleteDocs(store, indexTable, ids)
+    deleteInternal(store, indexTable, ids, None)
+    store.currentVersion(indexTable)
+  }
+
+  /** [[deleteDocs]] under the exactly-once (streamId, batchId)
+    * watermark — the takedown-QUEUE form (see
+    * [[DeltaChain.tombNextOnce]]: replay protection is a correctness
+    * matter for deletes — a redelivered old delete batch would land at
+    * a higher epoch and hide rows re-ingested since). Returns true if
+    * applied, false if skipped as a replay. */
+  def deleteDocsOnce(store: SnapshotStore, indexTable: String,
+                     ids: DataFrame, streamId: String,
+                     batchId: Long): Boolean = {
+    if (isPositional(store.metaForVersion(indexTable,
+        store.currentVersion(indexTable))))
+      return PhraseIndex.deleteDocsOnce(store, indexTable, ids, streamId,
+        batchId)
+    deleteInternal(store, indexTable, ids, Some((streamId, batchId)))
+  }
+
+  private def deleteInternal(store: SnapshotStore, indexTable: String,
+                             ids: DataFrame,
+                             once: Option[(String, Long)]): Boolean = {
     val tombs = ids.toDF("neighbor_id")
-    store.transactMeta[Nothing](indexTable, sortKey = Some("neighbor_id"),
+    store.transactMeta[Unit](indexTable, sortKey = Some("neighbor_id"),
         statsCols = Seq("neighbor_id")) {
       val v = store.currentVersion(indexTable)
       requireBuilt(v, indexTable)
       val meta = store.metaForVersion(indexTable, v)
-      requireStillPostings(meta, indexTable)
-      // exact stats delta: one visible-row scan, each deleted doc
-      // witnessed once via its (id, dl) — the one blocking action
-      val r = chain.load(store, indexTable, v, meta)
-        .join(tombs, Seq("neighbor_id"), "left_semi")
-        .select(col("neighbor_id"), col("dl")).distinct()
-        .agg(count(lit(1)), coalesce(sum(col("dl").cast("long")), lit(0L)))
-        .head()
-      val (dDocs, dDl) = (r.getLong(0), r.getLong(1))
-      Right(chain.tombNext(v, meta, tombs, Map(
-        s"${P}nDocs" ->
-          (meta.getOrElse(s"${P}nDocs", "0").toLong - dDocs).toString,
-        s"${P}sumDl" ->
-          (meta.getOrElse(s"${P}sumDl", "0").toLong - dDl).toString,
-        s"${P}contentVersion" ->
-          (meta.getOrElse(s"${P}contentVersion", "0").toLong + 1).toString)))
-    }.merge
+      val replay = once.exists { case (sid, bid) =>
+        bid <= meta.get(s"stream.$sid.lastBatchId")
+          .map(_.toLong).getOrElse(-1L)
+      }
+      if (replay) Left(())
+      else {
+        requireStillPostings(meta, indexTable)
+        // exact stats delta: one visible-row scan, each deleted doc
+        // witnessed once via its (id, dl) — the one blocking action
+        val r = chain.load(store, indexTable, v, meta)
+          .join(tombs, Seq("neighbor_id"), "left_semi")
+          .select(col("neighbor_id"), col("dl")).distinct()
+          .agg(count(lit(1)), coalesce(sum(col("dl").cast("long")), lit(0L)))
+          .head()
+        val (dDocs, dDl) = (r.getLong(0), r.getLong(1))
+        Right(chain.tombNext(v, meta, tombs,
+          once.map { case (sid, bid) =>
+            Map(s"stream.$sid.lastBatchId" -> bid.toString)
+          }.getOrElse(Map.empty) ++ Map(
+          s"${P}nDocs" ->
+            (meta.getOrElse(s"${P}nDocs", "0").toLong - dDocs).toString,
+          s"${P}sumDl" ->
+            (meta.getOrElse(s"${P}sumDl", "0").toLong - dDl).toString,
+          s"${P}contentVersion" ->
+            (meta.getOrElse(s"${P}contentVersion", "0").toLong + 1).toString)))
+      }
+    }.isRight
   }
 
   /** Keep the index current from a document stream (see
@@ -1037,6 +1070,22 @@ object TextIndex {
     * output to [[query]] — score-for-score, tie-for-tie — while
     * reading the big common-term postings lists candidate-restricted
     * instead of in full.
+    *
+    * Float-summation caveat (measured r18, 5M-doc flagship): the
+    * exactness is MATHEMATICAL. The two paths assemble a doc's
+    * per-term contributions through different plans, so their double
+    * sums can differ in the last ulps, and two docs whose TRUE scores
+    * are equal (e.g. an exact duplicate of the query's source doc vs
+    * a near-duplicate with identical query-term tf/dl) may order
+    * differently across the paths — observed once in 30 flagship rows
+    * as an adjacent-rank swap between such twins, both orderings
+    * valid under the (score desc, id asc) contract evaluated on each
+    * path's own sums. Within one path results are deterministic; the
+    * equality specs/oracles hold wherever adjacent score gaps exceed
+    * double-summation noise (every engineered corpus; sf0.01 gaps are
+    * ~11 orders above it). A bit-identical cross-plan guarantee would
+    * require canonically-ordered (non-codegen) summation in the hot
+    * scoring tail — the wrong trade at corpus scale.
     *
     * The pruning rests on two bounds, both conservative:
     *

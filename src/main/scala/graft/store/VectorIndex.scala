@@ -175,6 +175,23 @@ object VectorIndex {
       Right(chain.tombNext(v, meta, ids.toDF("neighbor_id")))
     }.merge
 
+  /** [[deleteDocs]] under the exactly-once (streamId, batchId)
+    * watermark ([[DeltaChain.tombNextOnce]]). True if applied. */
+  def deleteDocsOnce(store: SnapshotStore, indexTable: String,
+                     ids: DataFrame, streamId: String,
+                     batchId: Long): Boolean =
+    store.transactMeta[Unit](indexTable, sortKey = Some("neighbor_id"),
+        statsCols = Seq("neighbor_id")) {
+      val v = store.currentVersion(indexTable)
+      if (v == 0)
+        throw new IllegalStateException(
+          s"$indexTable: build the vector index before deleting " +
+            "(VectorIndex.build)")
+      val meta = store.metaForVersion(indexTable, v)
+      requireScheme(meta, indexTable)
+      chain.tombNextOnce(v, meta, ids.toDF("neighbor_id"), streamId, batchId)
+    }.isRight
+
   /** Keep an index current from a stream of vectors: each micro-batch
     * encodes with the live parameters and appends exactly once. Caller
     * stops the query. */
