@@ -213,4 +213,37 @@ object Graft {
           "persistent index family; mutate plain tables via Mutations"))
       .apply(store, table, ids, streamId, batchId)
   }
+
+  /** Wire a TAKEDOWN QUEUE to the whole store: every micro-batch of
+    * deletion ids (a single-column stream — one shared id domain across
+    * `tables`, the curation-pipeline shape where doc ids key every
+    * derived index) is applied to each named table via
+    * [[deleteDocsOnce]] under ONE (streamId, batchId) watermark per
+    * table. Cross-table application is deliberately NOT atomic — each
+    * table's watermark advances with its own commit — and does not need
+    * to be: a crash between tables leaves the batch applied to a prefix,
+    * and foreachBatch's at-least-once replay completes the rest while
+    * the already-applied tables skip it (their watermark), so the
+    * store converges to exactly-once per table with no cross-table
+    * coordination. The index family's maintainFromStream contract,
+    * pointed at deletes. Caller stops the query; schedule
+    * [[maintainAll]] as usual to fold the tombstones off disk. */
+  def takedownFromStream(store: SnapshotStore, tables: Seq[String],
+                         stream: org.apache.spark.sql.DataFrame,
+                         checkpointDir: String,
+                         streamId: String = "takedown")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          // batch is read once per table: persist the micro-batch
+          // (takedown-sized) instead of re-running its source N times
+          batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try tables.foreach { t =>
+            deleteDocsOnce(store, t, batch, streamId, batchId); ()
+          } finally batch.unpersist(blocking = false)
+        }
+      }
+      .start()
 }

@@ -473,6 +473,47 @@ class TombstoneSpec extends SparkSpec {
       .filter(col("id") === 3L).count() == 0)
   }
 
+  test("takedownFromStream: one queue drives the whole store, per-table exactly-once") {
+    val d = docs(30)
+    val store = newStore("tdstream")
+    TextIndex.build(store, "docs_text", d, "text", "doc_id")
+    FingerprintIndex.build(store, "docs_fp", d, "text", "doc_id")
+    // the takedown queue: two micro-batches of deletion ids
+    val inbox = Files.createTempDirectory("graft-td-inbox").toString
+    Seq(4L, 9L).toDF("doc_id").coalesce(1).write.parquet(s"$inbox/b0.parquet")
+    Seq(14L).toDF("doc_id").coalesce(1).write.parquet(s"$inbox/b1.parquet")
+    // simulate a crash window: batch 0 already applied to docs_text
+    // only (the prefix a dying consumer left behind) — the stream's
+    // replay must complete docs_fp WITHOUT double-applying docs_text
+    assert(TextIndex.deleteDocsOnce(store, "docs_text",
+      ids(4L, 9L), "takedown", 0L))
+    val vText = store.currentVersion("docs_text")
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$inbox/*.parquet")
+    val q = Graft.takedownFromStream(store, Seq("docs_text", "docs_fp"),
+      stream, s"$inbox-ckpt")
+    q.processAllAvailable()
+    q.stop()
+    // docs_text: batch 0 skipped as replay (ONE tombstone commit for
+    // it), batch 1 applied
+    assert(store.currentVersion("docs_text") == vText + 1,
+      "replayed batch must not re-commit; new batch must commit once")
+    val got = ranked(TextIndex.query(store, "docs_text", queries(d),
+      "query_id", "qtext", k = 50))
+    for (del <- Seq(4L, 9L, 14L)) assert(!got.exists(_._2 == del))
+    // docs_fp: both batches applied by the stream
+    assert(FingerprintIndex.load(store, "docs_fp")
+      .filter(col("id").isin(4L, 9L, 14L)).count() == 0)
+    // one maintenance cycle folds every tombstoned chain
+    Graft.maintainAll(store)
+    assert(store.loadVersion("docs_text", store.currentVersion("docs_text"))
+      .filter(col("neighbor_id").isin(4L, 9L, 14L)).count() == 0)
+  }
+
   // ---- lineage under takedown -----------------------------------------
 
   test("takedownLineage: deleted keep-targets promote, members re-point, no orphans") {
