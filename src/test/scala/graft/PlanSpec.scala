@@ -502,6 +502,43 @@ class PlanSpec extends SparkSpec {
     assert(sorts <= 1, s"chained funnel windows re-sort per step:\n$s")
   }
 
+  test("tombstoned index read: broadcast anti-join, the corpus side never shuffles") {
+    // The takedown visibility filter (DeltaChain.assemble) must stay a
+    // BROADCAST hash anti-join on the id key with the member-epoch
+    // comparison as a residual condition: the tombstone side is
+    // takedown-sized, the data side is the corpus — a shuffled or
+    // nested-loop plan here would turn every between-delete-and-fold
+    // read into a corpus shuffle at 100 TB.
+    val root = java.nio.file.Files.createTempDirectory("graft-plan-tomb").toString
+    val store = new graft.store.SnapshotStore(root, spark)
+    import spark.implicits._
+    val docs = (0L until 200L)
+      .map(i => (i, s"alpha w${i % 7} beta tok$i")).toDF("doc_id", "text")
+    graft.store.TextIndex.build(store, "t", docs, "text", "doc_id")
+    graft.store.TextIndex.deleteDocs(store, "t", Seq(3L, 9L).toDF("doc_id"))
+    val df = graft.store.TextIndex.load(store, "t")
+    df.collect()
+    val plan = executed(df)
+    val s = plan.toString
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftAnti"),
+      s"tombstone filter must be a broadcast anti-join:\n$s")
+    assert(!s.contains("SortMergeJoin") && !s.contains("NestedLoop"),
+      s"tombstone filter must not shuffle or nested-loop the corpus:\n$s")
+    // the only exchange allowed is the broadcast itself — the corpus
+    // side streams straight from the parquet scans
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size
+    assert(shuffles == 0, s"tombstoned read shuffled the corpus:\n$s")
+    // and with no tombstones pending (post-fold) the filter is GONE —
+    // the exact pre-takedown plan
+    graft.store.TextIndex.maintain(store, "t", maxChainLength = 100)
+    val clean = graft.store.TextIndex.load(store, "t")
+    clean.collect()
+    val cs = executed(clean).toString
+    assert(!cs.contains("Join"), s"post-fold read must carry no join:\n$cs")
+  }
+
   test("retention: no window, no sort — shuffle volume is distinct (user, week) pairs") {
     val df = graft.queries.EventQueries.retention(spark, sfDir)
     df.collect()
