@@ -1356,6 +1356,30 @@ object ScaleBench {
         require(a == b, "chained and rebuilt champions diverged")
         a.size.toLong
       },
+      // TAKEDOWN + champion DELETE-MERGE (r18) at the realistic
+      // vocabulary, at the feature's DESIGN POINT — a takedown-sized
+      // batch (150 docs ⇒ ~10k touched terms of the 500k vocab, under
+      // the TouchedZoneCap): the refresh re-selects only the touched
+      // terms through the zone-pruned term probe instead of the
+      // full-rebuild path a delete used to force — rows= is the
+      // committed member size (touched·m) vs the rebuild's 4.0M-row
+      // full champion write. (A 1000-doc batch was measured to touch
+      // 67k terms and DEMOTES to rebuild by the cap — the recorded
+      // crossover.) Runs AFTER the serve_x2 equality check (the delete
+      // makes A and B diverge). Depends on the bigvocab family above —
+      // filter "bigvocab".
+      timed("bm25_bigvocab_delete_150") {
+        graft.store.TextIndex.deleteDocs(store, "docs_bm25_bv_a",
+          spark.range(500000L, 500150L).select(col("id").as("doc_id")))
+      },
+      timed("bm25_bigvocab_delete_merge") {
+        val cv = graft.store.TextIndex.refreshChampions(store,
+          "docs_bm25_bv_a", m = 8)
+        val cmeta = store.metaForVersion("docs_bm25_bv_a__champ", cv)
+        System.err.println(s"[scalebench] bigvocab A delete mode=" +
+          s"${cmeta.getOrElse("text.champ.mode", "?")}")
+        store.loadVersion("docs_bm25_bv_a__champ", cv).count()
+      },
       // The same measurement on a 1M-doc ZIPFIAN corpus — real text's
       // token law, hence real tf concentration. The uniform-corpus
       // number above is the structure's worst case (documented in

@@ -191,18 +191,30 @@ private[store] final class DeltaChain(partsKey: String,
       (canon(delta), extraMeta + (partsKey -> chain.mkString(",")))
   }
 
-  /** Tombstone commit for the ids in `ids` (any single-column frame of
-    * the id type; deduplicated here): (rows, metadata) to commit under
-    * the table lock. The committed rows ARE the tombstone ids; the
-    * metadata keeps the data chain as-is and appends the NEW version's
-    * number to the tombstone list — which is `v + 1` by the store's
-    * commit discipline (next = currentVersion + 1, computed under the
-    * same lock this runs in; orphaned dirs past LATEST are cleared, so
-    * the number can never skip). */
+  /** Tombstone commit for the ids in `ids`: (rows, metadata) to commit
+    * under the table lock. A single-column frame (any name) is the
+    * plain form — renamed to `tombIdCol` and deduplicated. A
+    * MULTI-column frame must lead with `tombIdCol` and be one row per
+    * id: the extra columns are index-specific payload riding in the
+    * tombstone member (e.g. TextIndex's per-doc deleted-term arrays,
+    * which make the champion delete-merge's touched-term discovery
+    * O(tombstone bytes) instead of an O(corpus) chain scan) — the
+    * visibility filter reads only the id column either way. The
+    * committed version number is `v + 1` by the store's commit
+    * discipline (next = currentVersion + 1, computed under the same
+    * lock this runs in; orphaned dirs past LATEST are cleared, so the
+    * number can never skip). */
   def tombNext(v: Long, meta: Map[String, String], ids: DataFrame,
                extraMeta: Map[String, String] = Map.empty)
       : (DataFrame, Map[String, String]) = {
-    val rows = ids.toDF(tombIdCol).distinct()
+    val rows =
+      if (ids.columns.length == 1) ids.toDF(tombIdCol).distinct()
+      else {
+        require(ids.columns.head == tombIdCol,
+          s"multi-column tombstone rows must lead with '$tombIdCol', " +
+            s"got ${ids.columns.mkString(", ")}")
+        ids.dropDuplicates(tombIdCol)
+      }
     (rows, extraMeta ++ Map(
       partsKey -> chainOf(meta, v).mkString(","),
       tombsKey -> (tombVersionsOf(meta) :+ (v + 1)).mkString(",")))

@@ -325,7 +325,8 @@ object PhraseIndex {
                              ids: DataFrame,
                              once: Option[(String, Long)]): Boolean = {
     val tombs = ids.toDF("doc_id")
-    store.transactMeta[Unit](table, sortKey = Some("doc_id"),
+    var hitsP: DataFrame = null
+    try store.transactMeta[Unit](table, sortKey = Some("doc_id"),
         statsCols = Seq("doc_id")) {
       val v = store.currentVersion(table)
       requireBuilt(v, table)
@@ -337,13 +338,24 @@ object PhraseIndex {
       if (replay) Left(())
       else {
         requireCompatible(meta, table)
-        val r = chain.load(store, table, v, meta)
-          .join(tombs, Seq("doc_id"), "left_semi")
-          .select(col("doc_id"), col("dl")).distinct()
+        // one visible-row scan feeds the exact stats delta AND the
+        // per-doc deleted-term payload (TextIndex.deleteInternal's
+        // recipe — the champion delete-merge's O(tombstone) discovery)
+        val hits = chain.load(store, table, v, meta)
+          .join(tombs, Seq("doc_id"))
+          .select(col("doc_id"), col("dl"), col("term"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        hitsP = hits
+        val r = hits.select(col("doc_id"), col("dl")).distinct()
           .agg(count(lit(1)), coalesce(sum(col("dl").cast("long")), lit(0L)))
           .head()
         val (dDocs, dDl) = (r.getLong(0), r.getLong(1))
-        Right(chain.tombNext(v, meta, tombs,
+        val tombRows = tombs
+          .join(hits.groupBy(col("doc_id"))
+            .agg(collect_set(col("term")).as("terms")), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("terms"), array().cast("array<string>")).as("terms"))
+        Right(chain.tombNext(v, meta, tombRows,
           once.map { case (sid, bid) =>
             Map(s"stream.$sid.lastBatchId" -> bid.toString)
           }.getOrElse(Map.empty) ++ Map(
@@ -355,6 +367,7 @@ object PhraseIndex {
             (meta.getOrElse(s"${P}contentVersion", "0").toLong + 1).toString)))
       }
     }.isRight
+    finally if (hitsP != null) hitsP.unpersist(blocking = false)
   }
 
   /** Keep the index current from a stream of document rows — the

@@ -438,38 +438,53 @@ object TextIndex {
                              ids: DataFrame,
                              once: Option[(String, Long)]): Boolean = {
     val tombs = ids.toDF("neighbor_id")
-    store.transactMeta[Unit](indexTable, sortKey = Some("neighbor_id"),
-        statsCols = Seq("neighbor_id")) {
-      val v = store.currentVersion(indexTable)
-      requireBuilt(v, indexTable)
-      val meta = store.metaForVersion(indexTable, v)
-      val replay = once.exists { case (sid, bid) =>
-        bid <= meta.get(s"stream.$sid.lastBatchId")
-          .map(_.toLong).getOrElse(-1L)
-      }
-      if (replay) Left(())
-      else {
-        requireStillPostings(meta, indexTable)
-        // exact stats delta: one visible-row scan, each deleted doc
-        // witnessed once via its (id, dl) — the one blocking action
-        val r = chain.load(store, indexTable, v, meta)
-          .join(tombs, Seq("neighbor_id"), "left_semi")
-          .select(col("neighbor_id"), col("dl")).distinct()
-          .agg(count(lit(1)), coalesce(sum(col("dl").cast("long")), lit(0L)))
-          .head()
-        val (dDocs, dDl) = (r.getLong(0), r.getLong(1))
-        Right(chain.tombNext(v, meta, tombs,
-          once.map { case (sid, bid) =>
-            Map(s"stream.$sid.lastBatchId" -> bid.toString)
-          }.getOrElse(Map.empty) ++ Map(
-          s"${P}nDocs" ->
-            (meta.getOrElse(s"${P}nDocs", "0").toLong - dDocs).toString,
-          s"${P}sumDl" ->
-            (meta.getOrElse(s"${P}sumDl", "0").toLong - dDl).toString,
-          s"${P}contentVersion" ->
-            (meta.getOrElse(s"${P}contentVersion", "0").toLong + 1).toString)))
-      }
-    }.isRight
+    var hits: DataFrame = null
+    try {
+      store.transactMeta[Unit](indexTable, sortKey = Some("neighbor_id"),
+          statsCols = Seq("neighbor_id")) {
+        val v = store.currentVersion(indexTable)
+        requireBuilt(v, indexTable)
+        val meta = store.metaForVersion(indexTable, v)
+        val replay = once.exists { case (sid, bid) =>
+          bid <= meta.get(s"stream.$sid.lastBatchId")
+            .map(_.toLong).getOrElse(-1L)
+        }
+        if (replay) Left(())
+        else {
+          requireStillPostings(meta, indexTable)
+          // ONE visible-row scan feeds both the exact stats delta (each
+          // deleted doc witnessed once via its (id, dl)) and the per-doc
+          // deleted-TERM sets that ride in the tombstone member — the
+          // payload that makes the champion delete-merge's touched-term
+          // discovery O(tombstone bytes) instead of an O(corpus) rescan
+          hits = chain.load(store, indexTable, v, meta)
+            .join(tombs, Seq("neighbor_id"))
+            .select(col("neighbor_id"), col("dl"), col("term"))
+            .persist(StorageLevel.MEMORY_AND_DISK) // candidate-sized, read 2×
+          val r = hits.select(col("neighbor_id"), col("dl")).distinct()
+            .agg(count(lit(1)), coalesce(sum(col("dl").cast("long")), lit(0L)))
+            .head()
+          val (dDocs, dDl) = (r.getLong(0), r.getLong(1))
+          val tombRows = tombs
+            .join(hits.groupBy(col("neighbor_id"))
+              .agg(collect_set(col("term")).as("terms")),
+              Seq("neighbor_id"), "left")
+            .select(col("neighbor_id"),
+              coalesce(col("terms"), array().cast("array<string>"))
+                .as("terms"))
+          Right(chain.tombNext(v, meta, tombRows,
+            once.map { case (sid, bid) =>
+              Map(s"stream.$sid.lastBatchId" -> bid.toString)
+            }.getOrElse(Map.empty) ++ Map(
+            s"${P}nDocs" ->
+              (meta.getOrElse(s"${P}nDocs", "0").toLong - dDocs).toString,
+            s"${P}sumDl" ->
+              (meta.getOrElse(s"${P}sumDl", "0").toLong - dDl).toString,
+            s"${P}contentVersion" ->
+              (meta.getOrElse(s"${P}contentVersion", "0").toLong + 1).toString)))
+        }
+      }.isRight
+    } finally if (hits != null) hits.unpersist(blocking = false)
   }
 
   /** Keep the index current from a document stream (see
@@ -649,6 +664,27 @@ object TextIndex {
     * way (`text.champ.mode` in the committed metadata records which
     * path ran, for observability and the spec).
     *
+    * DELETE-MERGE (r18): when TOMBSTONES landed since the anchor (a
+    * takedown — the append-only premise above is broken: the old top-m
+    * may hold now-hidden docs and the stored df overstates), the
+    * refresh no longer falls back to the full rebuild. It re-selects
+    * exactly the TOUCHED terms — the deleted docs' terms plus any
+    * appended delta's terms, an over-approximation by construction —
+    * from the VISIBLE postings (zone-pruned `term IN`; takedowns
+    * touching more than [[TouchedZoneCap]] terms demote to the rebuild,
+    * whose read they would match anyway), each recomputed term
+    * therefore identical to what a rebuild would select, while
+    * UNTOUCHED terms provably keep their anchor-time entries (no delta
+    * row and no hidden row carries them, so their visible postings are
+    * unchanged). Touched terms whose every posting vanished commit a
+    * df = 0 MARKER row that wins the last-writer-wins resolution and
+    * is filtered at every read — without it an older member's stale
+    * entry would resurrect deleted docs. Cost: one slim (term, id)
+    * chain scan to find the touched terms + a touched-restricted
+    * re-selection — O(touched vocab), not O(vocab); the win grows with
+    * vocabulary (bm25_bigvocab_delete_merge measures it at a 500k-term
+    * vocabulary, where a takedown touches a few thousand terms).
+    *
     * DELTA-CHAINED champion commits (r16 — closing r15's recorded
     * "honest scale note"): a merge-mode refresh no longer rewrites the
     * full O(vocab·m) champion table; it commits ONLY the merged rows of
@@ -681,6 +717,7 @@ object TextIndex {
     // table's lock (the DeltaChain discipline: a chain read taken before
     // locking is invalidated by a concurrent commit).
     var dAgg: DataFrame = null // persisted delta aggregate (read 2×)
+    var touchedP: DataFrame = null // persisted touched terms (read 3×)
     try {
       store.transactMeta[Nothing](ct, sortKey = Some("term"),
           statsCols = Seq("term")) {
@@ -696,33 +733,91 @@ object TextIndex {
           // source layout; the content value comes from whichever
           // counter the source maintains.
           .++(contentOf(meta).map(c => s"${P}champ.forContent" -> c))
-        Right(championMergeDelta(store, indexTable, ct, v, meta, m) match {
-          case Some(delta) =>
+        def chained(touchedRows: DataFrame, touchedTerms: DataFrame,
+                    mode: String): (DataFrame, Map[String, String]) = {
+          val chainNow = champChainOf(cmeta, cv)
+          if (chainNow.length >= champCompactEvery) {
+            // self-fold: touched rows ∪ resolved untouched rest (marker
+            // rows dropped — a fold is a full snapshot, so a vanished
+            // term is simply absent), committed with empty parts
+            val untouched = resolveChamps(champMembers(store, ct, cv, Nil))
+              .filter(col("df") > 0)
+              .join(touchedTerms, Seq("term"), "left_anti")
+            (champLayout(touchedRows.filter(col("df") > 0)
+              .unionByName(untouched)),
+              freshMeta ++ Map(s"${P}champ.mode" -> mode, ChampParts -> ""))
+          } else
+            (touchedRows, freshMeta ++ Map(s"${P}champ.mode" -> mode,
+              ChampParts -> chainNow.mkString(",")))
+        }
+        Right(championRefreshPlan(store, indexTable, ct, v, meta, m) match {
+          case ChampAppendMerge(delta) =>
             dAgg = champSelect(delta, m)
               .persist(StorageLevel.MEMORY_AND_DISK)
             val (touchedRows, touchedTerms) =
               mergeChampions(store, ct, cv, dAgg, m)
-            val chainNow = champChainOf(cmeta, cv)
-            if (chainNow.length >= champCompactEvery) {
-              // self-fold: merged touched terms ∪ resolved untouched
-              // rest, committed as a fresh full snapshot (empty parts)
-              val untouched = resolveChamps(champMembers(store, ct, cv, Nil))
-                .join(touchedTerms, Seq("term"), "left_anti")
-              (champLayout(touchedRows.unionByName(untouched)),
-                freshMeta ++ Map(s"${P}champ.mode" -> "merge",
+            chained(touchedRows, touchedTerms, "merge")
+          case ChampDeleteMerge(touched0) =>
+            touchedP = touched0.persist(StorageLevel.MEMORY_AND_DISK)
+            val local = touchedP.limit(TouchedZoneCap + 1).collect()
+            if (local.length > TouchedZoneCap) {
+              // jumbo takedown (touched > TouchedZoneCap terms): the
+              // touched-restricted re-selection would read most of the
+              // postings anyway without the zone skip (measured at the
+              // bigvocab flagship: 67k touched of 500k vocab made the
+              // semi-join variant's read ≈ the rebuild's while still
+              // paying the touched-term discovery scan) — the rebuild
+              // reads the same data once and leaves the clean full
+              // snapshot. Demote.
+              (champLayout(unpackChamps(champSelect(
+                srcLoad(store, indexTable, v, meta), m))),
+                freshMeta ++ Map(s"${P}champ.mode" -> "rebuild",
                   ChampParts -> ""))
-            } else
-              (touchedRows, freshMeta ++ Map(s"${P}champ.mode" -> "merge",
-                ChampParts -> chainNow.mkString(",")))
-          case None =>
+            } else {
+              // zone-pruned term-restricted re-selection of exactly the
+              // touched terms from the visible postings
+              val visTouched = srcLoadPruned(store, indexTable, v, meta,
+                Seq(ZoneMap.stringIn("term",
+                  local.map(_.getString(0)).toSeq)))
+              dAgg = champSelect(visTouched, m)
+                .persist(StorageLevel.MEMORY_AND_DISK)
+              val rows = unpackChamps(dAgg)
+              // touched terms with NO surviving postings get a MARKER
+              // row (df = 0): it wins the last-writer-wins resolution
+              // for the term and every reader filters df > 0, so the
+              // vanished term serves nothing — without it the term's
+              // stale entry in an older member would resurrect deleted
+              // docs
+              val idType = rows.schema("neighbor_id").dataType
+              val markers = touchedP
+                .join(dAgg.select(col("term")), Seq("term"), "left_anti")
+                .select(col("term"), lit(0L).as("df"), lit(0L).as("max_tf"),
+                  lit(0).as("min_dl"),
+                  lit(null).cast(idType).as("neighbor_id"),
+                  lit(0).as("dl"), lit(0L).as("tf"))
+              chained(rows.unionByName(markers), touchedP, "delete-merge")
+            }
+          case ChampRebuild =>
             (champLayout(unpackChamps(champSelect(
               srcLoad(store, indexTable, v, meta), m))),
               freshMeta ++ Map(s"${P}champ.mode" -> "rebuild",
                 ChampParts -> ""))
         })
       }.merge
-    } finally if (dAgg != null) dAgg.unpersist(blocking = false)
+    } finally {
+      if (dAgg != null) dAgg.unpersist(blocking = false)
+      if (touchedP != null) touchedP.unpersist(blocking = false)
+    }
   }
+
+  /** Touched-term sets at/below this collect to the driver and the
+    * delete-merge re-selects them through a zone-pruned `term IN (…)`
+    * scan (20k terms ≈ a few hundred KB of strings); a takedown
+    * touching MORE terms demotes to the full rebuild — measured at the
+    * bigvocab flagship, the over-cap variant's read matched the
+    * rebuild's while still paying the touched-discovery scan, so past
+    * this point the rebuild's clean full snapshot wins outright. */
+  private val TouchedZoneCap = 20000
 
   // ---- champion delta chain (last-writer-wins per term) -----------
 
@@ -759,10 +854,15 @@ object TextIndex {
     }
 
   /** The resolved champion rows serving version `cv`, optionally
-    * term-pruned (each member pruned by its own zone sidecar). */
+    * term-pruned (each member pruned by its own zone sidecar). df = 0
+    * MARKER rows (a delete-merge's vanished-term tombstones — they win
+    * the per-term resolution so an older member's stale entry cannot
+    * resurrect deleted docs) are filtered AFTER the resolve; real
+    * champion rows always have df ≥ 1. */
   private def champRowsAt(store: SnapshotStore, ct: String, cv: Long,
                           preds: Seq[ZoneMap.ZonePred] = Nil): DataFrame =
     resolveChamps(champMembers(store, ct, cv, preds))
+      .filter(col("df") > 0)
 
   /** The CURRENT resolved champion table — the external read surface
     * (specs, diagnostics): chain members resolved last-writer-wins per
@@ -882,36 +982,41 @@ object TextIndex {
     * (content is strictly increasing across a chain's members).
     * Pre-content champions fall back to the recorded forVersion.
     * None ⇒ full rebuild. Metadata + schema reads only, zero jobs. */
-  private def championMergeDelta(store: SnapshotStore, indexTable: String,
-                                 ct: String, v: Long,
-                                 meta: Map[String, String], m: Int)
-      : Option[DataFrame] = {
+  /** How the next champion refresh should run (decided by
+    * [[championRefreshPlan]]). */
+  private sealed trait ChampPlan
+  /** No reusable anchor — full rebuild over the visible postings. */
+  private case object ChampRebuild extends ChampPlan
+  /** Append-only since the anchor: the classic incremental merge over
+    * the delta members' rows. */
+  private final case class ChampAppendMerge(delta: DataFrame) extends ChampPlan
+  /** Tombstones landed since the anchor: re-select exactly the TOUCHED
+    * terms (the deleted docs' terms ∪ any appended delta's terms) from
+    * the visible postings — `touched` is a single-column (term) frame. */
+  private final case class ChampDeleteMerge(touched: DataFrame) extends ChampPlan
+
+  private def championRefreshPlan(store: SnapshotStore, indexTable: String,
+                                  ct: String, v: Long,
+                                  meta: Map[String, String], m: Int)
+      : ChampPlan = {
     val cv = store.currentVersion(ct)
-    if (cv == 0) return None
+    if (cv == 0) return ChampRebuild
     val cmeta = store.metaForVersion(ct, cv)
-    if (!cmeta.get(s"${P}champ.m").contains(m.toString)) return None
+    if (!cmeta.get(s"${P}champ.m").contains(m.toString)) return ChampRebuild
     // pre-bounds champion tables (no max_tf/min_dl) can't merge
     val cCols = store.loadVersion(ct, cv).schema.fieldNames.toSet
-    if (!cCols.contains("max_tf") || !cCols.contains("min_dl")) return None
+    if (!cCols.contains("max_tf") || !cCols.contains("min_dl"))
+      return ChampRebuild
     val sc = srcChain(meta)
     val positional = isPositional(meta)
+    val idName = if (positional) "doc_id" else "neighbor_id"
     val newChain = sc.chainOf(meta, v)
     val newSet = newChain.toSet
     val tombsNow = sc.tombVersionsOf(meta)
-    // Tombstone guard (r18): the merge's soundness argument — "any
-    // posting in the union's top-m is in the old top-m or the delta" —
-    // requires the postings between anchor and now to be APPEND-ONLY.
-    // A tombstone committed after the anchor hides rows the old top-m
-    // may hold (and invalidates the stored df), so a valid anchor must
-    // postdate every pending tombstone; otherwise rebuild. Tombstones
-    // at or before the anchor were already applied to the rows the
-    // champions were refreshed against (content equality ⇒ equal
-    // VISIBLE rows — deletes bump the counter like appends).
     def anchors(v0: Long): Boolean = v0 < v &&
       store.versions(indexTable).contains(v0) &&
       sc.chainOf(store.metaForVersion(indexTable, v0), v0).toSet
-        .subsetOf(newSet) &&
-      tombsNow.forall(_ <= v0)
+        .subsetOf(newSet)
     // anchor candidates include the pending tombstone members: a
     // refresh run after a delete recorded the DELETE's content value,
     // which no data member carries — the tombstone member does.
@@ -927,16 +1032,72 @@ object TextIndex {
         cmeta.get(s"${P}champ.forVersion").map(_.toLong)
           .filter(v0 => v0 > 0 && anchors(v0))
     }
-    anchor.flatMap { v0 =>
-      val oldChain =
-        sc.chainOf(store.metaForVersion(indexTable, v0), v0).toSet
-      val deltaMembers = newChain.filterNot(oldChain)
-      if (deltaMembers.isEmpty) None
-      else {
-        val union = deltaMembers.map(store.loadVersion(indexTable, _))
-          .reduce(_ unionByName _)
-        Some(if (positional) asPostings(union) else union)
-      }
+    anchor match {
+      case None => ChampRebuild
+      case Some(v0) =>
+        val oldChain =
+          sc.chainOf(store.metaForVersion(indexTable, v0), v0).toSet
+        val deltaMembers = newChain.filterNot(oldChain)
+        val newTombs = tombsNow.filter(_ > v0)
+        if (newTombs.isEmpty) {
+          // APPEND-ONLY since the anchor: the classic merge. Soundness
+          // ("any posting in the union's top-m is in the old top-m or
+          // the delta") needs exactly this append-only property —
+          // tombstones at or before the anchor were already applied to
+          // the rows the champions were refreshed against (content
+          // equality ⇒ equal VISIBLE rows; deletes bump the counter
+          // like appends), and delta members postdate every tombstone,
+          // so none of their rows are hidden.
+          if (deltaMembers.isEmpty) ChampRebuild
+          else {
+            val union = deltaMembers.map(store.loadVersion(indexTable, _))
+              .reduce(_ unionByName _)
+            ChampAppendMerge(if (positional) asPostings(union) else union)
+          }
+        } else {
+          // DELETE-MERGE (r18): tombstones landed since the anchor.
+          // The old top-m may hold now-hidden rows and the stored df
+          // overstates, so touched terms are re-selected FROM THE
+          // VISIBLE POSTINGS — per-term identical to a full rebuild by
+          // construction — while untouched terms provably keep their
+          // anchor-time entries: a term is untouched iff no delta row
+          // and no newly-hidden row carries it, so its visible postings
+          // set is unchanged since the anchor. Touched is an
+          // over-approximation by design (extra terms are just
+          // recomputed to the same rows). Discovery is O(tombstone
+          // bytes): the text delete paths record each deleted doc's
+          // term SET in the tombstone member, so the touched terms are
+          // read straight off the tombstones — a payload-less tomb
+          // (committed by the generic Graft path or older code) falls
+          // back to a slim (term, id) chain scan for ITS ids, correct
+          // either way.
+          val tombMembers = newTombs.map(store.loadVersion(indexTable, _))
+          val (withTerms, plain) =
+            tombMembers.partition(_.columns.contains("terms"))
+          val fromPayload = withTerms
+            .map(_.select(explode(col("terms")).as("term")))
+          val fromScan =
+            if (plain.isEmpty) Nil
+            else {
+              val tombIds = plain
+                .map(_.select(col(idName).as("_graft_did")))
+                .reduce(_ unionByName _).distinct()
+              Seq(sc.chainOf(meta, v)
+                .map(mv => store.loadVersion(indexTable, mv)
+                  .select(col("term"), col(idName)))
+                .reduce(_ unionByName _)
+                .join(tombIds, col(idName) === col("_graft_did"), "left_semi")
+                .select(col("term")))
+            }
+          val deltaTerms =
+            if (deltaMembers.isEmpty) Nil
+            else Seq(deltaMembers
+              .map(store.loadVersion(indexTable, _).select(col("term")))
+              .reduce(_ unionByName _))
+          ChampDeleteMerge(
+            (fromPayload ++ fromScan ++ deltaTerms)
+              .reduce(_ unionByName _).distinct())
+        }
     }
   }
 
@@ -965,8 +1126,12 @@ object TextIndex {
       : (DataFrame, DataFrame) = {
     val dRows = unpackChamps(dAgg)
     val touched = dAgg.select(col("term"))
+    // df = 0 markers excluded: a vanished-then-re-added term merges as
+    // new (no old rows — coalesce(o_df, 0) below), never against the
+    // marker's null id
     val oldTouched = resolveChamps(champMembers(store, ct, cv, Nil)
       .map(_.join(touched, Seq("term"), "left_semi")))
+      .filter(col("df") > 0)
     // stored dl is clamped and packedImpact clamps, so old rows re-rank
     // exactly as at their original selection
     val union = oldTouched.withColumn("_src", lit("o"))

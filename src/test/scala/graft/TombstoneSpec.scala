@@ -171,7 +171,7 @@ class TombstoneSpec extends SparkSpec {
 
   // ---- champions / MaxScore over a delete --------------------------
 
-  test("text: delete stales champions; refresh is rebuild-mode and correct") {
+  test("text: delete stales champions; refresh is DELETE-MERGE and == rebuild") {
     val d = docs(60)
     val deleted = Seq(3L, 10L)
     val store = newStore("champ")
@@ -185,17 +185,32 @@ class TombstoneSpec extends SparkSpec {
     val viaChamp = ranked(TextIndex.queryChampions(store, "t", queries(d),
       "query_id", "qtext", k = 50))
     assert(!viaChamp.exists(r => deleted.contains(r._2)))
-    // refresh after the delete must NOT take the incremental merge (the
-    // old top-m may hold deleted docs and stored df predates the delete)
+    // the refresh takes the DELETE-MERGE path (r18): touched terms
+    // re-selected from the visible postings, untouched terms kept
     TextIndex.refreshChampions(store, "t", m = 1024)
     val ct = "t__champ"
     val cmeta = store.metaForVersion(ct, store.currentVersion(ct))
-    assert(cmeta.get("text.champ.mode").contains("rebuild"))
+    assert(cmeta.get("text.champ.mode").contains("delete-merge"))
     assert(TextIndex.championsFresh(store, "t"))
-    // at m >= every df, champions == exact: compare against the rebuild
+    // the RESOLVED champion table must equal a rebuild's row-for-row
     val rebuilt = newStore("champ-rb")
     TextIndex.build(rebuilt, "t",
       d.filter(!col("doc_id").isin(deleted: _*)), "text", "doc_id")
+    TextIndex.refreshChampions(rebuilt, "t", m = 1024)
+    def champRows(s: SnapshotStore) = TextIndex.loadChampions(s, "t")
+      .select(col("term"), col("df").cast("long"),
+        col("max_tf").cast("long"), col("min_dl").cast("int"),
+        col("neighbor_id").cast("long"), col("dl").cast("int"),
+        col("tf").cast("long"))
+      .as[(String, Long, Long, Int, Long, Int, Long)].collect().sorted.toSeq
+    assert(champRows(store) == champRows(rebuilt),
+      "delete-merge champion content must equal rebuild-without-docs")
+    // vanished-term contract: tok3/tok10 are doc-unique, so deleting
+    // their docs vanishes the terms — the marker must keep an older
+    // member's stale entry from resurrecting the deleted docs
+    assert(TextIndex.loadChampions(store, "t")
+      .filter(col("term").isin("tok3", "tok10")).count() == 0)
+    // at m >= every df, champions == exact: compare against the rebuild
     val want = ranked(TextIndex.query(rebuilt, "t", queries(d), "query_id",
       "qtext", k = 50))
     assert(ranked(TextIndex.queryChampions(store, "t", queries(d),
@@ -203,6 +218,37 @@ class TombstoneSpec extends SparkSpec {
     val ms = ranked(TextIndex.queryMaxScore(store, "t", queries(d),
       "query_id", "qtext", k = 50))
     assert(ms == want, "MaxScore over refreshed champions after a delete")
+  }
+
+  test("text: delete + append then refresh — one delete-merge covers both") {
+    val d = docs(50)
+    val store = newStore("champ-mixed")
+    TextIndex.build(store, "t", d.filter(col("doc_id") < 40), "text", "doc_id")
+    TextIndex.refreshChampions(store, "t", m = 1024)
+    TextIndex.deleteDocs(store, "t", ids(5L, 6L))
+    TextIndex.append(store, "t", d.filter(col("doc_id") >= 40), "text",
+      "doc_id")
+    TextIndex.refreshChampions(store, "t", m = 1024)
+    val cmeta = store.metaForVersion("t__champ",
+      store.currentVersion("t__champ"))
+    assert(cmeta.get("text.champ.mode").contains("delete-merge"))
+    val rebuilt = newStore("champ-mixed-rb")
+    TextIndex.build(rebuilt, "t",
+      d.filter(!col("doc_id").isin(5L, 6L)), "text", "doc_id")
+    val want = ranked(TextIndex.query(rebuilt, "t", queries(d), "query_id",
+      "qtext", k = 50))
+    assert(ranked(TextIndex.queryChampions(store, "t", queries(d),
+      "query_id", "qtext", k = 50)) == want)
+    // the delete-merge anchors freshness at the CURRENT content, so the
+    // NEXT append refreshes through the cheap append-merge again
+    TextIndex.append(store, "t",
+      Seq((100L, "alpha w1 beta w1 gamma tok100 end")).toDF("doc_id", "text"),
+      "text", "doc_id")
+    TextIndex.refreshChampions(store, "t", m = 1024)
+    assert(store.metaForVersion("t__champ",
+        store.currentVersion("t__champ"))
+      .get("text.champ.mode").contains("merge"),
+      "the steady merge cycle must resume after a delete-merge")
   }
 
   test("text: post-delete refresh anchors merge-mode on the tombstone member") {
