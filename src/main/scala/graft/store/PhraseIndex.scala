@@ -194,36 +194,42 @@ object PhraseIndex {
   }
 
   /** Encode `docs` and commit as a fresh full snapshot (or a
-    * chain-resetting rebuild); `docs.limit(0)` for an empty init. */
+    * chain-resetting rebuild); `docs.limit(0)` for an empty init.
+    *
+    * Single-pass stats (r18): nDocs/sumDl ride the positional write as
+    * an [[ObservedStats]] observation instead of a separate aggregate
+    * action over a persisted tokenized copy — one tokenize pass over
+    * the corpus where there were two, and no MEMORY_AND_DISK
+    * materialization of the tokenized frame. */
   def build(store: SnapshotStore, table: String, docs: DataFrame,
             textCol: String, idCol: String,
             corpusTag: Option[String] = None): Long = {
-    val tok = tokenized(docs, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val (nDocs, sumDl) = statsOf(tok)
-      // content counter (r17, the TextIndex.build convention): bumped
-      // past any replaced build's — under EITHER layout prefix, so a
-      // champion cache refreshed against the old content can never
-      // read as fresh for the new, including across an in-place
-      // migration from the postings layout
-      val prevContent = if (store.exists(table))
-        TextIndex.crossLayoutContent(
-          store.metaForVersion(table, store.currentVersion(table)))
-      else 0L
-      store.commit(table, posRowsOf(tok),
-        sortKey = Some("term"), statsCols = Seq("term", "tf", "dl"),
-        meta = chain.resetMeta ++ Map(
-          TextIndex.LayoutKey -> TextIndex.LayoutPositional,
-          s"${P}tokenizer" -> Tokenizer,
-          s"${P}layout" -> Layout,
-          s"${P}nDocs" -> nDocs.toString,
-          s"${P}sumDl" -> sumDl.toString,
-          s"${P}contentVersion" -> (prevContent + 1).toString)
-          // content-version identifier of the build corpus — the same
-          // drift-detection contract as TextIndex/VectorIndex.build
-          ++ corpusTag.map(t => s"${P}corpusTag" -> t))
-    } finally tok.unpersist(blocking = false)
+    val (tok, obs) = ObservedStats.attach(
+      tokenized(docs, textCol, idCol), size(col("toks")))
+    // content counter (r17, the TextIndex.build convention): bumped
+    // past any replaced build's — under EITHER layout prefix, so a
+    // champion cache refreshed against the old content can never
+    // read as fresh for the new, including across an in-place
+    // migration from the postings layout
+    val prevContent = if (store.exists(table))
+      TextIndex.crossLayoutContent(
+        store.metaForVersion(table, store.currentVersion(table)))
+    else 0L
+    store.commit(table, posRowsOf(tok),
+      sortKey = Some("term"), statsCols = Seq("term", "tf", "dl"),
+      meta = chain.resetMeta ++ Map(
+        TextIndex.LayoutKey -> TextIndex.LayoutPositional,
+        s"${P}tokenizer" -> Tokenizer,
+        s"${P}layout" -> Layout,
+        s"${P}contentVersion" -> (prevContent + 1).toString)
+        // content-version identifier of the build corpus — the same
+        // drift-detection contract as TextIndex/VectorIndex.build
+        ++ corpusTag.map(t => s"${P}corpusTag" -> t),
+      metaDeferred = () => {
+        val (nDocs, sumDl) = ObservedStats.result(obs,
+          statsOf(tokenized(docs, textCol, idCol)))
+        Map(s"${P}nDocs" -> nDocs.toString, s"${P}sumDl" -> sumDl.toString)
+      })
   }
 
   /** The live index contents (delta-chain union) as of the current
@@ -245,18 +251,23 @@ object PhraseIndex {
                        meta: Map[String, String], docs: DataFrame,
                        textCol: String, idCol: String, compactEvery: Int,
                        extraMeta: Map[String, String])
-      : (DataFrame, Map[String, String]) = {
-    val tok = tokenized(docs, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val (bDocs, bDl) = statsOf(tok)
+      : (DataFrame, Map[String, String], () => Map[String, String]) = {
+    // Single-pass stats (r18): the batch's (docs, tokens) ride the delta
+    // write as an ObservedStats observation (see build) — the deferred
+    // thunk folds them into the accumulated metadata after the write.
+    val (tok, obs) = ObservedStats.attach(
+      tokenized(docs, textCol, idCol), size(col("toks")))
+    val (rows, nextMeta) =
       chain.next(store, table, v, meta, posRowsOf(tok), compactEvery,
-        extraMeta ++ Map(
-          s"${P}nDocs" -> (meta.getOrElse(s"${P}nDocs", "0").toLong + bDocs).toString,
-          s"${P}sumDl" -> (meta.getOrElse(s"${P}sumDl", "0").toLong + bDl).toString,
-          s"${P}contentVersion" ->
-            (meta.getOrElse(s"${P}contentVersion", "0").toLong + 1).toString))
-    } finally tok.unpersist(blocking = false)
+        extraMeta + (s"${P}contentVersion" ->
+          (meta.getOrElse(s"${P}contentVersion", "0").toLong + 1).toString))
+    (rows, nextMeta, () => {
+      val (bDocs, bDl) = ObservedStats.result(obs,
+        statsOf(tokenized(docs, textCol, idCol)))
+      Map(
+        s"${P}nDocs" -> (meta.getOrElse(s"${P}nDocs", "0").toLong + bDocs).toString,
+        s"${P}sumDl" -> (meta.getOrElse(s"${P}sumDl", "0").toLong + bDl).toString)
+    })
   }
 
   private def requireBuilt(v: Long, table: String): Unit =
@@ -270,7 +281,7 @@ object PhraseIndex {
     * uses [[appendBatchOnce]]). Returns the committed version. */
   def append(store: SnapshotStore, table: String, docs: DataFrame,
              textCol: String, idCol: String, compactEvery: Int = 8): Long =
-    store.transactMeta[Nothing](table, sortKey = Some("term"),
+    store.transactMetaDeferred[Nothing](table, sortKey = Some("term"),
         statsCols = Seq("term", "tf", "dl")) {
       val v = store.currentVersion(table)
       requireBuilt(v, table)
@@ -286,7 +297,7 @@ object PhraseIndex {
                       textCol: String, idCol: String,
                       streamId: String, batchId: Long,
                       compactEvery: Int = 8): Boolean =
-    store.transactMeta[Unit](table, sortKey = Some("term"),
+    store.transactMetaDeferred[Unit](table, sortKey = Some("term"),
         statsCols = Seq("term", "tf", "dl")) {
       val v = store.currentVersion(table)
       requireBuilt(v, table)

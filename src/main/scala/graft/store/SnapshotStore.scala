@@ -143,7 +143,8 @@ final class SnapshotStore(rootDir: String, spark: SparkSession) {
   def commit(table: String, df: DataFrame, sortKey: Option[String] = None,
              meta: Map[String, String] = Map.empty,
              statsCols: Seq[String] = Nil,
-             bloomCols: Seq[String] = Nil): Long = {
+             bloomCols: Seq[String] = Nil,
+             metaDeferred: () => Map[String, String] = () => Map.empty): Long = {
     val l = lockFor(table)
     l.lock()
     try {
@@ -170,7 +171,13 @@ final class SnapshotStore(rootDir: String, spark: SparkSession) {
       // (M6) stays per-version correct.
       val schema64 = java.util.Base64.getEncoder.encodeToString(
         allNullable(sorted.schema).json.getBytes("UTF-8"))
-      val merged = latestMeta(table) ++ meta + (SchemaKey -> schema64)
+      // `metaDeferred` runs AFTER the parquet write, before the pointer
+      // flip: metadata whose values ride the write pass itself (the
+      // ObservedStats single-pass nDocs/sumDl) lands as atomically as
+      // the eager map. Same crash window as `meta` — a writer dying
+      // here leaves an orphaned dir, cleared by the next commit.
+      val merged = latestMeta(table) ++ meta ++ metaDeferred() +
+        (SchemaKey -> schema64)
       writeMeta(dest, merged)
       writePointerAtomically(table, next)
       next
@@ -286,6 +293,25 @@ final class SnapshotStore(rootDir: String, spark: SparkSession) {
       case Left(a) => Left(a)
       case Right((df, meta)) =>
         Right(commit(table, df, sortKey, meta, statsCols, bloomCols))
+    } finally l.unlock()
+  }
+
+  /** [[transactMeta]] whose Right additionally carries a DEFERRED
+    * metadata thunk, evaluated after the commit's parquet write — for
+    * metadata computed BY the write pass itself (ObservedStats: the
+    * nDocs/sumDl observation resolves only once the write job has
+    * streamed the tokenized rows). */
+  def transactMetaDeferred[A](table: String, sortKey: Option[String] = None,
+                              statsCols: Seq[String] = Nil,
+                              bloomCols: Seq[String] = Nil)
+      (fn: => Either[A, (DataFrame, Map[String, String], () => Map[String, String])])
+      : Either[A, Long] = {
+    val l = lockFor(table)
+    l.lock()
+    try fn match {
+      case Left(a) => Left(a)
+      case Right((df, meta, deferred)) =>
+        Right(commit(table, df, sortKey, meta, statsCols, bloomCols, deferred))
     } finally l.unlock()
   }
 

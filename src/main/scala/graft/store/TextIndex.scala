@@ -261,10 +261,20 @@ object TextIndex {
   def build(store: SnapshotStore, indexTable: String, corpus: DataFrame,
             textCol: String, idCol: String,
             corpusTag: Option[String] = None): Long = {
-    val tok = tokenized(corpus, textCol, idCol)
-      .persist(StorageLevel.MEMORY_AND_DISK) // read 2×: stats + postings
+    // Single-pass stats (r18): nDocs/sumDl ride the postings write as an
+    // ObservedStats observation instead of a separate aggregate action.
+    // The observed frame stays PERSISTED here (unlike PhraseIndex's
+    // hash-partitioned writer): postingsOf range-partitions, and the
+    // RangePartitioner's sampling job re-evaluates the child — without
+    // the cache the CollectMetrics node would count every row twice
+    // (sampling pass + shuffle pass; measured as doubled nDocs in
+    // TextIndexSpec). With the cache the sampling pass materializes the
+    // observed rows once, the shuffle pass reads the cache above the
+    // metrics node, and the separate stats job is still gone.
+    val (tok0, obs) = ObservedStats.attach(
+      tokenized(corpus, textCol, idCol), size(col("toks")))
+    val tok = tok0.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val (nDocs, sumDl) = statsOf(tok)
       // content counter: bumped past any previous build's — under
       // EITHER layout prefix (commit meta merges over the old
       // version's, so a rebuild, including an in-place migration from
@@ -279,10 +289,12 @@ object TextIndex {
         meta = chain.resetMeta ++ Map(
           LayoutKey -> LayoutPostings,
           s"${P}tokenizer" -> Tokenizer,
-          s"${P}nDocs" -> nDocs.toString,
-          s"${P}sumDl" -> sumDl.toString,
           s"${P}contentVersion" -> (prevContent + 1).toString)
-          ++ corpusTag.map(t => s"${P}corpusTag" -> t))
+          ++ corpusTag.map(t => s"${P}corpusTag" -> t),
+        metaDeferred = () => {
+          val (nDocs, sumDl) = ObservedStats.result(obs, statsOf(tok))
+          Map(s"${P}nDocs" -> nDocs.toString, s"${P}sumDl" -> sumDl.toString)
+        })
     } finally tok.unpersist(blocking = false)
   }
 
@@ -330,19 +342,15 @@ object TextIndex {
         store.currentVersion(indexTable))))
       return PhraseIndex.append(store, indexTable, newDocs, textCol, idCol,
         compactEvery)
-    var tok: DataFrame = null
-    try {
-      store.transactMeta[Nothing](indexTable, sortKey = Some("term"),
-          statsCols = Seq("term", "tf", "dl")) {
-        val v = store.currentVersion(indexTable)
-        requireBuilt(v, indexTable)
-        val meta = store.metaForVersion(indexTable, v)
-        requireStillPostings(meta, indexTable)
-        tok = tokenized(newDocs, textCol, idCol)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        Right(deltaFor(store, indexTable, v, meta, tok, compactEvery, Map.empty))
-      }.merge
-    } finally if (tok != null) tok.unpersist(blocking = false)
+    store.transactMetaDeferred[Nothing](indexTable, sortKey = Some("term"),
+        statsCols = Seq("term", "tf", "dl")) {
+      val v = store.currentVersion(indexTable)
+      requireBuilt(v, indexTable)
+      val meta = store.metaForVersion(indexTable, v)
+      requireStillPostings(meta, indexTable)
+      Right(deltaFor(store, indexTable, v, meta, newDocs, textCol, idCol,
+        compactEvery, Map.empty))
+    }.merge
   }
 
   /** Exactly-once streaming append — the shared batch-id watermark
@@ -358,24 +366,19 @@ object TextIndex {
       return PhraseIndex.appendBatchOnce(store, indexTable, batch, textCol,
         idCol, streamId, batchId, compactEvery)
     val metaKey = s"stream.$streamId.lastBatchId"
-    var tok: DataFrame = null
-    try {
-      store.transactMeta[Unit](indexTable, sortKey = Some("term"),
-          statsCols = Seq("term", "tf", "dl")) {
-        val v = store.currentVersion(indexTable)
-        requireBuilt(v, indexTable)
-        val meta = store.metaForVersion(indexTable, v)
-        val last = meta.get(metaKey).map(_.toLong).getOrElse(-1L)
-        if (batchId <= last) Left(())
-        else {
-          requireStillPostings(meta, indexTable)
-          tok = tokenized(batch, textCol, idCol)
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          Right(deltaFor(store, indexTable, v, meta, tok, compactEvery,
-            Map(metaKey -> batchId.toString)))
-        }
-      }.isRight
-    } finally if (tok != null) tok.unpersist(blocking = false)
+    store.transactMetaDeferred[Unit](indexTable, sortKey = Some("term"),
+        statsCols = Seq("term", "tf", "dl")) {
+      val v = store.currentVersion(indexTable)
+      requireBuilt(v, indexTable)
+      val meta = store.metaForVersion(indexTable, v)
+      val last = meta.get(metaKey).map(_.toLong).getOrElse(-1L)
+      if (batchId <= last) Left(())
+      else {
+        requireStillPostings(meta, indexTable)
+        Right(deltaFor(store, indexTable, v, meta, batch, textCol, idCol,
+          compactEvery, Map(metaKey -> batchId.toString)))
+      }
+    }.isRight
   }
 
   /** TAKEDOWN: delete documents from the index without a rebuild — an
@@ -533,22 +536,40 @@ object TextIndex {
           "(TextIndex.build; corpus.limit(0) for an empty init)")
 
   /** Delta rows + accumulated stats for one append — shared by append
-    * and appendBatchOnce. Runs inside the table transaction. */
+    * and appendBatchOnce. Runs inside the table transaction.
+    *
+    * Single-pass stats (r18): the batch's (docs, tokens) ride the delta
+    * write as an ObservedStats observation (see [[build]]) — the
+    * deferred thunk folds them into the accumulated metadata after the
+    * write, so an append costs ONE tokenize pass and zero persists. */
   private def deltaFor(store: SnapshotStore, table: String, v: Long,
-                       meta: Map[String, String], tok: DataFrame,
+                       meta: Map[String, String], newDocs: DataFrame,
+                       textCol: String, idCol: String,
                        compactEvery: Int, extraMeta: Map[String, String])
-      : (DataFrame, Map[String, String]) = {
-    val (bDocs, bDl) = statsOf(tok) // the one blocking action per append
-    val nDocs = meta.getOrElse(s"${P}nDocs", "0").toLong + bDocs
-    val sumDl = meta.getOrElse(s"${P}sumDl", "0").toLong + bDl
+      : (DataFrame, Map[String, String], () => Map[String, String]) = {
+    // Persisted for the same reason as [[build]]: postingsOf
+    // range-partitions, and without the cache the RangePartitioner's
+    // sampling pass would run the metrics node twice (doubled stats).
+    // The deferred thunk runs after the commit's write — the one place
+    // that can both read the observation and release the cache.
+    val (tok0, obs) = ObservedStats.attach(
+      tokenized(newDocs, textCol, idCol), size(col("toks")))
+    val tok = tok0.persist(StorageLevel.MEMORY_AND_DISK)
     // appends bump the CONTENT counter; pure compaction/vacuum do not —
     // champion freshness rides on content, not the version number
     val content = meta.getOrElse(s"${P}contentVersion", "0").toLong + 1
-    chain.next(store, table, v, meta, postingsOf(tok), compactEvery,
-      extraMeta ++ Map(
-        s"${P}nDocs" -> nDocs.toString,
-        s"${P}sumDl" -> sumDl.toString,
-        s"${P}contentVersion" -> content.toString), layout = termLayout)
+    val (rows, nextMeta) =
+      chain.next(store, table, v, meta, postingsOf(tok), compactEvery,
+        extraMeta + (s"${P}contentVersion" -> content.toString),
+        layout = termLayout)
+    (rows, nextMeta, () => {
+      try {
+        val (bDocs, bDl) = ObservedStats.result(obs, statsOf(tok))
+        Map(
+          s"${P}nDocs" -> (meta.getOrElse(s"${P}nDocs", "0").toLong + bDocs).toString,
+          s"${P}sumDl" -> (meta.getOrElse(s"${P}sumDl", "0").toLong + bDl).toString)
+      } finally tok.unpersist(blocking = false)
+    })
   }
 
   /** BM25 top-k over the latest committed index version: term probe +
