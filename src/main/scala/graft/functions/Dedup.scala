@@ -801,14 +801,20 @@ object Dedup {
     def cut(df: DataFrame): DataFrame =
       if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
+    // The emptiness probe rides the edges checkpoint as an observation
+    // (r18): one job instead of checkpoint + isEmpty.
+    val edgeObs = org.apache.spark.sql.Observation()
     val edges = cut(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-        .distinct())
+        .distinct()
+        .observe(edgeObs, count(lit(1)).as("n")))
     var labels = cut(edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")))
     var iter = 0
-    var converged = edges.isEmpty
+    val noEdges =
+      graft.store.ObservedStats.longMetric(edgeObs, edges.count()) == 0L
+    var converged = noEdges
     while (!converged && iter < maxIter) {
       // min label among each node's neighbors
       val nbrMin = edges
@@ -816,24 +822,29 @@ object Dedup {
         .groupBy(col("src")).agg(min(col("dlabel")).as("nlabel"))
         .select(col("src").as("id"), col("nlabel"))
       // pointer jump: follow the current label to ITS label. The round's
-      // result carries its own `changed` flag (new label ≠ old label), so
-      // convergence is a linear count over the checkpointed blocks —
+      // result carries its own `changed` flag (new label ≠ old label) —
       // `next` has exactly the ids of `labels` (left joins), so zero
-      // changed rows ⟺ fixpoint, the same exact condition the earlier
-      // formulation computed with a full next-vs-labels join per round.
+      // changed rows ⟺ fixpoint. The changed count rides the round's
+      // eager checkpoint as an observation (r18: one job per round, not
+      // two — the separate count action re-read the checkpointed blocks
+      // purely to sum a flag the materialization had already streamed).
       val newLabel = least(col("label"), coalesce(col("nlabel"), col("label")),
         coalesce(col("jlabel"), col("label")))
+      val obs = org.apache.spark.sql.Observation()
       val next = cut(labels
         .join(nbrMin, Seq("id"), "left")
         .join(labels.select(col("id").as("label"), col("label").as("jlabel")),
           Seq("label"), "left")
         .select(col("id"), newLabel.as("label"),
-          (newLabel =!= col("label")).as("changed")))
-      converged = next.filter(col("changed")).count() == 0L
+          (newLabel =!= col("label")).as("changed"))
+        .observe(obs, coalesce(sum(col("changed").cast("long")), lit(0L))
+          .as("nchanged")))
+      converged = graft.store.ObservedStats.longMetric(obs,
+        next.filter(col("changed")).count()) == 0L
       labels = next.select(col("id"), col("label"))
       iter += 1
     }
-    if (!converged && !edges.isEmpty)
+    if (!converged && !noEdges)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds")
     labels.select(col("id"), col("label").as("component_id"))

@@ -248,17 +248,21 @@ object CurationIngest {
     // needs no commit and leaves the two-commit crash matrix untouched —
     // the CONTRACT is that a replayed (streamId, batchId) passes the
     // SAME benchmark, so the committed stages see the same clean subset.
-    val contaminated: Option[DataFrame] = benchmark.map { bench =>
+    // The contaminated-id count rides the checkpoint materialization as
+    // an observation (r18): it only sizes the BroadcastGate below, so
+    // the separate count job was pure overhead.
+    val contaminated: Option[(DataFrame, Long)] = benchmark.map { bench =>
+      val obs = org.apache.spark.sql.Observation()
       val ids = graft.functions.Dedup
         .benchmarkOverlap(b0, bench, textCol, idCol, deconN, broadcastKeyLimit)
         .select(col(idCol).as("id"))
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint() // eager, hit-sized; severs lineage into bench
-      ids
+      (ids, ObservedStats.longMetric(obs, ids.count()))
     }
     val b = contaminated match {
       case None => b0
-      case Some(ids) =>
-        val n = ids.count()
+      case Some((ids, n)) =>
         b0.join(BroadcastGate(ids.select(col("id").as(idCol)), n,
             broadcastKeyLimit), Seq(idCol), "left_anti")
           .persist(StorageLevel.MEMORY_AND_DISK)
@@ -281,16 +285,21 @@ object CurationIngest {
     // self-contained (no lineage into snapshot version dirs).
     val fpAppend = FingerprintIndex.appendBatchOnce(store, fpT, b, textCol,
       idCol, streamId, batchId, compactEvery, broadcastKeyLimit)
+    // The survivor count rides the checkpoint materialization as an
+    // observation (r18): it only sizes the near-dup gates below.
+    val fpObs = org.apache.spark.sql.Observation()
     val fpRes = fpAppend
       .getOrElse(FingerprintIndex.resolve(store, fpT, b, textCol, idCol,
         broadcastKeyLimit))
+      .observe(fpObs, coalesce(sum(col("is_new").cast("long")), lit(0L))
+        .as("nnew"))
       .localCheckpoint() // eager
     fpAppend.foreach(_.unpersist(blocking = false))
 
     // Stage 2 — near-dup gating of the fingerprint survivors only (the
     // fingerprint-first saving: exact dups never reach this index).
     val survivorIds = fpRes.filter(col("is_new")).select(col("id"))
-    val nSurv = survivorIds.count() // fpRes is cached; sizes the gate
+    val nSurv = ObservedStats.longMetric(fpObs, survivorIds.count())
     val survivors = b.join(
       BroadcastGate(survivorIds.select(col("id").as(idCol)), nSurv,
         broadcastKeyLimit),
@@ -346,8 +355,8 @@ object CurationIngest {
           .when(col("near_keep").isNotNull, lit("near"))
           .otherwise(lit("new")).as("regime"))
     val lineage = contaminated
-      .map(ids => gated.unionByName(ids.select(col("id"),
-        col("id").as("keep_id"), lit("contaminated").as("regime"))))
+      .map { case (ids, _) => gated.unionByName(ids.select(col("id"),
+        col("id").as("keep_id"), lit("contaminated").as("regime"))) }
       .getOrElse(gated)
       .localCheckpoint() // eager; plan-cut + self-contained, see above
     pairs.unpersist(blocking = false)
@@ -396,20 +405,31 @@ object CurationIngest {
     def cut(df: DataFrame): DataFrame =
       if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
-    var ptr = cut(lineage.select(col("id"), col("keep_id")))
+    // The emptiness probe rides the initial checkpoint as an observation
+    // (r18): one job instead of checkpoint + isEmpty.
+    val ptrObs = org.apache.spark.sql.Observation()
+    var ptr = cut(lineage.select(col("id"), col("keep_id"))
+      .observe(ptrObs, count(lit(1)).as("n")))
     var iter = 0
-    var converged = ptr.isEmpty
+    var converged = ObservedStats.longMetric(ptrObs, ptr.count()) == 0L
     while (!converged && iter < maxIter) {
       // Jump side: keep_id → its own keep, NON-ROOT rows only (a root's
       // jump is the identity, which the coalesce below supplies).
       val jump = ptr.filter(col("id") =!= col("keep_id"))
         .select(col("id").as("keep_id"), col("keep_id").as("jumped"))
+      // The changed count rides the round's eager checkpoint as an
+      // observation (r18, the connectedComponents discipline): one job
+      // per round instead of checkpoint + count.
+      val obs = org.apache.spark.sql.Observation()
       val next = cut(ptr
         .join(jump, Seq("keep_id"), "left")
         .select(col("id"),
           coalesce(col("jumped"), col("keep_id")).as("keep_id"),
-          col("jumped").isNotNull.as("changed")))
-      converged = next.filter(col("changed")).count() == 0L
+          col("jumped").isNotNull.as("changed"))
+        .observe(obs, coalesce(sum(col("changed").cast("long")), lit(0L))
+          .as("nchanged")))
+      converged = ObservedStats.longMetric(obs,
+        next.filter(col("changed")).count()) == 0L
       // `next` is materialized (eager cut + the count above), so the
       // previous round's checkpoint blocks are dead — release them now
       // instead of pinning ceil(log2 depth) lineage-sized copies in

@@ -227,10 +227,15 @@ object FingerprintIndex {
               .collect().map(_.getLong(0))
             bloomPrunedIndex(store, table, v, meta, fps)
           } else chain.load(store, table, v, meta)
+        // No separate materializing count (r18): the commit below writes
+        // newSurvivors, which joins against this cached frame — the
+        // write action itself populates the cache (filter + projection
+        // over an InMemoryRelation materialize full cached batches), so
+        // the returned frame is eager by the time the transact returns,
+        // one job earlier.
         val resolved =
           resolveAgainst(idx, enc, nKeys, broadcastKeyLimit)
             .persist(StorageLevel.MEMORY_AND_DISK)
-        resolved.count()
         result = Some(resolved)
         val newSurvivors = enc
           .join(resolved.filter(col("is_new")).select(col("id")), Seq("id"))

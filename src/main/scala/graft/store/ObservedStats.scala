@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   * with an EMPTY row — `result` then falls back to the eager aggregate,
   * which on such inputs is a trivial job. A timeout falls back the same
   * way, so the stats are never silently wrong or missing. */
-private[store] object ObservedStats {
+private[graft] object ObservedStats {
 
   /** Attach a (count, sum(dl)) observation to `tok` over `dlExpr`.
     * Returns the frame to build postings from (same rows, observed). */
@@ -43,6 +43,25 @@ private[store] object ObservedStats {
     row match {
       case Some(r) if r.length == 2 && !r.isNullAt(0) =>
         (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      case _ => fallback
+    }
+  }
+
+  /** A single observed LONG metric (the first field), or `fallback`
+    * when the observation resolved empty (collapsed plan), null (sum
+    * over zero rows — callers wanting 0 there should coalesce in the
+    * metric expression) or timed out. Used by the iterative loops
+    * (connected components, lineage closure) to ride their convergence
+    * count on the round's eager checkpoint — measured (ObsProbe r18):
+    * the observation fires on `localCheckpoint` materializations with
+    * exact counts. */
+  def longMetric(obs: Observation, fallback: => Long): Long = {
+    val row =
+      try Some(scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(2000, "ms")))
+      catch { case _: java.util.concurrent.TimeoutException => None }
+    row match {
+      case Some(r) if r.length >= 1 && !r.isNullAt(0) => r.getLong(0)
       case _ => fallback
     }
   }

@@ -54,6 +54,25 @@ object ObsProbe {
     }
     probeRange("range_nocache", df, cache = false)
     probeRange("range_cache", df, cache = true)
+
+    // does the observation fire on an EAGER localCheckpoint action?
+    def probeCheckpoint(name: String, base: org.apache.spark.sql.DataFrame): Unit = {
+      val obs = Observation()
+      val observed = base.observe(obs, count(lit(1)).as("n"),
+        coalesce(sum(col("x").cast("long")), lit(0L)).as("s"))
+      val t0 = System.nanoTime()
+      val cp = observed.localCheckpoint() // eager
+      val tC = (System.nanoTime() - t0) / 1e6
+      val row = try {
+        Some(scala.concurrent.Await.result(obs.future,
+          scala.concurrent.duration.Duration(2000, "ms")))
+      } catch { case _: java.util.concurrent.TimeoutException => None }
+      println(s"OBSPROBE $name checkpoint_ms=$tC row=$row (true n=100000)")
+      cp.unpersist(blocking = false)
+    }
+    probeCheckpoint("localCheckpoint", df)
+    probeCheckpoint("localCheckpoint_joined",
+      df.join(df.select(col("x"), (col("x") + 1).as("y")), Seq("x"), "left"))
     spark.stop()
   }
 }
