@@ -1407,7 +1407,13 @@ object TextIndex {
         .persist(StorageLevel.MEMORY_AND_DISK)
       val thetaOf: Map[Any, Double] = thetaDf.collect()
         .map(r => r.get(0) -> r.getDouble(1)).toMap
-      // essential split per (query, term): ascending-ub prefix below θ̂
+      // essential split per (query, term): ascending-ub prefix below θ̂.
+      // ONE query-batch-sized collect (r18) carries the full tagged
+      // (query_id, term, essential) list — it feeds essTerms, the
+      // per-query term lists for the file-skip rule below, AND the
+      // essential-pair broadcast, where the pre-r18 shape paid three
+      // separate driver actions (essTerms distinct-collect, qTerms
+      // collect, and the pairs' own materialization) for the same rows.
       val ubLookup = spark.createDataFrame(
         ub.toSeq.map(t => UbRow(t._1, t._2))).toDF("term", "ub")
       val qTerms = queries.select(col(queryIdCol).as("query_id"),
@@ -1415,33 +1421,41 @@ object TextIndex {
       val cumWin = Window.partitionBy(col("query_id"))
         .orderBy(col("ub").asc, col("term").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val essentialPairs = qTerms
+      val taggedRows = qTerms
         .join(broadcast(ubLookup), Seq("term"), "left")
         .withColumn("ub", coalesce(col("ub"), lit(0.0)))
         .join(broadcast(thetaDf), Seq("query_id"), "left")
         .withColumn("cum", sum(col("ub")).over(cumWin))
         // no θ̂ (fewer than k champion-scored docs) → everything essential
-        .filter(col("theta").isNull || col("cum") >= col("theta"))
-        .select(col("query_id"), col("term"))
-        .persist(StorageLevel.MEMORY_AND_DISK) // query-batch-sized, read 2×
-      val essTerms = essentialPairs.select(col("term")).distinct()
-        .collect().map(_.getString(0)).toSeq
+        .select(col("query_id"), col("term"),
+          (col("theta").isNull || col("cum") >= col("theta")).as("essential"))
+        .collect()
+      val essTerms = taggedRows.filter(_.getBoolean(2))
+        .map(_.getString(1)).distinct.toSeq
       val nonEssTerms = terms.diff(essTerms)
       if (nonEssTerms.isEmpty) {
         // nothing prunes (θ̂ absent, or every term essential for some
         // query): the candidate machinery would only add joins on top
         // of the exact probe's plan — delegate instead of paying it
-        essentialPairs.unpersist(blocking = false)
         thetaDf.unpersist(blocking = false)
         return (query(store, indexTable, queries, queryIdCol, queryTextCol,
           k, k1, b), None)
       }
+      val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id", qIdType),
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType)))
+      val essentialPairs = spark.createDataFrame(
+        java.util.Arrays.asList(taggedRows.filter(_.getBoolean(2)).map(r =>
+          org.apache.spark.sql.Row(r.get(0), r.getString(1))): _*),
+        pairSchema)
 
       // ---- per-file score skip (scaladoc §3) -----------------------
-      // Driver-held inputs: per-query term lists (the same tokenization
-      // the split used — query-batch-sized collect), θ̂, and the per-term
-      // stats; everything else comes from each file's zone sidecar.
-      val termsOf: Seq[(Any, Seq[String])] = qTerms.collect()
+      // Driver-held inputs: per-query term lists (from the SAME tagged
+      // collect as the essential split — all terms, not just essential),
+      // θ̂, and the per-term stats; everything else comes from each
+      // file's zone sidecar.
+      val termsOf: Seq[(Any, Seq[String])] = taggedRows
         .map(r => (r.get(0), r.getString(1)))
         .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toSeq
       val termStats: Map[String, (Long, Long, Int)] = stats.map(r =>
@@ -1517,7 +1531,6 @@ object TextIndex {
         restrictTo = Some(candidates))
         .persist(StorageLevel.MEMORY_AND_DISK)
       ranked.count() // EAGER: helper caches release on return
-      essentialPairs.unpersist(blocking = false)
       candidates.unpersist(blocking = false)
       thetaDf.unpersist(blocking = false)
       (ranked, Some(io))
