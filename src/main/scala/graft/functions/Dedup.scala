@@ -780,8 +780,57 @@ object Dedup {
     * component_id is the MIN node id of the component — deterministic,
     * so the result is oracle-comparable (`dedup_components` pins it to
     * a DuckDB recursive-CTE closure of the same pair list). */
+  /** Edge-count gate for the driver-side union-find fast path of
+    * [[connectedComponents]]: at or below this many (undirected,
+    * doubled) edge rows the component solve collects the edge list —
+    * two integral ids per row, ≤ ~32 MB at the gate — and runs exact
+    * union-find on the driver instead of paying ~5 Spark jobs per
+    * pointer-jump round. The duplicate GRAPH is pair-output-sized, not
+    * corpus-sized, so real corpora at any scale sit under this gate
+    * unless they are pathologically duplicate-dense — and those route
+    * to the distributed loop unchanged (the same size-gated two-regime
+    * shape as BroadcastGate). */
+  val DriverSolveMaxEdges: Long = 2000000L
+
+  /** Exact min-id components of a collected long-id edge list: DSU with
+    * path halving, then per-root min id — bit-identical to the
+    * distributed min-label fixpoint. */
+  private def unionFindMinLabels(edges: Array[(Long, Long)])
+      : scala.collection.mutable.LongMap[Long] = {
+    val parent = new scala.collection.mutable.LongMap[Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrElse(x, x)
+      while (p != x) {
+        val gp = parent.getOrElse(p, p)
+        parent.update(x, gp)
+        x = gp
+        p = parent.getOrElse(x, x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb) }
+    }
+    val minOf = new scala.collection.mutable.LongMap[Long]()
+    parent.foreachKey { id =>
+      val r = find(id)
+      minOf.update(r, math.min(minOf.getOrElse(r, id), id))
+    }
+    val out = new scala.collection.mutable.LongMap[Long]()
+    parent.foreachKey(id => out.update(id, minOf(find(id))))
+    out
+  }
+
+  private def isDriverSolvable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    isIntegral(dt)
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 30): DataFrame = {
+                          maxIter: Int = 30,
+                          driverSolveMaxEdges: Long = DriverSolveMaxEdges)
+      : DataFrame = {
     val spark = pairs.sparkSession
     // Each round's plan references the previous round's labels three
     // times, so WITHOUT truncation the logical plan grows ~3^k nodes by
@@ -809,11 +858,34 @@ object Dedup {
         .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
         .distinct()
         .observe(edgeObs, count(lit(1)).as("n")))
+    val nEdges = graft.store.ObservedStats.longMetric(edgeObs, edges.count())
+    val noEdges = nEdges == 0L
+    val idType = edges.schema("src").dataType
+    if (!noEdges && nEdges <= driverSolveMaxEdges && isDriverSolvable(idType)) {
+      // Driver union-find fast path (gate scaladoc above): ONE collect of
+      // the checkpointed edge list replaces the whole pointer-jump loop.
+      // Integral ids round-trip exactly through long; every other id
+      // type (fractional ids are accepted by the keep-best variants)
+      // takes the distributed loop below, semantics identical.
+      val edgeArr = edges.select(col("src").cast("long"),
+          col("dst").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val labelMap = unionFindMinLabels(edgeArr)
+      val rows = labelMap.toSeq.sortBy(_._1).map { case (id, comp) =>
+        org.apache.spark.sql.Row(id, comp) }
+      val longSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("component_id",
+          org.apache.spark.sql.types.LongType)))
+      return spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), longSchema)
+        .select(col("id").cast(idType).as("id"),
+          col("component_id").cast(idType).as("component_id"))
+    }
     var labels = cut(edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")))
     var iter = 0
-    val noEdges =
-      graft.store.ObservedStats.longMetric(edgeObs, edges.count()) == 0L
     var converged = noEdges
     while (!converged && iter < maxIter) {
       // min label among each node's neighbors

@@ -400,7 +400,9 @@ object CurationIngest {
     * lineage-sized hash join whose build side holds only the NON-ROOT
     * rows (the minority at real dup rates). Every other input column
     * rides through unchanged; `keep_id` is replaced by the root. */
-  def closeLineage(lineage: DataFrame, maxIter: Int = 30): DataFrame = {
+  def closeLineage(lineage: DataFrame, maxIter: Int = 30,
+                   driverSolveMaxRows: Long =
+                     graft.functions.Dedup.DriverSolveMaxEdges): DataFrame = {
     val spark = lineage.sparkSession
     def cut(df: DataFrame): DataFrame =
       if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
@@ -410,8 +412,62 @@ object CurationIngest {
     val ptrObs = org.apache.spark.sql.Observation()
     var ptr = cut(lineage.select(col("id"), col("keep_id"))
       .observe(ptrObs, count(lit(1)).as("n")))
+    val nRows = ObservedStats.longMetric(ptrObs, ptr.count())
+    val idType = ptr.schema("id").dataType
+    val integralIds = idType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (nRows > 0 && nRows <= driverSolveMaxRows && integralIds) {
+      // Driver chain-chase fast path (the connectedComponents union-find
+      // discipline, r18): the lineage frame is batch-history-sized, not
+      // corpus-sized, so at or below the shared gate ONE collect of the
+      // checkpointed (id, keep_id) pointers replaces the whole
+      // pointer-jump loop. Pointers strictly decrease by the operator
+      // contract; a cycle throws the same corrupt-input error the
+      // distributed loop's round bound throws. Integral ids round-trip
+      // exactly through long; other id types take the loop below.
+      val arr = ptr.select(col("id").cast("long"), col("keep_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val keep = new scala.collection.mutable.LongMap[Long]()
+      arr.foreach { case (id, k) => keep.update(id, k) }
+      val root = new scala.collection.mutable.LongMap[Long]()
+      def rootOf(x0: Long): Long = root.getOrElse(x0, {
+        var x = x0
+        val path = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (keep.getOrElse(x, x) != x && !root.contains(x)) {
+          path += x
+          if (path.length > arr.length)
+            throw new IllegalStateException(
+              "closeLineage did not converge — the lineage frame has a " +
+                "keep_id cycle, which the ingest operator cannot emit " +
+                "(pointers strictly decrease); the input is corrupt")
+          x = keep(x)
+        }
+        val r = root.getOrElse(x, x)
+        path.foreach(p => root.update(p, r))
+        r
+      })
+      val rows = arr.map { case (id, _) =>
+        org.apache.spark.sql.Row(id, rootOf(id)) }.toSeq
+      val longSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("keep_id",
+          org.apache.spark.sql.types.LongType)))
+      val closedPtr = spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), longSchema)
+        .select(col("id").cast(idType).as("id"),
+          col("keep_id").cast(idType).as("keep_id"))
+      val closed = cut(lineage.drop("keep_id").join(closedPtr, Seq("id")))
+      ptr.unpersist(blocking = false)
+      return closed
+    }
     var iter = 0
-    var converged = ObservedStats.longMetric(ptrObs, ptr.count()) == 0L
+    var converged = nRows == 0L
     while (!converged && iter < maxIter) {
       // Jump side: keep_id → its own keep, NON-ROOT rows only (a root's
       // jump is the identity, which the coalesce below supplies).

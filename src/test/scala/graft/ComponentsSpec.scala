@@ -50,6 +50,25 @@ class ComponentsSpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() === 0)
   }
 
+  test("driver union-find fast path equals the distributed pointer-jump loop") {
+    // r18: under the edge gate the solve collects and runs union-find on
+    // the driver; force the distributed loop (gate 0) on the same graph
+    // and pin row-for-row equality — the two regimes must be
+    // indistinguishable to any caller.
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(400)((rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val df = edges.toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(df, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(df, "id_a", "id_b",
+        driverSolveMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast === dist)
+    assert(fast === unionFind(edges))
+  }
+
   test("cluster dedup is transitive where pairwise keep-min is not") {
     // docs 1 and 3 near-dup, 2 and 3 near-dup, 1 and 2 NOT (direct
     // Jaccard below tau): the component {1,2,3} keeps only doc 1,

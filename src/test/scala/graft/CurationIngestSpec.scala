@@ -333,6 +333,12 @@ class CurationIngestSpec extends SparkSpec {
     // regimes ride through unchanged
     val regimes = closed.map(r => r._1 -> r._3).toMap
     onehop.foreach { case (id, _, reg) => assert(regimes(id) == reg) }
+    // r18: the driver chain-chase fast path (default gate) and the
+    // distributed pointer-jump loop (gate 0) must be indistinguishable
+    val viaLoop = CurationIngest.closeLineage(lineage, driverSolveMaxRows = 0L)
+      .select(col("id"), col("keep_id"), col("regime"))
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(viaLoop.toSeq === closed.sortBy(_._1).toSeq)
   }
 
   test("closeLineage on a real composed ingest: every keep chain compacts to a surviving root") {
