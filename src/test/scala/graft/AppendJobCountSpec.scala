@@ -116,25 +116,32 @@ class AppendJobCountSpec extends SparkSpec {
       lineage.unpersist(blocking = false)
     }
     info(s"FingerprintIndex hinted append: $jobs jobs, action callsites=$sites")
-    assert(sites.forall(_.startsWith("count at FingerprintIndex")),
+    // r18: the commit write is the ONLY blocking action — the result's
+    // eager materialization rides the write (newSurvivors joins the
+    // cached resolution), so a reintroduced count/distinct/schema job
+    // surfaces as an extra callsite here. Measured 13 jobs post-cut
+    // (was 18-budget with the separate materializing count).
+    assert(sites.forall(_.startsWith("parquet at SnapshotStore")),
       s"unexpected driver actions in the append path: $sites")
-    assert(jobs <= 18, s"append spent $jobs jobs (budget 18)")
+    assert(jobs <= 16, s"append spent $jobs jobs (budget 16)")
   }
 
-  test("TextIndex append: the stats aggregate is the only blocking action") {
+  test("TextIndex append: the commit write is the only blocking action") {
     val store = freshStore()
     graft.store.TextIndex.build(store, "tx", docs.limit(0), "text", "doc_id")
     val (jobs, sites) = jobsIn {
       graft.store.TextIndex.append(store, "tx", docs, "text", "doc_id")
     }
     info(s"TextIndex append: $jobs jobs, action callsites=$sites")
-    // The batch stats aggregate (exact by necessity — it changes every
-    // score) is the single permitted driver action; a reintroduced
-    // sizing count, schema-inference read, or eager chain load would
-    // surface as an extra callsite.
-    assert(sites.forall(_.startsWith("collect at TextIndex")),
+    // r18: the batch stats aggregate rides the commit write as an
+    // ObservedStats observation, so the write is the single permitted
+    // driver action; a reintroduced stats collect, sizing count,
+    // schema-inference read, or eager chain load would surface as an
+    // extra callsite. Measured 5 jobs post-fusion (was 14-budget with
+    // the separate stats collect).
+    assert(sites.forall(_.startsWith("parquet at SnapshotStore")),
       s"unexpected driver actions in the append path: $sites")
-    assert(jobs <= 14, s"append spent $jobs jobs (budget 14)")
+    assert(jobs <= 8, s"append spent $jobs jobs (budget 8)")
   }
 
   test("hinted and unhinted appends produce identical pairs") {
