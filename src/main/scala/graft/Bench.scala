@@ -57,7 +57,23 @@ object Bench {
     "f7_dategroup", "j2_inner",
     "m1_nextkey", "m3_update", "m5_delete", "m8_distinct",
     "q1_pricing", "q3_revenue",
-    "events_distinct", "events_typestats", "sql_joinagg", "sql_textfns")
+    "events_distinct", "events_typestats", "sql_joinagg", "sql_textfns",
+    // r19: the suite outgrew the budget AGAIN in r18 (the 8 *_deleted
+    // entries) and the emergency backstop fired, demoting a DIFFERENT
+    // cheapest subset at 32 vs 8 cores — exactly the instability the
+    // fixed-subset rule exists to prevent. The subset below is the
+    // UNION of what the backstop demoted in both r18 runs (so the r19
+    // headline is a clean subset of r18's parsed headline and the
+    // driver's round-over-round diff has maximal common keys), plus
+    // four cheap stable single-shape entries for ≥5% headroom
+    // (headline ≈1774 chars vs the 1880 budget at r18 values). All of
+    // these still stream on their BENCH q= lines and in BENCH_FULL.json.
+    "a5_groupcount", "embed_docs", "events_asof", "events_hourly",
+    "events_json", "events_quantiles", "events_quantiles_approx",
+    "j1_anti", "mix_temperature", "pack_shards", "pii_scrub",
+    "sample_stratified", "split_leakage_safe", "text_repetition",
+    "text_stats", "text_triage", "u1_union", "dedup_exact",
+    "events_sliding", "events_retention", "events_rangejoin", "vocab_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

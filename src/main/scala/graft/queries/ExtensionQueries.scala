@@ -29,9 +29,9 @@ object ExtensionQueries {
     else df.repartition(target)
   }
 
-  private def docs(s: SparkSession, d: String): DataFrame =
+  private[graft] def docs(s: SparkSession, d: String): DataFrame =
     spread(Tables.documents(s, d))
-  private def embs(s: SparkSession, d: String): DataFrame =
+  private[graft] def embs(s: SparkSession, d: String): DataFrame =
     spread(Tables.embeddings(s, d))
 
   // ---- text analysis ---------------------------------------------------
@@ -1262,7 +1262,7 @@ object ExtensionQueries {
   // ---- similarity search ----------------------------------------------
 
   /** First 5 vectors as the deterministic query set. */
-  private def queryVectors(s: SparkSession, d: String): DataFrame =
+  private[graft] def queryVectors(s: SparkSession, d: String): DataFrame =
     embs(s, d).filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
 
