@@ -430,17 +430,23 @@ object CurationIngest {
       // contract; a cycle throws the same corrupt-input error the
       // distributed loop's round bound throws. Integral ids round-trip
       // exactly through long; other id types take the loop below.
-      val arr = ptr.select(col("id").cast("long"), col("keep_id").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // primitive paired-blob collect (r19 — no per-row Row/tuple
+      // materialization at the gate ceiling; Dedup.collectLongPairs)
+      val blobs = graft.functions.Dedup.collectLongPairs(
+        ptr.select(col("id").cast("long"), col("keep_id").cast("long")))
+      val nPtr = blobs.iterator.map(_.length / 2).sum
       val keep = new scala.collection.mutable.LongMap[Long]()
-      arr.foreach { case (id, k) => keep.update(id, k) }
+      blobs.foreach { blob =>
+        var i = 0
+        while (i < blob.length) { keep.update(blob(i), blob(i + 1)); i += 2 }
+      }
       val root = new scala.collection.mutable.LongMap[Long]()
       def rootOf(x0: Long): Long = root.getOrElse(x0, {
         var x = x0
         val path = scala.collection.mutable.ArrayBuffer.empty[Long]
         while (keep.getOrElse(x, x) != x && !root.contains(x)) {
           path += x
-          if (path.length > arr.length)
+          if (path.length > nPtr)
             throw new IllegalStateException(
               "closeLineage did not converge — the lineage frame has a " +
                 "keep_id cycle, which the ingest operator cannot emit " +
@@ -451,8 +457,11 @@ object CurationIngest {
         path.foreach(p => root.update(p, r))
         r
       })
-      val rows = arr.map { case (id, _) =>
-        org.apache.spark.sql.Row(id, rootOf(id)) }.toSeq
+      val rows = blobs.iterator.flatMap { blob =>
+        Iterator.range(0, blob.length, 2).map { i =>
+          org.apache.spark.sql.Row(blob(i), rootOf(blob(i)))
+        }
+      }.toSeq
       val longSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id",
           org.apache.spark.sql.types.LongType),

@@ -336,8 +336,7 @@ object PhraseIndex {
                              ids: DataFrame,
                              once: Option[(String, Long)]): Boolean = {
     val tombs = ids.toDF("doc_id")
-    var hitsP: DataFrame = null
-    try store.transactMeta[Unit](table, sortKey = Some("doc_id"),
+    store.transactMetaDeferred[Unit](table, sortKey = Some("doc_id"),
         statsCols = Seq("doc_id")) {
       val v = store.currentVersion(table)
       requireBuilt(v, table)
@@ -349,36 +348,56 @@ object PhraseIndex {
       if (replay) Left(())
       else {
         requireCompatible(meta, table)
-        // one visible-row scan feeds the exact stats delta AND the
-        // per-doc deleted-term payload (TextIndex.deleteInternal's
-        // recipe — the champion delete-merge's O(tombstone) discovery)
-        val hits = chain.load(store, table, v, meta)
+        // ONE visible-row scan feeds the per-doc deleted-term payload
+        // (the champion delete-merge's O(tombstone) discovery) AND —
+        // r19, guide §1.2 — the exact stats delta, which RIDES the
+        // tombstone write as a CollectMetrics observation instead of a
+        // separate persisted aggregate action: per doc, the distinct-dl
+        // count/sum aggregate next to the term set, summed while the
+        // write streams the rows. Same arithmetic as the old
+        // distinct-(doc_id,dl) aggregate: Σ over docs of
+        // (count, sum) over that doc's distinct dl values.
+        val perDoc = chain.load(store, table, v, meta)
           .join(tombs, Seq("doc_id"))
-          .select(col("doc_id"), col("dl"), col("term"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        hitsP = hits
-        val r = hits.select(col("doc_id"), col("dl")).distinct()
-          .agg(count(lit(1)), coalesce(sum(col("dl").cast("long")), lit(0L)))
-          .head()
-        val (dDocs, dDl) = (r.getLong(0), r.getLong(1))
+          .groupBy(col("doc_id"))
+          .agg(collect_set(col("term")).as("terms"),
+            countDistinct(col("dl")).as("_ndl"),
+            coalesce(sum_distinct(col("dl").cast("long")), lit(0L)).as("_sdl"))
+        val obs = org.apache.spark.sql.Observation()
+        val observed = perDoc.observe(obs,
+          coalesce(sum(col("_ndl")), lit(0L)).as("n"),
+          coalesce(sum(col("_sdl")), lit(0L)).as("sdl"))
         val tombRows = tombs
-          .join(hits.groupBy(col("doc_id"))
-            .agg(collect_set(col("term")).as("terms")), Seq("doc_id"), "left")
+          .join(observed.select(col("doc_id"), col("terms")),
+            Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("terms"), array().cast("array<string>")).as("terms"))
-        Right(chain.tombNext(v, meta, tombRows,
+        val (rows, commitMeta) = chain.tombNext(v, meta, tombRows,
           once.map { case (sid, bid) =>
             Map(s"stream.$sid.lastBatchId" -> bid.toString)
-          }.getOrElse(Map.empty) ++ Map(
-          s"${P}nDocs" ->
-            (meta.getOrElse(s"${P}nDocs", "0").toLong - dDocs).toString,
-          s"${P}sumDl" ->
-            (meta.getOrElse(s"${P}sumDl", "0").toLong - dDl).toString,
-          s"${P}contentVersion" ->
-            (meta.getOrElse(s"${P}contentVersion", "0").toLong + 1).toString)))
+          }.getOrElse(Map.empty))
+        Right((rows, commitMeta, () => {
+          val (dDocs, dDl) = ObservedStats.result(obs, {
+            // eager fallback (collapsed plan / timeout): the pre-r19
+            // separate aggregate over the same visible-row scan
+            val r = chain.load(store, table, v, meta)
+              .join(tombs, Seq("doc_id"))
+              .select(col("doc_id"), col("dl")).distinct()
+              .agg(count(lit(1)),
+                coalesce(sum(col("dl").cast("long")), lit(0L)))
+              .head()
+            (r.getLong(0), r.getLong(1))
+          })
+          Map(
+            s"${P}nDocs" ->
+              (meta.getOrElse(s"${P}nDocs", "0").toLong - dDocs).toString,
+            s"${P}sumDl" ->
+              (meta.getOrElse(s"${P}sumDl", "0").toLong - dDl).toString,
+            s"${P}contentVersion" ->
+              (meta.getOrElse(s"${P}contentVersion", "0").toLong + 1).toString)
+        }))
       }
     }.isRight
-    finally if (hitsP != null) hitsP.unpersist(blocking = false)
   }
 
   /** Keep the index current from a stream of document rows — the

@@ -441,53 +441,68 @@ object TextIndex {
                              ids: DataFrame,
                              once: Option[(String, Long)]): Boolean = {
     val tombs = ids.toDF("neighbor_id")
-    var hits: DataFrame = null
-    try {
-      store.transactMeta[Unit](indexTable, sortKey = Some("neighbor_id"),
-          statsCols = Seq("neighbor_id")) {
-        val v = store.currentVersion(indexTable)
-        requireBuilt(v, indexTable)
-        val meta = store.metaForVersion(indexTable, v)
-        val replay = once.exists { case (sid, bid) =>
-          bid <= meta.get(s"stream.$sid.lastBatchId")
-            .map(_.toLong).getOrElse(-1L)
-        }
-        if (replay) Left(())
-        else {
-          requireStillPostings(meta, indexTable)
-          // ONE visible-row scan feeds both the exact stats delta (each
-          // deleted doc witnessed once via its (id, dl)) and the per-doc
-          // deleted-TERM sets that ride in the tombstone member — the
-          // payload that makes the champion delete-merge's touched-term
-          // discovery O(tombstone bytes) instead of an O(corpus) rescan
-          hits = chain.load(store, indexTable, v, meta)
-            .join(tombs, Seq("neighbor_id"))
-            .select(col("neighbor_id"), col("dl"), col("term"))
-            .persist(StorageLevel.MEMORY_AND_DISK) // candidate-sized, read 2×
-          val r = hits.select(col("neighbor_id"), col("dl")).distinct()
-            .agg(count(lit(1)), coalesce(sum(col("dl").cast("long")), lit(0L)))
-            .head()
-          val (dDocs, dDl) = (r.getLong(0), r.getLong(1))
-          val tombRows = tombs
-            .join(hits.groupBy(col("neighbor_id"))
-              .agg(collect_set(col("term")).as("terms")),
-              Seq("neighbor_id"), "left")
-            .select(col("neighbor_id"),
-              coalesce(col("terms"), array().cast("array<string>"))
-                .as("terms"))
-          Right(chain.tombNext(v, meta, tombRows,
-            once.map { case (sid, bid) =>
-              Map(s"stream.$sid.lastBatchId" -> bid.toString)
-            }.getOrElse(Map.empty) ++ Map(
+    store.transactMetaDeferred[Unit](indexTable, sortKey = Some("neighbor_id"),
+        statsCols = Seq("neighbor_id")) {
+      val v = store.currentVersion(indexTable)
+      requireBuilt(v, indexTable)
+      val meta = store.metaForVersion(indexTable, v)
+      val replay = once.exists { case (sid, bid) =>
+        bid <= meta.get(s"stream.$sid.lastBatchId")
+          .map(_.toLong).getOrElse(-1L)
+      }
+      if (replay) Left(())
+      else {
+        requireStillPostings(meta, indexTable)
+        // ONE visible-row scan feeds the per-doc deleted-TERM sets that
+        // ride in the tombstone member (the champion delete-merge's
+        // O(tombstone bytes) touched-term discovery) AND — r19, guide
+        // §1.2 — the exact stats delta, riding the tombstone write as a
+        // CollectMetrics observation instead of a separate persisted
+        // aggregate action (PhraseIndex.deleteInternal's recipe). Same
+        // arithmetic as the old distinct-(id, dl) aggregate: Σ over docs
+        // of (count, sum) over that doc's distinct dl values.
+        val perDoc = chain.load(store, indexTable, v, meta)
+          .join(tombs, Seq("neighbor_id"))
+          .groupBy(col("neighbor_id"))
+          .agg(collect_set(col("term")).as("terms"),
+            countDistinct(col("dl")).as("_ndl"),
+            coalesce(sum_distinct(col("dl").cast("long")), lit(0L)).as("_sdl"))
+        val obs = org.apache.spark.sql.Observation()
+        val observed = perDoc.observe(obs,
+          coalesce(sum(col("_ndl")), lit(0L)).as("n"),
+          coalesce(sum(col("_sdl")), lit(0L)).as("sdl"))
+        val tombRows = tombs
+          .join(observed.select(col("neighbor_id"), col("terms")),
+            Seq("neighbor_id"), "left")
+          .select(col("neighbor_id"),
+            coalesce(col("terms"), array().cast("array<string>"))
+              .as("terms"))
+        val (rows, commitMeta) = chain.tombNext(v, meta, tombRows,
+          once.map { case (sid, bid) =>
+            Map(s"stream.$sid.lastBatchId" -> bid.toString)
+          }.getOrElse(Map.empty))
+        Right((rows, commitMeta, () => {
+          val (dDocs, dDl) = ObservedStats.result(obs, {
+            // eager fallback (collapsed plan / timeout): the pre-r19
+            // separate aggregate over the same visible-row scan
+            val r = chain.load(store, indexTable, v, meta)
+              .join(tombs, Seq("neighbor_id"))
+              .select(col("neighbor_id"), col("dl")).distinct()
+              .agg(count(lit(1)),
+                coalesce(sum(col("dl").cast("long")), lit(0L)))
+              .head()
+            (r.getLong(0), r.getLong(1))
+          })
+          Map(
             s"${P}nDocs" ->
               (meta.getOrElse(s"${P}nDocs", "0").toLong - dDocs).toString,
             s"${P}sumDl" ->
               (meta.getOrElse(s"${P}sumDl", "0").toLong - dDl).toString,
             s"${P}contentVersion" ->
-              (meta.getOrElse(s"${P}contentVersion", "0").toLong + 1).toString)))
-        }
-      }.isRight
-    } finally if (hits != null) hits.unpersist(blocking = false)
+              (meta.getOrElse(s"${P}contentVersion", "0").toLong + 1).toString)
+        }))
+      }
+    }.isRight
   }
 
   /** Keep the index current from a document stream (see

@@ -189,6 +189,42 @@ object PhaseProbe {
         k = 10, nProbe = 16, refine = 1000).count())
     }
 
+    if (selected("train_ctl")) {
+      // CONTROL: the driver-side centroid/codebook training jobs alone —
+      // attribution for the SemIndex/VectorIndex build phases.
+      val f = "train_ctl"
+      val base = embs(d).filter(col("vec_id") < 300)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      phase(f, "sem_train")(
+        graft.functions.Similarity.trainIvfCentroids(base, "vec", 1))
+      phase(f, "ivf_train")(
+        graft.functions.Similarity.trainIvfCentroids(embs(d), "embedding", 16))
+    }
+
+    if (selected("bm25_ctl")) {
+      // CONTROL: same build + serve as retrieve_bm25_deleted, no delete —
+      // isolates the tombstone visibility overhead on the serve path.
+      val f = "bm25_ctl"
+      val ds = docs(d).select(col("doc_id"), col("text"))
+      val store = new SnapshotStore(tmp("pp-bm25ctl"), spark)
+      phase(f, "build")(PhraseIndex.build(store, "docs_text", ds, "text", "doc_id"))
+      val qs = ds.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+      phase(f, "serve")(TextIndex.query(store, "docs_text", qs, "query_id", "qtext", k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank")).count())
+    }
+
+    if (selected("mh_ctl")) {
+      // CONTROL: pairsForCommitted with no tombstones pending.
+      val f = "mh_ctl"
+      val base = docs(d).filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val store = new SnapshotStore(tmp("pp-mhctl"), spark)
+      phase(f, "build")(DedupIndex.build(store, "docs_minhash", base, "text", "doc_id"))
+      phase(f, "pairs")(DedupIndex.pairsForCommitted(store, "docs_minhash",
+        base.select(col("doc_id").as("id")), threshold = 0.5).count())
+    }
+
     if (selected("dedup_incr_oracle")) {
       val f = "dedup_incr_oracle"
       val base = docs(d).filter(col("doc_id") < 300)

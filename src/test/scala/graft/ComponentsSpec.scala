@@ -69,6 +69,22 @@ class ComponentsSpec extends SparkSpec {
     assert(fast === unionFind(edges))
   }
 
+  test("collectLongPairs: primitive paired blobs equal the Row collect") {
+    // r19: the fast path's collect materializes NO per-row Row/tuple —
+    // partitions reduce to primitive long arrays. Pin pair-multiset
+    // equality with the plain collect across a multi-partition frame,
+    // including int ids that round-trip through the long cast.
+    val df = spark.range(0, 1000, 1, 7)
+      .selectExpr("cast(id as int) as a", "cast(id * 31 % 997 as long) as b")
+    val blobs = Dedup.collectLongPairs(
+      df.select(col("a").cast("long"), col("b").cast("long")))
+    val fromBlobs = blobs.flatMap(_.grouped(2).map(p => (p(0), p(1))))
+      .sorted.toSeq
+    val fromRows = df.collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1))).sorted.toSeq
+    assert(fromBlobs === fromRows)
+  }
+
   test("cluster dedup is transitive where pairwise keep-min is not") {
     // docs 1 and 3 near-dup, 2 and 3 near-dup, 1 and 2 NOT (direct
     // Jaccard below tau): the component {1,2,3} keeps only doc 1,
