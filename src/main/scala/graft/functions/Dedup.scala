@@ -343,20 +343,27 @@ object Dedup {
 
     // Shingles for candidate docs only. Computed once per verify side —
     // the semi-join keeps the scan, the shingling, and this cache all
-    // candidate-sized.
-    val candIds = candidates.select(col("id_a").as("id"))
-      .union(candidates.select(col("id_b").as("id"))).distinct()
+    // candidate-sized. No distinct() on the semi-join's probe side (r19,
+    // guide §2.4): a left_semi dedups by construction, so the exchange
+    // the distinct paid bought nothing.
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
     val candSh = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .join(candIds, Seq("id"), "left_semi")
       .select(col("id"), shingles(col("text"), shingleN).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // Both verify joins build from the SAME (id, sh) child — renames sit
+    // ABOVE the join, so the planner's exchange reuse ships ONE build of
+    // candSh instead of two (r19, guide §2.4; each build is a separate
+    // driver-blocking job). Join order and output are unchanged.
     val verified = candidates
-      .join(candSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(candSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(candSh, col("id_a") === col("id"))
+      .select(col("id_a"), col("id_b"), col("sh").as("sh_a"))
+      .join(candSh, col("id_b") === col("id"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        size(array_intersect(col("sh_a"), col("sh"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -480,21 +487,25 @@ object Dedup {
     }
 
     // Exact verify over candidate docs only (semi-join keeps the scan,
-    // the shingling, and this cache all candidate-sized).
-    val candIds = candidates.select(col("id_a").as("id"))
-      .union(candidates.select(col("id_b").as("id"))).distinct()
+    // the shingling, and this cache all candidate-sized). Same two r19
+    // §2.4 moves as nearDuplicatePairs: no distinct() on a semi-join
+    // probe side, renames above the joins so both verify builds reuse
+    // ONE candSh exchange.
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
     val candSh = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .join(candIds, Seq("id"), "left_semi")
       .select(col("id"), shingles(col("text"), shingleN).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val verified = candidates
-      .join(candSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(candSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(candSh, col("id_a") === col("id"))
+      .select(col("id_a"), col("id_b"), col("sh").as("sh_a"))
+      .join(candSh, col("id_b") === col("id"))
       .withColumn("inter_count",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        size(array_intersect(col("sh_a"), col("sh"))).cast("long"))
       .withColumn("union_count",
-        size(col("sh_a")).cast("long") + size(col("sh_b")) - col("inter_count"))
+        size(col("sh_a")).cast("long") + size(col("sh")) - col("inter_count"))
       .filter(col("inter_count") * tauDen >= lit(tauNum) * col("union_count"))
       .select(col("id_a"), col("id_b"), col("inter_count"), col("union_count"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -732,7 +743,8 @@ object Dedup {
 
     // 3. exact verify: candidate train docs re-shingle via a semi-join;
     // the bench side is benchmark-suite-sized
-    val candIds = candidates.select(col("doc_id").as("cid")).distinct()
+    // no distinct() on a semi-join probe side (r19, guide §2.4)
+    val candIds = candidates.select(col("doc_id").as("cid"))
     val trainSh = train
       .select(col(idCol).as("doc_id"), col(textCol).as("t"))
       .join(candIds, col("doc_id") === col("cid"), "left_semi")

@@ -326,7 +326,11 @@ object DedupIndex {
     // keys, so nBatch × bands bounds the distinct bucket count from
     // above (over-estimating only flips broadcast→shuffle, the safe
     // side — and the byte gate in BroadcastGate caps the width too).
-    val bBuckets = bKeys.select(col("band"), col("bucket")).distinct()
+    // No distinct() (r19, guide §2.4): the keys feed a left_semi, which
+    // dedups by construction — the distinct's exchange bought nothing
+    // (minhash band buckets are near-unique, so the broadcast width is
+    // the same bound either way).
+    val bBuckets = bKeys.select(col("band"), col("bucket"))
     pairsAmong(
       keysOf(idx, k, bands)
         .join(BroadcastGate(bBuckets, nBatch * bands, broadcastKeyLimit),
@@ -363,9 +367,10 @@ object DedupIndex {
     val nIds = idRows.count()
     val batchRows = idx.join(BroadcastGate(idRows, nIds, broadcastKeyLimit),
       Seq("id"), "left_semi")
-    // nIds × bands bounds the touched-bucket count — no second action.
+    // nIds × bands bounds the touched-bucket count — no second action,
+    // and no distinct() on a semi-join probe side (r19, guide §2.4).
     val bBuckets = keysOf(batchRows, k, bands)
-      .select(col("band"), col("bucket")).distinct()
+      .select(col("band"), col("bucket"))
     // Batch rows are ALREADY in idx — membership and signatures both
     // come from the committed columns, no union.
     val allKeys = keysOf(idx, k, bands)
@@ -413,19 +418,23 @@ object DedupIndex {
     // Exact verify on the stored hash sets — the semi-join keeps the
     // h_arr column read candidate-restricted before the arrays ride any
     // join (no broadcast hint: AQE decides, same policy as the batch
-    // path's candidate semi-join).
-    val candIds = candidates.select(col("id_a").as("id"))
-      .union(candidates.select(col("id_b").as("id"))).distinct()
+    // path's candidate semi-join). r19, guide §2.4: no distinct() on the
+    // semi-join's probe side (a semi dedups by construction), and the
+    // verify renames sit ABOVE the joins so both builds reuse ONE sigs
+    // exchange instead of two.
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
     val sigs = sigSource
       .join(candIds, Seq("id"), "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val verified = candidates
-      .join(sigs.select(col("id").as("id_a"), col("h_arr").as("h_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("h_arr").as("h_b")), Seq("id_b"))
+      .join(sigs, col("id_a") === col("id"))
+      .select(col("id_a"), col("id_b"), col("h_arr").as("h_a"))
+      .join(sigs, col("id_b") === col("id"))
       .withColumn("jaccard",
-        size(array_intersect(col("h_a"), col("h_b"))).cast("double") /
-          size(array_union(col("h_a"), col("h_b"))))
+        size(array_intersect(col("h_a"), col("h_arr"))).cast("double") /
+          size(array_union(col("h_a"), col("h_arr"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .persist(StorageLevel.MEMORY_AND_DISK)

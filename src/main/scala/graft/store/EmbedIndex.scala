@@ -307,7 +307,8 @@ object EmbedIndex {
     val bKeys = keysOf(batchEnc, dim, nTables, bits, seed)
     // nBatch × nTables bounds the distinct bucket count (one key per
     // hash table per vector) — gate sized with zero driver actions.
-    val bBuckets = bKeys.select(col("table"), col("bucket")).distinct()
+    // No distinct() on a semi-join probe side (r19, guide §2.4).
+    val bBuckets = bKeys.select(col("table"), col("bucket"))
     val cKeys = keysOf(idx, dim, nTables, bits, seed)
       .join(BroadcastGate(bBuckets, nBatch * nTables, broadcastKeyLimit),
         Seq("table", "bucket"), "left_semi")
@@ -344,9 +345,10 @@ object EmbedIndex {
     val nIds = idRows.count()
     val batchRows = idx.join(BroadcastGate(idRows, nIds, broadcastKeyLimit),
       Seq("id"), "left_semi")
-    // nIds × nTables bounds the touched-bucket count — no second action.
+    // nIds × nTables bounds the touched-bucket count — no second action,
+    // and no distinct() on a semi-join probe side (r19, guide §2.4).
     val bBuckets = keysOf(batchRows, dim, nTables, bits, seed)
-      .select(col("table"), col("bucket")).distinct()
+      .select(col("table"), col("bucket"))
     val allKeys = keysOf(idx, dim, nTables, bits, seed)
       .join(BroadcastGate(bBuckets, nIds * nTables, broadcastKeyLimit),
         Seq("table", "bucket"), "left_semi")

@@ -230,10 +230,11 @@ object SemIndex {
     // nBatch bounds the touched-cluster count (one cluster per vector)
     // — gate sized with zero driver actions. The zone-probe path has
     // already restricted idx to the touched clusters exactly.
+    // no distinct() on a semi-join probe side (r19, guide §2.4)
     val cRows =
       if (preFiltered) idx
       else idx.join(
-        BroadcastGate(batchEnc.select(col("cluster_id")).distinct(),
+        BroadcastGate(batchEnc.select(col("cluster_id")),
           nBatch, broadcastKeyLimit),
         Seq("cluster_id"), "left_semi")
     // the batch restriction lives INSIDE the pair expression (r15, the

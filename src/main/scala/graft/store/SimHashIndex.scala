@@ -216,7 +216,8 @@ object SimHashIndex {
     val bKeys = keysOf(batchEnc, nBlocks, maxHamming)
     // nBatch × keysPerDoc bounds the distinct bucket count — gate sized
     // with zero driver actions (over-estimate = safe shuffle fallback).
-    val bBuckets = bKeys.select(col("band"), col("bucket")).distinct()
+    // No distinct() on a semi-join probe side (r19, guide §2.4).
+    val bBuckets = bKeys.select(col("band"), col("bucket"))
     val cKeys = keysOf(idx, nBlocks, maxHamming)
       .join(BroadcastGate(bBuckets,
           nBatch * combosPerDoc(nBlocks, maxHamming), broadcastKeyLimit),
@@ -248,9 +249,10 @@ object SimHashIndex {
     val nIds = idRows.count()
     val batchRows = idx.join(BroadcastGate(idRows, nIds, broadcastKeyLimit),
       Seq("id"), "left_semi")
-    // nIds × combos bounds the touched-bucket count — no second action.
+    // nIds × combos bounds the touched-bucket count — no second action,
+    // and no distinct() on a semi-join probe side (r19, guide §2.4).
     val bBuckets = keysOf(batchRows, nBlocks, maxHamming)
-      .select(col("band"), col("bucket")).distinct()
+      .select(col("band"), col("bucket"))
     // Batch rows are ALREADY in idx — touched-bucket membership comes
     // from one pass over the committed keys, no union.
     val allKeys = keysOf(idx, nBlocks, maxHamming)

@@ -68,9 +68,19 @@ object PhaseProbe {
       filter.isEmpty || filter.exists(name.contains)
     spark = Sessions.local(cpus, "graft-phaseprobe")
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+    val verbose = sys.env.get("SPARK_GRAFT_PROBE_VERBOSE").contains("1")
     val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        if (verbose) {
+          val site = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+          val desc = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .getOrElse("")
+          println(s"JOB id=${j.jobId} stages=${j.stageInfos.length} " +
+            s"site=$site desc=$desc")
+        }
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         stages.incrementAndGet()
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
