@@ -183,11 +183,14 @@ object Retrieval {
                                queries: DataFrame, queryIdCol: String,
                                queryTextCol: String,
                                nDocs: Long, avgdl: Double,
-                               k: Int, k1: Double, b: Double): DataFrame = {
+                               k: Int, k1: Double, b: Double,
+                               qSideOpt: Option[DataFrame] = None)
+      : DataFrame = {
     val dfPerTerm = hits.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
     bm25ScoreWithDf(hits.join(broadcast(dfPerTerm), Seq("term")),
-      queries, queryIdCol, queryTextCol, nDocs, avgdl, k, k1, b)
+      queries, queryIdCol, queryTextCol, nDocs, avgdl, k, k1, b,
+      qSideOpt = qSideOpt)
   }
 
   /** The scoring tail below the df attach — split out so the
@@ -204,7 +207,8 @@ object Retrieval {
                                      queryTextCol: String,
                                      nDocs: Long, avgdl: Double,
                                      k: Int, k1: Double, b: Double,
-                                     restrictTo: Option[DataFrame] = None)
+                                     restrictTo: Option[DataFrame] = None,
+                                     qSideOpt: Option[DataFrame] = None)
       : DataFrame = {
     import graft.functions.{TextFunctions => TF}
     val perTerm = hitsWithDf
@@ -215,9 +219,14 @@ object Retrieval {
         (col("tf").cast("double") + (col("dl") * (b / avgdl) + (1 - b)) * k1))
     // fan out per query: (query_id, its term multiset) — tf weighting of
     // repeated query terms is 1 per distinct term (standard BM25 query
-    // side at these lengths)
-    val qSide = queries.select(col(queryIdCol).as("query_id"),
-      explode(array_distinct(TF.tokens(lower(col(queryTextCol))))).as("term"))
+    // side at these lengths). Index-path callers that already collected
+    // the (query_id, term) pairs for their term probe pass them back as
+    // a LocalRelation (r19, guide §1.2 — the queryMaxScore one-collect
+    // discipline): the query subtree is then evaluated once, not again
+    // by this broadcast build.
+    val qSide = qSideOpt.getOrElse(
+      queries.select(col(queryIdCol).as("query_id"),
+        explode(array_distinct(TF.tokens(lower(col(queryTextCol))))).as("term")))
     val joined = perTerm.join(broadcast(qSide), Seq("term"))
     // MaxScore path (TextIndex.queryMaxScore): only proven-candidate
     // (query, doc) pairs may be scored — non-candidates carry partial

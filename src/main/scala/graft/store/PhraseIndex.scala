@@ -439,10 +439,21 @@ object PhraseIndex {
                   slop: Int = 0, prefilter: Boolean = false): DataFrame = {
     val v = store.currentVersion(table)
     require(v > 0, s"$table: no committed phrase index")
-    requireCompatible(store.metaForVersion(table, v), table)
-    val (slots, termFilter, maxK) = slotsOf(phrases, queryIdCol, phraseCol)
-    matchTail(load(store, table).filter(termFilter), slots, slop, prefilter,
-      maxK)
+    val meta = store.metaForVersion(table, v)
+    requireCompatible(meta, table)
+    val (slots, termFilter, terms, maxK) = slotsOf(phrases, queryIdCol, phraseCol)
+    // Zone-pruned chain read (r19, guide §6 — the TextIndex.query
+    // discipline applied here too): rows commit term-sorted with term
+    // zones, so whole chain files outside the query terms' [min,max]
+    // ranges are skipped before any footer opens. EXACT: a dropped file
+    // holds no query-term row, so it can contribute neither a slot match
+    // nor a df_phrase row (phrase df counts MATCHES, which need every
+    // slot present); the residual isin filter still applies either way.
+    val src =
+      if (terms.isEmpty) chain.load(store, table, v, meta)
+      else chain.loadPruned(store, table, v, meta,
+        Seq(ZoneMap.stringIn("term", terms)))
+    matchTail(src.filter(termFilter), slots, slop, prefilter, maxK)
   }
 
   /** One-shot phrase/proximity matching WITHOUT an index — the
@@ -457,7 +468,7 @@ object PhraseIndex {
   def phraseScan(docs: DataFrame, textCol: String, idCol: String,
                  phrases: DataFrame, queryIdCol: String, phraseCol: String,
                  slop: Int = 0): DataFrame = {
-    val (slots, termFilter, maxK) = slotsOf(phrases, queryIdCol, phraseCol)
+    val (slots, termFilter, _, maxK) = slotsOf(phrases, queryIdCol, phraseCol)
     // no containment prefilter on the scan path: the positional rows
     // are derived per-invocation (not a columnar table), so the slim
     // pass could not column-prune anything — it would just run the
@@ -482,7 +493,8 @@ object PhraseIndex {
     * column types) instead of a hand-built empty frame whose schema
     * could diverge from it. */
   private def slotsOf(phrases: DataFrame, queryIdCol: String,
-                      phraseCol: String): (DataFrame, Column, Int) = {
+                      phraseCol: String)
+      : (DataFrame, Column, Seq[String], Int) = {
     val spark = phrases.sparkSession
     val qidType = phrases.schema(queryIdCol).dataType
     val slotRows = phrases.select(col(queryIdCol).as("query_id"),
@@ -516,7 +528,7 @@ object PhraseIndex {
       if (terms.isEmpty) lit(false) else col("term").isin(terms: _*)
     val maxK = if (slotRows.isEmpty) 0
       else slotRows.groupBy(_.get(0)).valuesIterator.map(_.length).max
-    (slots, termFilter, maxK)
+    (slots, termFilter, terms, maxK)
   }
 
   /** Containment candidates of a phrase batch: the (query_id, doc_id)

@@ -625,12 +625,25 @@ object TextIndex {
       // empty index (or all-empty docs): nothing can match
       return Retrieval.emptyRanked(queries.sparkSession, qIdType,
         postings.schema("neighbor_id").dataType)
-    val terms = queries
-      .select(explode(array_distinct(TF.tokens(lower(col(queryTextCol))))).as("term"))
-      .distinct().collect().map(_.getString(0)).toSeq
-    if (terms.isEmpty)
+    // ONE bounded collect of the (query_id, term) pairs feeds BOTH the
+    // term probe (zone preds + pushed isin) and the scoring tail's
+    // query side, rebuilt as a LocalRelation (r19, guide §1.2 — the
+    // queryMaxScore one-collect discipline): the query subtree is
+    // evaluated once instead of once per consumer.
+    val qPairs = queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(array_distinct(TF.tokens(lower(col(queryTextCol))))).as("term"))
+      .collect()
+    if (qPairs.isEmpty)
       return Retrieval.emptyRanked(queries.sparkSession, qIdType,
         postings.schema("neighbor_id").dataType)
+    val terms = qPairs.map(_.getString(1)).distinct.toSeq
+    val qSide = queries.sparkSession.createDataFrame(
+      java.util.Arrays.asList(qPairs: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id", qIdType),
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType))))
     // Two pruning layers share the term probe: the zone map drops whole
     // chain files whose [min,max] term range misses every query term
     // (term-sorted layout → tight zones; no footer is even opened), and
@@ -640,7 +653,7 @@ object TextIndex {
     val hits = srcLoadPruned(store, indexTable, v, meta,
       Seq(ZoneMap.stringIn("term", terms)))
     Retrieval.bm25Score(hits, queries, queryIdCol, queryTextCol,
-      nDocs, avgdl, k, k1, b)
+      nDocs, avgdl, k, k1, b, qSideOpt = Some(qSide))
   }
 
   // ---- champion lists: top-docs pruning for common-term probes ----
@@ -1252,16 +1265,26 @@ object TextIndex {
     if (nDocs == 0L || avgdl <= 0.0)
       return Retrieval.emptyRanked(queries.sparkSession, qIdType,
         store.loadVersion(ct, cv).schema("neighbor_id").dataType)
-    val terms = queries
-      .select(explode(array_distinct(TF.tokens(lower(col(queryTextCol))))).as("term"))
-      .distinct().collect().map(_.getString(0)).toSeq
-    if (terms.isEmpty)
+    // one bounded (query_id, term) collect feeds probe + query side
+    // (see [[query]] — the r19 one-collect discipline)
+    val qPairs = queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(array_distinct(TF.tokens(lower(col(queryTextCol))))).as("term"))
+      .collect()
+    if (qPairs.isEmpty)
       return Retrieval.emptyRanked(queries.sparkSession, qIdType,
         store.loadVersion(ct, cv).schema("neighbor_id").dataType)
+    val terms = qPairs.map(_.getString(1)).distinct.toSeq
+    val qSide = queries.sparkSession.createDataFrame(
+      java.util.Arrays.asList(qPairs: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id", qIdType),
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType))))
     val hits = champRowsAt(store, ct, cv,
       Seq(ZoneMap.stringIn("term", terms)))
     Retrieval.bm25ScoreWithDf(hits, queries, queryIdCol, queryTextCol,
-      nDocs, avgdl, k, k1, b)
+      nDocs, avgdl, k, k1, b, qSideOpt = Some(qSide))
   }
 
   // ---- MaxScore-bounded exact top-k -------------------------------
@@ -1383,13 +1406,26 @@ object TextIndex {
     if (nDocs == 0L || avgdl <= 0.0)
       return (Retrieval.emptyRanked(queries.sparkSession, qIdType,
         postingsIdType), None)
-    val terms = queries
-      .select(explode(array_distinct(TF.tokens(lower(col(queryTextCol))))).as("term"))
-      .distinct().collect().map(_.getString(0)).toSeq
+    // ONE bounded collect of the (query_id, term) pairs feeds the term
+    // probe, the essential-split window's query side, and both scoring
+    // tails' qSide (r19, extending the r18 one-collect discipline): the
+    // query subtree — often a filtered corpus read — is evaluated once,
+    // not once per consumer.
+    val qPairRows = queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(array_distinct(TF.tokens(lower(col(queryTextCol))))).as("term"))
+      .collect()
+    val terms = qPairRows.map(_.getString(1)).distinct.toSeq
     if (terms.isEmpty)
       return (Retrieval.emptyRanked(queries.sparkSession, qIdType,
         postingsIdType), None)
     val spark = queries.sparkSession
+    val qPairSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id", qIdType),
+      org.apache.spark.sql.types.StructField("term",
+        org.apache.spark.sql.types.StringType)))
+    val qSide = spark.createDataFrame(
+      java.util.Arrays.asList(qPairRows: _*), qPairSchema)
 
     // One champion probe feeds both bounds (term zones prune each chain
     // member's files exactly like a postings probe; resolved champion
@@ -1416,7 +1452,8 @@ object TextIndex {
       // Persisted + collected once: the frame joins into the essential
       // split below AND drives the driver-side per-file skip rule.
       val thetaDf = Retrieval.bm25ScoreWithDf(champHits, queries,
-          queryIdCol, queryTextCol, nDocs, avgdl, k, k1, b)
+          queryIdCol, queryTextCol, nDocs, avgdl, k, k1, b,
+          qSideOpt = Some(qSide))
         .filter(col("rank") === k)
         .select(col("query_id"), (col("score") - 1e-5).as("theta"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1431,8 +1468,7 @@ object TextIndex {
       // collect, and the pairs' own materialization) for the same rows.
       val ubLookup = spark.createDataFrame(
         ub.toSeq.map(t => UbRow(t._1, t._2))).toDF("term", "ub")
-      val qTerms = queries.select(col(queryIdCol).as("query_id"),
-        explode(array_distinct(TF.tokens(lower(col(queryTextCol))))).as("term"))
+      val qTerms = qSide // the collected pairs — not a re-derivation
       val cumWin = Window.partitionBy(col("query_id"))
         .orderBy(col("ub").asc, col("term").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1543,7 +1579,7 @@ object TextIndex {
       val ranked = Retrieval.bm25ScoreWithDf(
         hits.join(broadcast(dfLookup), Seq("term")),
         queries, queryIdCol, queryTextCol, nDocs, avgdl, k, k1, b,
-        restrictTo = Some(candidates))
+        restrictTo = Some(candidates), qSideOpt = Some(qSide))
         .persist(StorageLevel.MEMORY_AND_DISK)
       ranked.count() // EAGER: helper caches release on return
       candidates.unpersist(blocking = false)

@@ -259,7 +259,17 @@ object PhaseProbe {
       phase(f, "champ1")(TextIndex.refreshChampions(store, "docs_text", m = 3))
       phase(f, "append")(TextIndex.append(store, "docs_text",
         ds.filter(col("doc_id") % 2 =!= 0), "text", "doc_id", compactEvery = 100))
-      phase(f, "maintain")(graft.Graft.maintainAll(store, maxChainLength = 1))
+      // maintainAll decomposed (refresh-first discipline of TextIndex.maintain)
+      phase(f, "champ2")(TextIndex.refreshChampions(store, "docs_text", m = 3))
+      phase(f, "fold")(TextIndex.compactIndex(store, "docs_text"))
+      phase(f, "vacuum")(TextIndex.vacuumIndex(store, "docs_text"))
+      phase(f, "requirePhrase")(
+        PhraseIndex.phraseQuery(store, "docs_text",
+          ds.filter(col("doc_id") === 0)
+            .select(col("doc_id").as("query_id"),
+              array_join(slice(graft.functions.TextFunctions.tokens(
+                lower(col("text"))), 1, 3), " ").as("phrase")),
+          "query_id", "phrase").isEmpty)
       val qs = ds.filter(col("doc_id") < 3)
         .select(col("doc_id").as("query_id"), col("text").as("qtext"))
       phase(f, "serve")(TextIndex.queryChampions(store, "docs_text", qs,
