@@ -136,10 +136,32 @@ object Retrieval {
         queries.schema(queryIdCol).dataType, corpus.schema(corpusIdCol).dataType)
     }
 
-    // distinct query terms, broadcast into the postings filter
-    val qTerms = queries
-      .select(explode(array_distinct(TF.tokens(lower(col(queryTextCol))))).as("term"))
-      .distinct()
+    // ONE bounded collect of the (query_id, term) pairs (r19, the
+    // index paths' one-collect discipline): the queries subtree — often
+    // itself a filtered corpus read — was evaluated twice (the distinct
+    // term broadcast + the scoring tail's qSide); both sides now rebuild
+    // as LocalRelations from the collected pairs. The term set must be
+    // exactly-deduplicated either way (qTerms feeds an INNER join, where
+    // a duplicate term would double tf), which the local distinct does.
+    val qIdType = queries.schema(queryIdCol).dataType
+    val qPairs = queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(array_distinct(TF.tokens(lower(col(queryTextCol))))).as("term"))
+      .collect()
+    if (qPairs.isEmpty) {
+      docsTok.unpersist(blocking = false)
+      return emptyRanked(corpus.sparkSession, qIdType,
+        corpus.schema(corpusIdCol).dataType)
+    }
+    val spark = corpus.sparkSession
+    val qSide = spark.createDataFrame(
+      java.util.Arrays.asList(qPairs: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id", qIdType),
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType))))
+    import spark.implicits._
+    val qTerms = qPairs.map(_.getString(1)).distinct.toSeq.toDF("term")
 
     // postings restricted to query terms — tf per (doc, term), a
     // candidate-sized aggregation
@@ -151,7 +173,7 @@ object Retrieval {
       .agg(count(lit(1)).cast("double").as("tf"))
 
     val ranked = bm25Score(hits, queries, queryIdCol, queryTextCol,
-      nDocs, avgdl, k, k1, b)
+      nDocs, avgdl, k, k1, b, qSideOpt = Some(qSide))
 
     if (corpusStats.isDefined) ranked // lazy: stats given, single corpus scan
     else {

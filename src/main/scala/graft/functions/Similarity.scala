@@ -244,8 +244,18 @@ object Similarity {
     * (corpus content, seed) — partitioning does not matter. */
   def trainIvfCentroids(corpus: DataFrame, vecCol: String, nLists: Int,
                         seed: Long = 42L, sampleSize: Int = 4096,
-                        iters: Int = 10): Seq[Seq[Double]] = {
-    val sample: Array[Array[Double]] = sampleUnitVectors(corpus, vecCol, sampleSize)
+                        iters: Int = 10): Seq[Seq[Double]] =
+    trainIvfCentroidsFromSample(
+      sampleUnitVectors(corpus, vecCol, sampleSize), nLists, seed, iters)
+
+  /** [[trainIvfCentroids]] over a PRE-DRAWN unit-vector sample — lets a
+    * builder that trains BOTH quantizers (IVF + PQ) share one
+    * hash-ordered draw instead of paying the two-action sampling pass
+    * twice (r19, guide §1.2). Bit-identical to the wrapper when handed
+    * the same sample. */
+  private[graft] def trainIvfCentroidsFromSample(
+      sample: Array[Array[Double]], nLists: Int,
+      seed: Long = 42L, iters: Int = 10): Seq[Seq[Double]] = {
     require(sample.length >= nLists,
       s"sample ${sample.length} smaller than nLists=$nLists")
     val dim = sample.head.length
@@ -332,13 +342,24 @@ object Similarity {
                        m: Int = 16, k: Int = 16, seed: Long = 42L,
                        sampleSize: Int = 4096, iters: Int = 10,
                        residualOf: Option[Seq[Seq[Double]]] = None)
+      : Seq[Seq[Seq[Double]]] =
+    trainPqCodebooksFromSample(
+      // ≥32 samples per centroid: 8-bit codebooks (k=256) need more than
+      // the 4096 default or the k-means is fitting noise.
+      sampleUnitVectors(corpus, vecCol, math.max(sampleSize, 32 * k)),
+      dim, m, k, seed, iters, residualOf)
+
+  /** [[trainPqCodebooks]] over a PRE-DRAWN unit-vector sample (see
+    * [[trainIvfCentroidsFromSample]] — the shared-draw form). The caller
+    * must hand a sample of ≥ max(sampleSize, 32·k) draw size for the
+    * same fitting quality. */
+  private[graft] def trainPqCodebooksFromSample(
+      raw: Array[Array[Double]], dim: Int, m: Int, k: Int,
+      seed: Long = 42L, iters: Int = 10,
+      residualOf: Option[Seq[Seq[Double]]] = None)
       : Seq[Seq[Seq[Double]]] = {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val subDim = dim / m
-    // ≥32 samples per centroid: 8-bit codebooks (k=256) need more than
-    // the 4096 default or the k-means is fitting noise.
-    val raw: Array[Array[Double]] =
-      sampleUnitVectors(corpus, vecCol, math.max(sampleSize, 32 * k))
     // residualOf = IVF centroids → train on (v − nearest centroid), the
     // IVFADC layout: within-list residuals are what the codes must rank,
     // and codebooks trained on raw vectors waste all their resolution on
@@ -469,11 +490,23 @@ object Similarity {
                 refine: Int = 128,
                 centroidsOpt: Option[Seq[Seq[Double]]] = None,
                 codebooksOpt: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
-    val centroids = centroidsOpt.getOrElse(
-      trainIvfCentroids(corpus, vecCol, nLists, seed))
-    val codebooks = codebooksOpt.getOrElse(
-      trainPqCodebooks(corpus, vecCol, dim, m, kCodes, seed,
-        residualOf = Some(centroids)))
+    // One shared sample draw when both quantizers train here and their
+    // draw sizes agree (kCodes ≤ 128 keeps PQ at the 4096 default) —
+    // the hash-ordered draw is deterministic, so the shared sample is
+    // bit-identical to two independent draws (r19, guide §1.2).
+    val (centroids, codebooks) = (centroidsOpt, codebooksOpt) match {
+      case (None, None) if math.max(4096, 32 * kCodes) == 4096 =>
+        val sample = sampleUnitVectors(corpus, vecCol, 4096)
+        val cents = trainIvfCentroidsFromSample(sample, nLists, seed)
+        (cents, trainPqCodebooksFromSample(sample, dim, m, kCodes, seed,
+          residualOf = Some(cents)))
+      case _ =>
+        val cents = centroidsOpt.getOrElse(
+          trainIvfCentroids(corpus, vecCol, nLists, seed))
+        (cents, codebooksOpt.getOrElse(
+          trainPqCodebooks(corpus, vecCol, dim, m, kCodes, seed,
+            residualOf = Some(cents))))
+    }
     val encoded = ivfPqEncode(corpus, idCol, vecCol, centroids, codebooks)
     val shortlist = ivfPqScore(encoded, queries, queryIdCol, queryVecCol,
       centroids, codebooks, math.max(k, k * refine), nProbe, kCodes,

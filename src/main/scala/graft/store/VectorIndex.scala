@@ -67,9 +67,20 @@ object VectorIndex {
             idCol: String, vecCol: String, dim: Int,
             nLists: Int = 64, m: Int = 16, kCodes: Int = 16,
             seed: Long = 42L, corpusTag: Option[String] = None): Long = {
-    val centroids = Similarity.trainIvfCentroids(corpus, vecCol, nLists, seed)
-    val codebooks = Similarity.trainPqCodebooks(corpus, vecCol, dim, m, kCodes,
-      seed, residualOf = Some(centroids))
+    // shared sample draw for both quantizers when the draw sizes agree
+    // (Similarity.ivfPqTopK's r19 recipe — bit-identical, one less
+    // two-action sampling pass over the corpus)
+    val (centroids, codebooks) =
+      if (math.max(4096, 32 * kCodes) == 4096) {
+        val sample = Similarity.sampleUnitVectors(corpus, vecCol, 4096)
+        val cents = Similarity.trainIvfCentroidsFromSample(sample, nLists, seed)
+        (cents, Similarity.trainPqCodebooksFromSample(sample, dim, m, kCodes,
+          seed, residualOf = Some(cents)))
+      } else {
+        val cents = Similarity.trainIvfCentroids(corpus, vecCol, nLists, seed)
+        (cents, Similarity.trainPqCodebooks(corpus, vecCol, dim, m, kCodes,
+          seed, residualOf = Some(cents)))
+      }
     val encoded = Similarity.ivfPqEncode(corpus, idCol, vecCol, centroids, codebooks)
     store.commit(indexTable, encoded, sortKey = Some("list_id"),
       meta = chain.resetMeta ++ Map(
