@@ -1833,13 +1833,14 @@ object ExtensionQueries {
       threshold = 0.99, expectedCorpus = 360L)
     EmbedIndex.deleteDocs(store, "vecs_embed",
       p2.select(col("id")))
-    val pairs = EmbedIndex.appendBatchOnce(store, "vecs_embed", p1,
+    // The append's pair frame comes back EAGER (persisted+counted);
+    // selecting off it reuses that cache, so the old second
+    // persist+count pass was a pure extra job (r19, guide §1.2). The
+    // pair cache is deliberately left live for the consumer's action —
+    // the bench clears caches between passes.
+    EmbedIndex.appendBatchOnce(store, "vecs_embed", p1,
       streamId = "verify", batchId = 0L).get
-    val out = pairs.select(col("id_a"), col("id_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    pairs.unpersist(blocking = false)
-    out
+      .select(col("id_a"), col("id_b"))
   }
 
   /** SemDeDup-index takedown under the exact one-cluster regime: same
@@ -1858,13 +1859,10 @@ object ExtensionQueries {
     SemIndex.build(store, "vecs_sem", base.unionByName(p2), dim = 64,
       eps = 0.99, nClusters = 1)
     SemIndex.deleteDocs(store, "vecs_sem", p2.select(col("id")))
-    val pairs = SemIndex.appendBatchOnce(store, "vecs_sem", p1,
+    // EAGER pair frame reused directly — see dedupEmbedDeleted.
+    SemIndex.appendBatchOnce(store, "vecs_sem", p1,
       streamId = "verify", batchId = 0L).get
-    val out = pairs.select(col("id_a"), col("id_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    pairs.unpersist(blocking = false)
-    out
+      .select(col("id_a"), col("id_b"))
   }
 
   /** Vector-index (IVFPQ) takedown at exhaustive settings: delete the

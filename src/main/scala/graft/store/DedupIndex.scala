@@ -424,6 +424,10 @@ object DedupIndex {
     // exchange instead of two.
     val candIds = candidates
       .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+    // The persist is load-bearing (r19 A/B): dropping it and relying on
+    // the planner's exchange reuse across the two membership joins
+    // MEASURED WORSE — append0 24->27, append1 27->32 jobs (AQE re-ran
+    // the semi-join subtree per consumer instead of reusing one build).
     val sigs = sigSource
       .join(candIds, Seq("id"), "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -55,6 +55,26 @@ private[graft] object ObservedStats {
     * count on the round's eager checkpoint — measured (ObsProbe r18):
     * the observation fires on `localCheckpoint` materializations with
     * exact counts. */
+  /** A collect_set(struct(…)) observation's structs (the first field),
+    * or None when the observation resolved empty (collapsed plan) or
+    * timed out — the caller runs its eager fallback then. Used by the
+    * MaxScore probe to ride the per-term champion stats on the θ̂
+    * scoring action (one struct per term: the stats columns are
+    * constant per term, so the SET dedups the per-row repeats — and a
+    * plan that evaluates the observed frame twice only re-adds
+    * identical structs). */
+  def structSet(obs: Observation): Option[Seq[org.apache.spark.sql.Row]] = {
+    val row =
+      try Some(scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(2000, "ms")))
+      catch { case _: java.util.concurrent.TimeoutException => None }
+    row match {
+      case Some(r) if r.length >= 1 && !r.isNullAt(0) =>
+        Some(r.getSeq[org.apache.spark.sql.Row](0))
+      case _ => None
+    }
+  }
+
   def longMetric(obs: Observation, fallback: => Long): Long = {
     val row =
       try Some(scala.concurrent.Await.result(obs.future,

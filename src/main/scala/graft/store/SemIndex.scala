@@ -54,6 +54,11 @@ object SemIndex {
   private val P = "semdedup." // metadata key prefix
   private val chain = new DeltaChain(s"${P}parts")
 
+  /** The degenerate single-cluster "quantizer": any centroid assigns
+    * every vector to cluster 0, so no sample/train pass is owed. */
+  private def trivialCentroids(dim: Int): Seq[Seq[Double]] =
+    Seq(Seq.tabulate(dim)(i => if (i == 0) 1.0 else 0.0))
+
   private def encode(vecs: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =
     Similarity.semAssign(vecs, "id", "vec", centroids)
       // long cluster key: the zone-map long kind reads INT64 stats
@@ -69,8 +74,15 @@ object SemIndex {
   def build(store: SnapshotStore, table: String, vecs: DataFrame, dim: Int,
             eps: Double, nClusters: Int = 64, maxClusterSize: Int = 100000,
             seed: Long = 42L, trainOn: Option[DataFrame] = None): Long = {
-    val centroids = Similarity.trainIvfCentroids(
-      trainOn.getOrElse(vecs), "vec", nClusters, seed)
+    // nClusters == 1 needs no training: every vector's nearest-of-one
+    // assignment is cluster 0 whatever the centroid, and nothing else
+    // reads the centroid value (pairing works on uv) — so the trivial
+    // basis vector replaces the sample draw's two driver actions
+    // (r19, guide §1.2). Assignments, pairs and retrains are identical.
+    val centroids =
+      if (nClusters == 1) trivialCentroids(dim)
+      else Similarity.trainIvfCentroids(
+        trainOn.getOrElse(vecs), "vec", nClusters, seed)
     val enc = encode(vecs, centroids).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // drift accounting for [[retrainIfDrifted]]: rows assigned AT
@@ -256,8 +268,13 @@ object SemIndex {
       return Similarity.semPairsTouchingF(tagged, eps, maxClusterSize,
         tagged.select(col("id"), col("uv")), broadcastKeyLimit)
     }
+    // No dropDuplicates (r19, guide §2.4): each vector lives in exactly
+    // ONE cluster (nearest-of-k assignment), so an unordered pair can
+    // only be emitted by the one cluster holding both members — unlike
+    // the multi-table LSH indexes there is no cross-table collision to
+    // dedup, and the exchange bought nothing (SemIndexSpec pins
+    // incremental ≡ batch pair-for-pair).
     val verified = Similarity.semPairsTouching(tagged, eps, maxClusterSize)
-      .dropDuplicates("id_a", "id_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
     verified.count()
     verified
@@ -371,12 +388,17 @@ object SemIndex {
         else {
           val seed = meta(s"${P}seed").toLong
           // uv is already unit-norm, so re-encoding from it is exact:
-          // unit(uv) = uv, and assignment is a pure function of uv
-          allCache = chain.load(store, table, v, meta)
+          // unit(uv) = uv, and assignment is a pure function of uv.
+          // nClusters == 1 keeps the trivial quantizer (see build) and
+          // reads the chain once (assign only) — no train, no persist.
+          val rows = chain.load(store, table, v, meta)
             .select(col("id"), col("uv").as("vec"))
-            .persist(StorageLevel.MEMORY_AND_DISK) // read 2×: train + assign
+          allCache =
+            if (nClusters == 1) rows
+            else rows.persist(StorageLevel.MEMORY_AND_DISK) // read 2×: train + assign
           val centroids =
-            Similarity.trainIvfCentroids(allCache, "vec", nClusters, seed)
+            if (nClusters == 1) trivialCentroids(meta(s"${P}dim").toInt)
+            else Similarity.trainIvfCentroids(allCache, "vec", nClusters, seed)
           // full-snapshot rewrite from the VISIBLE rows: resets both
           // chain keys — pending tombstones are physically applied here
           // (the retrain-as-fold form of the takedown contract)

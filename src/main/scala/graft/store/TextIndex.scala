@@ -1429,66 +1429,81 @@ object TextIndex {
 
     // One champion probe feeds both bounds (term zones prune each chain
     // member's files exactly like a postings probe; resolved champion
-    // rows are ≤ m per term).
+    // rows are ≤ m per term). The per-term stats RIDE the θ̂ scoring
+    // action as a CollectMetrics observation (r19, the ObservedStats
+    // discipline): df/max_tf/min_dl are constant per term on champion
+    // rows, so collect_set(struct(…)) resolves to exactly one struct
+    // per term (≤ |query terms| — the same bound as the old separate
+    // groupBy/first collect, whose action and the champHits persist
+    // both go away). Eager fallback on collapsed plans/timeouts.
+    val statsObs = org.apache.spark.sql.Observation()
     val champHits = champRowsAt(store, ct, cv,
         Seq(ZoneMap.stringIn("term", terms)))
-      .persist(StorageLevel.MEMORY_AND_DISK) // read 2×: stats + floor
-    try {
-      // per-term ceiling ub(t) from the stored full-postings stats
-      val stats = champHits
-        .groupBy(col("term"))
-        .agg(first(col("df")).as("df"), first(col("max_tf")).as("max_tf"),
-          first(col("min_dl")).as("min_dl"))
-        .collect() // ≤ |query terms| rows — the small-queries contract
-      val ub: Map[String, Double] = stats.map { r =>
-        val df = r.getLong(1).toDouble
-        val maxTf = r.getLong(2).toDouble
-        val minDl = r.getInt(3).toDouble
-        val idf = math.log(1.0 + (nDocs.toDouble - df + 0.5) / (df + 0.5))
-        val impact = maxTf / (maxTf + (minDl * (b / avgdl) + (1 - b)) * k1)
-        r.getString(0) -> idf * (k1 + 1) * impact * (1.0 + 1e-9)
-      }.toMap
+      .observe(statsObs, collect_set(struct(col("term"), col("df"),
+        col("max_tf"), col("min_dl"))).as("ts"))
+    locally {
       // per-query floor θ̂: k-th best champion-only score, minus slack.
-      // Persisted + collected once: the frame joins into the essential
-      // split below AND drives the driver-side per-file skip rule.
-      val thetaDf = Retrieval.bm25ScoreWithDf(champHits, queries,
-          queryIdCol, queryTextCol, nDocs, avgdl, k, k1, b,
+      // Collected once — after the r19 driver-side essential split below
+      // its ONLY consumer is this map, so the old persist+broadcast-join
+      // materialization was a pure extra job.
+      val thetaOf: Map[Any, Double] = Retrieval.bm25ScoreWithDf(champHits,
+          queries, queryIdCol, queryTextCol, nDocs, avgdl, k, k1, b,
           qSideOpt = Some(qSide))
         .filter(col("rank") === k)
         .select(col("query_id"), (col("score") - 1e-5).as("theta"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val thetaOf: Map[Any, Double] = thetaDf.collect()
-        .map(r => r.get(0) -> r.getDouble(1)).toMap
-      // essential split per (query, term): ascending-ub prefix below θ̂.
-      // ONE query-batch-sized collect (r18) carries the full tagged
-      // (query_id, term, essential) list — it feeds essTerms, the
-      // per-query term lists for the file-skip rule below, AND the
-      // essential-pair broadcast, where the pre-r18 shape paid three
-      // separate driver actions (essTerms distinct-collect, qTerms
-      // collect, and the pairs' own materialization) for the same rows.
-      val ubLookup = spark.createDataFrame(
-        ub.toSeq.map(t => UbRow(t._1, t._2))).toDF("term", "ub")
-      val qTerms = qSide // the collected pairs — not a re-derivation
-      val cumWin = Window.partitionBy(col("query_id"))
-        .orderBy(col("ub").asc, col("term").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val taggedRows = qTerms
-        .join(broadcast(ubLookup), Seq("term"), "left")
-        .withColumn("ub", coalesce(col("ub"), lit(0.0)))
-        .join(broadcast(thetaDf), Seq("query_id"), "left")
-        .withColumn("cum", sum(col("ub")).over(cumWin))
-        // no θ̂ (fewer than k champion-scored docs) → everything essential
-        .select(col("query_id"), col("term"),
-          (col("theta").isNull || col("cum") >= col("theta")).as("essential"))
         .collect()
-      val essTerms = taggedRows.filter(_.getBoolean(2))
-        .map(_.getString(1)).distinct.toSeq
+        .map(r => r.get(0) -> r.getDouble(1)).toMap
+      // per-term ceiling ub(t) from the stored full-postings stats —
+      // observed above; the fallback recomputes the old eager aggregate
+      // over a re-derived probe (trivial on the collapsed-plan inputs
+      // that trigger it).
+      val stats: Seq[(String, Long, Long, Int)] =
+        ObservedStats.structSet(statsObs).map(_.map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))))
+        .getOrElse {
+          champRowsAt(store, ct, cv, Seq(ZoneMap.stringIn("term", terms)))
+            .groupBy(col("term"))
+            .agg(first(col("df")).as("df"), first(col("max_tf")).as("max_tf"),
+              first(col("min_dl")).as("min_dl"))
+            .collect().toSeq
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        }
+      val ub: Map[String, Double] = stats.map { case (t, dfL, maxTfL, minDlI) =>
+        val df = dfL.toDouble
+        val maxTf = maxTfL.toDouble
+        val minDl = minDlI.toDouble
+        val idf = math.log(1.0 + (nDocs.toDouble - df + 0.5) / (df + 0.5))
+        val impact = maxTf / (maxTf + (minDl * (b / avgdl) + (1 - b)) * k1)
+        t -> idf * (k1 + 1) * impact * (1.0 + 1e-9)
+      }.toMap
+      // essential split per (query, term): ascending-ub prefix below θ̂.
+      // Computed ON THE DRIVER (r19): every input — the collected
+      // (query_id, term) pairs, ub, θ̂ — is already driver-local, so the
+      // old Spark form (two broadcast joins + a window + a fourth
+      // collect) spent ~5 scheduler round trips re-deriving a list this
+      // loop builds in microseconds. Arithmetic is identical: the same
+      // ascending (ub, term) order drives the same left-to-right
+      // double prefix sum the window computed.
+      val taggedRows: Array[(Any, String, Boolean)] = qPairRows
+        .map(r => (r.get(0), r.getString(1)))
+        .groupBy(_._1).iterator.flatMap { case (qid, pairs) =>
+          val sorted = pairs.map { case (_, t) =>
+            (t, ub.getOrElse(t, 0.0))
+          }.sortBy { case (t, u) => (u, t) }
+          val theta = thetaOf.get(qid)
+          var cum = 0.0
+          sorted.map { case (t, u) =>
+            cum += u
+            (qid, t, theta.forall(cum >= _))
+          }
+        }.toArray
+      val essTerms = taggedRows.collect { case (_, t, true) => t }
+        .distinct.toSeq
       val nonEssTerms = terms.diff(essTerms)
       if (nonEssTerms.isEmpty) {
         // nothing prunes (θ̂ absent, or every term essential for some
         // query): the candidate machinery would only add joins on top
         // of the exact probe's plan — delegate instead of paying it
-        thetaDf.unpersist(blocking = false)
         return (query(store, indexTable, queries, queryIdCol, queryTextCol,
           k, k1, b), None)
       }
@@ -1497,8 +1512,8 @@ object TextIndex {
         org.apache.spark.sql.types.StructField("term",
           org.apache.spark.sql.types.StringType)))
       val essentialPairs = spark.createDataFrame(
-        java.util.Arrays.asList(taggedRows.filter(_.getBoolean(2)).map(r =>
-          org.apache.spark.sql.Row(r.get(0), r.getString(1))): _*),
+        java.util.Arrays.asList(taggedRows.collect { case (q, t, true) =>
+          org.apache.spark.sql.Row(q, t) }: _*),
         pairSchema)
 
       // ---- per-file score skip (scaladoc §3) -----------------------
@@ -1507,10 +1522,10 @@ object TextIndex {
       // θ̂, and the per-term stats; everything else comes from each
       // file's zone sidecar.
       val termsOf: Seq[(Any, Seq[String])] = taggedRows
-        .map(r => (r.get(0), r.getString(1)))
+        .map { case (q, t, _) => (q, t) }
         .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toSeq
-      val termStats: Map[String, (Long, Long, Int)] = stats.map(r =>
-        r.getString(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+      val termStats: Map[String, (Long, Long, Int)] = stats.map {
+        case (t, df, maxTf, minDl) => t -> (df, maxTf, minDl) }.toMap
       // ub(t) tightened by file F's zones: tf ≤ min(max_tf_t, max_tf_F),
       // dl ≥ max(min_dl_t, min_dl_F); impact is ↑tf ↓dl, so this bounds
       // every posting of t inside F. Terms absent from the index bound 0.
@@ -1574,7 +1589,7 @@ object TextIndex {
       // TRUE df from the champion stats (candidate-restricted hit rows
       // would under-count common terms and silently inflate their idf)
       val dfLookup = spark.createDataFrame(
-        stats.toSeq.map(r => UbRow(r.getString(0), r.getLong(1).toDouble)))
+        stats.map { case (t, df, _, _) => UbRow(t, df.toDouble) })
         .toDF("term", "df")
       val ranked = Retrieval.bm25ScoreWithDf(
         hits.join(broadcast(dfLookup), Seq("term")),
@@ -1583,9 +1598,8 @@ object TextIndex {
         .persist(StorageLevel.MEMORY_AND_DISK)
       ranked.count() // EAGER: helper caches release on return
       candidates.unpersist(blocking = false)
-      thetaDf.unpersist(blocking = false)
       (ranked, Some(io))
-    } finally champHits.unpersist(blocking = false)
+    }
   }
 
   /** Chain + champion maintenance in one idempotent call: refresh the

@@ -276,6 +276,18 @@ object PhaseProbe {
         "query_id", "qtext", k = 10, fallbackToExact = false).count())
     }
 
+    if (selected("retrieve_bm25_maxscore")) {
+      val f = "retrieve_bm25_maxscore"
+      val ds = docs(d).select(col("doc_id"), col("text"))
+      val store = new SnapshotStore(tmp("pp-bm25msx"), spark)
+      phase(f, "build")(PhraseIndex.build(store, "docs_text", ds, "text", "doc_id"))
+      phase(f, "champ")(TextIndex.refreshChampions(store, "docs_text", m = 8))
+      val qs = ds.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+      phase(f, "serve")(TextIndex.queryMaxScore(store, "docs_text", qs,
+        "query_id", "qtext", k = 10).count())
+    }
+
     if (selected("dedup_embed_float_oracle")) {
       val f = "dedup_embed_float_oracle"
       phase(f, "all")(ExtensionQueries.dedupEmbedFloatOracle(spark, d).count())
