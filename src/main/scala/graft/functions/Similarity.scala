@@ -248,6 +248,12 @@ object Similarity {
     trainIvfCentroidsFromSample(
       sampleUnitVectors(corpus, vecCol, sampleSize), nLists, seed, iters)
 
+  /** The degenerate single-list "quantizer": any centroid assigns every
+    * vector to list 0, so no sample/train pass is owed (shared by
+    * [[semDedupPairs]] and [[graft.store.SemIndex]]). */
+  private[graft] def trivialCentroids(dim: Int): Seq[Seq[Double]] =
+    Seq(Seq.tabulate(dim)(i => if (i == 0) 1.0 else 0.0))
+
   /** [[trainIvfCentroids]] over a PRE-DRAWN unit-vector sample — lets a
     * builder that trains BOTH quantizers (IVF + PQ) share one
     * hash-ordered draw instead of paying the two-action sampling pass
@@ -893,8 +899,13 @@ object Similarity {
                     dim: Int, nClusters: Int = 64, eps: Double = 0.95,
                     seed: Long = 42L, maxClusterSize: Int = 100000,
                     centroidsOpt: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    // nClusters == 1 needs no training (r19, guide §1.2): nearest-of-one
+    // assigns every vector to cluster 0 whatever the centroid, and the
+    // in-cluster pairing works on uv — the trivial basis vector saves
+    // the sample draw's two driver actions with identical output.
     val centroids = centroidsOpt.getOrElse(
-      trainIvfCentroids(corpus, vecCol, nClusters, seed))
+      if (nClusters == 1) trivialCentroids(dim)
+      else trainIvfCentroids(corpus, vecCol, nClusters, seed))
     semPairsOfAssigned(semAssign(corpus, idCol, vecCol, centroids), eps,
       maxClusterSize)
   }

@@ -57,7 +57,7 @@ object SemIndex {
   /** The degenerate single-cluster "quantizer": any centroid assigns
     * every vector to cluster 0, so no sample/train pass is owed. */
   private def trivialCentroids(dim: Int): Seq[Seq[Double]] =
-    Seq(Seq.tabulate(dim)(i => if (i == 0) 1.0 else 0.0))
+    Similarity.trivialCentroids(dim)
 
   private def encode(vecs: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =
     Similarity.semAssign(vecs, "id", "vec", centroids)
